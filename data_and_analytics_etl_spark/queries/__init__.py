@@ -1,0 +1,7 @@
+"""Declared query surface. Importing this package registers every probe."""
+
+from .registry import REGISTRY, QuerySpec, oracle_sql, queries, query  # noqa: F401
+
+from . import tpch  # noqa: F401,E402
+
+__all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql", "query"]

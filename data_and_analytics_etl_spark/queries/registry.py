@@ -1,0 +1,68 @@
+"""Query registry: the declared engine surface (SURVEY §2.2, the t2 contract).
+
+Every operator the engine claims is registered here as a named probe query:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (for deterministic,
+SQL-expressible operators) the equivalent ANSI SQL a DuckDB oracle runs on
+the same parquet tables. ``__spark_entry__.queries()`` / ``oracle_sql()``
+re-export this registry verbatim.
+
+Determinism contract (SURVEY §7.5): every probe aliases all computed
+columns identically on both sides, pins a total ORDER BY, rounds doubles
+that pass through order-sensitive float accumulation, and renders
+timestamps as UTC strings when they reach the output.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None   # DuckDB SQL; None => rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
+          doc: str = ""):
+    """Register a probe query. Used as a decorator on the Spark callable.
+
+    The registered callable first applies the engine's runtime conf
+    (UTC session time, AQE, Arrow — session.RUNTIME_CONF) so results are
+    deterministic even on a host-owned SparkSession.
+    """
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from ..session import apply_runtime_conf
+            apply_runtime_conf(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle,
+                                   tags=tags, doc=doc or (fn.__doc__ or ""))
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items()
+            if spec.oracle is not None}
