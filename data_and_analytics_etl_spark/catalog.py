@@ -49,8 +49,9 @@ def _normalize_event_timestamps(df: DataFrame) -> DataFrame:
     from pyspark.sql.types import LongType
 
     if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+        # Integer DIV, not float division: ns-epoch (~1.7e18) exceeds
+        # double's 53-bit mantissa and float division drifts by ~100 ns.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

@@ -1,0 +1,87 @@
+"""As-of join: for each left row, the most recent right row at-or-before it.
+
+Spark has no native ASOF JOIN (DuckDB does; Pandas has merge_asof). The
+scalable rewrite is the **union-and-carry** formulation, not a
+conditional join:
+
+    conditional join:  left ⋈ (right.ts <= left.ts) → per-key row explosion
+                       (O(n·m) pairs on hot keys), then a max_by — dead at
+                       100 TB on skewed keys.
+    union-and-carry:   tag both inputs, union, single shuffle on
+                       (key, ts), then last(right_value, ignorenulls) over
+                       an ordered running window — O(n+m) rows, one
+                       shuffle, no explosion, AQE-friendly.
+
+Inclusive semantics match DuckDB ASOF JOIN (right.ts <= left.ts wins ties):
+right rows sort *before* left rows at equal timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str] | None = None,
+    suffix: str = "_right",
+    how: str = "left",
+) -> DataFrame:
+    """Join each left row to the latest right row with
+    ``right[right_ts] <= left[left_ts]``, per equality key(s) ``on``.
+
+    Parameters
+    ----------
+    on : equality key column(s) present in both inputs.
+    left_ts / right_ts : ordering (timestamp) columns.
+    right_values : right columns to carry (default: all non-key,
+        non-timestamp right columns).
+    how : 'left' keeps unmatched left rows with NULL right values;
+        'inner' drops them.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_values is None:
+        right_values = [c for c in right.columns
+                        if c not in keys and c != right_ts]
+    carried = [f"{c}{suffix}" for c in right_values]
+
+    # Tag and align the two sides on a common shape. `_side` orders right
+    # rows first at ts ties → inclusive (<=) semantics.
+    lhs = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(a)
+          for c, a in zip(right_values, carried)],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{right_ts}{suffix}"),
+    )
+    rhs = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lhs.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(a) for c, a in zip(right_values, carried)],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+    )
+
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried_all = carried + [f"{right_ts}{suffix}"]
+    unioned = lhs.unionByName(rhs)
+    for c in carried_all:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+
+    out = (unioned.filter(F.col("_side") == 1)
+           .select(F.col("_lrow.*"), *carried_all))
+    if how == "inner":
+        out = out.filter(F.col(f"{right_ts}{suffix}").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    return out

@@ -2,6 +2,6 @@
 
 from .registry import REGISTRY, QuerySpec, oracle_sql, queries, query  # noqa: F401
 
-from . import tpch  # noqa: F401,E402
+from . import aggregates, relational, scalar_funcs, tpch, windows  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql", "query"]

@@ -1,0 +1,206 @@
+"""Window function probes (SURVEY §2.2 "Window functions").
+
+Each window spec shuffles once on its partition key; probes that stack
+multiple functions share one (partition, order) spec so Catalyst collapses
+them into a single Window physical node — check ``.explain`` shows one
+Sort+Window pair, not N.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..operators.sessionize import session_stats
+from .registry import query
+
+
+@query(
+    "window_ranking",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       row_number()   OVER w AS rn,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cdist
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_orderpriority, rn
+""",
+    tags=("window",),
+    doc="Ranking family over one shared window spec.",
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey", "o_orderpriority",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"))
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+SELECT event_id, user_id,
+       round(value, 4)                              AS value,
+       round(lag(value)  OVER w, 4)                 AS prev_value,
+       round(lead(value) OVER w, 4)                 AS next_value,
+       first_value(event_id) OVER w                 AS first_event,
+       last_value(event_id)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                                    AS last_event,
+       nth_value(event_id, 2)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                                                    AS second_event
+FROM events
+WHERE user_id < 8
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+""",
+    tags=("window",),
+    doc="lag/lead/first/last/nth_value analytic functions.",
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "event_id", "user_id",
+            F.round("value", 4).alias("value"),
+            F.round(F.lag("value").over(w), 4).alias("prev_value"),
+            F.round(F.lead("value").over(w), 4).alias("next_value"),
+            F.first("event_id").over(w).alias("first_event"),
+            F.last("event_id").over(w_full).alias("last_event"),
+            F.nth_value("event_id", 2).over(w_full).alias("second_event"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_running_agg",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       count(*) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING)                    AS running_n,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                                                                   AS moving_avg3
+FROM orders
+WHERE o_custkey < 50
+ORDER BY o_custkey, o_orderkey
+""",
+    tags=("window",),
+    doc="Running totals and a 3-row moving average (ROWS frames).",
+)
+def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = base.rowsBetween(-2, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+            F.count(F.lit(1)).over(run).alias("running_n"),
+            F.round(F.avg("o_totalprice").over(mov), 4).alias("moving_avg3"))
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+SELECT p_partkey, p_size,
+       count(*) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS n_similar_smaller,
+       round(sum(p_retailprice) OVER (ORDER BY p_size
+                                      RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING), 2)
+         AS price_in_band
+FROM part
+WHERE p_partkey < 100
+ORDER BY p_partkey
+""",
+    tags=("window",),
+    doc="RANGE frames: value-based (not row-count) window bounds.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    w1 = Window.orderBy("p_size").rangeBetween(-2, Window.currentRow)
+    w2 = Window.orderBy("p_size").rangeBetween(-2, 2)
+    return (
+        p.select(
+            "p_partkey", "p_size",
+            F.count(F.lit(1)).over(w1).alias("n_similar_smaller"),
+            F.round(F.sum("p_retailprice").over(w2), 2).alias("price_in_band"))
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "sessionization",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*)              AS n_events,
+       round(sum(value), 2)  AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    tags=("window", "ext"),
+    doc="Batch sessionization (30-min gap) via operators/sessionize.py; "
+        "equals Structured Streaming session_window on the same input.",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = session_stats(ev, key="user_id", ts="ts", gap_seconds=1800,
+                        agg_value="value")
+    return (
+        out.select(
+            "user_id", "session_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_end"),
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"))
+        .orderBy("user_id", "session_id")
+    )
