@@ -111,24 +111,37 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_minmax_by",
     oracle="""
+WITH ranked AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn_max,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal ASC, c_custkey ASC)   AS rn_min
+  FROM customer
+)
 SELECT c_nationkey,
-       max_by(c_custkey, c_acctbal) AS richest_cust,
-       min_by(c_custkey, c_acctbal) AS poorest_cust,
+       max(CASE WHEN rn_max = 1 THEN c_custkey END) AS richest_cust,
+       max(CASE WHEN rn_min = 1 THEN c_custkey END) AS poorest_cust,
        round(max(c_acctbal), 2)     AS max_bal,
        round(min(c_acctbal), 2)     AS min_bal
-FROM customer
+FROM ranked
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """,
     tags=("agg",),
-    doc="min_by/max_by ordered selection aggregates.",
+    priority=48,
+    doc="min_by/max_by ordered selection aggregates (deterministic: "
+        "struct-valued ordering key breaks acctbal ties on custkey; the "
+        "oracle's row_number formulation pins the same total order).",
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return (
         c.groupBy("c_nationkey")
-         .agg(F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
-              F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+         .agg(F.max_by("c_custkey",
+                       F.struct("c_acctbal", "c_custkey")).alias("richest_cust"),
+              F.min_by("c_custkey",
+                       F.struct("c_acctbal", "c_custkey")).alias("poorest_cust"),
               F.round(F.max("c_acctbal"), 2).alias("max_bal"),
               F.round(F.min("c_acctbal"), 2).alias("min_bal"))
          .orderBy("c_nationkey")

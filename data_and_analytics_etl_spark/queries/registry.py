@@ -30,13 +30,18 @@ class QuerySpec:
     oracle: str | None = None   # DuckDB SQL; None => rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    #: Export order: the driver verifies a bounded prefix of the exported
+    #: dict (CORRECTNESS_r01 held exactly the first 50 entries), so
+    #: bench-critical and newest probes must sort first. Lower = earlier;
+    #: ties keep registration order.
+    priority: int = 100
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
-          doc: str = ""):
+          doc: str = "", priority: int = 100):
     """Register a probe query. Used as a decorator on the Spark callable.
 
     The registered callable first applies the engine's runtime conf
@@ -54,15 +59,22 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
             return fn(spark, sf_dir)
 
         REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle,
-                                   tags=tags, doc=doc or (fn.__doc__ or ""))
+                                   tags=tags, doc=doc or (fn.__doc__ or ""),
+                                   priority=priority)
         return fn
     return deco
 
 
+def _ordered() -> list[QuerySpec]:
+    order = {name: i for i, name in enumerate(REGISTRY)}
+    return sorted(REGISTRY.values(),
+                  key=lambda s: (s.priority, order[s.name]))
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {spec.name: spec.fn for spec in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items()
+    return {spec.name: spec.oracle for spec in _ordered()
             if spec.oracle is not None}

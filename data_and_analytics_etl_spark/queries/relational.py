@@ -26,7 +26,9 @@ from .registry import query
     "filter_predicates",
     oracle="""
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
-       round(l_extendedprice * (1 - l_discount), 2) AS net_price
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS net_price
 FROM lineitem
 WHERE l_quantity BETWEEN 10 AND 20
   AND l_returnflag IN ('A', 'R')
@@ -36,6 +38,7 @@ WHERE l_quantity BETWEEN 10 AND 20
 ORDER BY l_orderkey, l_linenumber
 """,
     tags=("filter",),
+    priority=48,
     doc="Compound predicate pushdown: BETWEEN, IN, IS NOT NULL, OR-tree.",
 )
 def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,8 +52,12 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")))
         .select(
             "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
-            .alias("net_price"))
+            # Decimal, not raw-double, rounding: round(x*y, 2) on doubles
+            # hits half-tie divergence across engines (SURVEY §7.4).
+            F.round(F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)")
+                       - F.col("l_discount").cast("decimal(18,4)")), 2)
+            .cast("double").alias("net_price"))
         .orderBy("l_orderkey", "l_linenumber")
     )
 

@@ -211,8 +211,8 @@ def date_parse_dual_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        abs(l_discount - 0.05)                       AS abs_d,
-       ceil(l_extendedprice / 1000)                 AS ceil_k,
-       floor(l_extendedprice / 1000)                AS floor_k,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS ceil_k,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS floor_k,
        round(l_extendedprice, 1)                    AS round1,
        round(pow(l_quantity, 2), 4)                 AS qty_sq,
        round(sqrt(l_extendedprice), 6)              AS sqrt_p,
@@ -221,8 +221,8 @@ SELECT l_orderkey, l_linenumber,
        round(ln(l_extendedprice), 8)                AS ln_p,
        round(log10(l_extendedprice), 8)             AS log10_p,
        round(log2(l_extendedprice), 8)              AS log2_p,
-       mod(l_orderkey, 7)                           AS mod7,
-       sign(l_discount - 0.05)                      AS sgn,
+       CAST(mod(l_orderkey, 7) AS BIGINT)           AS mod7,
+       CAST(sign(l_discount - 0.05) AS DOUBLE)      AS sgn,
        greatest(l_quantity, l_linenumber * 10.0)    AS gr,
        least(l_quantity, l_linenumber * 10.0)       AS le,
        round(radians(l_quantity), 8)                AS rad,
@@ -230,12 +230,13 @@ SELECT l_orderkey, l_linenumber,
        round(sin(l_discount), 8)                    AS sin_d,
        round(cos(l_discount), 8)                    AS cos_d,
        round(atan2(l_quantity, l_extendedprice), 8) AS at2,
-       factorial(l_linenumber)                      AS fact_line
+       CAST(factorial(l_linenumber) AS BIGINT)      AS fact_line
 FROM lineitem
 WHERE l_orderkey < 60
 ORDER BY l_orderkey, l_linenumber
 """,
     tags=("functions",),
+    priority=48,
     doc="Math family: rounding, roots, logs, trig, modular.",
 )
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,6 +45,7 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
     tags=("agg", "bench"),
+    priority=10,
     doc="Scan→filter→hash-agg→sort over the fact table (TPC-H Q1 shape).",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,6 +87,7 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
     tags=("join", "topk", "bench"),
+    priority=10,
     doc="3-way join + agg + global top-k (TPC-H Q3 shape); customer side broadcast.",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,6 +130,7 @@ GROUP BY n_name, r_name
 ORDER BY revenue DESC, n_name
 """,
     tags=("join", "bench"),
+    priority=10,
     doc="5-way star join: fact side stays put, all dimensions broadcast.",
 )
 def q5_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,6 +167,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_quantity < 24
 """,
     tags=("agg", "filter"),
+    priority=10,
     doc="Pure scan-side predicate pushdown + global agg (TPC-H Q6 shape).",
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

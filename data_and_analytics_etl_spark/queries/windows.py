@@ -32,6 +32,7 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
 ORDER BY o_orderpriority, rn
 """,
     tags=("window",),
+    priority=15,
     doc="Ranking family over one shared window spec.",
 )
 def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,6 +76,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id
 """,
     tags=("window",),
+    priority=15,
     doc="lag/lead/first/last/nth_value analytic functions.",
 )
 def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,6 +115,7 @@ WHERE o_custkey < 50
 ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
+    priority=15,
     doc="Running totals and a 3-row moving average (ROWS frames).",
 )
 def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,28 +136,35 @@ def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_range_frame",
     oracle="""
-SELECT p_partkey, p_size,
-       count(*) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+SELECT p_partkey, p_brand, p_size,
+       count(*) OVER (PARTITION BY p_brand ORDER BY p_size
+                      RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
          AS n_similar_smaller,
-       round(sum(p_retailprice) OVER (ORDER BY p_size
-                                      RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING), 2)
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY p_brand ORDER BY p_size
+                    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+            AS DOUBLE)
          AS price_in_band
 FROM part
-WHERE p_partkey < 100
 ORDER BY p_partkey
 """,
     tags=("window",),
-    doc="RANGE frames: value-based (not row-count) window bounds.",
+    priority=15,
+    doc="RANGE frames: value-based (not row-count) window bounds, under a "
+        "partitionBy so the pattern scales (an unpartitioned RANGE window "
+        "collapses the input to one task — never do that at 100 TB).",
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
-    w1 = Window.orderBy("p_size").rangeBetween(-2, Window.currentRow)
-    w2 = Window.orderBy("p_size").rangeBetween(-2, 2)
+    p = load_table(spark, sf_dir, "part")
+    w1 = Window.partitionBy("p_brand").orderBy("p_size") \
+        .rangeBetween(-2, Window.currentRow)
+    w2 = Window.partitionBy("p_brand").orderBy("p_size").rangeBetween(-2, 2)
+    price_dec = F.col("p_retailprice").cast("decimal(18,2)")
     return (
         p.select(
-            "p_partkey", "p_size",
+            "p_partkey", "p_brand", "p_size",
             F.count(F.lit(1)).over(w1).alias("n_similar_smaller"),
-            F.round(F.sum("p_retailprice").over(w2), 2).alias("price_in_band"))
+            F.sum(price_dec).over(w2).cast("double").alias("price_in_band"))
         .orderBy("p_partkey")
     )
 
@@ -186,6 +196,7 @@ GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """,
     tags=("window", "ext"),
+    priority=15,
     doc="Batch sessionization (30-min gap) via operators/sessionize.py; "
         "equals Structured Streaming session_window on the same input.",
 )

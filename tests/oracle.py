@@ -93,7 +93,15 @@ def compare(spark, spec, sf_dir: str) -> None:
     spark_pd.columns = [c.lower() for c in spark_pd.columns]
     oracle_pd.columns = [c.lower() for c in oracle_pd.columns]
     s_rows, o_rows = canon_frame(spark_pd), canon_frame(oracle_pd)
-    mismatches = [(a, b) for a, b in zip(s_rows, o_rows) if a != b]
-    assert not mismatches, (
-        f"{spec.name}: {len(mismatches)}/{len(s_rows)} rows differ; "
-        f"first: spark={mismatches[0][0]} oracle={mismatches[0][1]}")
+    # Multiset compare (not positional zip): equal-but-type-skewed cells
+    # (int 1 vs float 1.0) sort into different positions under repr, which
+    # would misalign a pairwise zip and report spurious mismatches.
+    from collections import Counter
+    s_ctr, o_ctr = Counter(s_rows), Counter(o_rows)
+    if s_ctr != o_ctr:
+        only_s = list((s_ctr - o_ctr).elements())
+        only_o = list((o_ctr - s_ctr).elements())
+        raise AssertionError(
+            f"{spec.name}: {len(only_s)} spark-only / {len(only_o)} "
+            f"oracle-only rows; first spark-only={only_s[:1]} "
+            f"oracle-only={only_o[:1]}")
