@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference pipeline is at-least-once (data lands before the checkpoint
+advances, CommCareAPIHandler.py:251-262), so downstream dedup is a
+first-class engine capability (SURVEY §7.4 "At-least-once overlap"), and
+the mandate adds near-duplicate detection for LLM corpus curation.
+
+Scale design
+------------
+- Exact dedup is a hash aggregate (one shuffle on the dedup key); keyed
+  keep-first is a single `row_number` window (one shuffle on the key).
+- Near-dup (MinHash-LSH) never materializes all pairs: docs are exploded
+  to (band, band_hash) buckets and candidates come from a self-equi-join
+  on the bucket key — the classic banding scheme (Broder '97; Leskovec
+  et al., "Mining of Massive Datasets" ch.3). Pair volume is bounded by
+  bucket collisions, not n².
+- Everything is JVM-side (`xxhash64`, higher-order array functions);
+  no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Full-row (or subset-keyed) exact deduplication.
+
+    One hash-aggregate shuffle on the dedup columns; for subset dedup the
+    surviving row for each key is arbitrary — use :func:`keyed_dedup` when
+    the winner must be deterministic.
+    """
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def keyed_dedup(df: DataFrame, keys: list[str],
+                order_by: list[Column]) -> DataFrame:
+    """Keep exactly one deterministic row per key (keep-first semantics).
+
+    ``order_by`` must be a total order within each key group (append a
+    unique id as the last sort key); the first row in that order wins.
+    Single shuffle on ``keys``; the window sort is per-partition.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+# ---------------------------------------------------------------- shingling
+
+def with_word_shingles(df: DataFrame, text_col: str, n: int = 3,
+                       out: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles of ``text_col`` as an array column.
+
+    Built entirely from higher-order array functions (split → sequence →
+    transform → array_distinct), so it stays inside whole-stage codegen.
+    Documents with fewer than ``n`` words get an empty shingle set.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    npos = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    shingles = F.when(npos > 0, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int"))
+                       for j in range(n)]))
+    )).otherwise(F.array().cast("array<string>"))
+    return df.withColumn(out, shingles)
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
+                  threshold: float, block_col: str | None = None,
+                  ) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the small-scale baseline).
+
+    Joins within ``block_col`` blocks (e.g. language) to avoid a full
+    cross product; at 100 TB use :func:`minhash_lsh_pairs`, which replaces
+    blocking with LSH buckets. Output: (id_a, id_b, jaccard), id_a < id_b.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("set_a"),
+                  *([F.col(block_col).alias("__blk")] if block_col else []))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("set_b"),
+                  *([F.col(block_col).alias("__blk")] if block_col else []))
+    cond = F.col("id_a") < F.col("id_b")
+    joined = (a.join(b, on="__blk" if block_col else None, how="inner")
+              if block_col else a.crossJoin(b)).filter(cond)
+    jac = (F.size(F.array_intersect("set_a", "set_b")).cast("double")
+           / F.size(F.array_union("set_a", "set_b")))
+    return (joined
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------- MinHash
+
+def with_minhash_signature(df: DataFrame, set_col: str, num_hashes: int = 16,
+                           out: str = "minhash") -> DataFrame:
+    """k independent MinHash values per row, as an array<bigint> column.
+
+    Hash family: ``xxhash64(seed_tag || element)`` — k JVM-side passes over
+    the element array, no Python. Empty sets hash to LONG_MAX sentinels so
+    they never collide with real content.
+    """
+    sentinel = F.lit(2 ** 63 - 1).cast("long")
+
+    def min_hash(j: int) -> Column:
+        # Factory, not a default-arg lambda (2-param HOF lambdas bind the
+        # second param to the element index, not the closure default).
+        tag = F.lit(f"mh{j}:")
+        return F.coalesce(
+            F.array_min(F.transform(
+                F.col(set_col), lambda s: F.xxhash64(F.concat(tag, s)))),
+            sentinel)
+
+    return df.withColumn(out, F.array(*[min_hash(j)
+                                        for j in range(num_hashes)]))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, set_col: str,
+                      threshold: float = 0.5, num_hashes: int = 16,
+                      bands: int = 8) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact Jaccard verification.
+
+    Pipeline (all DataFrame ops, two shuffles):
+      1. signature: k minhashes per doc (map-side only);
+      2. banding: explode to (band_idx, band_hash) and self-join on the
+         bucket key — candidates are docs agreeing on ALL rows of ≥1 band
+         (P[candidate] ≈ 1-(1-j^r)^b, r = k/bands);
+      3. verify: exact Jaccard on the candidate pairs only, filter to
+         ``threshold``.
+    Never computes the n² pair set; bucket-key self-join is
+    shuffle-partitioned on band_hash so hot buckets spread via AQE skew
+    handling.
+    """
+    rows = num_hashes // bands
+    sigd = with_minhash_signature(df, set_col, num_hashes, out="__sig")
+    band_hash = F.array(*[
+        F.xxhash64(*[F.element_at("__sig", i * rows + j + 1)
+                     for j in range(rows)], F.lit(i))
+        for i in range(bands)])
+    buckets = (sigd
+               .select(F.col(id_col).alias("__id"), F.col(set_col).alias("__set"),
+                       F.posexplode(band_hash).alias("band", "bhash")))
+    left = buckets.select(F.col("__id").alias("id_a"),
+                          F.col("__set").alias("set_a"), "band", "bhash")
+    right = buckets.select(F.col("__id").alias("id_b"),
+                           F.col("__set").alias("set_b"), "band", "bhash")
+    cand = (left.join(right, ["band", "bhash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "set_a", "set_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    jac = (F.size(F.array_intersect("set_a", "set_b")).cast("double")
+           / F.size(F.array_union("set_a", "set_b")))
+    return (cand.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash (Charikar '02) of a token array, as a BIGINT column.
+
+    Each token votes ±1 per bit of its xxhash64; the fingerprint sets bit i
+    iff the vote sum is positive. Near-dup docs land within a small Hamming
+    distance. Token hashes are materialized once, then 64 bit-fold passes
+    run over the hash array — a single JVM expression tree, no Python.
+    At extreme scale swap in a pandas_udf; this form benches fine because
+    the per-row array is small relative to shuffle costs.
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def bit_vote(mask: int) -> Column:
+        return F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1))
+
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        # Bit 63 is the long sign bit: its mask literal must be the
+        # negative two's-complement value to stay in LongType range.
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        fp = fp.bitwiseOR(
+            F.when(bit_vote(mask) > 0, F.lit(mask).cast("long"))
+             .otherwise(F.lit(0).cast("long")))
+    return fp
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

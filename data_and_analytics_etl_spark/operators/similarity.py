@@ -1,0 +1,168 @@
+"""Vector similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the mandate:
+- brute-force cosine top-k — the exact baseline: broadcast the (small)
+  probe set against the full corpus, score JVM-side with higher-order
+  array functions, take top-k per probe with one window. One pass over
+  the corpus, no corpus-side shuffle except the bounded top-k.
+- LSH-bucketed variants — the 100 TB path: random-hyperplane signatures
+  (pure DataFrame, deterministic) or ``BucketedRandomProjectionLSH``
+  (pyspark.ml) so candidate generation is a bucket equi-join, never an
+  all-pairs product.
+
+All dot products run as ``aggregate(zip_with(a, b, *), +)`` folds over
+DOUBLE — inside codegen, deterministic left-to-right accumulation (same
+order as the oracle's list_dot_product at probe scale).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                ) -> DataFrame:
+    """Exact cosine top-k: for each probe vector, the k nearest corpus rows.
+
+    Plan shape: probes broadcast (they are the small side by contract) →
+    one map-side pass scores every (probe, corpus) pair → `row_number`
+    window bounded at k. The corpus is scanned once and never reshuffled
+    on its own key; the only shuffle is on probe_id for the top-k window,
+    whose input is already one row per (probe, corpus) pair scored.
+
+    Output: (probe_id, vec_id, cosine, rank), rank 1..k, ties broken on
+    vec_id for determinism.
+    """
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      as_double(F.col(vec_col)).alias("__pvec"))
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      as_double(F.col(vec_col)).alias("__cvec"))
+    scored = (c.join(F.broadcast(p), F.col("probe_id") != F.col("vec_id"))
+              .withColumn("cosine",
+                          F.round(cosine(F.col("__pvec"), F.col("__cvec")), 6)))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", "cosine", "rank"))
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42,
+                       ) -> list[list[float]]:
+    """Deterministic unit-free random hyperplanes for sign-LSH."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def with_signlsh_bucket(df: DataFrame, vec_col: str,
+                        planes: list[list[float]], out: str = "bucket",
+                        ) -> Column | DataFrame:
+    """Sign-of-projection LSH bucket id (Charikar hyperplane LSH).
+
+    bucket = bits of sign(v · h_i) packed into a BIGINT. Cosine-close
+    vectors agree on most signs, so they collide with high probability.
+    Pure column expressions over literal hyperplanes — deterministic,
+    seedable, JVM-side.
+    """
+    v = as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = dot(v, F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i))
+             .otherwise(F.lit(0).cast("long")))
+    return df.withColumn(out, bucket)
+
+
+def cosine_neardup_lsh(df: DataFrame, threshold: float = 0.9,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       n_planes: int = 8, n_tables: int = 4, seed: int = 42,
+                       ) -> DataFrame:
+    """Embedding near-dup pairs via multi-table sign-LSH + exact verify.
+
+    ``n_tables`` independent hash tables (different seeds) are unioned so
+    recall survives unlucky planes; candidates come from bucket equi-joins
+    (never all-pairs), then exact cosine filters to ``threshold``.
+    Output: (id_a, id_b, cosine), id_a < id_b, deduplicated across tables.
+    """
+    base = df.select(F.col(id_col).alias("__id"),
+                     as_double(F.col(vec_col)).alias("__vec"))
+    cands = None
+    dim = df.select(F.size(vec_col)).first()[0]
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        b = with_signlsh_bucket(base, "__vec", planes, out="__bkt")
+        left = b.select(F.col("__id").alias("id_a"),
+                        F.col("__vec").alias("vec_a"), "__bkt")
+        right = b.select(F.col("__id").alias("id_b"),
+                         F.col("__vec").alias("vec_b"), "__bkt")
+        pair = (left.join(right, "__bkt")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "vec_a", "vec_b"))
+        cands = pair if cands is None else cands.unionByName(pair)
+    return (cands.dropDuplicates(["id_a", "id_b"])
+            .withColumn("cosine",
+                        F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def ann_brp_lsh(corpus: DataFrame, probes: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                bucket_length: float = 2.0, num_tables: int = 3,
+                seed: int = 42) -> DataFrame:
+    """Approximate nearest neighbors via Euclidean-LSH bucket join.
+
+    Uses ``pyspark.ml.feature.BucketedRandomProjectionLSH`` over the
+    (normalized) vectors: for unit vectors, Euclidean NN order == cosine
+    NN order, so normalizing first makes this an approximate cosine ANN.
+    ``approxSimilarityJoin`` is a bucket equi-join under the hood — the
+    scale path. Output: (probe_id, vec_id, dist, rank) with rank ≤ k.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df: DataFrame, name: str) -> DataFrame:
+        v = as_double(F.col(vec_col))
+        unit = F.transform(v, lambda x: x / l2_norm(v))
+        return df.select(F.col(id_col).alias(name),
+                         array_to_vector(unit).alias("features"))
+
+    c = prep(corpus, "vec_id")
+    p = prep(probes, "probe_id")
+    lsh = BucketedRandomProjectionLSH(inputCol="features",
+                                      outputCol="hashes",
+                                      bucketLength=bucket_length,
+                                      numHashTables=num_tables, seed=seed)
+    model = lsh.fit(c)
+    # Unit vectors: max Euclidean distance is 2, so threshold 2.0 keeps
+    # every colliding candidate and the window below enforces k.
+    joined = model.approxSimilarityJoin(p, c, 2.0, distCol="dist")
+    scored = joined.select(
+        F.col("datasetA.probe_id").alias("probe_id"),
+        F.col("datasetB.vec_id").alias("vec_id"),
+        F.round(F.col("dist"), 6).alias("dist"),
+    ).filter(F.col("probe_id") != F.col("vec_id"))
+    w = Window.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,146 @@
+"""Text-analysis operators over document tables (mandated LLM-data tier).
+
+Everything here is pure column expressions (split / regexp / higher-order
+array functions) so the whole tier runs inside whole-stage codegen — the
+quality gates that decide which of 100 TB of documents survive must not
+drop into Python. Each helper returns Column(s) so pipelines compose them
+into a single projection.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+#: Tiny per-language marker vocabularies for the n-gram/stopword language
+#: heuristic. Deliberately small and ASCII so the same sets are literally
+#: inlined into the DuckDB oracle SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "es": ("el", "la", "de", "que", "y", "los", "un"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr": ("le", "les", "des", "et", "est", "une", "dans"),
+}
+
+#: BPE-ish token pattern: word pieces or single non-space punctuation.
+TOKEN_PATTERN = r"\w+|[^\w\s]"
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def tokens_of(text: Column) -> Column:
+    """Whitespace tokens of lowercased text."""
+    return F.split(F.lower(text), r"\s+")
+
+
+def text_stats(text: Column) -> dict[str, Column]:
+    """Descriptive stats used by quality scoring; all JVM expressions."""
+    toks = tokens_of(text)
+    n_chars = F.length(text)
+    n_words = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(
+        toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "n_distinct_words": n_distinct.cast("long"),
+        "avg_word_len": F.round(
+            (n_chars - n_words + 1).cast("double") / n_words, 4),
+        "type_token_ratio": F.round(
+            n_distinct.cast("double") / n_words, 4),
+        "digit_ratio": F.round(
+            (n_chars - F.length(F.regexp_replace(text, r"[0-9]", "")))
+            .cast("double") / n_chars, 4),
+        "punct_ratio": F.round(
+            F.length(F.regexp_replace(text, r"[\w\s]", ""))
+            .cast("double") / n_chars, 4),
+        "stopword_ratio": F.round(stop_hits.cast("double") / n_words, 4),
+    }
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count: word pieces + punctuation marks."""
+    return F.size(F.regexp_extract_all(F.lower(text),
+                                       F.lit(TOKEN_PATTERN), 0)).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID from marker-word hit counts + CJK ratio.
+
+    Deterministic tie-breaking: CJK beats all when >30% of chars are CJK;
+    otherwise the fixed precedence en ≥ es ≥ de ≥ fr (strict comparisons
+    in that order), 'und' when no marker hits at all.
+    """
+    toks = tokens_of(text)
+
+    def marker_hits(markers: tuple[str, ...]):
+        # Factory, not a default-arg lambda: higher-order-function lambdas
+        # receive (element, index) when they declare 2 params, so a
+        # `lambda t, m=markers:` closure would silently bind m to the
+        # index column.
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    score = {lang: marker_hits(markers)
+             for lang, markers in LANG_MARKERS.items()}
+    cjk = (F.length(text)
+           - F.length(F.regexp_replace(text, r"[一-鿿]", "")))
+    cjk_ratio = cjk.cast("double") / F.greatest(F.length(text), F.lit(1))
+    no_hits = sum(score.values(), F.lit(0)) == 0
+    return (
+        F.when(cjk_ratio > 0.3, F.lit("zh"))
+         .when(no_hits, F.lit("und"))
+         .when((score["en"] >= score["es"]) & (score["en"] >= score["de"])
+               & (score["en"] >= score["fr"]), F.lit("en"))
+         .when((score["es"] >= score["de"]) & (score["es"] >= score["fr"]),
+               F.lit("es"))
+         .when(score["de"] >= score["fr"], F.lit("de"))
+         .otherwise(F.lit("fr")))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    Exact-dup detection across formatting variants; pairs with rolling
+    minhash (operators/dedup.py) for near-dup detection.
+    """
+    return F.md5(normalize_text(text).cast("binary"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1] from length/diversity/noise stats.
+
+    Rule-of-thumb corpus gates (Gopher/C4-style heuristics, re-expressed
+    as column arithmetic): reasonable length, lexical diversity, low
+    digit/punct noise. Weights sum to 1; each component clamped to [0,1].
+    """
+    s = text_stats(text)
+    len_score = F.least(s["n_words"].cast("double") / 50.0, F.lit(1.0))
+    diversity = F.least(s["type_token_ratio"] * 2, F.lit(1.0))
+    clean = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - (s["digit_ratio"] + s["punct_ratio"]) * 5)
+    return F.round(0.4 * len_score + 0.3 * diversity + 0.3 * clean, 4)
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text-tier features in one projection (single codegen stage)."""
+    t = F.col(text_col)
+    cols = text_stats(t)
+    return df.select(
+        "*",
+        *[c.alias(name) for name, c in cols.items()],
+        token_count(t).alias("n_tokens"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+        quality_score(t).alias("quality"),
+    )

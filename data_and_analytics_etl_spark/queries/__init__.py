@@ -2,6 +2,7 @@
 
 from .registry import REGISTRY, QuerySpec, oracle_sql, queries, query  # noqa: F401
 
-from . import aggregates, relational, scalar_funcs, tpch, windows  # noqa: F401,E402
+from . import (aggregates, llmdata, relational, scalar_funcs,  # noqa: F401,E402
+               tpch, windows)
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql", "query"]

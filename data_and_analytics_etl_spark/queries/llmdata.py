@@ -1,0 +1,408 @@
+"""LLM-data-pipeline probes: dedup, similarity, text analysis, multimodal.
+
+The mandated extension tier (SURVEY §2.2 "LLM-data-pipeline operators")
+over the `documents` and `embeddings` corpus tables. Deterministic
+operators carry an exact DuckDB oracle; sketch/LSH operators (MinHash,
+SimHash, sign-LSH, BucketedRandomProjectionLSH) are rows-only here and
+recall/property-tested in tests/test_llmdata.py against their exact
+counterparts.
+
+Scale notes are on the operators themselves (operators/dedup.py,
+operators/similarity.py, operators/text.py, operators/multimodal.py):
+candidate generation is always a bucket/block equi-join, exact all-pairs
+forms exist only as small-scale verification baselines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.dedup import (exact_dedup, jaccard_pairs, keyed_dedup,
+                               minhash_lsh_pairs, simhash64,
+                               with_word_shingles)
+from ..operators.multimodal import assets_from_documents, extract_features
+from ..operators.similarity import (ann_brp_lsh, cosine_neardup_lsh,
+                                    cosine_topk)
+from ..operators.text import (LANG_MARKERS, fingerprint, lang_id,
+                              quality_score, text_stats, token_count,
+                              tokens_of)
+from .registry import query
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    """Render a marker vocabulary as a DuckDB list literal."""
+    return "['" + "', '".join(words) + "']"
+
+
+_STOP = _sql_list(LANG_MARKERS["en"])
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT DISTINCT doc_id, text, lang, source, n_chars
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+ORDER BY doc_id
+""",
+    tags=("llm", "dedup"),
+    priority=20,
+    doc="Exact full-row dedup: at-least-once re-ingest (the reference's "
+        "crash-overlap window, CommCareAPIHandler.py:251-262) collapses "
+        "back to one copy per row. Hash-agg, one shuffle.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d.unionByName(d)).orderBy("doc_id")
+
+
+@query(
+    "dedup_keyed_keep_first",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       round(value, 4) AS value
+FROM ranked WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+    tags=("llm", "dedup"),
+    priority=20,
+    doc="Keyed keep-first dedup: deterministic winner per (user_id, "
+        "event_type) via one row_number window — single shuffle on the "
+        "key, the 100 TB-safe form of dropDuplicates(subset).",
+)
+def dedup_keyed_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = keyed_dedup(ev, ["user_id", "event_type"],
+                      [F.col("ts"), F.col("event_id")])
+    return (out.select(
+        "user_id", "event_type", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        F.round("value", 4).alias("value"))
+        .orderBy("user_id", "event_type"))
+
+
+@query(
+    "neardup_ngram_jaccard",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+           i -> concat_ws(' ',
+                string_split_regex(text, '\s+')[i],
+                string_split_regex(text, '\s+')[i+1],
+                string_split_regex(text, '\s+')[i+2]))) AS sh
+  FROM documents WHERE doc_id < 250
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a, s b
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+ORDER BY id_a, id_b
+""",
+    tags=("llm", "dedup"),
+    priority=20,
+    doc="Exact 3-gram Jaccard near-dup pairs — the verification baseline "
+        "for MinHash-LSH (operators/dedup.py:jaccard_pairs). All-pairs "
+        "within a bounded subset by design; the scale path is "
+        "dedup_minhash_lsh below, whose candidates come from bucket joins.",
+)
+def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    sh = with_word_shingles(d, "text", n=3)
+    return (jaccard_pairs(sh, "doc_id", "shingles", threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # hash-family dependent; recall-tested vs exact jaccard
+    tags=("llm", "dedup"),
+    priority=24,
+    doc="MinHash(16) + 8-band LSH near-dup pairs with exact-Jaccard "
+        "verification; candidates from a (band, band_hash) self-equi-join "
+        "— never n^2. Recall vs neardup_ngram_jaccard is property-tested "
+        "in tests/test_llmdata.py.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = with_word_shingles(d, "text", n=3)
+    return (minhash_lsh_pairs(sh, "doc_id", "shingles", threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 family not available in DuckDB
+    tags=("llm", "dedup"),
+    priority=24,
+    doc="64-bit SimHash fingerprints (token-vote, Charikar '02) — "
+        "near-dup docs land within small Hamming distance; JVM-side "
+        "bit-fold, no Python. Property-tested in tests/test_llmdata.py.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (d.select("doc_id",
+                     simhash64(tokens_of(F.col("text"))).alias("simhash"))
+            .orderBy("doc_id"))
+
+
+@query(
+    "text_stats",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT)                   AS n_chars,
+  CAST(len(toks) AS BIGINT)                      AS n_words,
+  CAST(len(list_distinct(toks)) AS BIGINT)       AS n_distinct_words,
+  round(CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks), 4)
+                                                 AS avg_word_len,
+  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+                                                 AS type_token_ratio,
+  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             AS DOUBLE) / length(text), 4)       AS digit_ratio,
+  round(CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+        / length(text), 4)                       AS punct_ratio,
+  round(CAST(len(list_filter(toks, x -> list_contains(__STOP__, x)))
+             AS DOUBLE) / len(toks), 4)          AS stopword_ratio
+FROM t ORDER BY doc_id
+""".replace("__STOP__", _STOP),
+    tags=("llm", "text"),
+    priority=20,
+    doc="Text statistics tier: length/diversity/noise ratios as one "
+        "codegen projection (operators/text.py:text_stats).",
+)
+def text_stats_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    stats = text_stats(F.col("text"))
+    return (d.select("doc_id",
+                     *[c.alias(name) for name, c in stats.items()])
+            .orderBy("doc_id"))
+
+
+@query(
+    "text_lang_id",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
+         CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS cjk_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id, cjk_ratio,
+    len(list_filter(toks, x -> list_contains(__EN__, x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(__ES__, x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(__DE__, x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(__FR__, x))) AS s_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+       WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       WHEN s_de >= s_fr THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM scored ORDER BY doc_id
+""".replace("__EN__", _sql_list(LANG_MARKERS["en"]))
+   .replace("__ES__", _sql_list(LANG_MARKERS["es"]))
+   .replace("__DE__", _sql_list(LANG_MARKERS["de"]))
+   .replace("__FR__", _sql_list(LANG_MARKERS["fr"])),
+    tags=("llm", "text"),
+    priority=20,
+    doc="Heuristic language ID: marker-word hit counts + CJK char ratio, "
+        "fixed deterministic precedence (operators/text.py:lang_id).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+            .orderBy("doc_id"))
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '\w+|[^\w\s]')) AS BIGINT)
+         AS n_tokens
+FROM documents ORDER BY doc_id
+""",
+    tags=("llm", "text"),
+    priority=20,
+    doc="BPE-ish token counting: word pieces + punctuation via one "
+        "regexp_extract_all (operators/text.py:token_count).",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       count(*) OVER (PARTITION BY fingerprint) AS n_same
+FROM fp ORDER BY doc_id
+""",
+    tags=("llm", "text"),
+    priority=20,
+    doc="Document fingerprinting: md5 over normalized text "
+        "(operators/text.py:fingerprint) + per-fingerprint multiplicity.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+            .withColumn("n_same", F.count(F.lit(1)).over(w))
+            .orderBy("doc_id"))
+
+
+@query(
+    "text_quality_filter",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr,
+    round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS DOUBLE) / length(text), 4) AS digit_ratio,
+    round(CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+          / length(text), 4) AS punct_ratio
+  FROM t
+)
+SELECT doc_id, n_words,
+  round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+      + 0.3 * least(ttr * 2, 1.0)
+      + 0.3 * greatest(0.0, 1.0 - (digit_ratio + punct_ratio) * 5), 4)
+    AS quality,
+  (round(0.4 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+       + 0.3 * least(ttr * 2, 1.0)
+       + 0.3 * greatest(0.0, 1.0 - (digit_ratio + punct_ratio) * 5), 4)
+   >= 0.5) AS keep
+FROM s ORDER BY doc_id
+""",
+    tags=("llm", "text"),
+    priority=20,
+    doc="Quality filtering: Gopher/C4-style composite score from "
+        "length/diversity/noise, pure filter pushdown-friendly "
+        "(operators/text.py:quality_score).",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    stats = text_stats(F.col("text"))
+    return (d.select("doc_id", stats["n_words"].alias("n_words"),
+                     q.alias("quality"), (q >= 0.5).alias("keep"))
+            .orderBy("doc_id"))
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+WITH p AS (
+  SELECT vec_id AS probe_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT probe_id, vec_id,
+         round(list_dot_product(pv, cv)
+               / (sqrt(list_dot_product(pv, pv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM p, c WHERE probe_id <> vec_id
+), ranked AS (
+  SELECT probe_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY probe_id, rank
+""",
+    tags=("llm", "similarity", "bench"),
+    priority=20,
+    doc="Brute-force cosine top-k: broadcast probes, one corpus pass, "
+        "JVM-side zip_with/aggregate fold, bounded top-k window "
+        "(operators/similarity.py:cosine_topk). The exact ANN baseline.",
+)
+def cosine_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    return (cosine_topk(e, probes, k=5)
+            .withColumn("rank", F.col("rank").cast("int"))
+            .orderBy("probe_id", "rank"))
+
+
+@query(
+    "ann_lsh",
+    oracle=None,  # approximate; recall vs cosine_topk property-tested
+    tags=("llm", "similarity"),
+    priority=24,
+    doc="Approximate NN via BucketedRandomProjectionLSH over normalized "
+        "vectors (Euclidean order == cosine order on the unit sphere); "
+        "approxSimilarityJoin = bucket equi-join, the 100 TB path. "
+        "Recall vs brute force tested in tests/test_llmdata.py.",
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return (ann_brp_lsh(e, probes, k=10)
+            .withColumn("rank", F.col("rank").cast("int"))
+            .orderBy("probe_id", "rank"))
+
+
+@query(
+    "neardup_embedding_lsh",
+    oracle=None,  # hyperplane-family dependent; property-tested
+    tags=("llm", "similarity"),
+    priority=24,
+    doc="Embedding near-dup pairs via multi-table sign-LSH buckets + "
+        "exact cosine verify (operators/similarity.py:cosine_neardup_lsh);"
+        " candidates from bucket equi-joins, never all-pairs.",
+)
+def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (cosine_neardup_lsh(e, threshold=0.35)
+            .orderBy("id_a", "id_b"))
+
+
+@query(
+    "multimodal_features",
+    oracle=None,  # mapInPandas featurizer; schema/value-pinned in pytest
+    tags=("llm", "multimodal"),
+    priority=24,
+    doc="Multimodal plumbing: binary payload + typed meta struct "
+        "(operators/multimodal.py:ASSET_SCHEMA), Arrow-batched "
+        "mapInPandas featurizer with a deterministic byte-level fallback "
+        "for the codec-less container.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return extract_features(assets_from_documents(d)).orderBy("asset_id")

@@ -1,0 +1,142 @@
+"""Property tests for the LLM-data tier (SURVEY §5.2 item 1, ≈ operators).
+
+Sketch/LSH operators can't be hash-matched against DuckDB (hash-family
+dependent), so each is tested against its exact counterpart:
+- MinHash-LSH recall vs exact n-gram Jaccard pairs,
+- sign-LSH embedding near-dup recall on planted near-copies,
+- BucketedRandomProjectionLSH ANN recall vs brute-force cosine top-k,
+- SimHash metric properties (identity, locality),
+- multimodal featurizer determinism + batch plumbing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from data_and_analytics_etl_spark.catalog import load_table
+from data_and_analytics_etl_spark.operators.dedup import (
+    hamming64, jaccard_pairs, minhash_lsh_pairs, simhash64,
+    with_word_shingles)
+from data_and_analytics_etl_spark.operators.multimodal import (
+    ASSET_SCHEMA, assets_from_documents, extract_features)
+from data_and_analytics_etl_spark.operators.similarity import (
+    ann_brp_lsh, cosine_neardup_lsh, cosine_topk)
+from data_and_analytics_etl_spark.operators.text import tokens_of
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+class TestMinHashLSH:
+    def test_recall_vs_exact_jaccard(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        sh = with_word_shingles(docs, "text", n=3)
+        exact = _pairs(jaccard_pairs(sh, "doc_id", "shingles", 0.5))
+        approx = _pairs(minhash_lsh_pairs(sh, "doc_id", "shingles", 0.5))
+        # Exact-verify step makes precision 1.0 by construction.
+        assert approx <= exact
+        if exact:
+            recall = len(approx & exact) / len(exact)
+            # b=8, r=2 banding: P[candidate | j>=0.9] ~ 1-(1-0.81)^8 > 0.99
+            assert recall >= 0.9, (recall, exact - approx)
+
+    def test_no_false_positives_below_threshold(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        sh = with_word_shingles(docs, "text", n=3)
+        out = minhash_lsh_pairs(sh, "doc_id", "shingles", threshold=0.5)
+        assert out.filter(F.col("jaccard") < 0.5).count() == 0
+
+
+class TestSimHash:
+    def test_identity_and_locality(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        near = base.replace("lazy", "sleepy")
+        far = "completely different words about spark shuffles " * 8
+        df = spark.createDataFrame(
+            [(0, base), (1, base), (2, near), (3, far)], "id: long, text: string")
+        fp = df.select("id", simhash64(tokens_of(F.col("text"))).alias("s"))
+        vals = {r.id: r.s for r in fp.collect()}
+        assert vals[0] == vals[1]  # identical text -> identical fingerprint
+        # near-dup pair lands much closer in Hamming space than unrelated
+        ham = fp.alias("x").join(fp.alias("y"), F.lit(True)).select(
+            F.col("x.id").alias("i"), F.col("y.id").alias("j"),
+            hamming64(F.col("x.s"), F.col("y.s")).alias("h"))
+        hmap = {(r.i, r.j): r.h for r in ham.collect()}
+        assert hmap[(0, 2)] < hmap[(0, 3)]
+        assert hmap[(0, 2)] <= 16
+
+
+class TestEmbeddingNearDup:
+    def test_planted_near_copies_found(self, spark):
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((20, 32)).astype("float32")
+        rows = [(i, base[i].tolist()) for i in range(20)]
+        # plant 5 near-copies: id 100+i is id i plus tiny noise
+        for i in range(5):
+            noisy = base[i] + 0.01 * rng.standard_normal(32).astype("float32")
+            rows.append((100 + i, noisy.tolist()))
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        found = _pairs(cosine_neardup_lsh(df, threshold=0.99, n_tables=6))
+        assert {(i, 100 + i) for i in range(5)} <= found
+
+    def test_threshold_respected(self, spark, sf_dir):
+        e = load_table(spark, sf_dir, "embeddings")
+        out = cosine_neardup_lsh(e, threshold=0.35)
+        assert out.filter(F.col("cosine") < 0.35).count() == 0
+
+
+class TestANN:
+    def test_recall_vs_brute_force(self, spark, sf_dir):
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 5)
+        k = 10
+        exact = cosine_topk(e, probes, k=k)
+        approx = ann_brp_lsh(e, probes, k=k)
+        ex = {(r.probe_id, r.vec_id) for r in exact.collect()}
+        ap = {(r.probe_id, r.vec_id) for r in approx.collect()}
+        assert len(ex) > 0
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.6, recall
+
+    def test_rank_is_bounded_and_dense(self, spark, sf_dir):
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 3)
+        out = ann_brp_lsh(e, probes, k=5).collect()
+        by_probe: dict = {}
+        for r in out:
+            by_probe.setdefault(r.probe_id, []).append(r.rank)
+        for ranks in by_probe.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 5
+
+
+class TestMultimodal:
+    def test_asset_schema_and_feature_determinism(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 30)
+        assets = assets_from_documents(docs)
+        # simpleString ignores nullability flags (projection outputs are
+        # nullable wherever the optimizer can't prove otherwise)
+        assert assets.schema.simpleString() == ASSET_SCHEMA.simpleString()
+        feats = extract_features(assets).orderBy("asset_id")
+        rows = feats.collect()
+        assert len(rows) == docs.count()
+        # pin one value against an independent numpy computation
+        doc0 = docs.filter(F.col("doc_id") == 0).select("text").first()[0]
+        b = np.frombuffer(doc0.encode(), dtype=np.uint8)
+        counts = np.bincount(b, minlength=256)
+        p = counts[counts > 0] / b.size
+        want_entropy = round(float(-(p * np.log2(p)).sum()), 6)
+        got = [r for r in rows if r.asset_id == 0][0]
+        assert got.n_bytes == b.size
+        assert got.byte_entropy == pytest.approx(want_entropy, abs=1e-6)
+        assert got.feat_mean == pytest.approx(round(float(b.mean()), 6))
+
+    def test_decode_is_gated_not_fake(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            _decode_payload)
+        with pytest.raises(NotImplementedError):
+            _decode_payload(b"\x89PNG", "image")

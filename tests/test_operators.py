@@ -1,0 +1,46 @@
+"""Property tests for approximate aggregates (SURVEY §2.2 ≈ rows).
+
+The HLL++ and quantile sketches are engine-specific, so their probes are
+rows-only for the driver; these tests supply the missing correctness
+signal by bounding sketch error against the exact computation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_and_analytics_etl_spark.catalog import load_table
+
+
+def test_approx_count_distinct_within_5pct(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact <= 0.05, row
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    ).first()
+    # accuracy 10000 -> rank error <= n/10000; bound value error by 1% of range
+    assert abs(row.approx_p50 - row.exact_p50) <= 0.01 * (row.hi - row.lo), row
+
+
+def test_approx_percentile_brackets_exact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = (li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_quantity, 0.9)").alias("exact"),
+                 F.expr("approx_percentile(l_quantity, 0.9, 10000)")
+                  .alias("approx"),
+                 F.min("l_quantity").alias("lo"),
+                 F.max("l_quantity").alias("hi"))
+            .collect())
+    for r in rows:
+        assert abs(r.approx - r.exact) <= 0.02 * (r.hi - r.lo) + 1e-9, r
