@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (sf0.1).
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each bench query executes through a `noop` sink so the full plan runs
+(scan -> shuffle -> agg/join/window) without driver-side collection cost
+polluting the measurement. Queries are the B1-B7 set from BASELINE.md,
+resolved from the probe registry so the benched plan is byte-identical to
+the correctness-verified one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_and_analytics_etl_spark.queries import REGISTRY  # noqa: E402
+from data_and_analytics_etl_spark.session import get_spark  # noqa: E402
+
+#: BASELINE.md B-id -> registry probe name.
+BENCH_QUERIES: dict[str, str] = {
+    "b1_pricing_summary": "q1_pricing_summary",
+    "b2_shipping_priority": "q3_shipping_priority",
+    "b3_star_join": "q5_star_join",
+    "b4_topk_per_group": "topk_per_group",
+    "b5_running_sum": "window_running_agg",
+    "b6_cosine_topk": "cosine_topk",
+    "b7_exact_dedup": "dedup_exact",
+}
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    df = REGISTRY[BENCH_QUERIES[name]].fn(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+    spark = get_spark("daa-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warm-up outside the measurement window
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        # two runs, keep the best: first run pays one-off plan/codegen cost
+        t = min(run_once(spark, name, sf_dir) for _ in range(2))
+        times[name] = round(t, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
