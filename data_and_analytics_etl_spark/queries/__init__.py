@@ -2,7 +2,7 @@
 
 from .registry import REGISTRY, QuerySpec, oracle_sql, queries, query  # noqa: F401
 
-from . import (aggregates, llmdata, relational, scalar_funcs,  # noqa: F401,E402
-               tpch, windows)
+from . import (aggregates, etl_probes, llmdata, relational,  # noqa: F401,E402
+               scalar_funcs, tpch, windows)
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql", "query"]

@@ -1,0 +1,207 @@
+"""ETL + file-format probes: partitioned sink round-trip, incremental
+overlap+dedup, JSON/CSV scans (SURVEY §2.2 "Sources / sinks").
+
+Each probe that writes does so to a fresh temp dir per invocation so the
+driver can re-run queries in any order; the oracle side never sees the
+intermediate files — it recomputes the same result straight from the
+corpus views, which is exactly what "round-trip fidelity" means.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..etl.checkpoint import CheckpointManifest
+from ..etl.ingest import incremental_ingest
+from ..etl.sink import write_partitioned
+from ..operators.dedup import keyed_dedup
+from .registry import query
+
+_T1 = dt.datetime(2024, 1, 10)
+_T2 = dt.datetime(2024, 1, 20)
+
+
+@query(
+    "etl_partitioned_roundtrip",
+    oracle="""
+SELECT year(ts)  AS year, month(ts) AS month,
+       day(ts)   AS day,  hour(ts)  AS hour,
+       count(*)  AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY year, month, day, hour
+""",
+    tags=("etl", "sink"),
+    priority=25,
+    doc="Hourly-partitioned sink round-trip (ref hourly S3 layout, "
+        "CommCareAPIHandler.py:71-73): write partitionBy(y,m,d,h) with "
+        "maxRecordsPerFile, read back, aggregate per partition — results "
+        "must equal the same aggregate computed directly on the source.",
+)
+def etl_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(dt.datetime(2024, 1, 5)))
+    dest = os.path.join(tempfile.mkdtemp(prefix="etl_rt_"), "data")
+    write_partitioned(ev, dest, "ts", max_records_per_file=1000)
+    back = spark.read.parquet(dest)
+    return (back.groupBy("year", "month", "day", "hour")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("year", "month", "day", "hour"))
+
+
+@query(
+    "etl_incremental_overlap_dedup",
+    oracle="""
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events
+WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("etl", "checkpoint"),
+    priority=25,
+    doc="At-least-once replay + dedup (ref write-then-commit ordering, "
+        "CommCareAPIHandler.py:251-262): run window<=T1, drop the "
+        "checkpoint (simulated crash), run window<=T2 — the sink holds "
+        "the T1 window twice; keyed dedup restores exactly-once, "
+        "matching a direct query of the source.",
+)
+def etl_incremental_overlap_dedup(spark: SparkSession, sf_dir: str,
+                                  ) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="etl_inc_")
+    dest = os.path.join(root, "data")
+    zero = dt.timedelta(0)
+    incremental_ingest(spark, ev, dest, root, "events", "ts",
+                       event_time=_T1, lag=zero)
+    os.unlink(CheckpointManifest(root, "events").path)  # crash simulation
+    incremental_ingest(spark, ev, dest, root, "events", "ts",
+                       event_time=_T2, lag=zero)
+    deduped = keyed_dedup(spark.read.parquet(dest), ["event_id"],
+                          [F.col("ts"), F.col("event_id")])
+    return (deduped.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy("event_type"))
+
+
+@query(
+    "scan_json",
+    oracle="""
+SELECT o_orderpriority,
+       count(*)                    AS n,
+       round(sum(o_totalprice), 2) AS sum_price,
+       min(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS first_date
+FROM orders
+WHERE o_orderkey < 3000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("source", "json"),
+    priority=25,
+    doc="JSON scan round-trip with an explicit schema (the reference's "
+        "record model is JSON envelopes, CommCareAPIHandler.py:204): "
+        "write orders as JSON lines, read back schema-first (timestamps "
+        "included), aggregate — must equal the parquet-direct result.",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    dest = os.path.join(tempfile.mkdtemp(prefix="scan_json_"), "orders")
+    o.write.mode("overwrite").json(dest)
+    schema = ("o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string, o_clerk string, "
+              "o_shippriority int, o_comment string")
+    back = spark.read.schema(schema).json(dest)
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                 F.min(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+                  .alias("first_date"))
+            .orderBy("o_orderpriority"))
+
+
+@query(
+    "scan_csv",
+    oracle="""
+SELECT c_nationkey,
+       count(*) AS n,
+       sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS n_null_seg,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM (
+  SELECT c_nationkey, c_acctbal,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM customer
+)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    tags=("source", "csv"),
+    priority=25,
+    doc="CSV scan round-trip: pipe-delimited with header and empty-string "
+        "nulls (every CSV option the declared surface names), read back "
+        "schema-first; null handling must survive the trip.",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.when(F.col("c_custkey") % 5 == 0, None)
+         .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"))
+    dest = os.path.join(tempfile.mkdtemp(prefix="scan_csv_"), "customer")
+    (c.write.mode("overwrite").option("header", True).option("sep", "|")
+     .csv(dest))
+    schema = ("c_custkey bigint, c_nationkey bigint, c_acctbal double, "
+              "c_mktsegment string")
+    back = (spark.read.schema(schema)
+            .option("header", True).option("sep", "|").csv(dest))
+    return (back.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("c_mktsegment").isNull(), 1)
+                       .otherwise(0)).alias("n_null_seg"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+            .orderBy("c_nationkey"))
+
+
+@query(
+    "scan_json_corrupt",
+    oracle="""
+SELECT count(CASE WHEN p_partkey % 7 <> 0 THEN 1 END) AS n_good,
+       count(CASE WHEN p_partkey % 7 = 0  THEN 1 END) AS n_corrupt
+FROM part
+WHERE p_partkey < 400
+""",
+    tags=("source", "json"),
+    priority=25,
+    doc="Corrupt-record JSON mode (PERMISSIVE + columnNameOfCorruptRecord)"
+        ": every 7th line is deliberately malformed; the scan must keep "
+        "good rows typed and quarantine bad ones, never drop either.",
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    lines = p.select(
+        F.when(F.col("p_partkey") % 7 == 0,
+               F.concat(F.lit("{broken json for key "),
+                        F.col("p_partkey").cast("string")))
+         .otherwise(F.to_json(F.struct("p_partkey", "p_name", "p_size")))
+        .alias("value"))
+    dest = os.path.join(tempfile.mkdtemp(prefix="scan_jc_"), "lines")
+    lines.write.mode("overwrite").text(dest)
+    back = (spark.read
+            .schema("p_partkey bigint, p_name string, p_size bigint, "
+                    "_corrupt string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(dest))
+    return back.agg(
+        F.count(F.col("p_partkey")).alias("n_good"),
+        F.count(F.col("_corrupt")).alias("n_corrupt"))

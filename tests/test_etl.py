@@ -1,0 +1,186 @@
+"""ETL-semantics suite (SURVEY §5.2 item 3: Tier A behaviors).
+
+Covers the reference dataflow invariants the engine must preserve:
+write-then-commit checkpoint ordering, crash-overlap replay + dedup,
+hourly partition layout round-trip, record-capped files, empty-input
+no-op, dual-format timestamp normalization, error budget, and the REST
+source/sink contracts (with injectable transports — no network).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_and_analytics_etl_spark.catalog import load_table
+from data_and_analytics_etl_spark.etl import (CheckpointManifest, ErrorBudget,
+                                              ErrorBudgetExceeded,
+                                              incremental_ingest,
+                                              normalize_timestamp,
+                                              write_partitioned)
+from data_and_analytics_etl_spark.etl.rest import rest_sink, rest_source
+from data_and_analytics_etl_spark.operators.dedup import keyed_dedup
+
+T1 = dt.datetime(2024, 1, 10)
+T2 = dt.datetime(2024, 1, 20)
+NO_LAG = dt.timedelta(0)
+
+
+def test_normalize_timestamp_dual_format(spark):
+    rows = [("2024-03-01T12:30:45.123456Z",),
+            ("2024-03-01T12:30:45.123456",),
+            ("2024-03-01T12:30:45Z",),
+            ("2024-03-01T12:30:45",),
+            ("not a time",), (None,)]
+    df = spark.createDataFrame(rows, "raw: string")
+    out = df.select(normalize_timestamp(F.col("raw")).alias("ts")).collect()
+    assert out[0].ts == dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    assert out[1].ts == out[0].ts
+    assert out[2].ts == dt.datetime(2024, 3, 1, 12, 30, 45)
+    assert out[3].ts == out[2].ts
+    assert out[4].ts is None and out[5].ts is None
+
+
+def test_partitioned_sink_layout_and_record_cap(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts") < F.lit(T1))
+    n = ev.count()
+    dest = str(tmp_path / "sink")
+    write_partitioned(ev, dest, "ts", max_records_per_file=100)
+    files = glob.glob(f"{dest}/year=*/month=*/day=*/hour=*/*.parquet")
+    assert files, "expected hive-style year/month/day/hour layout"
+    assert len(files) >= n // 100, "maxRecordsPerFile not applied"
+    back = spark.read.parquet(dest)
+    assert back.count() == n
+    # every physical file honors the cap
+    biggest = max(spark.read.parquet(f).count() for f in files)
+    assert biggest <= 100
+    # partition pruning works on the layout: one hour's read misses others
+    one = back.filter((F.col("year") == 2024) & (F.col("month") == 1)
+                      & (F.col("day") == 3) & (F.col("hour") == 7))
+    want = ev.filter(F.date_format("ts", "yyyy-MM-dd HH").eqNullSafe(
+        "2024-01-03 07")).count()
+    assert one.count() == want
+
+
+def test_empty_input_writes_no_data_files(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").filter(F.lit(False))
+    dest = str(tmp_path / "empty")
+    write_partitioned(ev, dest, "ts")
+    assert glob.glob(f"{dest}/**/*.parquet", recursive=True) == []
+
+
+def test_incremental_windows_are_disjoint(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    dest, root = str(tmp_path / "data"), str(tmp_path)
+    r1 = incremental_ingest(spark, ev, dest, root, "events", "ts",
+                            event_time=T1, lag=NO_LAG)
+    r2 = incremental_ingest(spark, ev, dest, root, "events", "ts",
+                            event_time=T2, lag=NO_LAG)
+    assert r1["window_start"] is None and r2["window_start"] == T1
+    total = ev.filter(F.col("ts") <= F.lit(T2)).count()
+    assert r1["rows"] + r2["rows"] == total
+    assert spark.read.parquet(dest).count() == total
+    # no duplicates when no crash happened
+    assert spark.read.parquet(dest).select("event_id").distinct().count() \
+        == total
+
+
+def test_watermark_not_advanced_when_sink_fails(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    root = str(tmp_path)
+    with pytest.raises(Exception):
+        incremental_ingest(spark, ev, "/proc/forbidden/sink", root,
+                           "events", "ts", event_time=T1, lag=NO_LAG)
+    assert CheckpointManifest(root, "events").read_watermark() is None
+
+
+def test_crash_overlap_then_dedup(spark, sf_dir, tmp_path):
+    """Crash between write and commit => window replays => duplicates in
+    the sink => keyed dedup restores exactly-once downstream (the
+    reference's at-least-once contract, CommCareAPIHandler.py:251-262)."""
+    ev = load_table(spark, sf_dir, "events")
+    dest, root = str(tmp_path / "data"), str(tmp_path)
+    incremental_ingest(spark, ev, dest, root, "events", "ts",
+                       event_time=T1, lag=NO_LAG)
+    # simulate the crash: data landed, checkpoint lost
+    os.unlink(CheckpointManifest(root, "events").path)
+    incremental_ingest(spark, ev, dest, root, "events", "ts",
+                       event_time=T2, lag=NO_LAG)
+    raw = spark.read.parquet(dest)
+    total = ev.filter(F.col("ts") <= F.lit(T2)).count()
+    overlap = ev.filter(F.col("ts") <= F.lit(T1)).count()
+    assert raw.count() == total + overlap  # duplicates present by design
+    deduped = keyed_dedup(raw, ["event_id"], [F.col("ts"), F.col("event_id")])
+    assert deduped.count() == total
+
+
+def test_error_budget_two_tolerated_third_fatal():
+    budget = ErrorBudget(max_failures=3)
+
+    def boom():
+        raise ValueError("x")
+
+    assert budget.run("t1", lambda: 42) == 42
+    assert budget.run("t2", boom) is None
+    assert budget.run("t3", boom) is None
+    with pytest.raises(ErrorBudgetExceeded) as ei:
+        budget.run("t4", boom)
+    assert [n for n, _ in ei.value.failures] == ["t2", "t3", "t4"]
+
+
+class TestRest:
+    @staticmethod
+    def _transport(pages):
+        calls = []
+
+        def t(params):
+            calls.append(dict(params))
+            i = int(params.get("cursor") or 0)
+            nxt = str(i + 1) if i + 1 < len(pages) else ""
+            return {"meta": {"next": nxt, "limit": len(pages[i])},
+                    "objects": pages[i]}
+        t.calls = calls
+        return t
+
+    def test_source_paginates_to_dataframe(self, spark):
+        pages = [[{"id": 1, "v": "a"}, {"id": 2, "v": "b"}],
+                 [{"id": 3, "v": "c"}]]
+        t = self._transport(pages)
+        df = rest_source(spark, t)
+        assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+        assert len(t.calls) == 2  # one request per page, stop on empty next
+
+    def test_source_request_budget(self, spark):
+        def endless(params):
+            return {"meta": {"next": "more"}, "objects": [{"id": 0}]}
+        with pytest.raises(RuntimeError, match="request budget"):
+            rest_source(spark, endless, request_limit=5)
+
+    def test_source_empty(self, spark):
+        t = self._transport([[]])
+        assert rest_source(spark, t).count() == 0
+
+    def test_sink_pushes_every_row(self, spark, tmp_path):
+        marker = str(tmp_path / "pushed")
+        os.makedirs(marker)
+        df = spark.createDataFrame([(i,) for i in range(20)], "id: long")
+
+        def push(req):
+            assert req["method"] == "PATCH"
+            with open(f"{marker}/{req['payload']['id']}", "w") as f:
+                f.write("1")
+        rest_sink(df, push, method="PATCH")
+        assert len(os.listdir(marker)) == 20
+
+    def test_sink_error_budget_fails_task(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(10)], "id: long")
+        df = df.coalesce(1)
+
+        def always_fail(req):
+            raise ConnectionError("api down")
+        with pytest.raises(Exception):
+            rest_sink(df, always_fail, max_failures=3)
