@@ -1,0 +1,207 @@
+"""Streaming probes: file-stream replay of `events` with availableNow.
+
+Each probe runs a genuine Structured Streaming query (file source →
+stateful operator → memory sink, checkpointed) to completion and returns
+the materialized result; the oracle recomputes the same answer as batch
+SQL — the stream-batch equivalence contract (SURVEY §5.2 item 2). The
+reference analog: its pull loop IS a hand-rolled stream with watermark
+restore and 5-minute lag (CommCareAPIHandler.py:65-69, 87-94).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.ops import (events_stream, run_stream_to_table,
+                             session_window_agg, sliding_window_agg,
+                             stateful_user_stats, streaming_dedup,
+                             tumbling_window_agg)
+from .registry import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "stream_tumbling_agg",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       strftime(time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start
+""",
+    tags=("streaming",),
+    priority=30,
+    doc="Tumbling 10-minute window agg over the event stream (complete "
+        "mode) == batch time-bucket aggregation.",
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_stream_to_table(
+        tumbling_window_agg(events_stream(spark, sf_dir)),
+        output_mode="complete")
+    return (out.select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        F.date_format("window_end", _TS_FMT).alias("window_end"),
+        "n", "sum_value")
+        .orderBy("window_start"))
+
+
+@query(
+    "stream_watermark_tumbling",
+    oracle="""
+WITH w AS (
+  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS s,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS window_start, n, sum_value
+FROM w
+WHERE s + INTERVAL 10 MINUTE <= (SELECT max(ts) - INTERVAL 5 MINUTE
+                                 FROM events)
+ORDER BY window_start
+""",
+    tags=("streaming",),
+    priority=30,
+    doc="Watermarked append-mode tumbling agg: the 5-minute watermark is "
+        "the reference's use_lag shift (CommCareAPIHandler.py:65-69) — "
+        "only windows the watermark has passed emit; late state is "
+        "dropped, keeping state bounded at scale.",
+)
+def stream_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_stream_to_table(
+        tumbling_window_agg(events_stream(spark, sf_dir),
+                            watermark="5 minutes"),
+        output_mode="append")
+    return (out.select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        "n", "sum_value")
+        .orderBy("window_start"))
+
+
+@query(
+    "stream_sliding_agg",
+    oracle="""
+WITH hits AS (
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS s FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE FROM events
+)
+SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+FROM hits GROUP BY s ORDER BY window_start
+""",
+    tags=("streaming",),
+    priority=30,
+    doc="Sliding 10-minute/5-minute window agg: every event contributes "
+        "to two overlapping windows == batch union of shifted buckets.",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_stream_to_table(
+        sliding_window_agg(events_stream(spark, sf_dir)),
+        output_mode="complete")
+    return (out.select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"), "n")
+        .orderBy("window_start"))
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S.%f')          AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    tags=("streaming",),
+    priority=30,
+    doc="Native session_window (30-minute gap) == batch sessionization; "
+        "session_window merges while the next event starts strictly "
+        "before session_end (gap >= 1800s starts a new session), and "
+        "its end is last_ts + gap.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_stream_to_table(
+        session_window_agg(events_stream(spark, sf_dir), gap="30 minutes"),
+        output_mode="complete")
+    return (out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+         .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+         .alias("session_end"),
+        "n_events", "sum_value")
+        .orderBy("user_id", "session_start"))
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+""",
+    tags=("streaming",),
+    priority=30,
+    doc="Streaming dropDuplicates over (user_id, event_type) == batch "
+        "DISTINCT; keys-only projection so the result is deterministic "
+        "regardless of arrival order.",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = events_stream(spark, sf_dir).select("user_id", "event_type")
+    out = run_stream_to_table(streaming_dedup(st, ["user_id", "event_type"]),
+                              output_mode="append")
+    return out.orderBy("user_id", "event_type")
+
+
+@query(
+    "stream_stateful_user_stats",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn_asc,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                            event_id DESC) AS rn_desc
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       max(CASE WHEN rn_asc = 1 THEN event_id END)  AS first_event,
+       max(CASE WHEN rn_desc = 1 THEN event_id END) AS last_event
+FROM ordered
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming",),
+    priority=30,
+    doc="Arbitrary stateful per-key processing (applyInPandasWithState): "
+        "running per-user count/sum/first/last across micro-batches == "
+        "batch grouped aggregation when the replay completes.",
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_stream_to_table(
+        stateful_user_stats(events_stream(spark, sf_dir)),
+        output_mode="update")
+    return out.orderBy("user_id")

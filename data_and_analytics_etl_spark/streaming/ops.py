@@ -1,0 +1,150 @@
+"""Streaming operators over the `events` table replayed as a file stream.
+
+Every operator here takes/returns DataFrames so the same call works on a
+batch frame (for the equivalence tests) and a streaming frame; Spark
+plans the incremental stateful version automatically when the input is
+streaming. Watermarks bound state: without one, a windowed agg on an
+unbounded stream accumulates state forever — the 100 TB streaming
+posture is watermark + windowed state + checkpointed sink, never
+unbounded state.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """Replay `events.parquet` as a file-source stream.
+
+    Schema comes from the batch catalog read (file streams require an
+    explicit schema); the ns-timestamp normalization matches
+    catalog._normalize_event_timestamps so stream and batch frames are
+    column-identical.
+    """
+    batch = load_table(spark, sf_dir, "events")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # pre-normalize schema
+    reader = (spark.readStream.schema(raw.schema)
+              .option("pathGlobFilter", "events.parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    assert df.schema == batch.schema, "stream/batch schema drift"
+    return df
+
+
+def run_stream_to_table(stream_df: DataFrame, output_mode: str = "append",
+                        ) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into a memory
+    sink; return the materialized result as a batch DataFrame.
+
+    availableNow processes exactly the data present at start then stops —
+    the deterministic replay mode the equivalence tests and driver probes
+    rely on. Checkpoint goes to a fresh temp dir per run (probe runs are
+    independent by contract; production sinks pass a durable location).
+    """
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (stream_df.writeStream
+         .format("memory").queryName(name)
+         .outputMode(output_mode)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_window_agg(df: DataFrame, duration: str = "10 minutes",
+                        watermark: str | None = None) -> DataFrame:
+    """Per-window count/sum. With a watermark the state store drops
+    windows older than (max event time - delay); append mode then emits
+    only finalized windows."""
+    src = df.withWatermark("ts", watermark) if watermark else df
+    return (src.groupBy(F.window("ts", duration))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"), "n", "sum_value"))
+
+
+def sliding_window_agg(df: DataFrame, duration: str = "10 minutes",
+                       slide: str = "5 minutes") -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows."""
+    return (df.groupBy(F.window("ts", duration, slide))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("window_start"), "n"))
+
+
+def session_window_agg(df: DataFrame, gap: str = "30 minutes",
+                       key: str = "user_id",
+                       watermark: str | None = None) -> DataFrame:
+    """Event-time session windows: sessions merge while events arrive
+    within ``gap`` of the running session end (native session_window —
+    the streaming twin of operators/sessionize.py)."""
+    src = df.withWatermark("ts", watermark) if watermark else df
+    return (src.groupBy(F.session_window("ts", gap), F.col(key))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(key,
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
+def streaming_dedup(df: DataFrame, keys: list[str],
+                    watermark: str | None = None) -> DataFrame:
+    """Keep the first occurrence per key. With a watermark, key state
+    expires once the key can no longer recur inside the lateness bound
+    (dropDuplicatesWithinWatermark) — bounded state, the scale form."""
+    if watermark:
+        return (df.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return df.dropDuplicates(keys)
+
+
+#: Output schema of the stateful per-key operator.
+_STATE_OUTPUT = ("user_id long, n_events long, sum_value double, "
+                 "first_event long, last_event long")
+_STATE_SCHEMA = "n long, s double, first_e long, last_e long"
+
+
+def stateful_user_stats(df: DataFrame) -> DataFrame:
+    """Custom stateful per-key processing via applyInPandasWithState.
+
+    Maintains (count, sum, first/last event id by timestamp) per user
+    across micro-batches — the declared arbitrary-state surface (ref
+    per-entity pull state, CommCareAPIHandler.py:264-272, generalized).
+    Emits the running state each batch (update mode).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        n, s, first_e, last_e = (state.get if state.exists
+                                 else (0, 0.0, None, None))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                if first_e is None:
+                    first_e = int(pdf["event_id"].iloc[0])
+                last_e = int(pdf["event_id"].iloc[-1])
+        state.update((n, s, first_e, last_e))
+        yield pd.DataFrame([{"user_id": key[0], "n_events": n,
+                             "sum_value": round(s, 2),
+                             "first_event": first_e, "last_event": last_e}])
+
+    return (df.groupBy("user_id")
+            .applyInPandasWithState(update, _STATE_OUTPUT, _STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))

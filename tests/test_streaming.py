@@ -1,0 +1,119 @@
+"""Stream-batch equivalence suite (SURVEY §5.2 item 2).
+
+Every streaming operator replayed with trigger(availableNow=True) over
+the events corpus must equal its batch formulation; plus a two-batch
+late-data test proving the watermark actually drops late rows (the
+bounded-state contract that matters at scale).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from data_and_analytics_etl_spark.catalog import load_table
+from data_and_analytics_etl_spark.operators.sessionize import session_stats
+from data_and_analytics_etl_spark.streaming import (events_stream,
+                                                    run_stream_to_table,
+                                                    session_window_agg,
+                                                    streaming_dedup,
+                                                    tumbling_window_agg)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_equals_batch_window_agg(spark, sf_dir):
+    stream = run_stream_to_table(
+        tumbling_window_agg(events_stream(spark, sf_dir)),
+        output_mode="complete")
+    batch = tumbling_window_agg(load_table(spark, sf_dir, "events"))
+    assert _rows(stream, "window_start", "n", "sum_value") == \
+        _rows(batch, "window_start", "n", "sum_value")
+
+
+def test_session_window_equals_batch_sessionize(spark, sf_dir):
+    stream = run_stream_to_table(
+        session_window_agg(events_stream(spark, sf_dir), gap="30 minutes"),
+        output_mode="complete")
+    batch = session_stats(load_table(spark, sf_dir, "events"),
+                          key="user_id", ts="ts", gap_seconds=1800,
+                          agg_value="value")
+    # session_window end = last_ts + gap; sessionize end = last_ts.
+    # Compare on (user, start, size): identical session boundaries.
+    got = _rows(stream, "user_id", "session_start", "n_events")
+    want = _rows(batch.select("user_id",
+                              F.col("session_start"),
+                              F.col("n_events")),
+                 "user_id", "session_start", "n_events")
+    assert got == want
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, sf_dir):
+    st = events_stream(spark, sf_dir).select("user_id", "event_type")
+    stream = run_stream_to_table(
+        streaming_dedup(st, ["user_id", "event_type"]), output_mode="append")
+    batch = load_table(spark, sf_dir, "events") \
+        .select("user_id", "event_type").distinct()
+    assert _rows(stream, "user_id", "event_type") == \
+        _rows(batch, "user_id", "event_type")
+
+
+def test_watermark_drops_late_data_across_runs(spark, tmp_path):
+    """Incremental replay with a shared checkpoint (the reference's run
+    model: one invocation per window, watermark restored from state,
+    CommCareAPIHandler.py:87-94): run 1 closes window W and advances the
+    watermark past it; a late row inside W arrives before run 2 — it
+    must be dropped, and unfinalized trailing windows must not emit."""
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "event_id: long, ts: timestamp, "
+                                         "value: double")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage" / name))
+        part = [p for p in os.listdir(tmp_path / "stage" / name)
+                if p.endswith(".parquet")][0]
+        os.rename(tmp_path / "stage" / name / part,
+                  tmp_path / "stream" / f"{name}.parquet")
+
+    def run():
+        schema = "event_id long, ts timestamp, value double"
+        st = spark.readStream.schema(schema).parquet(str(tmp_path / "stream"))
+        q = (tumbling_window_agg(st, watermark="5 minutes")
+             .writeStream.format("parquet")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(str(tmp_path / "out"))
+
+    os.makedirs(tmp_path / "stream")
+    write_file("a", [(1, t0, 1.0), (2, t0 + dt.timedelta(minutes=2), 1.0),
+                     (3, t0 + dt.timedelta(minutes=25), 1.0)])
+    r1 = {(r.window_start, r.n, r.sum_value) for r in run().collect()}
+    # run 1: watermark 12:20 closed window [12:00,12:10) with events 1,2
+    assert r1 == {(t0, 2, 2.0)}
+
+    time.sleep(1.1)
+    # late row (event 4) falls in the already-closed first window
+    write_file("b", [(4, t0 + dt.timedelta(minutes=1), 100.0),
+                     (5, t0 + dt.timedelta(minutes=45), 1.0)])
+    got = {(r.window_start, r.n, r.sum_value) for r in run().collect()}
+    # late event 4 dropped: the closed window is never re-emitted/amended
+    assert (t0, 2, 2.0) in got
+    assert not any(s == 102.0 for _, _, s in got)
+    # run 2's watermark (12:40) closes [12:20,12:30)
+    assert (t0 + dt.timedelta(minutes=20), 1, 1.0) in got
+    # trailing window [12:40,12:50) unfinalized -> not emitted
+    assert not any(w == t0 + dt.timedelta(minutes=40) for w, _, _ in got)
+
+
+def test_stream_batch_schema_identity(spark, sf_dir):
+    st = events_stream(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "events")
+    assert st.schema == batch.schema
