@@ -31,6 +31,9 @@ BENCH_QUERIES: dict[str, str] = {
     "b5_running_sum": "window_running_agg",
     "b6_cosine_topk": "cosine_topk",
     "b7_exact_dedup": "dedup_exact",
+    "b8_minhash_neardup": "dedup_minhash_lsh",
+    "b9_sessionization": "sessionization",
+    "b10_returned_revenue": "q10_returned_revenue",
 }
 
 

