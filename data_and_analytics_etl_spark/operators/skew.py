@@ -1,0 +1,55 @@
+"""Skew mitigation helpers (SURVEY §4.3 "100 TB posture").
+
+AQE's skew-join splitting handles most hot keys at runtime
+(`spark.sql.adaptive.skewJoin.enabled`, on in session.py); explicit
+salting is the fallback for the cases AQE can't fix — e.g. a single
+key holding >1 partition of data on BOTH sides, or aggregations (AQE
+skew handling only applies to joins).
+
+`salted_join` produces results identical to a plain equi-join (probe
+`join_salted` hash-checks that), so it is a drop-in under skew.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: list[str],
+                salt_source: Column, buckets: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Equi-join with the big side's hot keys split across ``buckets``.
+
+    - big side: deterministic salt in [0, buckets) derived from
+      ``salt_source`` (any expression that varies within a key group —
+      a line number, a unique id); rows of one hot key now spread over
+      ``buckets`` shuffle partitions.
+    - small side: replicated ``buckets`` x via an exploded sequence, so
+      every (key, salt) bucket finds its match.
+
+    Wire cost: small side inflates by ``buckets`` (use only when the
+    small side is modest and the key histogram is genuinely skewed);
+    result is exactly the plain join — same rows, no dupes, because
+    each big row joins exactly one replica.
+    """
+    salted_big = big.withColumn("__salt",
+                                F.pmod(F.xxhash64(salt_source), buckets)
+                                .cast("int"))
+    salted_small = (small
+                    .withColumn("__salt",
+                                F.explode(F.sequence(F.lit(0),
+                                                     F.lit(buckets - 1))))
+                    .withColumn("__salt", F.col("__salt").cast("int")))
+    return (salted_big.join(salted_small, [*on, "__salt"], how)
+            .drop("__salt"))
+
+
+def key_histogram(df: DataFrame, key_cols: list[str], top: int = 20,
+                  ) -> DataFrame:
+    """Per-key row counts, heaviest first — the diagnostic that decides
+    whether salting is warranted (one aggregate, bounded output)."""
+    return (df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .orderBy(F.desc("n_rows"), *key_cols)
+            .limit(top))

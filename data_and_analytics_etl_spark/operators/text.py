@@ -132,6 +132,34 @@ def quality_score(text: Column) -> Column:
     return F.round(0.4 * len_score + 0.3 * diversity + 0.3 * clean, 4)
 
 
+def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+           ) -> DataFrame:
+    """Corpus TF-IDF, fully relational (no ml.feature, no UDFs).
+
+    Pipeline: tokenize → explode → tf = per-(doc, term) count →
+    df = per-term doc count (window, no second scan) → smooth idf
+    (sklearn-style: ln((1+N)/(1+df)) + 1). Two shuffles total: one on
+    (doc, term) for tf, one on term for df. Output: (doc, term, tf,
+    doc_freq, tfidf) — deterministic, so exactly oracle-checkable,
+    unlike hashed-feature TF (HashingTF) which trades terms for buckets.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.select(id_col).distinct().count()
+    terms = (df.select(F.col(id_col).alias("doc"),
+                       F.explode(tokens_of(F.col(text_col))).alias("term")))
+    tf = (terms.groupBy("doc", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    w = Window.partitionBy("term")
+    out = (tf.withColumn("doc_freq", F.count(F.lit(1)).over(w))
+           .withColumn("tfidf", F.round(
+               F.col("tf") * (F.log((F.lit(1.0) + n_docs)
+                                    / (F.lit(1.0) + F.col("doc_freq")))
+                              + F.lit(1.0)), 6)))
+    return out.select(F.col("doc").alias(id_col), "term", "tf",
+                      "doc_freq", "tfidf")
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All text-tier features in one projection (single codegen stage)."""
     t = F.col(text_col)

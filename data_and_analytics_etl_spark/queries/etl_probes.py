@@ -205,3 +205,30 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.col("p_partkey")).alias("n_good"),
         F.count(F.col("_corrupt")).alias("n_corrupt"))
+
+
+@query(
+    "rest_datasource_scan",
+    oracle="""
+SELECT CAST(i AS BIGINT) AS id, CAST((i * 31) % 97 AS BIGINT) AS k
+FROM range(0, 5000) t(i)
+ORDER BY id
+""",
+    tags=("source", "rest"),
+    priority=26,
+    doc="REST as a Spark 4 Python DataSource (etl/rest_datasource.py): "
+        "windowed scan split into 8 InputPartitions, each pulling its "
+        "sub-window via keyset-paginated, budget-guarded requests on the "
+        "executor — the reference's serial pull loop "
+        "(CommCareAPIHandler.py:217-258) made partition-parallel. The "
+        "deterministic synthetic transport makes the scan oracle-exact.",
+)
+def rest_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..etl import rest_datasource
+    rest_datasource.register(spark)
+    return (spark.read.format("rest")
+            .option("transport", "synthetic")
+            .option("start", 0).option("end", 5000)
+            .option("limit", 100).option("num_partitions", 8)
+            .load()
+            .orderBy("id"))

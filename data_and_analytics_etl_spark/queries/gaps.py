@@ -151,3 +151,35 @@ def map_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(merged, F.col("n_name")).alias("looked_up"),
         F.size(F.map_keys(merged)).alias("n_keys"))
         .orderBy("n_nationkey"))
+
+
+@query(
+    "join_salted",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*)            AS n,
+       sum(l.l_quantity)   AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    tags=("join", "skew"),
+    priority=55,
+    doc="Salted equi-join (operators/skew.py:salted_join, 16 buckets): "
+        "hot keys on the big side spread across shuffle partitions, the "
+        "small side replicates per bucket — result must be EXACTLY the "
+        "plain join (this probe is the proof). The manual fallback for "
+        "skew AQE can't split.",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = salted_join(li, o, on=["l_orderkey"],
+                         salt_source=F.col("l_linenumber"))
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("l_quantity").alias("sum_qty"))
+            .orderBy("o_orderpriority"))

@@ -406,3 +406,36 @@ def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return extract_features(assets_from_documents(d)).orderBy("asset_id")
+
+
+@query(
+    "text_tfidf",
+    oracle=r"""
+WITH terms AS (
+  SELECT doc_id AS doc,
+         unnest(string_split_regex(lower(text), '\s+')) AS term
+  FROM documents WHERE doc_id < 100
+), tf AS (
+  SELECT doc, term, count(*) AS tf FROM terms GROUP BY doc, term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 100
+)
+SELECT doc AS doc_id, term, tf,
+       count(*) OVER (PARTITION BY term) AS doc_freq,
+       round(tf * (ln((1.0 + (SELECT n_docs FROM n))
+                      / (1.0 + count(*) OVER (PARTITION BY term))) + 1.0), 6)
+         AS tfidf
+FROM tf
+ORDER BY doc_id, term
+""",
+    tags=("llm", "text"),
+    priority=21,
+    doc="Relational TF-IDF (operators/text.py:tf_idf): tokenize -> "
+        "explode -> tf hash-agg -> per-term doc_freq window -> smooth "
+        "idf. Two shuffles, no ml.feature, exactly oracle-checkable "
+        "(HashingTF would bucket-collide).",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tf_idf
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return tf_idf(d).orderBy("doc_id", "term")
