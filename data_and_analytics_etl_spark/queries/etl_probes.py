@@ -119,8 +119,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.write.mode("overwrite").json(dest)
     schema = ("o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
               "o_totalprice double, o_orderdate timestamp, "
-              "o_orderpriority string, o_clerk string, "
-              "o_shippriority int, o_comment string")
+              "o_orderpriority string")
     back = spark.read.schema(schema).json(dest)
     return (back.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),

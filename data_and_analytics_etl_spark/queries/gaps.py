@@ -183,3 +183,64 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("l_quantity").alias("sum_qty"))
             .orderBy("o_orderpriority"))
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS f_qty,
+       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS o_qty,
+       count(CASE WHEN l_linestatus = 'F' THEN 1 END)        AS f_rows,
+       count(CASE WHEN l_linestatus = 'O' THEN 1 END)        AS o_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("agg", "pivot"),
+    priority=49,
+    doc="Pivot: groupBy().pivot(values-pinned).agg() — explicit pivot "
+        "values keep it single-pass (no extra distinct-values job) and "
+        "the plan a plain two-phase hash agg; == conditional aggregation.",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (li.groupBy("l_returnflag")
+           .pivot("l_linestatus", ["F", "O"])
+           .agg(F.sum("l_quantity").alias("qty"),
+                F.count(F.lit(1)).alias("rows")))
+    return (out.select(
+        "l_returnflag",
+        F.col("F_qty").alias("f_qty"), F.col("O_qty").alias("o_qty"),
+        F.col("F_rows").alias("f_rows"), F.col("O_rows").alias("o_rows"))
+        .orderBy("l_returnflag"))
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+SELECT c_custkey, metric, val
+FROM (
+  SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS val
+  FROM customer WHERE c_custkey < 200
+  UNION ALL
+  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+  FROM customer WHERE c_custkey < 200
+)
+ORDER BY c_custkey, metric
+""",
+    tags=("agg", "pivot"),
+    priority=49,
+    doc="Unpivot (wide->long) via native melt/unpivot — columns become "
+        "(metric, value) rows with no shuffle at all (pure projection + "
+        "generate).",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 200)
+    wide = c.select("c_custkey",
+                    F.round("c_acctbal", 2).alias("acctbal"),
+                    F.col("c_nationkey").cast("double").alias("nationkey"))
+    return (wide.unpivot("c_custkey", ["acctbal", "nationkey"],
+                         "metric", "val")
+            .orderBy("c_custkey", "metric"))
