@@ -18,6 +18,8 @@ right rows sort *before* left rows at equal timestamps.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -31,9 +33,9 @@ def asof_join(
     right_values: list[str] | None = None,
     suffix: str = "_right",
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Join each left row to the latest right row with
-    ``right[right_ts] <= left[left_ts]``, per equality key(s) ``on``.
+    """Join each left row to its as-of right row, per equality key ``on``.
 
     Parameters
     ----------
@@ -43,19 +45,29 @@ def asof_join(
         non-timestamp right columns).
     how : 'left' keeps unmatched left rows with NULL right values;
         'inner' drops them.
+    direction : 'backward' = latest right with right_ts <= left_ts
+        (DuckDB's default ASOF >=-match); 'forward' = earliest right
+        with right_ts >= left_ts. Ties match in both directions.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, "
+                         f"got {direction!r}")
+    backward = direction == "backward"
     keys = [on] if isinstance(on, str) else list(on)
     if right_values is None:
         right_values = [c for c in right.columns
                         if c not in keys and c != right_ts]
     carried = [f"{c}{suffix}" for c in right_values]
 
-    # Tag and align the two sides on a common shape. `_side` orders right
-    # rows first at ts ties → inclusive (<=) semantics.
+    # Tag and align the two sides on a common shape. `_side` places right
+    # rows on the frame side of equal timestamps → inclusive semantics:
+    # backward scans look back (right first at ties), forward scans look
+    # ahead (right last at ties).
+    left_tag, right_tag = (1, 0) if backward else (0, 1)
     lhs = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
+        F.lit(left_tag).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(a)
           for c, a in zip(right_values, carried)],
@@ -64,21 +76,29 @@ def asof_join(
     rhs = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
+        F.lit(right_tag).alias("_side"),
         F.lit(None).cast(lhs.schema["_lrow"].dataType).alias("_lrow"),
         *[F.col(c).alias(a) for c, a in zip(right_values, carried)],
         F.col(right_ts).alias(f"{right_ts}{suffix}"),
     )
 
-    w = (Window.partitionBy(*keys)
-         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = Window.partitionBy(*keys).orderBy(F.col("_ts").asc(),
+                                             F.col("_side").asc())
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = functools.partial(F.last, ignorenulls=True)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = functools.partial(F.first, ignorenulls=True)
     carried_all = carried + [f"{right_ts}{suffix}"]
-    unioned = lhs.unionByName(rhs)
-    for c in carried_all:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    # One select, not N withColumns: each withColumn is a full analysis
+    # pass over an ever-wider plan (quadratic on wide right sides); the
+    # shared window spec still collapses to a single Window node.
+    unioned = lhs.unionByName(rhs).select(
+        "_side", "_lrow",
+        *[carry(c).over(w).alias(c) for c in carried_all])
 
-    out = (unioned.filter(F.col("_side") == 1)
+    out = (unioned.filter(F.col("_side") == F.lit(left_tag))
            .select(F.col("_lrow.*"), *carried_all))
     if how == "inner":
         out = out.filter(F.col(f"{right_ts}{suffix}").isNotNull())

@@ -244,3 +244,104 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (wide.unpivot("c_custkey", ["acctbal", "nationkey"],
                          "metric", "val")
             .orderBy("c_custkey", "metric"))
+
+
+@query(
+    "timeseries_resample",
+    oracle="""
+WITH agg AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS b,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+  FROM events WHERE user_id < 5 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+  FROM bounds
+)
+SELECT s.user_id,
+       strftime(s.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+       coalesce(a.n, 0)                   AS n,
+       a.sum_value                        AS sum_value
+FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.b = a.b
+ORDER BY s.user_id, bucket
+""",
+    tags=("timeseries",),
+    priority=56,
+    doc="Hypertable-style resample with gap filling "
+        "(operators/timeseries.py): hourly rollup per user including "
+        "empty buckets (n=0) — spine generated with sequence/explode, "
+        "never a driver-side date loop.",
+)
+def timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import resample
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    out = resample(ev, key="user_id", ts_col="ts", interval="1 hour",
+                   value_col="value")
+    return (out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n", "sum_value")
+        .orderBy("user_id", "bucket"))
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       n.event_id AS next_purchase_id,
+       strftime(n.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_right
+FROM (SELECT * FROM events WHERE event_type = 'view') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') n
+  ON e.user_id = n.user_id AND e.ts <= n.ts
+ORDER BY e.event_id
+""",
+    tags=("join", "asof"),
+    priority=56,
+    doc="Forward as-of join (operators/asof.py, direction='forward'): "
+        "each view matched to the user's next purchase at-or-after it — "
+        "same union-and-carry O(n+m) rewrite, frame flipped to "
+        "[current, unbounded following].",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("event_id").alias("next_purchase_id")))
+    out = asof_join(views, purchases, on="user_id", left_ts="ts",
+                    right_ts="ts", right_values=["next_purchase_id"],
+                    suffix="_right", direction="forward")
+    return (out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.col("next_purchase_id_right").alias("next_purchase_id"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+         .alias("ts_right"))
+        .orderBy("event_id"))
+
+
+@query(
+    "agg_hll_sketch_merge",
+    oracle=None,  # Apache DataSketches HLL; bounded-error vs exact in pytest
+    tags=("agg", "sketch"),
+    priority=56,
+    doc="Mergeable distinct-count sketches (hll_sketch_agg per nation -> "
+        "hll_union_agg to region -> estimate): the re-aggregatable form "
+        "of count-distinct — partial sketches persist and roll up "
+        "without re-scanning, the pattern for daily->monthly rollups "
+        "at 100 TB. Error bound tested in tests/test_operators.py.",
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (c.groupBy("c_nationkey")
+                  .agg(F.hll_sketch_agg("c_custkey").alias("sk")))
+    return (per_nation.join(F.broadcast(n),
+                            per_nation.c_nationkey == n.n_nationkey)
+            .groupBy("n_regionkey")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("approx_customers"))
+            .orderBy("n_regionkey"))

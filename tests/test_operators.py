@@ -44,3 +44,25 @@ def test_approx_percentile_brackets_exact(spark, sf_dir):
             .collect())
     for r in rows:
         assert abs(r.approx - r.exact) <= 0.02 * (r.hi - r.lo) + 1e-9, r
+
+
+def test_hll_sketch_merge_matches_exact_within_5pct(spark, sf_dir):
+    """Sketches built per nation then unioned to region must estimate the
+    region-level distinct count (mergeability is the point: no re-scan)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (c.groupBy("c_nationkey")
+                  .agg(F.hll_sketch_agg("c_custkey").alias("sk")))
+    merged = {r.n_regionkey: r.approx for r in
+              (per_nation.join(n, per_nation.c_nationkey == n.n_nationkey)
+               .groupBy("n_regionkey")
+               .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                    .alias("approx"))).collect()}
+    exact = {r.n_regionkey: r.exact for r in
+             (c.join(n, c.c_nationkey == n.n_nationkey)
+              .groupBy("n_regionkey")
+              .agg(F.countDistinct("c_custkey").alias("exact"))).collect()}
+    assert merged.keys() == exact.keys()
+    for k in exact:
+        assert abs(merged[k] - exact[k]) / exact[k] <= 0.05, (k, merged[k],
+                                                              exact[k])
