@@ -345,3 +345,80 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
                  .alias("approx_customers"))
             .orderBy("n_regionkey"))
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+SELECT i.o_orderkey AS interval_id,
+       count(p.o_orderkey)          AS n_in_range,
+       round(sum(p.o_totalprice), 2) AS sum_in_range
+FROM (SELECT o_orderkey, o_totalprice * 0.98 AS lo, o_totalprice * 1.02 AS hi
+      FROM orders WHERE o_orderkey < 500) i
+LEFT JOIN (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey >= 500) p
+  ON i.lo <= p.o_totalprice AND p.o_totalprice < i.hi
+GROUP BY i.o_orderkey
+ORDER BY interval_id
+""",
+    tags=("join", "range"),
+    priority=56,
+    doc="Binned range join (operators/rangejoin.py): interval containment "
+        "rewritten as bin equi-join + exact recheck — hash join instead "
+        "of the BNLJ a naive range predicate plans; result proven equal "
+        "to the naive join by this oracle.",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import binned_range_join
+    o = load_table(spark, sf_dir, "orders")
+    intervals = (o.filter(F.col("o_orderkey") < 500)
+                 .select(F.col("o_orderkey").alias("interval_id"),
+                         (F.col("o_totalprice") * 0.98).alias("lo"),
+                         (F.col("o_totalprice") * 1.02).alias("hi")))
+    points = (o.filter(F.col("o_orderkey") >= 500)
+              .select(F.col("o_orderkey").alias("p_id"), "o_totalprice"))
+    joined = binned_range_join(points, intervals, "o_totalprice",
+                               "lo", "hi", bin_width=10_000.0)
+    return (intervals.join(joined, "interval_id", "left")
+            .groupBy("interval_id")
+            .agg(F.count("p_id").alias("n_in_range"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_in_range"))
+            .orderBy("interval_id"))
+
+
+@query(
+    "table_profile",
+    oracle="""
+SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
+       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(DISTINCT c_custkey) AS n_distinct,
+       min(CAST(c_custkey AS VARCHAR)) AS min_str,
+       max(CAST(c_custkey AS VARCHAR)) AS max_str
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', count(*),
+       sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT c_mktsegment),
+       min(c_mktsegment), max(c_mktsegment)
+FROM customer
+UNION ALL
+SELECT 'c_name', count(*),
+       sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT c_name),
+       min(c_name), max(c_name)
+FROM customer
+ORDER BY col_name
+""",
+    tags=("profile",),
+    priority=56,
+    doc="Table profiling (operators/profile.py): per-column null/distinct"
+        "/min/max in ONE aggregate pass over the table (never one job "
+        "per column); exact mode here for the oracle, HLL mode at scale.",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile
+    c = load_table(spark, sf_dir, "customer")
+    out = profile(c, ["c_custkey", "c_mktsegment", "c_name"], exact=True)
+    return (out.withColumnRenamed("n_distinct_approx", "n_distinct")
+            .withColumnRenamed("column", "col_name")
+            .orderBy("col_name"))
