@@ -439,3 +439,23 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tf_idf
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return tf_idf(d).orderBy("doc_id", "term")
+
+
+@query(
+    "ann_ivf",
+    oracle=None,  # kmeans-cell dependent; recall vs brute force in pytest
+    tags=("llm", "similarity"),
+    priority=57,
+    doc="IVF approximate NN (operators/similarity.py:ivf_ann): seeded "
+        "k-means cells index the corpus; probes score only their n_probe "
+        "nearest cells via a cell_id equi-join — the inverted-file "
+        "alternative to LSH bucketing. Recall vs cosine_topk tested in "
+        "tests/test_llmdata.py.",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_ann
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return (ivf_ann(e, probes, k=10, n_probe=8)
+            .withColumn("rank", F.col("rank").cast("int"))
+            .orderBy("probe_id", "rank"))

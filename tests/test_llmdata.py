@@ -140,3 +140,25 @@ class TestMultimodal:
             _decode_payload)
         with pytest.raises(NotImplementedError):
             _decode_payload(b"\x89PNG", "image")
+
+
+class TestIVF:
+    def test_recall_vs_brute_force(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.similarity import ivf_ann
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 5)
+        exact = {(r.probe_id, r.vec_id) for r in
+                 cosine_topk(e, probes, k=10).collect()}
+        approx = {(r.probe_id, r.vec_id) for r in
+                  ivf_ann(e, probes, k=10, n_probe=8).collect()}
+        # n_probe=8 of 16 cells on near-uniform vectors: measured ~0.79
+        # at sf0.01; 0.5 leaves margin across scale factors
+        assert len(exact & approx) / len(exact) >= 0.5
+
+    def test_deterministic(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.similarity import ivf_ann
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 3)
+        a = sorted(map(tuple, ivf_ann(e, probes, k=5).collect()))
+        b = sorted(map(tuple, ivf_ann(e, probes, k=5).collect()))
+        assert a == b
