@@ -422,3 +422,52 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.withColumnRenamed("n_distinct_approx", "n_distinct")
             .withColumnRenamed("column", "col_name")
             .orderBy("col_name"))
+
+
+@query(
+    "map_higher_order",
+    oracle="""
+SELECT n_nationkey,
+       list_sort([n_name || '=' || CAST(n_regionkey * 10 AS VARCHAR),
+                  'code=' || CAST(n_nationkey * 10 AS VARCHAR)])
+         AS values_x10,
+       list_sort([upper(n_name), 'CODE'])          AS keys_upper,
+       (CASE WHEN n_regionkey > 1 THEN 1 ELSE 0 END
+        + CASE WHEN n_nationkey > 1 THEN 1 ELSE 0 END) AS n_kept,
+       list_sort([n_name || '=' || CAST(n_regionkey * 2 AS VARCHAR),
+                  'code=' || CAST(n_nationkey * 2 AS VARCHAR)])
+         AS zip_doubled
+FROM nation
+ORDER BY n_nationkey
+""",
+    tags=("functions", "map"),
+    priority=58,
+    doc="Higher-order map lambdas: transform_keys / transform_values / "
+        "map_filter / map_zip_with, rendered as sorted entry lists "
+        "(map iteration order is engine-defined); the oracle recomputes "
+        "the same results from the source columns.",
+)
+def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.col("n_name"), F.lit("code")),
+        F.array(F.col("n_regionkey"), F.col("n_nationkey")))
+
+    def render(mp):
+        return F.array_sort(F.transform(
+            F.map_entries(mp),
+            lambda e: F.concat(e.getField("key"), F.lit("="),
+                               e.getField("value").cast("string"))))
+
+    vals_x10 = F.transform_values(m, lambda k, v: v * 10)
+    keys_up = F.array_sort(F.map_keys(
+        F.transform_keys(m, lambda k, v: F.upper(k))))
+    kept = F.size(F.map_keys(F.map_filter(m, lambda k, v: v > 1)))
+    zipped = F.map_zip_with(m, m, lambda k, v1, v2: v1 + v2)
+    return (n.select(
+        "n_nationkey",
+        render(vals_x10).alias("values_x10"),
+        keys_up.alias("keys_upper"),
+        kept.alias("n_kept"),
+        render(zipped).alias("zip_doubled"))
+        .orderBy("n_nationkey"))
