@@ -471,3 +471,54 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.alias("n_kept"),
         render(zipped).alias("zip_doubled"))
         .orderBy("n_nationkey"))
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+FROM customer
+WHERE c_custkey < 400
+ORDER BY bal ASC NULLS FIRST, c_custkey
+""",
+    tags=("sort",),
+    priority=58,
+    doc="Explicit NULL placement in sorts (asc_nulls_first + tie-break): "
+        "cross-engine default null order differs, so the declared "
+        "surface always pins it (SURVEY §7.5 rule 5).",
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    bal = F.when(F.col("c_custkey") % 7 == 0, None) \
+           .otherwise(F.col("c_acctbal"))
+    return (c.select("c_custkey", bal.alias("bal"))
+            .orderBy(F.asc_nulls_first("bal"), F.asc("c_custkey")))
+
+
+@query(
+    "misc_encodings",
+    oracle="""
+SELECT p_partkey,
+       upper(hex(p_partkey))                         AS key_hex,
+       to_base64(CAST(p_brand AS BLOB))              AS brand_b64,
+       ascii(p_name)                                 AS first_cp,
+       chr(65 + CAST(p_partkey % 26 AS INTEGER))     AS letter
+FROM part
+WHERE p_partkey < 300
+ORDER BY p_partkey
+""",
+    tags=("functions",),
+    priority=58,
+    doc="Encoding functions: hex, base64, ascii, chr (uppercased hex on "
+        "both sides — engines disagree on hex case).",
+)
+def misc_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return (p.select(
+        "p_partkey",
+        F.upper(F.hex("p_partkey")).alias("key_hex"),
+        F.base64(F.col("p_brand").cast("binary")).alias("brand_b64"),
+        F.ascii("p_name").alias("first_cp"),
+        F.chr(F.lit(65) + F.col("p_partkey") % 26).alias("letter"))
+        .orderBy("p_partkey"))

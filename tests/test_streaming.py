@@ -117,3 +117,32 @@ def test_stream_batch_schema_identity(spark, sf_dir):
     st = events_stream(spark, sf_dir)
     batch = load_table(spark, sf_dir, "events")
     assert st.schema == batch.schema
+
+
+def test_foreachbatch_push_sink(spark, sf_dir, tmp_path):
+    """Streaming push path: micro-batches fan out through the REST sink
+    via foreachBatch — the streaming twin of the batch rest_sink, with
+    a checkpoint so restarts don't re-push committed batches."""
+    from data_and_analytics_etl_spark.etl.rest import rest_sink
+    from data_and_analytics_etl_spark.streaming import events_stream
+
+    marker = tmp_path / "pushed"
+    os.makedirs(marker)
+
+    def push(req):
+        with open(marker / str(req["payload"]["event_id"]), "w") as f:
+            f.write("1")
+
+    st = (events_stream(spark, sf_dir)
+          .filter(F.col("user_id") == 1)
+          .select("event_id"))
+    q = (st.writeStream
+         .foreachBatch(lambda batch_df, _id: rest_sink(batch_df, push))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    from data_and_analytics_etl_spark.catalog import load_table
+    want = load_table(spark, sf_dir, "events") \
+        .filter(F.col("user_id") == 1).count()
+    assert len(os.listdir(marker)) == want
