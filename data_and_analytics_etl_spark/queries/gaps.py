@@ -7,7 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load_table, register_all
+from ..catalog import load_table
 from .registry import query
 
 
