@@ -54,3 +54,45 @@ def read_partitioned(spark, path: str, fmt: str = "parquet") -> DataFrame:
     directory-derived values, so time-window filters prune directories
     (PruneFileSourcePartitions)."""
     return spark.read.format(fmt).load(path)
+
+
+def compact(spark, path: str, fmt: str = "parquet",
+            target_records_per_file: int = 1_000_000) -> tuple[int, int]:
+    """Small-file compaction: rewrite a dataset at a healthy file size.
+
+    Incremental sinks accumulate small files (every micro-batch/run
+    writes at least one per partition); scans then pay per-file open
+    cost and lose vectorized-read efficiency. Compaction = read, write
+    to a sibling dir with a larger ``maxRecordsPerFile``, atomic-ish
+    swap. Returns (files_before, files_after).
+
+    The rewrite preserves the Hive partition layout when present
+    (partition columns round-trip through the read), so partition
+    pruning still works afterwards.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    def count_files(p):
+        return len(_glob.glob(f"{p}/**/*.{fmt}", recursive=True))
+
+    before = count_files(path)
+    df = spark.read.format(fmt).load(path)
+    part_cols = [c for c in PARTITION_COLS if c in df.columns]
+    tmp = path.rstrip("/") + "__compact"
+    if part_cols:
+        # Partition-aligned shuffle: without it every write task that
+        # holds rows of a partition emits its own file there, and the
+        # rewrite reproduces the fragmentation it was meant to fix.
+        df = df.repartition(*[F.col(c) for c in part_cols])
+    w = (df.write.mode("overwrite")
+         .option("maxRecordsPerFile", target_records_per_file))
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.format(fmt).save(tmp)
+    old = path.rstrip("/") + "__old"
+    _os.rename(path, old)
+    _os.rename(tmp, path)
+    _shutil.rmtree(old)
+    return before, count_files(path)

@@ -184,3 +184,42 @@ class TestRest:
             raise ConnectionError("api down")
         with pytest.raises(Exception):
             rest_sink(df, always_fail, max_failures=3)
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from data_and_analytics_etl_spark.etl.sink import compact
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts") < F.lit(T1))
+    dest = str(tmp_path / "many")
+    # fragment like an incremental pipeline: 4 append runs over the same
+    # hours -> >=4 files per hive partition
+    for i in range(4):
+        write_partitioned(ev.filter(F.col("event_id") % 4 == i), dest, "ts")
+    n = ev.count()
+    before, after = compact(spark, dest,
+                            target_records_per_file=1_000_000)
+    assert before > after, (before, after)
+    back = spark.read.parquet(dest)
+    assert back.count() == n
+    # partition layout survived the rewrite
+    assert "year" in back.columns and "hour" in back.columns
+    import glob
+    assert glob.glob(f"{dest}/year=*/month=*/day=*/hour=*/*.parquet")
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Incremental batches whose schema gains a column must read back as
+    one dataset (mergeSchema) with NULLs for the old batches — the
+    schemaless-JSON tolerance of the reference, typed."""
+    o = load_table(spark, sf_dir, "orders")
+    dest = str(tmp_path / "evolving")
+    (o.filter(F.col("o_orderkey") < 1000)
+     .select("o_orderkey", "o_totalprice")
+     .write.mode("append").parquet(dest))
+    (o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+     .select("o_orderkey", "o_totalprice",
+             F.col("o_orderpriority").alias("priority"))
+     .write.mode("append").parquet(dest))
+    merged = spark.read.option("mergeSchema", True).parquet(dest)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "priority"}
+    n_old = merged.filter(F.col("priority").isNull()).count()
+    assert n_old == o.filter(F.col("o_orderkey") < 1000).count()
