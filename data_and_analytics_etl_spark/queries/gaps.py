@@ -522,3 +522,34 @@ def misc_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("p_name").alias("first_cp"),
         F.chr(F.lit(65) + F.col("p_partkey") % 26).alias("letter"))
         .orderBy("p_partkey"))
+
+
+@query(
+    "json_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       (CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS is_valid,
+       0 AS bad_parsed
+FROM events
+WHERE event_id < 2000
+ORDER BY event_id
+""",
+    tags=("functions", "json", "variant"),
+    priority=58,
+    doc="Spark 4 VariantType: parse_json -> binary variant encoding -> "
+        "typed variant_get extraction, with try_parse_json returning "
+        "NULL on malformed input — the modern semi-structured column "
+        "(open-ended JSON without string re-parsing per access).",
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    return (ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.when(F.try_parse_json(F.col("props")).isNotNull(), 1)
+         .otherwise(0).alias("is_valid"),
+        F.when(F.try_parse_json(F.lit("{not json")).isNotNull(), 1)
+         .otherwise(0).alias("bad_parsed"))
+        .orderBy("event_id"))
