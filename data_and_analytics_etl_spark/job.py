@@ -110,11 +110,17 @@ def _pull(spark: SparkSession, event: dict, transport: Transport,
                          request_limit=REQUEST_LIMIT)
         n = 0
         if "indexed_on" in df.columns:
+            from pyspark.sql import Observation
             df = df.withColumn(
                 "indexed_on_ts", normalize_timestamp(F.col("indexed_on")))
             dest = os.path.join(data_root, domain, name)
-            write_partitioned(df, dest, "indexed_on_ts")
-            n = spark.read.parquet(dest).count()
+            # count THIS run's rows on the write pass itself (same as
+            # etl/ingest.py): a re-read of the append-mode dest would be
+            # cumulative across runs and cost a second full scan.
+            obs = Observation(f"pull_{name}")
+            observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            write_partitioned(observed, dest, "indexed_on_ts")
+            n = int(obs.get["rows"])
         # write-then-commit; custom ranges never advance the watermark
         if not is_custom:
             ckpt.commit(hi, dataset=name)

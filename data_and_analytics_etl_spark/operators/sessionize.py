@@ -20,9 +20,15 @@ def sessionize(
     ts: str,
     gap_seconds: int,
     session_col: str = "session_id",
+    tie_break: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Add a per-key session ordinal (1-based) to each event row."""
-    w = Window.partitionBy(key).orderBy(ts)
+    """Add a per-key session ordinal (1-based) to each event row.
+
+    ``tie_break`` columns extend the window order past ``ts`` so rows
+    sharing (key, ts) get a deterministic lag/running-sum order — without
+    it, cross-engine comparison of session boundaries is undefined on ties.
+    """
+    w = Window.partitionBy(key).orderBy(ts, *tie_break)
     prev_ts = F.lag(ts).over(w)
     gap = F.col(ts).cast("double") - prev_ts.cast("double")
     is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
@@ -37,9 +43,10 @@ def session_stats(
     ts: str,
     gap_seconds: int,
     agg_value: str | None = None,
+    tie_break: tuple[str, ...] = (),
 ) -> DataFrame:
     """Collapse sessions to one row each: start/end/duration/event count."""
-    s = sessionize(df, key, ts, gap_seconds)
+    s = sessionize(df, key, ts, gap_seconds, tie_break=tie_break)
     aggs = [
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),

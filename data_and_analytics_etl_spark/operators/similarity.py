@@ -97,18 +97,23 @@ def with_signlsh_bucket(df: DataFrame, vec_col: str,
 def cosine_neardup_lsh(df: DataFrame, threshold: float = 0.9,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        n_planes: int = 8, n_tables: int = 4, seed: int = 42,
-                       ) -> DataFrame:
+                       dim: int | None = None) -> DataFrame:
     """Embedding near-dup pairs via multi-table sign-LSH + exact verify.
 
     ``n_tables`` independent hash tables (different seeds) are unioned so
     recall survives unlucky planes; candidates come from bucket equi-joins
     (never all-pairs), then exact cosine filters to ``threshold``.
     Output: (id_a, id_b, cosine), id_a < id_b, deduplicated across tables.
+
+    Pass ``dim`` (the embedding dimensionality) so plan construction is
+    action-free; omitting it falls back to a one-row Spark job to measure
+    the first vector — fine interactively, wasteful inside a pipeline.
     """
     base = df.select(F.col(id_col).alias("__id"),
                      as_double(F.col(vec_col)).alias("__vec"))
     cands = None
-    dim = df.select(F.size(vec_col)).first()[0]
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed=seed + 1000 * t)
         b = with_signlsh_bucket(base, "__vec", planes, out="__bkt")

@@ -30,7 +30,9 @@ def resample(df: DataFrame, key: str, ts_col: str, interval: str = "1 hour",
     step = F.expr(f"INTERVAL {interval}")
     aggs = [F.count(F.lit(1)).alias("n")]
     if value_col:
-        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+        # decimal sum: accumulation-order-independent across engines
+        aggs.append(F.sum(F.col(value_col).cast("decimal(18,2)"))
+                    .cast("double").alias("sum_value"))
     agged = (df.groupBy(F.col(key),
                         F.window(ts_col, interval)["start"].alias("bucket"))
              .agg(*aggs))

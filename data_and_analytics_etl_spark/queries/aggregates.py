@@ -23,8 +23,9 @@ from .registry import query
 SELECT o_orderpriority,
        count(*)                        AS n_orders,
        count(DISTINCT o_custkey)       AS n_customers,
-       round(sum(o_totalprice), 2)     AS sum_price,
-       round(avg(o_totalprice), 4)     AS avg_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4)            AS avg_price,
        round(min(o_totalprice), 2)     AS min_price,
        round(max(o_totalprice), 2)     AS max_price
 FROM orders
@@ -32,6 +33,7 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
     tags=("agg",),
+    priority=20,
     doc="Hash agg: count/sum/avg/min/max + count distinct per group.",
 )
 def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,8 +42,12 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_orderpriority")
          .agg(F.count(F.lit(1)).alias("n_orders"),
               F.countDistinct("o_custkey").alias("n_customers"),
-              F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-              F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+              # decimal sums: accumulation-order-independent (SURVEY §7.4)
+              F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+               .cast("double").alias("sum_price"),
+              F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                      .cast("double") / F.count(F.lit(1)), 4)
+               .alias("avg_price"),
               F.round(F.min("o_totalprice"), 2).alias("min_price"),
               F.round(F.max("o_totalprice"), 2).alias("max_price"))
          .orderBy("o_orderpriority")
@@ -129,7 +135,7 @@ GROUP BY c_nationkey
 ORDER BY c_nationkey
 """,
     tags=("agg",),
-    priority=48,
+    priority=100,
     doc="min_by/max_by ordered selection aggregates (deterministic: "
         "struct-valued ordering key breaks acctbal ties on custkey; the "
         "oracle's row_number formulation pins the same total order).",
@@ -205,13 +211,14 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        grouping(l_returnflag) * 2 + grouping(l_linestatus) AS grp_id,
-       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        count(*)                  AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY grp_id, l_returnflag NULLS LAST, l_linestatus NULLS LAST
 """,
     tags=("agg",),
+    priority=20,
     doc="ROLLUP hierarchy with grouping() indicator bits.",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,7 +227,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
           .agg(grp_id.alias("grp_id"),
-               F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+               F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double").alias("sum_qty"),
                F.count(F.lit(1)).alias("n"))
           .orderBy(F.asc("grp_id"),
                    F.asc_nulls_last("l_returnflag"),
@@ -233,7 +241,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS grp_id,
-       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        count(*)                    AS n
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -248,7 +256,8 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.cube("o_orderstatus", "o_orderpriority")
          .agg(grp_id.alias("grp_id"),
-              F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+              F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+               .cast("double").alias("sum_price"),
               F.count(F.lit(1)).alias("n"))
          .orderBy(F.asc("grp_id"),
                   F.asc_nulls_last("o_orderstatus"),
@@ -260,7 +269,8 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
        count(*)                       AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -273,7 +283,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_all(spark, sf_dir)
     return spark.sql("""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price,
                count(*)                       AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -286,8 +297,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT count(*)                             AS n_rows,
        count(DISTINCT l_orderkey)           AS n_orders,
-       round(sum(l_quantity), 2)            AS sum_qty,
-       round(avg(l_extendedprice), 4)       AS avg_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4)                 AS avg_price,
        round(min(l_discount), 2)            AS min_disc,
        round(max(l_tax), 2)                 AS max_tax
 FROM lineitem
@@ -300,8 +312,10 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
         F.round(F.min("l_discount"), 2).alias("min_disc"),
         F.round(F.max("l_tax"), 2).alias("max_tax"))
 
@@ -311,6 +325,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # sketch output is engine-specific; property-tested in
                   # tests/test_operators.py (±5% of exact, SURVEY §5.2)
     tags=("agg", "approx"),
+    priority=150,
     doc="HLL++ approximate count-distinct (rows-only driver check).",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +342,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_percentile",
     oracle=None,  # sketch output engine-specific; property-tested
     tags=("agg", "approx"),
+    priority=150,
     doc="Approximate percentile sketch (rows-only driver check).",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,14 +33,14 @@ _T2 = dt.datetime(2024, 1, 20)
 SELECT year(ts)  AS year, month(ts) AS month,
        day(ts)   AS day,  hour(ts)  AS hour,
        count(*)  AS n,
-       round(sum(value), 2) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
 GROUP BY 1, 2, 3, 4
 ORDER BY year, month, day, hour
 """,
     tags=("etl", "sink"),
-    priority=25,
+    priority=20,
     doc="Hourly-partitioned sink round-trip (ref hourly S3 layout, "
         "CommCareAPIHandler.py:71-73): write partitionBy(y,m,d,h) with "
         "maxRecordsPerFile, read back, aggregate per partition — results "
@@ -54,7 +54,8 @@ def etl_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(dest)
     return (back.groupBy("year", "month", "day", "hour")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 2).alias("sum_value"))
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_value"))
             .orderBy("year", "month", "day", "hour"))
 
 
@@ -68,7 +69,7 @@ GROUP BY event_type
 ORDER BY event_type
 """,
     tags=("etl", "checkpoint"),
-    priority=25,
+    priority=100,
     doc="At-least-once replay + dedup (ref write-then-commit ordering, "
         "CommCareAPIHandler.py:251-262): run window<=T1, drop the "
         "checkpoint (simulated crash), run window<=T2 — the sink holds "
@@ -99,7 +100,7 @@ def etl_incremental_overlap_dedup(spark: SparkSession, sf_dir: str,
     oracle="""
 SELECT o_orderpriority,
        count(*)                    AS n,
-       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        min(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS first_date
 FROM orders
 WHERE o_orderkey < 3000
@@ -107,7 +108,7 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
     tags=("source", "json"),
-    priority=25,
+    priority=20,
     doc="JSON scan round-trip with an explicit schema (the reference's "
         "record model is JSON envelopes, CommCareAPIHandler.py:204): "
         "write orders as JSON lines, read back schema-first (timestamps "
@@ -123,7 +124,8 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(schema).json(dest)
     return (back.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_price"),
                  F.min(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
                   .alias("first_date"))
             .orderBy("o_orderpriority"))
@@ -135,7 +137,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_nationkey,
        count(*) AS n,
        sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS n_null_seg,
-       round(sum(c_acctbal), 2) AS sum_bal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
 FROM (
   SELECT c_nationkey, c_acctbal,
          CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END
@@ -146,7 +148,7 @@ GROUP BY c_nationkey
 ORDER BY c_nationkey
 """,
     tags=("source", "csv"),
-    priority=25,
+    priority=20,
     doc="CSV scan round-trip: pipe-delimited with header and empty-string "
         "nulls (every CSV option the declared surface names), read back "
         "schema-first; null handling must survive the trip.",
@@ -167,7 +169,9 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.when(F.col("c_mktsegment").isNull(), 1)
                        .otherwise(0)).alias("n_null_seg"),
-                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+                 # decimal sum: accumulation-order-independent (SURVEY §7.4)
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_bal"))
             .orderBy("c_nationkey"))
 
 
@@ -180,7 +184,7 @@ FROM part
 WHERE p_partkey < 400
 """,
     tags=("source", "json"),
-    priority=25,
+    priority=100,
     doc="Corrupt-record JSON mode (PERMISSIVE + columnNameOfCorruptRecord)"
         ": every 7th line is deliberately malformed; the scan must keep "
         "good rows typed and quarantine bad ones, never drop either.",
@@ -214,7 +218,7 @@ FROM range(0, 5000) t(i)
 ORDER BY id
 """,
     tags=("source", "rest"),
-    priority=26,
+    priority=100,
     doc="REST as a Spark 4 Python DataSource (etl/rest_datasource.py): "
         "windowed scan split into 8 InputPartitions, each pulling its "
         "sub-window via keyset-paginated, budget-guarded requests on the "

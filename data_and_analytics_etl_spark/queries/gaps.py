@@ -22,7 +22,7 @@ RIGHT JOIN (SELECT * FROM customer WHERE c_custkey < 300) c
 ORDER BY c_custkey, o_orderkey
 """,
     tags=("join",),
-    priority=40,
+    priority=100,
     doc="Right outer join: unmatched right-side customers survive with "
         "NULL order columns (completes the outer-join family).",
 )
@@ -37,16 +37,26 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_deterministic",
-    oracle=None,  # sampling algorithms are engine-specific by design
+    oracle="""
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+ORDER BY o_orderkey
+""",
     tags=("sample",),
-    priority=40,
-    doc="Seeded deterministic sampling: same seed => same rows across "
-        "runs (Bernoulli per-partition; sampling is engine-defined, so "
-        "rows-only here; determinism is asserted in tests/test_gaps.py).",
+    priority=20,
+    doc="Deterministic hash-threshold sampling (~10.2% = 26/256): "
+        "md5(key) prefix under a threshold picks the same rows on every "
+        "engine and every run — unlike seeded Bernoulli df.sample, whose "
+        "row choice is engine-defined (that form's run-to-run determinism "
+        "is asserted in tests/test_gaps.py). Hash-mod sampling is also "
+        "the scale form: stable under repartition, no state, and "
+        "consistent across incremental loads.",
 )
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return (o.sample(fraction=0.1, seed=42)
+    return (o.filter(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                                 1, 2) < "1a")
             .select("o_orderkey", "o_custkey")
             .orderBy("o_orderkey"))
 
@@ -71,7 +81,7 @@ FROM src, LATERAL (
 ORDER BY p_partkey, pos
 """,
     tags=("functions", "lateral"),
-    priority=40,
+    priority=100,
     doc="posexplode_outer: lateral explode with position, keeping rows "
         "whose array is empty (NULL pos/token) — the outer explode "
         "variants missing from r1.",
@@ -97,7 +107,7 @@ WHERE event_id < 3000
 ORDER BY event_id
 """,
     tags=("functions", "json"),
-    priority=40,
+    priority=100,
     doc="from_json (schema'd parse to struct) and json_tuple (multi-path "
         "extract) over events.props — the schemaless-JSON record model "
         "of the reference (CommCareAPIHandler.py:204).",
@@ -119,19 +129,22 @@ def json_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_extended",
     oracle="""
 SELECT n_nationkey,
-       list_sort([n_name || '=' || CAST(n_regionkey AS VARCHAR),
-                  'code=' || CAST(n_nationkey AS VARCHAR)]) AS entries,
+       array_to_string(
+         list_sort([n_name || '=' || CAST(n_regionkey AS VARCHAR),
+                    'code=' || CAST(n_nationkey AS VARCHAR)]), '|')
+                                                            AS entries,
        CAST(n_regionkey AS VARCHAR)                         AS looked_up,
        2                                                    AS n_keys
 FROM nation
 ORDER BY n_nationkey
 """,
     tags=("functions", "map"),
-    priority=40,
+    priority=20,
     doc="map_from_arrays + map_concat + map_entries + element_at + "
         "map_keys: maps built from columns, merged, then rendered as "
-        "sorted 'k=v' strings (map iteration order is engine-defined, so "
-        "comparison happens on the sorted entry list).",
+        "sorted 'k=v' strings joined with '|' (map iteration order is "
+        "engine-defined, and array cells crash the driver's "
+        "canonicalizer — r2 finding — so the probe boundary is scalar).",
 )
 def map_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
@@ -147,7 +160,7 @@ def map_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
                            e.getField("value"))))
     return (n.select(
         "n_nationkey",
-        entries.alias("entries"),
+        F.array_join(entries, "|").alias("entries"),
         F.element_at(merged, F.col("n_name")).alias("looked_up"),
         F.size(F.map_keys(merged)).alias("n_keys"))
         .orderBy("n_nationkey"))
@@ -158,14 +171,14 @@ def map_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o.o_orderpriority,
        count(*)            AS n,
-       sum(l.l_quantity)   AS sum_qty
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """,
     tags=("join", "skew"),
-    priority=55,
+    priority=20,
     doc="Salted equi-join (operators/skew.py:salted_join, 16 buckets): "
         "hot keys on the big side spread across shuffle partitions, the "
         "small side replicates per bucket — result must be EXACTLY the "
@@ -181,7 +194,8 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                          salt_source=F.col("l_linenumber"))
     return (joined.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("l_quantity").alias("sum_qty"))
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_qty"))
             .orderBy("o_orderpriority"))
 
 
@@ -189,8 +203,12 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
 SELECT l_returnflag,
-       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS f_qty,
-       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS o_qty,
+       CAST(sum(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS f_qty,
+       CAST(sum(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS o_qty,
        count(CASE WHEN l_linestatus = 'F' THEN 1 END)        AS f_rows,
        count(CASE WHEN l_linestatus = 'O' THEN 1 END)        AS o_rows
 FROM lineitem
@@ -198,7 +216,7 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """,
     tags=("agg", "pivot"),
-    priority=49,
+    priority=20,
     doc="Pivot: groupBy().pivot(values-pinned).agg() — explicit pivot "
         "values keep it single-pass (no extra distinct-values job) and "
         "the plan a plain two-phase hash agg; == conditional aggregation.",
@@ -207,7 +225,8 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     out = (li.groupBy("l_returnflag")
            .pivot("l_linestatus", ["F", "O"])
-           .agg(F.sum("l_quantity").alias("qty"),
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double").alias("qty"),
                 F.count(F.lit(1)).alias("rows")))
     return (out.select(
         "l_returnflag",
@@ -230,7 +249,7 @@ FROM (
 ORDER BY c_custkey, metric
 """,
     tags=("agg", "pivot"),
-    priority=49,
+    priority=30,
     doc="Unpivot (wide->long) via native melt/unpivot — columns become "
         "(metric, value) rows with no shuffle at all (pure projection + "
         "generate).",
@@ -251,7 +270,8 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH agg AS (
   SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS b,
-         count(*) AS n, round(sum(value), 2) AS sum_value
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
   FROM events WHERE user_id < 5 GROUP BY 1, 2
 ), bounds AS (
   SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1
@@ -267,7 +287,7 @@ FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.b = a.b
 ORDER BY s.user_id, bucket
 """,
     tags=("timeseries",),
-    priority=56,
+    priority=20,
     doc="Hypertable-style resample with gap filling "
         "(operators/timeseries.py): hourly rollup per user including "
         "empty buckets (n=0) — spine generated with sequence/explode, "
@@ -298,7 +318,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') n
 ORDER BY e.event_id
 """,
     tags=("join", "asof"),
-    priority=56,
+    priority=30,
     doc="Forward as-of join (operators/asof.py, direction='forward'): "
         "each view matched to the user's next purchase at-or-after it — "
         "same union-and-carry O(n+m) rewrite, frame flipped to "
@@ -327,7 +347,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_hll_sketch_merge",
     oracle=None,  # Apache DataSketches HLL; bounded-error vs exact in pytest
     tags=("agg", "sketch"),
-    priority=56,
+    priority=150,
     doc="Mergeable distinct-count sketches (hll_sketch_agg per nation -> "
         "hll_union_agg to region -> estimate): the re-aggregatable form "
         "of count-distinct — partial sketches persist and roll up "
@@ -352,7 +372,8 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT i.o_orderkey AS interval_id,
        count(p.o_orderkey)          AS n_in_range,
-       round(sum(p.o_totalprice), 2) AS sum_in_range
+       CAST(sum(CAST(p.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_in_range
 FROM (SELECT o_orderkey, o_totalprice * 0.98 AS lo, o_totalprice * 1.02 AS hi
       FROM orders WHERE o_orderkey < 500) i
 LEFT JOIN (SELECT o_orderkey, o_totalprice FROM orders
@@ -362,7 +383,7 @@ GROUP BY i.o_orderkey
 ORDER BY interval_id
 """,
     tags=("join", "range"),
-    priority=56,
+    priority=20,
     doc="Binned range join (operators/rangejoin.py): interval containment "
         "rewritten as bin equi-join + exact recheck — hash join instead "
         "of the BNLJ a naive range predicate plans; result proven equal "
@@ -382,7 +403,8 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (intervals.join(joined, "interval_id", "left")
             .groupBy("interval_id")
             .agg(F.count("p_id").alias("n_in_range"),
-                 F.round(F.sum("o_totalprice"), 2).alias("sum_in_range"))
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_in_range"))
             .orderBy("interval_id"))
 
 
@@ -410,7 +432,7 @@ FROM customer
 ORDER BY col_name
 """,
     tags=("profile",),
-    priority=56,
+    priority=30,
     doc="Table profiling (operators/profile.py): per-column null/distinct"
         "/min/max in ONE aggregate pass over the table (never one job "
         "per column); exact mode here for the oracle, HLL mode at scale.",
@@ -428,24 +450,28 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_higher_order",
     oracle="""
 SELECT n_nationkey,
-       list_sort([n_name || '=' || CAST(n_regionkey * 10 AS VARCHAR),
-                  'code=' || CAST(n_nationkey * 10 AS VARCHAR)])
+       array_to_string(
+         list_sort([n_name || '=' || CAST(n_regionkey * 10 AS VARCHAR),
+                    'code=' || CAST(n_nationkey * 10 AS VARCHAR)]), '|')
          AS values_x10,
-       list_sort([upper(n_name), 'CODE'])          AS keys_upper,
+       array_to_string(list_sort([upper(n_name), 'CODE']), '|')
+                                                   AS keys_upper,
        (CASE WHEN n_regionkey > 1 THEN 1 ELSE 0 END
         + CASE WHEN n_nationkey > 1 THEN 1 ELSE 0 END) AS n_kept,
-       list_sort([n_name || '=' || CAST(n_regionkey * 2 AS VARCHAR),
-                  'code=' || CAST(n_nationkey * 2 AS VARCHAR)])
+       array_to_string(
+         list_sort([n_name || '=' || CAST(n_regionkey * 2 AS VARCHAR),
+                    'code=' || CAST(n_nationkey * 2 AS VARCHAR)]), '|')
          AS zip_doubled
 FROM nation
 ORDER BY n_nationkey
 """,
     tags=("functions", "map"),
-    priority=58,
+    priority=20,
     doc="Higher-order map lambdas: transform_keys / transform_values / "
-        "map_filter / map_zip_with, rendered as sorted entry lists "
-        "(map iteration order is engine-defined); the oracle recomputes "
-        "the same results from the source columns.",
+        "map_filter / map_zip_with, rendered as sorted '|'-joined entry "
+        "strings (map iteration order is engine-defined; array cells "
+        "crash the driver canonicalizer — r2 finding); the oracle "
+        "recomputes the same results from the source columns.",
 )
 def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
@@ -466,10 +492,10 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipped = F.map_zip_with(m, m, lambda k, v1, v2: v1 + v2)
     return (n.select(
         "n_nationkey",
-        render(vals_x10).alias("values_x10"),
-        keys_up.alias("keys_upper"),
+        F.array_join(render(vals_x10), "|").alias("values_x10"),
+        F.array_join(keys_up, "|").alias("keys_upper"),
         kept.alias("n_kept"),
-        render(zipped).alias("zip_doubled"))
+        F.array_join(render(zipped), "|").alias("zip_doubled"))
         .orderBy("n_nationkey"))
 
 
@@ -483,7 +509,7 @@ WHERE c_custkey < 400
 ORDER BY bal ASC NULLS FIRST, c_custkey
 """,
     tags=("sort",),
-    priority=58,
+    priority=30,
     doc="Explicit NULL placement in sorts (asc_nulls_first + tie-break): "
         "cross-engine default null order differs, so the declared "
         "surface always pins it (SURVEY §7.5 rule 5).",
@@ -509,7 +535,7 @@ WHERE p_partkey < 300
 ORDER BY p_partkey
 """,
     tags=("functions",),
-    priority=58,
+    priority=30,
     doc="Encoding functions: hex, base64, ascii, chr (uppercased hex on "
         "both sides — engines disagree on hex case).",
 )
@@ -536,7 +562,7 @@ WHERE event_id < 2000
 ORDER BY event_id
 """,
     tags=("functions", "json", "variant"),
-    priority=58,
+    priority=30,
     doc="Spark 4 VariantType: parse_json -> binary variant encoding -> "
         "typed variant_get extraction, with try_parse_json returning "
         "NULL on malformed input — the modern semi-structured column "

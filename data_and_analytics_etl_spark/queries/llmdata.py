@@ -46,7 +46,7 @@ FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
 ORDER BY doc_id
 """,
     tags=("llm", "dedup"),
-    priority=20,
+    priority=100,
     doc="Exact full-row dedup: at-least-once re-ingest (the reference's "
         "crash-overlap window, CommCareAPIHandler.py:251-262) collapses "
         "back to one copy per row. Hash-agg, one shuffle.",
@@ -72,7 +72,7 @@ FROM ranked WHERE rn = 1
 ORDER BY user_id, event_type
 """,
     tags=("llm", "dedup"),
-    priority=20,
+    priority=100,
     doc="Keyed keep-first dedup: deterministic winner per (user_id, "
         "event_type) via one row_number window — single shuffle on the "
         "key, the 100 TB-safe form of dropDuplicates(subset).",
@@ -111,7 +111,7 @@ WHERE a.doc_id < b.doc_id
 ORDER BY id_a, id_b
 """,
     tags=("llm", "dedup"),
-    priority=20,
+    priority=100,
     doc="Exact 3-gram Jaccard near-dup pairs — the verification baseline "
         "for MinHash-LSH (operators/dedup.py:jaccard_pairs). All-pairs "
         "within a bounded subset by design; the scale path is "
@@ -128,7 +128,7 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=None,  # hash-family dependent; recall-tested vs exact jaccard
     tags=("llm", "dedup"),
-    priority=24,
+    priority=150,
     doc="MinHash(16) + 8-band LSH near-dup pairs with exact-Jaccard "
         "verification; candidates from a (band, band_hash) self-equi-join "
         "— never n^2. Recall vs neardup_ngram_jaccard is property-tested "
@@ -145,7 +145,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=None,  # xxhash64 family not available in DuckDB
     tags=("llm", "dedup"),
-    priority=24,
+    priority=150,
     doc="64-bit SimHash fingerprints (token-vote, Charikar '02) — "
         "near-dup docs land within small Hamming distance; JVM-side "
         "bit-fold, no Python. Property-tested in tests/test_llmdata.py.",
@@ -181,7 +181,7 @@ SELECT doc_id,
 FROM t ORDER BY doc_id
 """.replace("__STOP__", _STOP),
     tags=("llm", "text"),
-    priority=20,
+    priority=100,
     doc="Text statistics tier: length/diversity/noise ratios as one "
         "codegen projection (operators/text.py:text_stats).",
 )
@@ -222,7 +222,7 @@ FROM scored ORDER BY doc_id
    .replace("__DE__", _sql_list(LANG_MARKERS["de"]))
    .replace("__FR__", _sql_list(LANG_MARKERS["fr"])),
     tags=("llm", "text"),
-    priority=20,
+    priority=100,
     doc="Heuristic language ID: marker-word hit counts + CJK char ratio, "
         "fixed deterministic precedence (operators/text.py:lang_id).",
 )
@@ -241,7 +241,7 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """,
     tags=("llm", "text"),
-    priority=20,
+    priority=100,
     doc="BPE-ish token counting: word pieces + punctuation via one "
         "regexp_extract_all (operators/text.py:token_count).",
 )
@@ -265,7 +265,7 @@ SELECT doc_id, fingerprint,
 FROM fp ORDER BY doc_id
 """,
     tags=("llm", "text"),
-    priority=20,
+    priority=100,
     doc="Document fingerprinting: md5 over normalized text "
         "(operators/text.py:fingerprint) + per-fingerprint multiplicity.",
 )
@@ -306,7 +306,7 @@ SELECT doc_id, n_words,
 FROM s ORDER BY doc_id
 """,
     tags=("llm", "text"),
-    priority=20,
+    priority=100,
     doc="Quality filtering: Gopher/C4-style composite score from "
         "length/diversity/noise, pure filter pushdown-friendly "
         "(operators/text.py:quality_score).",
@@ -347,7 +347,7 @@ FROM ranked WHERE rank <= 5
 ORDER BY probe_id, rank
 """,
     tags=("llm", "similarity", "bench"),
-    priority=20,
+    priority=100,
     doc="Brute-force cosine top-k: broadcast probes, one corpus pass, "
         "JVM-side zip_with/aggregate fold, bounded top-k window "
         "(operators/similarity.py:cosine_topk). The exact ANN baseline.",
@@ -364,7 +364,7 @@ def cosine_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh",
     oracle=None,  # approximate; recall vs cosine_topk property-tested
     tags=("llm", "similarity"),
-    priority=24,
+    priority=150,
     doc="Approximate NN via BucketedRandomProjectionLSH over normalized "
         "vectors (Euclidean order == cosine order on the unit sphere); "
         "approxSimilarityJoin = bucket equi-join, the 100 TB path. "
@@ -382,14 +382,14 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neardup_embedding_lsh",
     oracle=None,  # hyperplane-family dependent; property-tested
     tags=("llm", "similarity"),
-    priority=24,
+    priority=150,
     doc="Embedding near-dup pairs via multi-table sign-LSH buckets + "
         "exact cosine verify (operators/similarity.py:cosine_neardup_lsh);"
         " candidates from bucket equi-joins, never all-pairs.",
 )
 def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return (cosine_neardup_lsh(e, threshold=0.35)
+    return (cosine_neardup_lsh(e, threshold=0.35, dim=64)
             .orderBy("id_a", "id_b"))
 
 
@@ -397,7 +397,7 @@ def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     oracle=None,  # mapInPandas featurizer; schema/value-pinned in pytest
     tags=("llm", "multimodal"),
-    priority=24,
+    priority=150,
     doc="Multimodal plumbing: binary payload + typed meta struct "
         "(operators/multimodal.py:ASSET_SCHEMA), Arrow-batched "
         "mapInPandas featurizer with a deterministic byte-level fallback "
@@ -429,7 +429,7 @@ FROM tf
 ORDER BY doc_id, term
 """,
     tags=("llm", "text"),
-    priority=21,
+    priority=100,
     doc="Relational TF-IDF (operators/text.py:tf_idf): tokenize -> "
         "explode -> tf hash-agg -> per-term doc_freq window -> smooth "
         "idf. Two shuffles, no ml.feature, exactly oracle-checkable "
@@ -445,7 +445,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf",
     oracle=None,  # kmeans-cell dependent; recall vs brute force in pytest
     tags=("llm", "similarity"),
-    priority=57,
+    priority=150,
     doc="IVF approximate NN (operators/similarity.py:ivf_ann): seeded "
         "k-means cells index the corpus; probes score only their n_probe "
         "nearest cells via a cell_id equi-join — the inverted-file "

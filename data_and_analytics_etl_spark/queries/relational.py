@@ -38,7 +38,7 @@ WHERE l_quantity BETWEEN 10 AND 20
 ORDER BY l_orderkey, l_linenumber
 """,
     tags=("filter",),
-    priority=48,
+    priority=100,
     doc="Compound predicate pushdown: BETWEEN, IN, IS NOT NULL, OR-tree.",
 )
 def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +149,7 @@ def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_inner",
     oracle="""
 SELECT n_name, r_name, count(*) AS n_customers,
-       round(sum(c_acctbal), 2) AS total_balance
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -157,6 +157,7 @@ GROUP BY n_name, r_name
 ORDER BY n_name
 """,
     tags=("join",),
+    priority=20,
     doc="Inner equi-join chain, both dimensions broadcast.",
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +169,8 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
          .groupBy("n_name", "r_name")
          .agg(F.count(F.lit(1)).alias("n_customers"),
-              F.round(F.sum("c_acctbal"), 2).alias("total_balance"))
+              F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+               .cast("double").alias("total_balance"))
          .orderBy("n_name")
     )
 
@@ -315,12 +317,14 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH bands(band, lo, hi) AS (
   VALUES ('low', 0.0, 100.0), ('mid', 100.0, 500.0), ('high', 500.0, 1e18))
-SELECT band, count(*) AS n_events, round(sum(value), 2) AS sum_value
+SELECT band, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY band
 ORDER BY band
 """,
     tags=("join",),
+    priority=20,
     doc="Range/interval join: broadcast BNLJ against a tiny band table.",
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,7 +337,8 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (ev.value >= bands.lo) & (ev.value < bands.hi))
           .groupBy("band")
           .agg(F.count(F.lit(1)).alias("n_events"),
-               F.round(F.sum("value"), 2).alias("sum_value"))
+               F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double").alias("sum_value"))
           .orderBy("band")
     )
 

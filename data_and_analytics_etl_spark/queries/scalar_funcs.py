@@ -91,6 +91,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string_funcs_spark_only",
     oracle=None,  # initcap/sha1/crc32/xxhash64/soundex absent from DuckDB
     tags=("functions",),
+    priority=150,
     doc="Declared string/hash functions DuckDB can't mirror (rows-only).",
 )
 def string_funcs_spark_only(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,7 +237,7 @@ WHERE l_orderkey < 60
 ORDER BY l_orderkey, l_linenumber
 """,
     tags=("functions",),
-    priority=48,
+    priority=100,
     doc="Math family: rounding, roots, logs, trig, modular.",
 )
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,13 +30,13 @@ SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
        strftime(time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE,
                 '%Y-%m-%d %H:%M:%S') AS window_end,
        count(*) AS n,
-       round(sum(value), 2) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start
 """,
     tags=("streaming",),
-    priority=30,
+    priority=20,
     doc="Tumbling 10-minute window agg over the event stream (complete "
         "mode) == batch time-bucket aggregation.",
 )
@@ -56,7 +56,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (
   SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS s,
-         count(*) AS n, round(sum(value), 2) AS sum_value
+         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
   FROM events GROUP BY 1
 )
 SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS window_start, n, sum_value
@@ -66,7 +66,7 @@ WHERE s + INTERVAL 10 MINUTE <= (SELECT max(ts) - INTERVAL 5 MINUTE
 ORDER BY window_start
 """,
     tags=("streaming",),
-    priority=30,
+    priority=20,
     doc="Watermarked append-mode tumbling agg: the 5-minute watermark is "
         "the reference's use_lag shift (CommCareAPIHandler.py:65-69) — "
         "only windows the watermark has passed emit; late state is "
@@ -95,7 +95,7 @@ SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
 FROM hits GROUP BY s ORDER BY window_start
 """,
     tags=("streaming",),
-    priority=30,
+    priority=100,
     doc="Sliding 10-minute/5-minute window agg: every event contributes "
         "to two overlapping windows == batch union of shifted buckets.",
 )
@@ -129,13 +129,13 @@ SELECT user_id,
        strftime(max(ts) + INTERVAL 30 MINUTE,
                 '%Y-%m-%d %H:%M:%S.%f')          AS session_end,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM sessions
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """,
     tags=("streaming",),
-    priority=30,
+    priority=20,
     doc="Native session_window (30-minute gap) == batch sessionization; "
         "session_window merges while the next event starts strictly "
         "before session_end (gap >= 1800s starts a new session), and "
@@ -162,7 +162,7 @@ SELECT DISTINCT user_id, event_type FROM events
 ORDER BY user_id, event_type
 """,
     tags=("streaming",),
-    priority=30,
+    priority=100,
     doc="Streaming dropDuplicates over (user_id, event_type) == batch "
         "DISTINCT; keys-only projection so the result is deterministic "
         "regardless of arrival order.",
@@ -187,7 +187,7 @@ WITH ordered AS (
 )
 SELECT user_id,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
        max(CASE WHEN rn_asc = 1 THEN event_id END)  AS first_event,
        max(CASE WHEN rn_desc = 1 THEN event_id END) AS last_event
 FROM ordered
@@ -195,7 +195,7 @@ GROUP BY user_id
 ORDER BY user_id
 """,
     tags=("streaming",),
-    priority=30,
+    priority=20,
     doc="Arbitrary stateful per-key processing (applyInPandasWithState): "
         "running per-user count/sum/first/last across micro-batches == "
         "batch grouped aggregation when the replay completes.",

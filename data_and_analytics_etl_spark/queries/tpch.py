@@ -31,13 +31,19 @@ from .registry import query
     oracle="""
 SELECT l_returnflag,
        l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)           AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)      AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)    AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)         AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 4)                                             AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 4)                                             AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             / count(*), 4)                                             AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -50,19 +56,25 @@ ORDER BY l_returnflag, l_linestatus
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # Decimal factors keep every product/sum exact (accumulation-order-
+    # independent, SURVEY §7.4): (12,2)*(5,2)*(5,2) stays far below the
+    # 38-digit decimal ceiling in both engines.
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(ep).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / n, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -73,7 +85,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
        o_orderpriority
 FROM customer
@@ -101,8 +114,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                   * (1 - F.col("l_discount").cast("decimal(4,2)")))
+             .cast("double").alias("revenue"))
         .select(
             "l_orderkey", "revenue",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -117,7 +131,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n_name,
        r_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
        count(*)                                          AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -148,8 +163,9 @@ def q5_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                  * (1 - F.col("l_discount").cast("decimal(4,2)")))
+            .cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -158,7 +174,8 @@ def q5_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
        count(*)                                    AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -179,8 +196,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-            .alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                  * F.col("l_discount").cast("decimal(4,2)"))
+            .cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"))
     )
 
@@ -199,7 +217,7 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
     tags=("join", "subquery", "bench"),
-    priority=49,
+    priority=30,
     doc="TPC-H Q4 shape: correlated EXISTS decorrelated by Catalyst into "
         "a left-semi join on the fact key, then a small hash agg — the "
         "semi join never duplicates order rows, so no post-join dedup.",
@@ -240,7 +258,7 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """,
     tags=("join", "topk", "bench"),
-    priority=49,
+    priority=10,
     doc="TPC-H Q10 shape: fact-fact join on the order key, broadcast "
         "nation dimension, decimal-exact revenue (cross-engine stable "
         "under any accumulation order), global top-20 via "
@@ -284,7 +302,7 @@ GROUP BY 1
 ORDER BY ship_month
 """,
     tags=("join", "agg", "bench"),
-    priority=49,
+    priority=30,
     doc="TPC-H Q12 shape: fact join + conditional aggregation (CASE "
         "inside sum) — the filter on shipdate pushes to the lineitem "
         "scan; the orders side prunes to (key, priority) columns only.",

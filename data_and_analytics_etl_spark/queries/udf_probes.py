@@ -30,7 +30,7 @@ WHERE o_orderkey < 2000
 ORDER BY o_orderkey
 """,
     tags=("udf",),
-    priority=35,
+    priority=100,
     doc="Scalar Python @udf (row-at-a-time tier) == CASE expression.",
 )
 def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +50,7 @@ WHERE p_partkey < 500
 ORDER BY p_partkey
 """,
     tags=("udf",),
-    priority=35,
+    priority=100,
     doc="Vectorized @pandas_udf (Arrow batch tier) == string built-ins.",
 )
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +72,7 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """,
     tags=("udf",),
-    priority=35,
+    priority=100,
     doc="Grouped-agg pandas UDAF == sum(x*w)/sum(w) built-in form.",
 )
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,7 +98,7 @@ FROM (
 ORDER BY p_partkey, pos
 """,
     tags=("udf",),
-    priority=35,
+    priority=100,
     doc="Python UDTF (Spark 4 @udtf, one row -> N rows via LATERAL) == "
         "unnest of string_split.",
 )
@@ -125,7 +125,7 @@ WHERE l_orderkey < 300
 ORDER BY l_orderkey, l_linenumber
 """,
     tags=("udf",),
-    priority=35,
+    priority=100,
     doc="spark.udf.register tier: Python fn addressable from SQL text "
         "== CASE expression.",
 )

@@ -32,7 +32,7 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
 ORDER BY o_orderpriority, rn
 """,
     tags=("window",),
-    priority=15,
+    priority=100,
     doc="Ranking family over one shared window spec.",
 )
 def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +76,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id
 """,
     tags=("window",),
-    priority=15,
+    priority=100,
     doc="lag/lead/first/last/nth_value analytic functions.",
 )
 def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,22 +100,27 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_agg",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
-                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
        count(*) OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
-                      ROWS UNBOUNDED PRECEDING)                    AS running_n,
-       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
-                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
-                                                                   AS moving_avg3
+                      ROWS UNBOUNDED PRECEDING)          AS running_n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                                                         AS moving_avg3
 FROM orders
 WHERE o_custkey < 50
 ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
-    priority=15,
+    priority=20,
     doc="Running totals and a 3-row moving average (ROWS frames).",
 )
 def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,9 +131,14 @@ def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(
             "o_custkey", "o_orderkey",
-            F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+            # decimal window sums: frame accumulation order differs across
+            # engines (DuckDB segment trees vs Spark running state)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(run)
+             .cast("double").alias("running_total"),
             F.count(F.lit(1)).over(run).alias("running_n"),
-            F.round(F.avg("o_totalprice").over(mov), 4).alias("moving_avg3"))
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .over(mov).cast("double")
+                    / F.count(F.lit(1)).over(mov), 4).alias("moving_avg3"))
         .orderBy("o_custkey", "o_orderkey")
     )
 
@@ -149,7 +159,7 @@ FROM part
 ORDER BY p_partkey
 """,
     tags=("window",),
-    priority=15,
+    priority=100,
     doc="RANGE frames: value-based (not row-count) window bounds, under a "
         "partitionBy so the pattern scales (an unpartitioned RANGE window "
         "collapses the input to one task — never do that at 100 TB).",
@@ -173,15 +183,16 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionization",
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id,
+         CAST(value AS DECIMAL(18,2)) AS value_dec,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
               ELSE 0 END AS is_new
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
-  SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT user_id, ts, value_dec,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
@@ -189,21 +200,25 @@ SELECT user_id,
        session_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-       count(*)              AS n_events,
-       round(sum(value), 2)  AS sum_value
+       count(*)                           AS n_events,
+       CAST(sum(value_dec) AS DOUBLE)     AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """,
     tags=("window", "ext"),
-    priority=15,
+    priority=20,
     doc="Batch sessionization (30-min gap) via operators/sessionize.py; "
         "equals Structured Streaming session_window on the same input.",
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # Decimal sums are accumulation-order-independent (SURVEY §7.4), and
+    # (ts, event_id) fixes the lag order on same-timestamp events — raw
+    # double sums hash-diverged from the oracle in r2.
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("value", F.col("value").cast("decimal(18,2)")))
     out = session_stats(ev, key="user_id", ts="ts", gap_seconds=1800,
-                        agg_value="value")
+                        agg_value="value", tie_break=("event_id",))
     return (
         out.select(
             "user_id", "session_id",
@@ -212,6 +227,6 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .alias("session_end"),
             "n_events",
-            F.round("sum_value", 2).alias("sum_value"))
+            F.col("sum_value").cast("double").alias("sum_value"))
         .orderBy("user_id", "session_id")
     )

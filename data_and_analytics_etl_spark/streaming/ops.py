@@ -72,7 +72,10 @@ def tumbling_window_agg(df: DataFrame, duration: str = "10 minutes",
     src = df.withWatermark("ts", watermark) if watermark else df
     return (src.groupBy(F.window("ts", duration))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 2).alias("sum_value"))
+                 # decimal sum: micro-batch accumulation order must not
+                 # change the result (cross-engine + cross-run stable)
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_value"))
             .select(F.col("window.start").alias("window_start"),
                     F.col("window.end").alias("window_end"), "n", "sum_value"))
 
@@ -94,7 +97,8 @@ def session_window_agg(df: DataFrame, gap: str = "30 minutes",
     src = df.withWatermark("ts", watermark) if watermark else df
     return (src.groupBy(F.session_window("ts", gap), F.col(key))
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("sum_value"))
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_value"))
             .select(key,
                     F.col("session_window.start").alias("session_start"),
                     F.col("session_window.end").alias("session_end"),
@@ -115,7 +119,7 @@ def streaming_dedup(df: DataFrame, keys: list[str],
 #: Output schema of the stateful per-key operator.
 _STATE_OUTPUT = ("user_id long, n_events long, sum_value double, "
                  "first_event long, last_event long")
-_STATE_SCHEMA = "n long, s double, first_e long, last_e long"
+_STATE_SCHEMA = "n long, s_cents long, first_e long, last_e long"
 
 
 def stateful_user_stats(df: DataFrame) -> DataFrame:
@@ -129,20 +133,30 @@ def stateful_user_stats(df: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
+        from decimal import ROUND_HALF_UP, Decimal
+
         import pandas as pd
-        n, s, first_e, last_e = (state.get if state.exists
-                                 else (0, 0.0, None, None))
+        n, s_cents, first_e, last_e = (state.get if state.exists
+                                       else (0, 0, None, None))
+        cent = Decimal("0.01")
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            # integer-cent accumulation: exact regardless of batch order,
+            # matching sum(CAST(value AS DECIMAL(18,2))) engine-side
+            # (str(float) is the shortest repr, same as Spark's
+            # BigDecimal.valueOf + HALF_UP scale-2)
+            s_cents += sum(
+                int(Decimal(str(v)).quantize(cent, ROUND_HALF_UP)
+                    .scaleb(2))
+                for v in pdf["value"])
             if len(pdf):
                 if first_e is None:
                     first_e = int(pdf["event_id"].iloc[0])
                 last_e = int(pdf["event_id"].iloc[-1])
-        state.update((n, s, first_e, last_e))
+        state.update((n, s_cents, first_e, last_e))
         yield pd.DataFrame([{"user_id": key[0], "n_events": n,
-                             "sum_value": round(s, 2),
+                             "sum_value": s_cents / 100.0,
                              "first_event": first_e, "last_event": last_e}])
 
     return (df.groupBy("user_id")

@@ -2,30 +2,37 @@
 
 The external driver verifies only a bounded prefix (~50) of the
 `queries()` export; these tests pin that every probe needing fresh
-driver verification stays inside it, and that the export stays
-well-formed (a new probe with a careless priority once silently pushed
-a must-reverify probe out of the window).
+driver verification stays inside it, that no never-passable
+(oracle=None) probe burns a verified slot, and that the rotation
+mechanism keeps refreshing stale green probes.
 """
 
 from __future__ import annotations
 
 from data_and_analytics_etl_spark.queries import REGISTRY, oracle_sql, queries
-
-DRIVER_WINDOW = 50
+from data_and_analytics_etl_spark.queries.registry import (DRIVER_WINDOW,
+                                                           POOL_PRIORITY,
+                                                           rotation_selected)
 
 #: Probes that MUST hold a fresh driver-verified row this round:
-#: r1 hash-fail repairs + every family added in r2.
+#: bench queries, every probe whose code changed in r3 (decimal sweep,
+#: tie-breaks, canonicalizer fixes), and every oracle-backed probe that
+#: has never had a driver row (r2 verdict finding).
 MUST_BE_IN_WINDOW = {
-    "filter_predicates", "math_funcs", "agg_minmax_by",       # r1 repairs
+    # bench-critical (tier A, priority 10)
     "q1_pricing_summary", "q3_shipping_priority", "q5_star_join",
-    "q6_forecast_revenue",                                     # bench
-    "window_ranking", "window_range_frame", "sessionization",  # windows
-    "dedup_exact", "neardup_ngram_jaccard", "cosine_topk",
-    "text_stats", "text_quality_filter",                       # LLM tier
-    "etl_partitioned_roundtrip", "etl_incremental_overlap_dedup",
-    "scan_json", "scan_csv", "rest_datasource_scan",           # ETL/IO
-    "stream_tumbling_agg", "stream_session_window",            # streaming
-    "udf_scalar", "udf_grouped_agg", "udf_table_function",     # UDFs
+    "q6_forecast_revenue", "q10_returned_revenue",
+    # changed in r3 (tier B, priority 20)
+    "sessionization", "window_running_agg", "agg_basic", "agg_rollup",
+    "agg_pivot", "join_inner", "join_range", "join_salted", "scan_csv",
+    "scan_json", "etl_partitioned_roundtrip", "stream_tumbling_agg",
+    "stream_watermark_tumbling", "stream_session_window",
+    "stream_stateful_user_stats", "map_extended", "timeseries_resample",
+    "join_range_binned", "map_higher_order", "sample_deterministic",
+    # oracle-backed, never driver-verified before r3 (tier C, priority 30)
+    "q4_late_shipment_priority", "q12_priority_by_month", "unpivot_stack",
+    "join_asof_forward", "table_profile", "sort_nulls_ordering",
+    "misc_encodings", "json_variant",
 }
 
 
@@ -38,11 +45,48 @@ def test_window_holds_every_must_verify_probe():
         "in their @query decorators")
 
 
+def test_no_oracleless_probe_burns_a_window_slot():
+    # oracle=None probes always score err=no_oracle; six of them wasted
+    # window slots in r2. They must sort after every oracle-backed probe.
+    window = list(queries())[:DRIVER_WINDOW]
+    dead = [n for n in window if REGISTRY[n].oracle is None]
+    assert not dead, f"oracle=None probes inside the window: {dead}"
+
+
+def test_rotation_fills_remaining_window_with_pool_probes():
+    window = list(queries())[:DRIVER_WINDOW]
+    rotated = rotation_selected()
+    # every rotation pick is a pool member with an oracle, inside window
+    for n in rotated:
+        assert REGISTRY[n].priority == POOL_PRIORITY
+        assert REGISTRY[n].oracle is not None
+        assert n in window
+    # fixed tiers + rotation exactly fill the window
+    fixed = [n for n in window if REGISTRY[n].priority < POOL_PRIORITY]
+    assert len(fixed) + len(rotated) == DRIVER_WINDOW
+
+
+def test_rotation_is_deterministic_and_advances_by_round():
+    from data_and_analytics_etl_spark.queries import registry as reg
+    first = rotation_selected()
+    assert rotation_selected() == first  # stable within a round
+    old = reg.VERIFY_ROUND
+    try:
+        reg.VERIFY_ROUND = old + 1
+        nxt = rotation_selected()
+    finally:
+        reg.VERIFY_ROUND = old
+    # consecutive rounds cover different slices (pool is larger than one
+    # window's worth of slots, so slices can't coincide)
+    assert nxt != first
+
+
 def test_export_is_priority_sorted_and_complete():
     names = list(queries())
     assert len(names) == len(REGISTRY)
-    prios = [REGISTRY[n].priority for n in names]
-    assert prios == sorted(prios), "export must be priority-ordered"
+    rotated = rotation_selected()
+    prios = [60 if n in rotated else REGISTRY[n].priority for n in names]
+    assert prios == sorted(prios), "export must be effective-priority-ordered"
 
 
 def test_every_oracle_belongs_to_a_query():
