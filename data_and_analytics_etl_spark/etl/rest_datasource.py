@@ -73,6 +73,25 @@ class RestReader(DataSourceReader):
         self.limit = int(options.get("limit", 100))
         self.num_partitions = int(options.get("num_partitions", 4))
         self.request_limit = int(options.get("request_limit", 1000))
+        # Adaptive page sizing (ref util.py:43-85): measure the first
+        # page per partition, then resize `limit` toward the target.
+        # The sizer is built DRIVER-side: read() must not import package
+        # modules (workers outside the repo can't resolve them; the
+        # instance rides the pickle instead, by-value via register()).
+        self.adaptive = str(options.get("adaptive", "false")).lower() == "true"
+        self.target_mb = float(options.get("target_mb", 16.0))
+        if self.adaptive:
+            from .http_transport import AdaptiveLimit
+            self.sizer = AdaptiveLimit(target_mb=self.target_mb)
+        else:
+            self.sizer = None
+        # Source read options forwarded verbatim to every request —
+        # the reference's config-level switches (include_archived,
+        # CommCareAPIHandler.py:32-39,185-188) generalized: any option
+        # named `param.<name>` becomes a request param <name>.
+        self.extra_params = {k[len("param."):]: v
+                             for k, v in options.items()
+                             if k.startswith("param.")}
 
     def partitions(self) -> list[InputPartition]:
         """Split the window into contiguous sub-windows, one per task —
@@ -83,8 +102,16 @@ class RestReader(DataSourceReader):
                 for lo in range(self.start, self.end, span)]
 
     def read(self, partition: WindowPartition) -> Iterator[tuple]:
-        """Executor-side paginated pull of one sub-window."""
+        """Executor-side paginated pull of one sub-window.
+
+        With ``adaptive=true`` the partition measures its first page's
+        serialized size and resizes ``limit`` for subsequent requests —
+        the reference's probe→measure→resize loop (util.py:43-85) at
+        executor granularity.
+        """
         transport = resolve_transport(self.transport_spec)
+        sizer = self.sizer
+        limit = self.limit
         cursor = None
         for n in range(self.request_limit + 1):
             if n == self.request_limit:
@@ -92,9 +119,13 @@ class RestReader(DataSourceReader):
                     f"request budget exhausted ({self.request_limit}) in "
                     f"window [{partition.lo}, {partition.hi})")
             envelope = transport({"lo": partition.lo, "hi": partition.hi,
-                                  "limit": self.limit, "cursor": cursor})
+                                  "limit": limit, "cursor": cursor,
+                                  **self.extra_params})
             for obj in envelope.get("objects", []):
                 yield (obj["id"], obj["k"])
+            if sizer is not None and envelope.get("objects"):
+                limit = sizer.new_limit(limit, sizer.measure(envelope))
+                sizer = None  # one measurement per partition, like A7
             cursor = (envelope.get("meta") or {}).get("next") or None
             if not cursor:
                 break
@@ -125,5 +156,10 @@ def register(spark) -> None:
     import sys
 
     from pyspark import cloudpickle
+
+    from . import http_transport
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    # AdaptiveLimit instances (adaptive=true) ride the reader pickle;
+    # their class must travel by value too.
+    cloudpickle.register_pickle_by_value(http_transport)
     spark.dataSource.register(RestDataSource)

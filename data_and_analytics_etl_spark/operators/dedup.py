@@ -103,25 +103,47 @@ def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
 # ---------------------------------------------------------------- MinHash
 
 def with_minhash_signature(df: DataFrame, set_col: str, num_hashes: int = 16,
-                           out: str = "minhash") -> DataFrame:
-    """k independent MinHash values per row, as an array<bigint> column.
+                           out: str = "minhash",
+                           hash_family: str = "xxhash64") -> DataFrame:
+    """k independent MinHash values per row, as an array column.
 
-    Hash family: ``xxhash64(seed_tag || element)`` — k JVM-side passes over
-    the element array, no Python. Empty sets hash to LONG_MAX sentinels so
-    they never collide with real content.
+    Hash families (both JVM-side, k passes over the element array, no
+    Python):
+
+    - ``xxhash64(seed_tag, element)`` (default) — fastest; array<bigint>.
+      Empty sets hash to LONG_MAX sentinels so they never collide with
+      real content.
+    - ``md5('<j>|' || element)`` — array<string> of hex digests, min by
+      lexicographic order. Slower, but PORTABLE: every SQL engine with
+      md5() computes the identical signature, which is what makes the
+      whole LSH pipeline oracle-checkable (see `dedup_minhash_lsh_md5`).
+      Empty sets get a '~empty' sentinel ('~' > 'f' in ASCII, so it
+      sorts after every real digest).
     """
-    sentinel = F.lit(2 ** 63 - 1).cast("long")
+    if hash_family == "md5":
+        sentinel = F.lit("~empty")
 
-    def min_hash(j: int) -> Column:
-        # Factory, not a default-arg lambda (2-param HOF lambdas bind the
-        # second param to the element index, not the closure default).
-        # The hash-family index goes in as an extra hashed column — no
-        # per-element string concatenation.
-        tag = F.lit(j)
-        return F.coalesce(
-            F.array_min(F.transform(
-                F.col(set_col), lambda s: F.xxhash64(tag, s))),
-            sentinel)
+        def min_hash(j: int) -> Column:
+            tag = F.lit(f"{j}|")
+            return F.coalesce(
+                F.array_min(F.transform(
+                    F.col(set_col), lambda s: F.md5(F.concat(tag, s)))),
+                sentinel)
+    elif hash_family == "xxhash64":
+        sentinel = F.lit(2 ** 63 - 1).cast("long")
+
+        def min_hash(j: int) -> Column:
+            # Factory, not a default-arg lambda (2-param HOF lambdas bind
+            # the second param to the element index, not the closure
+            # default). The hash-family index goes in as an extra hashed
+            # column — no per-element string concatenation.
+            tag = F.lit(j)
+            return F.coalesce(
+                F.array_min(F.transform(
+                    F.col(set_col), lambda s: F.xxhash64(tag, s))),
+                sentinel)
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
 
     return df.withColumn(out, F.array(*[min_hash(j)
                                         for j in range(num_hashes)]))
@@ -129,7 +151,8 @@ def with_minhash_signature(df: DataFrame, set_col: str, num_hashes: int = 16,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, set_col: str,
                       threshold: float = 0.5, num_hashes: int = 16,
-                      bands: int = 8) -> DataFrame:
+                      bands: int = 8,
+                      hash_family: str = "xxhash64") -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
     Pipeline (all DataFrame ops, two shuffles):
@@ -144,11 +167,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, set_col: str,
     handling.
     """
     rows = num_hashes // bands
-    sigd = with_minhash_signature(df, set_col, num_hashes, out="__sig")
-    band_hash = F.array(*[
-        F.xxhash64(*[F.element_at("__sig", i * rows + j + 1)
-                     for j in range(rows)], F.lit(i))
-        for i in range(bands)])
+    sigd = with_minhash_signature(df, set_col, num_hashes, out="__sig",
+                                  hash_family=hash_family)
+    if hash_family == "md5":
+        band_hash = F.array(*[
+            F.md5(F.concat_ws("|", *[F.element_at("__sig", i * rows + j + 1)
+                                     for j in range(rows)]))
+            for i in range(bands)])
+    else:
+        band_hash = F.array(*[
+            F.xxhash64(*[F.element_at("__sig", i * rows + j + 1)
+                         for j in range(rows)], F.lit(i))
+            for i in range(bands)])
     # Buckets carry IDs ONLY: shuffling the shingle arrays through the
     # bands-way explode + self-join would move every document 2*bands
     # times; candidate pairs re-join to the (id, set) projection once,
@@ -209,3 +239,31 @@ def simhash64(tokens: Column) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_portable(tokens: Column, bits: int = 16) -> Column:
+    """Portable SimHash: bit i = parity of hex digit i of md5(token).
+
+    Same vote-and-threshold construction as :func:`simhash64`, but the
+    per-token bit source is ``ascii(substr(md5(token), i+1, 1)) % 2`` —
+    an expression every SQL engine with md5() computes identically, which
+    makes the fingerprint oracle-checkable (`dedup_simhash_md5`). Capped
+    at md5's 32 hex digits; 16 bits is plenty for a correctness anchor
+    (the xxhash64 simhash64 stays the throughput/precision path).
+    """
+    if not 1 <= bits <= 32:
+        raise ValueError("bits must be in [1, 32]")
+    digests = F.transform(tokens, lambda t: F.md5(t))
+
+    def bit_vote(i: int) -> Column:
+        return F.aggregate(
+            digests, F.lit(0),
+            lambda acc, d: acc + F.when(
+                F.ascii(F.substring(d, i + 1, 1)) % 2 == 1, 1).otherwise(-1))
+
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(bit_vote(i) > 0, F.lit(1 << i).cast("long"))
+             .otherwise(F.lit(0).cast("long")))
+    return fp

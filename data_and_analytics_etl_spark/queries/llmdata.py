@@ -141,6 +141,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+#: DuckDB re-computation of the md5 MinHash-LSH pipeline, templated so
+#: the 16 signature expressions stay in lockstep with num_hashes=16.
+#: Shingle expression matches neardup_ngram_jaccard's (same tokenizer).
+_MD5_SIG_ENTRIES = ", ".join(
+    f"list_min(list_transform(sh, x -> md5('{j}|' || x)))"
+    for j in range(16))
+_MINHASH_MD5_ORACLE = rf"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+           i -> concat_ws(' ',
+                string_split_regex(text, '\s+')[i],
+                string_split_regex(text, '\s+')[i+1],
+                string_split_regex(text, '\s+')[i+2]))) AS sh
+  FROM documents WHERE doc_id < 250
+), sig AS (
+  SELECT doc_id, [{_MD5_SIG_ENTRIES}] AS sg FROM s
+), bands AS (
+  SELECT doc_id, i.b AS band,
+         md5(sg[2*i.b + 1] || '|' || sg[2*i.b + 2]) AS bh
+  FROM sig, (SELECT unnest(range(8)) AS b) i
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c
+JOIN s sa ON sa.doc_id = c.id_a
+JOIN s sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "dedup_minhash_lsh_md5",
+    oracle=_MINHASH_MD5_ORACLE,
+    tags=("llm", "dedup"),
+    priority=30,
+    doc="MinHash-LSH with the PORTABLE md5 hash family "
+        "(operators/dedup.py:with_minhash_signature hash_family='md5'): "
+        "the oracle recomputes the ENTIRE pipeline — 16 md5 min-hashes, "
+        "8 banded bucket hashes, candidate self-join, exact-Jaccard "
+        "verify — so a hash match proves signature, banding, candidate "
+        "generation and verification all agree bit-for-bit across "
+        "engines. The xxhash64 family (dedup_minhash_lsh) stays the "
+        "throughput path; this one is the correctness anchor.",
+)
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    sh = with_word_shingles(d, "text", n=3)
+    return (minhash_lsh_pairs(sh, "doc_id", "shingles", threshold=0.5,
+                              hash_family="md5")
+            .orderBy("id_a", "id_b"))
+
+
 @query(
     "dedup_simhash",
     oracle=None,  # xxhash64 family not available in DuckDB
@@ -155,6 +216,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("doc_id",
                      simhash64(tokens_of(F.col("text"))).alias("simhash"))
             .orderBy("doc_id"))
+
+
+def _simhash_vote_sql(i: int) -> str:
+    return (f"list_sum(list_transform(ds, d -> CASE WHEN "
+            f"ascii(substr(d, {i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END))")
+
+
+_SIMHASH_MD5_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(text, '\s+'), x -> md5(x)) AS ds
+  FROM documents WHERE doc_id < 250
+)
+SELECT doc_id,
+       CAST(""" + "\n            + ".join(
+    f"CASE WHEN {_simhash_vote_sql(i)} > 0 THEN {1 << i} ELSE 0 END"
+    for i in range(16)) + r""" AS BIGINT) AS fingerprint
+FROM t
+ORDER BY doc_id
+"""
+
+
+@query(
+    "dedup_simhash_md5",
+    oracle=_SIMHASH_MD5_ORACLE,
+    tags=("llm", "dedup"),
+    priority=30,
+    doc="Portable 16-bit SimHash (operators/dedup.py:simhash_portable): "
+        "bit i votes on the parity of hex digit i of md5(token), so the "
+        "oracle recomputes the identical fingerprint — vote fold, "
+        "threshold, and bit packing all proven bit-for-bit across "
+        "engines. simhash64 (xxhash64) remains the precision/throughput "
+        "path; this is its correctness anchor.",
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_portable
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return (d.select(
+        "doc_id",
+        simhash_portable(F.split(F.col("text"), r"\s+"))
+        .alias("fingerprint"))
+        .orderBy("doc_id"))
 
 
 @query(
@@ -406,6 +509,69 @@ def neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return extract_features(assets_from_documents(d)).orderBy("asset_id")
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+SELECT doc_id                                   AS asset_id,
+       'wav'                                    AS codec,
+       8000 + (doc_id % 5) * 1000               AS sample_rate,
+       (n_chars % 100) + 1                      AS n_frames,
+       round(((n_chars % 100) + 1) * 1.0
+             / (8000 + (doc_id % 5) * 1000), 6) AS duration_s,
+       0.0                                      AS signal_mean,
+       0.0                                      AS signal_rms
+FROM documents
+WHERE doc_id < 100
+ORDER BY asset_id
+""",
+    tags=("llm", "multimodal"),
+    priority=30,
+    doc="REAL media decode end-to-end: silent 16-bit PCM WAV payloads "
+        "synthesized per document (sample_rate/frame count derived from "
+        "document columns), decoded by the stdlib wave/struct branch of "
+        "operators/multimodal.py:_decode_payload via Arrow-batched "
+        "mapInPandas — the oracle recomputes the expected header "
+        "metadata arithmetically, so a hash match proves the decode "
+        "path parses real bytes correctly.",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_assets
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 100)
+         .select(F.col("doc_id").alias("asset_id"),
+                 (F.lit(8000) + (F.col("doc_id") % 5) * 1000)
+                 .cast("long").alias("rate"),
+                 ((F.col("n_chars") % 100) + 1).cast("long")
+                 .alias("frames")))
+
+    def _encode(batches):
+        import io
+        import wave
+
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for rate, frames in zip(pdf["rate"], pdf["frames"]):
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(int(rate))
+                    w.writeframes(b"\x00\x00" * int(frames))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"asset_id": pdf["asset_id"],
+                                "modality": "audio",
+                                "payload": payloads})
+
+    assets = d.mapInPandas(
+        _encode, schema="asset_id long, modality string, payload binary")
+    return (decode_assets(assets)
+            .select("asset_id", "codec", "sample_rate", "n_frames",
+                    F.round("duration_s", 6).alias("duration_s"),
+                    "signal_mean", "signal_rms")
+            .orderBy("asset_id"))
 
 
 @query(

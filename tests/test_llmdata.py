@@ -139,7 +139,100 @@ class TestMultimodal:
         from data_and_analytics_etl_spark.operators.multimodal import (
             _decode_payload)
         with pytest.raises(NotImplementedError):
-            _decode_payload(b"\x89PNG", "image")
+            _decode_payload(b"\x89PNG\r\n\x1a\n" + b"\0" * 16, "image")
+
+
+def _make_wav(sample_rate=8000, freq=440, n_frames=800, amp=10000):
+    """Deterministic mono 16-bit PCM WAV via stdlib wave/struct."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = b"".join(
+            struct.pack("<h", int(amp * math.sin(2 * math.pi * freq * i
+                                                 / sample_rate)))
+            for i in range(n_frames))
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _make_bmp(width=4, height=3, rgb=(10, 200, 30)):
+    """Minimal uncompressed 24bpp bottom-up BMP, solid color."""
+    import struct
+
+    row = bytes([rgb[2], rgb[1], rgb[0]]) * width
+    pad = b"\0" * ((4 - (width * 3) % 4) % 4)
+    pixels = (row + pad) * height
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0,
+                         14 + 40)
+    return header + dib + pixels
+
+
+class TestRealDecode:
+    """Stdlib codec round-trips: WAV (wave/struct) and BMP (header+pixels).
+
+    These prove _decode_payload has a WORKING branch — real header parse,
+    real PCM/pixel extraction — not just a gated stub.
+    """
+
+    def test_wav_roundtrip_metadata_and_signal(self):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            _decode_payload)
+        d = _decode_payload(_make_wav(sample_rate=8000, n_frames=800),
+                            "audio")
+        assert d["codec"] == "wav"
+        assert d["sample_rate"] == 8000
+        assert d["n_frames"] == 800
+        assert d["duration_s"] == pytest.approx(0.1)
+        # full periods of a sine: mean ~0, rms ~ amp/sqrt(2)
+        assert abs(d["signal_mean"]) < 50
+        assert d["signal_rms"] == pytest.approx(10000 / np.sqrt(2),
+                                                rel=0.01)
+
+    def test_bmp_roundtrip_dimensions_and_luminance(self):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            _decode_payload)
+        d = _decode_payload(_make_bmp(4, 3, (10, 200, 30)), "image")
+        assert d["codec"] == "bmp"
+        assert (d["width"], d["height"]) == (4, 3)
+        want = 0.299 * 10 + 0.587 * 200 + 0.114 * 30
+        assert d["signal_mean"] == pytest.approx(want, abs=1e-6)
+
+    def test_decode_assets_mixed_batch(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            decode_assets)
+        rows = [
+            (1, "audio", bytearray(_make_wav()),),
+            (2, "image", bytearray(_make_bmp(2, 2, (0, 0, 255))),),
+            (3, "video", bytearray(b"\x00\x01garbage"),),
+        ]
+        assets = spark.createDataFrame(
+            rows, "asset_id long, modality string, payload binary")
+        out = {r.asset_id: r for r in decode_assets(assets).collect()}
+        assert out[1].codec == "wav" and out[1].error is None
+        assert out[1].sample_rate == 8000
+        assert out[2].codec == "bmp" and out[2].width == 2
+        assert out[2].signal_mean == pytest.approx(0.114 * 255, abs=1e-6)
+        # corrupt payload quarantined, never a task failure
+        assert out[3].codec is None and out[3].error is not None
+
+    def test_corrupt_wav_header_quarantined(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            decode_assets)
+        bad = _make_wav()[:20]  # truncated mid-header
+        assets = spark.createDataFrame(
+            [(9, "audio", bytearray(bad))],
+            "asset_id long, modality string, payload binary")
+        row = decode_assets(assets).collect()[0]
+        assert row.error is not None and row.codec is None
 
 
 class TestIVF:

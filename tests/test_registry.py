@@ -33,6 +33,8 @@ MUST_BE_IN_WINDOW = {
     "q4_late_shipment_priority", "q12_priority_by_month", "unpivot_stack",
     "join_asof_forward", "table_profile", "sort_nulls_ordering",
     "misc_encodings", "json_variant",
+    # new in r3: real WAV decode + portable-hash LSH correctness anchors
+    "multimodal_decode", "dedup_minhash_lsh_md5", "dedup_simhash_md5",
 }
 
 
