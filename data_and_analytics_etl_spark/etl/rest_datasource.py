@@ -12,9 +12,12 @@ a first-class `spark.read.format("rest")` scan:
   row `limit` and a hard `request_limit` budget (:220-224);
 - the transport is pluggable via the `transport` option:
   `synthetic` (built-in deterministic generator — offline tests, and the
-  driver probe's oracle) or `module:attr` (an importable callable
-  resolved lazily ON THE EXECUTOR, so real HTTP sessions are created
-  per-partition, never pickled).
+  driver probe's oracle), `http` (live HTTP via etl/http_transport.py —
+  pass `url`/`token` options; each partition builds its own session,
+  with retry/backoff and optional adaptive page sizing), or
+  `module:attr` (an importable callable resolved lazily ON THE
+  EXECUTOR, so custom sessions are created per-partition, never
+  pickled).
 
 Usage:
     spark.dataSource.register(RestDataSource)
@@ -49,13 +52,34 @@ def synthetic_transport(params: dict) -> dict:
             "objects": objects}
 
 
-def resolve_transport(spec: str):
+def resolve_transport(spec: str, http_cfg: dict | None = None):
+    """Resolve a transport spec to a callable.
+
+    - ``synthetic``: the built-in deterministic generator.
+    - ``http``: a live :class:`~.http_transport.HttpTransport` built from
+      ``http_cfg`` (url/token/timeout options) — one per PARTITION, so
+      each task owns its own connection pool and nothing network-bound
+      rides a pickle.
+    - ``module:attr``: an importable callable, resolved lazily on the
+      executor.
+    """
     if spec == "synthetic":
         return synthetic_transport
+    if spec == "http":
+        # HttpTransport travels by value (register() registers its
+        # module), and its requests.Session is created lazily on first
+        # call — executor-side, never pickled.
+        from .http_transport import HttpTransport
+        cfg = dict(http_cfg or {})
+        if "url" not in cfg:
+            raise ValueError("transport 'http' requires the 'url' option")
+        return HttpTransport(cfg["url"], token=cfg.get("token"),
+                             timeout=float(cfg.get("timeout", 30.0)),
+                             max_retries=int(cfg.get("max_retries", 3)))
     mod, _, attr = spec.partition(":")
     if not attr:
-        raise ValueError(
-            f"transport must be 'synthetic' or 'module:attr', got {spec!r}")
+        raise ValueError("transport must be 'synthetic', 'http', or "
+                         f"'module:attr', got {spec!r}")
     import importlib
     return getattr(importlib.import_module(mod), attr)
 
@@ -92,6 +116,10 @@ class RestReader(DataSourceReader):
         self.extra_params = {k[len("param."):]: v
                              for k, v in options.items()
                              if k.startswith("param.")}
+        # transport 'http' config (url/token/timeout/max_retries)
+        self.http_cfg = {k: options[k]
+                         for k in ("url", "token", "timeout", "max_retries")
+                         if k in options}
 
     def partitions(self) -> list[InputPartition]:
         """Split the window into contiguous sub-windows, one per task —
@@ -109,7 +137,7 @@ class RestReader(DataSourceReader):
         the reference's probe→measure→resize loop (util.py:43-85) at
         executor granularity.
         """
-        transport = resolve_transport(self.transport_spec)
+        transport = resolve_transport(self.transport_spec, self.http_cfg)
         sizer = self.sizer
         limit = self.limit
         cursor = None

@@ -235,3 +235,74 @@ def rest_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("limit", 100).option("num_partitions", 8)
             .load()
             .orderBy("id"))
+
+
+@query(
+    "scan_orc",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderkey < 4000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("source", "orc"),
+    priority=30,
+    doc="ORC scan round-trip: write orders as ORC (native vectorized "
+        "reader, predicate pushdown like parquet), read back, aggregate "
+        "— must equal the parquet-direct result. Completes the columnar "
+        "source formats alongside parquet/JSON/CSV.",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") < 4000)
+         .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    dest = os.path.join(tempfile.mkdtemp(prefix="scan_orc_"), "orders")
+    o.write.mode("overwrite").orc(dest)
+    back = spark.read.orc(dest)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_price"))
+            .orderBy("o_orderstatus"))
+
+
+@query(
+    "etl_merge_upsert",
+    oracle="""
+WITH existing AS (
+  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey < 3000
+), updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         round(o_totalprice + 1000, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+)
+SELECT coalesce(u.o_orderkey, e.o_orderkey) AS o_orderkey,
+       coalesce(u.o_orderstatus, e.o_orderstatus) AS o_orderstatus,
+       coalesce(u.o_totalprice, e.o_totalprice) AS o_totalprice
+FROM existing e FULL JOIN updates u ON e.o_orderkey = u.o_orderkey
+ORDER BY o_orderkey
+""",
+    tags=("etl", "merge"),
+    priority=30,
+    doc="MERGE INTO semantics (etl/merge.py:merge_upsert): updates beat "
+        "existing rows per key, unmatched updates insert — expressed as "
+        "union + one row_number window (ONE shuffle, no join; each row "
+        "moves once). Oracle recomputes via FULL JOIN + coalesce.",
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..etl.merge import merge_upsert
+    o = load_table(spark, sf_dir, "orders")
+    existing = (o.filter(F.col("o_orderkey") < 3000)
+                .select("o_orderkey", "o_orderstatus",
+                        F.round("o_totalprice", 2).alias("o_totalprice")))
+    updates = (o.filter((F.col("o_orderkey") >= 2000)
+                        & (F.col("o_orderkey") < 4000))
+               .select("o_orderkey", F.lit("U").alias("o_orderstatus"),
+                       F.round(F.col("o_totalprice") + 1000, 2)
+                       .alias("o_totalprice")))
+    return (merge_upsert(existing, updates, keys=["o_orderkey"])
+            .orderBy("o_orderkey"))

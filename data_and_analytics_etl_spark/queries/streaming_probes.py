@@ -205,3 +205,45 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_user_stats(events_stream(spark, sf_dir)),
         output_mode="update")
     return out.orderBy("user_id")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_view,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_purchase
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 10 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+ORDER BY view_id, purchase_id
+""",
+    tags=("streaming", "join"),
+    priority=30,
+    doc="Stream-stream interval join (streaming/ops.py:"
+        "stream_stream_interval_join): views matched to same-user "
+        "purchases within 10 minutes, both sides watermarked so join "
+        "state is evictable — equals the batch interval join on replay "
+        "completion.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ops import stream_stream_interval_join
+    src = events_stream(spark, sf_dir)
+    views = src.filter(F.col("event_type") == "view")
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase")
+    out = run_stream_to_table(
+        stream_stream_interval_join(views, purchases),
+        output_mode="append")
+    return (out.select(
+        "user_id", "view_id", "purchase_id",
+        F.date_format("ts_view", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("ts_view"),
+        F.date_format("ts_purchase", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("ts_purchase"))
+        .orderBy("view_id", "purchase_id"))

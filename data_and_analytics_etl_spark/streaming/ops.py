@@ -162,3 +162,28 @@ def stateful_user_stats(df: DataFrame) -> DataFrame:
     return (df.groupBy("user_id")
             .applyInPandasWithState(update, _STATE_OUTPUT, _STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_stream_interval_join(views: DataFrame, purchases: DataFrame,
+                                key: str = "user_id",
+                                within: str = "10 minutes",
+                                watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join on a key + event-time interval.
+
+    Both sides carry watermarks so the join state store can evict rows
+    once the other side can no longer produce a match inside ``within``
+    — the bounded-state requirement for stream-stream joins at scale
+    (without it, state grows with stream length). With availableNow
+    replay the result equals the equivalent batch interval join.
+    """
+    l = views.withWatermark("ts", watermark).alias("l")
+    r = purchases.withWatermark("ts", watermark).alias("r")
+    cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}")))
+    return (l.join(r, cond, "inner")
+            .select(F.col(f"l.{key}").alias(key),
+                    F.col("l.event_id").alias("view_id"),
+                    F.col("r.event_id").alias("purchase_id"),
+                    F.col("l.ts").alias("ts_view"),
+                    F.col("r.ts").alias("ts_purchase")))

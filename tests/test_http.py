@@ -64,12 +64,15 @@ class _ApiHandler(BaseHTTPRequestHandler):
         elif url.path == "/broken":
             self._send(500, "not json at all", json_body=False)
             return
-        # paginated data: ids [cursor, cursor+limit) of range(TOTAL)
-        lo = int(q.get("cursor") or 0)
+        # paginated data: ids [cursor, cursor+limit) of the requested
+        # window [lo, hi) — defaults to [0, TOTAL) (the DataSource's
+        # partition-parallel pull sends lo/hi per sub-window)
+        win_hi = int(q.get("hi", TOTAL))
+        lo = int(q.get("cursor") or q.get("lo") or 0)
         limit = int(q.get("limit", 10))
-        hi = min(lo + limit, TOTAL)
+        hi = min(lo + limit, win_hi)
         objects = [{"id": i, "k": (i * 31) % 97} for i in range(lo, hi)]
-        self._send(200, {"meta": {"next": str(hi) if hi < TOTAL else "",
+        self._send(200, {"meta": {"next": str(hi) if hi < win_hi else "",
                                   "limit": limit},
                          "objects": objects})
 
@@ -202,6 +205,25 @@ class TestRestSourceOverHttp:
         rows = sorted(r.id for r in df.collect())
         assert rows == list(range(TOTAL))
 
+    def test_datasource_http_transport_partition_parallel(self, api_server,
+                                                          spark):
+        """`format("rest").option("transport", "http")`: N partitions
+        pull N sub-windows from a LIVE server concurrently; the union
+        must equal the synthetic-transport scan of the same window."""
+        from data_and_analytics_etl_spark.etl.rest_datasource import register
+        base, state = api_server
+        register(spark)
+        df = (spark.read.format("rest")
+              .option("transport", "http").option("url", f"{base}/data")
+              .option("start", 0).option("end", TOTAL)
+              .option("limit", 7).option("num_partitions", 3).load())
+        rows = sorted(map(tuple, df.collect()))
+        assert rows == [(i, (i * 31) % 97) for i in range(TOTAL)]
+        # every request carried a sub-window, not the full range
+        windows = {(g.get("lo"), g.get("hi")) for g in state["gets"]
+                   if "hi" in g}
+        assert len(windows) >= 3
+
 
 class TestAdaptiveLimit:
     """The reference's APILimitCalculator arithmetic (util.py:43-85)."""
@@ -262,7 +284,8 @@ class TestDataSourceAdaptive:
                                 "end": "50", "limit": "25",
                                 "param.include_archived": "true",
                                 "param.specifier": "x"})
-        monkeypatch.setattr(rd, "resolve_transport", lambda spec: spy)
+        monkeypatch.setattr(rd, "resolve_transport",
+                            lambda spec, cfg=None: spy)
         rows = list(reader.read(rd.WindowPartition(0, 50)))
         assert len(rows) == 50
         assert all(p["include_archived"] == "true" for p in seen)

@@ -35,6 +35,9 @@ MUST_BE_IN_WINDOW = {
     "misc_encodings", "json_variant",
     # new in r3: real WAV decode + portable-hash LSH correctness anchors
     "multimodal_decode", "dedup_minhash_lsh_md5", "dedup_simhash_md5",
+    # new in r3 wave 2: formats, merge, stream-stream join, more TPC-H
+    "scan_orc", "etl_merge_upsert", "stream_stream_join",
+    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive_filter",
 }
 
 
