@@ -33,7 +33,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+                                    DataSourceWriter, InputPartition,
+                                    WriterCommitMessage)
 from pyspark.sql.types import StructType
 
 #: Synthetic-record schema (the envelope's `objects` flattened).
@@ -159,6 +160,71 @@ class RestReader(DataSourceReader):
                 break
 
 
+class _PushCommit(WriterCommitMessage):
+    """Per-partition commit message: how many records were pushed."""
+
+    def __init__(self, count: int):
+        self.count = count
+
+
+class RestWriter(DataSourceWriter):
+    """Per-record REST push as a first-class `df.write.format("rest")`.
+
+    The declarative twin of ``etl/rest.py:rest_sink`` (ref push loop,
+    CommCareAPIHandler.py:298-326): each partition pushes its rows
+    through the configured transport with a bounded error budget
+    (APIErrorMax, :44-56); the verb comes from the ``method`` option
+    (:321). Rows must be JSON-serializable — project/cast beforehand
+    (timestamps to strings), exactly as the reference JSON-encodes its
+    payloads (:300).
+    """
+
+    def __init__(self, options: dict):
+        self.transport_spec = options.get("transport", "synthetic")
+        self.method = options.get("method", "POST").upper()
+        self.max_failures = int(options.get("max_failures", 3))
+        self.http_cfg = {k: options[k]
+                         for k in ("url", "token", "timeout", "max_retries")
+                         if k in options}
+
+    def _pusher(self):
+        if self.transport_spec == "http":
+            from .http_transport import http_pusher
+            cfg = dict(self.http_cfg)
+            if "url" not in cfg:
+                raise ValueError("transport 'http' requires the 'url' "
+                                 "option")
+            return http_pusher(cfg["url"], token=cfg.get("token"),
+                               timeout=float(cfg.get("timeout", 30.0)),
+                               max_retries=int(cfg.get("max_retries", 3)))
+        return resolve_transport(self.transport_spec, self.http_cfg)
+
+    def write(self, iterator) -> _PushCommit:
+        push = self._pusher()
+        failures = 0
+        n = 0
+        for row in iterator:
+            try:
+                push({"method": self.method,
+                      "payload": row.asDict(recursive=True)})
+                n += 1
+            except Exception:  # noqa: BLE001 — budget spans causes
+                failures += 1
+                if failures >= self.max_failures:
+                    raise
+        return _PushCommit(n)
+
+    def commit(self, messages) -> None:
+        total = sum(m.count for m in messages if m is not None)
+        print(f"rest write committed: {total} records pushed")
+
+    def abort(self, messages) -> None:
+        done = sum(m.count for m in messages if m is not None)
+        print(f"rest write aborted after {done} pushed records — "
+              "per-record push has no rollback (at-least-once, "
+              "dedup downstream)")
+
+
 class RestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -169,6 +235,9 @@ class RestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> RestReader:
         return RestReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> RestWriter:
+        return RestWriter(dict(self.options))
 
 
 def register(spark) -> None:

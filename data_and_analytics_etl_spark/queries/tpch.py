@@ -531,3 +531,61 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.sum(rev_c.cast("decimal(38,0)")).cast("double") / 10_000)
                  .alias("revenue"),
                  F.count(F.lit(1)).alias("n_rows")))
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000 AS revenue,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+    tags=("join", "agg", "bench"),
+    priority=30,
+    doc="TPC-H Q7 shape: two fact-side joins (supplier, orders) then "
+        "broadcast customer/nation dimensions, nation-pair predicate "
+        "applied after the dimension join, yearly exact-cents volume. "
+        "Six-table join tree exercises Catalyst's join reordering.",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_name").alias("cust_nation"))
+    rev_c = (_cents(F.col("l_extendedprice"))
+             * (100 - _cents(F.col("l_discount"))))
+    pair = (F.col("supp_nation").isin("NATION_1", "NATION_2")
+            & F.col("cust_nation").isin("NATION_1", "NATION_2")
+            & (F.col("supp_nation") != F.col("cust_nation")))
+    joined = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+              .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+              .filter(pair))
+    return (_exact_money_agg(
+        joined.withColumn("l_year", F.year("l_shipdate")),
+        ["supp_nation", "cust_nation", "l_year"],
+        [("revenue", rev_c, 10_000)],
+        count_alias="n_rows")
+        .orderBy("supp_nation", "cust_nation", "l_year"))

@@ -205,6 +205,20 @@ class TestRestSourceOverHttp:
         rows = sorted(r.id for r in df.collect())
         assert rows == list(range(TOTAL))
 
+    def test_datasource_write_pushes_per_record(self, api_server, spark):
+        """`df.write.format("rest")` — the declarative push path: every
+        row lands on the live server as one JSON request."""
+        from data_and_analytics_etl_spark.etl.rest_datasource import register
+        base, state = api_server
+        register(spark)
+        df = spark.range(5).selectExpr("id", "id * 3 AS v").coalesce(2)
+        (df.write.format("rest")
+         .option("transport", "http").option("url", f"{base}/sink")
+         .option("method", "POST").mode("append").save())
+        got = sorted(p["id"] for _, p in state["pushed"])
+        assert got == list(range(5))
+        assert all(m == "POST" for m, _ in state["pushed"])
+
     def test_datasource_http_transport_partition_parallel(self, api_server,
                                                           spark):
         """`format("rest").option("transport", "http")`: N partitions
