@@ -625,3 +625,55 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ivf_ann(e, probes, k=10, n_probe=8)
             .withColumn("rank", F.col("rank").cast("int"))
             .orderBy("probe_id", "rank"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=r"""
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+           i -> concat_ws(' ',
+                string_split_regex(text, '\s+')[i],
+                string_split_regex(text, '\s+')[i+1],
+                string_split_regex(text, '\s+')[i+2]))) AS sh
+  FROM documents WHERE doc_id < 250
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_rep
+FROM s d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+ORDER BY doc_id
+""",
+    tags=("llm", "dedup"),
+    priority=30,
+    doc="Duplicate GROUPS, not just pairs: connected components over "
+        "exact-Jaccard near-dup edges via min-label propagation "
+        "(operators/dedup.py:dedup_clusters — O(diameter) join rounds, "
+        "per-round localCheckpoint bounds lineage). Each doc maps to "
+        "its component's minimum id as representative; singletons map "
+        "to themselves. Oracle recomputes components with a recursive "
+        "transitive-closure CTE.",
+)
+def dedup_clusters_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    sh = with_word_shingles(d, "text", n=3)
+    pairs = jaccard_pairs(sh, "doc_id", "shingles", threshold=0.5)
+    return (dedup_clusters(pairs, d.select("doc_id"), id_col="doc_id")
+            .orderBy("doc_id"))

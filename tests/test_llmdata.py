@@ -255,3 +255,28 @@ class TestIVF:
         a = sorted(map(tuple, ivf_ann(e, probes, k=5).collect()))
         b = sorted(map(tuple, ivf_ann(e, probes, k=5).collect()))
         assert a == b
+
+
+class TestDedupClusters:
+    def test_chain_and_singleton_components(self, spark):
+        from data_and_analytics_etl_spark.operators.dedup import (
+            dedup_clusters)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+        vertices = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 4, 5, 6)], "doc_id long")
+        out = {r.doc_id: r.cluster_rep
+               for r in dedup_clusters(pairs, vertices).collect()}
+        # chain 1-2-3 collapses transitively; 4 is a singleton
+        assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+    def test_long_chain_converges(self, spark):
+        from data_and_analytics_etl_spark.operators.dedup import (
+            dedup_clusters)
+        n = 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+        vertices = spark.createDataFrame(
+            [(i,) for i in range(n + 1)], "doc_id long")
+        out = dedup_clusters(pairs, vertices).collect()
+        assert all(r.cluster_rep == 0 for r in out)
