@@ -1,0 +1,52 @@
+"""Deterministic hash-based sampling (simple and stratified).
+
+Engine-neutral sampling for reproducible corpus curation: membership is
+a pure function of the row key — ``md5(key)`` prefix under a hex
+threshold — so the same rows are chosen on every engine, every run,
+every partitioning, and every incremental load (a row's fate never
+changes when data around it moves). Seeded Bernoulli ``df.sample`` has
+none of those properties (engine-defined RNG stream per partition).
+
+Threshold semantics: the first two hex chars of md5 give 256 buckets;
+``frac`` rounds to the nearest k/256. At curation scale that galaxy of
+precision is irrelevant; what matters is determinism + stability.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _hex_threshold(frac: float) -> str:
+    """frac -> 2-hex-digit threshold ('1a' means 26/256 ~ 10.2%)."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0,1], got {frac}")
+    return format(min(255, round(frac * 256)), "02x")
+
+
+def hash_bucket(key: Column) -> Column:
+    """The row's 2-hex-char md5 bucket (256 buckets)."""
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
+def hash_sample(df: DataFrame, key_col: str, frac: float) -> DataFrame:
+    """Keep ~frac of rows, chosen deterministically by key hash."""
+    return df.filter(hash_bucket(F.col(key_col)) < _hex_threshold(frac))
+
+
+def hash_stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
+                           fractions: dict[str, float],
+                           default_frac: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling rates (sampleBy, made stable).
+
+    ``fractions`` maps stratum values to sampling fractions; strata not
+    listed fall back to ``default_frac``. One scan, zero shuffles — the
+    predicate is a CASE over the stratum column compared against the
+    row's hash bucket, fully inside codegen and pushable.
+    """
+    thresh = F.lit(_hex_threshold(default_frac))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(stratum_col) == value,
+                        F.lit(_hex_threshold(frac))).otherwise(thresh)
+    return df.filter(hash_bucket(F.col(key_col)) < thresh)

@@ -1,0 +1,43 @@
+"""SCD2 interval building: change events -> validity-interval dimension.
+
+The warehouse-dimension operation downstream of every change-data feed
+(the reference lands raw change records; the dimension build it leaves
+to the warehouse is this): collapse a per-key event stream into rows
+valid over [valid_from, valid_to), one row per distinct run of an
+attribute value, the latest row open-ended (valid_to NULL).
+
+Plan shape: one shuffle on the key; both the change detection (lag) and
+the interval close (lead over the change rows) ride the same (key, ts)
+sort order, so Catalyst plans a single Exchange + Sort reused by both
+windows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def scd2_intervals(df: DataFrame, key: str, ts_col: str, attr: str,
+                   tie_break: tuple[str, ...] = ()) -> DataFrame:
+    """One row per (key, attribute-value run): valid_from/valid_to.
+
+    ``tie_break`` columns extend the event order past ``ts_col`` so rows
+    sharing (key, ts) order deterministically — same contract as
+    sessionize. A "change" is the first event of the key or any event
+    whose ``attr`` differs from the previous event's.
+    """
+    order: list[Column] = [F.col(ts_col), *(F.col(c) for c in tie_break)]
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(attr).over(w)
+    changed = prev.isNull() | (prev != F.col(attr))
+    changes = (df.withColumn("__chg", changed)
+               .filter(F.col("__chg"))
+               .select(key, F.col(ts_col).alias("valid_from"),
+                       F.col(attr).alias(attr),
+                       *(F.col(c) for c in tie_break)))
+    w2 = Window.partitionBy(key).orderBy(
+        F.col("valid_from"), *(F.col(c) for c in tie_break))
+    return (changes
+            .withColumn("valid_to", F.lead("valid_from").over(w2))
+            .select(key, attr, "valid_from", "valid_to"))

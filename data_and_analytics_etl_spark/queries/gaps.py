@@ -54,9 +54,9 @@ ORDER BY o_orderkey
         "consistent across incremental loads.",
 )
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_sample
     o = load_table(spark, sf_dir, "orders")
-    return (o.filter(F.substring(F.md5(F.col("o_orderkey").cast("string")),
-                                 1, 2) < "1a")
+    return (hash_sample(o, "o_orderkey", 26 / 256)
             .select("o_orderkey", "o_custkey")
             .orderBy("o_orderkey"))
 
@@ -579,3 +579,76 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.try_parse_json(F.lit("{not json")).isNotNull(), 1)
          .otherwise(0).alias("bad_parsed"))
         .orderBy("event_id"))
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+      CASE event_type
+        WHEN 'view' THEN '0d'
+        WHEN 'purchase' THEN '33'
+        ELSE '1a' END
+ORDER BY event_id
+""",
+    tags=("sample",),
+    priority=30,
+    doc="Deterministic stratified sampling "
+        "(operators/sampling.py:hash_stratified_sample): per-stratum "
+        "rates (~5% views, ~20% purchases, ~10% rest) as a CASE over "
+        "the row's md5 bucket — sampleBy semantics with cross-engine, "
+        "cross-run, cross-partitioning stability; one scan, no shuffle, "
+        "predicate inside codegen.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_stratified_sample
+    ev = load_table(spark, sf_dir, "events")
+    out = hash_stratified_sample(
+        ev, key_col="event_id", stratum_col="event_type",
+        fractions={"view": 13 / 256, "purchase": 51 / 256},
+        default_frac=26 / 256)
+    return out.select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id < 20
+), changes AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(valid_from)
+                  OVER (PARTITION BY user_id ORDER BY valid_from, event_id),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+FROM changes
+ORDER BY user_id, valid_from
+""",
+    tags=("etl", "window"),
+    priority=30,
+    doc="SCD2 dimension build (operators/scd.py:scd2_intervals): "
+        "per-user event_type change runs collapsed to validity "
+        "intervals [valid_from, valid_to), latest row open (NULL). "
+        "Change detection and interval close share one (key, ts) sort "
+        "=> single shuffle.",
+)
+def scd2_intervals_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_intervals
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    out = scd2_intervals(ev, key="user_id", ts_col="ts",
+                         attr="event_type", tie_break=("event_id",))
+    return (out.select(
+        "user_id", "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("valid_to"))
+        .orderBy("user_id", "valid_from"))

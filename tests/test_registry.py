@@ -38,7 +38,8 @@ MUST_BE_IN_WINDOW = {
     # new in r3 wave 2: formats, merge, stream-stream join, more TPC-H
     "scan_orc", "etl_merge_upsert", "stream_stream_join",
     "q14_promo_revenue", "q18_large_orders", "q19_disjunctive_filter",
-    "q7_nation_volume", "dedup_clusters",
+    "q7_nation_volume", "dedup_clusters", "sample_stratified",
+    "scd2_intervals",
 }
 
 
