@@ -677,3 +677,53 @@ def dedup_clusters_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(sh, "doc_id", "shingles", threshold=0.5)
     return (dedup_clusters(pairs, d.select("doc_id"), id_col="doc_id")
             .orderBy("doc_id"))
+
+
+@query(
+    "retrieval_topk_metadata",
+    oracle="""
+WITH p AS (
+  SELECT vec_id AS probe_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT probe_id, vec_id,
+         round(list_dot_product(pv, cv)
+               / (sqrt(list_dot_product(pv, pv))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM p, c WHERE probe_id <> vec_id
+), ranked AS (
+  SELECT probe_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT r.probe_id, r.vec_id, r.cosine, CAST(r.rank AS INTEGER) AS rank,
+       d.lang, d.n_chars
+FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+WHERE r.rank <= 5
+ORDER BY r.probe_id, r.rank
+""",
+    tags=("llm", "similarity"),
+    priority=30,
+    doc="Retrieval composite (the RAG read path): exact cosine top-5 "
+        "per probe (operators/similarity.py:cosine_topk), hits joined "
+        "back to the documents table for payload metadata — the "
+        "broadcast-dimension join pattern applied to retrieval results; "
+        "the corpus is scanned once, the hit set (probes x k rows) is "
+        "what joins.",
+)
+def retrieval_topk_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    probes = e.filter(F.col("vec_id") < 10)
+    hits = cosine_topk(e, probes, k=5)
+    return (hits.join(d, hits.vec_id == d.doc_id)
+            .select("probe_id", "vec_id", "cosine",
+                    F.col("rank").cast("int").alias("rank"),
+                    "lang", "n_chars")
+            .orderBy("probe_id", "rank"))
