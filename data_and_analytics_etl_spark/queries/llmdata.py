@@ -727,3 +727,59 @@ def retrieval_topk_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank").cast("int").alias("rank"),
                     "lang", "n_chars")
             .orderBy("probe_id", "rank"))
+
+
+@query(
+    "ann_signcell",
+    oracle="""
+WITH cells AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+  FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, v AS pv, cell AS home FROM cells
+  WHERE vec_id < 10
+), probe_cells AS (
+  SELECT probe_id, pv, unnest([home,
+                               xor(home, 1), xor(home, 2),
+                               xor(home, 4), xor(home, 8)]) AS cell
+  FROM probes
+), scored AS (
+  SELECT pc.probe_id, c.vec_id,
+         round(list_dot_product(pc.pv, c.v)
+               / (sqrt(list_dot_product(pc.pv, pc.pv))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM probe_cells pc JOIN cells c ON pc.cell = c.cell
+  WHERE pc.probe_id <> c.vec_id
+), ranked AS (
+  SELECT probe_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY probe_id, rank
+""",
+    tags=("llm", "similarity"),
+    priority=30,
+    doc="IVF-style pruned ANN with a DETERMINISTIC quantizer "
+        "(operators/similarity.py:ann_signcell): sign-bit cells over "
+        "the first 4 dims, multi-probe expansion to Hamming-1 cells "
+        "(5/16 of the corpus searched), exact cosine + top-5 within "
+        "candidates. Every step is engine-neutral, so the oracle "
+        "recomputes the identical pruned search — the correctness "
+        "anchor for the k-means ann_ivf (whose centroids can't cross "
+        "engines). Recall vs the exact baseline is pytest-bounded.",
+)
+def ann_signcell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_signcell
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    return (ann_signcell(e, probes, k=5)
+            .withColumn("rank", F.col("rank").cast("int"))
+            .orderBy("probe_id", "rank"))

@@ -280,3 +280,34 @@ class TestDedupClusters:
             [(i,) for i in range(n + 1)], "doc_id long")
         out = dedup_clusters(pairs, vertices).collect()
         assert all(r.cluster_rep == 0 for r in out)
+
+
+class TestSignCellANN:
+    def test_recall_vs_brute_force(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.similarity import (
+            ann_signcell)
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 8)
+        exact = {(r.probe_id, r.vec_id)
+                 for r in cosine_topk(e, probes, k=5).collect()}
+        pruned = {(r.probe_id, r.vec_id)
+                  for r in ann_signcell(e, probes, k=5).collect()}
+        assert exact
+        recall = len(exact & pruned) / len(exact)
+        # cosine-close vectors agree on most sign bits; Hamming-1
+        # expansion covers single-bit disagreements
+        assert recall >= 0.5, recall
+
+    def test_subset_of_cells_scanned(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.similarity import (
+            ann_signcell, cosine)  # noqa: F401
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 3)
+        out = ann_signcell(e, probes, k=5).collect()
+        # bounded output, dense ranks
+        by_probe: dict = {}
+        for r in out:
+            by_probe.setdefault(r.probe_id, []).append(r.rank)
+        for ranks in by_probe.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 5

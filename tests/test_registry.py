@@ -39,7 +39,7 @@ MUST_BE_IN_WINDOW = {
     "scan_orc", "etl_merge_upsert", "stream_stream_join",
     "q14_promo_revenue", "q18_large_orders", "q19_disjunctive_filter",
     "q7_nation_volume", "dedup_clusters", "sample_stratified",
-    "scd2_intervals", "retrieval_topk_metadata",
+    "scd2_intervals", "retrieval_topk_metadata", "ann_signcell",
 }
 
 
