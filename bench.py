@@ -60,7 +60,9 @@ def main() -> None:
         # cluster-relevant one (JIT amortizes to zero at 100 TB).
         for _ in range(2):
             run_once(spark, name, sf_dir)
-        t = min(run_once(spark, name, sf_dir) for _ in range(2))
+        # best-of-3: single-shot runs on a shared host swing +-20%;
+        # the minimum is the stable steady-state estimator
+        t = min(run_once(spark, name, sf_dir) for _ in range(3))
         times[name] = round(t, 3)
 
     total = round(sum(times.values()), 3)
