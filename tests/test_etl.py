@@ -223,3 +223,27 @@ def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
     assert set(merged.columns) == {"o_orderkey", "o_totalprice", "priority"}
     n_old = merged.filter(F.col("priority").isNull()).count()
     assert n_old == o.filter(F.col("o_orderkey") < 1000).count()
+
+
+class TestMergeUpsert:
+    def test_updates_beat_existing_and_insert(self, spark):
+        from data_and_analytics_etl_spark.etl.merge import merge_upsert
+        existing = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string")
+        updates = spark.createDataFrame(
+            [(2, "B"), (3, "C")], "k long, v string")
+        out = {r.k: r.v for r in
+               merge_upsert(existing, updates, keys=["k"]).collect()}
+        assert out == {1: "a", 2: "B", 3: "C"}
+
+    def test_within_side_ties_break_on_order_by(self, spark):
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.etl.merge import merge_upsert
+        existing = spark.createDataFrame([(1, 0, "old")],
+                                         "k long, ver long, v string")
+        # two updates for the same key: highest version must win
+        updates = spark.createDataFrame(
+            [(1, 1, "mid"), (1, 2, "new")], "k long, ver long, v string")
+        out = merge_upsert(existing, updates, keys=["k"],
+                           order_by=[F.desc("ver")]).collect()
+        assert len(out) == 1 and out[0].v == "new"
