@@ -30,7 +30,13 @@ def scd2_intervals(df: DataFrame, key: str, ts_col: str, attr: str,
     order: list[Column] = [F.col(ts_col), *(F.col(c) for c in tie_break)]
     w = Window.partitionBy(key).orderBy(*order)
     prev = F.lag(attr).over(w)
-    changed = prev.isNull() | (prev != F.col(attr))
+    # NULL attribute values are legal run members: detect the key's first
+    # event with a constant-lag sentinel (prev.isNull() would also fire on
+    # a genuine NULL run and split it), and compare null-safely so a
+    # value -> NULL transition counts as a change instead of yielding
+    # NULL and silently extending the prior interval.
+    is_first = F.lag(F.lit(1)).over(w).isNull()
+    changed = is_first | ~prev.eqNullSafe(F.col(attr))
     changes = (df.withColumn("__chg", changed)
                .filter(F.col("__chg"))
                .select(key, F.col(ts_col).alias("valid_from"),

@@ -33,7 +33,6 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
     tags=("agg",),
-    priority=20,
     doc="Hash agg: count/sum/avg/min/max + count distinct per group.",
 )
 def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,7 +217,6 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY grp_id, l_returnflag NULLS LAST, l_linestatus NULLS LAST
 """,
     tags=("agg",),
-    priority=20,
     doc="ROLLUP hierarchy with grouping() indicator bits.",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

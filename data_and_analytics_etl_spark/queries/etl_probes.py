@@ -40,7 +40,6 @@ GROUP BY 1, 2, 3, 4
 ORDER BY year, month, day, hour
 """,
     tags=("etl", "sink"),
-    priority=20,
     doc="Hourly-partitioned sink round-trip (ref hourly S3 layout, "
         "CommCareAPIHandler.py:71-73): write partitionBy(y,m,d,h) with "
         "maxRecordsPerFile, read back, aggregate per partition — results "
@@ -108,7 +107,6 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
     tags=("source", "json"),
-    priority=20,
     doc="JSON scan round-trip with an explicit schema (the reference's "
         "record model is JSON envelopes, CommCareAPIHandler.py:204): "
         "write orders as JSON lines, read back schema-first (timestamps "
@@ -136,7 +134,8 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_nationkey,
        count(*) AS n,
-       sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS n_null_seg,
+       CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_seg,
        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
 FROM (
   SELECT c_nationkey, c_acctbal,
@@ -148,7 +147,6 @@ GROUP BY c_nationkey
 ORDER BY c_nationkey
 """,
     tags=("source", "csv"),
-    priority=20,
     doc="CSV scan round-trip: pipe-delimited with header and empty-string "
         "nulls (every CSV option the declared surface names), read back "
         "schema-first; null handling must survive the trip.",
@@ -249,7 +247,6 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """,
     tags=("source", "orc"),
-    priority=30,
     doc="ORC scan round-trip: write orders as ORC (native vectorized "
         "reader, predicate pushdown like parquet), read back, aggregate "
         "— must equal the parquet-direct result. Completes the columnar "
@@ -287,7 +284,6 @@ FROM existing e FULL JOIN updates u ON e.o_orderkey = u.o_orderkey
 ORDER BY o_orderkey
 """,
     tags=("etl", "merge"),
-    priority=30,
     doc="MERGE INTO semantics (etl/merge.py:merge_upsert): updates beat "
         "existing rows per key, unmatched updates insert — expressed as "
         "union + one row_number window (ONE shuffle, no join; each row "

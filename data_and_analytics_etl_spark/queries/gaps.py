@@ -44,7 +44,6 @@ WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
 ORDER BY o_orderkey
 """,
     tags=("sample",),
-    priority=20,
     doc="Deterministic hash-threshold sampling (~10.2% = 26/256): "
         "md5(key) prefix under a threshold picks the same rows on every "
         "engine and every run — unlike seeded Bernoulli df.sample, whose "
@@ -139,7 +138,6 @@ FROM nation
 ORDER BY n_nationkey
 """,
     tags=("functions", "map"),
-    priority=20,
     doc="map_from_arrays + map_concat + map_entries + element_at + "
         "map_keys: maps built from columns, merged, then rendered as "
         "sorted 'k=v' strings joined with '|' (map iteration order is "
@@ -178,7 +176,6 @@ GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """,
     tags=("join", "skew"),
-    priority=20,
     doc="Salted equi-join (operators/skew.py:salted_join, 16 buckets): "
         "hot keys on the big side spread across shuffle partitions, the "
         "small side replicates per bucket — result must be EXACTLY the "
@@ -216,7 +213,6 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """,
     tags=("agg", "pivot"),
-    priority=20,
     doc="Pivot: groupBy().pivot(values-pinned).agg() — explicit pivot "
         "values keep it single-pass (no extra distinct-values job) and "
         "the plan a plain two-phase hash agg; == conditional aggregation.",
@@ -249,7 +245,6 @@ FROM (
 ORDER BY c_custkey, metric
 """,
     tags=("agg", "pivot"),
-    priority=30,
     doc="Unpivot (wide->long) via native melt/unpivot — columns become "
         "(metric, value) rows with no shuffle at all (pure projection + "
         "generate).",
@@ -287,7 +282,6 @@ FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.b = a.b
 ORDER BY s.user_id, bucket
 """,
     tags=("timeseries",),
-    priority=20,
     doc="Hypertable-style resample with gap filling "
         "(operators/timeseries.py): hourly rollup per user including "
         "empty buckets (n=0) — spine generated with sequence/explode, "
@@ -318,7 +312,6 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') n
 ORDER BY e.event_id
 """,
     tags=("join", "asof"),
-    priority=30,
     doc="Forward as-of join (operators/asof.py, direction='forward'): "
         "each view matched to the user's next purchase at-or-after it — "
         "same union-and-carry O(n+m) rewrite, frame flipped to "
@@ -383,7 +376,6 @@ GROUP BY i.o_orderkey
 ORDER BY interval_id
 """,
     tags=("join", "range"),
-    priority=20,
     doc="Binned range join (operators/rangejoin.py): interval containment "
         "rewritten as bin equi-join + exact recheck — hash join instead "
         "of the BNLJ a naive range predicate plans; result proven equal "
@@ -412,27 +404,27 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table_profile",
     oracle="""
 SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
-       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
        count(DISTINCT c_custkey) AS n_distinct,
        min(CAST(c_custkey AS VARCHAR)) AS min_str,
        max(CAST(c_custkey AS VARCHAR)) AS max_str
 FROM customer
 UNION ALL
 SELECT 'c_mktsegment', count(*),
-       sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT c_mktsegment),
        min(c_mktsegment), max(c_mktsegment)
 FROM customer
 UNION ALL
 SELECT 'c_name', count(*),
-       sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT c_name),
        min(c_name), max(c_name)
 FROM customer
 ORDER BY col_name
 """,
     tags=("profile",),
-    priority=30,
     doc="Table profiling (operators/profile.py): per-column null/distinct"
         "/min/max in ONE aggregate pass over the table (never one job "
         "per column); exact mode here for the oracle, HLL mode at scale.",
@@ -466,7 +458,6 @@ FROM nation
 ORDER BY n_nationkey
 """,
     tags=("functions", "map"),
-    priority=20,
     doc="Higher-order map lambdas: transform_keys / transform_values / "
         "map_filter / map_zip_with, rendered as sorted '|'-joined entry "
         "strings (map iteration order is engine-defined; array cells "
@@ -509,7 +500,6 @@ WHERE c_custkey < 400
 ORDER BY bal ASC NULLS FIRST, c_custkey
 """,
     tags=("sort",),
-    priority=30,
     doc="Explicit NULL placement in sorts (asc_nulls_first + tie-break): "
         "cross-engine default null order differs, so the declared "
         "surface always pins it (SURVEY §7.5 rule 5).",
@@ -535,7 +525,6 @@ WHERE p_partkey < 300
 ORDER BY p_partkey
 """,
     tags=("functions",),
-    priority=30,
     doc="Encoding functions: hex, base64, ascii, chr (uppercased hex on "
         "both sides — engines disagree on hex case).",
 )
@@ -562,7 +551,6 @@ WHERE event_id < 2000
 ORDER BY event_id
 """,
     tags=("functions", "json", "variant"),
-    priority=30,
     doc="Spark 4 VariantType: parse_json -> binary variant encoding -> "
         "typed variant_get extraction, with try_parse_json returning "
         "NULL on malformed input — the modern semi-structured column "
@@ -594,7 +582,6 @@ WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
 ORDER BY event_id
 """,
     tags=("sample",),
-    priority=30,
     doc="Deterministic stratified sampling "
         "(operators/sampling.py:hash_stratified_sample): per-stratum "
         "rates (~5% views, ~20% purchases, ~10% rest) as a CASE over "
@@ -615,14 +602,20 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scd2_intervals",
     oracle="""
-WITH ordered AS (
-  SELECT user_id, ts, event_id, event_type,
-         lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS prev
+WITH src AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END
+           AS event_type
   FROM events WHERE user_id < 20
+), ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev,
+         row_number()    OVER w AS rn
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), changes AS (
   SELECT user_id, event_type, ts AS valid_from, event_id
-  FROM ordered WHERE prev IS NULL OR prev <> event_type
+  FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM event_type
 )
 SELECT user_id, event_type,
        strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
@@ -633,16 +626,21 @@ FROM changes
 ORDER BY user_id, valid_from
 """,
     tags=("etl", "window"),
-    priority=30,
     doc="SCD2 dimension build (operators/scd.py:scd2_intervals): "
         "per-user event_type change runs collapsed to validity "
         "intervals [valid_from, valid_to), latest row open (NULL). "
+        "Every 7th event's attr is NULLed so NULL runs and value<->NULL "
+        "transitions are exercised (null-safe change detection). "
         "Change detection and interval close share one (key, ts) sort "
         "=> single shuffle.",
 )
 def scd2_intervals_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scd import scd2_intervals
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 20)
+          .withColumn("event_type",
+                      F.when(F.col("event_id") % 7 == 0, None)
+                       .otherwise(F.col("event_type"))))
     out = scd2_intervals(ev, key="user_id", ts_col="ts",
                          attr="event_type", tie_break=("event_id",))
     return (out.select(

@@ -184,7 +184,6 @@ ORDER BY id_a, id_b
     "dedup_minhash_lsh_md5",
     oracle=_MINHASH_MD5_ORACLE,
     tags=("llm", "dedup"),
-    priority=30,
     doc="MinHash-LSH with the PORTABLE md5 hash family "
         "(operators/dedup.py:with_minhash_signature hash_family='md5'): "
         "the oracle recomputes the ENTIRE pipeline — 16 md5 min-hashes, "
@@ -242,7 +241,6 @@ ORDER BY doc_id
     "dedup_simhash_md5",
     oracle=_SIMHASH_MD5_ORACLE,
     tags=("llm", "dedup"),
-    priority=30,
     doc="Portable 16-bit SimHash (operators/dedup.py:simhash_portable): "
         "bit i votes on the parity of hex digit i of md5(token), so the "
         "oracle recomputes the identical fingerprint — vote fold, "
@@ -527,7 +525,6 @@ WHERE doc_id < 100
 ORDER BY asset_id
 """,
     tags=("llm", "multimodal"),
-    priority=30,
     doc="REAL media decode end-to-end: silent 16-bit PCM WAV payloads "
         "synthesized per document (sample_rate/frame count derived from "
         "document columns), decoded by the stdlib wave/struct branch of "
@@ -661,7 +658,6 @@ GROUP BY d.doc_id
 ORDER BY doc_id
 """,
     tags=("llm", "dedup"),
-    priority=30,
     doc="Duplicate GROUPS, not just pairs: connected components over "
         "exact-Jaccard near-dup edges via min-label propagation "
         "(operators/dedup.py:dedup_clusters — O(diameter) join rounds, "
@@ -708,7 +704,6 @@ WHERE r.rank <= 5
 ORDER BY r.probe_id, r.rank
 """,
     tags=("llm", "similarity"),
-    priority=30,
     doc="Retrieval composite (the RAG read path): exact cosine top-5 "
         "per probe (operators/similarity.py:cosine_topk), hits joined "
         "back to the documents table for payload metadata — the "
@@ -766,7 +761,6 @@ FROM ranked WHERE rank <= 5
 ORDER BY probe_id, rank
 """,
     tags=("llm", "similarity"),
-    priority=30,
     doc="IVF-style pruned ANN with a DETERMINISTIC quantizer "
         "(operators/similarity.py:ann_signcell): sign-bit cells over "
         "the first 4 dims, multi-probe expansion to Hamming-1 cells "

@@ -46,7 +46,7 @@ DRIVER_WINDOW = 50
 #: Current verification round. Bump once per driver round: the rotation
 #: offset below advances with it, so stale green probes cycle back
 #: through the window a slice at a time.
-VERIFY_ROUND = 3
+VERIFY_ROUND = 4
 
 #: Priority bands (lower sorts earlier in the export):
 #:   < POOL_PRIORITY   fixed placement — bench-critical (10), probes whose
@@ -64,6 +64,40 @@ VERIFY_ROUND = 3
 #:                     evidence (recall bounds, determinism properties).
 ROTATION_PRIORITY = 60
 POOL_PRIORITY = 100
+
+#: This round's fixed window tiers, re-set once per driver round (the r2/r3
+#: verdicts both flagged stale per-decorator tiers as a rotation-starver).
+#: Names listed here override the decorator's ``priority``; every other
+#: oracle-backed probe sits in the rotation pool (100). Tiers: 10 = bench-
+#: critical, 20 = code or oracle changed this round, 30 = oracle-backed but
+#: never driver-verified. Keep tests/test_registry.py MUST_BE_IN_WINDOW in
+#: sync with the <100 entries here.
+ROUND_TIERS: dict[str, int] = {
+    # bench-critical (b1-b3, b10-b12 map to these probes)
+    "q1_pricing_summary": 10,
+    "q3_shipping_priority": 10,
+    "q5_star_join": 10,
+    "q6_forecast_revenue": 10,
+    "q10_returned_revenue": 10,
+    "q7_nation_volume": 10,
+    # changed in r4: integer-sum oracle casts
+    "scan_csv": 20,
+    "sessionization": 20,
+    "table_profile": 20,
+    "q12_priority_by_month": 20,
+    # changed in r4: null-safe SCD2, sampling threshold edge, norm
+    # precompute in similarity, dedup pointer-doubling, REST transport
+    # pickling, minhash bench-path work
+    "scd2_intervals": 20,
+    "sample_deterministic": 20,
+    "sample_stratified": 20,
+    "cosine_topk": 20,
+    "ann_signcell": 20,
+    "retrieval_topk_metadata": 20,
+    "dedup_clusters": 20,
+    "dedup_minhash_lsh_md5": 20,
+    "rest_datasource_scan": 20,
+}
 
 
 def rotation_selected() -> set[str]:
@@ -103,9 +137,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
             apply_runtime_conf(spark)
             return fn(spark, sf_dir)
 
+        # ROUND_TIERS is the per-round source of truth for fixed window
+        # placement; decorator tiers below POOL_PRIORITY are historical
+        # (an earlier round's fixed slot) and fall back to the pool.
+        eff_priority = ROUND_TIERS.get(
+            name, priority if priority >= POOL_PRIORITY else POOL_PRIORITY)
         REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle,
                                    tags=tags, doc=doc or (fn.__doc__ or ""),
-                                   priority=priority)
+                                   priority=eff_priority)
         return fn
     return deco
 

@@ -157,7 +157,6 @@ GROUP BY n_name, r_name
 ORDER BY n_name
 """,
     tags=("join",),
-    priority=20,
     doc="Inner equi-join chain, both dimensions broadcast.",
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,7 +323,6 @@ GROUP BY band
 ORDER BY band
 """,
     tags=("join",),
-    priority=20,
     doc="Range/interval join: broadcast BNLJ against a tiny band table.",
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:

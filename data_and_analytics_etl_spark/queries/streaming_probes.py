@@ -36,7 +36,6 @@ GROUP BY 1, 2
 ORDER BY window_start
 """,
     tags=("streaming",),
-    priority=20,
     doc="Tumbling 10-minute window agg over the event stream (complete "
         "mode) == batch time-bucket aggregation.",
 )
@@ -66,7 +65,6 @@ WHERE s + INTERVAL 10 MINUTE <= (SELECT max(ts) - INTERVAL 5 MINUTE
 ORDER BY window_start
 """,
     tags=("streaming",),
-    priority=20,
     doc="Watermarked append-mode tumbling agg: the 5-minute watermark is "
         "the reference's use_lag shift (CommCareAPIHandler.py:65-69) — "
         "only windows the watermark has passed emit; late state is "
@@ -135,7 +133,6 @@ GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """,
     tags=("streaming",),
-    priority=20,
     doc="Native session_window (30-minute gap) == batch sessionization; "
         "session_window merges while the next event starts strictly "
         "before session_end (gap >= 1800s starts a new session), and "
@@ -195,7 +192,6 @@ GROUP BY user_id
 ORDER BY user_id
 """,
     tags=("streaming",),
-    priority=20,
     doc="Arbitrary stateful per-key processing (applyInPandasWithState): "
         "running per-user count/sum/first/last across micro-batches == "
         "batch grouped aggregation when the replay completes.",
@@ -224,7 +220,6 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 ORDER BY view_id, purchase_id
 """,
     tags=("streaming", "join"),
-    priority=30,
     doc="Stream-stream interval join (streaming/ops.py:"
         "stream_stream_interval_join): views matched to same-user "
         "purchases within 10 minutes, both sides watermarked so join "

@@ -117,7 +117,6 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
     tags=("agg", "bench"),
-    priority=10,
     doc="Scan→filter→hash-agg→sort over the fact table (TPC-H Q1 shape).",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,7 +176,6 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
     tags=("join", "topk", "bench"),
-    priority=10,
     doc="3-way join + agg + global top-k (TPC-H Q3 shape); customer side broadcast.",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +223,6 @@ GROUP BY n_name, r_name
 ORDER BY revenue DESC, n_name
 """,
     tags=("join", "bench"),
-    priority=10,
     doc="5-way star join: fact side stays put, all dimensions broadcast.",
 )
 def q5_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,7 +261,6 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_quantity < 24
 """,
     tags=("agg", "filter"),
-    priority=10,
     doc="Pure scan-side predicate pushdown + global agg (TPC-H Q6 shape).",
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,7 +293,6 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
     tags=("join", "subquery", "bench"),
-    priority=30,
     doc="TPC-H Q4 shape: correlated EXISTS decorrelated by Catalyst into "
         "a left-semi join on the fact key, then a small hash agg — the "
         "semi join never duplicates order rows, so no post-join dedup.",
@@ -338,7 +333,6 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """,
     tags=("join", "topk", "bench"),
-    priority=10,
     doc="TPC-H Q10 shape: fact-fact join on the order key, broadcast "
         "nation dimension, decimal-exact revenue (cross-engine stable "
         "under any accumulation order), global top-20 via "
@@ -372,10 +366,10 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_month",
     oracle="""
 SELECT month(l.l_shipdate) AS ship_month,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -384,7 +378,6 @@ GROUP BY 1
 ORDER BY ship_month
 """,
     tags=("join", "agg", "bench"),
-    priority=30,
     doc="TPC-H Q12 shape: fact join + conditional aggregation (CASE "
         "inside sum) — the filter on shipdate pushes to the lineitem "
         "scan; the orders side prunes to (key, priority) columns only.",
@@ -420,7 +413,6 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
 """,
     tags=("join", "agg", "bench"),
-    priority=30,
     doc="TPC-H Q14 shape: broadcast part dimension into the date-pruned "
         "lineitem scan, conditional integer-cents revenue ratio — the "
         "ratio of two exact sums is a single double division, so "
@@ -467,7 +459,6 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
 """,
     tags=("join", "agg", "subquery", "bench"),
-    priority=30,
     doc="TPC-H Q18 shape: HAVING-filtered aggregate drives a semi-style "
         "key join back to the facts (aggregate once per order — the "
         "per-order group sum is order-size-bounded, so pure long sums "
@@ -508,7 +499,6 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 """,
     tags=("join", "filter", "bench"),
-    priority=30,
     doc="TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides "
         "— Catalyst extracts the common join key and pushes the "
         "single-side conjuncts (brand/size to the part scan, quantity "
@@ -556,7 +546,6 @@ GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """,
     tags=("join", "agg", "bench"),
-    priority=30,
     doc="TPC-H Q7 shape: two fact-side joins (supplier, orders) then "
         "broadcast customer/nation dimensions, nation-pair predicate "
         "applied after the dimension join, yearly exact-cents volume. "

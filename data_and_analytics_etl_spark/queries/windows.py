@@ -120,7 +120,6 @@ WHERE o_custkey < 50
 ORDER BY o_custkey, o_orderkey
 """,
     tags=("window",),
-    priority=20,
     doc="Running totals and a 3-row moving average (ROWS frames).",
 )
 def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,8 +191,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, ts, value_dec,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM flagged
 )
 SELECT user_id,
@@ -207,7 +207,6 @@ GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """,
     tags=("window", "ext"),
-    priority=20,
     doc="Batch sessionization (30-min gap) via operators/sessionize.py; "
         "equals Structured Streaming session_window on the same input.",
 )

@@ -1,0 +1,72 @@
+"""Driver-mimic verification (the .claude/skills/verify recipe as a script).
+
+Runs registry probes on a PLAIN SparkSession (no engine conf — the external
+driver owns the session) and compares each against its DuckDB oracle at
+sf0.01 with the driver's order-insensitive stringified value hash.
+
+Usage:
+    python scripts/verify_probes.py              # all probes
+    python scripts/verify_probes.py scd2_intervals scan_csv   # a subset
+Run from anywhere; the repo root is resolved from this file's location.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def vhash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    canon = sorted(repr(tuple(str(r[i]) for i in order)) for r in rows)
+    return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:12]
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+
+    names = sys.argv[1:]
+    sf = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    qs, osql = e.queries(), e.oracle_sql()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown probes: {unknown}")
+        return 2
+    bad = []
+    for name, fn in qs.items():
+        if names and name not in names:
+            continue
+        df = fn(spark, sf)
+        s = [tuple(r) for r in df.collect()]
+        if name not in osql:
+            print(f"{name}: rows-only {len(s)}")
+            continue
+        o = con.execute(osql[name])
+        oc = [d[0] for d in o.description]
+        orows = o.fetchall()
+        ok = vhash(s, df.columns) == vhash(orows, oc) and len(s) == len(orows)
+        if not ok:
+            bad.append(name)
+        print(name, "MATCH" if ok else "MISMATCH", len(s), len(orows))
+    print("FAIL:", bad) if bad else print("ALL MATCH")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -66,3 +66,30 @@ def test_hll_sketch_merge_matches_exact_within_5pct(spark, sf_dir):
     for k in exact:
         assert abs(merged[k] - exact[k]) / exact[k] <= 0.05, (k, merged[k],
                                                               exact[k])
+
+
+def test_scd2_intervals_null_attr_runs(spark):
+    # value->NULL is a change (not silently dropped), NULL->NULL is one
+    # run (not split per row), NULL->value is a change.
+    import datetime as dt
+    from data_and_analytics_etl_spark.operators.scd import scd2_intervals
+    t = [dt.datetime(2024, 1, 1, h) for h in range(6)]
+    rows = [(1, t[0], "A"), (1, t[1], "A"), (1, t[2], None),
+            (1, t[3], None), (1, t[4], "B"), (1, t[5], None)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, attr string")
+    out = scd2_intervals(df, key="k", ts_col="ts", attr="attr")
+    got = [(r.attr, r.valid_from, r.valid_to)
+           for r in out.orderBy("valid_from").collect()]
+    assert got == [("A", t[0], t[2]), (None, t[2], t[4]),
+                   ("B", t[4], t[5]), (None, t[5], None)]
+
+
+def test_scd2_intervals_all_null_key(spark):
+    import datetime as dt
+    from data_and_analytics_etl_spark.operators.scd import scd2_intervals
+    t = [dt.datetime(2024, 1, 1, h) for h in range(3)]
+    df = spark.createDataFrame([(1, ts, None) for ts in t],
+                               "k int, ts timestamp, attr string")
+    out = scd2_intervals(df, key="k", ts_col="ts", attr="attr")
+    got = [(r.attr, r.valid_from, r.valid_to) for r in out.collect()]
+    assert got == [(None, t[0], None)]

@@ -15,32 +15,26 @@ from data_and_analytics_etl_spark.queries.registry import (DRIVER_WINDOW,
                                                            rotation_selected)
 
 #: Probes that MUST hold a fresh driver-verified row this round:
-#: bench queries, every probe whose code changed in r3 (decimal sweep,
-#: tie-breaks, canonicalizer fixes), and every oracle-backed probe that
-#: has never had a driver row (r2 verdict finding).
+#: bench queries plus every probe whose code or oracle changed in r4.
+#: Source of truth: registry.ROUND_TIERS (this set mirrors its <100 keys).
 MUST_BE_IN_WINDOW = {
-    # bench-critical (tier A, priority 10)
+    # bench-critical (tier A, priority 10; b11 timing adds q7)
     "q1_pricing_summary", "q3_shipping_priority", "q5_star_join",
-    "q6_forecast_revenue", "q10_returned_revenue",
-    # changed in r3 (tier B, priority 20)
-    "sessionization", "window_running_agg", "agg_basic", "agg_rollup",
-    "agg_pivot", "join_inner", "join_range", "join_salted", "scan_csv",
-    "scan_json", "etl_partitioned_roundtrip", "stream_tumbling_agg",
-    "stream_watermark_tumbling", "stream_session_window",
-    "stream_stateful_user_stats", "map_extended", "timeseries_resample",
-    "join_range_binned", "map_higher_order", "sample_deterministic",
-    # oracle-backed, never driver-verified before r3 (tier C, priority 30)
-    "q4_late_shipment_priority", "q12_priority_by_month", "unpivot_stack",
-    "join_asof_forward", "table_profile", "sort_nulls_ordering",
-    "misc_encodings", "json_variant",
-    # new in r3: real WAV decode + portable-hash LSH correctness anchors
-    "multimodal_decode", "dedup_minhash_lsh_md5", "dedup_simhash_md5",
-    # new in r3 wave 2: formats, merge, stream-stream join, more TPC-H
-    "scan_orc", "etl_merge_upsert", "stream_stream_join",
-    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive_filter",
-    "q7_nation_volume", "dedup_clusters", "sample_stratified",
-    "scd2_intervals", "retrieval_topk_metadata", "ann_signcell",
+    "q6_forecast_revenue", "q10_returned_revenue", "q7_nation_volume",
+    # changed in r4: integer-sum oracle BIGINT casts (r3's four red rows)
+    "scan_csv", "sessionization", "table_profile", "q12_priority_by_month",
+    # changed in r4: null-safe SCD2, sampling frac=1.0 edge, similarity
+    # norm precompute, dedup pointer-doubling, REST transport pickling,
+    # minhash bench-path work
+    "scd2_intervals", "sample_deterministic", "sample_stratified",
+    "cosine_topk", "ann_signcell", "retrieval_topk_metadata",
+    "dedup_clusters", "dedup_minhash_lsh_md5", "rest_datasource_scan",
 }
+
+
+def test_round_tiers_mirror_must_verify_set():
+    from data_and_analytics_etl_spark.queries.registry import ROUND_TIERS
+    assert set(ROUND_TIERS) == MUST_BE_IN_WINDOW
 
 
 def test_window_holds_every_must_verify_probe():
