@@ -148,11 +148,17 @@ def http_pusher(url: str, token: str | None = None,
     """
     # The returned closure is typically shipped to executors
     # (rest_sink.foreachPartition); embed this module in the pickle so
-    # workers outside the repo can unpickle HttpTransport.
+    # workers outside the repo can unpickle HttpTransport. Guarded: when
+    # this function itself runs inside a worker that received the module
+    # BY VALUE (e.g. RestWriter.__init__ on the Python planner), the
+    # module key is absent from sys.modules — nothing to register then,
+    # the closure is already travelling by value.
     import sys
 
     from pyspark import cloudpickle
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    _mod = sys.modules.get(__name__)
+    if _mod is not None:
+        cloudpickle.register_pickle_by_value(_mod)
 
     transport = HttpTransport(url, token=token, timeout=timeout,
                               max_retries=max_retries, backoff=backoff)

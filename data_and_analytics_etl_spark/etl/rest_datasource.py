@@ -13,11 +13,12 @@ a first-class `spark.read.format("rest")` scan:
 - the transport is pluggable via the `transport` option:
   `synthetic` (built-in deterministic generator — offline tests, and the
   driver probe's oracle), `http` (live HTTP via etl/http_transport.py —
-  pass `url`/`token` options; each partition builds its own session,
-  with retry/backoff and optional adaptive page sizing), or
-  `module:attr` (an importable callable resolved lazily ON THE
-  EXECUTOR, so custom sessions are created per-partition, never
-  pickled).
+  pass `url`/`token` options; the transport object is built driver-side
+  and rides the pickle, but each task's unpickled copy creates its own
+  requests.Session lazily, with retry/backoff and optional adaptive
+  page sizing), or `module:attr` (an importable callable resolved
+  lazily ON THE EXECUTOR, so custom sessions are created
+  per-partition, never pickled).
 
 Usage:
     spark.dataSource.register(RestDataSource)
@@ -36,6 +37,12 @@ from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceWriter, InputPartition,
                                     WriterCommitMessage)
 from pyspark.sql.types import StructType
+
+# Module-level import, not runtime-relative: every use site below may run
+# in a Python planner/executor worker where the repo package is NOT
+# importable — the names must already live in this module's globals so
+# they travel by value with the pickle (register() ships both modules).
+from .http_transport import AdaptiveLimit, HttpTransport, http_pusher
 
 #: Synthetic-record schema (the envelope's `objects` flattened).
 DEFAULT_SCHEMA = "id BIGINT, k BIGINT"
@@ -70,7 +77,6 @@ def resolve_transport(spec: str, http_cfg: dict | None = None):
         # HttpTransport travels by value (register() registers its
         # module), and its requests.Session is created lazily on first
         # call — executor-side, never pickled.
-        from .http_transport import HttpTransport
         cfg = dict(http_cfg or {})
         if "url" not in cfg:
             raise ValueError("transport 'http' requires the 'url' option")
@@ -106,7 +112,6 @@ class RestReader(DataSourceReader):
         self.adaptive = str(options.get("adaptive", "false")).lower() == "true"
         self.target_mb = float(options.get("target_mb", 16.0))
         if self.adaptive:
-            from .http_transport import AdaptiveLimit
             self.sizer = AdaptiveLimit(target_mb=self.target_mb)
         else:
             self.sizer = None
@@ -121,6 +126,18 @@ class RestReader(DataSourceReader):
         self.http_cfg = {k: options[k]
                          for k in ("url", "token", "timeout", "max_retries")
                          if k in options}
+        # Built-in transports are constructed DRIVER-side so the instance
+        # rides the reader pickle (register() ships both modules by
+        # value); a runtime import in read() would need the repo package
+        # importable on every worker. `module:attr` stays None: it is
+        # deliberately resolved lazily ON THE EXECUTOR. HttpTransport's
+        # requests.Session is created lazily on first call, so nothing
+        # network-bound is pickled.
+        if self.transport_spec in ("synthetic", "http"):
+            self._transport = resolve_transport(self.transport_spec,
+                                                self.http_cfg)
+        else:
+            self._transport = None
 
     def partitions(self) -> list[InputPartition]:
         """Split the window into contiguous sub-windows, one per task —
@@ -138,7 +155,9 @@ class RestReader(DataSourceReader):
         the reference's probe→measure→resize loop (util.py:43-85) at
         executor granularity.
         """
-        transport = resolve_transport(self.transport_spec, self.http_cfg)
+        transport = (self._transport if self._transport is not None
+                     else resolve_transport(self.transport_spec,
+                                            self.http_cfg))
         sizer = self.sizer
         limit = self.limit
         cursor = None
@@ -186,10 +205,16 @@ class RestWriter(DataSourceWriter):
         self.http_cfg = {k: options[k]
                          for k in ("url", "token", "timeout", "max_retries")
                          if k in options}
+        # Same driver-side construction rule as RestReader: the pusher
+        # closure / transport instance rides the writer pickle (by value
+        # via register()); only `module:attr` resolves on the executor.
+        if self.transport_spec in ("synthetic", "http"):
+            self._push = self._pusher()
+        else:
+            self._push = None
 
     def _pusher(self):
         if self.transport_spec == "http":
-            from .http_transport import http_pusher
             cfg = dict(self.http_cfg)
             if "url" not in cfg:
                 raise ValueError("transport 'http' requires the 'url' "
@@ -200,7 +225,7 @@ class RestWriter(DataSourceWriter):
         return resolve_transport(self.transport_spec, self.http_cfg)
 
     def write(self, iterator) -> _PushCommit:
-        push = self._pusher()
+        push = self._push if self._push is not None else self._pusher()
         failures = 0
         n = 0
         for row in iterator:

@@ -19,10 +19,17 @@ from pyspark.sql import Column, DataFrame
 
 
 def _hex_threshold(frac: float) -> str:
-    """frac -> 2-hex-digit threshold ('1a' means 26/256 ~ 10.2%)."""
+    """frac -> threshold string ('1a' means 26/256 ~ 10.2%).
+
+    A frac that rounds to 256/256 returns 'g0', which sorts after every
+    2-hex-char bucket ('f' < 'g'), so the strict `<` keeps ALL rows —
+    capping at 'ff' would silently drop the 'ff' bucket (~0.4%) at
+    frac=1.0.
+    """
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0,1], got {frac}")
-    return format(min(255, round(frac * 256)), "02x")
+    k = round(frac * 256)
+    return "g0" if k >= 256 else format(k, "02x")
 
 
 def hash_bucket(key: Column) -> Column:

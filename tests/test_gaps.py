@@ -28,3 +28,26 @@ def test_tablesample_sql_form(spark, sf_dir):
     df2 = spark.sql(
         "SELECT o_orderkey FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
     assert a == sorted(r.o_orderkey for r in df2.collect())
+
+
+def test_hash_sample_frac_one_keeps_every_row(spark, sf_dir):
+    from data_and_analytics_etl_spark.operators.sampling import hash_sample
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    assert hash_sample(o, "o_orderkey", 1.0).count() == n
+    # anything that rounds to 256/256 also keeps all rows
+    assert hash_sample(o, "o_orderkey", 255.6 / 256).count() == n
+    # and 255/256 keeps strictly less (the 'ff' bucket drops)
+    assert hash_sample(o, "o_orderkey", 255 / 256).count() < n
+
+
+def test_hash_stratified_frac_one_stratum(spark, sf_dir):
+    from data_and_analytics_etl_spark.operators.sampling import (
+        hash_stratified_sample)
+    o = load_table(spark, sf_dir, "orders")
+    full = o.filter("o_orderstatus = 'F'").count()
+    got = hash_stratified_sample(
+        o, "o_orderkey", "o_orderstatus",
+        {"F": 1.0}, default_frac=0.0)
+    assert got.filter("o_orderstatus = 'F'").count() == full
+    assert got.filter("o_orderstatus <> 'F'").count() == 0

@@ -304,3 +304,73 @@ class TestDataSourceAdaptive:
         assert len(rows) == 50
         assert all(p["include_archived"] == "true" for p in seen)
         assert all(p["specifier"] == "x" for p in seen)
+
+
+_FOREIGN_CWD_SCRIPT = r"""
+import sys, threading, json
+sys.path.insert(0, "@REPO@")
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+class H(BaseHTTPRequestHandler):
+    def _reply(self, body):
+        self.send_response(200)
+        self.send_header('Content-Type', 'application/json')
+        self.send_header('Content-Length', str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+    def do_GET(self):
+        from urllib.parse import urlparse, parse_qs
+        q = parse_qs(urlparse(self.path).query)
+        lo = int(q.get('cursor', q.get('lo', ['0']))[0])
+        hi = int(q.get('hi', ['20'])[0])
+        limit = int(q.get('limit', ['5'])[0])
+        ph = min(lo + limit, hi)
+        self._reply(json.dumps(
+            {"meta": {"next": str(ph) if ph < hi else ""},
+             "objects": [{"id": i, "k": (i * 31) % 97}
+                         for i in range(lo, ph)]}).encode())
+    def do_POST(self):
+        self.rfile.read(int(self.headers.get('Content-Length', 0)))
+        self._reply(b'{"ok": true}')
+    def log_message(self, *a): pass
+
+srv = HTTPServer(('127.0.0.1', 0), H)
+threading.Thread(target=srv.serve_forever, daemon=True).start()
+url = f"http://127.0.0.1:{srv.server_address[1]}/api"
+
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master('local[2]')
+         .config('spark.ui.enabled', 'false').getOrCreate())
+from data_and_analytics_etl_spark.etl.rest_datasource import register
+register(spark)
+df = (spark.read.format("rest").option("transport", "http")
+      .option("url", url).option("start", 0).option("end", 40)
+      .option("limit", 7).option("num_partitions", 4).load())
+rows = df.collect()
+assert len(rows) == 40 and all(r.k == (r.id * 31) % 97 for r in rows)
+out = spark.createDataFrame([(1, 2), (3, 4)], "id bigint, k bigint")
+(out.write.format("rest").option("transport", "http").option("url", url)
+ .option("method", "POST").mode("append").save())
+print("FOREIGN_CWD_OK")
+"""
+
+
+def test_http_transport_from_foreign_cwd(tmp_path):
+    """The r3-advice scenario: Python planner/executor workers do NOT
+    share the driver's sys.path, so any runtime package import inside
+    the DataSource dies with ModuleNotFoundError when the launch
+    directory isn't the repo. pytest masks this (workers inherit the
+    repo cwd) — so drive the whole read+write in a subprocess from a
+    temp cwd, with only an explicit sys.path insert on the DRIVER."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         _FOREIGN_CWD_SCRIPT.replace("@REPO@", repo)],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "FOREIGN_CWD_OK" in proc.stdout
