@@ -39,6 +39,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, norm_a: Column,
+                     norm_b: Column) -> Column:
+    """Cosine with both norms precomputed as columns.
+
+    In a scored join, ``cosine(a, b)`` re-folds both norms per PAIR —
+    three array folds where one suffices. Computing each side's norm
+    once per ROW before the join cuts ~2/3 of the fold work; the
+    division is bit-identical to the inline form (same sqrt-of-fold
+    then multiply), so oracle hashes are unchanged.
+    """
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 ) -> DataFrame:
@@ -55,11 +68,15 @@ def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int,
     """
     p = probes.select(F.col(id_col).alias("probe_id"),
                       as_double(F.col(vec_col)).alias("__pvec"))
+    p = p.withColumn("__pnorm", l2_norm(F.col("__pvec")))
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       as_double(F.col(vec_col)).alias("__cvec"))
+    c = c.withColumn("__cnorm", l2_norm(F.col("__cvec")))
     scored = (c.join(F.broadcast(p), F.col("probe_id") != F.col("vec_id"))
               .withColumn("cosine",
-                          F.round(cosine(F.col("__pvec"), F.col("__cvec")), 6)))
+                          F.round(cosine_prenormed(
+                              F.col("__pvec"), F.col("__cvec"),
+                              F.col("__pnorm"), F.col("__cnorm")), 6)))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -105,29 +122,37 @@ def cosine_neardup_lsh(df: DataFrame, threshold: float = 0.9,
     (never all-pairs), then exact cosine filters to ``threshold``.
     Output: (id_a, id_b, cosine), id_a < id_b, deduplicated across tables.
 
-    Pass ``dim`` (the embedding dimensionality) so plan construction is
-    action-free; omitting it falls back to a one-row Spark job to measure
-    the first vector — fine interactively, wasteful inside a pipeline.
+    ``dim`` (the embedding dimensionality) is required so plan
+    construction is action-free — an inferred dim would need a
+    driver-side job against the input mid-pipeline.
     """
+    if dim is None:
+        raise TypeError(
+            "cosine_neardup_lsh requires dim= (the embedding "
+            "dimensionality); inferring it would run a driver-side job")
     base = df.select(F.col(id_col).alias("__id"),
                      as_double(F.col(vec_col)).alias("__vec"))
+    base = base.withColumn("__norm", l2_norm(F.col("__vec")))
     cands = None
-    if dim is None:
-        dim = df.select(F.size(vec_col)).first()[0]
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed=seed + 1000 * t)
         b = with_signlsh_bucket(base, "__vec", planes, out="__bkt")
         left = b.select(F.col("__id").alias("id_a"),
-                        F.col("__vec").alias("vec_a"), "__bkt")
+                        F.col("__vec").alias("vec_a"),
+                        F.col("__norm").alias("norm_a"), "__bkt")
         right = b.select(F.col("__id").alias("id_b"),
-                         F.col("__vec").alias("vec_b"), "__bkt")
+                         F.col("__vec").alias("vec_b"),
+                         F.col("__norm").alias("norm_b"), "__bkt")
         pair = (left.join(right, "__bkt")
                 .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b", "vec_a", "vec_b"))
+                .select("id_a", "id_b", "vec_a", "vec_b",
+                        "norm_a", "norm_b"))
         cands = pair if cands is None else cands.unionByName(pair)
     return (cands.dropDuplicates(["id_a", "id_b"])
             .withColumn("cosine",
-                        F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+                        F.round(cosine_prenormed(
+                            F.col("vec_a"), F.col("vec_b"),
+                            F.col("norm_a"), F.col("norm_b")), 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 
@@ -199,7 +224,9 @@ def ivf_ann(corpus: DataFrame, probes: DataFrame, k: int,
                          .alias("features"))
     model = KMeans(k=n_cells, seed=seed, featuresCol="features",
                    predictionCol="cell").fit(feat)
-    indexed = model.transform(feat).select("vec_id", "__vec", "cell")
+    indexed = (model.transform(feat)
+               .select("vec_id", "__vec", "cell",
+                       l2_norm(F.col("__vec")).alias("__cnorm")))
 
     # Tiny centroid table: (cell, centroid) — broadcast everywhere.
     spark = corpus.sparkSession
@@ -210,18 +237,23 @@ def ivf_ann(corpus: DataFrame, probes: DataFrame, k: int,
 
     p = probes.select(F.col(id_col).alias("probe_id"),
                       as_double(F.col(vec_col)).alias("__pvec"))
+    p = p.withColumn("__pnorm", l2_norm(F.col("__pvec")))
     # rank cells per probe by centroid cosine, keep the n_probe nearest
-    pc = (p.join(F.broadcast(centroids), F.lit(True))
-          .withColumn("c_cos", cosine(F.col("__pvec"), F.col("centroid")))
+    cent = centroids.withColumn("__centnorm", l2_norm(F.col("centroid")))
+    pc = (p.join(F.broadcast(cent), F.lit(True))
+          .withColumn("c_cos", cosine_prenormed(
+              F.col("__pvec"), F.col("centroid"),
+              F.col("__pnorm"), F.col("__centnorm")))
           .withColumn("c_rank", F.row_number().over(
               Window.partitionBy("probe_id")
               .orderBy(F.desc("c_cos"), F.asc("cell"))))
           .filter(F.col("c_rank") <= n_probe)
-          .select("probe_id", "__pvec", "cell"))
+          .select("probe_id", "__pvec", "__pnorm", "cell"))
     scored = (pc.join(indexed, "cell")
               .filter(F.col("probe_id") != F.col("vec_id"))
               .withColumn("cosine", F.round(
-                  cosine(F.col("__pvec"), F.col("__vec")), 6)))
+                  cosine_prenormed(F.col("__pvec"), F.col("__vec"),
+                                   F.col("__pnorm"), F.col("__cnorm")), 6)))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"),
                                                F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -266,9 +298,11 @@ def ann_signcell(corpus: DataFrame, probes: DataFrame, k: int,
     """
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       as_double(F.col(vec_col)).alias("__cvec"))
-    c = c.withColumn("__cell", signcell(F.col("__cvec"), bits))
+    c = (c.withColumn("__cell", signcell(F.col("__cvec"), bits))
+         .withColumn("__cnorm", l2_norm(F.col("__cvec"))))
     p = probes.select(F.col(id_col).alias("probe_id"),
                       as_double(F.col(vec_col)).alias("__pvec"))
+    p = p.withColumn("__pnorm", l2_norm(F.col("__pvec")))
     home = signcell(F.col("__pvec"), bits)
     probe_cells = F.array(home, *[
         home.bitwiseXOR(F.lit(1 << j)) for j in range(bits)])
@@ -276,7 +310,9 @@ def ann_signcell(corpus: DataFrame, probes: DataFrame, k: int,
     scored = (c.join(F.broadcast(p), "__cell")
               .filter(F.col("probe_id") != F.col("vec_id"))
               .select("probe_id", "vec_id",
-                      F.round(cosine(F.col("__pvec"), F.col("__cvec")), 6)
+                      F.round(cosine_prenormed(
+                          F.col("__pvec"), F.col("__cvec"),
+                          F.col("__pnorm"), F.col("__cnorm")), 6)
                       .alias("cosine")))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"),
                                                F.asc("vec_id"))

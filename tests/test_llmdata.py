@@ -79,12 +79,13 @@ class TestEmbeddingNearDup:
             noisy = base[i] + 0.01 * rng.standard_normal(32).astype("float32")
             rows.append((100 + i, noisy.tolist()))
         df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
-        found = _pairs(cosine_neardup_lsh(df, threshold=0.99, n_tables=6))
+        found = _pairs(cosine_neardup_lsh(df, threshold=0.99, n_tables=6,
+                                          dim=32))
         assert {(i, 100 + i) for i in range(5)} <= found
 
     def test_threshold_respected(self, spark, sf_dir):
         e = load_table(spark, sf_dir, "embeddings")
-        out = cosine_neardup_lsh(e, threshold=0.35)
+        out = cosine_neardup_lsh(e, threshold=0.35, dim=64)
         assert out.filter(F.col("cosine") < 0.35).count() == 0
 
 
