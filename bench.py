@@ -38,6 +38,10 @@ BENCH_QUERIES: dict[str, str] = {
 
 
 def run_once(spark, name: str, sf_dir: str) -> float:
+    # Operators that persist internally (minhash_lsh_pairs) would feed
+    # later iterations from the cache; clear it so every timed run pays
+    # the full pipeline including materialization.
+    spark.catalog.clearCache()
     df = REGISTRY[BENCH_QUERIES[name]].fn(spark, sf_dir)
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()

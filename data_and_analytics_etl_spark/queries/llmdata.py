@@ -659,9 +659,10 @@ ORDER BY doc_id
 """,
     tags=("llm", "dedup"),
     doc="Duplicate GROUPS, not just pairs: connected components over "
-        "exact-Jaccard near-dup edges via min-label propagation "
-        "(operators/dedup.py:dedup_clusters — O(diameter) join rounds, "
-        "per-round localCheckpoint bounds lineage). Each doc maps to "
+        "exact-Jaccard near-dup edges via min-label propagation plus "
+        "pointer doubling (operators/dedup.py:dedup_clusters — "
+        "O(log diameter) join rounds, per-round localCheckpoint bounds "
+        "lineage). Each doc maps to "
         "its component's minimum id as representative; singletons map "
         "to themselves. Oracle recomputes components with a recursive "
         "transitive-closure CTE.",

@@ -282,6 +282,30 @@ class TestDedupClusters:
         out = dedup_clusters(pairs, vertices).collect()
         assert all(r.cluster_rep == 0 for r in out)
 
+    def test_5k_path_graph_converges_in_log_rounds(self, spark):
+        # Adversarial diameter (templated-spam shape): a 5000-node path.
+        # Plain min-label propagation needs ~5000 rounds; the pointer-
+        # doubling step must land it within 15.
+        from data_and_analytics_etl_spark.operators.dedup import (
+            dedup_clusters)
+        n = 5000
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+        vertices = spark.range(n).withColumnRenamed("id", "doc_id")
+        out = dedup_clusters(pairs, vertices, max_iter=15).collect()
+        assert len(out) == n
+        assert all(r.cluster_rep == 0 for r in out)
+
+    def test_max_iter_exit_raises(self, spark):
+        import pytest as _pytest
+        from data_and_analytics_etl_spark.operators.dedup import (
+            dedup_clusters)
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "id_a long, id_b long")
+        vertices = spark.range(64).withColumnRenamed("id", "doc_id")
+        with _pytest.raises(RuntimeError, match="fixed point"):
+            dedup_clusters(pairs, vertices, max_iter=2)
+
 
 class TestSignCellANN:
     def test_recall_vs_brute_force(self, spark, sf_dir):
