@@ -48,6 +48,35 @@ def _err(msg: str) -> dict:
     return {"statusCode": 400, "error": msg}
 
 
+def api_base_url(domain: str, data_type: str, version: str, *,
+                 base_url: str, staging_base_url: str | None = None,
+                 is_staging: bool = False) -> str:
+    """The reference's URL construction incl. the staging rewrite (A19).
+
+    Mirrors CommCareAPIHandler.api_base_url (CommCareAPIHandler.py:32-39):
+    staging runs swap the base URL for ``staging_base_url`` AND strip a
+    ``staging-`` prefix from the request domain (staging domains are
+    conventionally named ``staging-<prod-domain>`` but the API itself
+    addresses the bare domain). Use the result as the ``url`` option of
+    the rest DataSource / HttpTransport:
+
+        url = api_base_url("staging-acme", "case", "v0.5",
+                           base_url="https://prod.example.com",
+                           staging_base_url="https://staging.example.com",
+                           is_staging=True)
+        spark.read.format("rest").option("transport", "http")
+             .option("url", url)...
+    """
+    if is_staging:
+        if not staging_base_url:
+            raise ValueError("is_staging requires staging_base_url")
+        base = staging_base_url
+        domain = domain.removeprefix("staging-")
+    else:
+        base = base_url
+    return f"{base}/a/{domain}/api/{version}/{data_type}/"
+
+
 def _parse_range(rng: dict) -> tuple[dt.datetime, dt.datetime]:
     return (dt.datetime.strptime(rng["start_time"], _ISO_Z),
             dt.datetime.strptime(rng["end_time"], _ISO_Z))
@@ -97,23 +126,37 @@ def _pull(spark: SparkSession, event: dict, transport: Transport,
     budget = ErrorBudget(ERROR_BUDGET)
     results: dict[str, dict] = {}
 
+    # test_mode suffixes BOTH the landed-data path and the checkpoint
+    # path with '-test' (CommCareAPIHandler.py:71-77: filepath AND
+    # _get_stored_param_filepath), so test runs never touch production
+    # data or advance the production watermark.
+    suffix = "-test" if event.get("test_mode") else ""
+
     def pull_one(name: str, cfg: dict) -> dict:
-        ckpt = CheckpointManifest(os.path.join(data_root, domain), name)
+        ckpt = CheckpointManifest(os.path.join(data_root, domain),
+                                  name + suffix)
         lo, hi, is_custom = _window(event, ckpt, event_time)
+        # Per-type window param naming (CommCareAPIHandler.py:185-199):
+        # most types filter on indexed_on (with order_by pushdown); types
+        # like action_times name the window UTC_start_time_start/end and
+        # take no order_by. cfg['window_param'] generalizes the mapping.
+        wp = cfg.get("window_param", "indexed_on")
         params = {  # server-side pushdown, the A3/A4 param block
             "domain": domain, "data_type": name,
-            "limit": cfg.get("limit", 100), "order_by": "indexed_on",
-            "indexed_on_start": lo.strftime(_ISO_Z) if lo else None,
-            "indexed_on_end": hi.strftime(_ISO_Z),
+            "limit": cfg.get("limit", 100),
+            f"{wp}_start": lo.strftime(_ISO_Z) if lo else None,
+            f"{wp}_end": hi.strftime(_ISO_Z),
         }
+        if wp == "indexed_on":
+            params["order_by"] = "indexed_on"
         df = rest_source(spark, transport, params,
                          request_limit=REQUEST_LIMIT)
         n = 0
-        if "indexed_on" in df.columns:
+        if wp in df.columns:
             from pyspark.sql import Observation
             df = df.withColumn(
-                "indexed_on_ts", normalize_timestamp(F.col("indexed_on")))
-            dest = os.path.join(data_root, domain, name)
+                "indexed_on_ts", normalize_timestamp(F.col(wp)))
+            dest = os.path.join(data_root, domain, name + suffix)
             # count THIS run's rows on the write pass itself (same as
             # etl/ingest.py): a re-read of the append-mode dest would be
             # cumulative across runs and cost a second full scan.

@@ -294,14 +294,17 @@ class TestDataSourceAdaptive:
             seen.append(dict(params))
             return rd.synthetic_transport(params)
 
+        # patch BEFORE constructing: built-in transports resolve in
+        # __init__ (driver-side) since the foreign-cwd pickling fix
+        monkeypatch.setattr(rd, "resolve_transport",
+                            lambda spec, cfg=None: spy)
         reader = rd.RestReader({"transport": "synthetic", "start": "0",
                                 "end": "50", "limit": "25",
                                 "param.include_archived": "true",
                                 "param.specifier": "x"})
-        monkeypatch.setattr(rd, "resolve_transport",
-                            lambda spec, cfg=None: spy)
         rows = list(reader.read(rd.WindowPartition(0, 50)))
         assert len(rows) == 50
+        assert seen, "spy transport never called"
         assert all(p["include_archived"] == "true" for p in seen)
         assert all(p["specifier"] == "x" for p in seen)
 

@@ -152,3 +152,79 @@ class TestPush:
         out = handle_event(spark, event, transport=lambda p: None,
                            data_root=str(tmp_path))
         assert out["statusCode"] == 200 and out["pushed"]["ghost"] == 0
+
+
+class TestTierAEdges:
+    def test_test_mode_suffixes_data_and_checkpoint_paths(self, spark,
+                                                          tmp_path):
+        # ref CommCareAPIHandler.py:71-77: filepath AND stored-param
+        # path get '-test'; production layout stays untouched
+        t = make_pull_transport()
+        event = {"domain": "dom", "operation_type": "cc_to_s3",
+                 "test_mode": 1, "api_info": {"case": {"limit": 10}}}
+        out = handle_event(spark, event, transport=t,
+                           data_root=str(tmp_path), event_time=T0)
+        assert out["statusCode"] == 200
+        assert glob.glob(str(tmp_path / "dom" / "case-test" /
+                             "year=2024/month=*/day=*/hour=*/*.parquet"))
+        assert not (tmp_path / "dom" / "case").exists()
+        from data_and_analytics_etl_spark.etl.checkpoint import (
+            CheckpointManifest)
+        root = str(tmp_path / "dom")
+        assert CheckpointManifest(root, "case-test").read_watermark() \
+            is not None
+        assert CheckpointManifest(root, "case").read_watermark() is None
+
+    def test_action_times_window_param_mapping(self, spark, tmp_path):
+        # ref :195-199: the window filter is named UTC_start_time_start/
+        # end for action_times-style types, with NO order_by pushdown
+        calls = []
+
+        def t(params):
+            calls.append(dict(params))
+            start = int(params.get("cursor") or 0)
+            end = min(start + int(params["limit"]), 8)
+            objs = [{"rec_id": f"r{i}",
+                     "UTC_start_time":
+                         (T0 - dt.timedelta(hours=8 - i))
+                         .strftime("%Y-%m-%dT%H:%M:%S.%fZ")}
+                    for i in range(start, end)]
+            return {"meta": {"next": str(end) if end < 8 else ""},
+                    "objects": objs}
+
+        event = {"domain": "dom", "operation_type": "cc_to_s3",
+                 "api_info": {"action_times": {
+                     "limit": 5, "window_param": "UTC_start_time"}}}
+        out = handle_event(spark, event, transport=t,
+                           data_root=str(tmp_path), event_time=T0)
+        assert out["statusCode"] == 200
+        assert out["datasets"]["action_times"]["rows_landed"] == 8
+        assert calls[0]["UTC_start_time_end"].startswith("2024-03-01T11:55")
+        assert "order_by" not in calls[0]
+        assert "indexed_on_start" not in calls[0]
+        assert glob.glob(str(tmp_path / "dom" / "action_times" /
+                             "year=2024/month=*/day=*/hour=*/*.parquet"))
+
+
+class TestStagingUrl:
+    def test_staging_swaps_base_and_strips_prefix(self):
+        from data_and_analytics_etl_spark.job import api_base_url
+        url = api_base_url("staging-acme", "case", "v0.5",
+                           base_url="https://prod.example.com",
+                           staging_base_url="https://staging.example.com",
+                           is_staging=True)
+        assert url == "https://staging.example.com/a/acme/api/v0.5/case/"
+
+    def test_production_uses_base_verbatim(self):
+        from data_and_analytics_etl_spark.job import api_base_url
+        url = api_base_url("acme", "form", "v0.5",
+                           base_url="https://prod.example.com")
+        assert url == "https://prod.example.com/a/acme/api/v0.5/form/"
+
+    def test_staging_requires_staging_base(self):
+        import pytest as _pytest
+        from data_and_analytics_etl_spark.job import api_base_url
+        with _pytest.raises(ValueError):
+            api_base_url("acme", "case", "v0.5",
+                         base_url="https://prod.example.com",
+                         is_staging=True)
