@@ -34,7 +34,17 @@ BENCH_QUERIES: dict[str, str] = {
     "b8_minhash_neardup": "dedup_minhash_lsh",
     "b9_sessionization": "sessionization",
     "b10_returned_revenue": "q10_returned_revenue",
+    # r4 additions: the two most scale-sensitive plan families not yet
+    # timed round-over-round — a six-table join tree (broadcast dims +
+    # two fact-fact shuffles) and an iterative algorithm (connected
+    # components, per-round localCheckpoint + convergence check)
+    "b11_nation_volume": "q7_nation_volume",
+    "b12_dedup_clusters": "dedup_clusters",
 }
+
+#: Queries whose probe fn executes work eagerly during construction
+#: (iterative label propagation); timed with construction included.
+EAGER_QUERIES = {"b12_dedup_clusters"}
 
 
 def run_once(spark, name: str, sf_dir: str) -> float:
@@ -42,6 +52,17 @@ def run_once(spark, name: str, sf_dir: str) -> float:
     # later iterations from the cache; clear it so every timed run pays
     # the full pipeline including materialization.
     spark.catalog.clearCache()
+    if name in EAGER_QUERIES:
+        # Iterative operators run their join rounds eagerly while
+        # building the result frame — the timer must include
+        # construction or the loop cost vanishes from the number.
+        t0 = time.perf_counter()
+        df = REGISTRY[BENCH_QUERIES[name]].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    # Lazy plans: time execution only (construction is file listing +
+    # analysis, ~0.4 s of per-query driver overhead that amortizes to
+    # zero at cluster scale and isn't in the recorded baselines).
     df = REGISTRY[BENCH_QUERIES[name]].fn(spark, sf_dir)
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
