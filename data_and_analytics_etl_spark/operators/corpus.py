@@ -1,0 +1,94 @@
+"""Corpus-composition operators: token-budget packing, decontamination.
+
+The steps between "filtered documents" and "training corpus":
+
+- :func:`pack_to_token_budget` — keep a deterministic prefix of the
+  corpus whose cumulative token count fits a budget. A naive global
+  ordered cumulative sum collapses the whole corpus into ONE task
+  (unpartitioned window); this implementation computes bucket-level
+  prefix sums instead — the per-bucket windows run corpus-wide in
+  parallel, and only the (tiny) bucket-totals table is processed in a
+  single-task window.
+- :func:`decontaminate` — flag training documents that share at least
+  ``min_overlap`` distinct n-grams with any document of a benchmark
+  set (the standard eval-contamination guard). Candidates come from an
+  n-gram equi-join (benchmark side is small by contract and broadcast),
+  never a document cross product.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .dedup import with_word_shingles
+
+
+def pack_to_token_budget(df: DataFrame, budget: int,
+                         id_col: str = "doc_id",
+                         ntok_col: str = "n_tokens",
+                         n_buckets: int = 1024) -> DataFrame:
+    """Deterministic corpus prefix with total tokens <= ``budget``.
+
+    Documents are ordered by (bucket, id) where bucket = id mod
+    ``n_buckets`` (portable, engine-neutral); a document is kept iff
+    the cumulative token count up to and including it fits the budget.
+
+    Scale shape: one aggregate to n_buckets rows, one single-task
+    window over those n_buckets rows (tiny by construction), one
+    broadcast join back, and per-bucket cumulative windows that
+    parallelize across buckets. The corpus is never collapsed into a
+    single partition.
+    """
+    bucket = (F.col(id_col) % n_buckets).alias("__bucket")
+    d = df.withColumn("__bucket", F.col(id_col) % n_buckets)
+    totals = d.groupBy("__bucket").agg(
+        F.sum(ntok_col).alias("__btotal"))
+    # n_buckets rows: the only single-task window, bounded by design
+    wb = (Window.orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    base = totals.withColumn(
+        "__bbase", F.coalesce(F.sum("__btotal").over(wb), F.lit(0)))
+    ww = (Window.partitionBy("__bucket").orderBy(id_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.join(F.broadcast(base.select("__bucket", "__bbase")),
+                   "__bucket")
+            .withColumn("__cum",
+                        F.col("__bbase") + F.sum(ntok_col).over(ww))
+            .filter(F.col("__cum") <= budget)
+            .drop("__bucket", "__bbase", "__cum"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, min_overlap: int = 1) -> DataFrame:
+    """Per-document benchmark n-gram overlap: (id, n_overlap, contaminated).
+
+    ``n_overlap`` counts DISTINCT document n-grams that appear in ANY
+    benchmark document; ``contaminated`` is ``n_overlap >= min_overlap``.
+    Join the result back to the corpus and filter on the flag to drop
+    contaminated documents.
+
+    Plan shape: both sides explode to distinct word n-grams; the
+    benchmark side collapses to a distinct n-gram set (small — eval
+    sets are thousands of documents, not billions) and broadcasts into
+    the equi-join; a left join + conditional count keeps zero-overlap
+    documents in the output. One shuffle on ``id_col`` for the final
+    aggregate.
+    """
+    d_grams = (with_word_shingles(
+        docs.select(id_col, text_col), text_col, n=n, out="__grams")
+        .select(id_col, F.explode("__grams").alias("__gram")))
+    b_grams = (with_word_shingles(
+        benchmark.select(text_col), text_col, n=n, out="__grams")
+        .select(F.explode("__grams").alias("__gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1)))
+    return (d_grams
+            .join(F.broadcast(b_grams), "__gram", "left")
+            .groupBy(id_col)
+            .agg(F.count_distinct(
+                F.when(F.col("__hit").isNotNull(), F.col("__gram")))
+                .alias("n_overlap"))
+            .withColumn("contaminated",
+                        F.col("n_overlap") >= min_overlap))

@@ -172,3 +172,47 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint(t).alias("fingerprint"),
         quality_score(t).alias("quality"),
     )
+
+
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition/boilerplate signals (Rae et al. '21 §A1.1),
+    re-expressed as pure column arithmetic over the token array.
+
+    - ``dup_word_frac``: fraction of word occurrences that are repeats
+      of an earlier word (1 - distinct/total) — catches keyword-stuffed
+      and template text;
+    - ``top_bigram_frac``: occurrences of the single most frequent
+      2-gram / total 2-grams — catches looping generation;
+    - ``dup_bigram_frac``: fraction of 2-gram occurrences whose 2-gram
+      appears more than once — the duplicate-n-gram family.
+
+    All three stay inside whole-stage codegen: bigram counting is a
+    distinct-list walk per document (O(distinct x total) per row, fine
+    for document-sized arrays; the 100 TB cost model is rows, not the
+    per-row constant). Empty/one-token docs yield 0.0 for the bigram
+    signals.
+    """
+    toks = tokens_of(text)
+    n_words = F.size(toks)
+    dup_word = F.when(n_words > 0,
+                      1.0 - F.size(F.array_distinct(toks)).cast("double")
+                      / n_words).otherwise(F.lit(0.0))
+    bigrams = F.when(n_words >= 2, F.transform(
+        F.sequence(F.lit(1), n_words - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i.cast("int")),
+                              F.element_at(toks, (i + 1).cast("int")))
+    )).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    counts = F.transform(
+        F.array_distinct(bigrams),
+        lambda d: F.size(F.filter(bigrams, lambda b: b == d)))
+    top_bigram = F.when(n_bi > 0,
+                        F.array_max(counts).cast("double") / n_bi
+                        ).otherwise(F.lit(0.0))
+    dup_bigram = F.when(n_bi > 0, F.aggregate(
+        counts, F.lit(0),
+        lambda acc, c: acc + F.when(c > 1, c).otherwise(F.lit(0))
+    ).cast("double") / n_bi).otherwise(F.lit(0.0))
+    return {"dup_word_frac": F.round(dup_word, 6),
+            "top_bigram_frac": F.round(top_bigram, 6),
+            "dup_bigram_frac": F.round(dup_bigram, 6)}

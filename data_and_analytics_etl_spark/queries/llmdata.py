@@ -778,3 +778,132 @@ def ann_signcell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ann_signcell(e, probes, k=5)
             .withColumn("rank", F.col("rank").cast("int"))
             .orderBy("probe_id", "rank"))
+
+
+@query(
+    "text_repetition_signals",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+  FROM documents WHERE doc_id < 200
+), b AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS bg
+  FROM t
+), c AS (
+  SELECT doc_id, toks, bg,
+         list_transform(list_distinct(bg),
+                        d -> len(list_filter(bg, x -> x = d))) AS cnts
+  FROM b
+)
+SELECT doc_id,
+       round(CASE WHEN len(toks) > 0 THEN
+               1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             ELSE 0.0 END, 6) AS dup_word_frac,
+       round(CASE WHEN len(bg) > 0 THEN
+               CAST(list_max(cnts) AS DOUBLE) / len(bg)
+             ELSE 0.0 END, 6) AS top_bigram_frac,
+       round(CASE WHEN len(bg) > 0 THEN
+               CAST(list_sum(list_transform(
+                 cnts, c -> CASE WHEN c > 1 THEN c ELSE 0 END))
+                 AS DOUBLE) / len(bg)
+             ELSE 0.0 END, 6) AS dup_bigram_frac
+FROM c
+ORDER BY doc_id
+""",
+    tags=("llm", "text"),
+    doc="Gopher-style repetition/boilerplate signals (operators/text.py:"
+        "repetition_signals): duplicate-word fraction, top-bigram "
+        "fraction, duplicate-bigram fraction — the quality gates that "
+        "drop keyword-stuffed / looping-generation text. All pure "
+        "column arithmetic, one projection, no shuffle.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_signals
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = repetition_signals(F.col("text"))
+    return (d.select("doc_id",
+                     sig["dup_word_frac"].alias("dup_word_frac"),
+                     sig["top_bigram_frac"].alias("top_bigram_frac"),
+                     sig["dup_bigram_frac"].alias("dup_bigram_frac"))
+            .orderBy("doc_id"))
+
+
+@query(
+    "corpus_pack_budget",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(text, '\s+')) AS n_tokens,
+         doc_id % 16 AS b
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY b, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c WHERE cum <= 6000
+ORDER BY doc_id
+""",
+    tags=("llm", "corpus"),
+    doc="Token-budget corpus packing (operators/corpus.py:"
+        "pack_to_token_budget): deterministic (bucket, id)-ordered "
+        "prefix whose cumulative token count fits the budget. Bucket-"
+        "level prefix sums keep the corpus parallel — the only single-"
+        "task window runs over n_buckets rows, never the corpus.",
+)
+def corpus_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import pack_to_token_budget
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.size(F.split(F.col("text"), r"\s+"))
+                 .cast("bigint").alias("n_tokens")))
+    out = pack_to_token_budget(d, budget=6000, id_col="doc_id",
+                               ntok_col="n_tokens", n_buckets=16)
+    return out.select("doc_id", "n_tokens").orderBy("doc_id")
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+), dg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(t) - 1, 1)),
+    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS gram
+  FROM toks WHERE doc_id < 300
+), bg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+    range(1, greatest(len(t) - 1, 1)),
+    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS gram
+  FROM toks WHERE doc_id % 17 = 0
+)
+SELECT d.doc_id,
+       count(DISTINCT CASE WHEN b.gram IS NOT NULL THEN d.gram END)
+         AS n_overlap,
+       count(DISTINCT CASE WHEN b.gram IS NOT NULL THEN d.gram END) >= 3
+         AS contaminated
+FROM dg d LEFT JOIN bg b USING (gram)
+GROUP BY d.doc_id
+ORDER BY doc_id
+""",
+    tags=("llm", "corpus"),
+    doc="Benchmark decontamination (operators/corpus.py:decontaminate): "
+        "flag training docs sharing >=3 distinct word 3-grams with any "
+        "benchmark doc (stand-in benchmark: every 17th document). "
+        "Candidates from a broadcast n-gram equi-join — never a "
+        "document cross product; left join keeps zero-overlap docs.",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import decontaminate
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") < 300)
+    benchmark = d.filter(F.col("doc_id") % 17 == 0)
+    return (decontaminate(docs, benchmark, n=3, min_overlap=3)
+            .orderBy("doc_id"))

@@ -336,3 +336,60 @@ class TestSignCellANN:
         for ranks in by_probe.values():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
             assert len(ranks) <= 5
+
+
+class TestRepetitionSignals:
+    def test_edge_cases_and_known_values(self, spark):
+        from data_and_analytics_etl_spark.operators.text import (
+            repetition_signals)
+        rows = [(1, "a a a a"),          # one word repeated
+                (2, "a b c d"),          # all distinct
+                (3, "x"),                # single token: no bigrams
+                (4, "a b a b a b")]      # looping bigram
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = repetition_signals(F.col("text"))
+        out = {r.doc_id: r for r in df.select(
+            "doc_id", sig["dup_word_frac"].alias("w"),
+            sig["top_bigram_frac"].alias("t"),
+            sig["dup_bigram_frac"].alias("d")).collect()}
+        assert out[1].w == 0.75 and out[1].t == 1.0 and out[1].d == 1.0
+        # 4 distinct tokens -> 3 bigrams each seen once: top = 1/3
+        assert out[2].w == 0.0 and out[2].t == 0.333333 and out[2].d == 0.0
+        assert out[3].w == 0.0 and out[3].t == 0.0 and out[3].d == 0.0
+        # 'a b' x3 + 'b a' x2 over 5 bigrams
+        assert out[4].t == 0.6 and out[4].d == 1.0
+
+
+class TestCorpusOps:
+    def test_pack_budget_keeps_deterministic_prefix(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import (
+            pack_to_token_budget)
+        rows = [(i, 10) for i in range(20)]  # 20 docs x 10 tokens
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = pack_to_token_budget(df, budget=95, id_col="doc_id",
+                                   ntok_col="n_tokens", n_buckets=4)
+        kept = sorted(r.doc_id for r in out.collect())
+        # order is (bucket=id%4, id): 0,4,8,12,16,1,5,9,13,... -> 9 fit
+        assert kept == sorted([0, 4, 8, 12, 16, 1, 5, 9, 13])
+        # budget below the smallest doc keeps nothing; huge keeps all
+        assert pack_to_token_budget(df, 9, "doc_id", "n_tokens", 4
+                                    ).count() == 0
+        assert pack_to_token_budget(df, 10_000, "doc_id", "n_tokens", 4
+                                    ).count() == 20
+
+    def test_decontaminate_flags_and_keeps_clean_docs(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import (
+            decontaminate)
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"),
+             (2, "totally unrelated words here now"),
+             (3, "quick brown fox somewhere else")],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, "a quick brown fox appears")], "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               decontaminate(docs, bench, n=3, min_overlap=1).collect()}
+        assert out[1].contaminated and out[1].n_overlap == 1
+        assert not out[2].contaminated and out[2].n_overlap == 0
+        assert out[3].contaminated  # shares 'quick brown fox'
+        assert len(out) == 3  # zero-overlap docs stay in the output
