@@ -40,7 +40,6 @@ def pack_to_token_budget(df: DataFrame, budget: int,
     parallelize across buckets. The corpus is never collapsed into a
     single partition.
     """
-    bucket = (F.col(id_col) % n_buckets).alias("__bucket")
     d = df.withColumn("__bucket", F.col(id_col) % n_buckets)
     totals = d.groupBy("__bucket").agg(
         F.sum(ntok_col).alias("__btotal"))
@@ -92,3 +91,41 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
                 .alias("n_overlap"))
             .withColumn("contaminated",
                         F.col("n_overlap") >= min_overlap))
+
+
+def chunk_text(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", chunk_tokens: int = 256,
+               overlap: int = 32) -> DataFrame:
+    """Split documents into overlapping token-window chunks.
+
+    The context-window packing step of a training pipeline: each doc
+    becomes ceil((n - chunk)/stride) + 1 rows of ``chunk_tokens``-token
+    windows advancing by stride = chunk_tokens - overlap (the final
+    chunk may be shorter; docs at or under one window stay whole).
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Pure sequence/slice/array_join expressions — the explode multiplies
+    rows map-side with no shuffle; chunk provenance (id, chunk_idx) is
+    deterministic so downstream dedup/packing can trace chunks back to
+    documents.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    n_chunks = (F.when(n <= chunk_tokens, F.lit(1).cast("long"))
+                .otherwise(F.floor((n - chunk_tokens + stride - 1)
+                                   / F.lit(stride)) + 1))
+    d = (df.select(F.col(id_col), toks.alias("__toks"),
+                   n_chunks.alias("__nc"))
+         .select(id_col, "__toks",
+                 F.explode(F.sequence(F.lit(0).cast("long"),
+                                      F.col("__nc") - 1))
+                 .alias("chunk_idx")))
+    piece = F.slice(F.col("__toks"),
+                    (F.col("chunk_idx") * stride + 1).cast("int"),
+                    chunk_tokens)
+    return (d.select(id_col, "chunk_idx",
+                     F.array_join(piece, " ").alias("chunk_text"),
+                     F.size(piece).alias("n_chunk_tokens")))

@@ -216,3 +216,30 @@ def repetition_signals(text: Column) -> dict[str, Column]:
     return {"dup_word_frac": F.round(dup_word, 6),
             "top_bigram_frac": F.round(top_bigram, 6),
             "dup_bigram_frac": F.round(dup_bigram, 6)}
+
+
+#: (pattern, replacement) pairs for PII redaction. Patterns restricted
+#: to syntax that Java regex (Spark) and RE2 (DuckDB, ripgrep) parse
+#: identically, so oracles can re-run the exact redaction.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column,
+               patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+               ) -> Column:
+    """Replace emails / phone numbers / IPv4 literals with typed tags.
+
+    The standard pre-training scrub pass, as chained ``regexp_replace``
+    column expressions — fully inside codegen, no Python. Order
+    matters: email first (it contains dot-separated digit runs an IP
+    pattern could nibble). Swap/extend ``patterns`` for
+    jurisdiction-specific scrubs.
+    """
+    out = text
+    for pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out

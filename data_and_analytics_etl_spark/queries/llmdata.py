@@ -907,3 +907,85 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark = d.filter(F.col("doc_id") % 17 == 0)
     return (decontaminate(docs, benchmark, n=3, min_overlap=3)
             .orderBy("doc_id"))
+
+
+@query(
+    "text_redact_pii",
+    oracle=r"""
+WITH synth AS (
+  SELECT c_custkey,
+         'contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+         || '@example.com or 555-'
+         || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         || ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.'
+         || CAST((c_custkey * 7) % 256 AS VARCHAR) AS text
+  FROM customer WHERE c_custkey < 200
+)
+SELECT c_custkey,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+         AS redacted
+FROM synth
+ORDER BY c_custkey
+""",
+    tags=("llm", "text"),
+    doc="PII redaction (operators/text.py:redact_pii): email/phone/IPv4 "
+        "replaced by typed tags via chained regexp_replace, patterns "
+        "restricted to the Java-regex/RE2 common subset so the oracle "
+        "re-runs the identical scrub. Input synthesized identically on "
+        "both sides from the customer table (the corpus has no PII).",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import redact_pii
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    k = F.col("c_custkey")
+    synth = F.concat(
+        F.lit("contact "), F.col("c_name"), F.lit(" at user"),
+        k.cast("string"), F.lit("@example.com or 555-"),
+        F.lpad((k % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (k % 256).cast("string"), F.lit("."),
+        ((k * 7) % 256).cast("string"))
+    return (c.select("c_custkey", redact_pii(synth).alias("redacted"))
+            .orderBy("c_custkey"))
+
+
+@query(
+    "corpus_chunk_text",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+  FROM documents WHERE doc_id < 150
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 20 THEN 1
+              ELSE (len(toks) - 20 + 14) // 15 + 1 END AS n_chunks
+  FROM t
+), e AS (
+  SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx FROM c
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(toks[(chunk_idx*15 + 1):(chunk_idx*15 + 20)], ' ')
+         AS chunk_text,
+       CAST(len(toks[(chunk_idx*15 + 1):(chunk_idx*15 + 20)]) AS BIGINT)
+         AS n_chunk_tokens
+FROM e
+ORDER BY doc_id, chunk_idx
+""",
+    tags=("llm", "corpus"),
+    doc="Context-window chunking (operators/corpus.py:chunk_text): "
+        "20-token windows advancing by 15 (overlap 5) with traceable "
+        "(doc_id, chunk_idx) provenance; map-side explode, no shuffle. "
+        "Oracle recomputes the identical slicing with list ranges.",
+)
+def corpus_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import chunk_text
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return (chunk_text(d, chunk_tokens=20, overlap=5)
+            .orderBy("doc_id", "chunk_idx"))

@@ -101,6 +101,8 @@ ROUND_TIERS: dict[str, int] = {
     "text_repetition_signals": 30,
     "corpus_pack_budget": 30,
     "corpus_decontaminate": 30,
+    "text_redact_pii": 30,
+    "corpus_chunk_text": 30,
 }
 
 

@@ -393,3 +393,35 @@ class TestCorpusOps:
         assert not out[2].contaminated and out[2].n_overlap == 0
         assert out[3].contaminated  # shares 'quick brown fox'
         assert len(out) == 3  # zero-overlap docs stay in the output
+
+    def test_chunk_text_boundaries_and_provenance(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import chunk_text
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(10))),   # exactly 2 chunks
+             (2, "a b c"),                                # <= one window
+             (3, " ".join(f"t{i}" for i in range(11)))],  # ragged tail
+            "doc_id long, text string")
+        out = chunk_text(docs, chunk_tokens=6, overlap=2)
+        rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+        # doc1: stride 4 -> chunks [w0..w5], [w4..w9]
+        assert rows[(1, 0)].chunk_text.split() == [f"w{i}" for i in range(6)]
+        assert rows[(1, 1)].chunk_text.split() == [f"w{i}" for i in range(4, 10)]
+        # doc2 stays whole
+        assert rows[(2, 0)].chunk_text == "a b c"
+        assert rows[(2, 0)].n_chunk_tokens == 3
+        # doc3: chunks at 0,4,8 -> last is 3 tokens
+        assert rows[(3, 2)].n_chunk_tokens == 3
+        assert len([k for k in rows if k[0] == 3]) == 3
+        # overlap >= chunk rejected
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            chunk_text(docs, chunk_tokens=4, overlap=4)
+
+    def test_redact_pii_tags_all_three_kinds(self, spark):
+        from data_and_analytics_etl_spark.operators.text import redact_pii
+        df = spark.createDataFrame(
+            [("mail a.b-c_1@ex-ample.co.uk call 555.123.4567 ip 10.0.255.1 "
+              "keep 1.2 and v1.2.3 and plain text",)], "text string")
+        t = df.select(redact_pii(F.col("text")).alias("t")).first().t
+        assert "<EMAIL>" in t and "<PHONE>" in t and "<IP>" in t
+        assert "keep 1.2 and v1.2.3 and plain text" in t

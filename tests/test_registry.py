@@ -31,7 +31,7 @@ MUST_BE_IN_WINDOW = {
     "dedup_clusters", "dedup_minhash_lsh_md5", "rest_datasource_scan",
     # new operators in r4, never driver-verified (tier C, priority 30)
     "text_repetition_signals", "corpus_pack_budget",
-    "corpus_decontaminate",
+    "corpus_decontaminate", "text_redact_pii", "corpus_chunk_text",
 }
 
 
