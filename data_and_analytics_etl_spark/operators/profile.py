@@ -40,3 +40,40 @@ def profile(df: DataFrame, columns: list[str] | None = None,
                      F.col(f"{c}__mx").alias("max_str"))
             for c in cols])).alias("p"))
     return stacked.select("p.*")
+
+
+def outliers_zscore(df: DataFrame, value_col: str, group_col: str,
+                    z: float = 2.0) -> DataFrame:
+    """Per-group z-score outliers with ENGINE-EXACT moments.
+
+    Naive ``avg``/``stddev`` of doubles are accumulation-order-
+    sensitive, so two engines (or two runs) can disagree about a row
+    sitting near the threshold. Instead both moments come from exact
+    decimal sums — sum(v) as DECIMAL(18,2) and sum(v*v) as the exact
+    decimal product — then one double division at the end, so mean and
+    variance are bit-identical on any engine and any partitioning.
+    Sample variance: (svv - sv^2/n) / (n-1).
+
+    Scale shape: one groupBy over the group column (tiny result)
+    broadcast back onto the scan; the outlier predicate compares the
+    raw value against mean +/- z*std inside codegen. Rows in groups
+    with n < 2 (no variance) are never flagged.
+    """
+    v = F.col(value_col).cast("decimal(18,2)")
+    stats = (df.groupBy(group_col)
+             .agg(F.sum(v).alias("__sv"),
+                  F.sum(v * v).alias("__svv"),
+                  F.count(v).alias("__n")))
+    mean = (F.col("__sv").cast("double") / F.col("__n")).alias("__mean")
+    var = ((F.col("__svv").cast("double")
+            - F.col("__sv").cast("double") * F.col("__sv").cast("double")
+            / F.col("__n"))
+           / (F.col("__n") - 1))
+    std = F.sqrt(var).alias("__std")
+    lookup = stats.filter(F.col("__n") >= 2).select(group_col, mean, std)
+    joined = df.join(F.broadcast(lookup), group_col)
+    dev = F.col(value_col) - F.col("__mean")
+    return (joined.filter((dev > F.lit(z) * F.col("__std"))
+                          | (dev < -F.lit(z) * F.col("__std")))
+            .withColumn("zscore", F.round(dev / F.col("__std"), 2))
+            .drop("__mean", "__std"))

@@ -57,3 +57,32 @@ def hash_stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
         thresh = F.when(F.col(stratum_col) == value,
                         F.lit(_hex_threshold(frac))).otherwise(thresh)
     return df.filter(hash_bucket(F.col(key_col)) < thresh)
+
+
+def rebalance_sample(df: DataFrame, key_col: str,
+                     stratum_col: str) -> DataFrame:
+    """Downsample every stratum to (about) the smallest stratum's size.
+
+    The corpus-curation "equalize the language mix" move: per-stratum
+    keep-fraction = min_count/count, quantized to floor(256·frac)/256
+    so membership stays a pure hash-threshold function of the key.
+    ``floor`` (not round) keeps the threshold engine-neutral: both
+    engines do the same IEEE double division, and floor has no
+    half-way tie to disagree on.
+
+    Scale shape: one groupBy over the stratum column (tiny result),
+    broadcast back onto the scan, then the same codegen-only hash
+    filter as ``hash_sample``. No global shuffle of the data.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__c"))
+    smallest = counts.agg(F.min("__c").alias("__mc"))
+    counts = (counts.crossJoin(F.broadcast(smallest))
+              .withColumn("__k",
+                          F.floor(F.lit(256.0) * F.col("__mc")
+                                  / F.col("__c")).cast("int")))
+    thresh = (F.when(F.col("__k") >= 256, F.lit("g0"))
+              .otherwise(F.lpad(F.lower(F.hex(F.col("__k"))), 2, "0")))
+    lookup = counts.select(stratum_col, thresh.alias("__thresh"))
+    return (df.join(F.broadcast(lookup), stratum_col)
+            .filter(hash_bucket(F.col(key_col)) < F.col("__thresh"))
+            .drop("__thresh"))

@@ -16,7 +16,7 @@ Everything is built-in expressions; no driver-side date loops.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def resample(df: DataFrame, key: str, ts_col: str, interval: str = "1 hour",
@@ -42,4 +42,25 @@ def resample(df: DataFrame, key: str, ts_col: str, interval: str = "1 hour",
                                                step)).alias("bucket")))
     out = (spine.join(agged, [key, "bucket"], "left")
            .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
+    return out
+
+
+def gap_fill(resampled: DataFrame, key: str, order_col: str = "bucket",
+             value_cols: tuple[str, ...] = ("sum_value",)) -> DataFrame:
+    """Forward-fill NULL gap buckets from the last observed value.
+
+    Runs on ``resample`` output: per key, ordered by bucket, each value
+    column gains a ``<col>_filled`` twin carrying the most recent
+    non-null observation (leading gaps stay NULL — there is nothing to
+    fill from). ``last(..., ignorenulls=True)`` over a running ROWS
+    frame; the window shares the resample output's (key) partitioning,
+    so the fill adds a sort but no extra shuffle beyond the window's
+    own, and state per key is one scalar per filled column.
+    """
+    w = (Window.partitionBy(key).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = resampled
+    for c in value_cols:
+        out = out.withColumn(f"{c}_filled",
+                             F.last(F.col(c), ignorenulls=True).over(w))
     return out

@@ -1,0 +1,237 @@
+"""Product/ops-analytics probes: funnel, binning, rebalance sampling,
+gap-fill, exact-moment outliers (round-4 surface widening).
+
+Determinism notes follow SURVEY §7.5: decimal sums for doubles that
+cross an aggregate, BIGINT casts on oracle-side integer sums, UTC
+string timestamps, total ORDER BY everywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       strftime(s1.t1, '%Y-%m-%d %H:%M:%S.%f') AS t1,
+       strftime(s2.t2, '%Y-%m-%d %H:%M:%S.%f') AS t2,
+       strftime(s3.t3, '%Y-%m-%d %H:%M:%S.%f') AS t3,
+       CAST(1 + CAST(s2.t2 IS NOT NULL AS INTEGER)
+              + CAST(s3.t3 IS NOT NULL AS INTEGER) AS INTEGER) AS stage
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s2.user_id = s3.user_id
+ORDER BY s1.user_id
+""",
+    tags=("analytics", "funnel"),
+    doc="Ordered-stage conversion funnel (operators/funnel.py): per "
+        "user, earliest view, earliest click strictly after it, "
+        "earliest purchase strictly after that; `stage` = deepest "
+        "stage reached. Spark side is ONE shuffle (chained conditional "
+        "window-mins over the same user partitioning); the oracle "
+        "spells the same semantics as three staged joins.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_stages
+    ev = load_table(spark, sf_dir, "events")
+    out = funnel_stages(ev, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (out.select(
+        "user_id",
+        F.date_format("t1", fmt).alias("t1"),
+        F.date_format("t2", fmt).alias("t2"),
+        F.date_format("t3", fmt).alias("t3"),
+        F.col("stage").cast("int").alias("stage"))
+        .orderBy("user_id"))
+
+
+@query(
+    "quantile_bucket_ntile",
+    oracle="""
+WITH b AS (
+  SELECT o_orderkey, o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders WHERE o_orderkey < 4000
+)
+SELECT bucket, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+    tags=("analytics", "binning"),
+    doc="Exact decile bucketing (operators/binning.py quantile_bucket):"
+        " ntile(10) over the total order (value, key) then per-bucket "
+        "count/min/max. The exact path is the oracle-checkable "
+        "baseline; quantile_bucket_approx (sketch cutpoints, no global "
+        "sort) is the 100 TB path, recall-tested in pytest.",
+)
+def quantile_bucket_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.binning import quantile_bucket
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") < 4000))
+    b = quantile_bucket(o, "o_totalprice", 10, "o_orderkey")
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi"))
+            .orderBy("bucket"))
+
+
+@query(
+    "histogram_fixed_width",
+    oracle="""
+SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0),
+                  23) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM orders
+GROUP BY bucket ORDER BY bucket
+""",
+    tags=("analytics", "binning"),
+    doc="Fixed-width histogram (operators/binning.py fixed_histogram): "
+        "24 buckets of 25k over o_totalprice, edge-clamped. Pure "
+        "arithmetic bucketing (no width_bucket dependency), one "
+        "groupBy shuffle of (bucket, partial count).",
+)
+def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.binning import fixed_histogram
+    o = load_table(spark, sf_dir, "orders")
+    return fixed_histogram(o, "o_totalprice", 0.0, 600000.0, 24) \
+        .orderBy("bucket")
+
+
+@query(
+    "sample_rebalance",
+    oracle="""
+WITH cnt AS (
+  SELECT lang, count(*) AS c FROM documents GROUP BY 1
+), th AS (
+  SELECT lang,
+         CAST(floor(256.0 * (SELECT min(c) FROM cnt) / c) AS INTEGER)
+           AS k
+  FROM cnt
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th ON d.lang = th.lang
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+      < CASE WHEN th.k >= 256 THEN 'g0'
+             ELSE lpad(lower(hex(th.k)), 2, '0') END
+ORDER BY d.doc_id
+""",
+    tags=("analytics", "sample"),
+    doc="Stratum-rebalancing sampler (operators/sampling.py "
+        "rebalance_sample): every language downsampled toward the "
+        "smallest stratum via per-stratum hash thresholds "
+        "floor(256*min/c)/256 — deterministic membership, counts "
+        "broadcast, no data shuffle.",
+)
+def sample_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import rebalance_sample
+    d = load_table(spark, sf_dir, "documents")
+    return (rebalance_sample(d, "doc_id", "lang")
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+WITH agg AS (
+  SELECT event_type, time_bucket(INTERVAL 15 MINUTES, ts) AS b,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 15 MINUTES)) AS b
+  FROM bounds
+), j AS (
+  SELECT s.event_type, s.b, coalesce(a.n, 0) AS n, a.sum_value
+  FROM spine s LEFT JOIN agg a
+    ON s.event_type = a.event_type AND s.b = a.b
+)
+SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+       sum_value,
+       last_value(sum_value IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS sum_value_filled
+FROM j ORDER BY event_type, bucket
+""",
+    tags=("analytics", "timeseries"),
+    doc="Resample + forward fill (operators/timeseries.py gap_fill): "
+        "15-min buckets per event type incl. empty ones, then each "
+        "gap bucket carries the last observed decimal-summed value "
+        "(last ignorenulls over a running ROWS frame — one scalar of "
+        "state per key, shares the resample partitioning).",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gap_fill, resample
+    ev = load_table(spark, sf_dir, "events")
+    r = resample(ev, key="event_type", ts_col="ts",
+                 interval="15 minutes", value_col="value")
+    out = gap_fill(r, key="event_type", value_cols=("sum_value",))
+    return (out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n", "sum_value",
+        F.col("sum_value_filled").alias("sum_value_filled"))
+        .orderBy("event_type", "bucket"))
+
+
+@query(
+    "outlier_zscore",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+         CAST(sum(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv,
+         count(value) AS n
+  FROM events GROUP BY 1
+), m AS (
+  SELECT event_type, sv / n AS mean,
+         sqrt((svv - sv * sv / n) / (n - 1)) AS std
+  FROM stats WHERE n >= 2
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - m.mean) / m.std, 2) AS zscore
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE e.value - m.mean > 2.0 * m.std
+   OR e.value - m.mean < -2.0 * m.std
+ORDER BY e.event_id
+""",
+    tags=("analytics", "profile"),
+    doc="Per-group z-score outliers (operators/profile.py "
+        "outliers_zscore) with ENGINE-EXACT moments: mean and variance "
+        "derived from exact decimal sums sum(v), sum(v*v), so the "
+        "threshold is bit-identical across engines and partitionings — "
+        "no float-accumulation boundary flips. Stats broadcast back "
+        "onto the scan; predicate stays in codegen.",
+)
+def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import outliers_zscore
+    ev = load_table(spark, sf_dir, "events")
+    out = outliers_zscore(ev, "value", "event_type", z=2.0)
+    return (out.select("event_id", "event_type", "value", "zscore")
+            .orderBy("event_id"))

@@ -103,6 +103,12 @@ ROUND_TIERS: dict[str, int] = {
     "corpus_decontaminate": 30,
     "text_redact_pii": 30,
     "corpus_chunk_text": 30,
+    "funnel_conversion": 30,
+    "quantile_bucket_ntile": 30,
+    "histogram_fixed_width": 30,
+    "sample_rebalance": 30,
+    "timeseries_gap_fill": 30,
+    "outlier_zscore": 30,
 }
 
 

@@ -1,0 +1,149 @@
+"""Analytics-operator invariants (funnel, binning, rebalance, gap fill,
+outliers) at sf0.001 — exact-value parity is covered by the DuckDB
+oracles in queries/analytics.py; these pin the semantic contracts the
+oracle can't see (monotonicity, approx-path agreement, bounds).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_and_analytics_etl_spark.catalog import load_table
+from data_and_analytics_etl_spark.operators.binning import (
+    fixed_histogram, quantile_bucket, quantile_bucket_approx)
+from data_and_analytics_etl_spark.operators.funnel import (
+    funnel_counts, funnel_stages)
+from data_and_analytics_etl_spark.operators.profile import outliers_zscore
+from data_and_analytics_etl_spark.operators.sampling import rebalance_sample
+from data_and_analytics_etl_spark.operators.timeseries import (
+    gap_fill, resample)
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+class TestFunnel:
+    def test_stage_timestamps_strictly_increase(self, spark, sf_dir):
+        out = funnel_stages(_events(spark, sf_dir), "user_id", "ts",
+                            "event_type",
+                            ["view", "click", "purchase"]).cache()
+        bad = out.filter(
+            (F.col("t2").isNotNull() & (F.col("t2") <= F.col("t1")))
+            | (F.col("t3").isNotNull() & (F.col("t3") <= F.col("t2"))))
+        assert bad.count() == 0
+        # stage k reached implies stage k-1 reached (no gaps)
+        holes = out.filter(F.col("t3").isNotNull() & F.col("t2").isNull())
+        assert holes.count() == 0
+
+    def test_counts_monotone_decreasing(self, spark, sf_dir):
+        per_user = funnel_stages(_events(spark, sf_dir), "user_id", "ts",
+                                 "event_type",
+                                 ["view", "click", "purchase"])
+        row = funnel_counts(per_user, 3).collect()[0]
+        assert row["reached_1"] >= row["reached_2"] >= row["reached_3"]
+        assert row["reached_1"] == per_user.count()
+
+    def test_rejects_single_stage(self, spark, sf_dir):
+        import pytest
+        with pytest.raises(ValueError):
+            funnel_stages(_events(spark, sf_dir), "user_id", "ts",
+                          "event_type", ["view"])
+
+
+class TestBinning:
+    def test_ntile_buckets_are_balanced_and_ordered(self, spark, sf_dir):
+        o = load_table(spark, sf_dir, "orders")
+        b = quantile_bucket(o, "o_totalprice", 10, "o_orderkey")
+        sizes = {r["bucket"]: r["n"] for r in
+                 b.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+        assert set(sizes) == set(range(1, 11))
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # bucket ranges must not overlap: max(bucket k) <= min(bucket k+1)
+        edges = (b.groupBy("bucket")
+                 .agg(F.min("o_totalprice").alias("lo"),
+                      F.max("o_totalprice").alias("hi"))
+                 .orderBy("bucket").collect())
+        for prev, nxt in zip(edges, edges[1:]):
+            assert prev["hi"] <= nxt["lo"]
+
+    def test_approx_agrees_with_exact_within_one_bucket(self, spark, sf_dir):
+        o = load_table(spark, sf_dir, "orders")
+        exact = quantile_bucket(o, "o_totalprice", 10, "o_orderkey") \
+            .select("o_orderkey", F.col("bucket").alias("eb"))
+        approx = quantile_bucket_approx(o, "o_totalprice", 10) \
+            .select("o_orderkey", F.col("bucket").alias("ab"))
+        joined = exact.join(approx, "o_orderkey")
+        off = joined.filter(F.abs(F.col("eb") - F.col("ab")) > 1).count()
+        assert off == 0, "approx bucket deviates >1 from exact"
+
+    def test_histogram_covers_all_rows_and_clamps(self, spark, sf_dir):
+        o = load_table(spark, sf_dir, "orders")
+        h = fixed_histogram(o, "o_totalprice", 100000.0, 200000.0, 4)
+        rows = h.collect()
+        assert sum(r["n"] for r in rows) == o.count()
+        assert all(0 <= r["bucket"] <= 3 for r in rows)
+
+
+class TestRebalance:
+    def test_strata_shrink_toward_smallest(self, spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        before = {r["lang"]: r["n"] for r in
+                  d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        after = {r["lang"]: r["n"] for r in
+                 rebalance_sample(d, "doc_id", "lang")
+                 .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        mn = min(before.values())
+        for lang, n_before in before.items():
+            n_after = after.get(lang, 0)
+            assert n_after <= n_before
+            if n_before == mn:  # smallest stratum is kept whole
+                assert n_after == n_before
+        # spread after is tighter than before (or was already equal)
+        if max(before.values()) > mn:
+            assert (max(after.values()) - min(after.values())
+                    < max(before.values()) - mn)
+
+    def test_membership_is_deterministic(self, spark, sf_dir):
+        d = load_table(spark, sf_dir, "documents")
+        a = {r["doc_id"] for r in
+             rebalance_sample(d, "doc_id", "lang").collect()}
+        b = {r["doc_id"] for r in
+             rebalance_sample(d.repartition(7), "doc_id", "lang").collect()}
+        assert a == b
+
+
+class TestGapFill:
+    def test_fill_carries_last_observation(self, spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        r = resample(ev, key="event_type", ts_col="ts",
+                     interval="15 minutes", value_col="value")
+        out = gap_fill(r, key="event_type").cache()
+        # every non-gap bucket: filled == raw
+        mism = out.filter(F.col("sum_value").isNotNull()
+                          & (F.col("sum_value_filled")
+                             != F.col("sum_value"))).count()
+        assert mism == 0
+        # gap buckets after the first observation are filled
+        from pyspark.sql import Window
+        w = (Window.partitionBy("event_type").orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        seen = out.withColumn(
+            "__any", F.count("sum_value").over(w))
+        unfilled = seen.filter((F.col("__any") > 0)
+                               & F.col("sum_value_filled").isNull())
+        assert unfilled.count() == 0
+
+
+class TestOutliers:
+    def test_flagged_rows_are_beyond_threshold(self, spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        out = outliers_zscore(ev, "value", "event_type", z=2.0).cache()
+        assert out.count() > 0  # heavy-tailed values guarantee outliers
+        assert out.filter(F.abs(F.col("zscore")) < 2.0).count() == 0
+
+    def test_tighter_threshold_flags_fewer(self, spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        n2 = outliers_zscore(ev, "value", "event_type", z=2.0).count()
+        n3 = outliers_zscore(ev, "value", "event_type", z=3.0).count()
+        assert n3 <= n2

@@ -32,6 +32,9 @@ MUST_BE_IN_WINDOW = {
     # new operators in r4, never driver-verified (tier C, priority 30)
     "text_repetition_signals", "corpus_pack_budget",
     "corpus_decontaminate", "text_redact_pii", "corpus_chunk_text",
+    # new analytics operators in r4, never driver-verified (tier C)
+    "funnel_conversion", "quantile_bucket_ntile", "histogram_fixed_width",
+    "sample_rebalance", "timeseries_gap_fill", "outlier_zscore",
 }
 
 
