@@ -86,3 +86,22 @@ def rebalance_sample(df: DataFrame, key_col: str,
     return (df.join(F.broadcast(lookup), stratum_col)
             .filter(hash_bucket(F.col(key_col)) < F.col("__thresh"))
             .drop("__thresh"))
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight: Column,
+                    scale: float) -> DataFrame:
+    """Keep each row with probability ~ min(weight*scale, 1),
+    deterministically (importance sampling for corpus curation —
+    quality-weighted keeps, recency decay, source boosts).
+
+    Per-row threshold = floor(256 * clamp(weight*scale, 0, 1)), same
+    floor/256 quantization as the other hash samplers, so membership
+    is a pure function of (key, weight) — stable across engines,
+    partitionings and incremental loads. Rows with weight*scale >= 1
+    are always kept. Zero shuffles; the predicate stays in codegen.
+    """
+    p = F.least(F.greatest(weight * F.lit(scale), F.lit(0.0)), F.lit(1.0))
+    k = F.floor(F.lit(256.0) * p).cast("int")
+    thresh = (F.when(k >= 256, F.lit("g0"))
+              .otherwise(F.lpad(F.lower(F.hex(k)), 2, "0")))
+    return df.filter(hash_bucket(F.col(key_col)) < thresh)

@@ -235,3 +235,98 @@ def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outliers_zscore(ev, "value", "event_type", z=2.0)
     return (out.select("event_id", "event_type", "value", "zscore")
             .orderBy("event_id"))
+
+
+@query(
+    "fuzzy_join_blocked",
+    oracle="""
+WITH n AS (
+  SELECT DISTINCT p_name AS value FROM part WHERE p_name IS NOT NULL
+), p AS (
+  SELECT value, split_part(value, ' ', 1) AS blk FROM n
+)
+SELECT a.value AS value_a, b.value AS value_b,
+       CAST(levenshtein(a.value, b.value) AS INTEGER) AS dist
+FROM p a JOIN p b ON a.blk = b.blk
+WHERE a.value < b.value AND levenshtein(a.value, b.value) <= 3
+ORDER BY value_a, value_b
+""",
+    tags=("analytics", "linkage"),
+    doc="Blocked fuzzy matching / record linkage (operators/"
+        "linkage.py): distinct-value dictionary, first-token blocking, "
+        "levenshtein <= 3 verify. The dictionary (not the table) is "
+        "what gets compared — candidate volume is per-block, never "
+        "n^2 over rows; matches broadcast back or feed dedup_clusters "
+        "for canonical entities.",
+)
+def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import blocked_fuzzy_pairs, first_token
+    p = load_table(spark, sf_dir, "part")
+    pairs = blocked_fuzzy_pairs(p, "p_name", first_token("value"), 3)
+    return (pairs.select("value_a", "value_b",
+                         F.col("dist").cast("int").alias("dist"))
+            .orderBy("value_a", "value_b"))
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+SELECT o_orderpriority,
+       count(o_totalprice) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_value,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(o_totalprice), 2) AS avg_value,
+       min(o_totalprice) AS min_value,
+       max(o_totalprice) AS max_value
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+    tags=("analytics", "incremental"),
+    doc="Incremental aggregate maintenance (operators/incremental.py): "
+        "the table is split into two date batches, each collapsed to "
+        "mergeable per-key states (n, decimal sum, min, max), states "
+        "merged with one co-keyed re-aggregation, then finalized. The "
+        "oracle is a FULL recompute over the unsplit table — the probe "
+        "asserts merge(state(b1), state(b2)) == recompute(b1 U b2) "
+        "bit-for-bit, the algebraic-aggregate contract that lets 100 TB "
+        "pipelines fold in an hourly batch without a history scan.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import agg_state, finalize, merge_states
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01").cast("date")
+    b1 = o.filter(F.col("o_orderdate") < cut)
+    b2 = o.filter(F.col("o_orderdate") >= cut)
+    merged = merge_states(agg_state(b1, ["o_orderpriority"], "o_totalprice"),
+                          agg_state(b2, ["o_orderpriority"], "o_totalprice"))
+    return finalize(merged).orderBy("o_orderpriority")
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <
+  CASE WHEN CAST(floor(256.0 * least(greatest(
+              o_totalprice * 0.000003814697265625, 0.0), 1.0))
+            AS INTEGER) >= 256 THEN 'g0'
+       ELSE lpad(lower(hex(CAST(floor(256.0 * least(greatest(
+              o_totalprice * 0.000003814697265625, 0.0), 1.0))
+            AS INTEGER))), 2, '0') END
+ORDER BY o_orderkey
+""",
+    tags=("analytics", "sample"),
+    doc="Deterministic weighted sampling (operators/sampling.py "
+        "weighted_sample): keep probability ~ min(weight*scale, 1) via "
+        "per-row hash thresholds — importance sampling for corpus "
+        "curation with engine-stable membership. scale = 2^-18 (an "
+        "exact binary double, so weight*scale is the identical IEEE "
+        "product on both engines). Zero shuffles.",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+    o = load_table(spark, sf_dir, "orders")
+    out = weighted_sample(o, "o_orderkey", F.col("o_totalprice"),
+                          1.0 / 262144.0)
+    return out.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")

@@ -109,6 +109,9 @@ ROUND_TIERS: dict[str, int] = {
     "sample_rebalance": 30,
     "timeseries_gap_fill": 30,
     "outlier_zscore": 30,
+    "fuzzy_join_blocked": 30,
+    "incremental_agg_merge": 30,
+    "sample_weighted": 30,
 }
 
 

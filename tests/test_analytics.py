@@ -147,3 +147,81 @@ class TestOutliers:
         n2 = outliers_zscore(ev, "value", "event_type", z=2.0).count()
         n3 = outliers_zscore(ev, "value", "event_type", z=3.0).count()
         assert n3 <= n2
+
+
+class TestLinkage:
+    def test_pairs_are_ordered_and_within_distance(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.linkage import (
+            blocked_fuzzy_pairs, first_token)
+        p = load_table(spark, sf_dir, "part")
+        pairs = blocked_fuzzy_pairs(p, "p_name", first_token("value"),
+                                    3).cache()
+        assert pairs.filter(F.col("value_a") >= F.col("value_b")).count() == 0
+        assert pairs.filter((F.col("dist") <= 0)
+                            | (F.col("dist") > 3)).count() == 0
+
+    def test_planted_near_duplicate_is_found(self, spark):
+        from data_and_analytics_etl_spark.operators.linkage import (
+            blocked_fuzzy_pairs, first_token)
+        df = spark.createDataFrame(
+            [("acme corp",), ("acme corp.",), ("acme korp",),
+             ("globex inc",), ("initech llc",)], ["name"])
+        got = {(r["value_a"], r["value_b"]) for r in
+               blocked_fuzzy_pairs(df, "name", first_token("value"),
+                                   2).collect()}
+        assert ("acme corp", "acme corp.") in got
+        assert ("acme corp", "acme korp") in got
+        assert not any("globex" in a or "globex" in b for a, b in got)
+
+
+class TestIncremental:
+    def test_merge_equals_full_recompute_any_split(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.incremental import (
+            agg_state, finalize, merge_states)
+        o = load_table(spark, sf_dir, "orders")
+        full = finalize(agg_state(o, ["o_orderpriority"], "o_totalprice"))
+        # three-way split on an arbitrary hash — batch boundaries must
+        # not matter
+        h = F.abs(F.hash("o_orderkey")) % 3
+        parts = [o.filter(h == i) for i in range(3)]
+        states = [agg_state(b, ["o_orderpriority"], "o_totalprice")
+                  for b in parts]
+        merged = finalize(merge_states(*states))
+        a = {tuple(r) for r in full.collect()}
+        b = {tuple(r) for r in merged.collect()}
+        assert a == b
+
+    def test_merge_is_order_insensitive(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.incremental import (
+            agg_state, finalize, merge_states)
+        o = load_table(spark, sf_dir, "orders")
+        cut = F.lit("1996-01-01").cast("date")
+        s1 = agg_state(o.filter(F.col("o_orderdate") < cut),
+                       ["o_orderpriority"], "o_totalprice")
+        s2 = agg_state(o.filter(F.col("o_orderdate") >= cut),
+                       ["o_orderpriority"], "o_totalprice")
+        ab = {tuple(r) for r in finalize(merge_states(s1, s2)).collect()}
+        ba = {tuple(r) for r in finalize(merge_states(s2, s1)).collect()}
+        assert ab == ba
+
+
+class TestWeightedSample:
+    def test_keep_rate_increases_with_weight(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.sampling import (
+            weighted_sample)
+        o = load_table(spark, sf_dir, "orders").cache()
+        kept = weighted_sample(o, "o_orderkey", F.col("o_totalprice"),
+                               1.0 / 262144.0).cache()
+        mid = 150000.0
+        lo_rate = (kept.filter(F.col("o_totalprice") < mid).count()
+                   / max(1, o.filter(F.col("o_totalprice") < mid).count()))
+        hi_rate = (kept.filter(F.col("o_totalprice") >= mid).count()
+                   / max(1, o.filter(F.col("o_totalprice") >= mid).count()))
+        assert hi_rate > lo_rate
+
+    def test_saturated_weight_keeps_everything(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.sampling import (
+            weighted_sample)
+        o = load_table(spark, sf_dir, "orders")
+        kept = weighted_sample(o, "o_orderkey", F.lit(2.0), 1.0)
+        assert kept.count() == o.count()
