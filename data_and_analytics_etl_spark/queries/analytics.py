@@ -330,3 +330,45 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = weighted_sample(o, "o_orderkey", F.col("o_totalprice"),
                           1.0 / 262144.0)
     return out.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+@query(
+    "zorder_key_morton",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey,
+         o_custkey % 256 AS x,
+         CAST(extract(day FROM o_orderdate) AS BIGINT) % 32 AS y
+  FROM orders WHERE o_orderkey < 4000
+)
+SELECT o_orderkey, x, y,
+       ((x >> 0) & 1) * 1     + ((y >> 0) & 1) * 2
+     + ((x >> 1) & 1) * 4     + ((y >> 1) & 1) * 8
+     + ((x >> 2) & 1) * 16    + ((y >> 2) & 1) * 32
+     + ((x >> 3) & 1) * 64    + ((y >> 3) & 1) * 128
+     + ((x >> 4) & 1) * 256   + ((y >> 4) & 1) * 512
+     + ((x >> 5) & 1) * 1024  + ((y >> 5) & 1) * 2048
+     + ((x >> 6) & 1) * 4096  + ((y >> 6) & 1) * 8192
+     + ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768 AS zkey
+FROM src ORDER BY o_orderkey
+""",
+    tags=("analytics", "layout"),
+    doc="Z-order / Morton key (operators/layout.py zorder_key): bit-"
+        "interleave of two dimensions, the clustering key behind "
+        "multi-dim file pruning (Delta/Iceberg OPTIMIZE ZORDER). Pure "
+        "shift/mask arithmetic inside codegen; the oracle spells the "
+        "identical interleave. zorder_write's pruning benefit (tighter "
+        "per-file min/max on BOTH dims vs a linear sort) is asserted "
+        "in tests/test_analytics.py::TestZorder.",
+)
+def zorder_key_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_key
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") < 4000)
+         .select("o_orderkey",
+                 (F.col("o_custkey") % 256).alias("x"),
+                 (F.dayofmonth("o_orderdate").cast("long") % 32)
+                 .alias("y")))
+    return (o.withColumn("zkey", zorder_key([F.col("x"), F.col("y")],
+                                            bits=8))
+            .orderBy("o_orderkey"))

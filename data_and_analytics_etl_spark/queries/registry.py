@@ -112,6 +112,7 @@ ROUND_TIERS: dict[str, int] = {
     "fuzzy_join_blocked": 30,
     "incremental_agg_merge": 30,
     "sample_weighted": 30,
+    "zorder_key_morton": 30,
 }
 
 

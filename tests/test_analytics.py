@@ -225,3 +225,51 @@ class TestWeightedSample:
         o = load_table(spark, sf_dir, "orders")
         kept = weighted_sample(o, "o_orderkey", F.lit(2.0), 1.0)
         assert kept.count() == o.count()
+
+
+class TestZorder:
+    def test_key_matches_reference_interleave(self, spark):
+        from data_and_analytics_etl_spark.operators.layout import zorder_key
+        df = spark.createDataFrame([(3, 5)], ["x", "y"])
+        # x=0b011, y=0b101 -> bits: y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1
+        got = df.select(zorder_key([F.col("x"), F.col("y")],
+                                   bits=3).alias("z")).collect()[0]["z"]
+        assert got == 0b100111
+
+    def test_zorder_files_are_tighter_on_second_dim(self, spark, sf_dir,
+                                                    tmp_path):
+        import glob
+        from data_and_analytics_etl_spark.operators.layout import (
+            normalize_to_bits, zorder_write)
+        o = (load_table(spark, sf_dir, "orders")
+             .select("o_orderkey", "o_custkey", "o_totalprice"))
+        bounds = o.agg(F.max("o_custkey").alias("ck"),
+                       F.max("o_totalprice").alias("tp")).collect()[0]
+        zcols = [normalize_to_bits(F.col("o_custkey"), 0.0,
+                                   float(bounds["ck"]), 8),
+                 normalize_to_bits(F.col("o_totalprice"), 0.0,
+                                   float(bounds["tp"]), 8)]
+        zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+        zorder_write(o, zcols, zpath, num_files=8, bits=8)
+        (o.repartitionByRange(8, "o_custkey")
+         .sortWithinPartitions("o_custkey")
+         .write.mode("overwrite").parquet(lpath))
+
+        def avg_range(path, col):
+            widths = []
+            for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+                r = (spark.read.parquet(f)
+                     .agg((F.max(col) - F.min(col)).alias("w"))
+                     .collect()[0]["w"])
+                widths.append(float(r))
+            return sum(widths) / len(widths)
+
+        # linear layout clusters custkey perfectly but leaves totalprice
+        # spanning ~the full domain per file; z-order must tighten the
+        # second dimension substantially (and still help the first)
+        z_tp = avg_range(zpath, "o_totalprice")
+        lin_tp = avg_range(lpath, "o_totalprice")
+        assert z_tp < 0.8 * lin_tp, (z_tp, lin_tp)
+        z_ck = avg_range(zpath, "o_custkey")
+        full_ck = float(bounds["ck"])
+        assert z_ck < full_ck  # still partially clustered on dim 1
