@@ -273,3 +273,45 @@ class TestZorder:
         z_ck = avg_range(zpath, "o_custkey")
         full_ck = float(bounds["ck"])
         assert z_ck < full_ck  # still partially clustered on dim 1
+
+
+class TestIncrementalStreaming:
+    def test_foreachbatch_state_maintenance_equals_batch(self, spark,
+                                                         sf_dir, tmp_path):
+        """Incremental agg as a STREAM consumer: each micro-batch folds
+        into a persisted per-key state table via merge_states (state is
+        re-written per batch — at scale this is a MERGE upsert, see
+        etl/merge.py); the finalized state after the run must equal the
+        batch aggregate over the same rows. Stream-side twin of the
+        incremental_agg_merge oracle probe.
+        """
+        from data_and_analytics_etl_spark.operators.incremental import (
+            agg_state, finalize, merge_states)
+        from data_and_analytics_etl_spark.streaming.ops import events_stream
+
+        state_root = tmp_path / "state"
+        versions = []  # state table versions (parquet dirs)
+
+        def fold(batch_df, batch_id):
+            s = agg_state(batch_df, ["event_type"], "value")
+            if versions:
+                prev = spark.read.parquet(versions[-1])
+                s = merge_states(prev, s)
+            out = str(state_root / f"v{batch_id}")
+            s.write.mode("overwrite").parquet(out)
+            versions.append(out)
+
+        q = (events_stream(spark, sf_dir)
+             .writeStream.foreachBatch(fold)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert versions, "stream produced no batches"
+
+        got = {tuple(r) for r in
+               finalize(spark.read.parquet(versions[-1])).collect()}
+        batch = load_table(spark, sf_dir, "events")
+        want = {tuple(r) for r in
+                finalize(agg_state(batch, ["event_type"],
+                                   "value")).collect()}
+        assert got == want
