@@ -372,3 +372,84 @@ def zorder_key_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.withColumn("zkey", zorder_key([F.col("x"), F.col("y")],
                                             bits=8))
             .orderBy("o_orderkey"))
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort FROM events
+  GROUP BY 1
+), cells AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         datediff('day', f.cohort, date_trunc('day', e.ts)) AS
+           period_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_period,
+       CAST(period_offset AS INTEGER) AS period_offset,
+       count(*) AS n_users
+FROM cells GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    tags=("analytics", "cohort"),
+    doc="Cohort retention triangle (operators/cohort.py): cohort = "
+        "day of first event per user (window-min, one user-key "
+        "shuffle), cell = distinct cohort users active at day offset "
+        "k. Integer counts end to end — exactly oracle-checkable.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cohort import cohort_retention as cr
+    ev = load_table(spark, sf_dir, "events")
+    out = cr(ev, "user_id", "ts", period="day")
+    return (out.select(
+        F.date_format("cohort_period", "yyyy-MM-dd").alias("cohort_period"),
+        F.col("period_offset").cast("int").alias("period_offset"),
+        "n_users")
+        .orderBy("cohort_period", "period_offset"))
+
+
+@query(
+    "drift_psi_histogram",
+    oracle="""
+WITH a AS (
+  SELECT CAST(least(greatest(floor((value - 0.0) / 50.0), 0), 9)
+              AS BIGINT) AS bucket, count(*) AS n_a
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1
+), b AS (
+  SELECT CAST(least(greatest(floor((value - 0.0) / 50.0), 0), 9)
+              AS BIGINT) AS bucket, count(*) AS n_b
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series(0, 9)) AS bucket
+), grid AS (
+  SELECT s.bucket,
+         coalesce(a.n_a, 0) AS n_a, coalesce(b.n_b, 0) AS n_b
+  FROM spine s LEFT JOIN a ON s.bucket = a.bucket
+               LEFT JOIN b ON s.bucket = b.bucket
+), tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+  FROM grid
+)
+SELECT g.bucket, g.n_a, g.n_b,
+       round(((g.n_a + 0.5) / (t.ta + 5.0)
+              - (g.n_b + 0.5) / (t.tb + 5.0))
+             * ln(((g.n_a + 0.5) / (t.ta + 5.0))
+                  / ((g.n_b + 0.5) / (t.tb + 5.0))), 6) AS psi_contrib
+FROM grid g, tot t ORDER BY g.bucket
+""",
+    tags=("analytics", "profile"),
+    doc="Distribution-drift PSI between two time snapshots "
+        "(operators/profile.py drift_psi): shared 10-bucket histogram "
+        "of event value before/after 2024-01-16, Laplace-smoothed, "
+        "per-bucket contribution (p-q)*ln(p/q). One scan per "
+        "snapshot; totals broadcast. The training-data health check "
+        "for silent upstream shifts.",
+)
+def drift_psi_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import drift_psi
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    out = drift_psi(ev.filter(F.col("ts") < cut),
+                    ev.filter(F.col("ts") >= cut),
+                    "value", 0.0, 500.0, 10)
+    return out.orderBy("bucket")

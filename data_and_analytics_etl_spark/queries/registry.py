@@ -113,6 +113,8 @@ ROUND_TIERS: dict[str, int] = {
     "incremental_agg_merge": 30,
     "sample_weighted": 30,
     "zorder_key_morton": 30,
+    "cohort_retention": 30,
+    "drift_psi_histogram": 30,
 }
 
 

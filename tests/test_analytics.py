@@ -315,3 +315,60 @@ class TestIncrementalStreaming:
                 finalize(agg_state(batch, ["event_type"],
                                    "value")).collect()}
         assert got == want
+
+
+class TestCohort:
+    def test_retention_never_exceeds_cohort_size(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.cohort import (
+            cohort_retention)
+        out = cohort_retention(_events(spark, sf_dir), "user_id", "ts",
+                               period="day").cache()
+        from pyspark.sql import Window
+        w = Window.partitionBy("cohort_period")
+        sized = out.withColumn(
+            "__size", F.max(F.when(F.col("period_offset") == 0,
+                                   F.col("n_users"))).over(w))
+        assert sized.filter(F.col("n_users") > F.col("__size")).count() == 0
+        # offset 0 exists for every cohort and offsets are non-negative
+        assert out.filter(F.col("period_offset") < 0).count() == 0
+        cohorts = out.select("cohort_period").distinct().count()
+        zeros = out.filter(F.col("period_offset") == 0).count()
+        assert cohorts == zeros
+
+    def test_week_and_month_periods(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.cohort import (
+            cohort_retention)
+        for period in ("week", "month"):
+            out = cohort_retention(_events(spark, sf_dir), "user_id",
+                                   "ts", period=period)
+            assert out.filter(F.col("period_offset") < 0).count() == 0
+            assert out.count() > 0
+
+    def test_rejects_unknown_period(self, spark, sf_dir):
+        import pytest
+        from data_and_analytics_etl_spark.operators.cohort import (
+            cohort_retention)
+        with pytest.raises(ValueError):
+            cohort_retention(_events(spark, sf_dir), "user_id", "ts",
+                             period="fortnight").count()
+
+
+class TestDriftPsi:
+    def test_identical_snapshots_have_zero_psi(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.profile import drift_psi
+        ev = _events(spark, sf_dir)
+        out = drift_psi(ev, ev, "value", 0.0, 500.0, 10)
+        total = out.agg(F.sum(F.abs("psi_contrib"))).collect()[0][0]
+        assert abs(total) < 1e-9
+
+    def test_shifted_snapshot_drifts_more_than_resample(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.profile import drift_psi
+        ev = _events(spark, sf_dir).cache()
+        half = ev.filter(F.col("event_id") % 2 == 0)
+        shifted = ev.withColumn("value", F.col("value") + F.lit(100.0))
+        psi_same = (drift_psi(ev, half, "value", 0.0, 500.0, 10)
+                    .agg(F.sum("psi_contrib")).collect()[0][0])
+        psi_shift = (drift_psi(ev, shifted, "value", 0.0, 500.0, 10)
+                     .agg(F.sum("psi_contrib")).collect()[0][0])
+        assert psi_shift > 0.25  # standard "shifted" gate
+        assert abs(psi_same) < 0.1  # a thinned resample stays "stable"

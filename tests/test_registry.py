@@ -36,7 +36,7 @@ MUST_BE_IN_WINDOW = {
     "funnel_conversion", "quantile_bucket_ntile", "histogram_fixed_width",
     "sample_rebalance", "timeseries_gap_fill", "outlier_zscore",
     "fuzzy_join_blocked", "incremental_agg_merge", "sample_weighted",
-    "zorder_key_morton",
+    "zorder_key_morton", "cohort_retention", "drift_psi_histogram",
 }
 
 
