@@ -9,7 +9,7 @@ of column count, never one job per column.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def profile(df: DataFrame, columns: list[str] | None = None,
@@ -108,8 +108,13 @@ def drift_psi(df_a: DataFrame, df_b: DataFrame, value_col: str,
         F.col("id").cast("long").alias("bucket"))
     grid = (spine.join(ha, "bucket", "left").join(hb, "bucket", "left")
             .fillna(0, ["n_a", "n_b"]))
-    tot = grid.agg(F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb"))
-    g = grid.join(F.broadcast(tot))
+    # totals as a window over the nbins-row grid, NOT agg + self-join:
+    # the self-join form evaluates the grid subtree twice, i.e. scans
+    # each snapshot twice at scale. The window runs on nbins rows.
+    w = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    g = (grid.withColumn("__ta", F.sum("n_a").over(w))
+         .withColumn("__tb", F.sum("n_b").over(w)))
     p = (F.col("n_a") + F.lit(smooth)) / (F.col("__ta")
                                           + F.lit(smooth) * nbins)
     q = (F.col("n_b") + F.lit(smooth)) / (F.col("__tb")
