@@ -20,12 +20,21 @@ from pyspark.sql import DataFrame, Window
 
 
 def resample(df: DataFrame, key: str, ts_col: str, interval: str = "1 hour",
-             value_col: str | None = None) -> DataFrame:
+             value_col: str | None = None,
+             materialize: bool = True) -> DataFrame:
     """Per-key fixed-interval rollup with empty buckets materialized.
 
     Output: (key, bucket_start, n, sum_value?) — one row per key per
     interval between that key's first and last event; gap buckets carry
     n=0 and NULL sum.
+
+    ``materialize`` (default True) persists the aggregated frame
+    (keys x buckets rows — tiny next to raw) before it fans into the
+    spine-bounds branch and the join branch. Without it both branches
+    re-scan the RAW input: column pruning narrows the spine branch's
+    aggregate, so Catalyst's ReuseExchange sees two different subtrees
+    and reuses nothing (plan-verified: 2 FileScans -> 1). Same rule as
+    SCALE.md "Shared-subtree materialization".
     """
     step = F.expr(f"INTERVAL {interval}")
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -36,6 +45,9 @@ def resample(df: DataFrame, key: str, ts_col: str, interval: str = "1 hour",
     agged = (df.groupBy(F.col(key),
                         F.window(ts_col, interval)["start"].alias("bucket"))
              .agg(*aggs))
+    if materialize:
+        from pyspark import StorageLevel
+        agged = agged.persist(StorageLevel.MEMORY_AND_DISK)
     spine = (agged.groupBy(key)
              .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
              .select(key, F.explode(F.sequence(F.col("__lo"), F.col("__hi"),
