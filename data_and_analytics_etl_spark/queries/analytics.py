@@ -453,3 +453,26 @@ def drift_psi_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ev.filter(F.col("ts") >= cut),
                     "value", 0.0, 500.0, 10)
     return out.orderBy("bucket")
+
+
+@query(
+    "ids_dense_assignment",
+    oracle="""
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+         AS row_id
+FROM orders ORDER BY o_orderkey
+""",
+    tags=("analytics", "ids"),
+    doc="Dense 0-based row IDs by a total order (operators/ids.py "
+        "assign_dense_ids): sketch-cutpoint buckets + per-bucket "
+        "offsets + within-bucket row_number — the distributed "
+        "equivalent of the oracle's global row_number window, which "
+        "at scale would funnel every row through one task. The only "
+        "data shuffle hash-partitions on ~200 even value buckets.",
+)
+def ids_dense_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import assign_dense_ids
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return (assign_dense_ids(o, "o_orderkey")
+            .orderBy("o_orderkey"))

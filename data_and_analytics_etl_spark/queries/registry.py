@@ -115,6 +115,7 @@ ROUND_TIERS: dict[str, int] = {
     "zorder_key_morton": 30,
     "cohort_retention": 30,
     "drift_psi_histogram": 30,
+    "ids_dense_assignment": 30,
 }
 
 

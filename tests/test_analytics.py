@@ -372,3 +372,33 @@ class TestDriftPsi:
                      .agg(F.sum("psi_contrib")).collect()[0][0])
         assert psi_shift > 0.25  # standard "shifted" gate
         assert abs(psi_same) < 0.1  # a thinned resample stays "stable"
+
+
+class TestDenseIds:
+    def test_ids_are_exactly_zero_to_n_minus_one(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.ids import (
+            assign_dense_ids)
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+        out = assign_dense_ids(o, "o_orderkey", buckets=16).cache()
+        n = out.count()
+        stats = out.agg(F.min("row_id"), F.max("row_id"),
+                        F.countDistinct("row_id")).collect()[0]
+        assert tuple(stats) == (0, n - 1, n)
+        # order-preserving: id rank == key rank
+        from pyspark.sql import Window
+        bad = (out.withColumn(
+            "__nk", F.lead("o_orderkey").over(Window.orderBy("row_id")))
+            .filter(F.col("__nk").isNotNull()
+                    & (F.col("__nk") <= F.col("o_orderkey"))).count())
+        assert bad == 0
+
+    def test_stable_under_repartition(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.ids import (
+            assign_dense_ids)
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+        a = {(r["o_orderkey"], r["row_id"]) for r in
+             assign_dense_ids(o, "o_orderkey", buckets=16).collect()}
+        b = {(r["o_orderkey"], r["row_id"]) for r in
+             assign_dense_ids(o.repartition(13), "o_orderkey",
+                              buckets=16).collect()}
+        assert a == b

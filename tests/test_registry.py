@@ -37,6 +37,7 @@ MUST_BE_IN_WINDOW = {
     "sample_rebalance", "timeseries_gap_fill", "outlier_zscore",
     "fuzzy_join_blocked", "incremental_agg_merge", "sample_weighted",
     "zorder_key_morton", "cohort_retention", "drift_psi_histogram",
+    "ids_dense_assignment",
 }
 
 
