@@ -97,6 +97,9 @@ ROUND_TIERS: dict[str, int] = {
     "dedup_clusters": 20,
     "dedup_minhash_lsh_md5": 20,
     "rest_datasource_scan": 20,
+    # changed in r4 (late): resample materializes its rollup before the
+    # spine/join fan-out — the probe must re-verify this round
+    "timeseries_resample": 20,
     # new in r4, never driver-verified
     "text_repetition_signals": 30,
     "corpus_pack_budget": 30,

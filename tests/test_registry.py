@@ -29,6 +29,7 @@ MUST_BE_IN_WINDOW = {
     "scd2_intervals", "sample_deterministic", "sample_stratified",
     "cosine_topk", "ann_signcell", "retrieval_topk_metadata",
     "dedup_clusters", "dedup_minhash_lsh_md5", "rest_datasource_scan",
+    "timeseries_resample",
     # new operators in r4, never driver-verified (tier C, priority 30)
     "text_repetition_signals", "corpus_pack_budget",
     "corpus_decontaminate", "text_redact_pii", "corpus_chunk_text",
