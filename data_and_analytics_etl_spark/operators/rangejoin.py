@@ -43,3 +43,34 @@ def binned_range_join(points: DataFrame, intervals: DataFrame,
                    & (F.col(point_col) < F.col(hi_col)))
            .drop("__bin"))
     return out
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_lo: str, l_hi: str, r_lo: str, r_hi: str,
+                          bin_width: float) -> DataFrame:
+    """Inner-join interval rows to interval rows on closed-interval
+    overlap: ``l_lo <= r_hi AND r_lo <= l_hi``.
+
+    Same binning rewrite as :func:`binned_range_join`, generalized to
+    interval-vs-interval: both sides explode to every bin they touch
+    (short intervals -> O(1) replicas), candidates meet via an
+    equi-join on bin, and the exact predicate re-checks. An
+    overlapping pair shares every bin the overlap spans, so the join
+    keeps only the bin containing the overlap's START
+    (``floor(greatest(l_lo, r_lo) / width)`` — inside both intervals
+    by definition of overlap): each matching pair survives exactly
+    once with no distinct/dedup shuffle.
+    """
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn("__bin", F.explode(F.sequence(
+            F.floor(F.col(lo) / bin_width).cast("long"),
+            F.floor(F.col(hi) / bin_width).cast("long"))))
+
+    start_bin = F.floor(
+        F.greatest(F.col(l_lo), F.col(r_lo)) / bin_width).cast("long")
+    return (binned(left, l_lo, l_hi)
+            .join(binned(right, r_lo, r_hi), "__bin")
+            .filter((F.col(l_lo) <= F.col(r_hi))
+                    & (F.col(r_lo) <= F.col(l_hi))
+                    & (F.col("__bin") == start_bin))
+            .drop("__bin"))

@@ -105,3 +105,33 @@ def weighted_sample(df: DataFrame, key_col: str, weight: Column,
     thresh = (F.when(k >= 256, F.lit("g0"))
               .otherwise(F.lpad(F.lower(F.hex(k)), 2, "0")))
     return df.filter(hash_bucket(F.col(key_col)) < thresh)
+
+
+def top_p_by_group(df: DataFrame, group_cols: list[str], score_col: str,
+                   p: str, tiebreak_cols: list[str]) -> DataFrame:
+    """Nucleus (top-p) selection per group: scan each group's rows in
+    descending score order and keep rows until the kept mass reaches
+    fraction ``p`` of the group's total (the boundary-crossing row is
+    kept, so every non-empty group keeps >= 1 row).
+
+    The curation counterpart of a token budget: "keep the
+    highest-quality documents holding p of each source's score mass".
+    One shuffle (the group partitioning); both running and total sums
+    ride one Window sort. ``p`` is a decimal string (e.g. ``"0.30"``)
+    and the score is summed as DECIMAL(18,2): the keep predicate
+    ``cum - score < p * total`` stays in exact arithmetic, so
+    membership is engine- and fold-order-independent (double window
+    sums are order-sensitive in the last bits, which would make the
+    boundary row nondeterministic).
+    """
+    from pyspark.sql import Window
+
+    score = F.col(score_col).cast("decimal(18,2)")
+    order = [F.desc(score_col), *[F.col(c) for c in tiebreak_cols]]
+    w_run = (Window.partitionBy(*group_cols).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*group_cols)
+    cum = F.sum(score).over(w_run)
+    total = F.sum(score).over(w_all)
+    keep = (cum - score) < (F.lit(p).cast("decimal(9,6)") * total)
+    return df.withColumn("__keep", keep).filter("__keep").drop("__keep")

@@ -1,0 +1,56 @@
+"""Event-sequence pattern matching (MATCH_RECOGNIZE-lite).
+
+The funnel operator (funnel.py) answers "how deep did each user get
+through ONE fixed stage list"; this answers the general question — how
+many times does an arbitrary regex over the user's full ordered event
+history match. Encoding each event type as one character turns a
+billion-row ordered-sequence problem into per-key string matching:
+one shuffle (the groupBy), then `regexp_count` on a compact string,
+all JVM-side.
+
+At 100 TB the per-key string is bounded by events-per-entity, not by
+table size; entities with pathological histories can be length-capped
+upstream (`F.slice` after the sort) without changing the shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def encode_events(df: DataFrame, key_col: str, ts_col: str,
+                  type_col: str, codes: dict[str, str],
+                  tiebreak_col: str) -> DataFrame:
+    """Collapse each key's events to one string: events sorted by
+    ``(ts, tiebreak)``, each type mapped to its single-char code
+    (types absent from ``codes`` map to ``_``). One shuffle; the sort
+    happens inside `array_sort` per group, not as a global ORDER BY.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in codes.items() for x in kv])
+    coded = df.select(
+        F.col(key_col),
+        F.struct(F.col(ts_col), F.col(tiebreak_col),
+                 F.coalesce(mapping[F.col(type_col)], F.lit("_"))
+                 .alias("c")).alias("ev"))
+    seq = (F.array_join(
+        F.transform(F.array_sort(F.collect_list("ev")),
+                    lambda s: s["c"]), ""))
+    return coded.groupBy(key_col).agg(seq.alias("seq"))
+
+
+def sequence_match(df: DataFrame, key_col: str, ts_col: str,
+                   type_col: str, codes: dict[str, str], pattern: str,
+                   tiebreak_col: str) -> DataFrame:
+    """Per key: encoded history length and the number of
+    non-overlapping matches of ``pattern`` (a regex over the
+    single-char codes, e.g. ``vc*p`` = view, any clicks, purchase).
+    """
+    enc = encode_events(df, key_col, ts_col, type_col, codes,
+                        tiebreak_col)
+    return enc.select(
+        key_col,
+        F.length("seq").cast("long").alias("n_events"),
+        F.regexp_count(F.col("seq"), F.lit(pattern)).cast("long")
+        .alias("n_matches"))

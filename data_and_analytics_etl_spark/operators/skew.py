@@ -53,3 +53,32 @@ def key_histogram(df: DataFrame, key_cols: list[str], top: int = 20,
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .orderBy(F.desc("n_rows"), *key_cols)
             .limit(top))
+
+
+def hash_prefilter_semi_join(fact: DataFrame, keys: DataFrame,
+                             on: list[str], buckets: int = 1 << 17,
+                             ) -> DataFrame:
+    """Semi-join ``fact`` to ``keys`` with a broadcast hash-bucket
+    prefilter — the manual form of Spark's runtime bloom-filter join
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`), for when the
+    key side is too big to broadcast whole but its bucket fingerprint
+    is not.
+
+    Stage 1 collapses the key side to DISTINCT ``xxhash64(key) %
+    buckets`` ints (<= buckets rows ~= 1 MB broadcast); fact rows
+    whose bucket misses cannot match and drop BEFORE the shuffle —
+    at low selectivity this cuts the big side's shuffle volume by the
+    miss rate, which is the whole cost of a semi-join at 100 TB.
+    Stage 2 is the exact semi-join over survivors, so false bucket
+    collisions are removed and the result equals the plain semi-join
+    row-for-row (probe-verified).
+    """
+    kcols = [F.col(c) for c in on]
+    kb = (keys.select(F.pmod(F.xxhash64(*kcols), F.lit(buckets))
+                      .alias("__kb"))
+          .distinct())
+    pruned = (fact.withColumn("__kb", F.pmod(F.xxhash64(*kcols),
+                                             F.lit(buckets)))
+              .join(F.broadcast(kb), "__kb", "leftsemi")
+              .drop("__kb"))
+    return pruned.join(keys.select(*on).distinct(), on, "leftsemi")

@@ -118,6 +118,12 @@ ROUND_TIERS: dict[str, int] = {
     "zorder_key_morton": 30,
     "cohort_retention": 30,
     "drift_psi_histogram": 30,
+    # new in r4 (second wave): scale-pattern probes
+    "join_interval_overlap": 30,
+    "sequence_match_events": 30,
+    "join_hashset_prefilter": 30,
+    "key_skew_profile": 30,
+    "select_top_p_group": 30,
     "ids_dense_assignment": 30,
 }
 

@@ -1,0 +1,202 @@
+"""Scale-pattern probes (round-4, second wave): interval-overlap join,
+event-sequence matching, hash-prefiltered semi-join, key-skew
+profiling, per-group top-p selection.
+
+Each probe exercises a technique whose value is the 100 TB plan shape
+(binned equi-join instead of a nested loop, broadcast prefilter ahead
+of a big shuffle, bounded-output diagnostics) while staying
+oracle-checkable at sf0.01. Determinism follows SURVEY §7.5: BIGINT
+casts on oracle integer sums/lengths, DECIMAL(18,2) for money crossing
+aggregates (cast DOUBLE at the boundary), exact-decimal keep
+predicates where a double comparison would make the boundary row
+engine-dependent, total ORDER BY everywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from .registry import query
+
+#: Single-char codes for the event alphabet (sequence probes).
+EVENT_CODES = {"view": "v", "click": "c", "purchase": "p",
+               "signup": "s", "error": "e"}
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS l_id, value AS l_lo, value + 2.0 AS l_hi
+  FROM events WHERE event_id % 101 = 0
+), b AS (
+  SELECT event_id AS r_id, value AS r_lo, value + 1.0 AS r_hi
+  FROM events WHERE event_id % 103 = 0
+)
+SELECT l_id, r_id,
+       round(least(l_hi, r_hi) - greatest(l_lo, r_lo), 2) AS ov_len
+FROM a JOIN b ON l_lo <= r_hi AND r_lo <= l_hi
+ORDER BY l_id, r_id
+""",
+    tags=("join", "range", "scale"),
+    doc="Interval-vs-interval overlap join via the binned equi-join "
+        "rewrite (operators/rangejoin.py interval_overlap_join): both "
+        "sides explode to touched bins, candidates meet on the bin "
+        "key, the pair survives only in its overlap-start bin (exactly "
+        "once, no dedup shuffle). The oracle is the naive inequality "
+        "join the rewrite replaces — same rows, but the Spark plan is "
+        "a shuffled hash join, not BroadcastNestedLoop.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import interval_overlap_join
+    ev = load_table(spark, sf_dir, "events")
+    a = (ev.filter(F.col("event_id") % 101 == 0)
+         .select(F.col("event_id").alias("l_id"),
+                 F.col("value").alias("l_lo"),
+                 (F.col("value") + 2.0).alias("l_hi")))
+    b = (ev.filter(F.col("event_id") % 103 == 0)
+         .select(F.col("event_id").alias("r_id"),
+                 F.col("value").alias("r_lo"),
+                 (F.col("value") + 1.0).alias("r_hi")))
+    out = interval_overlap_join(a, b, "l_lo", "l_hi", "r_lo", "r_hi",
+                                bin_width=1.0)
+    return (out.select(
+        "l_id", "r_id",
+        F.round(F.least("l_hi", "r_hi") - F.greatest("l_lo", "r_lo"), 2)
+        .alias("ov_len"))
+        .orderBy("l_id", "r_id"))
+
+
+@query(
+    "sequence_match_events",
+    oracle="""
+WITH coded AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us, event_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              WHEN 'error' THEN 'e' ELSE '_' END AS c
+  FROM events
+), seqs AS (
+  SELECT user_id, string_agg(c, '' ORDER BY ts_us, event_id) AS seq
+  FROM coded GROUP BY user_id
+)
+SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+       CAST(length(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+         AS n_matches
+FROM seqs ORDER BY user_id
+""",
+    tags=("sequence", "analytics"),
+    doc="MATCH_RECOGNIZE-lite (operators/sequence.py): each user's "
+        "history becomes one code string (array_sort over (ts, "
+        "event_id) structs -> transform -> array_join, one shuffle), "
+        "then regexp_count('vc*p') counts view->clicks->purchase runs "
+        "JVM-side. Oracle: string_agg ORDER BY + regexp_extract_all. "
+        "Both engines order by the µs-truncated timestamp (the "
+        "catalog's ns->µs normalization) with event_id tiebreak.",
+)
+def sequence_match_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import sequence_match
+    ev = load_table(spark, sf_dir, "events")
+    out = sequence_match(ev, "user_id", "ts", "event_type",
+                         EVENT_CODES, "vc*p", tiebreak_col="event_id")
+    return out.orderBy("user_id")
+
+
+@query(
+    "join_hashset_prefilter",
+    oracle="""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_qty
+FROM lineitem WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("join", "semi", "scale"),
+    doc="Semi-join behind a broadcast hash-bucket prefilter "
+        "(operators/skew.py hash_prefilter_semi_join) — the manual "
+        "runtime-bloom-filter join: the key side collapses to distinct "
+        "xxhash64%2^17 buckets (broadcastable even when the key table "
+        "is not), non-matching fact rows drop before the shuffle, the "
+        "exact semi-join over survivors removes bucket collisions. "
+        "Result == plain IN-subquery semi-join (the oracle).",
+)
+def join_hashset_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import hash_prefilter_semi_join
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (load_table(spark, sf_dir, "orders")
+            .filter((F.col("o_orderpriority") == "1-URGENT")
+                    & (F.col("o_totalprice") > 150000))
+            .select(F.col("o_orderkey").alias("l_orderkey")))
+    out = hash_prefilter_semi_join(li, keys, ["l_orderkey"])
+    return (out.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"))
+            .orderBy("l_returnflag"))
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY user_id
+ORDER BY n_rows DESC, user_id LIMIT 15
+""",
+    tags=("diagnostics", "skew"),
+    doc="Heavy-key histogram (operators/skew.py key_histogram): the "
+        "bounded-output diagnostic that decides whether a join needs "
+        "salting — one aggregate, top-15 by row count with a "
+        "deterministic key tiebreak.",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import key_histogram
+    ev = load_table(spark, sf_dir, "events")
+    return key_histogram(ev, ["user_id"], top=15)
+
+
+@query(
+    "select_top_p_group",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_orderpriority) AS tot
+  FROM orders WHERE o_orderkey < 20000
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_kept,
+       min(o_orderkey) AS first_key, max(o_orderkey) AS last_key,
+       CAST(sum(price) AS DOUBLE) AS kept_price
+FROM s
+WHERE cum - price < CAST('0.25' AS DECIMAL(9,6)) * tot
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("sampling", "curation"),
+    doc="Nucleus (top-p) selection per group (operators/sampling.py "
+        "top_p_by_group): keep each priority class's highest-priced "
+        "orders until 25% of its price mass is covered. Running and "
+        "total sums ride ONE window sort; the keep predicate is exact "
+        "DECIMAL arithmetic so the boundary row is engine- and "
+        "fold-order-independent.",
+)
+def select_top_p_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import top_p_by_group
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") < 20000))
+    kept = top_p_by_group(o, ["o_orderpriority"], "o_totalprice",
+                          p="0.25", tiebreak_cols=["o_orderkey"])
+    return (kept.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("o_orderkey").alias("first_key"),
+                 F.max("o_orderkey").alias("last_key"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("kept_price"))
+            .orderBy("o_orderpriority"))

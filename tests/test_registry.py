@@ -39,6 +39,9 @@ MUST_BE_IN_WINDOW = {
     "fuzzy_join_blocked", "incremental_agg_merge", "sample_weighted",
     "zorder_key_morton", "cohort_retention", "drift_psi_histogram",
     "ids_dense_assignment",
+    # new scale-pattern probes in r4 (second wave), never driver-verified
+    "join_interval_overlap", "sequence_match_events",
+    "join_hashset_prefilter", "key_skew_profile", "select_top_p_group",
 }
 
 
