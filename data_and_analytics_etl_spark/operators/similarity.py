@@ -318,3 +318,41 @@ def ann_signcell(corpus: DataFrame, probes: DataFrame, k: int,
                                                F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+#: Fixed accumulation grid for centroid components: floor(v * 1e9).
+#: Floor (never round) of a double product is bit-identical across
+#: engines; double->DECIMAL casts are NOT (Spark quantizes the
+#: shortest-string form, DuckDB the exact binary value — they disagree
+#: by 1 ulp when the two straddle a scale boundary, observed 1/640
+#: cells at sf0.01).
+CENTROID_GRID = 1e9
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label mean embedding (class centroid) in relational form:
+    posexplode to (label, dim, value), one exact-integer aggregate per
+    (label, dim) cell, reassemble with a pos-sorted collect.
+
+    The explode form is the 100 TB shape: the aggregate distributes
+    over (label x dim) cells — no per-group array state, no driver
+    collection, and partial (map-side) aggregation applies as usual.
+    Components quantize onto a fixed 1e-9 grid (``floor(v * 1e9)`` as
+    LONG) and sum exactly, with ONE double division at the end — the
+    centroid is bit-identical regardless of row order, partitioning,
+    or engine. Headroom: |v| <= 1 leaves ~9.2e9 rows per label before
+    the LONG sum can overflow; widen the sum to DECIMAL(38,0) beyond
+    that.
+    """
+    cells = (df.select(F.col(label_col).alias("label"),
+                       F.posexplode(vec_col).alias("pos", "v"))
+             .groupBy("label", "pos")
+             .agg((F.sum(F.floor(F.col("v").cast("double")
+                                 * F.lit(CENTROID_GRID)).cast("long"))
+                   .cast("double") / F.lit(CENTROID_GRID)
+                   / F.count(F.lit(1))).alias("c")))
+    return (cells.groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"]).alias("centroid")))

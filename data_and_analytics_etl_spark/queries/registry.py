@@ -124,6 +124,7 @@ ROUND_TIERS: dict[str, int] = {
     "join_hashset_prefilter": 30,
     "key_skew_profile": 30,
     "select_top_p_group": 30,
+    "embedding_label_centroids": 30,
     "ids_dense_assignment": 30,
 }
 

@@ -200,3 +200,36 @@ def select_top_p_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .cast("double").alias("kept_price"))
             .orderBy("o_orderpriority"))
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+WITH x AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, pos,
+       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT))
+            AS DOUBLE) / 1000000000.0 / count(*) AS c
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    tags=("embedding", "aggregate"),
+    doc="Per-label mean embedding (operators/similarity.py "
+        "label_centroids): posexplode to (label, dim) cells, exact "
+        "integer sums on a floor(v*1e9) grid + one double division "
+        "(fold-order- and engine-independent; double->DECIMAL casts "
+        "are not), reassembled via pos-sorted collect. "
+        "The probe explodes the assembled centroid back to long form "
+        "so the round-trip (explode -> agg -> collect -> explode) is "
+        "itself verified against DuckDB's unnest/generate_subscripts.",
+)
+def embedding_label_centroids(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from ..operators.similarity import label_centroids
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(emb, "label", "embedding")
+    return (cent.select("label",
+                        F.posexplode("centroid").alias("pos", "c"))
+            .orderBy("label", "pos"))

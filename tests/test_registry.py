@@ -42,6 +42,7 @@ MUST_BE_IN_WINDOW = {
     # new scale-pattern probes in r4 (second wave), never driver-verified
     "join_interval_overlap", "sequence_match_events",
     "join_hashset_prefilter", "key_skew_profile", "select_top_p_group",
+    "embedding_label_centroids",
 }
 
 

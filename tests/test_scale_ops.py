@@ -124,3 +124,28 @@ def test_sequence_unknown_type_maps_to_underscore(spark):
         "u int, ts timestamp, event_id int, et string")
     enc = encode_events(df, "u", "ts", "et", {"view": "v"}, "event_id")
     assert enc.collect()[0].seq == "_"
+
+
+def test_label_centroids_match_numpy_and_partitioning(spark):
+    import numpy as np
+
+    from data_and_analytics_etl_spark.operators.similarity import (
+        label_centroids)
+    rng = random.Random(11)
+    rows = [(i, i % 4, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id int, label int, embedding array<double>")
+    got = {r.label: r.centroid
+           for r in label_centroids(df, "label", "embedding").collect()}
+    for lbl in range(4):
+        vecs = np.array([v for _, l, v in rows if l == lbl])
+        want = vecs.mean(axis=0)
+        # exact up to the 1e-9 accumulation grid (floor => biased down
+        # by at most 1e-9 per contributing row / n = 1e-9)
+        assert np.allclose(got[lbl], want, atol=2e-9)
+    # partitioning must not change a single bit
+    re_got = {r.label: r.centroid
+              for r in label_centroids(df.repartition(13), "label",
+                                       "embedding").collect()}
+    assert got == re_got
