@@ -77,25 +77,36 @@ def main() -> None:
     # JVM/codegen warm-up outside the measurement window
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    times: dict[str, float] = {}
+    times: dict[str, object] = {}
     for name in BENCH_QUERIES:
-        # two untimed warm-ups (plan + codegen + C2 JIT — measured to
-        # need >2 executions to reach steady state on multi-stage
-        # plans), then best-of-2 timed: the steady-state number is the
-        # cluster-relevant one (JIT amortizes to zero at 100 TB).
-        for _ in range(2):
-            run_once(spark, name, sf_dir)
-        # best-of-3: single-shot runs on a shared host swing +-20%;
-        # the minimum is the stable steady-state estimator
-        t = min(run_once(spark, name, sf_dir) for _ in range(3))
-        times[name] = round(t, 3)
+        # Failure isolation: one broken query must never lose the whole
+        # bench record (round 4 lost b1-b12 to a single b9 crash). A
+        # failed query records {"err": <final exception line>} and the
+        # JSON line still prints.
+        try:
+            # two untimed warm-ups (plan + codegen + C2 JIT — measured to
+            # need >2 executions to reach steady state on multi-stage
+            # plans), then best-of-2 timed: the steady-state number is the
+            # cluster-relevant one (JIT amortizes to zero at 100 TB).
+            for _ in range(2):
+                run_once(spark, name, sf_dir)
+            # best-of-3: single-shot runs on a shared host swing +-20%;
+            # the minimum is the stable steady-state estimator
+            t = min(run_once(spark, name, sf_dir) for _ in range(3))
+            times[name] = round(t, 3)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            first = str(exc).strip().splitlines()
+            times[name] = {"err": f"{type(exc).__name__}: "
+                                  f"{first[0] if first else ''}"[:300]}
 
-    total = round(sum(times.values()), 3)
+    ok = {k: v for k, v in times.items() if isinstance(v, (int, float))}
+    total = round(sum(ok.values()), 3)
     print(json.dumps({
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "n_errors": len(times) - len(ok),
         "sf": sf,
     }))
 

@@ -33,26 +33,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        df = _normalize_event_timestamps(df)
+        df = normalize_event_timestamps(df)
     return df
 
 
-def _normalize_event_timestamps(df: DataFrame) -> DataFrame:
-    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects (PARQUET_TYPE_ILLEGAL). The engine profile sets
-    ``spark.sql.legacy.parquet.nanosAsLong`` so the column arrives as
-    int64 nanos; convert to a microsecond timestamp (integer floor-div,
-    matching DuckDB's ns→µs truncation) here so every consumer — batch
-    probes and the streaming file source alike — sees TimestampType.
+def normalize_event_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType no matter how the parquet
+    encodes it — the driver has shipped three encodings across rounds:
+
+    - ``timestamp[ns]``: Spark's vectorized reader rejects NANOS unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set (the engine profile
+      sets it), so the column arrives as int64 nanos → integer floor-div
+      to µs (matches DuckDB's ns→µs truncation). Integer DIV, not float:
+      ns-epoch (~1.7e18) exceeds double's 53-bit mantissa.
+    - ``timestamp[us]`` without timezone: Spark reads TIMESTAMP_NTZ →
+      cast to TIMESTAMP. Under the pinned UTC session zone (session.
+      RUNTIME_CONF) the NTZ wall-clock is reinterpreted as the same UTC
+      instant, so the cast is value-preserving and matches DuckDB, which
+      treats the tz-less column as UTC.
+    - ``timestamp[us, tz=UTC]``: already TimestampType; pass through.
+
+    Every consumer — batch probes and the streaming file source alike —
+    must route through here so stream/batch schemas stay identical.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
-        # Integer DIV, not float division: ns-epoch (~1.7e18) exceeds
-        # double's 53-bit mantissa and float division drifts by ~100 ns.
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+#: Backwards-compat private alias (pre-r5 name).
+_normalize_event_timestamps = normalize_event_timestamps
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

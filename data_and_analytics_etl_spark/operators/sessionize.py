@@ -10,8 +10,28 @@ the same (key, ts) sort order so Catalyst plans a single Sort+Window pair.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+
+def _epoch_expr(df: DataFrame, ts: str) -> tuple[Column, int]:
+    """(epoch column, units-per-second) for gap arithmetic, dtype-proof.
+
+    TIMESTAMP / TIMESTAMP_NTZ → exact integer microseconds via
+    ``unix_micros`` (NTZ first cast to TIMESTAMP, value-preserving under
+    the pinned UTC session zone). Casting a timestamp to double is an
+    illegal cast in Spark 4 for NTZ and loses sub-second precision past
+    2^53 µs anyway — integer arithmetic is both legal and exact.
+    Numeric ``ts`` columns (epoch seconds) pass through as doubles.
+    """
+    dt = df.schema[ts].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        col = F.col(ts)
+        if isinstance(dt, TimestampNTZType):
+            col = col.cast("timestamp")
+        return F.unix_micros(col), 1_000_000
+    return F.col(ts).cast("double"), 1
 
 
 def sessionize(
@@ -28,10 +48,12 @@ def sessionize(
     sharing (key, ts) get a deterministic lag/running-sum order — without
     it, cross-engine comparison of session boundaries is undefined on ties.
     """
+    epoch, per_sec = _epoch_expr(df, ts)
     w = Window.partitionBy(key).orderBy(ts, *tie_break)
-    prev_ts = F.lag(ts).over(w)
-    gap = F.col(ts).cast("double") - prev_ts.cast("double")
-    is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    prev = F.lag(epoch).over(w)
+    is_new = F.when(
+        prev.isNull() | ((epoch - prev) > gap_seconds * per_sec),
+        1).otherwise(0)
     return df.withColumn(
         session_col,
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -46,7 +46,7 @@ DRIVER_WINDOW = 50
 #: Current verification round. Bump once per driver round: the rotation
 #: offset below advances with it, so stale green probes cycle back
 #: through the window a slice at a time.
-VERIFY_ROUND = 4
+VERIFY_ROUND = 5
 
 #: Priority bands (lower sorts earlier in the export):
 #:   < POOL_PRIORITY   fixed placement — bench-critical (10), probes whose
@@ -73,59 +73,37 @@ POOL_PRIORITY = 100
 #: never driver-verified. Keep tests/test_registry.py MUST_BE_IN_WINDOW in
 #: sync with the <100 entries here.
 ROUND_TIERS: dict[str, int] = {
-    # bench-critical (b1-b3, b10-b12 map to these probes)
+    # bench-critical: every oracle-backed probe a BENCH_QUERIES entry
+    # maps to (b8's xxhash64 bench path is rows-only by design; its md5
+    # twin carries the correctness evidence). These re-verify every
+    # round so a bench number never ships without a same-round
+    # correctness row. r4's lesson applied: sessionization is timed by
+    # b9, so it is bench-critical, not merely "changed".
     "q1_pricing_summary": 10,
     "q3_shipping_priority": 10,
     "q5_star_join": 10,
     "q6_forecast_revenue": 10,
     "q10_returned_revenue": 10,
     "q7_nation_volume": 10,
-    # changed in r4: integer-sum oracle casts
-    "scan_csv": 20,
-    "sessionization": 20,
-    "table_profile": 20,
-    "q12_priority_by_month": 20,
-    # changed in r4: null-safe SCD2, sampling threshold edge, norm
-    # precompute in similarity, dedup pointer-doubling, REST transport
-    # pickling, minhash bench-path work
-    "scd2_intervals": 20,
-    "sample_deterministic": 20,
-    "sample_stratified": 20,
-    "cosine_topk": 20,
-    "ann_signcell": 20,
-    "retrieval_topk_metadata": 20,
-    "dedup_clusters": 20,
-    "dedup_minhash_lsh_md5": 20,
-    "rest_datasource_scan": 20,
-    # changed in r4 (late): resample materializes its rollup before the
-    # spine/join fan-out — the probe must re-verify this round
-    "timeseries_resample": 20,
-    # new in r4, never driver-verified
-    "text_repetition_signals": 30,
-    "corpus_pack_budget": 30,
-    "corpus_decontaminate": 30,
-    "text_redact_pii": 30,
-    "corpus_chunk_text": 30,
-    "funnel_conversion": 30,
-    "quantile_bucket_ntile": 30,
-    "histogram_fixed_width": 30,
-    "sample_rebalance": 30,
-    "timeseries_gap_fill": 30,
-    "outlier_zscore": 30,
-    "fuzzy_join_blocked": 30,
-    "incremental_agg_merge": 30,
-    "sample_weighted": 30,
-    "zorder_key_morton": 30,
-    "cohort_retention": 30,
-    "drift_psi_histogram": 30,
-    # new in r4 (second wave): scale-pattern probes
-    "join_interval_overlap": 30,
-    "sequence_match_events": 30,
-    "join_hashset_prefilter": 30,
-    "key_skew_profile": 30,
-    "select_top_p_group": 30,
-    "embedding_label_centroids": 30,
-    "ids_dense_assignment": 30,
+    "topk_per_group": 10,
+    "window_running_agg": 10,
+    "cosine_topk": 10,
+    "dedup_exact": 10,
+    "dedup_minhash_lsh_md5": 10,
+    "sessionization": 10,
+    "dedup_clusters": 10,
+    # changed in r5: the TIMESTAMP_NTZ fix rerouted the streaming file
+    # source through catalog.normalize_event_timestamps (streaming/
+    # ops.py events_stream), so every streaming probe's input path
+    # changed this round and must re-verify. (sessionize.py also
+    # changed — epoch arithmetic — covered by tier 10 above.)
+    "stream_tumbling_agg": 20,
+    "stream_watermark_tumbling": 20,
+    "stream_sliding_agg": 20,
+    "stream_session_window": 20,
+    "stream_dedup_keys": 20,
+    "stream_stateful_user_stats": 20,
+    "stream_stream_join": 20,
 }
 
 

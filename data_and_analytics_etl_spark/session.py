@@ -33,8 +33,11 @@ RUNTIME_CONF: dict[str, str] = {
     # ANSI off: engine contract is permissive casts + NULL on error,
     # matching the schemaless-JSON tolerance of the reference dataflow.
     "spark.sql.ansi.enabled": "false",
-    # The events table stores TIMESTAMP(NANOS); Spark rejects it unless
-    # read as int64 nanos (catalog normalizes back to µs TimestampType).
+    # Historical testdata stored events.ts as TIMESTAMP(NANOS), which
+    # Spark's reader rejects unless surfaced as int64 nanos; current
+    # testdata is µs (NTZ). Keep the conf: it is a no-op on µs files and
+    # catalog.normalize_event_timestamps handles every encoding the
+    # driver has shipped (ns-long, µs-NTZ, µs-UTC).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

@@ -17,7 +17,7 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load_table
+from ..catalog import load_table, normalize_event_timestamps
 
 
 def events_stream(spark: SparkSession, sf_dir: str,
@@ -25,9 +25,11 @@ def events_stream(spark: SparkSession, sf_dir: str,
     """Replay `events.parquet` as a file-source stream.
 
     Schema comes from the batch catalog read (file streams require an
-    explicit schema); the ns-timestamp normalization matches
-    catalog._normalize_event_timestamps so stream and batch frames are
-    column-identical.
+    explicit schema); the stream routes through the SAME ts normalization
+    as the batch path (catalog.normalize_event_timestamps handles
+    int64-nanos, TIMESTAMP_NTZ, and TIMESTAMP encodings) so stream and
+    batch frames are column-identical and ``withWatermark("ts", ...)``
+    always sees TimestampType.
     """
     batch = load_table(spark, sf_dir, "events")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # pre-normalize schema
@@ -35,9 +37,7 @@ def events_stream(spark: SparkSession, sf_dir: str,
               .option("pathGlobFilter", "events.parquet"))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
-    if dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    df = normalize_event_timestamps(reader.parquet(sf_dir))
     assert df.schema == batch.schema, "stream/batch schema drift"
     return df
 

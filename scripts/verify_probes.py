@@ -8,13 +8,19 @@ Usage:
     python scripts/verify_probes.py              # all probes
     python scripts/verify_probes.py scd2_intervals scan_csv   # a subset
 Run from anywhere; the repo root is resolved from this file's location.
+Set FULLVERIFY_OUT=/path/to/FULLVERIFY_rN.json to also write a
+machine-readable per-probe artifact (the committed full-registry evidence
+the round-4 verdict asked for — the 50-slot driver window alone missed 3
+of 4 regressions that round).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
+import traceback
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -49,21 +55,42 @@ def main() -> int:
         print(f"unknown probes: {unknown}")
         return 2
     bad = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if names and name not in names:
             continue
-        df = fn(spark, sf)
-        s = [tuple(r) for r in df.collect()]
-        if name not in osql:
-            print(f"{name}: rows-only {len(s)}")
-            continue
-        o = con.execute(osql[name])
-        oc = [d[0] for d in o.description]
-        orows = o.fetchall()
-        ok = vhash(s, df.columns) == vhash(orows, oc) and len(s) == len(orows)
-        if not ok:
+        try:
+            df = fn(spark, sf)
+            s = [tuple(r) for r in df.collect()]
+            if name not in osql:
+                print(f"{name}: rows-only {len(s)}")
+                results[name] = {"status": "rows_only", "rows": len(s)}
+                continue
+            o = con.execute(osql[name])
+            oc = [d[0] for d in o.description]
+            orows = o.fetchall()
+            ok = (vhash(s, df.columns) == vhash(orows, oc)
+                  and len(s) == len(orows))
+            results[name] = {"status": "green" if ok else "red",
+                             "rows": len(s), "oracle_rows": len(orows)}
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            # final exception line, not a mid-traceback fragment — the
+            # artifact must identify the root cause on its own
+            last = traceback.format_exception_only(type(exc), exc)[-1].strip()
+            results[name] = {"status": "error", "err": last[:500]}
+            ok = False
+        if results[name]["status"] in ("red", "error"):
             bad.append(name)
-        print(name, "MATCH" if ok else "MISMATCH", len(s), len(orows))
+        print(name, results[name]["status"].upper(),
+              results[name].get("rows", ""), results[name].get("err", ""))
+    out_path = os.environ.get("FULLVERIFY_OUT")
+    if out_path:
+        n_green = sum(1 for r in results.values() if r["status"] == "green")
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf, "n_probes": len(results),
+                       "n_green": n_green, "n_bad": len(bad),
+                       "probes": results}, f, indent=1)
+        print(f"wrote {out_path}: {n_green} green / {len(results)}")
     print("FAIL:", bad) if bad else print("ALL MATCH")
     return 1 if bad else 0
 

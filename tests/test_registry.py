@@ -15,34 +15,21 @@ from data_and_analytics_etl_spark.queries.registry import (DRIVER_WINDOW,
                                                            rotation_selected)
 
 #: Probes that MUST hold a fresh driver-verified row this round:
-#: bench queries plus every probe whose code or oracle changed in r4.
+#: bench queries plus every probe whose code or oracle changed in r5.
 #: Source of truth: registry.ROUND_TIERS (this set mirrors its <100 keys).
 MUST_BE_IN_WINDOW = {
-    # bench-critical (tier A, priority 10; b11 timing adds q7)
+    # bench-critical (tier A, priority 10): every oracle-backed probe a
+    # BENCH_QUERIES entry maps to — a bench number never ships without a
+    # same-round correctness row
     "q1_pricing_summary", "q3_shipping_priority", "q5_star_join",
     "q6_forecast_revenue", "q10_returned_revenue", "q7_nation_volume",
-    # changed in r4: integer-sum oracle BIGINT casts (r3's four red rows)
-    "scan_csv", "sessionization", "table_profile", "q12_priority_by_month",
-    # changed in r4: null-safe SCD2, sampling frac=1.0 edge, similarity
-    # norm precompute, dedup pointer-doubling, REST transport pickling,
-    # minhash bench-path work
-    "scd2_intervals", "sample_deterministic", "sample_stratified",
-    "cosine_topk", "ann_signcell", "retrieval_topk_metadata",
-    "dedup_clusters", "dedup_minhash_lsh_md5", "rest_datasource_scan",
-    "timeseries_resample",
-    # new operators in r4, never driver-verified (tier C, priority 30)
-    "text_repetition_signals", "corpus_pack_budget",
-    "corpus_decontaminate", "text_redact_pii", "corpus_chunk_text",
-    # new analytics operators in r4, never driver-verified (tier C)
-    "funnel_conversion", "quantile_bucket_ntile", "histogram_fixed_width",
-    "sample_rebalance", "timeseries_gap_fill", "outlier_zscore",
-    "fuzzy_join_blocked", "incremental_agg_merge", "sample_weighted",
-    "zorder_key_morton", "cohort_retention", "drift_psi_histogram",
-    "ids_dense_assignment",
-    # new scale-pattern probes in r4 (second wave), never driver-verified
-    "join_interval_overlap", "sequence_match_events",
-    "join_hashset_prefilter", "key_skew_profile", "select_top_p_group",
-    "embedding_label_centroids",
+    "topk_per_group", "window_running_agg", "cosine_topk", "dedup_exact",
+    "dedup_minhash_lsh_md5", "sessionization", "dedup_clusters",
+    # changed in r5: streaming file source rerouted through
+    # catalog.normalize_event_timestamps (the TIMESTAMP_NTZ fix)
+    "stream_tumbling_agg", "stream_watermark_tumbling",
+    "stream_sliding_agg", "stream_session_window", "stream_dedup_keys",
+    "stream_stateful_user_stats", "stream_stream_join",
 }
 
 
