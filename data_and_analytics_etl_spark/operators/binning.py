@@ -61,3 +61,51 @@ def fixed_histogram(df: DataFrame, value_col: str, lo: float, hi: float,
     b = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("long")
     return (df.groupBy(b.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def winsorize_bounds(df: DataFrame, group_col: str, value_col: str,
+                     alpha: float = 0.01) -> DataFrame:
+    """Per-group winsorization thresholds by exact ORDER STATISTICS:
+    lo = value at rank ceil(alpha*n), hi = value at rank ceil((1-alpha)*n)
+    (1-based ranks over the ascending value order).
+
+    Rank-based thresholds, not interpolated percentiles, on purpose:
+    an order statistic is a member of the data multiset, so both engines
+    agree bit-for-bit — interpolated quantiles differ in formula and ulp
+    across engines, which would make every ``value < lo`` comparison a
+    coin flip on boundary rows. The value at rank k is also invariant to
+    how row_number breaks ties among equal values.
+
+    Output: (group, n, lo, hi, n_below, n_above, winsorized_mean) where
+    winsorized_mean averages clamp(value, lo, hi) in exact cents.
+    Scale shape: one shuffle on the group key; ranks and thresholds ride
+    the same per-group sort window, then one aggregation — no self-join
+    of the fact table against its own percentiles.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wg = Window.partitionBy(group_col)
+    d = (df.select(group_col, value_col)
+         .withColumn("__r", F.row_number().over(w))
+         .withColumn("__n", F.count(F.lit(1)).over(wg)))
+    k_lo = F.greatest(F.ceil(F.lit(alpha) * F.col("__n")), F.lit(1))
+    k_hi = F.ceil(F.lit(1.0 - alpha) * F.col("__n"))
+    bounds = (d.groupBy(group_col).agg(
+        F.max("__n").alias("n"),
+        F.max(F.when(F.col("__r") == k_lo, v)).alias("lo"),
+        F.max(F.when(F.col("__r") == k_hi, v)).alias("hi")))
+    clamped = (d.join(F.broadcast(bounds), group_col)
+               .select(g, F.col("n"), F.col("lo"), F.col("hi"),
+                       v.alias("__v"),
+                       F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+                        .cast("decimal(18,2)").alias("__cv")))
+    return (clamped.groupBy(group_col, "n", "lo", "hi").agg(
+        F.sum(F.when(F.col("__v") < F.col("lo"), 1).otherwise(0))
+         .alias("n_below"),
+        F.sum(F.when(F.col("__v") > F.col("hi"), 1).otherwise(0))
+         .alias("n_above"),
+        # exact decimal sum → ONE double division (the z-score rule:
+        # derive floats from exact sums so both engines do the same
+        # single IEEE operation)
+        F.round(F.sum("__cv").cast("double") / F.count(F.lit(1)), 4)
+         .alias("winsorized_mean")))

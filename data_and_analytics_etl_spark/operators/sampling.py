@@ -135,3 +135,22 @@ def top_p_by_group(df: DataFrame, group_cols: list[str], score_col: str,
     total = F.sum(score).over(w_all)
     keep = (cum - score) < (F.lit(p).cast("decimal(9,6)") * total)
     return df.withColumn("__keep", keep).filter("__keep").drop("__keep")
+
+
+def holdout_split(df: DataFrame, key_col: str, holdout_frac: float,
+                  split_col: str = "split") -> DataFrame:
+    """Leakage-safe train/holdout assignment: label every row by the
+    md5 bucket of its GROUP key, so all rows sharing a key (all events
+    of a user, all chunks of a document) land on the same side — the
+    group-aware split an eval set needs to avoid train/test leakage.
+
+    Same floor/256 hash-threshold quantization as the samplers above:
+    assignment is a pure function of the key — stable across engines,
+    partitionings, and incremental loads (yesterday's training rows
+    never migrate into today's holdout). Zero shuffles, pure codegen.
+    """
+    thr = _hex_threshold(holdout_frac)
+    return df.withColumn(
+        split_col,
+        F.when(hash_bucket(F.col(key_col)) < F.lit(thr),
+               F.lit("holdout")).otherwise(F.lit("train")))

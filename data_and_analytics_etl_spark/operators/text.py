@@ -160,6 +160,77 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       "doc_freq", "tfidf")
 
 
+def build_vocab(df: DataFrame, text_col: str = "text",
+                min_count: int = 2) -> DataFrame:
+    """Corpus vocabulary with dense token ids: (token, n_token, token_id).
+
+    Tokenize → explode → count per token → frequency cutoff → dense id
+    by (count desc, token asc). The distributed part (token counting over
+    the full corpus) is one shuffle on the token; the ranking window runs
+    over the POST-CUTOFF vocabulary, which Heaps' law keeps tiny relative
+    to the corpus (~1M tokens for 100 TB of text), so the single-task
+    window is bounded the same way corpus.pack_budget's is. For an
+    unbounded id space use operators/ids.py's sketch-bucketed dense
+    assignment instead.
+    """
+    from pyspark.sql import Window
+
+    tok = (df.select(F.explode(tokens_of(F.col(text_col))).alias("token"))
+           .filter(F.col("token") != ""))
+    vocab = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_token"))
+             .filter(F.col("n_token") >= min_count))
+    w = Window.orderBy(F.desc("n_token"), F.asc("token"))
+    return vocab.withColumn("token_id", F.row_number().over(w))
+
+
+def bigram_pmi(df: DataFrame, text_col: str = "text",
+               min_count: int = 5) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs.
+
+    PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) over bigram
+    occurrences and p(x) over unigram occurrences — the classic
+    collocation score (Church & Hanks '90). All counting is relational
+    (two groupBys: one on the bigram, one on the token); the final score
+    is a single double expression over integer counts, so it is
+    deterministic cross-engine up to the ln ulp, handled by rounding.
+    Scale shape: bigram fan-out is explode-then-count (map-side combine
+    keeps the shuffle at distinct-bigram cardinality, not token count);
+    unigram totals ride a broadcast join back onto the bigram counts.
+    """
+    toks = (df.select(tokens_of(F.col(text_col)).alias("__t"))
+            .filter(F.size("__t") >= 2))
+    uni = (toks.select(F.explode("__t").alias("w"))
+           .filter(F.col("w") != "")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
+    big_all = (toks.select(F.explode(F.expr(
+                   "transform(sequence(0, size(__t)-2), "
+                   "i -> struct(__t[i] AS w1, __t[i+1] AS w2))")).alias("bg"))
+               .select("bg.w1", "bg.w2")
+               .filter((F.col("w1") != "") & (F.col("w2") != ""))
+               .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy")))
+    n_uni = uni.agg(F.sum("c_w").alias("n_uni"))
+    # marginals over ALL bigram occurrences; the min_count cut only
+    # selects which pairs are REPORTED, it must not bias p(x,y)
+    n_big = big_all.agg(F.sum("c_xy").alias("n_big"))
+    big = big_all.filter(F.col("c_xy") >= min_count)
+    return (big
+            .join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                              .withColumnRenamed("c_w", "c_x")), "w1")
+            .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                              .withColumnRenamed("c_w", "c_y")), "w2")
+            .crossJoin(F.broadcast(n_uni))
+            .crossJoin(F.broadcast(n_big))
+            .select("w1", "w2", "c_xy",
+                    # + 0.0 folds IEEE -0.0 (a just-below-zero PMI
+                    # rounded to 4 places) into +0.0 — the engines
+                    # stringify signed zero differently
+                    (F.round(F.log(
+                        (F.col("c_xy") / F.col("n_big"))
+                        / ((F.col("c_x") / F.col("n_uni"))
+                           * (F.col("c_y") / F.col("n_uni")))), 4)
+                     + F.lit(0.0)).alias("pmi")))
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All text-tier features in one projection (single codegen stage)."""
     t = F.col(text_col)

@@ -476,3 +476,48 @@ def ids_dense_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     return (assign_dense_ids(o, "o_orderkey")
             .orderBy("o_orderkey"))
+
+
+@query(
+    "outlier_winsorize",
+    oracle="""
+WITH d AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS r,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), b AS (
+  SELECT grp, max(n) AS n,
+         max(CASE WHEN r = greatest(CAST(ceil(0.01 * n) AS BIGINT), 1)
+                  THEN v END) AS lo,
+         max(CASE WHEN r = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS hi
+  FROM d GROUP BY grp
+)
+SELECT d.grp AS l_returnflag, b.n, b.lo, b.hi,
+       CAST(sum(CASE WHEN d.v < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below,
+       CAST(sum(CASE WHEN d.v > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above,
+       round(CAST(sum(CAST(least(greatest(d.v, b.lo), b.hi)
+                           AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+         AS winsorized_mean
+FROM d JOIN b ON d.grp = b.grp
+GROUP BY 1, 2, 3, 4
+ORDER BY 1
+""",
+    tags=("analytics", "profile"),
+    doc="Per-group winsorization (operators/binning.py:winsorize_bounds) "
+        "by exact ORDER STATISTICS — lo/hi are data members at ranks "
+        "ceil(alpha*n)/ceil((1-alpha)*n), never interpolated quantiles, "
+        "so thresholds are bit-identical across engines and every "
+        "value<lo comparison is deterministic. One shuffle on the group "
+        "key; thresholds broadcast back; winsorized mean from an exact "
+        "decimal sum and a single double division (the z-score rule).",
+)
+def outlier_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.binning import winsorize_bounds
+    li = load_table(spark, sf_dir, "lineitem")
+    return (winsorize_bounds(li, "l_returnflag", "l_extendedprice",
+                             alpha=0.01)
+            .orderBy("l_returnflag"))

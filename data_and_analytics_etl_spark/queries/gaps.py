@@ -650,3 +650,39 @@ def scd2_intervals_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .alias("valid_to"))
         .orderBy("user_id", "valid_from"))
+
+
+@query(
+    "sample_holdout_split",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 2) < '33'
+              THEN 'holdout' ELSE 'train' END AS split,
+         o_custkey, o_totalprice
+  FROM orders
+)
+SELECT split, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_total
+FROM s GROUP BY split ORDER BY split
+""",
+    tags=("sample",),
+    doc="Leakage-safe train/holdout split (operators/sampling.py:"
+        "holdout_split): assignment is md5(o_custkey) under threshold "
+        "0x33 (51/256 ~ 20%), so every order of a customer lands on the "
+        "same side — the group-aware split an eval set needs. Zero "
+        "shuffles for the labeling; the probe aggregates per side to "
+        "prove both membership and group integrity (n_customers sums "
+        "to the distinct-key total).",
+)
+def sample_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import holdout_split
+    o = load_table(spark, sf_dir, "orders")
+    s = holdout_split(o, "o_custkey", 51 / 256)
+    return (s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("sum_total"))
+        .orderBy("split"))

@@ -989,3 +989,76 @@ def corpus_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return (chunk_text(d, chunk_tokens=20, overlap=5)
             .orderBy("doc_id", "chunk_idx"))
+
+
+@query(
+    "vocab_build",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*) AS n_token FROM tok
+  WHERE token <> '' GROUP BY token HAVING count(*) >= 5
+)
+SELECT token, n_token,
+       CAST(row_number() OVER (ORDER BY n_token DESC, token)
+            AS INTEGER) AS token_id
+FROM counts ORDER BY token_id
+""",
+    tags=("llm", "text"),
+    doc="Corpus vocabulary with dense ids (operators/text.py:build_vocab): "
+        "token counting is one shuffle over the corpus; the dense-id "
+        "ranking window runs over the post-cutoff vocabulary only, which "
+        "Heaps' law keeps bounded (~1M rows at 100 TB) — same bounded-"
+        "window argument as corpus_pack_budget. Ids are (count desc, "
+        "token asc) so the assignment is total-order deterministic.",
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import build_vocab
+    d = load_table(spark, sf_dir, "documents")
+    return build_vocab(d, min_count=5).orderBy("token_id")
+
+
+@query(
+    "bigram_pmi",
+    oracle=r"""
+WITH toks AS (
+  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
+  WHERE len(string_split_regex(lower(text), '\s+')) >= 2
+), uni AS (
+  SELECT w, count(*) AS c_w
+  FROM (SELECT unnest(t) AS w FROM toks) WHERE w <> '' GROUP BY w
+), big_all AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         count(*) AS c_xy
+  FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bg
+        FROM toks)
+  WHERE split_part(bg, ' ', 1) <> '' AND split_part(bg, ' ', 2) <> ''
+  GROUP BY 1, 2
+), n AS (
+  SELECT (SELECT CAST(sum(c_w) AS BIGINT) FROM uni) AS n_uni,
+         (SELECT CAST(sum(c_xy) AS BIGINT) FROM big_all) AS n_big
+)
+SELECT b.w1, b.w2, b.c_xy,
+       round(ln((b.c_xy / n.n_big)
+                / ((x.c_w / n.n_uni) * (y.c_w / n.n_uni))), 4) + 0.0 AS pmi
+FROM big_all b
+JOIN uni x ON b.w1 = x.w
+JOIN uni y ON b.w2 = y.w
+CROSS JOIN n
+WHERE b.c_xy >= 5
+ORDER BY w1, w2
+""",
+    tags=("llm", "text"),
+    doc="Adjacent-bigram PMI collocations (operators/text.py:bigram_pmi, "
+        "Church & Hanks '90): two count shuffles (bigram, unigram), "
+        "marginal totals broadcast back, one ln over integer-count "
+        "ratios. Tokens join by space-concat in the oracle (tokens are "
+        "split on whitespace, so the separator cannot collide).",
+)
+def bigram_pmi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bigram_pmi
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_pmi(d, min_count=5).orderBy("w1", "w2")

@@ -104,6 +104,12 @@ ROUND_TIERS: dict[str, int] = {
     "stream_dedup_keys": 20,
     "stream_stateful_user_stats": 20,
     "stream_stream_join": 20,
+    # new in r5, never driver-verified: vocabulary build, bigram PMI
+    # collocations, rank-based winsorization, leakage-safe holdout split
+    "vocab_build": 30,
+    "bigram_pmi": 30,
+    "outlier_winsorize": 30,
+    "sample_holdout_split": 30,
 }
 
 

@@ -30,6 +30,9 @@ MUST_BE_IN_WINDOW = {
     "stream_tumbling_agg", "stream_watermark_tumbling",
     "stream_sliding_agg", "stream_session_window", "stream_dedup_keys",
     "stream_stateful_user_stats", "stream_stream_join",
+    # new operators in r5, never driver-verified (tier C, priority 30)
+    "vocab_build", "bigram_pmi", "outlier_winsorize",
+    "sample_holdout_split",
 }
 
 
