@@ -109,3 +109,32 @@ def winsorize_bounds(df: DataFrame, group_col: str, value_col: str,
         # single IEEE operation)
         F.round(F.sum("__cv").cast("double") / F.count(F.lit(1)), 4)
          .alias("winsorized_mean")))
+
+
+def group_percentiles(df: DataFrame, group_col: str, value_col: str,
+                      percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+                      ) -> DataFrame:
+    """Exact per-group percentiles by ORDER STATISTICS: for each p the
+    value at 1-based rank ceil(p·n) of the ascending order — the same
+    engine-portable rank rule as :func:`winsorize_bounds` (an order
+    statistic is a data member, so there is no interpolation formula
+    for engines to disagree on).
+
+    One shuffle on the group key; all ranks ride one per-group sort
+    window; the output is one row per group with a ``p50``-style column
+    per requested percentile. For the 100 TB path where exactness is
+    not required, use ``quantile_bucket_approx``'s sketch instead —
+    this operator's contract is exact, oracle-checkable summaries.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wg = Window.partitionBy(group_col)
+    d = (df.select(group_col, value_col)
+         .withColumn("__r", F.row_number().over(w))
+         .withColumn("__n", F.count(F.lit(1)).over(wg)))
+    aggs = [F.max("__n").alias("n")]
+    for p in percentiles:
+        k = F.greatest(F.ceil(F.lit(p) * F.col("__n")), F.lit(1))
+        name = f"p{str(p)[2:].ljust(2, '0')}" if p < 1 else "p100"
+        aggs.append(F.max(F.when(F.col("__r") == k, F.col(value_col)))
+                    .alias(name))
+    return d.groupBy(group_col).agg(*aggs)

@@ -129,3 +129,39 @@ def chunk_text(df: DataFrame, id_col: str = "doc_id",
     return (d.select(id_col, "chunk_idx",
                      F.array_join(piece, " ").alias("chunk_text"),
                      F.size(piece).alias("n_chunk_tokens")))
+
+
+def span_duplication(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document duplicated-span profile: how much of each document
+    recurs verbatim elsewhere in the corpus.
+
+    For every document: ``n_spans`` distinct n-token spans,
+    ``n_shared_spans`` of them appearing in at least one OTHER document,
+    and ``dup_ratio`` = shared/total — the self-corpus counterpart of
+    :func:`decontaminate`, and the document-granular signal behind
+    substring-level training-data dedup (Lee et al. '22, "Deduplicating
+    Training Data Makes Language Models Better": repeated spans drive
+    memorization, so rank documents by how much of them is corpus-
+    duplicated before deciding what to drop or downweight).
+
+    Plan shape: distinct (doc, span) pairs — one shuffle; the
+    docs-per-span count rides a window over the span key — second
+    shuffle; the per-doc rollup is the third. Spans never leave their
+    (span)-keyed partitions as arrays; the fan-out is explode-then-
+    aggregate with map-side combine, never a doc×doc product.
+    """
+    pairs = (with_word_shingles(
+        docs.select(id_col, text_col), text_col, n=n, out="__grams")
+        .select(id_col, F.explode("__grams").alias("__gram"))
+        .distinct())
+    w = Window.partitionBy("__gram")
+    flagged = pairs.withColumn("__ndocs", F.count(F.lit(1)).over(w))
+    return (flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("__ndocs") >= 2, 1).otherwise(0))
+         .alias("n_shared_spans"))
+        # exact integer counts -> ONE double division, engine-portable
+        .withColumn("dup_ratio",
+                    F.round(F.col("n_shared_spans")
+                            / F.col("n_spans"), 4) + F.lit(0.0)))

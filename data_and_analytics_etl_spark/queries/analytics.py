@@ -521,3 +521,38 @@ def outlier_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (winsorize_bounds(li, "l_returnflag", "l_extendedprice",
                              alpha=0.01)
             .orderBy("l_returnflag"))
+
+
+@query(
+    "group_percentiles_exact",
+    oracle="""
+WITH d AS (
+  SELECT event_type, value AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, max(n) AS n,
+       max(CASE WHEN r = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                THEN v END) AS p50,
+       max(CASE WHEN r = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+                THEN v END) AS p90,
+       max(CASE WHEN r = greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)
+                THEN v END) AS p99
+FROM d GROUP BY event_type ORDER BY event_type
+""",
+    tags=("analytics", "profile"),
+    doc="Exact per-group p50/p90/p99 by order statistics (operators/"
+        "binning.py:group_percentiles) — value at rank ceil(p*n), the "
+        "same engine-portable rank rule as outlier_winsorize; no "
+        "interpolation formula for engines to disagree on. One group "
+        "shuffle; all ranks share one sort window. NULLs filtered "
+        "explicitly (Spark orders them first, DuckDB last).",
+)
+def group_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.binning import group_percentiles
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    return (group_percentiles(ev, "event_type", "value",
+                              percentiles=(0.5, 0.9, 0.99))
+            .orderBy("event_type"))

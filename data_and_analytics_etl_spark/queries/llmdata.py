@@ -1062,3 +1062,38 @@ def bigram_pmi_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bigram_pmi
     d = load_table(spark, sf_dir, "documents")
     return bigram_pmi(d, min_count=5).orderBy("w1", "w2")
+
+
+@query(
+    "corpus_span_duplication",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+), pairs AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(t) - 1, 1)),
+    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS gram
+  FROM toks
+), c AS (
+  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS ndocs
+  FROM pairs
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_spans,
+       round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) / count(*), 4)
+         + 0.0 AS dup_ratio
+FROM c GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("llm", "corpus"),
+    doc="Per-document duplicated-span profile (operators/corpus.py:"
+        "span_duplication, Lee et al. '22 substring-dedup signal): the "
+        "fraction of each doc's distinct word 3-grams that recur in "
+        "ANOTHER document. Distinct (doc,span) pairs -> span-keyed "
+        "window count -> per-doc rollup; explode-then-aggregate, never "
+        "doc x doc.",
+)
+def corpus_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import span_duplication
+    d = load_table(spark, sf_dir, "documents")
+    return span_duplication(d, n=3).orderBy("doc_id")

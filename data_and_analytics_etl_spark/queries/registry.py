@@ -110,6 +110,8 @@ ROUND_TIERS: dict[str, int] = {
     "bigram_pmi": 30,
     "outlier_winsorize": 30,
     "sample_holdout_split": 30,
+    "corpus_span_duplication": 30,
+    "group_percentiles_exact": 30,
 }
 
 

@@ -32,7 +32,8 @@ MUST_BE_IN_WINDOW = {
     "stream_stateful_user_stats", "stream_stream_join",
     # new operators in r5, never driver-verified (tier C, priority 30)
     "vocab_build", "bigram_pmi", "outlier_winsorize",
-    "sample_holdout_split",
+    "sample_holdout_split", "corpus_span_duplication",
+    "group_percentiles_exact",
 }
 
 
