@@ -154,3 +154,27 @@ def holdout_split(df: DataFrame, key_col: str, holdout_frac: float,
         split_col,
         F.when(hash_bucket(F.col(key_col)) < F.lit(thr),
                F.lit("holdout")).otherwise(F.lit("train")))
+
+
+def kfold_assign(df: DataFrame, key_col: str, k: int,
+                 fold_col: str = "fold") -> DataFrame:
+    """Deterministic k-fold cross-validation assignment by group key.
+
+    Fold i covers the md5 buckets [round(i·256/k), round((i+1)·256/k)):
+    contiguous hex-threshold ranges, so the fold id is a chain of the
+    same engine-portable prefix comparisons the samplers use (no
+    hex→int conversion, which SQL dialects disagree on). All rows of a
+    key share a fold (group-aware, like :func:`holdout_split`), folds
+    are ~equal mass, and fold membership is stable across engines,
+    partitionings, and incremental loads. Zero shuffles, pure codegen.
+    """
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    bucket = hash_bucket(F.col(key_col))
+    expr = F.lit(k - 1)
+    # descending when-chain: fold i iff bucket < threshold(i+1), tested
+    # from the lowest threshold up so the first match wins
+    for i in range(k - 1, 0, -1):
+        expr = F.when(bucket < F.lit(_hex_threshold(i / k)),
+                      F.lit(i - 1)).otherwise(expr)
+    return df.withColumn(fold_col, expr.cast("int"))

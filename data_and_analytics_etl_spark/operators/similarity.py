@@ -356,3 +356,30 @@ def label_centroids(df: DataFrame, label_col: str = "label",
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "c"))),
                 lambda s: s["c"]).alias("centroid")))
+
+
+def cosine_neardup_pairs_exact(df: DataFrame, threshold: float,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding near-dup pairs: (id_a, id_b, cosine) for every
+    unordered pair with cosine >= threshold.
+
+    The verification baseline for :func:`cosine_neardup_lsh` — all-pairs
+    by construction, so BOUND THE INPUT (the probe runs it on a slice);
+    the scale path is the sign-LSH bucket join, whose recall pytest
+    measures against this. Norms are precomputed per row (one fold per
+    row, not three per pair) and the smaller alias is broadcast so the
+    theta-join never shuffles the corpus.
+    """
+    prepped = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    prepped = prepped.withColumn("__n", l2_norm(F.col("__v")))
+    a = prepped.select(F.col(id_col).alias("id_a"),
+                       F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = prepped.select(F.col(id_col).alias("id_b"),
+                       F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    sim = cosine_prenormed(F.col("__va"), F.col("__vb"),
+                           F.col("__na"), F.col("__nb"))
+    return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.round(sim, 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

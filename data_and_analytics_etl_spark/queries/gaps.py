@@ -686,3 +686,45 @@ def sample_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
          .cast("double").alias("sum_total"))
         .orderBy("split"))
+
+
+@query(
+    "sample_kfold",
+    oracle="""
+WITH f AS (
+  SELECT o_custkey, o_totalprice,
+         CASE WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 2) < '33'
+                THEN 0
+              WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 2) < '66'
+                THEN 1
+              WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 2) < '9a'
+                THEN 2
+              WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 2) < 'cd'
+                THEN 3
+              ELSE 4 END AS fold
+  FROM orders
+)
+SELECT CAST(fold AS INTEGER) AS fold, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_total
+FROM f GROUP BY fold ORDER BY fold
+""",
+    tags=("sample",),
+    doc="Deterministic 5-fold CV assignment (operators/sampling.py:"
+        "kfold_assign): fold = contiguous md5-bucket range of the GROUP "
+        "key (thresholds round(i*256/5) -> 33/66/9a/cd), so folds are "
+        "group-consistent, ~equal mass, engine-portable (prefix "
+        "compares, no hex->int casts), and stable under incremental "
+        "loads. Zero shuffles for the labeling.",
+)
+def sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import kfold_assign
+    o = load_table(spark, sf_dir, "orders")
+    s = kfold_assign(o, "o_custkey", k=5)
+    return (s.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("sum_total"))
+        .orderBy("fold"))

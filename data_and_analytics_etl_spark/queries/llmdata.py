@@ -1097,3 +1097,35 @@ def corpus_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import span_duplication
     d = load_table(spark, sf_dir, "documents")
     return span_duplication(d, n=3).orderBy("doc_id")
+
+
+@query(
+    "neardup_cosine_exact",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings WHERE vec_id < 300
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.dv, b.dv)
+             / (sqrt(list_dot_product(a.dv, a.dv))
+                * sqrt(list_dot_product(b.dv, b.dv))), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.dv, b.dv)
+            / (sqrt(list_dot_product(a.dv, a.dv))
+               * sqrt(list_dot_product(b.dv, b.dv))), 6) >= 0.4
+ORDER BY id_a, id_b
+""",
+    tags=("llm", "similarity"),
+    doc="Exact embedding-cosine near-dup pairs at threshold 0.4 "
+        "(operators/similarity.py:cosine_neardup_pairs_exact) on a "
+        "bounded slice — the oracle-checked verification baseline for "
+        "the sign-LSH scale path (cosine_neardup_lsh), whose recall "
+        "pytest measures against exactly this computation. Norms "
+        "precomputed per row; smaller alias broadcast.",
+)
+def neardup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_neardup_pairs_exact
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return (cosine_neardup_pairs_exact(e, threshold=0.4)
+            .orderBy("id_a", "id_b"))

@@ -112,6 +112,8 @@ ROUND_TIERS: dict[str, int] = {
     "sample_holdout_split": 30,
     "corpus_span_duplication": 30,
     "group_percentiles_exact": 30,
+    "neardup_cosine_exact": 30,
+    "sample_kfold": 30,
 }
 
 

@@ -182,3 +182,50 @@ class TestRound5Ops:
         exp = math.log((2 / 6) / ((3 / 8) * (4 / 8)))
         assert got[("a", "b")][0] == 2
         assert abs(got[("a", "b")][1] - round(exp, 4)) < 1e-9
+
+
+class TestKfoldAssign:
+    def test_kfold_partitions_rows_group_consistently(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.sampling import \
+            kfold_assign
+        o = load_table(spark, sf_dir, "orders")
+        s = kfold_assign(o, "o_custkey", k=5)
+        assert s.count() == o.count()
+        assert (s.groupBy("o_custkey")
+                .agg(F.countDistinct("fold").alias("k"))
+                .filter(F.col("k") > 1).count()) == 0
+        folds = {r["fold"] for r in s.select("fold").distinct().collect()}
+        assert folds <= set(range(5))
+
+    def test_kfold_folds_are_roughly_balanced(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.sampling import \
+            kfold_assign
+        o = load_table(spark, sf_dir, "orders")
+        counts = {r["fold"]: r["n"] for r in
+                  kfold_assign(o, "o_custkey", k=4).groupBy("fold")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        n = sum(counts.values())
+        for c in counts.values():
+            assert abs(c - n / 4) < 0.15 * n
+
+    def test_kfold_equals_holdout_at_matching_threshold(self, spark,
+                                                        sf_dir):
+        """fold 0 of k=5 == holdout at frac 51/256 (same bucket range)."""
+        from data_and_analytics_etl_spark.operators.sampling import (
+            holdout_split, kfold_assign)
+        o = load_table(spark, sf_dir, "orders")
+        f0 = {r["o_orderkey"] for r in
+              kfold_assign(o, "o_custkey", 5).filter("fold = 0")
+              .select("o_orderkey").collect()}
+        h = {r["o_orderkey"] for r in
+             holdout_split(o, "o_custkey", 51 / 256)
+             .filter("split = 'holdout'").select("o_orderkey").collect()}
+        assert f0 == h
+
+    def test_kfold_rejects_bad_k(self, spark, sf_dir):
+        import pytest as _pytest
+        from data_and_analytics_etl_spark.operators.sampling import \
+            kfold_assign
+        o = load_table(spark, sf_dir, "orders")
+        with _pytest.raises(ValueError):
+            kfold_assign(o, "o_custkey", k=1)

@@ -33,7 +33,7 @@ MUST_BE_IN_WINDOW = {
     # new operators in r5, never driver-verified (tier C, priority 30)
     "vocab_build", "bigram_pmi", "outlier_winsorize",
     "sample_holdout_split", "corpus_span_duplication",
-    "group_percentiles_exact",
+    "group_percentiles_exact", "neardup_cosine_exact", "sample_kfold",
 }
 
 
