@@ -425,3 +425,69 @@ class TestCorpusOps:
         t = df.select(redact_pii(F.col("text")).alias("t")).first().t
         assert "<EMAIL>" in t and "<PHONE>" in t and "<IP>" in t
         assert "keep 1.2 and v1.2.3 and plain text" in t
+
+
+class TestResizeAndFrames:
+    """r5 multimodal additions: REAL nearest-neighbor BMP resize and
+    WAV frame sampling, with the per-row quarantine contract."""
+
+    def test_bmp_resize_roundtrips_through_decoder(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            _decode_payload, resize_images)
+        df = spark.createDataFrame(
+            [(1, bytearray(_make_bmp(8, 6, (10, 200, 30)))),
+             (2, bytearray(b"not a bmp"))],
+            "asset_id long, payload binary")
+        rows = {r["asset_id"]: r for r in
+                resize_images(df, 4, 3).collect()}
+        ok = rows[1]
+        assert ok["error"] is None and (ok["width"], ok["height"]) == (4, 3)
+        d = _decode_payload(bytes(ok["payload"]), "image")
+        assert (d["width"], d["height"]) == (4, 3)
+        # solid-color image: luminance is invariant under resize
+        src = _decode_payload(_make_bmp(8, 6, (10, 200, 30)), "image")
+        assert abs(d["signal_mean"] - src["signal_mean"]) < 1e-9
+        assert rows[2]["error"] is not None and rows[2]["payload"] is None
+
+    def test_bmp_identity_resize_preserves_pixels(self):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            _resize_bmp)
+        src = _make_bmp(5, 4, (7, 77, 177))
+        assert _resize_bmp(src, 5, 4) == src
+
+    def test_wav_frame_sampling_exact_stats(self, spark):
+        import struct
+        import wave
+        import io
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            sample_frames)
+        # 4 windows of 100 samples at constant amplitudes 0/100/-100/400:
+        # per-frame mean == amplitude, rms == |amplitude|
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+            for amp in (0, 100, -100, 400):
+                w.writeframes(struct.pack("<h", amp) * 100)
+        df = spark.createDataFrame(
+            [(9, bytearray(buf.getvalue())), (10, bytearray(b"RIFFxxxx"))],
+            "asset_id long, payload binary")
+        out = sample_frames(df, n_frames=4).collect()
+        frames = sorted(((r["frame_idx"], r["frame_mean"], r["frame_rms"],
+                          r["n_samples"], r["start_s"])
+                         for r in out if r["asset_id"] == 9))
+        assert frames == [(0, 0.0, 0.0, 100, 0.0),
+                          (1, 100.0, 100.0, 100, 0.0125),
+                          (2, -100.0, 100.0, 100, 0.025),
+                          (3, 400.0, 400.0, 100, 0.0375)]
+        bad = [r for r in out if r["asset_id"] == 10]
+        assert len(bad) == 1 and bad[0]["error"] is not None
+
+    def test_non_wav_video_quarantined_not_crashed(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            sample_frames)
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x00\x00\x00\x20ftypmp42" + b"\0" * 32))],
+            "asset_id long, payload binary")
+        rows = sample_frames(df, n_frames=3).collect()
+        assert len(rows) == 1
+        assert "NotImplementedError" in rows[0]["error"]
