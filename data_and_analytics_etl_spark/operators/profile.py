@@ -122,3 +122,91 @@ def drift_psi(df_a: DataFrame, df_b: DataFrame, value_col: str,
     return (g.select("bucket", "n_a", "n_b",
                      F.round((p - q) * F.log(p / q), 6)
                      .alias("psi_contrib")))
+
+
+def drift_ks(df_a: DataFrame, df_b: DataFrame, value_col: str,
+             lo: float, hi: float, nbins: int = 256) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between snapshots:
+    max |ECDF_a(v) - ECDF_b(v)| over every distinct value, plus the
+    argmax value (smallest on ties).
+
+    The complement of :func:`drift_psi`: PSI reads bucket-mass shifts,
+    KS reads the worst single point of CDF separation. Exactness does
+    NOT require a global sort here — the ECDF cumulative uses the same
+    two-stage prefix-sum trick as corpus.pack_to_token_budget: values
+    range-bucket onto a fixed grid, per-bucket cumulative windows run in
+    parallel, and only the nbins-row bucket-totals table crosses a
+    single-task window. Out-of-range values clamp into the edge buckets
+    (same contract as fixed_histogram), preserving exactness because
+    clamping is monotone.
+
+    One shuffle for the (bucket, value) counts; everything after runs
+    on distinct values. Division happens once per distinct value from
+    exact integer cumulative counts — engine-portable.
+    """
+    from .binning import fixed_histogram  # noqa: F401 — shared grid doc
+
+    width = (hi - lo) / nbins
+    def tag(d: DataFrame, a: int, b: int) -> DataFrame:
+        raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+        bucket = (F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+                  .cast("long"))
+        return d.select(F.col(value_col).alias("v"),
+                        bucket.alias("__bucket"),
+                        F.lit(a).alias("__a"), F.lit(b).alias("__b"))
+
+    pts = (tag(df_a, 1, 0).unionByName(tag(df_b, 0, 1))
+           .groupBy("__bucket", "v")
+           .agg(F.sum("__a").alias("n_a"), F.sum("__b").alias("n_b")))
+    totals = pts.groupBy("__bucket").agg(
+        F.sum("n_a").alias("__ba"), F.sum("n_b").alias("__bb"))
+    wb = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1)  # nbins rows: bounded by design
+    base = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__ba").over(wb), F.lit(0)).alias("__basea"),
+        F.coalesce(F.sum("__bb").over(wb), F.lit(0)).alias("__baseb"))
+    wv = (Window.partitionBy("__bucket").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    scored = (pts.join(F.broadcast(base), "__bucket")
+              .withColumn("__ca", F.col("__basea") + F.sum("n_a").over(wv))
+              .withColumn("__cb", F.col("__baseb") + F.sum("n_b").over(wv))
+              .withColumn("__ta", F.sum("n_a").over(wall))
+              .withColumn("__tb", F.sum("n_b").over(wall))
+              .withColumn("ks_at_v", F.abs(
+                  F.col("__ca") / F.col("__ta")
+                  - F.col("__cb") / F.col("__tb"))))
+    return (scored
+            .select(F.round(F.col("ks_at_v"), 6).alias("ks"),
+                    F.col("v").alias("at_value"),
+                    F.col("__ta").alias("n_a"), F.col("__tb").alias("n_b"))
+            .orderBy(F.desc("ks"), F.asc("at_value")).limit(1))
+
+
+def categorical_profile(df: DataFrame, group_col: str, cat_col: str,
+                        ) -> DataFrame:
+    """Per-(group, category) distribution profile with entropy and Gini
+    contributions: p = share of the group's rows, entropy_contrib =
+    -p·ln(p), gini_contrib = p², each from exact integer counts and ONE
+    double expression per row. Group-level H = Σ entropy_contrib and
+    Gini = 1 - Σ gini_contrib are caller-side sums over the (bounded)
+    category rows — the same per-row-contribution contract as
+    :func:`drift_psi`, which keeps every emitted value free of
+    order-sensitive double accumulation.
+
+    One shuffle on (group, category); group totals ride a window over
+    the already-aggregated counts, never a second scan.
+    """
+    counts = (df.groupBy(group_col, cat_col)
+              .agg(F.count(F.lit(1)).alias("n")))
+    wg = Window.partitionBy(group_col)
+    p = F.col("n") / F.col("n_group")
+    return (counts
+            .withColumn("n_group", F.sum("n").over(wg))
+            .withColumn("n_categories", F.count(F.lit(1)).over(wg))
+            .select(group_col, cat_col, "n", "n_group", "n_categories",
+                    F.round(p, 6).alias("p"),
+                    F.round(-p * F.log(p), 6).alias("entropy_contrib"),
+                    F.round(p * p, 6).alias("gini_contrib")))

@@ -556,3 +556,83 @@ def group_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (group_percentiles(ev, "event_type", "value",
                               percentiles=(0.5, 0.9, 0.99))
             .orderBy("event_type"))
+
+
+@query(
+    "drift_ks_exact",
+    oracle="""
+WITH a AS (
+  SELECT value AS v FROM events
+  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL
+), b AS (
+  SELECT value AS v FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL
+), pts AS (
+  SELECT v, sum(na) AS n_a, sum(nb) AS n_b FROM (
+    SELECT v, 1 AS na, 0 AS nb FROM a
+    UNION ALL SELECT v, 0 AS na, 1 AS nb FROM b)
+  GROUP BY v
+), c AS (
+  SELECT v, sum(n_a) OVER (ORDER BY v) AS ca,
+         sum(n_b) OVER (ORDER BY v) AS cb,
+         (SELECT count(*) FROM a) AS ta,
+         (SELECT count(*) FROM b) AS tb
+  FROM pts
+)
+SELECT round(abs(ca / ta - cb / tb), 6) AS ks, v AS at_value,
+       CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b
+FROM c ORDER BY ks DESC, at_value LIMIT 1
+""",
+    tags=("analytics", "profile"),
+    doc="EXACT two-sample KS drift statistic between event-time "
+        "snapshots (operators/profile.py:drift_ks) — max ECDF gap over "
+        "every distinct value WITHOUT a global single-task sort: values "
+        "range-bucket onto a fixed grid, per-bucket cumulative windows "
+        "parallelize, only the nbins-row totals table crosses one "
+        "single-task window (pack_to_token_budget's prefix-sum shape). "
+        "The oracle recomputes with a plain global-sort ECDF, proving "
+        "the bucketed decomposition is exactly equivalent.",
+)
+def drift_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import drift_ks
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    cut = "2024-01-16"
+    a = ev.filter(F.col("ts") < cut)
+    b = ev.filter(F.col("ts") >= cut)
+    return drift_ks(a, b, "value", lo=0.0, hi=500.0, nbins=64)
+
+
+@query(
+    "categorical_entropy_profile",
+    oracle="""
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+), g AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+         sum(n) OVER (PARTITION BY o_orderstatus) AS n_group,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n_categories
+  FROM counts
+)
+SELECT o_orderstatus, o_orderpriority, n, n_group, n_categories,
+       round(n / n_group, 6) AS p,
+       round(-(n / n_group) * ln(n / n_group), 6) AS entropy_contrib,
+       round((n / n_group) * (n / n_group), 6) AS gini_contrib
+FROM g ORDER BY o_orderstatus, o_orderpriority
+""",
+    tags=("analytics", "profile"),
+    doc="Per-(group, category) distribution profile (operators/"
+        "profile.py:categorical_profile): share, -p*ln(p) entropy and "
+        "p^2 Gini contributions, each ONE double expression from exact "
+        "integer counts (group entropy/Gini are caller-side sums over "
+        "the bounded category rows — drift_psi's per-row-contribution "
+        "contract, so no order-sensitive double accumulation is ever "
+        "emitted). One shuffle on (group, category).",
+)
+def categorical_entropy_profile(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..operators.profile import categorical_profile
+    o = load_table(spark, sf_dir, "orders")
+    return (categorical_profile(o, "o_orderstatus", "o_orderpriority")
+            .orderBy("o_orderstatus", "o_orderpriority"))

@@ -114,6 +114,8 @@ ROUND_TIERS: dict[str, int] = {
     "group_percentiles_exact": 30,
     "neardup_cosine_exact": 30,
     "sample_kfold": 30,
+    "drift_ks_exact": 30,
+    "categorical_entropy_profile": 30,
 }
 
 

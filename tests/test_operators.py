@@ -229,3 +229,39 @@ class TestKfoldAssign:
         o = load_table(spark, sf_dir, "orders")
         with _pytest.raises(ValueError):
             kfold_assign(o, "o_custkey", k=1)
+
+
+class TestDriftKs:
+    def test_ks_zero_on_identical_snapshots(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.profile import drift_ks
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("value").isNotNull())
+        r = drift_ks(ev, ev, "value", lo=0.0, hi=500.0, nbins=32).collect()
+        assert len(r) == 1 and r[0]["ks"] == 0.0
+
+    def test_ks_invariant_to_grid_choice(self, spark, sf_dir):
+        """The grid only parallelizes the cumulative — the statistic must
+        be EXACT for any (lo, hi, nbins), including grids that clamp."""
+        from data_and_analytics_etl_spark.operators.profile import drift_ks
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("value").isNotNull())
+        a = ev.filter(F.col("user_id") % 2 == 0)
+        b = ev.filter(F.col("user_id") % 2 == 1)
+        results = {
+            grid: drift_ks(a, b, "value", lo=lo, hi=hi,
+                           nbins=nb).collect()[0]
+            for grid, (lo, hi, nb) in {
+                "wide": (0.0, 500.0, 64),
+                "narrow_clamping": (100.0, 200.0, 8),
+                "single_bucket": (0.0, 500.0, 1),
+            }.items()}
+        ks = {g: (r["ks"], r["at_value"]) for g, r in results.items()}
+        assert len(set(ks.values())) == 1, ks
+
+    def test_ks_detects_injected_shift(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.profile import drift_ks
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("value").isNotNull())
+        shifted = ev.withColumn("value", F.col("value") + 100.0)
+        r = drift_ks(ev, shifted, "value", 0.0, 600.0, 32).collect()[0]
+        assert r["ks"] > 0.2

@@ -34,6 +34,7 @@ MUST_BE_IN_WINDOW = {
     "vocab_build", "bigram_pmi", "outlier_winsorize",
     "sample_holdout_split", "corpus_span_duplication",
     "group_percentiles_exact", "neardup_cosine_exact", "sample_kfold",
+    "drift_ks_exact", "categorical_entropy_profile",
 }
 
 
