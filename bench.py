@@ -40,6 +40,12 @@ BENCH_QUERIES: dict[str, str] = {
     # components, per-round localCheckpoint + convergence check)
     "b11_nation_volume": "q7_nation_volume",
     "b12_dedup_clusters": "dedup_clusters",
+    # r5 additions: the two newest scale-sensitive plan families —
+    # explode-heavy text profiling (distinct (doc,span) pairs -> span
+    # window -> doc rollup, the widest fan-out in the engine) and the
+    # bucketed-prefix-sum exact ECDF (grid-parallel cumulative)
+    "b13_span_duplication": "corpus_span_duplication",
+    "b14_drift_ks": "drift_ks_exact",
 }
 
 #: Queries whose probe fn executes work eagerly during construction

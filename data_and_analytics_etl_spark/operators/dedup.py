@@ -57,23 +57,29 @@ def with_word_shingles(df: DataFrame, text_col: str, n: int = 3,
     transform → array_distinct), so it stays inside whole-stage codegen.
     Documents with fewer than ``n`` words get an empty shingle set.
     """
-    # Materialize tokens as a real column FIRST: referencing the split()
-    # expression tree inside the transform lambda would inline it per
-    # shingle position — re-tokenizing the whole document O(n_shingles)
-    # times (measured 20x slowdown at sf0.1). A bound column reference
-    # is evaluated once per row.
-    toks = F.col("__toks")
-    npos = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    shingles = F.when(npos > 0, F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), npos),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j).cast("int"))
-                       for j in range(n)]))
-    )).otherwise(F.array().cast("array<string>"))
-    return (df.withColumn("__toks", F.split(F.col(text_col), r"\s+"))
-            .withColumn(out, shingles)
-            .drop("__toks"))
+    # The token array is LET-BOUND as a lambda variable (single-element
+    # transform), not a projected column: CollapseProject inlines a
+    # dropped intermediate column's defining expression into every
+    # reference site, so a "__toks" helper column silently re-ran
+    # split() once per reference — measured 7 s inside
+    # span_duplication's distinct at sf0.1, and the same tax in every
+    # shingle consumer that aggregates after exploding. A lambda
+    # variable is evaluated exactly once per row no matter how often
+    # the body references it, and no optimizer rule can substitute
+    # through it. array_join(slice(t, i, n), ' ') emits the same string
+    # as concat_ws over the n elements (split() yields no NULLs; both
+    # keep empty strings) — equivalence pinned by pytest.
+    def _shingle(t):
+        npos = F.size(t) - (n - 1)
+        return F.when(npos > 0, F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), npos),
+                lambda i: F.array_join(F.slice(t, i, n), " "))
+        )).otherwise(F.array().cast("array<string>"))
+
+    shingles = F.element_at(
+        F.transform(F.array(F.split(F.col(text_col), r"\s+")), _shingle), 1)
+    return df.withColumn(out, shingles)
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,

@@ -33,6 +33,25 @@ def tokens_of(text: Column) -> Column:
     return F.split(F.lower(text), r"\s+")
 
 
+def ensure_fanout_parallelism(df: DataFrame,
+                              min_partitions: int | None = None) -> DataFrame:
+    """Pre-fan-out repartition guard for explode-heavy operators.
+
+    Token/shingle explodes multiply row counts 50-1000×; if the source
+    scan arrived as ONE partition (a small file under the 128 MB split
+    size — exactly what happens to a dimension-sized table), the entire
+    fan-out serializes on one core (measured: span_duplication 7.9 s at
+    sf0.1 single-task vs ~1 s parallel). Round-robin repartitioning the
+    NARROW pre-explode rows costs a shuffle of the small side and buys
+    full-cluster fan-out. At 100 TB the scan is already multi-partition
+    and this is a no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def text_stats(text: Column) -> dict[str, Column]:
     """Descriptive stats used by quality scoring; all JVM expressions."""
     toks = tokens_of(text)
@@ -175,7 +194,8 @@ def build_vocab(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    tok = (df.select(F.explode(tokens_of(F.col(text_col))).alias("token"))
+    tok = (ensure_fanout_parallelism(df.select(text_col))
+           .select(F.explode(tokens_of(F.col(text_col))).alias("token"))
            .filter(F.col("token") != ""))
     vocab = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_token"))
              .filter(F.col("n_token") >= min_count))
@@ -197,7 +217,8 @@ def bigram_pmi(df: DataFrame, text_col: str = "text",
     keeps the shuffle at distinct-bigram cardinality, not token count);
     unigram totals ride a broadcast join back onto the bigram counts.
     """
-    toks = (df.select(tokens_of(F.col(text_col)).alias("__t"))
+    toks = (ensure_fanout_parallelism(df.select(text_col))
+            .select(tokens_of(F.col(text_col)).alias("__t"))
             .filter(F.size("__t") >= 2))
     uni = (toks.select(F.explode("__t").alias("w"))
            .filter(F.col("w") != "")

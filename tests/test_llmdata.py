@@ -491,3 +491,28 @@ class TestResizeAndFrames:
         rows = sample_frames(df, n_frames=3).collect()
         assert len(rows) == 1
         assert "NotImplementedError" in rows[0]["error"]
+
+
+def test_shingle_formulation_matches_concat_ws(spark, sf_dir):
+    """with_word_shingles' slice+array_join strings must equal the
+    concat_ws-over-elements form verbatim (every shingle oracle depends
+    on it); guards the r5 reformulation that removed the per-position
+    element_at re-tokenization."""
+    import pyspark.sql.functions as F
+    from data_and_analytics_etl_spark.catalog import load_table
+    from data_and_analytics_etl_spark.operators.dedup import \
+        with_word_shingles
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = with_word_shingles(d, "text", n=3, out="g")
+    toks = F.col("__toks")
+    npos = F.greatest(F.size(toks) - 2, F.lit(0))
+    ref = F.when(npos > 0, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), npos),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int"))
+                                     for j in range(3)])))
+    ).otherwise(F.array().cast("array<string>"))
+    want = (d.withColumn("__toks", F.split("text", r"\s+"))
+            .select("doc_id", ref.alias("g")))
+    joined = got.select("doc_id", F.col("g").alias("a")).join(
+        want.select("doc_id", F.col("g").alias("b")), "doc_id")
+    assert joined.filter(F.col("a") != F.col("b")).count() == 0
