@@ -209,26 +209,39 @@ def bigram_pmi(df: DataFrame, text_col: str = "text",
 
     PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) over bigram
     occurrences and p(x) over unigram occurrences — the classic
-    collocation score (Church & Hanks '90). All counting is relational
-    (two groupBys: one on the bigram, one on the token); the final score
-    is a single double expression over integer counts, so it is
-    deterministic cross-engine up to the ln ulp, handled by rounding.
-    Scale shape: bigram fan-out is explode-then-count (map-side combine
-    keeps the shuffle at distinct-bigram cardinality, not token count);
-    unigram totals ride a broadcast join back onto the bigram counts.
+    collocation score (Church & Hanks '90). The final score is a single
+    double expression over integer counts, so it is deterministic
+    cross-engine up to the ln ulp, handled by rounding.
+
+    Scale shape — ONE corpus scan, ONE shuffle: each token explodes to
+    a (w1, next-or-NULL) pair once, and GROUPING SETS (w1) / (w1, w2)
+    computes unigram and bigram counts from the same exchange (the
+    naive two-groupBy form re-scanned and re-tokenized the corpus once
+    per consumer — four times including the totals). The grouped result
+    is vocab-sized and feeds five consumers (bigram slice, two marginal
+    joins, two totals), so it persists before the fan-out — the same
+    persist-before-fanout rule as MinHash-LSH's signature frame.
     """
     toks = (ensure_fanout_parallelism(df.select(text_col))
             .select(tokens_of(F.col(text_col)).alias("__t"))
             .filter(F.size("__t") >= 2))
-    uni = (toks.select(F.explode("__t").alias("w"))
-           .filter(F.col("w") != "")
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
-    big_all = (toks.select(F.explode(F.expr(
-                   "transform(sequence(0, size(__t)-2), "
-                   "i -> struct(__t[i] AS w1, __t[i+1] AS w2))")).alias("bg"))
-               .select("bg.w1", "bg.w2")
-               .filter((F.col("w1") != "") & (F.col("w2") != ""))
-               .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy")))
+    # w2 is NULL for the last token and for empty next-tokens: the
+    # occurrence still counts as a unigram but never forms a bigram
+    pairs = (toks.select(F.explode(F.expr(
+                 "transform(sequence(0, size(__t)-1), i -> struct("
+                 "__t[i] AS w1, "
+                 "CASE WHEN i < size(__t)-1 AND __t[i+1] <> '' "
+                 "THEN __t[i+1] END AS w2))")).alias("p"))
+             .select("p.w1", "p.w2")
+             .filter(F.col("w1") != ""))
+    g = (pairs.groupingSets([["w1"], ["w1", "w2"]], "w1", "w2")
+         .agg(F.count(F.lit(1)).alias("c"),
+              F.grouping("w2").alias("__is_uni"))
+         .persist())
+    uni = (g.filter(F.col("__is_uni") == 1)
+           .select(F.col("w1").alias("w"), F.col("c").alias("c_w")))
+    big_all = (g.filter((F.col("__is_uni") == 0) & F.col("w2").isNotNull())
+               .select("w1", "w2", F.col("c").alias("c_xy")))
     n_uni = uni.agg(F.sum("c_w").alias("n_uni"))
     # marginals over ALL bigram occurrences; the min_count cut only
     # selects which pairs are REPORTED, it must not bias p(x,y)
