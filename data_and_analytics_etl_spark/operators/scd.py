@@ -47,3 +47,32 @@ def scd2_intervals(df: DataFrame, key: str, ts_col: str, attr: str,
     return (changes
             .withColumn("valid_to", F.lead("valid_from").over(w2))
             .select(key, attr, "valid_from", "valid_to"))
+
+
+def point_in_time_join(facts: DataFrame, dim: DataFrame, key: str,
+                       fact_ts: str, attr: str,
+                       how: str = "left") -> DataFrame:
+    """Join each fact row to the SCD2 dimension row valid at its event
+    time: the row with ``valid_from <= ts`` and (``ts < valid_to`` or
+    open-ended) — the standard point-in-time (temporal) dimension
+    lookup over :func:`scd2_intervals` output.
+
+    Because SCD2 intervals are CONTIGUOUS per key by construction (each
+    row's valid_to is the next row's valid_from), "valid at ts" is
+    exactly "latest valid_from <= ts", so this composes the as-of join
+    (operators/asof.py) instead of an interval join — one shuffle on
+    (key, bounded union sort), no bin replication, no post-join filter.
+    Facts before the key's first interval get NULLs under ``how='left'``
+    (dropped under 'inner'), matching the oracle's LEFT JOIN ON
+    range-containment semantics.
+    """
+    from .asof import asof_join
+
+    out = asof_join(
+        facts, dim.select(key, "valid_from", attr),
+        on=key, left_ts=fact_ts, right_ts="valid_from",
+        right_values=[attr], how=how, direction="backward")
+    # present dimension columns under their own names (facts carry no
+    # clashing columns by contract: the attr is the lookup result)
+    return (out.withColumnRenamed(f"{attr}_right", attr)
+            .withColumnRenamed("valid_from_right", "valid_from"))

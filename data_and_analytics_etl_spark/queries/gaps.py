@@ -728,3 +728,59 @@ def sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
          .cast("double").alias("sum_total"))
         .orderBy("fold"))
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+WITH src AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id < 20 AND event_id % 2 = 0
+), ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+), dim AS (
+  SELECT user_id, event_type AS attr, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, event_id) AS valid_to
+  FROM changes
+), facts AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE user_id < 20 AND event_id % 2 = 1
+)
+SELECT f.user_id AS user_id, f.event_id,
+       strftime(f.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, d.attr
+FROM facts f LEFT JOIN dim d
+  ON f.user_id = d.user_id AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+ORDER BY f.user_id, f.event_id
+""",
+    tags=("etl", "join"),
+    doc="Point-in-time (temporal) dimension lookup (operators/scd.py:"
+        "point_in_time_join): facts join the SCD2 row valid at event "
+        "time. Because scd2_intervals emits CONTIGUOUS per-key "
+        "intervals, range containment reduces to an as-of join — one "
+        "shuffle, no bin replication, no post-join dedup; the oracle "
+        "recomputes with explicit [valid_from, valid_to) containment, "
+        "proving the reduction. Facts before a key's first interval "
+        "keep NULL attrs (left join).",
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import point_in_time_join, scd2_intervals
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    dim = scd2_intervals(ev.filter(F.col("event_id") % 2 == 0),
+                         key="user_id", ts_col="ts", attr="event_type",
+                         tie_break=("event_id",))
+    facts = (ev.filter(F.col("event_id") % 2 == 1)
+             .select("user_id", "event_id", "ts"))
+    out = point_in_time_join(facts, dim, key="user_id", fact_ts="ts",
+                             attr="event_type")
+    return (out.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.col("event_type").alias("attr"))
+        .orderBy("user_id", "event_id"))

@@ -116,6 +116,7 @@ ROUND_TIERS: dict[str, int] = {
     "sample_kfold": 30,
     "drift_ks_exact": 30,
     "categorical_entropy_profile": 30,
+    "join_point_in_time_scd2": 30,
 }
 
 

@@ -35,6 +35,7 @@ MUST_BE_IN_WINDOW = {
     "sample_holdout_split", "corpus_span_duplication",
     "group_percentiles_exact", "neardup_cosine_exact", "sample_kfold",
     "drift_ks_exact", "categorical_entropy_profile",
+    "join_point_in_time_scd2",
 }
 
 
