@@ -151,11 +151,8 @@ def span_duplication(docs: DataFrame, id_col: str = "doc_id",
     (span)-keyed partitions as arrays; the fan-out is explode-then-
     aggregate with map-side combine, never a doc×doc product.
     """
-    from .text import ensure_fanout_parallelism
-
     pairs = (with_word_shingles(
-        ensure_fanout_parallelism(docs.select(id_col, text_col)),
-        text_col, n=n, out="__grams")
+        docs.select(id_col, text_col), text_col, n=n, out="__grams")
         .select(id_col, F.explode("__grams").alias("__gram"))
         .distinct())
     w = Window.partitionBy("__gram")

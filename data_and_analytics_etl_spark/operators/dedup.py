@@ -79,7 +79,10 @@ def with_word_shingles(df: DataFrame, text_col: str, n: int = 3,
 
     shingles = F.element_at(
         F.transform(F.array(F.split(F.col(text_col), r"\s+")), _shingle), 1)
-    return df.withColumn(out, shingles)
+    # shingling is THE fan-out producer: guard against a single-partition
+    # scan serializing every downstream signature/band/explode stage
+    from .text import ensure_fanout_parallelism
+    return ensure_fanout_parallelism(df).withColumn(out, shingles)
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, set_col: str,
