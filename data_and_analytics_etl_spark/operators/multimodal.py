@@ -454,3 +454,118 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
 
     return (assets.select("asset_id", "payload")
             .mapInPandas(_sample_batch, schema=FRAMES_SCHEMA))
+
+
+#: Deterministic 256-entry "gear" table for content-defined chunking:
+#: md5 of the byte value seeds each entry, so every engine/process
+#: derives the identical table (no RNG state to ship).
+def _gear_table() -> list[int]:
+    import hashlib
+    return [int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
+            for b in range(256)]
+
+
+CHUNKS_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("chunk_idx", LongType(), False),
+    StructField("offset", LongType(), True),
+    StructField("length", LongType(), True),
+    StructField("chunk_hash", StringType(), True),   # md5 of chunk bytes
+    StructField("error", StringType(), True),
+])
+
+
+def content_defined_chunks(assets: DataFrame, min_size: int = 64,
+                           avg_size: int = 256,
+                           max_size: int = 1024) -> DataFrame:
+    """Content-defined chunking (Gear-hash CDC) of binary payloads.
+
+    The dedup-friendly alternative to fixed-size blocking: boundaries
+    fall where a rolling hash of the content matches a mask, so an
+    insertion early in a payload shifts ONE chunk instead of re-aligning
+    every block after it — the property that makes chunk-hash dedup
+    across near-identical blobs work (LBFS/FastCDC lineage). Chunk
+    hashes are md5, so cross-asset dedup is a plain groupBy(chunk_hash)
+    on the output.
+
+    Gear CDC: h = (h << 1 + gear[byte]) & 2^64-1; boundary when
+    h & (avg_size-1) == 0, subject to min/max size clamps. The gear
+    table derives from md5 so the chunking is engine/process-stable.
+    The per-byte loop is Python (probe payloads are small); a real
+    deployment swaps the kernel for fastcdc/librdedup without touching
+    the Spark plumbing — Arrow-batched mapInPandas, per-row quarantine,
+    map-side fan-out with (asset_id, chunk_idx) provenance.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    if not 0 < min_size <= avg_size <= max_size:
+        raise ValueError("need 0 < min_size <= avg_size <= max_size")
+    mask = avg_size - 1
+    if avg_size & mask:
+        raise ValueError("avg_size must be a power of two")
+
+    _ensure_portable()
+
+    def _chunks_of(p: bytes) -> list[tuple[int, int]]:
+        gear = _gear_table()
+        bounds, start, h = [], 0, 0
+        for i, b in enumerate(p):
+            h = ((h << 1) + gear[b]) & 0xFFFFFFFFFFFFFFFF
+            size = i + 1 - start
+            if size >= max_size or (size >= min_size and (h & mask) == 0):
+                bounds.append((start, size))
+                start, h = i + 1, 0
+        if start < len(p) or not p:
+            bounds.append((start, len(p) - start))
+        return bounds
+
+    def _chunk_batch(batches: Iterator[pd.DataFrame],
+                     ) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CHUNKS_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                base = {"asset_id": int(asset_id), "chunk_idx": 0,
+                        "offset": None, "length": None,
+                        "chunk_hash": None, "error": None}
+                try:
+                    p = bytes(payload or b"")
+                    for idx, (off, ln) in enumerate(_chunks_of(p)):
+                        out.append({**base, "chunk_idx": idx,
+                                    "offset": off, "length": ln,
+                                    "chunk_hash":
+                                        hashlib.md5(p[off:off + ln])
+                                        .hexdigest()})
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    out.append({**base,
+                                "error": f"{type(e).__name__}: {e}"[:200]})
+            yield pd.DataFrame(out, columns=cols)
+
+    return (assets.select("asset_id", "payload")
+            .mapInPandas(_chunk_batch, schema=CHUNKS_SCHEMA))
+
+
+def chunk_dedup_ratio(chunks: DataFrame) -> DataFrame:
+    """Cross-asset chunk dedup profile from ``content_defined_chunks``
+    output: per asset, the count and byte share of its chunks that also
+    occur in ANOTHER asset (same relational shape as
+    corpus.span_duplication — chunk-hash window count, then per-asset
+    rollup; never asset×asset)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk_hash")
+    flagged = (chunks.filter(F.col("error").isNull())
+               .select("asset_id", "chunk_hash", "length")
+               .distinct()
+               .withColumn("__nassets", F.count(F.lit(1)).over(w)))
+    shared = F.when(F.col("__nassets") >= 2, 1).otherwise(0)
+    return (flagged.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(shared).alias("n_shared_chunks"),
+        F.sum(F.col("length")).alias("n_bytes"),
+        F.sum(F.col("length") * shared).alias("n_shared_bytes"))
+        .withColumn("shared_byte_ratio",
+                    F.round(F.col("n_shared_bytes")
+                            / F.greatest(F.col("n_bytes"), F.lit(1)), 4)))

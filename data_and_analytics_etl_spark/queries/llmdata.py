@@ -1129,3 +1129,28 @@ def neardup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     return (cosine_neardup_pairs_exact(e, threshold=0.4)
             .orderBy("id_a", "id_b"))
+
+
+@query(
+    "multimodal_cdc_chunks",
+    oracle=None,  # Gear rolling hash has no SQL form; the CDC property
+                  # suite (shift resilience, exact tiling, determinism,
+                  # cross-asset dedup) carries the evidence
+    tags=("llm", "multimodal", "dedup"),
+    priority=150,
+    doc="Content-defined chunking + cross-asset chunk dedup profile "
+        "(operators/multimodal.py:content_defined_chunks, "
+        "chunk_dedup_ratio): Gear-hash CDC boundaries over binary "
+        "payloads, md5 chunk ids, then the span_duplication-shaped "
+        "chunk-hash rollup. Property-tested in tests/test_llmdata.py::"
+        "TestContentDefinedChunking (insertion shifts only local "
+        "chunks; fixed blocking would lose all alignment).",
+)
+def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (chunk_dedup_ratio,
+                                        content_defined_chunks)
+    assets = assets_from_documents(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    chunks = content_defined_chunks(assets, min_size=32, avg_size=64,
+                                    max_size=256)
+    return chunk_dedup_ratio(chunks).orderBy("asset_id")

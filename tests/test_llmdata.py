@@ -516,3 +516,64 @@ def test_shingle_formulation_matches_concat_ws(spark, sf_dir):
     joined = got.select("doc_id", F.col("g").alias("a")).join(
         want.select("doc_id", F.col("g").alias("b")), "doc_id")
     assert joined.filter(F.col("a") != F.col("b")).count() == 0
+
+
+class TestContentDefinedChunking:
+    """Gear-hash CDC: the shift-resilience property that justifies the
+    operator, plus determinism and the quarantine contract."""
+
+    def _chunk(self, spark, payloads, **kw):
+        from data_and_analytics_etl_spark.operators.multimodal import \
+            content_defined_chunks
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "asset_id long, payload binary")
+        return content_defined_chunks(df, **kw).collect()
+
+    def test_chunks_tile_payload_exactly(self, spark):
+        import os
+        data = os.urandom(4096)  # test-local randomness, op is pure
+        rows = sorted((r["chunk_idx"], r["offset"], r["length"])
+                      for r in self._chunk(spark, [data]))
+        assert rows[0][1] == 0
+        for (_, o1, l1), (_, o2, _) in zip(rows, rows[1:]):
+            assert o1 + l1 == o2
+        assert rows[-1][1] + rows[-1][2] == len(data)
+        assert all(l <= 1024 for _, _, l in rows)
+
+    def test_insertion_shifts_only_local_chunks(self, spark):
+        """The CDC property: prepending bytes re-chunks the head but the
+        tail chunk hashes survive — fixed-size blocking would lose ALL
+        alignment."""
+        base = bytes(range(256)) * 16                   # 4 KiB
+        edited = b"INSERTED!" + base
+        a, b = (self._chunk(spark, [p]) for p in (base, edited))
+        ha = {r["chunk_hash"] for r in a}
+        hb = {r["chunk_hash"] for r in b}
+        assert len(ha & hb) >= len(ha) // 2, (len(ha & hb), len(ha))
+
+    def test_deterministic_across_runs(self, spark):
+        data = bytes(range(251)) * 20
+        r1 = sorted(map(tuple, self._chunk(spark, [data])))
+        r2 = sorted(map(tuple, self._chunk(spark, [data])))
+        assert r1 == r2
+
+    def test_dedup_ratio_finds_shared_chunks(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            chunk_dedup_ratio, content_defined_chunks)
+        shared = bytes(range(256)) * 8
+        df = spark.createDataFrame(
+            [(1, bytearray(shared + b"tailA" * 40)),
+             (2, bytearray(shared + b"tailB" * 40)),
+             (3, bytearray(b"completely different" * 100))],
+            "asset_id long, payload binary")
+        prof = {r["asset_id"]: r for r in
+                chunk_dedup_ratio(content_defined_chunks(df)).collect()}
+        assert prof[1]["n_shared_chunks"] > 0
+        assert prof[2]["n_shared_chunks"] > 0
+        assert prof[3]["n_shared_chunks"] == 0
+        assert prof[1]["shared_byte_ratio"] > prof[3]["shared_byte_ratio"]
+
+    def test_empty_payload_single_empty_chunk(self, spark):
+        rows = self._chunk(spark, [b""])
+        assert len(rows) == 1 and rows[0]["length"] == 0
