@@ -178,3 +178,48 @@ def kfold_assign(df: DataFrame, key_col: str, k: int,
         expr = F.when(bucket < F.lit(_hex_threshold(i / k)),
                       F.lit(i - 1)).otherwise(expr)
     return df.withColumn(fold_col, expr.cast("int"))
+
+
+def temperature_mixture_sample(df: DataFrame, key_col: str,
+                               stratum_col: str, target_rows: int,
+                               alpha: float = 0.5) -> DataFrame:
+    """Temperature-flattened source mixing: sample each stratum so kept
+    counts are proportional to n_s^alpha (alpha=1 natural mix, alpha=0
+    equal mix, 0.5 the usual multilingual-corpus softening), targeting
+    ``target_rows`` total — the T5/mT5-style mixture step between
+    per-source curation and corpus packing.
+
+    Keep-fraction per stratum: f_s = target·n_s^(α−1) / Σ n_t^α, capped
+    at 1, quantized floor(256·f)/256 onto the shared md5-bucket space —
+    membership stays a pure (key, stratum-counts) function: stable
+    across engines, partitionings, incremental loads.
+
+    Engine-exactness of the thresholds: only α=0.5 is accepted, because
+    sqrt is IEEE-correctly-rounded (bit-identical in every engine) while
+    pow(x, α) is not; each √n_s quantizes to an integer (×10^6 floor)
+    BEFORE summing so the denominator is an exact integer sum, never an
+    order-sensitive double accumulation. Scale shape = rebalance_sample:
+    one tiny stratum-count aggregate broadcast back, the keep predicate
+    in codegen on the scan — the data itself never shuffles.
+    """
+    if alpha != 0.5:
+        raise NotImplementedError(
+            "only alpha=0.5 is supported: sqrt is the one power IEEE "
+            "guarantees correctly rounded, which the cross-engine "
+            "threshold determinism contract depends on")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    counts = counts.withColumn(
+        "__w", F.floor(F.sqrt(F.col("__n")) * 1_000_000).cast("long"))
+    tot = counts.agg(F.sum("__w").alias("__tw"))
+    k = (F.least(
+            F.floor(F.lit(256.0) * F.lit(target_rows) * F.col("__w")
+                    / (F.col("__tw") * F.col("__n"))),
+            F.lit(256)).cast("int"))
+    lookup = (counts.crossJoin(F.broadcast(tot))
+              .select(stratum_col,
+                      F.when(k >= 256, F.lit("g0"))
+                       .otherwise(F.lpad(F.lower(F.hex(k)), 2, "0"))
+                       .alias("__thresh")))
+    return (df.join(F.broadcast(lookup), stratum_col)
+            .filter(hash_bucket(F.col(key_col)) < F.col("__thresh"))
+            .drop("__thresh"))

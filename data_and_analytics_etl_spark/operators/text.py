@@ -348,3 +348,43 @@ def redact_pii(text: Column,
     for pat, repl in patterns:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def vocab_logrank_score(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        min_count: int = 2) -> DataFrame:
+    """Rank-based perplexity proxy: per document, the mean log2 of each
+    token's corpus-frequency rank (OOV tokens rank one past the
+    vocabulary end). Common-word documents score low, rare/garbled
+    documents score high — the cheap stand-in for LM-perplexity quality
+    filtering when no model is in the loop, built entirely from corpus
+    statistics (build_vocab) so it is exactly oracle-checkable.
+
+    Determinism: each token contributes floor(log2(rank)·10^6) as an
+    INTEGER, so the per-doc sum is exact regardless of fold order (the
+    centroid integer-grid rule); one double division at the end. log2
+    of an integer rank sits on an exact value only at powers of two —
+    where every engine agrees — and irrationally far from the floor
+    boundary elsewhere. Scale shape: vocab is an aggregate (persisted —
+    it feeds the join and the OOV rank), broadcast into the token join;
+    one shuffle on the doc id for the rollup.
+    """
+    vocab = build_vocab(df, text_col, min_count).persist()
+    oov = vocab.agg((F.max("token_id") + 1).alias("__oov"))
+    toks = (ensure_fanout_parallelism(df.select(id_col, text_col))
+            .select(id_col, F.explode(tokens_of(F.col(text_col)))
+                    .alias("token"))
+            .filter(F.col("token") != ""))
+    ranked = (toks
+              .join(F.broadcast(vocab.select("token", "token_id")),
+                    "token", "left")
+              .crossJoin(F.broadcast(oov))
+              .withColumn("__r", F.coalesce("token_id", F.col("__oov")))
+              .withColumn("__t", F.floor(F.log2("__r") * 1_000_000)
+                          .cast("long")))
+    return (ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0))
+         .alias("n_oov"),
+        F.round(F.sum("__t") / (F.lit(1_000_000.0) * F.count(F.lit(1))), 4)
+         .alias("mean_log2_rank")))

@@ -784,3 +784,46 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         F.col("event_type").alias("attr"))
         .orderBy("user_id", "event_id"))
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle="""
+WITH counts AS (
+  SELECT source, count(*) AS n,
+         CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS w
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(w) AS tw FROM counts),
+lk AS (
+  SELECT source,
+         CASE WHEN floor(256.0 * 1000 * w / (tw * n)) >= 256 THEN 'g0'
+              ELSE lpad(lower(to_hex(CAST(floor(256.0 * 1000 * w
+                                                / (tw * n)) AS INTEGER))),
+                        2, '0') END AS th
+  FROM counts, tot
+)
+SELECT d.source AS source, count(*) AS n_kept,
+       count(DISTINCT d.doc_id) AS n_docs
+FROM documents d JOIN lk ON d.source = lk.source
+WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < lk.th
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("sample", "llm"),
+    doc="Temperature-flattened source mixing (operators/sampling.py:"
+        "temperature_mixture_sample, alpha=0.5, target 1000): kept "
+        "counts proportional to sqrt(n_source) — the T5/mT5 mixture "
+        "step. Thresholds derive from integer-quantized sqrt weights "
+        "(sqrt is the one IEEE-correctly-rounded power, and the "
+        "quantization makes the denominator an exact integer sum), so "
+        "membership is engine-portable. Zero data shuffles: stratum "
+        "counts broadcast back, keep predicate in codegen.",
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_mixture_sample
+    d = load_table(spark, sf_dir, "documents")
+    s = temperature_mixture_sample(d, "doc_id", "source",
+                                   target_rows=1000, alpha=0.5)
+    return (s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy("source"))

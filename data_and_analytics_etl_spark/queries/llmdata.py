@@ -1154,3 +1154,46 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = content_defined_chunks(assets, min_size=32, avg_size=64,
                                     max_size=256)
     return chunk_dedup_ratio(chunks).orderBy("asset_id")
+
+
+@query(
+    "text_vocab_logrank",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+), vcounts AS (
+  SELECT token, count(*) AS n_token FROM tok
+  WHERE token <> '' GROUP BY token HAVING count(*) >= 2
+), vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY n_token DESC, token)
+              AS INTEGER) AS token_id
+  FROM vcounts
+), oov AS (SELECT max(token_id) + 1 AS o FROM vocab),
+ranked AS (
+  SELECT t.doc_id, v.token_id,
+         coalesce(v.token_id, oov.o) AS r
+  FROM tok t LEFT JOIN vocab v USING (token) CROSS JOIN oov
+  WHERE t.token <> ''
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CAST(floor(log2(r) * 1000000) AS BIGINT))
+             / (1000000.0 * count(*)), 4) AS mean_log2_rank
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("llm", "text"),
+    doc="Rank-based perplexity proxy (operators/text.py:"
+        "vocab_logrank_score): mean log2 of each token's corpus-"
+        "frequency rank, OOV ranked past the vocabulary end — the "
+        "model-free stand-in for LM-perplexity quality filtering. Each "
+        "token contributes floor(log2(rank)*1e6) as an INTEGER so the "
+        "per-doc sum is fold-order exact (centroid integer-grid rule); "
+        "vocab broadcast into the token join, one doc-id shuffle.",
+)
+def text_vocab_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import vocab_logrank_score
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_logrank_score(d, min_count=2).orderBy("doc_id")

@@ -117,6 +117,8 @@ ROUND_TIERS: dict[str, int] = {
     "drift_ks_exact": 30,
     "categorical_entropy_profile": 30,
     "join_point_in_time_scd2": 30,
+    "sample_temperature_mixture": 30,
+    "text_vocab_logrank": 30,
 }
 
 

@@ -265,3 +265,48 @@ class TestDriftKs:
         shifted = ev.withColumn("value", F.col("value") + 100.0)
         r = drift_ks(ev, shifted, "value", 0.0, 600.0, 32).collect()[0]
         assert r["ks"] > 0.2
+
+
+class TestTemperatureMixture:
+    def test_flattens_toward_sqrt_proportions(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.sampling import \
+            temperature_mixture_sample
+        import math
+        d = load_table(spark, sf_dir, "documents")
+        nat = {r["source"]: r["n"] for r in
+               d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+        kept = {r["source"]: r["n"] for r in
+                temperature_mixture_sample(d, "doc_id", "source",
+                                           target_rows=500, alpha=0.5)
+                .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+        # kept share should track sqrt(n) share, not natural share:
+        # the keep RATE for small strata >= rate for large strata
+        rates = sorted((nat[s], kept.get(s, 0) / nat[s]) for s in nat)
+        assert rates[0][1] >= rates[-1][1] - 1 / 256
+        # 1/256 quantization: total lands near the target
+        assert 0.5 * 500 <= sum(kept.values()) <= 1.5 * 500
+
+    def test_alpha_restriction_is_explicit(self, spark, sf_dir):
+        import pytest as _pytest
+        from data_and_analytics_etl_spark.operators.sampling import \
+            temperature_mixture_sample
+        d = load_table(spark, sf_dir, "documents")
+        with _pytest.raises(NotImplementedError):
+            temperature_mixture_sample(d, "doc_id", "source",
+                                       target_rows=100, alpha=0.7)
+
+    def test_membership_is_subset_stable(self, spark, sf_dir):
+        """A stratum's kept set at a smaller target is a subset of its
+        kept set at a larger target (thresholds are nested prefixes)."""
+        from data_and_analytics_etl_spark.operators.sampling import \
+            temperature_mixture_sample
+        d = load_table(spark, sf_dir, "documents")
+        small = {r["doc_id"] for r in
+                 temperature_mixture_sample(d, "doc_id", "source", 300)
+                 .select("doc_id").collect()}
+        big = {r["doc_id"] for r in
+               temperature_mixture_sample(d, "doc_id", "source", 900)
+               .select("doc_id").collect()}
+        assert small <= big

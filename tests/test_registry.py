@@ -35,7 +35,8 @@ MUST_BE_IN_WINDOW = {
     "sample_holdout_split", "corpus_span_duplication",
     "group_percentiles_exact", "neardup_cosine_exact", "sample_kfold",
     "drift_ks_exact", "categorical_entropy_profile",
-    "join_point_in_time_scd2",
+    "join_point_in_time_scd2", "sample_temperature_mixture",
+    "text_vocab_logrank",
 }
 
 
