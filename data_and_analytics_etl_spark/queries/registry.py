@@ -82,7 +82,6 @@ ROUND_TIERS: dict[str, int] = {
     "q1_pricing_summary": 10,
     "q3_shipping_priority": 10,
     "q5_star_join": 10,
-    "q6_forecast_revenue": 10,
     "q10_returned_revenue": 10,
     "q7_nation_volume": 10,
     "topk_per_group": 10,

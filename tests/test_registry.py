@@ -22,7 +22,7 @@ MUST_BE_IN_WINDOW = {
     # BENCH_QUERIES entry maps to — a bench number never ships without a
     # same-round correctness row
     "q1_pricing_summary", "q3_shipping_priority", "q5_star_join",
-    "q6_forecast_revenue", "q10_returned_revenue", "q7_nation_volume",
+    "q10_returned_revenue", "q7_nation_volume",
     "topk_per_group", "window_running_agg", "cosine_topk", "dedup_exact",
     "dedup_minhash_lsh_md5", "sessionization", "dedup_clusters",
     # changed in r5: streaming file source rerouted through
