@@ -118,6 +118,10 @@ ROUND_TIERS: dict[str, int] = {
     "join_point_in_time_scd2": 30,
     "sample_temperature_mixture": 30,
     "text_vocab_logrank": 30,
+    "q13_custdist": 30,
+    "q15_top_supplier": 30,
+    "q17_small_qty_revenue": 30,
+    "q8_market_share": 30,
 }
 
 

@@ -578,3 +578,196 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("revenue", rev_c, 10_000)],
         count_alias="n_rows")
         .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@query(
+    "q13_custdist",
+    oracle="""
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("join", "agg"),
+    doc="Customer order-count distribution (TPC-H Q13 shape): LEFT join "
+        "keeps zero-order customers (count(o_orderkey) skips the NULL "
+        "rows they produce), then a second aggregation over the "
+        "per-customer counts. Two shuffles; the distribution result is "
+        "bounded by max orders-per-customer.",
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+""",
+    tags=("join", "agg", "subquery"),
+    doc="Top revenue supplier over a quarter (TPC-H Q15 shape): "
+        "agg-of-agg with a scalar-max subquery. The per-supplier "
+        "revenue frame persists before its two consumers (max + join) "
+        "— without it the lineitem scan would run twice. Revenue is "
+        "exact two-stage integer-cents (equality against the max is "
+        "then bit-safe; raw double sums would make the winner "
+        "accumulation-order-dependent).",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+    rev = _exact_money_agg(
+        li.select(F.col("l_suppkey").alias("suppkey"),
+                  "l_extendedprice", "l_discount"),
+        ["suppkey"],
+        [("total_rev",
+          _cents(F.col("l_extendedprice"))
+          * (100 - _cents(F.col("l_discount"))), 10_000)]).persist()
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (rev.join(F.broadcast(mx), rev.total_rev == F.col("__mx"))
+            .join(s, F.col("suppkey") == s.s_suppkey)
+            .select("s_suppkey", "s_name", "total_rev")
+            .orderBy("s_suppkey"))
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND 5 * pa.n * CAST(l.l_quantity AS BIGINT) < pa.sumq
+""",
+    tags=("join", "agg", "subquery"),
+    doc="Small-quantity-order revenue (TPC-H Q17 shape): the correlated "
+        "per-part average-quantity subquery becomes a per-part "
+        "aggregate joined back onto the scan, and the threshold "
+        "l_quantity < 0.2*avg(qty) is cross-multiplied into PURE "
+        "INTEGER form (5*n*qty < sum_qty) so the boundary row is exact "
+        "on every engine — a float avg would make rows at the "
+        "threshold accumulation-order-dependent. Quantities are "
+        "integer-valued by data contract (cast is exact).",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = (li.groupBy("l_partkey")
+          .agg(F.count(F.lit(1)).alias("__n"),
+               F.sum(F.col("l_quantity").cast("long")).alias("__sumq"))
+          .withColumnRenamed("l_partkey", "__pk"))
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13")
+    flt = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .join(pa, li.l_partkey == F.col("__pk"))
+           .filter(5 * F.col("__n") * F.col("l_quantity").cast("long")
+                   < F.col("__sumq")))
+    out = _exact_money_agg(
+        flt.select("l_extendedprice"), [],
+        [("__sum_price", _cents(F.col("l_extendedprice")), 100)],
+        count_alias="n_rows")
+    return out.select((F.col("__sum_price") / 7.0).alias("avg_yearly"),
+                      "n_rows")
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+WITH flat AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2))) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region r  ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN part p   ON l_partkey = p.p_partkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                           THEN vol ELSE CAST(0 AS DECIMAL(12,2)) END)
+                  AS DOUBLE)
+             / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+FROM flat GROUP BY o_year ORDER BY o_year
+""",
+    tags=("join", "agg"),
+    doc="National market share (TPC-H Q8 shape): an 8-table join tree — "
+        "4 broadcast dims (nation x2, region, supplier), broadcast part "
+        "filter, one fact-fact shuffle (lineitem-orders), customer "
+        "joined on the order side. Share = ratio of two exact decimal "
+        "sums, ONE double division per year row.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cn = n.select(F.col("n_nationkey").alias("__cnk"),
+                  F.col("n_regionkey").alias("__crk"))
+    sn = n.select(F.col("n_nationkey").alias("__snk"),
+                  F.col("n_name").alias("supp_nation"))
+    vol_c = _cents(F.col("l_extendedprice")) \
+        * (100 - _cents(F.col("l_discount")))
+    flat = (li
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(cn), c.c_nationkey == F.col("__cnk"))
+            .join(F.broadcast(r), F.col("__crk") == r.r_regionkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(sn), s.s_nationkey == F.col("__snk"))
+            .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                    vol_c.alias("__vol_c"), "supp_nation"))
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                       F.col("__vol_c")).otherwise(F.lit(0))
+                .cast("decimal(38,0)"))
+    den = F.sum(F.col("__vol_c").cast("decimal(38,0)"))
+    return (flat.groupBy("o_year")
+            .agg(F.round((num / 10_000).cast("double")
+                         / (den / 10_000).cast("double"), 6)
+                 .alias("mkt_share"))
+            .orderBy("o_year"))

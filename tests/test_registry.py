@@ -36,7 +36,8 @@ MUST_BE_IN_WINDOW = {
     "group_percentiles_exact", "neardup_cosine_exact", "sample_kfold",
     "drift_ks_exact", "categorical_entropy_profile",
     "join_point_in_time_scd2", "sample_temperature_mixture",
-    "text_vocab_logrank",
+    "text_vocab_logrank", "q13_custdist", "q15_top_supplier",
+    "q17_small_qty_revenue", "q8_market_share",
 }
 
 
