@@ -388,3 +388,54 @@ def vocab_logrank_score(df: DataFrame, id_col: str = "doc_id",
          .alias("n_oov"),
         F.round(F.sum("__t") / (F.lit(1_000_000.0) * F.count(F.lit(1))), 4)
          .alias("mean_log2_rank")))
+
+
+def bigram_logprob_score(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Add-one-smoothed bigram language-model score per document: the
+    mean of ln P(w2|w1) over the doc's adjacent token pairs, with
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V) estimated from the corpus
+    itself — the KenLM-style perplexity proxy one step up from
+    vocab_logrank_score (it conditions on context, so scrambled word
+    salad scores low even when every word is common).
+
+    Conventions (mirrored verbatim in the oracle): c(w1·) counts
+    bigrams STARTING with w1 (the standard LM history count), V is the
+    number of distinct continuation tokens, docs under 2 tokens emit no
+    row. Each pair contributes floor(ln(p)·10^6) as an INTEGER so the
+    per-doc mean is fold-order exact.
+
+    Scale shape: one explode produces the (doc, w1, w2) pairs; the
+    bigram count table aggregates from those SAME pairs (no second
+    scan) and persists before its three consumers (history counts, V,
+    the scoring join). The scoring join keys on (w1, w2) — a plain
+    shuffle join at 100 TB where the bigram table outgrows broadcast;
+    its input is pair-occurrence-sized because every occurrence scores,
+    which is the irreducible cost of per-token scoring. History counts
+    and V are vocab-sized and broadcast.
+    """
+    toks = (ensure_fanout_parallelism(df.select(id_col, text_col))
+            .select(id_col, tokens_of(F.col(text_col)).alias("__t"))
+            .filter(F.size("__t") >= 2))
+    pairs = (toks.select(id_col, F.explode(F.expr(
+                 "transform(sequence(0, size(__t)-2), "
+                 "i -> struct(__t[i] AS w1, __t[i+1] AS w2))")).alias("p"))
+             .select(id_col, "p.w1", "p.w2")
+             .filter((F.col("w1") != "") & (F.col("w2") != "")))
+    big = (pairs.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c_xy")).persist())
+    hist = big.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    vsize = big.agg(F.countDistinct("w2").alias("__v"))
+    term = F.floor(F.log((F.col("c_xy") + 1)
+                         / (F.col("c_x") + F.col("__v"))) * 1_000_000) \
+        .cast("long")
+    return (pairs
+            .join(big, ["w1", "w2"])
+            .join(F.broadcast(hist), "w1")
+            .crossJoin(F.broadcast(vsize))
+            .withColumn("__term", term)
+            .groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(F.sum("__term")
+                        / (F.lit(1_000_000.0) * F.count(F.lit(1))), 4)
+                .alias("mean_logprob")))

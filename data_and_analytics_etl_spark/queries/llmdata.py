@@ -1197,3 +1197,46 @@ def text_vocab_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import vocab_logrank_score
     d = load_table(spark, sf_dir, "documents")
     return vocab_logrank_score(d, min_count=2).orderBy("doc_id")
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+  WHERE len(string_split_regex(lower(text), '\s+')) >= 2
+), pairs AS (
+  SELECT doc_id, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS bg
+        FROM toks)
+  WHERE split_part(bg, ' ', 1) <> '' AND split_part(bg, ' ', 2) <> ''
+), big AS (
+  SELECT w1, w2, count(*) AS c_xy FROM pairs GROUP BY 1, 2
+), hist AS (
+  SELECT w1, sum(c_xy) AS c_x FROM big GROUP BY 1
+), v AS (SELECT count(DISTINCT w2) AS vs FROM big)
+SELECT p.doc_id, count(*) AS n_pairs,
+       round(sum(CAST(floor(ln((b.c_xy + 1) * 1.0 / (h.c_x + v.vs))
+                            * 1000000) AS BIGINT))
+             / (1000000.0 * count(*)), 4) AS mean_logprob
+FROM pairs p
+JOIN big b USING (w1, w2)
+JOIN hist h USING (w1)
+CROSS JOIN v
+GROUP BY p.doc_id ORDER BY p.doc_id
+""",
+    tags=("llm", "text"),
+    doc="Add-one-smoothed bigram LM score per document (operators/"
+        "text.py:bigram_logprob_score) — mean ln P(w2|w1) with history "
+        "counts and continuation-vocabulary smoothing from the corpus "
+        "itself; the context-aware perplexity proxy above "
+        "text_vocab_logrank. Integer-quantized per-pair contributions "
+        "keep the doc mean fold-order exact.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bigram_logprob_score
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_score(d).orderBy("doc_id")

@@ -122,6 +122,7 @@ ROUND_TIERS: dict[str, int] = {
     "q15_top_supplier": 30,
     "q17_small_qty_revenue": 30,
     "q8_market_share": 30,
+    "text_bigram_logprob": 30,
 }
 
 

@@ -37,7 +37,7 @@ MUST_BE_IN_WINDOW = {
     "drift_ks_exact", "categorical_entropy_profile",
     "join_point_in_time_scd2", "sample_temperature_mixture",
     "text_vocab_logrank", "q13_custdist", "q15_top_supplier",
-    "q17_small_qty_revenue", "q8_market_share",
+    "q17_small_qty_revenue", "q8_market_share", "text_bigram_logprob",
 }
 
 
