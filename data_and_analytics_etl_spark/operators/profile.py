@@ -210,3 +210,74 @@ def categorical_profile(df: DataFrame, group_col: str, cat_col: str,
                     F.round(p, 6).alias("p"),
                     F.round(-p * F.log(p), 6).alias("entropy_contrib"),
                     F.round(p * p, 6).alias("gini_contrib")))
+
+
+def check_constraints(df: DataFrame,
+                      checks: dict[str, Column]) -> DataFrame:
+    """Deequ-style declarative data-quality validation: each check is a
+    boolean Column that should hold for every row; the result is one
+    row per check — (check, n_rows, n_violations, violation_rate) —
+    from ONE scan and ONE wide aggregate regardless of how many checks
+    are declared (each check compiles to a conditional sum inside the
+    same codegen stage; NULL predicate results count as violations,
+    because "unknown" is not "valid").
+
+    The long-form output unpivots the single aggregate row with a
+    stack() projection — no per-check jobs, no driver loop.
+    """
+    if not checks:
+        raise ValueError("need at least one check")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in checks.items():
+        aggs.append(F.sum(F.when(pred, 0).otherwise(1))
+                    .alias(f"__v_{name}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', __v_{name}" for name in checks)
+    return (row.selectExpr(
+        "__n",
+        f"stack({len(checks)}, {stack_args}) AS (check, n_violations)")
+        .select("check",
+                F.col("__n").alias("n_rows"),
+                "n_violations",
+                F.round(F.col("n_violations") / F.col("__n"), 6)
+                .alias("violation_rate")))
+
+
+def quarantine_violations(df: DataFrame, checks: dict[str, Column],
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (valid, quarantined): quarantined rows carry a
+    ``__violations`` array naming every failed check — the row-level
+    counterpart of :func:`check_constraints`, same single-scan codegen
+    shape (the split is two filters over one cached-or-recomputed
+    projection; at scale, write both sides from one pass via
+    partitionBy on a validity column instead)."""
+    if not checks:
+        raise ValueError("need at least one check")
+    viol = F.array_compact(F.array(*[
+        F.when(pred, F.lit(None)).otherwise(F.lit(name))
+        for name, pred in checks.items()]))
+    tagged = df.withColumn("__violations", viol)
+    good = tagged.filter(F.size("__violations") == 0).drop("__violations")
+    bad = tagged.filter(F.size("__violations") > 0)
+    return good, bad
+
+
+def check_referential_integrity(fact: DataFrame, fact_key: str,
+                                dim: DataFrame, dim_key: str) -> DataFrame:
+    """Orphan-key check: one row — (n_fact_rows, n_orphan_rows,
+    n_orphan_keys, orphan_rate). The orphan set comes from a LEFT ANTI
+    join against the dimension's distinct keys (broadcast when small;
+    AQE converts at runtime), never a row-multiplying outer join."""
+    orphans = fact.join(dim.select(dim_key).distinct(),
+                        fact[fact_key] == dim[dim_key], "left_anti")
+    tot = fact.agg(F.count(F.lit(1)).alias("n_fact_rows"))
+    oagg = orphans.agg(
+        F.count(F.lit(1)).alias("n_orphan_rows"),
+        F.countDistinct(fact_key).alias("n_orphan_keys"))
+    # two scalar aggregates cross-joined lazily — no collect(), the
+    # result composes into larger plans like any other frame
+    return (tot.crossJoin(oagg)
+            .select("n_fact_rows", "n_orphan_rows", "n_orphan_keys",
+                    F.round(F.col("n_orphan_rows")
+                            / F.greatest(F.col("n_fact_rows"), F.lit(1)),
+                            6).alias("orphan_rate")))

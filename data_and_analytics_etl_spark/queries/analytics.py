@@ -636,3 +636,86 @@ def categorical_entropy_profile(spark: SparkSession,
     o = load_table(spark, sf_dir, "orders")
     return (categorical_profile(o, "o_orderstatus", "o_orderpriority")
             .orderBy("o_orderstatus", "o_orderpriority"))
+
+
+@query(
+    "quality_check_constraints",
+    oracle="""
+WITH agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+              AS BIGINT) AS v_price_positive,
+         CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+              AS BIGINT) AS v_date_not_null,
+         CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1
+                  END) AS BIGINT) AS v_status_domain,
+         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                        AND o_orderdate <  TIMESTAMP '2002-01-01 00:00:00'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS v_date_range
+  FROM orders
+)
+SELECT 'price_positive' AS check, n AS n_rows,
+       v_price_positive AS n_violations,
+       round(v_price_positive / n, 6) AS violation_rate FROM agg
+UNION ALL
+SELECT 'date_not_null', n, v_date_not_null,
+       round(v_date_not_null / n, 6) FROM agg
+UNION ALL
+SELECT 'status_domain', n, v_status_domain,
+       round(v_status_domain / n, 6) FROM agg
+UNION ALL
+SELECT 'date_range', n, v_date_range,
+       round(v_date_range / n, 6) FROM agg
+ORDER BY "check"
+""",
+    tags=("analytics", "quality"),
+    doc="Deequ-style declarative constraint validation (operators/"
+        "profile.py:check_constraints): four checks (positivity, "
+        "non-null, domain membership, range) compile into ONE wide "
+        "aggregate over one scan — no per-check jobs — then unpivot to "
+        "a row per check. NULL predicate results count as violations.",
+)
+def quality_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import check_constraints
+    o = load_table(spark, sf_dir, "orders")
+    checks = {
+        "price_positive": F.col("o_totalprice") > 0,
+        "date_not_null": F.col("o_orderdate").isNotNull(),
+        "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        "date_range": (F.col("o_orderdate")
+                       >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("2002-01-01 00:00:00").cast("timestamp")),
+    }
+    return check_constraints(o, checks).orderBy("check")
+
+
+@query(
+    "quality_referential_integrity",
+    oracle="""
+WITH orphans AS (
+  SELECT o_custkey FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT (SELECT count(*) FROM orders) AS n_fact_rows,
+       count(*) AS n_orphan_rows,
+       count(DISTINCT o_custkey) AS n_orphan_keys,
+       round(count(*) / greatest((SELECT count(*) FROM orders), 1), 6)
+         AS orphan_rate
+FROM orphans
+""",
+    tags=("analytics", "quality"),
+    doc="Orphan foreign-key check (operators/profile.py:"
+        "check_referential_integrity): LEFT ANTI join against the "
+        "dimension's distinct keys (broadcast/AQE-converted), two "
+        "scalar aggregates cross-joined lazily — no collect, no "
+        "row-multiplying outer join. Testdata is referentially clean, "
+        "so the interesting case (orphans present) is pinned by pytest "
+        "instead.",
+)
+def quality_referential_integrity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from ..operators.profile import check_referential_integrity
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return check_referential_integrity(o, "o_custkey", c, "c_custkey")

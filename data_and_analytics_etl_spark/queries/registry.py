@@ -123,6 +123,8 @@ ROUND_TIERS: dict[str, int] = {
     "q17_small_qty_revenue": 30,
     "q8_market_share": 30,
     "text_bigram_logprob": 30,
+    "quality_check_constraints": 30,
+    "quality_referential_integrity": 30,
 }
 
 

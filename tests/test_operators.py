@@ -310,3 +310,40 @@ class TestTemperatureMixture:
                temperature_mixture_sample(d, "doc_id", "source", 900)
                .select("doc_id").collect()}
         assert small <= big
+
+
+class TestQualityChecks:
+    def test_quarantine_split_partitions_rows(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.profile import \
+            quarantine_violations
+        o = load_table(spark, sf_dir, "orders")
+        checks = {"price_cap": F.col("o_totalprice") < 300000,
+                  "status_O": F.col("o_orderstatus") == "O"}
+        good, bad = quarantine_violations(o, checks)
+        assert good.count() + bad.count() == o.count()
+        # every quarantined row names at least one real failed check
+        sample = bad.limit(50).collect()
+        assert sample and all(len(r["__violations"]) >= 1 for r in sample)
+        for r in sample:
+            if "price_cap" in r["__violations"]:
+                assert r["o_totalprice"] >= 300000
+
+    def test_null_predicate_counts_as_violation(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import \
+            check_constraints
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, -5.0)], "id long, v double")
+        out = {r["check"]: r["n_violations"] for r in
+               check_constraints(df, {"v_pos": F.col("v") > 0}).collect()}
+        assert out["v_pos"] == 2  # NULL and -5 both violate
+
+    def test_referential_orphans_detected(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import \
+            check_referential_integrity
+        fact = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 99), (4, 98)], "id long, fk long")
+        dim = spark.createDataFrame([(10,)], "k long")
+        r = check_referential_integrity(fact, "fk", dim, "k").collect()[0]
+        assert (r["n_fact_rows"], r["n_orphan_rows"],
+                r["n_orphan_keys"]) == (4, 2, 2)
+        assert r["orphan_rate"] == 0.5

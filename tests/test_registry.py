@@ -38,6 +38,7 @@ MUST_BE_IN_WINDOW = {
     "join_point_in_time_scd2", "sample_temperature_mixture",
     "text_vocab_logrank", "q13_custdist", "q15_top_supplier",
     "q17_small_qty_revenue", "q8_market_share", "text_bigram_logprob",
+    "quality_check_constraints", "quality_referential_integrity",
 }
 
 
