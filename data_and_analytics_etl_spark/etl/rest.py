@@ -78,3 +78,43 @@ def rest_sink(df: DataFrame, push: Transport, method: str = "POST",
                 if failures >= max_failures:
                     raise
     df.foreachPartition(push_partition)
+
+
+def rest_sink_receipts(df: DataFrame, push: Transport, key_col: str,
+                       method: str = "POST",
+                       max_failures: int = 3) -> DataFrame:
+    """Push each row and return a RECEIPTS DataFrame — (key, form_id,
+    ok, error) per record.
+
+    The reference logs the server's ``form_id`` for case-type pushes
+    (CommCareAPIHandler.py:303-304) — observability as print
+    statements. The Spark-native generalization returns that
+    observability as DATA: receipts join back to the source on
+    ``key_col``, aggregate into success-rate dashboards, and feed retry
+    queues, none of which a log line can do. Same per-partition error
+    budget as :func:`rest_sink`; failed records under the budget become
+    ``ok=false`` receipt rows instead of lost prints.
+    """
+    cols = [c for c in df.columns]
+
+    def push_partition(rows: Iterator):
+        failures = 0
+        for row in rows:
+            d = row.asDict(recursive=True)
+            try:
+                resp = push({"method": method, "payload": d}) or {}
+                yield (d.get(key_col), str(resp.get("form_id"))
+                       if resp.get("form_id") is not None else None,
+                       True, None)
+            except Exception as e:  # noqa: BLE001 — budget spans causes
+                failures += 1
+                if failures >= max_failures:
+                    raise
+                yield (d.get(key_col), None, False,
+                       f"{type(e).__name__}: {e}"[:200])
+
+    if key_col not in cols:
+        raise KeyError(f"key_col {key_col!r} not in {cols}")
+    key_type = df.schema[key_col].dataType.simpleString()
+    return df.rdd.mapPartitions(push_partition).toDF(
+        f"{key_col} {key_type}, form_id string, ok boolean, error string")

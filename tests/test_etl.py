@@ -176,6 +176,28 @@ class TestRest:
         rest_sink(df, push, method="PATCH")
         assert len(os.listdir(marker)) == 20
 
+    def test_sink_receipts_carry_form_ids(self, spark):
+        """Push-side observability parity (ref CommCareAPIHandler.py:
+        303-304 logs form_id for case pushes) — receipts return it as
+        data: one row per record with the server-assigned form_id, and
+        sub-budget failures become ok=false rows instead of lost logs."""
+        from data_and_analytics_etl_spark.etl.rest import rest_sink_receipts
+        df = spark.createDataFrame([(i,) for i in range(10)],
+                                   "id: long").coalesce(1)
+
+        def push(req):
+            i = req["payload"]["id"]
+            if i == 7:
+                raise ConnectionError("flaky")
+            return {"form_id": f"F-{i:03d}", "status": "ok"}
+
+        out = {r["id"]: r for r in
+               rest_sink_receipts(df, push, key_col="id").collect()}
+        assert len(out) == 10
+        assert out[3]["form_id"] == "F-003" and out[3]["ok"]
+        assert not out[7]["ok"] and "ConnectionError" in out[7]["error"]
+        assert out[7]["form_id"] is None
+
     def test_sink_error_budget_fails_task(self, spark):
         df = spark.createDataFrame([(i,) for i in range(10)], "id: long")
         df = df.coalesce(1)
