@@ -33,6 +33,12 @@ RUNTIME_CONF: dict[str, str] = {
     # ANSI off: engine contract is permissive casts + NULL on error,
     # matching the schemaless-JSON tolerance of the reference dataflow.
     "spark.sql.ansi.enabled": "false",
+    # Shuffle width sized to the local test profile (runtime-settable,
+    # so a driver-owned session gets it too — the Spark default of 200
+    # made every stateful streaming probe pay 6x the task-launch
+    # overhead for the same data). AQE coalesces below this at runtime;
+    # a real cluster deployment overrides upward via get_spark().
+    "spark.sql.shuffle.partitions": "32",
     # Historical testdata stored events.ts as TIMESTAMP(NANOS), which
     # Spark's reader rejects unless surfaced as int64 nanos; current
     # testdata is µs (NTZ). Keep the conf: it is a no-op on µs files and
@@ -52,7 +58,6 @@ STARTUP_CONF: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.ui.enabled": "false",
-    "spark.sql.shuffle.partitions": "32",
 }
 
 
@@ -77,8 +82,7 @@ def get_spark(app_name: str = "data-and-analytics-etl-spark",
     n = cpus or default_parallelism()
     b = SparkSession.builder.master(f"local[{n}]").appName(app_name)
     conf = dict(STARTUP_CONF)
-    conf["spark.sql.shuffle.partitions"] = str(max(n, 8))
-    conf.update(RUNTIME_CONF)
+    conf.update(RUNTIME_CONF)  # includes the 32-partition shuffle width
     conf.update(extra_conf or {})
     for k, v in conf.items():
         b = b.config(k, v)
