@@ -107,3 +107,51 @@ class TestFunnelProperty:
             got[r["user_id"]] = [t for t in ts if t is not None]
             assert r["stage"] == len(got[r["user_id"]])
         assert got == want
+
+
+class TestKsVsPythonReference:
+    """drift_ks's bucketed-prefix-sum decomposition vs a direct Python
+    ECDF computation on generated data — beyond the DuckDB oracle, this
+    pins the operator against an implementation with NO shared code."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+           st.lists(st.integers(-50, 50), min_size=1, max_size=60))
+    def test_ks_matches_direct_ecdf(self, xs, ys):
+        from data_and_analytics_etl_spark.operators.profile import drift_ks
+        from data_and_analytics_etl_spark.session import get_spark
+        spark = get_spark("daa-etl-spark-tests")
+        a = spark.createDataFrame([(float(x),) for x in xs], "v double")
+        b = spark.createDataFrame([(float(y),) for y in ys], "v double")
+        got = drift_ks(a, b, "v", lo=-10.0, hi=10.0, nbins=4).collect()[0]
+        pts = sorted(set(xs) | set(ys))
+        best, best_v = -1.0, None
+        for p in pts:
+            d = abs(sum(1 for x in xs if x <= p) / len(xs)
+                    - sum(1 for y in ys if y <= p) / len(ys))
+            d = round(d, 6)
+            if d > best:
+                best, best_v = d, p
+        assert got["ks"] == best
+        assert got["at_value"] == float(best_v)
+
+
+class TestWinsorizeVsPythonReference:
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(0, 1000), min_size=3, max_size=80))
+    def test_bounds_match_direct_order_stats(self, vals):
+        import math
+        from data_and_analytics_etl_spark.operators.binning import \
+            winsorize_bounds
+        from data_and_analytics_etl_spark.session import get_spark
+        spark = get_spark("daa-etl-spark-tests")
+        df = spark.createDataFrame([("g", float(v)) for v in vals],
+                                   "grp string, v double")
+        r = winsorize_bounds(df, "grp", "v", alpha=0.1).collect()[0]
+        s = sorted(float(v) for v in vals)
+        n = len(s)
+        lo = s[max(math.ceil(0.1 * n), 1) - 1]
+        hi = s[math.ceil(0.9 * n) - 1]
+        assert (r["lo"], r["hi"], r["n"]) == (lo, hi, n)
+        assert r["n_below"] == sum(1 for v in s if v < lo)
+        assert r["n_above"] == sum(1 for v in s if v > hi)
