@@ -1240,3 +1240,102 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bigram_logprob_score
     d = load_table(spark, sf_dir, "documents")
     return bigram_logprob_score(d).orderBy("doc_id")
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+  FROM documents
+), q AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      round(0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+          + 0.3 * least(round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                              / len(toks), 4) * 2, 1.0)
+          + 0.3 * greatest(0.0, 1.0 -
+              (round(CAST(length(text) - length(regexp_replace(text,
+                     '[0-9]', '', 'g')) AS DOUBLE) / length(text), 4)
+             + round(CAST(length(regexp_replace(text, '[\w\s]', '', 'g'))
+                     AS DOUBLE) / length(text), 4)) * 5), 4) AS quality
+    FROM t)
+  WHERE quality >= 0.5
+), dd AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM q)
+  WHERE rn = 1
+), dg AS (
+  SELECT d.doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(d.text, '\s+')) - 1, 1)),
+    i -> concat_ws(' ', string_split_regex(d.text, '\s+')[i],
+                   string_split_regex(d.text, '\s+')[i+1],
+                   string_split_regex(d.text, '\s+')[i+2])))) AS gram
+  FROM dd d
+), bg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+    i -> concat_ws(' ', string_split_regex(text, '\s+')[i],
+                   string_split_regex(text, '\s+')[i+1],
+                   string_split_regex(text, '\s+')[i+2])))) AS gram
+  FROM documents WHERE doc_id % 17 = 0
+), contaminated AS (
+  SELECT doc_id FROM dg JOIN bg USING (gram)
+  GROUP BY doc_id HAVING count(DISTINCT gram) >= 3
+), train AS (
+  SELECT doc_id, text FROM dd
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= '33'
+), packed AS (
+  SELECT doc_id,
+         len(string_split_regex(text, '\s+')) AS n_tokens,
+         sum(len(string_split_regex(text, '\s+')))
+           OVER (ORDER BY doc_id % 16, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM train
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM packed WHERE cum <= 5000
+ORDER BY doc_id
+""",
+    tags=("llm", "corpus"),
+    doc="END-TO-END corpus curation capstone, every stage an already-"
+        "oracle-proven operator composed into ONE lazy plan: quality "
+        "gate (Gopher-style composite >= 0.5) -> exact dedup by "
+        "normalized-text fingerprint (min doc_id wins) -> benchmark "
+        "decontamination (>=3 shared 3-grams, benchmark = every 17th "
+        "doc) -> leakage-safe holdout removal (20% by doc hash) -> "
+        "token-budget packing (5000 tokens, bucket prefix sums). The "
+        "oracle recomputes the whole five-stage pipeline in one SQL "
+        "chain, so the hash match proves stage COMPOSITION, not just "
+        "the stages.",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.corpus import decontaminate, pack_to_token_budget
+    from ..operators.sampling import holdout_split
+    from ..operators.text import fingerprint, quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    q = (d.withColumn("__q", quality_score(F.col("text")))
+         .filter(F.col("__q") >= 0.5))
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    dd = (q.withColumn("__rn", F.row_number().over(w))
+          .filter(F.col("__rn") == 1).select("doc_id", "text"))
+    benchmark = d.filter(F.col("doc_id") % 17 == 0).select("text")
+    flags = decontaminate(dd, benchmark, n=3, min_overlap=3)
+    clean = (dd.join(flags.filter(~F.col("contaminated"))
+                     .select("doc_id"), "doc_id"))
+    train = (holdout_split(clean, "doc_id", 51 / 256)
+             .filter(F.col("split") == "train"))
+    sized = train.select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n_tokens"))
+    packed = pack_to_token_budget(sized, budget=5000, n_buckets=16)
+    return (packed.select("doc_id", F.col("n_tokens").cast("long"))
+            .orderBy("doc_id"))

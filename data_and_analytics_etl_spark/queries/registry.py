@@ -125,6 +125,7 @@ ROUND_TIERS: dict[str, int] = {
     "text_bigram_logprob": 30,
     "quality_check_constraints": 30,
     "quality_referential_integrity": 30,
+    "corpus_curation_pipeline": 30,
 }
 
 

@@ -39,6 +39,7 @@ MUST_BE_IN_WINDOW = {
     "text_vocab_logrank", "q13_custdist", "q15_top_supplier",
     "q17_small_qty_revenue", "q8_market_share", "text_bigram_logprob",
     "quality_check_constraints", "quality_referential_integrity",
+    "corpus_curation_pipeline",
 }
 
 
