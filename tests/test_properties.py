@@ -155,3 +155,44 @@ class TestWinsorizeVsPythonReference:
         assert (r["lo"], r["hi"], r["n"]) == (lo, hi, n)
         assert r["n_below"] == sum(1 for v in s if v < lo)
         assert r["n_above"] == sum(1 for v in s if v > hi)
+
+
+class TestSessionizeVsPythonReference:
+    """sessionize was red three straight driver rounds (each time a new
+    environmental cause); beyond the DuckDB oracle and the streaming
+    equivalence test, pin it against a zero-shared-code Python loop on
+    generated data."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 3),        # user
+                              st.integers(0, 10_000),   # epoch seconds
+                              ), min_size=1, max_size=60))
+    def test_session_ids_match_direct_loop(self, events):
+        import datetime as dt
+
+        from data_and_analytics_etl_spark.operators.sessionize import \
+            sessionize
+        from data_and_analytics_etl_spark.session import get_spark
+        spark = get_spark("daa-etl-spark-tests")
+        rows = [(i, u, dt.datetime(2024, 1, 1)
+                 + dt.timedelta(seconds=sec))
+                for i, (u, sec) in enumerate(events)]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, "
+                                         "ts timestamp")
+        got = {r["event_id"]: r["session_id"] for r in
+               sessionize(df, "user_id", "ts", gap_seconds=600,
+                          tie_break=("event_id",)).collect()}
+        # direct reference: per user, ordered by (ts, event_id), new
+        # session when gap > 600s
+        want = {}
+        by_user = {}
+        for i, (u, sec) in enumerate(events):
+            by_user.setdefault(u, []).append((sec, i))
+        for u, evs in by_user.items():
+            sid, prev = 0, None
+            for sec, i in sorted(evs):
+                if prev is None or sec - prev > 600:
+                    sid += 1
+                want[i] = sid
+                prev = sec
+        assert got == want
