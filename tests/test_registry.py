@@ -48,6 +48,15 @@ def test_round_tiers_mirror_must_verify_set():
     assert set(ROUND_TIERS) == MUST_BE_IN_WINDOW
 
 
+def test_every_round_tier_names_a_registered_probe():
+    # ROUND_TIERS lookups fall back silently (registry.py:query eff_
+    # priority), so a typo'd name would quietly drop its probe from the
+    # fixed window instead of failing — make it fail here
+    from data_and_analytics_etl_spark.queries.registry import ROUND_TIERS
+    unknown = [n for n in ROUND_TIERS if n not in REGISTRY]
+    assert not unknown, f"ROUND_TIERS names without a probe: {unknown}"
+
+
 def test_window_holds_every_must_verify_probe():
     window = list(queries())[:DRIVER_WINDOW]
     missing = MUST_BE_IN_WINDOW - set(window)
