@@ -28,10 +28,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: path -> inferred StructType, so schema inference (a footer-reading
+#: Spark JOB) runs at most once per table per process. Every later
+#: load_table builds the scan with an explicit schema, which keeps plan
+#: construction action-free (tests/test_construction_purity.py) and
+#: shaves a driver round-trip off every query build. Inference still
+#: happens from the real files on first touch, so testdata re-encoding
+#: between rounds (the ts ns→µs drift) is picked up, not masked.
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = normalize_event_timestamps(df)
     return df

@@ -46,6 +46,21 @@ def ensure_fanout_parallelism(df: DataFrame,
     full-cluster fan-out. At 100 TB the scan is already multi-partition
     and this is a no-op.
     """
+    if df.isStreaming:
+        # streaming plans have no static partition count (and .rdd would
+        # raise); micro-batch parallelism is the source's concern
+        return df
+    # The hazard exists ONLY for un-shuffled file scans: any plan that
+    # already crossed an exchange (aggregate/window/join/sort/distinct/
+    # repartition) runs at spark.sql.shuffle.partitions width, so the
+    # guard is a no-op there — and probing it via df.rdd would be worse
+    # than useless, because under AQE converting a shuffled plan to an
+    # RDD EXECUTES the upstream stages (a job at plan-construction time,
+    # violating the engine's action-free construction contract).
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(op in plan for op in ("Aggregate", "Window", "Join", "Sort",
+                                 "Deduplicate", "Repartition")):
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -161,18 +176,26 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     (doc, term) for tf, one on term for df. Output: (doc, term, tf,
     doc_freq, tfidf) — deterministic, so exactly oracle-checkable,
     unlike hashed-feature TF (HashingTF) which trades terms for buckets.
+
+    Action-free by contract: N (corpus doc count) enters the plan as a
+    broadcast 1-row aggregate cross-joined into the idf expression (the
+    check_referential_integrity pattern, profile.py), NOT an eager
+    ``.count()`` — constructing the plan must never run a Spark job
+    (the rule cosine_neardup_lsh enforces for `dim`, similarity.py).
     """
     from pyspark.sql import Window
 
-    n_docs = df.select(id_col).distinct().count()
+    n_docs = df.agg(
+        F.countDistinct(F.col(id_col)).alias("__n_docs"))
     terms = (df.select(F.col(id_col).alias("doc"),
                        F.explode(tokens_of(F.col(text_col))).alias("term")))
     tf = (terms.groupBy("doc", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
     w = Window.partitionBy("term")
     out = (tf.withColumn("doc_freq", F.count(F.lit(1)).over(w))
+           .crossJoin(F.broadcast(n_docs))
            .withColumn("tfidf", F.round(
-               F.col("tf") * (F.log((F.lit(1.0) + n_docs)
+               F.col("tf") * (F.log((F.lit(1.0) + F.col("__n_docs"))
                                     / (F.lit(1.0) + F.col("doc_freq")))
                               + F.lit(1.0)), 6)))
     return out.select(F.col("doc").alias(id_col), "term", "tf",

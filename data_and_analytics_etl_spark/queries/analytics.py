@@ -611,7 +611,7 @@ WITH counts AS (
   FROM orders GROUP BY 1, 2
 ), g AS (
   SELECT o_orderstatus, o_orderpriority, n,
-         sum(n) OVER (PARTITION BY o_orderstatus) AS n_group,
+         CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_group,
          count(*) OVER (PARTITION BY o_orderstatus) AS n_categories
   FROM counts
 )

@@ -518,8 +518,8 @@ SELECT doc_id                                   AS asset_id,
        (n_chars % 100) + 1                      AS n_frames,
        round(((n_chars % 100) + 1) * 1.0
              / (8000 + (doc_id % 5) * 1000), 6) AS duration_s,
-       0.0                                      AS signal_mean,
-       0.0                                      AS signal_rms
+       CAST(0.0 AS DOUBLE)                      AS signal_mean,
+       CAST(0.0 AS DOUBLE)                      AS signal_rms
 FROM documents
 WHERE doc_id < 100
 ORDER BY asset_id

@@ -29,9 +29,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _cell(v):
+    # Type-tagged rendering: int / float / Decimal must NOT collapse.
+    # The driver's canonicalizer distinguishes DuckDB HUGEINT (arrow
+    # decimal128) from Spark LONG even when values are equal — the r5
+    # categorical_entropy_profile red proved local str() masking. Tagging
+    # with the Python type name reproduces that strictness locally.
+    return f"{type(v).__name__}:{v}"
+
+
 def vhash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
-    canon = sorted(repr(tuple(str(r[i]) for i in order)) for r in rows)
+    canon = sorted(repr(tuple(_cell(r[i]) for i in order)) for r in rows)
     return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:12]
 
 
@@ -66,9 +75,13 @@ def main() -> int:
                 print(f"{name}: rows-only {len(s)}")
                 results[name] = {"status": "rows_only", "rows": len(s)}
                 continue
-            o = con.execute(osql[name])
-            oc = [d[0] for d in o.description]
-            orows = o.fetchall()
+            # Fetch the oracle via Arrow, NOT fetchall(): duckdb's native
+            # fetchall converts HUGEINT to Python int, silently matching
+            # Spark LONG; arrow keeps it as decimal128 -> Decimal, which is
+            # what the driver's hash sees (r5: local green masked driver red).
+            otab = con.execute(osql[name]).arrow()
+            oc = otab.column_names
+            orows = [tuple(d[c] for c in oc) for d in otab.to_pylist()]
             ok = (vhash(s, df.columns) == vhash(orows, oc)
                   and len(s) == len(orows))
             results[name] = {"status": "green" if ok else "red",

@@ -122,3 +122,52 @@ def test_rows_only_probes_document_why():
     for name, spec in REGISTRY.items():
         if spec.oracle is None:
             assert spec.doc, f"{name}: rows-only probe without rationale"
+
+
+def test_oracle_integer_casts():
+    """No oracle may emit a HUGEINT / UHUGEINT / DECIMAL output column.
+
+    DuckDB widens sum() over integers (plain or windowed) to HUGEINT and
+    types bare numeric literals as DECIMAL; the driver hashes those
+    differently from Spark's LONG/DOUBLE even when values are equal —
+    r5's categorical_entropy_profile went driver-red on exactly this
+    (uncast `sum(n) OVER (...)`, analytics.py). DESCRIBE binds the query
+    and returns output types WITHOUT executing it, so this lint covers
+    every syntactic form of the trap (windowed sums, CTE-carried sums,
+    literals) rather than regexing SQL text.
+    """
+    from tests.oracle import duckdb_connection
+
+    con = duckdb_connection("/root/testdata/sf0.001")
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        desc = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        bad = [(c, t) for c, t, *_ in desc
+               if "HUGEINT" in t.upper() or t.upper().startswith("DECIMAL")]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, (
+        "oracles emitting HUGEINT/DECIMAL columns (add CAST(... AS "
+        f"BIGINT/DOUBLE) at the emission site): {offenders}")
+
+
+def test_local_harness_is_hugeint_strict():
+    """An intentionally uncast HUGEINT must fail LOCALLY, not just in the
+    driver. r5's lesson: the old canonicalizer coerced Decimal->float and
+    Python's cross-type equality (150 == Decimal(150)) masked the skew."""
+    from tests.oracle import canon_rows, duckdb_connection, fetch_oracle
+
+    con = duckdb_connection("/root/testdata/sf0.001")
+    rows, cols = fetch_oracle(
+        con, "SELECT sum(x) AS s FROM (SELECT 1 AS x UNION ALL SELECT 2)")
+    from decimal import Decimal
+    assert rows == [(Decimal("3"),)], rows  # arrow keeps HUGEINT as Decimal
+    spark_like = canon_rows([(3,)], ["s"])  # what Spark LONG would collect
+    assert canon_rows(rows, cols) != spark_like
+    # and the CAST repairs it
+    rows2, cols2 = fetch_oracle(
+        con, "SELECT CAST(sum(x) AS BIGINT) AS s "
+             "FROM (SELECT 1 AS x UNION ALL SELECT 2)")
+    assert canon_rows(rows2, cols2) == spark_like
