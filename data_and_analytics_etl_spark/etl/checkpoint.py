@@ -46,9 +46,36 @@ class CheckpointManifest:
 
     def commit(self, watermark: dt.datetime, **meta) -> None:
         """Atomically persist the new watermark (write-then-commit: the
-        caller must have finished writing data for the window first)."""
+        caller must have finished writing data for the window first).
+        Merges over existing state so orthogonal keys (``api_limit``)
+        survive watermark advances."""
+        self._merge({"watermark": watermark.strftime(ISO), **meta})
+
+    def read_api_limit(self) -> int | None:
+        """Stored adaptive page-size limit from the previous run, or None.
+
+        The reference persists ``api_limit`` next to its watermark and
+        seeds the next run's first request from it
+        (CommCareAPIHandler.py:96-103,114-121); this is that key in the
+        same manifest.
+        """
+        v = self.history().get("api_limit")
+        return int(v) if v is not None else None
+
+    def store_api_limit(self, limit: int) -> None:
+        """Persist the last computed page limit for the next run's seed.
+
+        Safe to call from the one designated scan task (rest_datasource
+        stores from the FIRST window partition only): the write is an
+        atomic rename, and it merges so a concurrent driver-side
+        ``commit`` can't be lost — last writer wins per key.
+        """
+        self._merge({"api_limit": int(limit)})
+
+    def _merge(self, updates: dict) -> None:
         os.makedirs(self.dir, exist_ok=True)
-        state = {"watermark": watermark.strftime(ISO), **meta}
+        state = self.history()
+        state.update(updates)
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
         try:
             with os.fdopen(fd, "w") as f:

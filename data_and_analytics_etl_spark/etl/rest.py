@@ -94,6 +94,17 @@ def rest_sink_receipts(df: DataFrame, push: Transport, key_col: str,
     queues, none of which a log line can do. Same per-partition error
     budget as :func:`rest_sink`; failed records under the budget become
     ``ok=false`` receipt rows instead of lost prints.
+
+    Delivery semantics: AT-LEAST-ONCE, exactly once per healthy run. The
+    pushes execute eagerly here, exactly one time, and the returned
+    receipts frame is a ``localCheckpoint`` of the results — re-using or
+    re-computing it (joins, dashboards, retry queues, task retries)
+    replays stored rows, never the HTTP calls. A lazy mapPartitions
+    would re-POST on every downstream action and push nothing at all if
+    receipts were never materialized; a failed/retried task may still
+    have sent its partition's earlier records before dying, which is the
+    at-least-once part — consumers dedup on (key, form_id) when the
+    endpoint is not idempotent.
     """
     cols = [c for c in df.columns]
 
@@ -116,5 +127,8 @@ def rest_sink_receipts(df: DataFrame, push: Transport, key_col: str,
     if key_col not in cols:
         raise KeyError(f"key_col {key_col!r} not in {cols}")
     key_type = df.schema[key_col].dataType.simpleString()
-    return df.rdd.mapPartitions(push_partition).toDF(
+    receipts = df.rdd.mapPartitions(push_partition).toDF(
         f"{key_col} {key_type}, form_id string, ok boolean, error string")
+    # Materialize NOW (eager=True runs the pushes exactly once and cuts
+    # lineage); every later action reads the checkpointed rows.
+    return receipts.localCheckpoint(eager=True)

@@ -115,6 +115,24 @@ class RestReader(DataSourceReader):
             self.sizer = AdaptiveLimit(target_mb=self.target_mb)
         else:
             self.sizer = None
+        # Cross-run limit persistence (ref CommCareAPIHandler.py:96-121:
+        # api_limit is stored next to the watermark and seeds the next
+        # run). With `checkpoint_root` + `dataset` options set, a stored
+        # limit overrides the DEFAULT starting limit (an explicit `limit`
+        # option still wins), and the first window partition stores its
+        # adapted limit back after measuring. The manifest instance is
+        # built DRIVER-side and rides the reader pickle (register() ships
+        # etl.checkpoint by value).
+        self._manifest = None
+        if self.adaptive and "checkpoint_root" in options:
+            from .checkpoint import CheckpointManifest
+            self._manifest = CheckpointManifest(
+                options["checkpoint_root"],
+                options.get("dataset", "rest"))
+            if "limit" not in options:
+                stored = self._manifest.read_api_limit()
+                if stored is not None:
+                    self.limit = stored
         # Source read options forwarded verbatim to every request —
         # the reference's config-level switches (include_archived,
         # CommCareAPIHandler.py:32-39,185-188) generalized: any option
@@ -174,6 +192,11 @@ class RestReader(DataSourceReader):
             if sizer is not None and envelope.get("objects"):
                 limit = sizer.new_limit(limit, sizer.measure(envelope))
                 sizer = None  # one measurement per partition, like A7
+                if self._manifest is not None and partition.lo == self.start:
+                    # exactly ONE partition (the window head) persists its
+                    # measured limit — single writer, atomic rename, so
+                    # concurrent partitions never race on the manifest
+                    self._manifest.store_api_limit(limit)
             cursor = (envelope.get("meta") or {}).get("next") or None
             if not cursor:
                 break
@@ -279,9 +302,11 @@ def register(spark) -> None:
 
     from pyspark import cloudpickle
 
-    from . import http_transport
+    from . import checkpoint, http_transport
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     # AdaptiveLimit instances (adaptive=true) ride the reader pickle;
-    # their class must travel by value too.
+    # their class must travel by value too — likewise CheckpointManifest
+    # (cross-run api_limit persistence).
     cloudpickle.register_pickle_by_value(http_transport)
+    cloudpickle.register_pickle_by_value(checkpoint)
     spark.dataSource.register(RestDataSource)

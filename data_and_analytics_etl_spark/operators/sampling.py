@@ -211,9 +211,16 @@ def temperature_mixture_sample(df: DataFrame, key_col: str,
     counts = counts.withColumn(
         "__w", F.floor(F.sqrt(F.col("__n")) * 1_000_000).cast("long"))
     tot = counts.agg(F.sum("__w").alias("__tw"))
+    # Denominator in DECIMAL(38,0): __tw ≈ Σ√n·10^6 and __n are both
+    # longs, and their long*long product silently wraps (ANSI off) around
+    # n ~ 1e11 per stratum — real at the operator's 100 TB framing. The
+    # DuckDB oracle computes the same product in HUGEINT; decimal(38,0)
+    # matches that exactness, and the final division is double on both
+    # engines either way.
     k = (F.least(
             F.floor(F.lit(256.0) * F.lit(target_rows) * F.col("__w")
-                    / (F.col("__tw") * F.col("__n"))),
+                    / (F.col("__tw").cast("decimal(38,0)")
+                       * F.col("__n").cast("decimal(38,0)"))),
             F.lit(256)).cast("int"))
     lookup = (counts.crossJoin(F.broadcast(tot))
               .select(stratum_col,

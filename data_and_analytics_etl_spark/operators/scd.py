@@ -68,8 +68,16 @@ def point_in_time_join(facts: DataFrame, dim: DataFrame, key: str,
     """
     from .asof import asof_join
 
+    # Two changes of a key at the same timestamp produce a ZERO-WIDTH
+    # interval [t, t) for the superseded value. Range containment
+    # (valid_from <= ts < valid_to) excludes it by construction, but an
+    # as-of join on latest-valid_from would pick between the two t-rows
+    # nondeterministically — drop zero-width rows first so exactly the
+    # surviving (later-by-tie-break) change is joinable at t.
+    live = dim.filter(F.col("valid_to").isNull()
+                      | (F.col("valid_to") != F.col("valid_from")))
     out = asof_join(
-        facts, dim.select(key, "valid_from", attr),
+        facts, live.select(key, "valid_from", attr),
         on=key, left_ts=fact_ts, right_ts="valid_from",
         right_values=[attr], how=how, direction="backward")
     # present dimension columns under their own names (facts carry no

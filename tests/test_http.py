@@ -284,6 +284,41 @@ class TestDataSourceAdaptive:
         assert sorted(map(tuple, static.collect())) == \
             sorted(map(tuple, adaptive.collect()))
 
+    def test_adaptive_limit_persists_across_runs(self, spark, tmp_path):
+        """Cross-run state reuse (ref CommCareAPIHandler.py:96-121): run 1
+        measures and stores its adapted limit in the checkpoint manifest;
+        run 2's reader must SEED from the stored value instead of
+        re-probing from the default."""
+        from data_and_analytics_etl_spark.etl.checkpoint import \
+            CheckpointManifest
+        from data_and_analytics_etl_spark.etl.rest_datasource import (
+            RestReader, register)
+        register(spark)
+        root = str(tmp_path)
+        opts = {"transport": "synthetic", "start": "0", "end": "500",
+                "limit": "20", "num_partitions": "2",
+                "adaptive": "true", "target_mb": "0.001",
+                "checkpoint_root": root, "dataset": "events"}
+        run1 = spark.read.format("rest").options(**opts).load()
+        rows1 = sorted(map(tuple, run1.collect()))
+        stored = CheckpointManifest(root, "events").read_api_limit()
+        assert stored is not None and stored != 20  # measured + persisted
+        # second run: no explicit limit -> reader seeds from the manifest
+        opts2 = {k: v for k, v in opts.items() if k != "limit"}
+        seeded = RestReader(opts2)
+        assert seeded.limit == stored
+        run2 = spark.read.format("rest").options(**opts2).load()
+        assert sorted(map(tuple, run2.collect())) == rows1
+        # an explicit limit option still wins over the stored seed
+        explicit = RestReader({**opts2, "limit": "7"})
+        assert explicit.limit == 7
+        # and the watermark commit path preserves the stored limit
+        import datetime as dt
+        m = CheckpointManifest(root, "events")
+        m.commit(dt.datetime(2024, 1, 1), rows=5)
+        assert m.read_api_limit() == stored
+        assert m.read_watermark() == dt.datetime(2024, 1, 1)
+
     def test_param_options_reach_every_request(self, spark, monkeypatch):
         """`param.<name>` options must ride every request — the archived-
         records/config-switch analog (ref :32-39,185-188)."""

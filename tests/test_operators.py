@@ -84,6 +84,32 @@ def test_scd2_intervals_null_attr_runs(spark):
                    ("B", t[4], t[5]), (None, t[5], None)]
 
 
+def test_point_in_time_join_same_ts_changes_deterministic(spark):
+    # Two changes of one key at the SAME timestamp: the superseded value
+    # gets a zero-width interval [t, t), which range containment excludes
+    # — the lookup at t must deterministically return the surviving
+    # (last-by-tie-break) value, never flip between the two dim rows.
+    import datetime as dt
+    from data_and_analytics_etl_spark.operators.scd import (
+        point_in_time_join, scd2_intervals)
+    t = [dt.datetime(2024, 1, 1, h) for h in range(4)]
+    rows = [(1, t[0], "A", 0), (1, t[1], "B", 0), (1, t[1], "C", 1),
+            (1, t[2], "D", 0)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, attr string, "
+                                     "seq int")
+    dim = scd2_intervals(df, key="k", ts_col="ts", attr="attr",
+                         tie_break=("seq",))
+    facts = spark.createDataFrame(
+        [(1, t[0]), (1, t[1]), (1, t[2]), (1, t[3])],
+        "k int, ts timestamp")
+    for _ in range(3):  # nondeterminism would flip across executions
+        got = {r.ts: r.attr
+               for r in point_in_time_join(facts, dim, key="k",
+                                           fact_ts="ts",
+                                           attr="attr").collect()}
+        assert got == {t[0]: "A", t[1]: "C", t[2]: "D", t[3]: "D"}
+
+
 def test_scd2_intervals_all_null_key(spark):
     import datetime as dt
     from data_and_analytics_etl_spark.operators.scd import scd2_intervals
