@@ -161,18 +161,134 @@ def _decode_bmp(payload: bytes) -> dict:
             "signal_mean": total / n_px if n_px else 0.0}
 
 
+#: PNG color_type -> samples per pixel (bit depth 8 only).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Stdlib PNG decode: chunk walk + zlib inflate + scanline unfilter.
+
+    Supports non-interlaced 8-bit gray/RGB/gray+alpha/RGBA (color types
+    0/2/4/6) — the encodings ~all ML-pipeline PNGs use. Implements the
+    full filter set (None/Sub/Up/Average/Paeth, PNG spec §9) so the
+    pixels are REAL decoded values, then reports mean luminance over the
+    image (BT.601 for color, plain mean for gray) like ``_decode_bmp``.
+    Palette (type 3), 16-bit, and interlaced PNGs quarantine via
+    NotImplementedError.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS or comp != 0 \
+            or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant unsupported (depth={depth}, "
+            f"color_type={color_type}, interlace={interlace}): stdlib "
+            "path covers non-interlaced 8-bit gray/RGB/LA/RGBA")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    prev = bytearray(stride)
+    total = 0.0
+    for r in range(height):
+        f = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)])
+        if f == 1:    # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter byte {f}")
+        if color_type in (2, 6):      # RGB / RGBA: BT.601 luminance
+            for i in range(0, stride, bpp):
+                total += (0.299 * line[i] + 0.587 * line[i + 1]
+                          + 0.114 * line[i + 2])
+        else:                         # gray / gray+alpha
+            for i in range(0, stride, bpp):
+                total += line[i]
+        prev = line
+    n_px = width * height
+    return {"codec": "png", "width": width, "height": height,
+            "signal_mean": total / n_px if n_px else 0.0}
+
+
+def _decode_pil(payload: bytes) -> dict:
+    """Optional-Pillow decode for formats the stdlib can't inflate
+    (JPEG/WebP/...): same output contract as the stdlib decoders, same
+    quarantine behavior when Pillow is absent. Pillow is a public,
+    permissively-licensed package; nothing here depends on it being
+    present — the stdlib WAV/BMP/PNG paths are the portable baseline."""
+    try:
+        import PIL.Image
+    except ImportError:
+        raise NotImplementedError(
+            "decoding this format needs Pillow, which is absent in this "
+            "environment; stdlib decoders cover WAV/BMP/PNG")
+    import io
+
+    with PIL.Image.open(io.BytesIO(payload)) as im:
+        codec = (im.format or "unknown").lower()
+        width, height = im.size
+        gray = im.convert("L")
+        hist = gray.histogram()
+    n_px = width * height
+    total = sum(v * c for v, c in enumerate(hist))
+    return {"codec": codec, "width": width, "height": height,
+            "signal_mean": total / n_px if n_px else 0.0}
+
+
 def _decode_payload(payload: bytes, modality: str) -> dict:
-    """Codec boundary: stdlib decoders for WAV and BMP; anything else
-    needs PIL/av (absent in this container) and raises.
+    """Codec boundary: stdlib decoders for WAV, BMP, and PNG; JPEG (and
+    any other PIL-supported format) via optional Pillow; video needs av
+    (absent in this container) and quarantines.
 
     The working branches make the decode path REAL — header parse, PCM /
-    pixel extraction, signal statistics — while exotic codecs stay behind
-    the same NotImplementedError contract as before.
+    pixel extraction, zlib inflate + unfilter, signal statistics — while
+    exotic codecs stay behind the same NotImplementedError contract.
     """
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":  # JPEG SOI marker
+        return _decode_pil(payload)
     try:
         if modality == "image":
             import PIL.Image  # noqa: F401
@@ -181,7 +297,7 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
     except ImportError:
         raise NotImplementedError(
             f"no codec for this payload (modality={modality!r}): stdlib "
-            "decoders cover WAV/BMP; PIL/av are absent in this "
+            "decoders cover WAV/BMP/PNG; PIL/av are absent in this "
             "environment. extract_features (deterministic byte-level "
             "fallback) still works for pipeline plumbing")
     raise NotImplementedError("codec library present but decode path "
@@ -285,7 +401,13 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
 def _encode_bmp(width: int, height: int, rows: list[bytes]) -> bytes:
     """Re-encode 24bpp pixel rows (stored order, BGR) as a BMP payload —
-    the write half of ``_decode_bmp``'s read contract."""
+    the write half of ``_decode_bmp``'s read contract.
+
+    ``height`` may be NEGATIVE (top-down storage): the sign is written
+    through to the header so a resize of a top-down source stays
+    top-down — resampling in stored order and then declaring the data
+    bottom-up would flip the image vertically. ``rows`` always holds
+    ``abs(height)`` scanlines in stored order."""
     import struct
 
     row_bytes = (width * 3 + 3) & ~3
@@ -326,7 +448,10 @@ def _resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
         rows.append(b"".join(
             src[(c2 * width // out_w) * 3:(c2 * width // out_w) * 3 + 3]
             for c2 in range(out_w)))
-    return _encode_bmp(out_w, out_h, rows)
+    # preserve the source's storage direction: rows were resampled in
+    # stored order, so a top-down (negative-height) input must re-encode
+    # top-down or the output renders vertically flipped
+    return _encode_bmp(out_w, out_h if height > 0 else -out_h, rows)
 
 
 RESIZED_SCHEMA = StructType([

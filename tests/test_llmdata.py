@@ -139,8 +139,10 @@ class TestMultimodal:
     def test_decode_is_gated_not_fake(self, spark):
         from data_and_analytics_etl_spark.operators.multimodal import (
             _decode_payload)
+        # video containers need av (absent): gated, never faked
         with pytest.raises(NotImplementedError):
-            _decode_payload(b"\x89PNG\r\n\x1a\n" + b"\0" * 16, "image")
+            _decode_payload(b"\x00\x00\x00\x18ftypmp42" + b"\0" * 16,
+                            "video")
 
 
 def _make_wav(sample_rate=8000, freq=440, n_frames=800, amp=10000):
@@ -234,6 +236,183 @@ class TestRealDecode:
             "asset_id long, modality string, payload binary")
         row = decode_assets(assets).collect()[0]
         assert row.error is not None and row.codec is None
+
+
+def _make_png(width, height, pixels, color_type=2, filters=None):
+    """Deterministic PNG via stdlib struct/zlib with per-row filter
+    control: ``pixels[r]`` is a list of per-pixel sample tuples; the
+    forward filter (spec §9) is applied here so the decoder's unfilter
+    path is exercised against independently-computed bytes."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * ch
+
+    def chunk(t, data):
+        return (struct.pack(">I", len(data)) + t + data
+                + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF))
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = bytes(v for px in pixels[r] for v in px)
+        f = filters[r] if filters else 0
+        enc = bytearray(line)
+        for i in range(stride - 1, -1, -1):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif f == 2:
+                enc[i] = (line[i] - b) & 0xFF
+            elif f == 3:
+                enc[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([f]) + enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+#: 3x2 RGB test image with non-uniform rows (exercises every predictor).
+_PNG_PIXELS = [[(10, 200, 30), (0, 0, 255), (255, 255, 0)],
+               [(1, 2, 3), (130, 90, 200), (77, 77, 77)]]
+_PNG_WANT_MEAN = sum(0.299 * r + 0.587 * g + 0.114 * b
+                     for row in _PNG_PIXELS for r, g, b in row) / 6
+
+
+class TestPngDecode:
+    """Stdlib PNG decode: real zlib inflate + full filter-set unfilter,
+    pinned against independently-computed BT.601 luminance."""
+
+    def test_rgb_filter_none(self):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            _decode_payload)
+        d = _decode_payload(_make_png(3, 2, _PNG_PIXELS), "image")
+        assert d["codec"] == "png"
+        assert (d["width"], d["height"]) == (3, 2)
+        assert d["signal_mean"] == pytest.approx(_PNG_WANT_MEAN, abs=1e-9)
+
+    @pytest.mark.parametrize("filters", [[1, 2], [3, 4], [4, 3], [2, 1]])
+    def test_every_filter_type_unfilters_identically(self, filters):
+        # same pixels through Sub/Up/Average/Paeth must decode to the
+        # same statistics as the unfiltered encoding
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            _decode_payload)
+        d = _decode_payload(_make_png(3, 2, _PNG_PIXELS, filters=filters),
+                            "image")
+        assert d["signal_mean"] == pytest.approx(_PNG_WANT_MEAN, abs=1e-9)
+
+    def test_gray_and_rgba(self):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            _decode_payload)
+        g = _decode_payload(
+            _make_png(2, 2, [[(10,), (20,)], [(30,), (40,)]], color_type=0),
+            "image")
+        assert g["codec"] == "png" and g["signal_mean"] == 25.0
+        rgba = [[(10, 200, 30, 255), (0, 0, 255, 128)],
+                [(1, 2, 3, 0), (130, 90, 200, 7)]]
+        want = sum(0.299 * r + 0.587 * g2 + 0.114 * b
+                   for row in rgba for r, g2, b, _ in row) / 4
+        d = _decode_payload(_make_png(2, 2, rgba, color_type=6), "image")
+        assert d["signal_mean"] == pytest.approx(want, abs=1e-9)
+
+    def test_palette_png_quarantines(self):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            _decode_payload)
+        import struct
+        import zlib
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # type 3
+
+        def chunk(t, data):
+            return (struct.pack(">I", len(data)) + t + data
+                    + struct.pack(">I", zlib.crc32(t + data) & 0xFFFFFFFF))
+        payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(b"\0\0\0\0\0\0"))
+                   + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            _decode_payload(payload, "image")
+
+    def test_jpeg_path_is_pillow_gated(self):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            _decode_payload)
+        soi = b"\xff\xd8\xff\xe0" + b"\0" * 16
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            with pytest.raises(NotImplementedError, match="Pillow"):
+                _decode_payload(soi, "image")
+        else:
+            # Pillow present: garbage after SOI must still quarantine
+            # (raise SOMETHING catchable), never hang or segfault
+            with pytest.raises(Exception):
+                _decode_payload(soi, "image")
+
+    def test_decode_assets_png_end_to_end(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            decode_assets)
+        assets = spark.createDataFrame(
+            [(7, "image", bytearray(_make_png(3, 2, _PNG_PIXELS,
+                                              filters=[4, 2])))],
+            "asset_id long, modality string, payload binary")
+        row = decode_assets(assets).collect()[0]
+        assert row.codec == "png" and row.error is None
+        assert (row.width, row.height) == (3, 2)
+        assert row.signal_mean == pytest.approx(_PNG_WANT_MEAN, abs=1e-6)
+
+
+def _make_bmp_rows(rows_rgb, height_sign=1):
+    """24bpp BMP from explicit per-row colors (stored order);
+    height_sign=-1 writes a top-down (negative height) header."""
+    import struct
+
+    width = len(rows_rgb[0])
+    row_bytes = (width * 3 + 3) & ~3
+    pad = b"\0" * (row_bytes - width * 3)
+    pixels = b"".join(
+        b"".join(bytes([b, g, r]) for r, g, b in row) + pad
+        for row in rows_rgb)
+    dib = struct.pack("<IiiHHIIiiII", 40, width,
+                      height_sign * len(rows_rgb), 1, 24, 0,
+                      len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return header + dib + pixels
+
+
+class TestTopDownBmp:
+    def test_topdown_resize_preserves_orientation(self):
+        """A top-down (negative-height) BMP must re-encode top-down after
+        resize: stored-order resampling + a bottom-up header would flip
+        the image vertically."""
+        import struct
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            _resize_bmp)
+        red, blue = (255, 0, 0), (0, 0, 255)
+        top_down = _make_bmp_rows([[red, red], [blue, blue]],
+                                  height_sign=-1)
+        out = _resize_bmp(top_down, 2, 2)  # identity resize
+        height = struct.unpack_from("<i", out, 22)[0]
+        assert height == -2  # orientation preserved
+        # first stored row must still be the red one
+        off = struct.unpack_from("<I", out, 10)[0]
+        assert out[off:off + 3] == bytes([0, 0, 255])  # BGR red
+        # and the same image stored bottom-up resizes to identical
+        # RENDERED content: stored rows reversed, header positive
+        bottom_up = _make_bmp_rows([[blue, blue], [red, red]],
+                                   height_sign=1)
+        out2 = _resize_bmp(bottom_up, 2, 2)
+        assert struct.unpack_from("<i", out2, 22)[0] == 2
+        off2 = struct.unpack_from("<I", out2, 10)[0]
+        assert out2[off2:off2 + 3] == bytes([255, 0, 0])  # BGR blue
 
 
 class TestIVF:
