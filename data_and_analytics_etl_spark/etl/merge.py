@@ -38,3 +38,98 @@ def merge_upsert(existing: DataFrame, updates: DataFrame,
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src"))
+
+
+def merge_upsert_partitioned(spark, path: str, updates: DataFrame,
+                             keys: list[str], ts_col: str,
+                             order_by: list[Column] | None = None,
+                             fmt: str = "parquet",
+                             max_records_per_file: int = 100_000) -> dict:
+    """Sink-side MERGE that rewrites ONLY partitions containing touched
+    keys — the scale-critical half the pure computation above leaves to
+    the caller.
+
+    The table at ``path`` uses the hourly Hive layout from
+    ``etl/sink.py`` (year/month/day/hour derived from ``ts_col``; the
+    reference's hourly S3 prefix scheme, CommCareAPIHandler.py:71-73).
+    At 100 TB a MERGE that rewrites the whole table per incremental
+    batch is a non-starter; here the write amplification is bounded by
+    the partitions the batch actually touches:
+
+    1. affected = partitions the updates land in ∪ partitions where a
+       matched key currently lives (a column-pruned LEFT SEMI scan of
+       (keys, partition cols) against the broadcast update keys — the
+       general case where an update moves a key across hours);
+    2. only those partitions are read back (partition-pruned filter) and
+       merged with :func:`merge_upsert` — one shuffle over the affected
+       slice, never the table;
+    3. the result lands via DYNAMIC partition overwrite
+       (``spark.sql.sources.partitionOverwriteMode=dynamic``), which
+       replaces exactly the partitions present in the output and leaves
+       every other directory's files byte-identical;
+    4. a touched partition whose every row was superseded into another
+       hour produces no output rows — dynamic overwrite would skip it,
+       so its now-stale directory is removed explicitly.
+
+    Returns ``{"affected_partitions": n, "rewritten": n, "purged": n}``.
+    """
+    import os
+    import shutil
+
+    from .sink import PARTITION_COLS, with_time_partitions
+
+    existing = spark.read.format(fmt).load(path)
+    upd = with_time_partitions(updates, ts_col)
+    upd_keys = updates.select(*keys).distinct()
+
+    pcols = list(PARTITION_COLS)
+    # partitions receiving update rows + partitions holding matched keys
+    affected = (upd.select(*pcols)
+                .union(existing.join(F.broadcast(upd_keys), keys,
+                                     "left_semi").select(*pcols))
+                .distinct().collect())
+    affected_set = {tuple(r) for r in affected}
+    if not affected_set:
+        return {"affected_partitions": 0, "rewritten": 0, "purged": 0}
+
+    # OR-of-conjunctions over literal partition values: exactly the form
+    # PruneFileSourcePartitions folds into a directory prune, so the
+    # read-back scan opens only the affected partitions' files.
+    from functools import reduce
+    part_pred = reduce(
+        Column.__or__,
+        [reduce(Column.__and__,
+                [F.col(c) == F.lit(v) for c, v in zip(pcols, t)])
+         for t in sorted(affected_set)])
+    slice_ = existing.filter(part_pred)
+    # localCheckpoint before the overwrite: Spark (rightly) refuses to
+    # overwrite a path its write plan still reads from; checkpointing
+    # materializes the merged slice (bounded by the affected partitions,
+    # not the table) and truncates the lineage back to the source files.
+    merged = merge_upsert(slice_, upd, keys,
+                          order_by=order_by).localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        (merged.write.mode("overwrite")
+         .option("maxRecordsPerFile", max_records_per_file)
+         .partitionBy(*pcols).format(fmt).save(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # purge affected partitions that ended up with zero rows (dynamic
+    # overwrite never touches a partition absent from the output, so a
+    # fully-superseded hour would otherwise keep its stale files).
+    # Local/HDFS-style path semantics; object stores swap in their FS API.
+    written = {tuple(r) for r in merged.select(*pcols).distinct().collect()}
+    purged = 0
+    for t in affected_set - written:
+        d = os.path.join(path, *(f"{c}={v}" for c, v in zip(pcols, t)))
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            purged += 1
+    return {"affected_partitions": len(affected_set),
+            "rewritten": len(written & affected_set), "purged": purged}

@@ -302,3 +302,63 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("o_totalprice")))
     return (merge_upsert(existing, updates, keys=["o_orderkey"])
             .orderBy("o_orderkey"))
+
+
+@query(
+    "etl_merge_partitioned",
+    oracle="""
+WITH base AS (
+  SELECT event_id, ts, value FROM events
+  WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+), upd AS (
+  SELECT event_id, ts, value + 1000 AS value FROM events
+  WHERE ts >= TIMESTAMP '2024-01-02 05:00:00'
+    AND ts <  TIMESTAMP '2024-01-02 06:00:00'
+  UNION ALL
+  SELECT event_id, ts, value FROM events
+  WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-03 02:00:00'
+), merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT * FROM base
+  WHERE event_id NOT IN (SELECT event_id FROM upd)
+)
+SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+       hour(ts) AS hour, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM merged GROUP BY 1, 2, 3, 4
+ORDER BY year, month, day, hour
+""",
+    tags=("etl", "merge", "sink"),
+    doc="Partition-targeted persistent MERGE (etl/merge.py:"
+        "merge_upsert_partitioned): updates to one hour + inserts into "
+        "two new hours against an hourly-partitioned table rewrite ONLY "
+        "the affected partitions via dynamic partition overwrite (the "
+        "scale posture the reference delegates to Snowflake, util.py:51 "
+        "context) — read-back per-hour aggregates must equal the oracle's "
+        "recomputed post-merge state; untouched-partition byte identity "
+        "is pinned in tests/test_etl.py.",
+)
+def etl_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..etl.merge import merge_upsert_partitioned
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts",
+                                                    "value")
+    base = ev.filter(F.col("ts") < F.lit(dt.datetime(2024, 1, 3)))
+    dest = os.path.join(tempfile.mkdtemp(prefix="etl_mrg_"), "data")
+    write_partitioned(base, dest, "ts", max_records_per_file=1000)
+    updated = (ev.filter(
+        (F.col("ts") >= F.lit(dt.datetime(2024, 1, 2, 5)))
+        & (F.col("ts") < F.lit(dt.datetime(2024, 1, 2, 6))))
+        .withColumn("value", F.col("value") + 1000))
+    inserts = ev.filter(
+        (F.col("ts") >= F.lit(dt.datetime(2024, 1, 3)))
+        & (F.col("ts") < F.lit(dt.datetime(2024, 1, 3, 2))))
+    merge_upsert_partitioned(spark, dest, updated.unionByName(inserts),
+                             keys=["event_id"], ts_col="ts")
+    back = spark.read.parquet(dest)
+    return (back.groupBy("year", "month", "day", "hour")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_value"))
+            .orderBy("year", "month", "day", "hour"))

@@ -269,3 +269,95 @@ class TestMergeUpsert:
         out = merge_upsert(existing, updates, keys=["k"],
                            order_by=[F.desc("ver")]).collect()
         assert len(out) == 1 and out[0].v == "new"
+
+
+class TestMergePartitioned:
+    """Partition-targeted sink-side MERGE: only affected hourly
+    partitions are rewritten; everything else stays byte-identical."""
+
+    @staticmethod
+    def _snapshot(root):
+        """{relative parquet path: file bytes} under root."""
+        import glob
+        import os
+        out = {}
+        for p in glob.glob(f"{root}/**/*.parquet", recursive=True):
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, root)] = f.read()
+        return out
+
+    @staticmethod
+    def _write_base(spark, dest):
+        import datetime as dt
+        from data_and_analytics_etl_spark.etl.sink import write_partitioned
+        rows = [(1, dt.datetime(2024, 1, 1, 0, 10), 10.0),
+                (2, dt.datetime(2024, 1, 1, 0, 20), 20.0),
+                (3, dt.datetime(2024, 1, 1, 1, 10), 30.0),
+                (4, dt.datetime(2024, 1, 1, 2, 10), 40.0)]
+        base = spark.createDataFrame(rows,
+                                     "event_id long, ts timestamp, "
+                                     "value double")
+        write_partitioned(base, dest, "ts")
+
+    def test_untouched_partitions_byte_identical(self, spark, tmp_path):
+        import datetime as dt
+        from data_and_analytics_etl_spark.etl.merge import \
+            merge_upsert_partitioned
+        dest = str(tmp_path / "data")
+        self._write_base(spark, dest)
+        before = self._snapshot(dest)
+        # update one hour-0 row + insert into a brand-new hour 3
+        updates = spark.createDataFrame(
+            [(2, dt.datetime(2024, 1, 1, 0, 20), 999.0),
+             (9, dt.datetime(2024, 1, 1, 3, 5), 90.0)],
+            "event_id long, ts timestamp, value double")
+        stats = merge_upsert_partitioned(spark, dest, updates,
+                                         keys=["event_id"], ts_col="ts")
+        assert stats["affected_partitions"] == 2  # hour 0 + new hour 3
+        assert stats["purged"] == 0
+        after = self._snapshot(dest)
+        untouched_b = {k: v for k, v in before.items() if "hour=0" not in k}
+        untouched_a = {k: v for k, v in after.items()
+                       if "hour=0" not in k and "hour=3" not in k}
+        assert untouched_a == untouched_b  # names AND bytes unchanged
+        assert any("hour=3" in k for k in after)
+        got = {r.event_id: r.value
+               for r in spark.read.parquet(dest).collect()}
+        assert got == {1: 10.0, 2: 999.0, 3: 30.0, 4: 40.0, 9: 90.0}
+
+    def test_key_moving_hours_purges_emptied_partition(self, spark,
+                                                       tmp_path):
+        import datetime as dt
+        import os
+        from data_and_analytics_etl_spark.etl.merge import \
+            merge_upsert_partitioned
+        dest = str(tmp_path / "data")
+        self._write_base(spark, dest)
+        # event 4 is hour 2's ONLY row; its update moves it to hour 1 —
+        # hour 2 must be purged, not left holding the stale version
+        updates = spark.createDataFrame(
+            [(4, dt.datetime(2024, 1, 1, 1, 55), 44.0)],
+            "event_id long, ts timestamp, value double")
+        stats = merge_upsert_partitioned(spark, dest, updates,
+                                         keys=["event_id"], ts_col="ts")
+        assert stats["purged"] == 1
+        assert not os.path.isdir(os.path.join(
+            dest, "year=2024", "month=1", "day=1", "hour=2"))
+        got = {(r.event_id): (r.hour, r.value)
+               for r in spark.read.parquet(dest).collect()}
+        assert got == {1: (0, 10.0), 2: (0, 20.0), 3: (1, 30.0),
+                       4: (1, 44.0)}
+
+    def test_no_op_update_set_touches_nothing(self, spark, tmp_path):
+        from data_and_analytics_etl_spark.etl.merge import \
+            merge_upsert_partitioned
+        dest = str(tmp_path / "data")
+        self._write_base(spark, dest)
+        before = self._snapshot(dest)
+        empty = spark.createDataFrame(
+            [], "event_id long, ts timestamp, value double")
+        stats = merge_upsert_partitioned(spark, dest, empty,
+                                         keys=["event_id"], ts_col="ts")
+        assert stats == {"affected_partitions": 0, "rewritten": 0,
+                         "purged": 0}
+        assert self._snapshot(dest) == before
