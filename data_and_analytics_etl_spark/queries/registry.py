@@ -46,7 +46,7 @@ DRIVER_WINDOW = 50
 #: Current verification round. Bump once per driver round: the rotation
 #: offset below advances with it, so stale green probes cycle back
 #: through the window a slice at a time.
-VERIFY_ROUND = 5
+VERIFY_ROUND = 6
 
 #: Priority bands (lower sorts earlier in the export):
 #:   < POOL_PRIORITY   fixed placement — bench-critical (10), probes whose
@@ -77,8 +77,9 @@ ROUND_TIERS: dict[str, int] = {
     # maps to (b8's xxhash64 bench path is rows-only by design; its md5
     # twin carries the correctness evidence). These re-verify every
     # round so a bench number never ships without a same-round
-    # correctness row. r4's lesson applied: sessionization is timed by
-    # b9, so it is bench-critical, not merely "changed".
+    # correctness row. r6: b13/b14's probes move here from last round's
+    # tier 30 (they are bench-mapped), and b15 (the curation capstone —
+    # the widest composed plan in the registry) joins the bench set.
     "q1_pricing_summary": 10,
     "q3_shipping_priority": 10,
     "q5_star_join": 10,
@@ -91,41 +92,27 @@ ROUND_TIERS: dict[str, int] = {
     "dedup_minhash_lsh_md5": 10,
     "sessionization": 10,
     "dedup_clusters": 10,
-    # changed in r5: the TIMESTAMP_NTZ fix rerouted the streaming file
-    # source through catalog.normalize_event_timestamps (streaming/
-    # ops.py events_stream), so every streaming probe's input path
-    # changed this round and must re-verify. (sessionize.py also
-    # changed — epoch arithmetic — covered by tier 10 above.)
-    "stream_tumbling_agg": 20,
-    "stream_watermark_tumbling": 20,
-    "stream_sliding_agg": 20,
-    "stream_session_window": 20,
-    "stream_dedup_keys": 20,
-    "stream_stateful_user_stats": 20,
-    "stream_stream_join": 20,
-    # new in r5, never driver-verified: vocabulary build, bigram PMI
-    # collocations, rank-based winsorization, leakage-safe holdout split
-    "vocab_build": 30,
-    "bigram_pmi": 30,
-    "outlier_winsorize": 30,
-    "sample_holdout_split": 30,
-    "corpus_span_duplication": 30,
-    "group_percentiles_exact": 30,
-    "neardup_cosine_exact": 30,
-    "sample_kfold": 30,
-    "drift_ks_exact": 30,
-    "categorical_entropy_profile": 30,
-    "join_point_in_time_scd2": 30,
-    "sample_temperature_mixture": 30,
-    "text_vocab_logrank": 30,
-    "q13_custdist": 30,
-    "q15_top_supplier": 30,
-    "q17_small_qty_revenue": 30,
-    "q8_market_share": 30,
-    "text_bigram_logprob": 30,
-    "quality_check_constraints": 30,
-    "quality_referential_integrity": 30,
-    "corpus_curation_pipeline": 30,
+    "corpus_span_duplication": 10,
+    "drift_ks_exact": 10,
+    "corpus_curation_pipeline": 10,
+    # changed in r6 (code or oracle):
+    "categorical_entropy_profile": 20,  # oracle HUGEINT cast (the r5 red)
+    "multimodal_decode": 20,            # oracle DECIMAL cast + PNG/JPEG
+                                        # decode dispatch added
+    "text_tfidf": 20,                   # action-free N via broadcast agg
+    "vocab_build": 20,                  # ensure_fanout_parallelism rewrite
+    "bigram_pmi": 20,                   # (shuffle-aware guard) sits under
+    "text_vocab_logrank": 20,           # every shingle/token consumer
+    "text_bigram_logprob": 20,
+    "corpus_decontaminate": 20,
+    "neardup_ngram_jaccard": 20,
+    "dedup_simhash_md5": 20,
+    "join_point_in_time_scd2": 20,      # zero-width-interval tie fix
+    "sample_temperature_mixture": 20,   # DECIMAL(38,0) threshold math
+    "rest_datasource_scan": 20,         # cross-run adaptive-limit seed
+    "etl_incremental_overlap_dedup": 20,  # checkpoint merge-on-commit
+    # new in r6, never driver-verified:
+    "etl_merge_partitioned": 30,        # partition-targeted MERGE sink
 }
 
 

@@ -15,31 +15,29 @@ from data_and_analytics_etl_spark.queries.registry import (DRIVER_WINDOW,
                                                            rotation_selected)
 
 #: Probes that MUST hold a fresh driver-verified row this round:
-#: bench queries plus every probe whose code or oracle changed in r5.
+#: bench queries plus every probe whose code or oracle changed in r6.
 #: Source of truth: registry.ROUND_TIERS (this set mirrors its <100 keys).
 MUST_BE_IN_WINDOW = {
     # bench-critical (tier A, priority 10): every oracle-backed probe a
     # BENCH_QUERIES entry maps to — a bench number never ships without a
-    # same-round correctness row
+    # same-round correctness row (b13/b14/b15 probes included since r6)
     "q1_pricing_summary", "q3_shipping_priority", "q5_star_join",
     "q10_returned_revenue", "q7_nation_volume",
     "topk_per_group", "window_running_agg", "cosine_topk", "dedup_exact",
     "dedup_minhash_lsh_md5", "sessionization", "dedup_clusters",
-    # changed in r5: streaming file source rerouted through
-    # catalog.normalize_event_timestamps (the TIMESTAMP_NTZ fix)
-    "stream_tumbling_agg", "stream_watermark_tumbling",
-    "stream_sliding_agg", "stream_session_window", "stream_dedup_keys",
-    "stream_stateful_user_stats", "stream_stream_join",
-    # new operators in r5, never driver-verified (tier C, priority 30)
-    "vocab_build", "bigram_pmi", "outlier_winsorize",
-    "sample_holdout_split", "corpus_span_duplication",
-    "group_percentiles_exact", "neardup_cosine_exact", "sample_kfold",
-    "drift_ks_exact", "categorical_entropy_profile",
+    "corpus_span_duplication", "drift_ks_exact", "corpus_curation_pipeline",
+    # changed in r6 (tier B, priority 20): oracle casts, the action-free
+    # tf_idf rewrite, the shuffle-aware fan-out guard under every
+    # shingle/token consumer, SCD2 zero-width-interval ties, DECIMAL
+    # threshold math, adaptive-limit persistence, checkpoint merge
+    "categorical_entropy_profile", "multimodal_decode", "text_tfidf",
+    "vocab_build", "bigram_pmi", "text_vocab_logrank",
+    "text_bigram_logprob", "corpus_decontaminate",
+    "neardup_ngram_jaccard", "dedup_simhash_md5",
     "join_point_in_time_scd2", "sample_temperature_mixture",
-    "text_vocab_logrank", "q13_custdist", "q15_top_supplier",
-    "q17_small_qty_revenue", "q8_market_share", "text_bigram_logprob",
-    "quality_check_constraints", "quality_referential_integrity",
-    "corpus_curation_pipeline",
+    "rest_datasource_scan", "etl_incremental_overlap_dedup",
+    # new operators in r6, never driver-verified (tier C, priority 30)
+    "etl_merge_partitioned",
 }
 
 
