@@ -230,3 +230,28 @@ def temperature_mixture_sample(df: DataFrame, key_col: str,
     return (df.join(F.broadcast(lookup), stratum_col)
             .filter(hash_bucket(F.col(key_col)) < F.col("__thresh"))
             .drop("__thresh"))
+
+
+def cap_per_group(df: DataFrame, group_col: str, key_col: str,
+                  k: int) -> DataFrame:
+    """Deterministic per-group row cap: at most ``k`` rows survive per
+    group, chosen by md5-hash order of the key (with the key itself as
+    tie-break), so the kept subset is stable across runs, partitionings
+    and engines — the "max N documents per domain/source" curation gate
+    (C4/RefinedWeb-style anti-domination), which a seeded ``sample()``
+    cannot express because its row choice is engine-defined.
+
+    ONE shuffle on the group column for the ranking window; the hash
+    order (not insertion or timestamp order) means no upstream sort is
+    assumed and hot groups cannot bias toward early files. At 100 TB a
+    skewed group still bounds its window state to a counter (row_number
+    needs no buffering beyond the sort), and AQE's skew-split handles
+    the sort spill of pathological domains.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn"))

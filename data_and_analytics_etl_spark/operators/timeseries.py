@@ -76,3 +76,47 @@ def gap_fill(resampled: DataFrame, key: str, order_col: str = "bucket",
         out = out.withColumn(f"{c}_filled",
                              F.last(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def time_weighted_avg(df: DataFrame, key: str, ts_col: str,
+                      value_col: str, tie_break: str | None = None,
+                      ) -> DataFrame:
+    """Per-key time-weighted mean under step-function (sample-and-hold)
+    semantics: each observation's value holds until the key's next
+    observation, so its weight is that interval's duration; the final
+    observation of a key has no successor and contributes nothing (the
+    standard twa contract for irregular telemetry).
+
+    Engine-exact across Spark/DuckDB: weights are INTEGER microseconds
+    (``unix_micros`` of the lead-gap), values quantize to integer cents,
+    and the Σ(value·Δt) accumulator runs in DECIMAL(38,0) — the per-row
+    product is bounded by ~5e4 cents × ~1e11 µs ≈ 5e15 « 2^63, so the
+    row-side stays in codegen longs and only the partials touch decimal
+    (the q1 two-stage rule). ONE shuffle on the key shared by the lead
+    window and the final aggregate. Output: (key, twa, observed_us).
+
+    NULL values are excluded up front (a NULL sample is a gap, not a
+    zero); keys with fewer than two observations drop out (no interval
+    to weight).
+    """
+    order = [F.col(ts_col)] + ([F.col(tie_break)] if tie_break else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    src = df.filter(F.col(value_col).isNotNull())
+    stepped = (src
+               .withColumn("__next_us",
+                           F.unix_micros(F.lead(ts_col).over(w)))
+               .filter(F.col("__next_us").isNotNull())
+               .withColumn("__dt", F.col("__next_us")
+                           - F.unix_micros(F.col(ts_col)))
+               .withColumn("__vc",
+                           F.round(F.col(value_col) * 100).cast("long")))
+    return (stepped.groupBy(key)
+            .agg(F.sum((F.col("__vc") * F.col("__dt"))
+                       .cast("decimal(38,0)")).alias("__num"),
+                 F.sum(F.col("__dt").cast("decimal(38,0)"))
+                 .alias("__den"))
+            .select(F.col(key),
+                    F.round((F.col("__num").cast("double") / 100.0)
+                            / F.col("__den").cast("double"), 6)
+                    .alias("twa"),
+                    F.col("__den").cast("long").alias("observed_us")))

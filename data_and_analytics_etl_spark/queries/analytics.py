@@ -719,3 +719,43 @@ def quality_referential_integrity(spark: SparkSession,
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return check_referential_integrity(o, "o_custkey", c, "c_custkey")
+
+
+@query(
+    "timeseries_weighted_avg",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, value,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt
+  FROM events WHERE value IS NOT NULL AND user_id < 100
+)
+SELECT user_id,
+       round((CAST(CAST(sum(CAST(vc AS DECIMAL(38,0)) * dt)
+                        AS DECIMAL(38,0)) AS DOUBLE) / 100.0)
+             / CAST(CAST(sum(CAST(dt AS DECIMAL(38,0)))
+                         AS DECIMAL(38,0)) AS DOUBLE), 6) AS twa,
+       CAST(CAST(sum(CAST(dt AS DECIMAL(38,0))) AS DECIMAL(38,0))
+            AS BIGINT) AS observed_us
+FROM s WHERE dt IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+""",
+    tags=("analytics", "window", "timeseries"),
+    doc="Per-key time-weighted mean under sample-and-hold semantics "
+        "(operators/timeseries.py:time_weighted_avg): each value holds "
+        "until the key's next observation, weight = interval in integer "
+        "microseconds, values quantized to integer cents, Σ(v·Δt) in "
+        "DECIMAL(38,0) — one double division per key at the end, so the "
+        "result is accumulation-order-independent. The irregular-"
+        "telemetry rollup a plain avg() gets wrong (it overweights "
+        "bursts). One shuffle shared by the lead window and the final "
+        "aggregate.",
+)
+def timeseries_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import time_weighted_avg
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return (time_weighted_avg(ev, key="user_id", ts_col="ts",
+                              value_col="value", tie_break="event_id")
+            .orderBy("user_id"))

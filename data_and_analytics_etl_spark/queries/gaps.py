@@ -827,3 +827,68 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.countDistinct("doc_id").alias("n_docs"))
         .orderBy("source"))
+
+
+@query(
+    "pivot_event_type_counts",
+    oracle="""
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events WHERE user_id < 200
+GROUP BY user_id ORDER BY user_id
+""",
+    tags=("agg", "pivot"),
+    doc="Wide pivot (long->wide reshape): groupBy(user).pivot(type) "
+        "with an EXPLICIT value list — without it Spark runs an eager "
+        "distinct scan to discover columns (construction-purity "
+        "violation) and the output schema becomes data-dependent. "
+        "Missing (user, type) combos fill 0, matching the conditional-"
+        "aggregation oracle. Compiles to one ordinary hash aggregate "
+        "(pivot_col, value) pairs wide — one shuffle, no extra pass.",
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, types)
+            .orderBy("user_id"))
+
+
+@query(
+    "unpivot_order_measures",
+    oracle="""
+SELECT o_orderkey, 'custkey_d' AS measure,
+       CAST(o_custkey AS DOUBLE) AS val
+FROM orders WHERE o_orderkey < 2000
+UNION ALL
+SELECT o_orderkey, 'o_year', CAST(year(o_orderdate) AS DOUBLE)
+FROM orders WHERE o_orderkey < 2000
+UNION ALL
+SELECT o_orderkey, 'price', round(o_totalprice, 2)
+FROM orders WHERE o_orderkey < 2000
+ORDER BY o_orderkey, measure
+""",
+    tags=("pivot",),
+    doc="Unpivot (wide->long reshape, SQL stack/UNPIVOT): three order "
+        "measures melt into (key, measure, val) rows. Spark's unpivot "
+        "is a zero-shuffle map-side Expand (each input row emits N "
+        "output rows in place) — the oracle's UNION ALL of three scans "
+        "computes the same multiset, proving the reshape.",
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("double").alias("custkey_d"),
+        F.year("o_orderdate").cast("double").alias("o_year"),
+        F.round("o_totalprice", 2).alias("price"))
+    return (wide.unpivot("o_orderkey", ["custkey_d", "o_year", "price"],
+                         "measure", "val")
+            .orderBy("o_orderkey", "measure"))

@@ -1343,3 +1343,39 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_to_token_budget(sized, budget=5000, n_buckets=16)
     return (packed.select("doc_id", F.col("n_tokens").cast("long"))
             .orderBy("doc_id"))
+
+
+@query(
+    "corpus_domain_cap",
+    oracle="""
+WITH capped AS (
+  SELECT doc_id, source FROM documents
+  QUALIFY row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+)
+SELECT source, count(*) AS n_kept,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM capped GROUP BY source ORDER BY source
+""",
+    tags=("llm", "sample"),
+    doc="Per-source document cap (operators/sampling.py:cap_per_group) "
+        "— the C4/RefinedWeb anti-domination gate: at most k docs "
+        "survive per source, chosen by md5-hash order of the key so "
+        "the kept subset is stable across runs, engines and "
+        "partitionings (seeded sample() is engine-defined and can't "
+        "oracle-check). One shuffle on the group for the ranking "
+        "window; the probe aggregates the kept set per source and pins "
+        "min/max kept ids so the oracle checks WHICH docs survived, "
+        "not just how many.",
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import cap_per_group
+    d = load_table(spark, sf_dir, "documents")
+    kept = cap_per_group(d, group_col="source", key_col="doc_id", k=20)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("source"))

@@ -113,6 +113,16 @@ ROUND_TIERS: dict[str, int] = {
     "etl_incremental_overlap_dedup": 20,  # checkpoint merge-on-commit
     # new in r6, never driver-verified:
     "etl_merge_partitioned": 30,        # partition-targeted MERGE sink
+    "q9_product_profit": 30,            # the six remaining TPC-H shapes
+    "q21_waiting_supplier": 30,         # (corpus has no partsupp; shapes
+    "q22_inactive_customers": 30,       #  adapted via lineitem bridge —
+    "q2_min_cost_supplier": 30,         #  see tpch.py docstrings). With
+    "q11_part_value_share": 30,         #  these, all 22 TPC-H query
+    "q16_supplier_part_count": 30,      #  shapes carry a probe.
+    "pivot_event_type_counts": 30,      # long->wide reshape
+    "unpivot_order_measures": 30,       # wide->long reshape (Expand)
+    "timeseries_weighted_avg": 30,      # sample-and-hold exact TWA
+    "corpus_domain_cap": 30,            # per-source anti-domination cap
 }
 
 

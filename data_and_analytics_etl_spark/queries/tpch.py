@@ -771,3 +771,332 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / (den / 10_000).cast("double"), 6)
                  .alias("mkt_share"))
             .orderBy("o_year"))
+
+
+# ---------------------------------------------------------------------------
+# r6: the remaining TPC-H shapes. The corpus has no partsupp table, so
+# Q2/Q9/Q11/Q16/Q20-family queries that price supplier inventory are
+# expressed with lineitem as the part-supplier bridge and retailprice as
+# the unit-cost surrogate — the JOIN/SUBQUERY SHAPE (correlated mins,
+# HAVING vs scalar subquery, NOT IN, multi-anti-join) is what each probe
+# preserves; docstrings note the substitution. With these, all 22 TPC-H
+# query shapes have a probe.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                - CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+    tags=("join", "agg"),
+    doc="Product-type profit by nation and year (TPC-H Q9 shape; "
+        "ps_supplycost substituted with p_retailprice*quantity — no "
+        "partsupp table in the corpus). Five-table tree: broadcast "
+        "part-filter + supplier + nation dims, one lineitem-orders "
+        "fact shuffle; profit is an exact integer-cents difference "
+        "summed two-stage (longs per partition, decimal across).",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    # rev in 1e-4 dollars (cents x percent), cost scaled x100 to match
+    profit_c4 = (_cents(F.col("l_extendedprice"))
+                 * (100 - _cents(F.col("l_discount")))
+                 - _cents(F.col("p_retailprice")) * 100
+                 * F.col("l_quantity").cast("long"))
+    flat = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .select(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").cast("int").alias("o_year"),
+                    profit_c4.alias("__p4")))
+    return (_exact_money_agg(flat, ["nation", "o_year"],
+                             [("profit", F.col("__p4"), 10_000)])
+            .orderBy("nation", F.desc("o_year")))
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+WITH os AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+), w AS (
+  SELECT l_orderkey, l_suppkey, smax,
+         max(smax) OVER (PARTITION BY l_orderkey) AS omax,
+         count(*)  OVER (PARTITION BY l_orderkey) AS nsupp
+  FROM os
+), q AS (
+  SELECT l_orderkey, l_suppkey FROM (
+    SELECT l_orderkey, l_suppkey, nsupp, smax = omax AS at_max,
+           CAST(sum(CASE WHEN smax = omax THEN 1 ELSE 0 END)
+                OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_at_max
+    FROM w)
+  WHERE at_max AND nsupp > 1 AND n_at_max = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM q JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("join", "window", "subquery"),
+    doc="Suppliers who kept orders waiting (TPC-H Q21 shape; the corpus "
+        "has no commit/receipt dates, so 'late' = sole last-shipper of "
+        "a multi-supplier finished order — same EXISTS another supplier "
+        "+ NOT EXISTS another equally-late supplier structure, here as "
+        "per-order windows over a (order, supplier) pre-aggregate: two "
+        "shuffles total instead of Q21's classic double self-join).",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = load_table(spark, sf_dir, "supplier")
+    os_ = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .groupBy("l_orderkey", "l_suppkey")
+           .agg(F.max("l_shipdate").alias("smax")))
+    w = Window.partitionBy("l_orderkey")
+    q = (os_.withColumn("omax", F.max("smax").over(w))
+         .withColumn("nsupp", F.count(F.lit(1)).over(w))
+         .withColumn("at_max", F.col("smax") == F.col("omax"))
+         .withColumn("n_at_max",
+                     F.sum(F.when(F.col("at_max"), 1).otherwise(0))
+                     .over(w))
+         .filter(F.col("at_max") & (F.col("nsupp") > 1)
+                 & (F.col("n_at_max") == 1)))
+    return (q.join(F.broadcast(s), q.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(20))
+
+
+@query(
+    "q22_inactive_customers",
+    oracle="""
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+), thr AS (
+  SELECT CAST(sum(CASE WHEN bal_c > 0 THEN bal_c ELSE 0 END)
+              AS DECIMAL(38,0)) AS tot,
+         CAST(sum(CASE WHEN bal_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+  FROM pos
+), el AS (
+  SELECT p.* FROM pos p, thr
+  WHERE CAST(p.bal_c AS DECIMAL(38,0)) * thr.n > thr.tot
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = p.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+)
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       CAST(CAST(sum(bal_c) AS DECIMAL(38,0)) AS DOUBLE) / 100
+         AS totacctbal
+FROM el GROUP BY 1 ORDER BY 1
+""",
+    tags=("join", "subquery", "agg"),
+    doc="Prospective-but-inactive customers (TPC-H Q22 shape; nationkey "
+        "stands in for phone country codes, and 'inactive' = no order "
+        "since 2001-01-01 — every corpus customer has SOME order, so "
+        "the recency predicate keeps the anti-join selective instead of "
+        "degenerate). Above-average balance against a scalar-subquery "
+        "mean, cross-multiplied into exact integer form (bal*n > "
+        "total), then LEFT ANTI against recent orders — never a "
+        "row-multiplying outer join. The threshold aggregate "
+        "broadcasts; one shuffle for the final nation rollup.",
+)
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    pos = (c.filter(F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6))
+           .select("c_custkey", "c_nationkey",
+                   _cents(F.col("c_acctbal")).alias("bal_c")))
+    thr = pos.agg(
+        F.sum(F.when(F.col("bal_c") > 0, F.col("bal_c")).otherwise(0)
+              .cast("decimal(38,0)")).alias("__tot"),
+        F.sum(F.when(F.col("bal_c") > 0, 1).otherwise(0)).alias("__n"))
+    el = (pos.crossJoin(F.broadcast(thr))
+          .filter(F.col("bal_c").cast("decimal(38,0)") * F.col("__n")
+                  > F.col("__tot"))
+          .join(o, pos.c_custkey == o.o_custkey, "left_anti"))
+    return (el.groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 (F.sum(F.col("bal_c").cast("decimal(38,0)"))
+                  .cast("double") / 100).alias("totacctbal"))
+            .orderBy("cntrycode"))
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+), offer AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c
+  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey, min(price_c) AS min_c FROM offer GROUP BY 1
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey
+FROM offer
+JOIN best ON offer.l_partkey = best.l_partkey
+         AND offer.price_c = best.min_c
+JOIN eu   ON offer.l_suppkey = eu.s_suppkey
+JOIN part ON p_partkey = offer.l_partkey
+WHERE p_size > 30
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    tags=("join", "subquery"),
+    doc="Minimum-cost supplier per part (TPC-H Q2 shape; no partsupp "
+        "table, so the offer price is the supplier's cheapest observed "
+        "lineitem price for the part, in exact integer cents — integer "
+        "equality against the correlated min is bit-safe where a double "
+        "min would be). Region-filtered suppliers broadcast into the "
+        "scan; correlated min = per-part aggregate joined back.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 30)
+    eu = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    offer = (li.join(F.broadcast(eu.select("s_suppkey")),
+                     li.l_suppkey == F.col("s_suppkey"))
+             .groupBy("l_partkey", "l_suppkey")
+             .agg(F.min(_cents(F.col("l_extendedprice")))
+                  .alias("price_c")))
+    best = offer.groupBy(F.col("l_partkey").alias("__bpk")).agg(
+        F.min("price_c").alias("__min_c"))
+    return (offer
+            .join(best, (offer.l_partkey == F.col("__bpk"))
+                  & (offer.price_c == F.col("__min_c")))
+            .join(F.broadcast(eu), offer.l_suppkey == eu.s_suppkey)
+            .join(p, offer.l_partkey == p.p_partkey)
+            .select(F.round("s_acctbal", 2).alias("s_acctbal"),
+                    "s_name", "n_name", "p_partkey")
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+@query(
+    "q11_part_value_share",
+    oracle="""
+WITH de AS (
+  SELECT s_suppkey FROM supplier WHERE s_nationkey = 3
+), val AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS DECIMAL(38,0)) AS v_c
+  FROM lineitem JOIN de ON l_suppkey = s_suppkey
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(v_c) AS DECIMAL(38,0)) AS t_c FROM val
+)
+SELECT l_partkey AS partkey,
+       CAST(v_c AS DOUBLE) / 100 AS value
+FROM val, tot
+WHERE v_c * 10000 > t_c
+ORDER BY value DESC, partkey
+""",
+    tags=("agg", "subquery"),
+    doc="Part value concentration for one nation's suppliers (TPC-H Q11 "
+        "shape; lineitem revenue stands in for partsupp inventory "
+        "value). HAVING sum > fraction*[scalar subquery total], cross-"
+        "multiplied to exact integer form (v*10000 > total); the total "
+        "derives from the SAME per-part aggregate (persisted once), so "
+        "lineitem scans once.",
+)
+def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 3).select("s_suppkey")
+    val = (li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+           .groupBy("l_partkey")
+           .agg(F.sum(_cents(F.col("l_extendedprice")))
+                .cast("decimal(38,0)").alias("v_c")).persist())
+    tot = val.agg(F.sum("v_c").cast("decimal(38,0)").alias("__t_c"))
+    return (val.crossJoin(F.broadcast(tot))
+            .filter(F.col("v_c") * 10_000 > F.col("__t_c"))
+            .select(F.col("l_partkey").alias("partkey"),
+                    (F.col("v_c").cast("double") / 100).alias("value"))
+            .orderBy(F.desc("value"), "partkey"))
+
+
+@query(
+    "q16_supplier_part_count",
+    oracle="""
+WITH excl AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+), bridge AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM bridge JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    tags=("join", "agg", "subquery"),
+    doc="Supplier diversity per part attribute (TPC-H Q16 shape; the "
+        "part-supplier bridge is distinct lineitem pairs — no partsupp "
+        "— and negative account balance stands in for the complaint "
+        "comment filter). NOT IN via broadcast anti-join, distinct "
+        "count per attribute triple.",
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    excl = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    bridge = (li.select("l_partkey", "l_suppkey")
+              .join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey,
+                    "left_anti")
+              .distinct())
+    return (bridge.join(F.broadcast(p), bridge.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type",
+                     "p_size"))

@@ -373,3 +373,65 @@ class TestQualityChecks:
         assert (r["n_fact_rows"], r["n_orphan_rows"],
                 r["n_orphan_keys"]) == (4, 2, 2)
         assert r["orphan_rate"] == 0.5
+
+
+class TestRound6Ops:
+    """Property tests for the r6 operators beyond their oracle rows."""
+
+    def test_time_weighted_avg_constant_signal(self, spark):
+        # a constant signal's TWA is the constant, regardless of how
+        # irregular the sampling is
+        import datetime as dt
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            time_weighted_avg
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, t0 + dt.timedelta(seconds=s), 42.0, i)
+                for i, s in enumerate([0, 1, 10, 3600, 3601])]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double, event_id long")
+        out = time_weighted_avg(df, "user_id", "ts", "value",
+                                tie_break="event_id").collect()
+        assert len(out) == 1
+        assert out[0].twa == 42.0
+        assert out[0].observed_us == 3601 * 1_000_000
+
+    def test_time_weighted_avg_weights_by_duration(self, spark):
+        # value 10 held 9s, value 20 held 1s -> twa = (10*9+20*1)/10 = 11
+        import datetime as dt
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            time_weighted_avg
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, t0, 10.0, 0),
+                (1, t0 + dt.timedelta(seconds=9), 20.0, 1),
+                (1, t0 + dt.timedelta(seconds=10), 99.0, 2)]  # no successor
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double, event_id long")
+        out = time_weighted_avg(df, "user_id", "ts", "value",
+                                tie_break="event_id").collect()
+        assert out[0].twa == 11.0
+
+    def test_time_weighted_avg_single_observation_drops(self, spark):
+        import datetime as dt
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            time_weighted_avg
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 5.0, 0)],
+            "user_id long, ts timestamp, value double, event_id long")
+        assert time_weighted_avg(df, "user_id", "ts", "value").count() == 0
+
+    def test_cap_per_group_bounds_and_stability(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.catalog import load_table
+        from data_and_analytics_etl_spark.operators.sampling import \
+            cap_per_group
+        d = load_table(spark, sf_dir, "documents")
+        kept1 = cap_per_group(d, "source", "doc_id", 5)
+        sizes = {r.source: r.n for r in
+                 kept1.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+        assert sizes and all(n <= 5 for n in sizes.values())
+        # stability: same subset across a different partitioning
+        kept2 = cap_per_group(d.repartition(7), "source", "doc_id", 5)
+        ids1 = sorted(r.doc_id for r in kept1.select("doc_id").collect())
+        ids2 = sorted(r.doc_id for r in kept2.select("doc_id").collect())
+        assert ids1 == ids2

@@ -38,6 +38,11 @@ MUST_BE_IN_WINDOW = {
     "rest_datasource_scan", "etl_incremental_overlap_dedup",
     # new operators in r6, never driver-verified (tier C, priority 30)
     "etl_merge_partitioned",
+    "q9_product_profit", "q21_waiting_supplier", "q22_inactive_customers",
+    "q2_min_cost_supplier", "q11_part_value_share",
+    "q16_supplier_part_count", "pivot_event_type_counts",
+    "unpivot_order_measures", "timeseries_weighted_avg",
+    "corpus_domain_cap",
 }
 
 
