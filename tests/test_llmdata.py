@@ -50,6 +50,44 @@ class TestMinHashLSH:
         assert out.filter(F.col("jaccard") < 0.5).count() == 0
 
 
+class TestSetSimPrefixJoin:
+    """setsim_prefix_pairs must equal the all-pairs baseline EXACTLY —
+    the prefix filter is a lossless candidate pruner, not a sketch."""
+
+    def test_equals_allpairs_baseline(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.dedup import (
+            setsim_prefix_pairs)
+        docs = load_table(spark, sf_dir, "documents")
+        sh = with_word_shingles(docs, "text", n=3)
+        exact = {(r.id_a, r.id_b, r.jaccard)
+                 for r in jaccard_pairs(sh, "doc_id", "shingles",
+                                        0.5).collect()}
+        pref = {(r.id_a, r.id_b, r.jaccard)
+                for r in setsim_prefix_pairs(sh, "doc_id", "shingles",
+                                             0.5).collect()}
+        assert pref == exact
+        assert exact  # non-vacuous: the corpus has planted near-dups
+
+    def test_no_cartesian_in_plan(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.dedup import (
+            setsim_prefix_pairs)
+        docs = load_table(spark, sf_dir, "documents")
+        sh = with_word_shingles(docs, "text", n=3)
+        plan = (setsim_prefix_pairs(sh, "doc_id", "shingles", 0.5)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_tighter_threshold_subset(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.dedup import (
+            setsim_prefix_pairs)
+        docs = load_table(spark, sf_dir, "documents")
+        sh = with_word_shingles(docs, "text", n=3)
+        lo = _pairs(setsim_prefix_pairs(sh, "doc_id", "shingles", 0.5))
+        hi = _pairs(setsim_prefix_pairs(sh, "doc_id", "shingles", 0.9))
+        assert hi <= lo
+
+
 class TestSimHash:
     def test_identity_and_locality(self, spark):
         base = "the quick brown fox jumps over the lazy dog " * 8
