@@ -48,6 +48,48 @@ def blocked_fuzzy_pairs(df: DataFrame, text_col: str, block: Column,
             .select("value_a", "value_b", dist.alias("dist")))
 
 
+def edit_distance_pairs_banded(df: DataFrame, text_col: str,
+                               max_dist: int) -> DataFrame:
+    """ALL (value_a, value_b, dist) pairs with levenshtein in (0, k] —
+    lossless length-band blocking, guaranteed-complete recall.
+
+    :func:`blocked_fuzzy_pairs` trades recall for speed (a first-token
+    block misses pairs whose first token differs). This variant's
+    pruning is PROVABLY lossless: levenshtein(a, b) >= abs(len(a) -
+    len(b)), so any pair within distance k has lengths within k. Lengths
+    band into buckets of width k+1; |len_a - len_b| <= k forces the two
+    buckets to differ by at most 1, so probing side B at buckets
+    {b-1, b, b+1} against side A's single bucket covers every qualifying
+    pair — and, because A emits exactly one row, matches each pair
+    exactly once (no distinct needed).
+
+    Still an equi-join on the bucket key over the DISTINCT value
+    dictionary (never n² over rows); candidate volume within a band is
+    bounded by the dictionary's length histogram, and the levenshtein
+    verify runs per candidate. Output matches blocked_fuzzy_pairs:
+    value_a < value_b, dist in (0, max_dist].
+    """
+    width = max_dist + 1
+    dic = (df.select(F.col(text_col).alias("value"))
+           .where(F.col("value").isNotNull())
+           .distinct()
+           .withColumn("__len", F.length("value"))
+           .withColumn("__b", F.floor(F.col("__len") / width)))
+    a = dic.select(F.col("value").alias("value_a"),
+                   F.col("__len").alias("__la"),
+                   F.col("__b").alias("__bkt"))
+    b = (dic.select(F.col("value").alias("value_b"),
+                    F.col("__len").alias("__lb"),
+                    F.explode(F.array(F.col("__b") - 1, F.col("__b"),
+                                      F.col("__b") + 1)).alias("__bkt")))
+    dist = F.levenshtein("value_a", "value_b")
+    return (a.join(b, "__bkt")
+            .where(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+            .where(F.col("value_a") < F.col("value_b"))
+            .where(dist <= max_dist)
+            .select("value_a", "value_b", dist.alias("dist")))
+
+
 def first_token(col: str | Column) -> Column:
     """Default blocking key: the first whitespace-delimited token."""
     c = F.col(col) if isinstance(col, str) else col

@@ -185,6 +185,111 @@ def drift_ks(df_a: DataFrame, df_b: DataFrame, value_col: str,
             .orderBy(F.desc("ks"), F.asc("at_value")).limit(1))
 
 
+def drift_chisq(df_a: DataFrame, df_b: DataFrame, cat_col: str) -> DataFrame:
+    """Chi-square homogeneity test between two snapshots of a CATEGORICAL
+    column — the categorical complement of :func:`drift_ks` (numeric) and
+    :func:`drift_psi` (binned mass shift).
+
+    Per category c: observed (n_a, n_b), expected under homogeneity
+    E_a = (n_a+n_b)·t_a/(t_a+t_b) (t = sample totals); the row emits
+    chisq_contrib = (n_a-E_a)²/E_a + (n_b-E_b)²/E_b. The statistic is
+    Σ contrib with dof = categories - 1 — caller-side sums over the
+    bounded category rows, the per-row-contribution contract of
+    :func:`drift_psi`: every double is ONE expression from exact integer
+    counts, so no order-sensitive accumulation crosses engines.
+
+    One shuffle for the (category) counts; the totals window runs over
+    the category-count table, bounded by the column's cardinality by
+    definition of "categorical" (same documented bound as drift_ks's
+    nbins totals table).
+    """
+    def tag(d: DataFrame, a: int, b: int) -> DataFrame:
+        return d.select(F.col(cat_col).alias("category"),
+                        F.lit(a).alias("__a"), F.lit(b).alias("__b"))
+
+    counts = (tag(df_a, 1, 0).unionByName(tag(df_b, 0, 1))
+              .groupBy("category")
+              .agg(F.sum("__a").alias("n_a"), F.sum("__b").alias("n_b")))
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    ta, tb = F.col("__ta"), F.col("__tb")
+    # divide BEFORE multiplying: (n_a+n_b)·t is long·long and would
+    # overflow at ~1e9-row categories; t/(t_a+t_b) goes double first
+    ea = (F.col("n_a") + F.col("n_b")) * (ta.cast("double") / (ta + tb))
+    eb = (F.col("n_a") + F.col("n_b")) * (tb.cast("double") / (ta + tb))
+    contrib = ((F.col("n_a") - ea) * (F.col("n_a") - ea) / ea
+               + (F.col("n_b") - eb) * (F.col("n_b") - eb) / eb)
+    return (counts
+            .withColumn("__ta", F.sum("n_a").over(wall))
+            .withColumn("__tb", F.sum("n_b").over(wall))
+            .withColumn("__ncat", F.count(F.lit(1)).over(wall))
+            .select("category", "n_a", "n_b",
+                    (F.col("__ncat") - 1).alias("dof"),
+                    F.round(contrib, 6).alias("chisq_contrib")))
+
+
+def welch_ttest(df_a: DataFrame, df_b: DataFrame, value_col: str,
+                group_col: str) -> DataFrame:
+    """Per-group Welch two-sample t statistic (unequal variances) between
+    snapshots A and B — the A/B-testing primitive.
+
+    Engine-exact float policy (the outlier_zscore rule, extended):
+    values quantize to integer cents, per-(group, sample) Σv and Σv² run
+    in DECIMAL(38,0) — exact — and mean/variance/t derive from those
+    exact sums in ONE double expression per group:
+      var = (Σv² - (Σv)²/n) / (n-1)        (sample variance, cents²)
+      t   = (m_a - m_b) / sqrt(v_a/n_a + v_b/n_b)
+      dof = Welch–Satterthwaite from the same terms.
+    No double ever accumulates, so the output is bit-identical across
+    engines and partitionings. One shuffle on the group key; groups with
+    fewer than 2 observations on either side drop (no variance).
+    Output: (group, n_a, n_b, mean_a, mean_b, t_stat, dof) with means in
+    original units.
+    """
+    def tag(d: DataFrame, side: str) -> DataFrame:
+        return (d.filter(F.col(value_col).isNotNull())
+                .select(F.col(group_col).alias("group"),
+                        F.lit(side).alias("__s"),
+                        F.round(F.col(value_col) * 100).cast("long")
+                        .alias("__vc")))
+
+    both = tag(df_a, "a").unionByName(tag(df_b, "b"))
+    agg = (both.groupBy("group", "__s")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("__vc").cast("decimal(38,0)")).alias("s1"),
+                F.sum((F.col("__vc") * F.col("__vc"))
+                      .cast("decimal(38,0)")).alias("s2")))
+    a = agg.filter(F.col("__s") == "a").select(
+        "group", F.col("n").alias("n_a"),
+        F.col("s1").alias("__s1a"), F.col("s2").alias("__s2a"))
+    b = agg.filter(F.col("__s") == "b").select(
+        "group", F.col("n").alias("n_b"),
+        F.col("s1").alias("__s1b"), F.col("s2").alias("__s2b"))
+
+    def stats(s1: str, s2: str, n: str) -> tuple:
+        s1d = F.col(s1).cast("double")
+        s2d = F.col(s2).cast("double")
+        nd = F.col(n).cast("double")
+        mean = s1d / nd
+        var = (s2d - s1d * s1d / nd) / (nd - 1)
+        return mean, var
+
+    ma, va = stats("__s1a", "__s2a", "n_a")
+    mb, vb = stats("__s1b", "__s2b", "n_b")
+    sea = va / F.col("n_a")
+    seb = vb / F.col("n_b")
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dof = ((sea + seb) * (sea + seb)
+           / (sea * sea / (F.col("n_a") - 1) + seb * seb / (F.col("n_b") - 1)))
+    return (a.join(b, "group")
+            .filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+            .select("group", "n_a", "n_b",
+                    F.round(ma / 100.0, 6).alias("mean_a"),
+                    F.round(mb / 100.0, 6).alias("mean_b"),
+                    F.round(t, 6).alias("t_stat"),
+                    F.round(dof, 6).alias("dof")))
+
+
 def categorical_profile(df: DataFrame, group_col: str, cat_col: str,
                         ) -> DataFrame:
     """Per-(group, category) distribution profile with entropy and Gini

@@ -269,6 +269,35 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_join_lossless_band",
+    oracle="""
+WITH n AS (
+  SELECT DISTINCT p_name AS value FROM part WHERE p_name IS NOT NULL
+)
+SELECT a.value AS value_a, b.value AS value_b,
+       CAST(levenshtein(a.value, b.value) AS INTEGER) AS dist
+FROM n a JOIN n b ON a.value < b.value
+WHERE levenshtein(a.value, b.value) <= 3
+ORDER BY value_a, value_b
+""",
+    tags=("analytics", "linkage"),
+    doc="Lossless edit-distance linkage join (operators/linkage.py:"
+        "edit_distance_pairs_banded): levenshtein >= |len diff| makes "
+        "length-band blocking (width k+1, probe buckets {b-1,b,b+1}) a "
+        "PROVABLY complete candidate set, unlike first-token blocking "
+        "(fuzzy_join_blocked) which trades recall for speed. The "
+        "brute-force all-pairs oracle proves nothing is dropped.",
+)
+def fuzzy_join_lossless_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import edit_distance_pairs_banded
+    p = load_table(spark, sf_dir, "part")
+    pairs = edit_distance_pairs_banded(p, "p_name", 3)
+    return (pairs.select("value_a", "value_b",
+                         F.col("dist").cast("int").alias("dist"))
+            .orderBy("value_a", "value_b"))
+
+
+@query(
     "incremental_agg_merge",
     oracle="""
 SELECT o_orderpriority,
@@ -601,6 +630,108 @@ def drift_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("ts") < cut)
     b = ev.filter(F.col("ts") >= cut)
     return drift_ks(a, b, "value", lo=0.0, hi=500.0, nbins=64)
+
+
+@query(
+    "drift_chisq_categorical",
+    oracle="""
+WITH c AS (
+  SELECT event_type AS category,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM events GROUP BY 1
+), g AS (
+  SELECT category, n_a, n_b,
+         CAST(sum(n_a) OVER () AS BIGINT) AS ta,
+         CAST(sum(n_b) OVER () AS BIGINT) AS tb,
+         count(*) OVER () AS ncat
+  FROM c
+)
+SELECT category, n_a, n_b, CAST(ncat - 1 AS BIGINT) AS dof,
+       round(
+         (n_a - (n_a + n_b) * (CAST(ta AS DOUBLE) / (ta + tb)))
+         * (n_a - (n_a + n_b) * (CAST(ta AS DOUBLE) / (ta + tb)))
+         / ((n_a + n_b) * (CAST(ta AS DOUBLE) / (ta + tb)))
+         + (n_b - (n_a + n_b) * (CAST(tb AS DOUBLE) / (ta + tb)))
+         * (n_b - (n_a + n_b) * (CAST(tb AS DOUBLE) / (ta + tb)))
+         / ((n_a + n_b) * (CAST(tb AS DOUBLE) / (ta + tb))), 6)
+         AS chisq_contrib
+FROM g ORDER BY category
+""",
+    tags=("analytics", "profile"),
+    doc="Chi-square homogeneity drift between event-time snapshots of a "
+        "categorical column (operators/profile.py:drift_chisq) — the "
+        "categorical complement of drift_ks (numeric) and drift_psi "
+        "(binned). Per-category contributions from exact integer "
+        "counts, ONE double expression per row (divide-before-multiply "
+        "so expected counts never overflow long·long at scale); the "
+        "statistic is the caller-side sum with dof = categories - 1.",
+)
+def drift_chisq_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import drift_chisq
+    ev = load_table(spark, sf_dir, "events")
+    cut = "2024-01-16"
+    return (drift_chisq(ev.filter(F.col("ts") < cut),
+                        ev.filter(F.col("ts") >= cut), "event_type")
+            .orderBy("category"))
+
+
+@query(
+    "ab_welch_ttest",
+    oracle="""
+WITH tagged AS (
+  SELECT event_type AS "group",
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS s,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL
+), agg AS (
+  SELECT "group", s, count(*) AS n,
+         sum(CAST(vc AS DECIMAL(38,0))) AS s1,
+         sum(CAST(vc * vc AS DECIMAL(38,0))) AS s2
+  FROM tagged GROUP BY 1, 2
+), a AS (
+  SELECT "group", n AS n_a,
+         CAST(s1 AS DOUBLE) AS s1a, CAST(s2 AS DOUBLE) AS s2a
+  FROM agg WHERE s = 'a'
+), b AS (
+  SELECT "group", n AS n_b,
+         CAST(s1 AS DOUBLE) AS s1b, CAST(s2 AS DOUBLE) AS s2b
+  FROM agg WHERE s = 'b'
+), j AS (
+  SELECT a."group", n_a, n_b,
+         s1a / n_a AS ma, s1b / n_b AS mb,
+         (s2a - s1a * s1a / n_a) / (n_a - 1) / n_a AS sea,
+         (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b AS seb
+  FROM a JOIN b ON a."group" = b."group"
+  WHERE n_a >= 2 AND n_b >= 2
+)
+SELECT "group", n_a, n_b,
+       round(ma / 100.0, 6) AS mean_a,
+       round(mb / 100.0, 6) AS mean_b,
+       round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+       round((sea + seb) * (sea + seb)
+             / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 6) AS dof
+FROM j ORDER BY "group"
+""",
+    tags=("analytics", "profile"),
+    doc="Per-group Welch two-sample t statistic between event-time "
+        "snapshots (operators/profile.py:welch_ttest) — the A/B-test "
+        "primitive. Engine-exact: integer-cent values, DECIMAL(38,0) "
+        "Σv/Σv², then mean/variance/t/Welch–Satterthwaite dof in one "
+        "double expression per group from those exact sums; no double "
+        "ever accumulates, so results are bit-identical across engines "
+        "and partitionings.",
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import welch_ttest
+    ev = load_table(spark, sf_dir, "events")
+    cut = "2024-01-16"
+    return (welch_ttest(ev.filter(F.col("ts") < cut),
+                        ev.filter(F.col("ts") >= cut),
+                        "value", "event_type")
+            .orderBy("group"))
 
 
 @query(

@@ -174,6 +174,89 @@ class TestLinkage:
         assert not any("globex" in a or "globex" in b for a, b in got)
 
 
+class TestLosslessBandLinkage:
+    def test_equals_brute_force_on_dictionary(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.linkage import (
+            blocked_fuzzy_pairs, edit_distance_pairs_banded)
+        p = load_table(spark, sf_dir, "part")
+        # constant block == all-pairs brute force over the dictionary
+        brute = {(r.value_a, r.value_b, r.dist) for r in
+                 blocked_fuzzy_pairs(p, "p_name", F.lit(1), 3).collect()}
+        band = {(r.value_a, r.value_b, r.dist) for r in
+                edit_distance_pairs_banded(p, "p_name", 3).collect()}
+        assert band == brute
+        assert band  # non-vacuous on this dictionary
+
+    def test_bucket_boundary_straddle_found_exactly_once(self, spark):
+        from data_and_analytics_etl_spark.operators.linkage import (
+            edit_distance_pairs_banded)
+        # k=2 -> bucket width 3; lengths 5 and 7 land in buckets 1 and 2:
+        # the pair straddles a band boundary and MUST still be found,
+        # exactly once (A emits one bucket row, B probes 3 neighbors).
+        df = spark.createDataFrame(
+            [("abcde",), ("abcdexy",), ("zzzzzzzzzz",)], ["name"])
+        rows = edit_distance_pairs_banded(df, "name", 2).collect()
+        assert [(r.value_a, r.value_b, r.dist) for r in rows] \
+            == [("abcde", "abcdexy", 2)]
+
+
+class TestDriftChisq:
+    def test_identical_samples_give_zero(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.profile import (
+            drift_chisq)
+        ev = load_table(spark, sf_dir, "events")
+        out = drift_chisq(ev, ev, "event_type").collect()
+        assert out and all(abs(r.chisq_contrib) < 1e-9 for r in out)
+        assert all(r.dof == len(out) - 1 for r in out)
+
+    def test_hand_computed_two_by_two(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import (
+            drift_chisq)
+        # A: 30 x, 10 y; B: 10 x, 30 y. Expected per cell = 20.
+        # chisq = 4 * (10^2 / 20) = 20, split 10/10 across categories.
+        a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 10, ["c"])
+        b = spark.createDataFrame([("x",)] * 10 + [("y",)] * 30, ["c"])
+        rows = {r.category: r for r in drift_chisq(a, b, "c").collect()}
+        assert abs(rows["x"].chisq_contrib - 10.0) < 1e-9
+        assert abs(rows["y"].chisq_contrib - 10.0) < 1e-9
+        assert rows["x"].dof == 1
+
+
+class TestWelchTTest:
+    def test_against_numpy_reference(self, spark, sf_dir):
+        import numpy as np
+        from data_and_analytics_etl_spark.operators.profile import (
+            welch_ttest)
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("value").isNotNull())
+        cut = "2024-01-16"
+        a, b = ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
+        got = {r.group: r for r in
+               welch_ttest(a, b, "value", "event_type").collect()}
+        pa = a.select("event_type", "value").toPandas()
+        pb = b.select("event_type", "value").toPandas()
+        for g, r in got.items():
+            xa = np.round(pa[pa.event_type == g].value.to_numpy() * 100)
+            xb = np.round(pb[pb.event_type == g].value.to_numpy() * 100)
+            va, vb = xa.var(ddof=1), xb.var(ddof=1)
+            t = (xa.mean() - xb.mean()) / np.sqrt(va / len(xa) + vb / len(xb))
+            assert abs(r.t_stat - t) < 1e-4, (g, r.t_stat, t)
+            assert abs(r.mean_a - xa.mean() / 100) < 1e-4
+
+    def test_swap_negates_t(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.profile import (
+            welch_ttest)
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("value").isNotNull())
+        cut = "2024-01-16"
+        a, b = ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
+        ab = {r.group: r.t_stat
+              for r in welch_ttest(a, b, "value", "event_type").collect()}
+        ba = {r.group: r.t_stat
+              for r in welch_ttest(b, a, "value", "event_type").collect()}
+        assert ab and all(abs(ab[g] + ba[g]) < 1e-9 for g in ab)
+
+
 class TestIncremental:
     def test_merge_equals_full_recompute_any_split(self, spark, sf_dir):
         from data_and_analytics_etl_spark.operators.incremental import (
