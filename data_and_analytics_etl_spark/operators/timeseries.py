@@ -78,6 +78,43 @@ def gap_fill(resampled: DataFrame, key: str, order_col: str = "bucket",
     return out
 
 
+def interpolate_linear(resampled: DataFrame, key: str,
+                       order_col: str = "bucket",
+                       value_col: str = "sum_value") -> DataFrame:
+    """Linear interpolation of NULL gap buckets between the nearest
+    observed neighbors — the smooth twin of :func:`gap_fill`'s step
+    (forward-fill) semantics.
+
+    Runs on :func:`resample` output: per key, ordered by bucket, each
+    NULL value gains ``<col>_interp`` = prev + (next - prev)·frac where
+    frac is the bucket's time position between the bracketing non-null
+    observations (integer-µs arithmetic, one double division). Observed
+    buckets pass through unchanged; leading/trailing gaps stay NULL
+    (nothing to bracket them). Engine-exact: prev/next are the resample
+    output's decimal-summed values and the interpolation is ONE double
+    expression per row — no accumulation.
+
+    Two running windows (backward last / forward first) over the same
+    (key, bucket) ordering: one shuffle on the key, O(1) state per key.
+    """
+    back = (Window.partitionBy(key).orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fwd = (Window.partitionBy(key).orderBy(order_col)
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    v = F.col(value_col)
+    us = F.unix_micros(F.col(order_col))
+    obs_us = F.when(v.isNotNull(), us)
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_t = F.last(obs_us, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_t = F.first(obs_us, ignorenulls=True).over(fwd)
+    frac = (us - prev_t).cast("double") / (next_t - prev_t)
+    interp = (F.when(v.isNotNull(), v)
+              .when(prev_v.isNotNull() & next_v.isNotNull(),
+                    F.round(prev_v + (next_v - prev_v) * frac, 6)))
+    return resampled.withColumn(f"{value_col}_interp", interp)
+
+
 def time_weighted_avg(df: DataFrame, key: str, ts_col: str,
                       value_col: str, tie_break: str | None = None,
                       ) -> DataFrame:

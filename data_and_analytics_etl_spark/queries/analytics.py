@@ -269,6 +269,70 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "timeseries_interpolate",
+    oracle="""
+WITH agg AS (
+  SELECT event_type, time_bucket(INTERVAL 15 MINUTES, ts) AS b,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 15 MINUTES)) AS b
+  FROM bounds
+), j AS (
+  SELECT s.event_type, s.b, coalesce(a.n, 0) AS n, a.sum_value
+  FROM spine s LEFT JOIN agg a
+    ON s.event_type = a.event_type AND s.b = a.b
+), w AS (
+  SELECT event_type, b, n, sum_value,
+         last_value(sum_value IGNORE NULLS) OVER back AS pv,
+         last_value(CASE WHEN sum_value IS NOT NULL
+                         THEN epoch_us(b) END IGNORE NULLS) OVER back AS pt,
+         first_value(sum_value IGNORE NULLS) OVER fwd AS nv,
+         first_value(CASE WHEN sum_value IS NOT NULL
+                          THEN epoch_us(b) END IGNORE NULLS) OVER fwd AS nt
+  FROM j
+  WINDOW back AS (PARTITION BY event_type ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY event_type ORDER BY b
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+       sum_value,
+       CASE WHEN sum_value IS NOT NULL THEN sum_value
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN round(pv + (nv - pv)
+                       * (CAST(epoch_us(b) - pt AS DOUBLE) / (nt - pt)), 6)
+       END AS sum_value_interp
+FROM w ORDER BY event_type, bucket
+""",
+    tags=("analytics", "timeseries"),
+    doc="Resample + LINEAR interpolation (operators/timeseries.py:"
+        "interpolate_linear) — the smooth twin of timeseries_gap_fill's "
+        "forward fill: each interior gap bucket gets prev + (next-prev)"
+        "·frac with frac from integer-µs bucket positions, leading/"
+        "trailing gaps stay NULL. Two running windows over one (key) "
+        "shuffle, O(1) state per key; the interpolation is one double "
+        "expression per row (no accumulation), so it hashes identically "
+        "across engines.",
+)
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import interpolate_linear, resample
+    ev = load_table(spark, sf_dir, "events")
+    r = resample(ev, key="event_type", ts_col="ts",
+                 interval="15 minutes", value_col="value")
+    out = interpolate_linear(r, key="event_type")
+    return (out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n", "sum_value", "sum_value_interp")
+        .orderBy("event_type", "bucket"))
+
+
+@query(
     "fuzzy_join_lossless_band",
     oracle="""
 WITH n AS (

@@ -200,6 +200,37 @@ class TestLosslessBandLinkage:
             == [("abcde", "abcdexy", 2)]
 
 
+class TestInterpolateLinear:
+    def test_interior_gap_linear_edges_null(self, spark):
+        import datetime as dt
+        from data_and_analytics_etl_spark.operators.timeseries import (
+            interpolate_linear)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("k", t0 + dt.timedelta(hours=h), v)
+            for h, v in [(0, None), (1, 10.0), (2, None), (3, None),
+                         (4, 40.0), (5, None)]
+        ]
+        r = spark.createDataFrame(rows, ["k", "bucket", "sum_value"])
+        out = {r.bucket.hour: r.sum_value_interp
+               for r in interpolate_linear(r, key="k").collect()}
+        assert out[0] is None and out[5] is None  # nothing to bracket
+        assert out[1] == 10.0 and out[4] == 40.0  # observed pass through
+        assert abs(out[2] - 20.0) < 1e-9          # 1/3 of the way
+        assert abs(out[3] - 30.0) < 1e-9          # 2/3 of the way
+
+    def test_probe_interpolates_nonvacuously(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.timeseries import (
+            interpolate_linear, resample)
+        ev = load_table(spark, sf_dir, "events")
+        r = resample(ev, key="event_type", ts_col="ts",
+                     interval="15 minutes", value_col="value")
+        out = interpolate_linear(r, key="event_type")
+        filled = out.filter(F.col("sum_value").isNull()
+                            & F.col("sum_value_interp").isNotNull())
+        assert filled.count() > 0
+
+
 class TestDriftChisq:
     def test_identical_samples_give_zero(self, spark, sf_dir):
         from data_and_analytics_etl_spark.operators.profile import (
