@@ -64,6 +64,59 @@ def run_stream_to_table(stream_df: DataFrame, output_mode: str = "append",
     return stream_df.sparkSession.table(name)
 
 
+def stream_merge_to_partitioned(stream_df: DataFrame, path: str,
+                                keys: list[str], ts_col: str,
+                                checkpoint_dir: str,
+                                fmt: str = "parquet"):
+    """Streaming MERGE sink: each micro-batch upserts into the hourly
+    Hive-partitioned table at ``path`` via foreachBatch +
+    :func:`~..etl.merge.merge_upsert_partitioned`.
+
+    This is the streaming completion of the incremental story: the batch
+    path re-runs MERGE per extract; here the SAME partition-targeted
+    merge (rewrite only partitions holding touched keys, dynamic
+    partition overwrite, stale-partition purge) applies per micro-batch,
+    so at 100 TB a stream of updates never rewrites the table.
+
+    Delivery semantics: the foreachBatch body is at-least-once under
+    task/query retries, but the merge is IDEMPOTENT on the merge keys
+    (re-applying a batch re-elects the same winners), so the TABLE state
+    is effectively exactly-once — the same replay-safety argument as the
+    batch checkpoint contract (write-then-commit, SURVEY §7.4). The
+    first batch bootstraps the table with a plain partitioned write.
+
+    Returns the started StreamingQuery (availableNow trigger); callers
+    ``awaitTermination()``.
+    """
+    import os
+
+    from ..etl.merge import merge_upsert_partitioned
+    from ..etl.sink import write_partitioned
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not os.path.isdir(path):
+            # bootstrap: dedup within the batch (merge keys must be
+            # unique in the table), newest ts wins — same winner rule
+            # the merge applies on later batches
+            from ..operators.dedup import keyed_dedup
+            first = keyed_dedup(batch_df, keys,
+                                [F.col(ts_col).desc()] +
+                                [F.col(c) for c in batch_df.columns])
+            write_partitioned(first, path, ts_col, fmt=fmt)
+            return
+        merge_upsert_partitioned(batch_df.sparkSession, path, batch_df,
+                                 keys, ts_col,
+                                 order_by=[F.col(ts_col).desc()], fmt=fmt)
+
+    return (stream_df.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def tumbling_window_agg(df: DataFrame, duration: str = "10 minutes",
                         watermark: str | None = None) -> DataFrame:
     """Per-window count/sum. With a watermark the state store drops

@@ -165,3 +165,95 @@ def test_rate_source_smoke(spark):
     assert len(rows) > 0
     assert {c for c in spark.table("rate_smoke").columns} == \
         {"timestamp", "value"}
+
+
+class TestStreamMergeSink:
+    """foreachBatch partition-targeted MERGE: the streaming completion
+    of the incremental upsert story (etl/merge.py) — per-micro-batch
+    upsert that rewrites only touched partitions."""
+
+    def _mk_src(self, spark, d):
+        base = dt.datetime(2024, 3, 1, 10, 0, 0)
+        rows = [(i, 1 + i % 3, "view",
+                 base + dt.timedelta(hours=i % 4, minutes=i % 7),
+                 float(i)) for i in range(120)]
+        cols = ["event_id", "user_id", "event_type", "ts", "value"]
+        df = spark.createDataFrame(rows, cols)
+        df.coalesce(1).write.parquet(str(d / "f1"))
+        return df, cols, base
+
+    def _stream(self, spark, src_glob, schema):
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src_glob))
+
+    def test_updates_and_partition_moves_apply(self, spark, tmp_path):
+        from data_and_analytics_etl_spark.streaming.ops import (
+            stream_merge_to_partitioned)
+        src = tmp_path / "src"
+        src.mkdir()
+        df, cols, base = self._mk_src(spark, src)
+        table = str(tmp_path / "table")
+        ckpt = str(tmp_path / "ckpt")
+
+        q = stream_merge_to_partitioned(
+            self._stream(spark, str(src / "*" / "*.parquet"), df.schema),
+            table, keys=["event_id"], ts_col="ts", checkpoint_dir=ckpt)
+        q.awaitTermination()
+        got1 = spark.read.parquet(table)
+        assert got1.count() == 120
+
+        # batch 2: 30 value updates in place + 5 rows moved to a new hour
+        upd_rows = [(i, 1 + i % 3, "view",
+                     base + dt.timedelta(hours=i % 4, minutes=i % 7),
+                     1000.0 + i) for i in range(30)]
+        upd_rows += [(100 + j, 1, "view",
+                      base + dt.timedelta(days=1), 2000.0 + j)
+                     for j in range(5)]
+        spark.createDataFrame(upd_rows, cols) \
+            .coalesce(1).write.parquet(str(src / "f2"))
+
+        q = stream_merge_to_partitioned(
+            self._stream(spark, str(src / "*" / "*.parquet"), df.schema),
+            table, keys=["event_id"], ts_col="ts", checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+        got = spark.read.parquet(table)
+        assert got.count() == 120  # pure upsert: no row count change
+        vals = {r.event_id: r.value for r in got.collect()}
+        assert vals[0] == 1000.0 and vals[29] == 1029.0
+        assert vals[30] == 30.0          # untouched key keeps old value
+        assert vals[100] == 2000.0       # moved row carries new value
+        moved = got.filter(F.col("event_id") == 100).collect()[0]
+        assert (moved.day, moved.hour) == (2, 10)  # re-landed next day
+        # the moved keys left their original hour
+        old_hour = got.filter((F.col("day") == 1)
+                              & F.col("event_id").isin([100, 101]))
+        assert old_hour.count() == 0
+
+    def test_rerun_same_checkpoint_is_noop(self, spark, tmp_path):
+        from data_and_analytics_etl_spark.streaming.ops import (
+            stream_merge_to_partitioned)
+        src = tmp_path / "src"
+        src.mkdir()
+        df, cols, base = self._mk_src(spark, src)
+        table = str(tmp_path / "table")
+        ckpt = str(tmp_path / "ckpt")
+        for _ in range(2):
+            q = stream_merge_to_partitioned(
+                self._stream(spark, str(src / "*" / "*.parquet"),
+                             df.schema),
+                table, keys=["event_id"], ts_col="ts",
+                checkpoint_dir=ckpt)
+            q.awaitTermination()
+        import glob
+        files1 = sorted(glob.glob(f"{table}/**/*.parquet", recursive=True))
+        mtimes = [os.path.getmtime(f) for f in files1]
+        # a third run with the same checkpoint sees no new files: no new
+        # batch, no writes, files untouched
+        q = stream_merge_to_partitioned(
+            self._stream(spark, str(src / "*" / "*.parquet"), df.schema),
+            table, keys=["event_id"], ts_col="ts", checkpoint_dir=ckpt)
+        q.awaitTermination()
+        files2 = sorted(glob.glob(f"{table}/**/*.parquet", recursive=True))
+        assert files2 == files1
+        assert [os.path.getmtime(f) for f in files2] == mtimes
