@@ -827,6 +827,46 @@ def ann_signcell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_int8",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS sc,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT vec_id, round(sc, 6) AS scale,
+       array_to_string(
+         CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(greatest(-127, least(127,
+                     floor(x * 127.0 / sc + 0.5))) AS BIGINT))
+         END, ',') AS qvec
+FROM s ORDER BY vec_id
+""",
+    tags=("llm", "embedding"),
+    priority=100,
+    doc="Symmetric per-vector int8 quantization (operators/similarity"
+        ".py:quantize_int8) — the 4x memory lever for embedding search "
+        "at scale. floor(x·127/s + 0.5) with s = max|v| is ONE IEEE "
+        "expression per element (round()'s half-even vs half-away tie "
+        "rule differs across engines; floor(+0.5) doesn't), clamped to "
+        "[-127,127]; zero vectors quantize to zeros. Pure map-side "
+        "column work, zero shuffles; quantized cosine recall vs the "
+        "float path is pytest-verified.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_int8
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(e)
+    return (q.select(
+        "vec_id", F.round("scale", 6).alias("scale"),
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",")
+        .alias("qvec"))
+        .orderBy("vec_id"))
+
+
+@query(
     "text_repetition_signals",
     oracle=r"""
 WITH t AS (

@@ -152,6 +152,47 @@ class TestANN:
             assert len(ranks) <= 5
 
 
+class TestInt8Quantization:
+    def test_quantization_error_bounded(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.similarity import (
+            quantize_int8)
+        e = load_table(spark, sf_dir, "embeddings")
+        rows = (e.join(quantize_int8(e), "vec_id")
+                .select("vec_id", "embedding", "scale", "qvec")
+                .limit(50).collect())
+        assert rows
+        for r in rows:
+            v = np.asarray(r.embedding, dtype=np.float64)
+            deq = np.asarray(r.qvec, dtype=np.float64) * r.scale / 127.0
+            # max dequantization error is half a quantization step
+            assert np.max(np.abs(v - deq)) <= r.scale / 127.0 * 0.5 + 1e-12
+            assert np.max(np.abs(np.asarray(r.qvec))) <= 127
+
+    def test_int8_topk_recall_vs_float(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.similarity import (
+            cosine_topk, cosine_topk_int8)
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 20)
+        k = 10
+        exact = {(r.probe_id, r.vec_id)
+                 for r in cosine_topk(e, probes, k).collect()}
+        quant = {(r.probe_id, r.vec_id)
+                 for r in cosine_topk_int8(e, probes, k).collect()}
+        recall = len(exact & quant) / len(exact)
+        assert recall >= 0.9, recall
+
+    def test_zero_vector_quantizes_to_zeros(self, spark):
+        from data_and_analytics_etl_spark.operators.similarity import (
+            quantize_int8)
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+            ["vec_id", "embedding"])
+        got = {r.vec_id: r for r in quantize_int8(df).collect()}
+        assert got[1].scale == 0.0 and list(got[1].qvec) == [0, 0, 0]
+        assert got[2].scale == 2.0
+        assert list(got[2].qvec) == [64, -127, 32]  # floor(+0.5) rule
+
+
 class TestMultimodal:
     def test_asset_schema_and_feature_determinism(self, spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents").filter(
