@@ -138,3 +138,44 @@ def group_percentiles(df: DataFrame, group_col: str, value_col: str,
         aggs.append(F.max(F.when(F.col("__r") == k, F.col(value_col)))
                     .alias(name))
     return d.groupBy(group_col).agg(*aggs)
+
+
+def mad_outlier_profile(df: DataFrame, group_col: str, value_col: str,
+                        k: float = 3.0) -> DataFrame:
+    """Robust per-group outlier profile via the Median Absolute
+    Deviation: med = median(v), mad = median(|v - med|), a row is an
+    outlier when |v - med| > k·mad.
+
+    The robust twin of :func:`~.profile.outliers_zscore`: mean/stddev
+    move with the outliers they're meant to flag, order statistics
+    don't. Both medians use the ceil(0.5·n) rank rule of
+    :func:`group_percentiles` — data members, no interpolation, so the
+    whole computation is exact and engine-portable (the only doubles
+    are |v-med| subtractions and the final k·mad comparison, each ONE
+    expression from exact inputs).
+
+    Two order-statistic passes over the SAME group partitioning (the
+    second window sorts by the derived deviation): two sorts, but both
+    inside one shuffle's partitioning; the deviation join-back is a
+    window, not a join. Output: (group, n, median, mad, n_outliers).
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wg = Window.partitionBy(group_col)
+    rank = F.greatest(F.ceil(F.lit(0.5) * F.col("__n")), F.lit(1))
+    d = (df.select(group_col, value_col)
+         .filter(F.col(value_col).isNotNull())
+         .withColumn("__r", F.row_number().over(w))
+         .withColumn("__n", F.count(F.lit(1)).over(wg))
+         .withColumn("__med", F.max(
+             F.when(F.col("__r") == rank, F.col(value_col))).over(wg))
+         .withColumn("__dev", F.abs(F.col(value_col) - F.col("__med"))))
+    wd = Window.partitionBy(group_col).orderBy("__dev")
+    d = (d.withColumn("__rd", F.row_number().over(wd))
+         .withColumn("__mad", F.max(
+             F.when(F.col("__rd") == rank, F.col("__dev"))).over(wg)))
+    return (d.groupBy(group_col)
+            .agg(F.max("__n").alias("n"),
+                 F.round(F.max("__med"), 6).alias("median"),
+                 F.round(F.max("__mad"), 6).alias("mad"),
+                 F.sum(F.when(F.col("__dev") > F.lit(k) * F.col("__mad"),
+                              1).otherwise(0)).alias("n_outliers")))

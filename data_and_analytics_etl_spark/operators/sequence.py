@@ -54,3 +54,32 @@ def sequence_match(df: DataFrame, key_col: str, ts_col: str,
         F.length("seq").cast("long").alias("n_events"),
         F.regexp_count(F.col("seq"), F.lit(pattern)).cast("long")
         .alias("n_matches"))
+
+
+def transition_matrix(df: DataFrame, key_col: str, ts_col: str,
+                      type_col: str, tiebreak_col: str) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for each (from_type, to_type) adjacent pair in a key's
+    (ts, tiebreak)-ordered history, the count and the row-normalized
+    transition probability P(to | from).
+
+    One window shuffle on the key (lag pairs), one aggregate on the
+    (from, to) cell; the normalizing row total rides a window over the
+    aggregated cell table, bounded by |types|² rows by construction.
+    The probability is ONE double division from exact integer counts —
+    engine-portable. Output: (from_type, to_type, n, n_from, p).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (df.select(F.col(key_col),
+                       F.col(type_col).alias("to_type"),
+                       F.lag(type_col).over(w).alias("from_type"))
+             .filter(F.col("from_type").isNotNull()))
+    cells = (pairs.groupBy("from_type", "to_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    wrow = Window.partitionBy("from_type")
+    return (cells
+            .withColumn("n_from", F.sum("n").over(wrow))
+            .select("from_type", "to_type", "n", "n_from",
+                    F.round(F.col("n") / F.col("n_from"), 6).alias("p")))

@@ -150,6 +150,54 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text).cast("binary"))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str,
+                        id_col: str = "doc_id",
+                        k: int = 5, w: int = 4,
+                        out: str = "winnow_fp") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): the rolling-hash fingerprint
+    selection the mandate's "document fingerprinting" item names.
+
+    Char k-grams hash with md5 (oracle-portable like the simhash md5
+    family); every window of ``w`` consecutive gram hashes selects its
+    MINIMUM hash (rightmost occurrence on ties — the winnowing tie
+    rule), and the distinct selections are the document's fingerprint
+    set. Guarantee: any two documents sharing a substring of length >=
+    w + k - 1 share at least one fingerprint, while only ~2/(w+1) of
+    grams are kept — the density/recall dial for partial-overlap
+    detection at corpus scale.
+
+    Emitted as one row per selected (id, "pos:hash") string via
+    explode. All hashing/selection is higher-order array expressions
+    inside one projection — the gram-hash array is LET-BOUND as a
+    lambda variable (the with_word_shingles CollapseProject rule) so
+    it is computed once per row, not once per window reference.
+    """
+    def over_hashes(hs):
+        nwin = F.size(hs) - (w - 1)
+
+        def one(j):
+            s = F.slice(hs, j, w)
+            m = F.array_min(s)
+            # rightmost min: first occurrence in the reversed window
+            ridx = F.array_position(F.reverse(s), m)
+            pos = (j.cast("long") + F.lit(w) - ridx)
+            return F.concat(pos.cast("string"), F.lit(":"), m)
+
+        return F.when(nwin > 0, F.array_distinct(
+            F.transform(F.sequence(F.lit(1), nwin), one))
+        ).otherwise(F.array().cast("array<string>"))
+
+    txt = F.col(text_col)
+    ngrams = F.length(txt) - (k - 1)
+    hashes = F.when(ngrams > 0, F.transform(
+        F.sequence(F.lit(1), ngrams),
+        lambda i: F.md5(F.substr(txt, i, F.lit(k))))
+    ).otherwise(F.array().cast("array<string>"))
+    fps = F.element_at(F.transform(F.array(hashes), over_hashes), 1)
+    return (df.select(F.col(id_col), F.explode(fps).alias(out)))
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1] from length/diversity/noise stats.
 

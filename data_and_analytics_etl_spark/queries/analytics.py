@@ -238,6 +238,57 @@ def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "outlier_mad_robust",
+    oracle="""
+WITH v AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rr,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+), m AS (
+  SELECT event_type, value, n,
+         max(CASE WHEN rr = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                  THEN value END)
+           OVER (PARTITION BY event_type) AS med
+  FROM r
+), d AS (
+  SELECT event_type, n, med, abs(value - med) AS dev FROM m
+), r2 AS (
+  SELECT event_type, n, med, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rd
+  FROM d
+), mm AS (
+  SELECT event_type, n, med, dev,
+         max(CASE WHEN rd = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                  THEN dev END)
+           OVER (PARTITION BY event_type) AS mad
+  FROM r2
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       round(max(med), 6) AS median, round(max(mad), 6) AS mad,
+       CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM mm GROUP BY event_type ORDER BY event_type
+""",
+    tags=("analytics", "profile"),
+    doc="Robust per-group outlier profile via Median Absolute Deviation "
+        "(operators/binning.py:mad_outlier_profile) — the robust twin "
+        "of outlier_zscore: medians are order statistics at rank "
+        "ceil(0.5·n) (group_percentiles' engine-portable rule), so "
+        "extreme values can't drag the threshold the way mean/stddev "
+        "do. Two order-statistic windows inside ONE group shuffle; the "
+        "only doubles are per-row |v-med| and the final 3·mad compare.",
+)
+def outlier_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.binning import mad_outlier_profile
+    ev = load_table(spark, sf_dir, "events")
+    return (mad_outlier_profile(ev, "event_type", "value", k=3.0)
+            .orderBy("event_type"))
+
+
+@query(
     "fuzzy_join_blocked",
     oracle="""
 WITH n AS (

@@ -867,6 +867,54 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_winnow_fingerprints",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS s
+  FROM documents WHERE doc_id < 100
+), h AS (
+  SELECT doc_id,
+         CASE WHEN len(s) - 4 > 0 THEN
+           list_transform(range(1, len(s) - 3),
+                          i -> md5(substring(s, i, 5)))
+         ELSE [] END AS hs
+  FROM t
+), sel AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) - 3 > 0 THEN list_distinct(
+           list_transform(range(1, len(hs) - 2), j ->
+             concat(CAST(j + 4 - list_position(
+                      list_reverse(list_slice(hs, j, j + 3)),
+                      list_min(list_slice(hs, j, j + 3))) AS VARCHAR),
+                    ':', list_min(list_slice(hs, j, j + 3)))))
+         ELSE [] END AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS winnow_fp FROM sel
+ORDER BY doc_id, winnow_fp
+""",
+    tags=("llm", "text"),
+    priority=100,
+    doc="Winnowing fingerprints (operators/text.py:winnow_fingerprints "
+        "— Schleimer et al. SIGMOD'03/MOSS): char-5-gram md5 hashes, "
+        "each 4-window selects its rightmost minimum, distinct "
+        "selections are the document fingerprint set (guarantee: any "
+        "shared substring >= w+k-1 chars shares a fingerprint). The "
+        "gram-hash array is let-bound so it computes once per row; the "
+        "oracle recomputes the full selection with DuckDB list ops.",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import normalize_text, winnow_fingerprints
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 100)
+         .select("doc_id", normalize_text(F.col("text")).alias("norm")))
+    return (winnow_fingerprints(d, "norm", k=5, w=4)
+            .orderBy("doc_id", "winnow_fp"))
+
+
+@query(
     "text_repetition_signals",
     oracle=r"""
 WITH t AS (

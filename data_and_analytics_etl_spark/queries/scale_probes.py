@@ -105,6 +105,41 @@ def sequence_match_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sequence_transition_matrix",
+    oracle="""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), cells AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT), 6)
+         AS p
+FROM cells ORDER BY from_type, to_type
+""",
+    tags=("sequence", "analytics"),
+    doc="First-order Markov transition matrix over per-user event "
+        "histories (operators/sequence.py:transition_matrix): lag "
+        "pairs over one (user) window shuffle, (from,to) cell counts, "
+        "row-normalized P(to|from) as one double division from exact "
+        "integer counts. The normalizing window runs over the |types|² "
+        "cell table, bounded by construction.",
+)
+def sequence_transition_matrix(spark: SparkSession, sf_dir: str,
+                               ) -> DataFrame:
+    from ..operators.sequence import transition_matrix
+    ev = load_table(spark, sf_dir, "events")
+    out = transition_matrix(ev, "user_id", "ts", "event_type",
+                            tiebreak_col="event_id")
+    return out.orderBy("from_type", "to_type")
+
+
+@query(
     "join_hashset_prefilter",
     oracle="""
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,

@@ -152,6 +152,38 @@ class TestANN:
             assert len(ranks) <= 5
 
 
+class TestWinnowing:
+    def test_shared_substring_guarantee(self, spark):
+        from data_and_analytics_etl_spark.operators.text import (
+            winnow_fingerprints)
+        # docs share a substring of length w + k - 1 = 8 -> MUST share
+        # at least one fingerprint despite different surroundings
+        shared = "abcdefgh"
+        df = spark.createDataFrame(
+            [(1, "xxxx" + shared + "yyyy"),
+             (2, "qqqqqq" + shared + "rrr"),
+             (3, "zzzzzzzzzzzzzzzz")], ["doc_id", "norm"])
+        fps = winnow_fingerprints(df, "norm", k=5, w=4).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.doc_id, set()).add(r.winnow_fp.split(":")[1])
+        assert by_doc[1] & by_doc[2]
+        assert not (by_doc[1] & by_doc[3])
+
+    def test_density_bounded(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.text import (
+            normalize_text, winnow_fingerprints)
+        d = (load_table(spark, sf_dir, "documents")
+             .select("doc_id", normalize_text(F.col("text")).alias("norm"))
+             .filter(F.length("norm") > 50))
+        n_docs = d.count()
+        total_chars = d.select(F.sum(F.length("norm"))).collect()[0][0]
+        n_fp = winnow_fingerprints(d, "norm", k=5, w=4).count()
+        # expected density ~ 2/(w+1) of grams; allow generous slack
+        assert n_fp < 0.8 * total_chars
+        assert n_fp > n_docs  # and it's not degenerate
+
+
 class TestInt8Quantization:
     def test_quantization_error_bounded(self, spark, sf_dir):
         from data_and_analytics_etl_spark.operators.similarity import (
