@@ -123,6 +123,16 @@ ROUND_TIERS: dict[str, int] = {
     "unpivot_order_measures": 30,       # wide->long reshape (Expand)
     "timeseries_weighted_avg": 30,      # sample-and-hold exact TWA
     "corpus_domain_cap": 30,            # per-source anti-domination cap
+    # new in r6, second wave — never driver-verified:
+    "neardup_setsim_prefix": 30,        # exact PPJoin prefix filtering
+    "fuzzy_join_lossless_band": 30,     # complete-recall edit-dist join
+    "drift_chisq_categorical": 30,      # categorical drift chi-square
+    "ab_welch_ttest": 30,               # exact-sums Welch t statistic
+    "timeseries_interpolate": 30,       # linear gap interpolation
+    "embedding_quantize_int8": 30,      # symmetric int8 quantization
+    "sequence_transition_matrix": 30,   # Markov P(to|from) cells
+    "outlier_mad_robust": 30,           # MAD order-statistic outliers
+    "text_winnow_fingerprints": 30,     # MOSS winnowing selection
 }
 
 

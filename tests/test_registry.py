@@ -43,6 +43,13 @@ MUST_BE_IN_WINDOW = {
     "q16_supplier_part_count", "pivot_event_type_counts",
     "unpivot_order_measures", "timeseries_weighted_avg",
     "corpus_domain_cap",
+    # r6 second wave (tier C, priority 30): exact PPJoin, lossless band
+    # linkage, categorical chi-square, Welch t, linear interpolation,
+    # int8 quantization, Markov transitions, MAD outliers, winnowing
+    "neardup_setsim_prefix", "fuzzy_join_lossless_band",
+    "drift_chisq_categorical", "ab_welch_ttest", "timeseries_interpolate",
+    "embedding_quantize_int8", "sequence_transition_matrix",
+    "outlier_mad_robust", "text_winnow_fingerprints",
 }
 
 
