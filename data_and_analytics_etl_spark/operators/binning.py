@@ -179,3 +179,38 @@ def mad_outlier_profile(df: DataFrame, group_col: str, value_col: str,
                  F.round(F.max("__mad"), 6).alias("mad"),
                  F.sum(F.when(F.col("__dev") > F.lit(k) * F.col("__mad"),
                               1).otherwise(0)).alias("n_outliers")))
+
+
+def weighted_percentiles(df: DataFrame, group_col: str, value_col: str,
+                         weight_col: str,
+                         percentiles: tuple[float, ...] = (0.5, 0.9),
+                         ) -> DataFrame:
+    """Exact per-group WEIGHTED percentiles with integer weights: the
+    smallest value whose running cumulative weight reaches p·W (W =
+    group weight total) — :func:`group_percentiles` generalized from
+    "each row counts 1" to "each row counts w".
+
+    Cumulative weights are exact integer sums over the per-group value
+    sort; the only float is the p·W threshold, ONE multiply both
+    engines evaluate identically. Ties in value are safe: whether the
+    cumulative crosses the threshold mid-run or at its end, the
+    SELECTED value is the tied value itself, so row order within ties
+    can't change the answer. One shuffle on the group key; all
+    thresholds share one sort window. Output: (group, w_total,
+    wp<p> per requested percentile).
+    """
+    wv = (Window.partitionBy(group_col).orderBy(value_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wg = Window.partitionBy(group_col)
+    d = (df.select(group_col, value_col,
+                   F.col(weight_col).cast("long").alias("__w"))
+         .filter(F.col(value_col).isNotNull())
+         .withColumn("__cw", F.sum("__w").over(wv))
+         .withColumn("__tw", F.sum("__w").over(wg)))
+    aggs = [F.max("__tw").alias("w_total")]
+    for p in percentiles:
+        name = f"wp{str(p)[2:].ljust(2, '0')}" if p < 1 else "wp100"
+        aggs.append(F.min(F.when(
+            F.col("__cw") >= F.lit(p) * F.col("__tw"),
+            F.col(value_col))).alias(name))
+    return d.groupBy(group_col).agg(*aggs)

@@ -65,3 +65,51 @@ def finalize(state: DataFrame) -> DataFrame:
         F.col("s_min").alias("min_value"),
         F.col("s_max").alias("max_value"),
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Row-level change data capture between two snapshots of a keyed
+    table: one row per changed key with ``change`` in
+    ('insert', 'delete', 'update').
+
+    The complement of the MERGE sink (etl/merge.py): MERGE applies a
+    change set; this RECOVERS the change set when the upstream only
+    hands you full snapshots (the reference's full-prefix re-pulls are
+    exactly this shape). ONE full-outer join on the key; change
+    classification is a conjunction of null-safe column equalities
+    (`eqNullSafe` — exact, engine-portable, no value stringification or
+    hashing to disagree on). Unchanged keys drop out, so the output is
+    the minimal delta; feed it back to merge_upsert to prove
+    round-trip (pytest does).
+
+    ``compare_cols`` defaults to every non-key column present in BOTH
+    snapshots (schema evolution: a column only one side has can't vote).
+    """
+    compare = compare_cols or [
+        c for c in old.columns
+        if c not in keys and c in set(new.columns)]
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare])
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare])
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}")) for k in keys])
+    same = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in compare],
+        F.lit(True))
+    in_old = F.col(f"__ko_{keys[0]}").isNotNull()
+    in_new = F.col(f"__kn_{keys[0]}").isNotNull()
+    change = (F.when(~in_old, F.lit("insert"))
+              .when(~in_new, F.lit("delete"))
+              .when(~same, F.lit("update")))
+    return (o.join(n, cond, "full_outer")
+            .withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(*[F.coalesce(F.col(f"__kn_{k}"), F.col(f"__ko_{k}"))
+                      .alias(k) for k in keys],
+                    "change"))

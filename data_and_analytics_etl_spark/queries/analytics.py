@@ -238,6 +238,44 @@ def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "group_weighted_percentiles",
+    oracle="""
+WITH d AS (
+  SELECT event_type, value, CAST(event_id % 10 + 1 AS BIGINT) AS w
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT event_type, value, w,
+         sum(w) OVER (PARTITION BY event_type ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         sum(w) OVER (PARTITION BY event_type) AS tw
+  FROM d
+)
+SELECT event_type, CAST(max(tw) AS BIGINT) AS w_total,
+       min(CASE WHEN cw >= 0.5 * tw THEN value END) AS wp50,
+       min(CASE WHEN cw >= 0.9 * tw THEN value END) AS wp90
+FROM c GROUP BY event_type ORDER BY event_type
+""",
+    tags=("analytics", "profile"),
+    doc="Exact per-group WEIGHTED percentiles (operators/binning.py:"
+        "weighted_percentiles): smallest value whose integer cumulative "
+        "weight reaches p*W — group_percentiles generalized from 'each "
+        "row counts 1' to 'each row counts w'. The only float is the "
+        "p*W threshold (one multiply); ties in value cannot change the "
+        "selected member regardless of intra-tie row order. One group "
+        "shuffle, all thresholds share one sort window.",
+)
+def group_weighted_percentiles(spark: SparkSession, sf_dir: str,
+                               ) -> DataFrame:
+    from ..operators.binning import weighted_percentiles
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("w", (F.col("event_id") % 10 + 1)))
+    return (weighted_percentiles(ev, "event_type", "value", "w",
+                                 percentiles=(0.5, 0.9))
+            .orderBy("event_type"))
+
+
+@query(
     "outlier_mad_robust",
     oracle="""
 WITH v AS (

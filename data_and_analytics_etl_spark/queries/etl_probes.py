@@ -362,3 +362,57 @@ def etl_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("value").cast("decimal(18,2)"))
                   .cast("double").alias("sum_value"))
             .orderBy("year", "month", "day", "hour"))
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+WITH old_s AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey < 4000
+), new_s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey >= 500
+)
+SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                      AND o.o_orderstatus
+                          IS NOT DISTINCT FROM n.o_orderstatus)
+            THEN 'update' END AS change
+FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+           WHEN n.o_orderkey IS NULL THEN 'delete'
+           WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                     AND o.o_orderstatus
+                         IS NOT DISTINCT FROM n.o_orderstatus)
+           THEN 'update' END IS NOT NULL
+ORDER BY o_orderkey
+""",
+    tags=("etl", "incremental"),
+    doc="Row-level change data capture between two table snapshots "
+        "(operators/incremental.py:snapshot_diff): ONE full-outer join "
+        "on the key, change classification by null-safe column "
+        "equality (no value stringification/hashing to diverge across "
+        "engines), unchanged keys dropped — recovers the minimal delta "
+        "when upstream hands you full snapshots, the inverse of the "
+        "MERGE sink. Probe plants disjoint key ranges (inserts/deletes)"
+        " and a %5 price bump (updates).",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import snapshot_diff
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    old_s = o.filter(F.col("o_orderkey") < 4000)
+    new_s = (o.filter(F.col("o_orderkey") >= 500)
+             .withColumn("o_totalprice",
+                         F.when(F.col("o_orderkey") % 5 == 0,
+                                F.col("o_totalprice") + 1.0)
+                         .otherwise(F.col("o_totalprice"))))
+    return (snapshot_diff(old_s, new_s, ["o_orderkey"],
+                          ["o_totalprice", "o_orderstatus"])
+            .orderBy("o_orderkey"))

@@ -105,8 +105,10 @@ ROUND_TIERS: dict[str, int] = {
     "text_vocab_logrank": 20,           # every shingle/token consumer
     "text_bigram_logprob": 20,
     "corpus_decontaminate": 20,
-    "neardup_ngram_jaccard": 20,
-    "dedup_simhash_md5": 20,
+    # (neardup_ngram_jaccard and dedup_simhash_md5 demoted to the pool:
+    # their machinery — with_word_shingles + exact jaccard, and the md5
+    # hash family — is freshly exercised in the window by
+    # neardup_setsim_prefix and bench-tier dedup_minhash_lsh_md5)
     "join_point_in_time_scd2": 20,      # zero-width-interval tie fix
     "sample_temperature_mixture": 20,   # DECIMAL(38,0) threshold math
     "rest_datasource_scan": 20,         # cross-run adaptive-limit seed
@@ -133,6 +135,8 @@ ROUND_TIERS: dict[str, int] = {
     "sequence_transition_matrix": 30,   # Markov P(to|from) cells
     "outlier_mad_robust": 30,           # MAD order-statistic outliers
     "text_winnow_fingerprints": 30,     # MOSS winnowing selection
+    "etl_snapshot_diff": 30,            # full-outer CDC delta recovery
+    "group_weighted_percentiles": 30,   # integer-cumweight order stats
 }
 
 

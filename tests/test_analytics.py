@@ -288,6 +288,65 @@ class TestWelchTTest:
         assert ab and all(abs(ab[g] + ba[g]) < 1e-9 for g in ab)
 
 
+class TestSnapshotDiff:
+    def test_classification_and_upsert_roundtrip(self, spark):
+        from data_and_analytics_etl_spark.etl.merge import merge_upsert
+        from data_and_analytics_etl_spark.operators.incremental import (
+            snapshot_diff)
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+            ["k", "s", "v"])
+        new = spark.createDataFrame(
+            [(2, "b", 25.0), (3, "c", None), (4, "d", 40.0)],
+            ["k", "s", "v"])
+        diff = {r.k: r.change
+                for r in snapshot_diff(old, new, ["k"]).collect()}
+        # null-safe compare: (3, c, None) unchanged, absent from diff
+        assert diff == {1: "delete", 2: "update", 4: "insert"}
+        # applying new rows for changed keys via MERGE + dropping
+        # deletes reproduces the new snapshot exactly
+        changed = new.join(
+            snapshot_diff(old, new, ["k"]).filter(
+                F.col("change") != "delete").select("k"), "k")
+        merged = merge_upsert(old, changed, ["k"]).join(
+            snapshot_diff(old, new, ["k"]).filter(
+                F.col("change") == "delete").select("k"),
+            "k", "left_anti")
+        assert sorted(map(tuple, merged.collect())) \
+            == sorted(map(tuple, new.collect()))
+
+
+class TestWeightedPercentiles:
+    def test_unit_weights_match_group_percentiles(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.binning import (
+            group_percentiles, weighted_percentiles)
+        ev = (load_table(spark, sf_dir, "events")
+              .filter(F.col("value").isNotNull())
+              .withColumn("w", F.lit(1)))
+        wp = {r.event_type: r for r in weighted_percentiles(
+            ev, "event_type", "value", "w", (0.5, 0.9)).collect()}
+        gp = {r.event_type: r for r in group_percentiles(
+            ev, "event_type", "value", (0.5, 0.9)).collect()}
+        for g in gp:
+            assert wp[g].wp50 == gp[g].p50
+            assert wp[g].wp90 == gp[g].p90
+
+    def test_weight_w_equals_w_repeats(self, spark):
+        from data_and_analytics_etl_spark.operators.binning import (
+            weighted_percentiles)
+        rows = [("g", float(v), w) for v, w in
+                [(1, 5), (2, 1), (3, 1), (10, 3)]]
+        df = spark.createDataFrame(rows, ["g", "v", "w"])
+        exploded = df.withColumn(
+            "v", F.explode(F.array_repeat(F.col("v"),
+                                          F.col("w").cast("int")))
+        ).withColumn("w", F.lit(1))
+        a = weighted_percentiles(df, "g", "v", "w", (0.5, 0.9)).collect()[0]
+        b = weighted_percentiles(exploded, "g", "v", "w",
+                                 (0.5, 0.9)).collect()[0]
+        assert (a.wp50, a.wp90, a.w_total) == (b.wp50, b.wp90, b.w_total)
+
+
 class TestIncremental:
     def test_merge_equals_full_recompute_any_split(self, spark, sf_dir):
         from data_and_analytics_etl_spark.operators.incremental import (
