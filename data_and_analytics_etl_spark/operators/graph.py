@@ -1,0 +1,88 @@
+"""Iterative graph analytics beyond connected components.
+
+`operators/dedup.py:dedup_clusters` (min-label propagation + pointer
+doubling) is the engine's equivalence-class machine; this module adds
+the other canonical iterative shape — fixed-point VALUE propagation —
+with PageRank as the concrete operator.
+
+Scale posture (same rules as the CC loop):
+- each iteration is ONE equi-join (ranks ⨝ out-edges) and ONE
+  aggregate (sum per dst) — both bucketed shuffles on node id, never
+  node×node;
+- the edge/degree frame is computed once and persisted (read every
+  iteration);
+- per-iteration `localCheckpoint` truncates lineage so the plan stays
+  O(1)-deep instead of O(iters)-deep (10 chained joins would otherwise
+  blow up optimization time and executor stack);
+- iteration count is FIXED (power iteration with damping converges
+  geometrically; 10-20 rounds is the standard operating point), so the
+  driver loop is bounded by construction — no data-dependent driver
+  polling at all.
+
+Determinism: rank updates sum doubles per dst node, so bit-identity
+across partitionings is NOT guaranteed (unlike the integer/decimal
+operators); agreement with a NumPy power-iteration reference within
+1e-9 is pytest-pinned instead, and the probe is rows-only by design —
+the same evidence contract as the LSH family.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, iters: int = 10) -> DataFrame:
+    """PageRank over a directed edge list by fixed-iteration power
+    method with uniform teleport and dangling-mass redistribution.
+
+    ``edges`` rows are (src, dst) pairs (duplicates collapse to one
+    edge). Nodes are the union of both endpoints; every node starts at
+    rank 1/n; each round:
+
+        contrib(v)  = damping * Σ_{u→v} rank(u) / outdeg(u)
+        dangling    = damping * Σ_{outdeg(u)=0} rank(u) / n
+        rank'(v)    = (1 - damping)/n + dangling + contrib(v)
+
+    Σ rank stays 1 every round (pytest-pinned). Output: (node, rank).
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = (nodes.join(outdeg, nodes.node == outdeg.src, "left")
+            .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    n = base.count()  # one bounded action to size the teleport term
+    ranks = base.select("node", "outdeg",
+                        F.lit(1.0 / n).alias("rank")).localCheckpoint()
+
+    for _ in range(iters):
+        # dangling mass: a 1-row aggregate broadcast into the update —
+        # the action-free scalar-join pattern (no collect)
+        dang = (ranks.filter(F.col("outdeg") == 0)
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                     .alias("__dang")))
+        contrib = (ranks.filter(F.col("outdeg") > 0)
+                   .join(e, ranks.node == e.src)
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("outdeg"))
+                           .alias("__c"))
+                   .groupBy("node")
+                   .agg(F.sum("__c").alias("__in")))
+        ranks = (base.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("node", "outdeg",
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping) * F.col("__dang") / n
+                          + F.lit(damping)
+                          * F.coalesce(F.col("__in"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint())
+    e.unpersist()
+    return ranks.select("node", "rank")

@@ -268,3 +268,33 @@ def embedding_label_centroids(spark: SparkSession,
     return (cent.select("label",
                         F.posexplode("centroid").alias("pos", "c"))
             .orderBy("label", "pos"))
+
+
+@query(
+    "graph_pagerank",
+    oracle=None,  # iterative double accumulation: bit-identity across
+                  # engines isn't defined; NumPy power-iteration
+                  # agreement within 1e-9 + mass conservation are
+                  # pytest-pinned (tests/test_scale_ops.py), the same
+                  # evidence contract as the LSH family
+    tags=("graph", "analytics"),
+    priority=150,
+    doc="PageRank over the customer->supplier order graph (operators/"
+        "graph.py:pagerank): fixed-iteration power method, one "
+        "equi-join + one aggregate per round, per-round lineage "
+        "truncation, dangling mass redistributed via a broadcast 1-row "
+        "aggregate. The second iterative-algorithm family next to "
+        "connected components (dedup_clusters).",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    edges = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .select(F.concat(F.lit("c"), "o_custkey").alias("src"),
+                     F.concat(F.lit("s"), "l_suppkey").alias("dst")))
+    pr = pagerank(edges, iters=10)
+    return (pr.select("node", F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("node")).limit(20))

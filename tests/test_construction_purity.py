@@ -32,6 +32,9 @@ EXEMPT_PROBES = {
     "ann_ivf",          # KMeans training jobs build the IVF index
     "dedup_clusters",   # connected-components fixpoint loop (convergence
                         # probe per round is the algorithm, dedup.py)
+    "graph_pagerank",   # fixed-iteration power method: per-round
+                        # localCheckpoint (lineage truncation) is eager
+                        # by design (operators/graph.py)
 }
 
 

@@ -149,3 +149,53 @@ def test_label_centroids_match_numpy_and_partitioning(spark):
               for r in label_centroids(df.repartition(13), "label",
                                        "embedding").collect()}
     assert got == re_got
+
+
+class TestPageRank:
+    def _numpy_pr(self, edges, damping=0.85, iters=10):
+        import numpy as np
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        out = {u: 0 for u in nodes}
+        for u, _ in set(edges):
+            out[u] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            nxt = np.full(n, (1.0 - damping) / n)
+            dang = sum(r[idx[u]] for u in nodes if out[u] == 0)
+            nxt += damping * dang / n
+            for u, v in set(edges):
+                nxt[idx[v]] += damping * r[idx[u]] / out[u]
+            r = nxt
+        return {nodes[i]: r[i] for i in range(n)}
+
+    def test_matches_numpy_reference(self, spark):
+        from data_and_analytics_etl_spark.operators.graph import pagerank
+        edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (2, 4)]
+        # node 5 dangling via an in-edge only
+        edges.append((3, 5))
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.node: r.rank for r in pagerank(df, iters=10).collect()}
+        want = self._numpy_pr(edges)
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+    def test_mass_conserved_and_order_sane(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.catalog import load_table
+        from data_and_analytics_etl_spark.operators.graph import pagerank
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                       "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                          "l_suppkey")
+        edges = (o.join(li, o.o_orderkey == li.l_orderkey)
+                 .select(F.concat(F.lit("c"), "o_custkey").alias("src"),
+                         F.concat(F.lit("s"), "l_suppkey").alias("dst")))
+        pr = pagerank(edges, iters=5)
+        total = pr.agg(F.sum("rank")).collect()[0][0]
+        assert abs(total - 1.0) < 1e-9
+        # suppliers receive all order edges: a supplier should outrank
+        # the (source-only) customers, which all sit at the teleport floor
+        top = pr.orderBy(F.desc("rank")).first()
+        assert top.node.startswith("s")
