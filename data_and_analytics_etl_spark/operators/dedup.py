@@ -135,9 +135,15 @@ def setsim_prefix_pairs(df: DataFrame, id_col: str, set_col: str,
     joins (id). The per-id window sorts each document's tokens, never a
     global sort; no step is quadratic in corpus size.
     """
+    from pyspark import StorageLevel
+
     base = (df.select(F.col(id_col).alias("__id"),
                       F.col(set_col).alias("__set"))
-            .filter(F.size("__set") > 0))
+            .filter(F.size("__set") > 0)
+            # read 3x (token explode + both verify sides): persist so
+            # upstream shingling/normalization runs once, the same rule
+            # as the MinHash signature frame
+            .persist(StorageLevel.MEMORY_AND_DISK))
     toks = base.select("__id", F.size("__set").alias("__sz"),
                        F.explode("__set").alias("__tok"))
     freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__n"))
@@ -151,16 +157,32 @@ def setsim_prefix_pairs(df: DataFrame, id_col: str, set_col: str,
                     <= F.col("__sz")
                     - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int")
                     + 1)
-            .select("__tok", "__id", "__sz"))
+            .select("__tok", "__id", "__sz", "__pos"))
     a = pref.select(F.col("__tok").alias("__t"),
-                    F.col("__id").alias("id_a"), F.col("__sz").alias("__sa"))
+                    F.col("__id").alias("id_a"),
+                    F.col("__sz").alias("__sa"),
+                    F.col("__pos").alias("__pa"))
     b = pref.select(F.col("__tok").alias("__t"),
-                    F.col("__id").alias("id_b"), F.col("__sz").alias("__sb"))
+                    F.col("__id").alias("id_b"),
+                    F.col("__sz").alias("__sb"),
+                    F.col("__pos").alias("__pb"))
+    # overlap requirement: J >= t  <=>  |A∩B| >= t·(|A|+|B|)/(1+t).
+    # The 1e-9 slack only LOOSENS the bound (float ceil of an exact
+    # integer ratio could round UP and wrongly prune, e.g. 6·0.5/1.5).
+    alpha = F.ceil(F.lit(threshold) * (F.col("__sa") + F.col("__sb"))
+                   / F.lit(1.0 + threshold) - F.lit(1e-9))
     cand = (a.join(b, "__t")
             .filter(F.col("id_a") < F.col("id_b"))
             # length filter: J >= t forces min-size >= t * max-size
             .filter(F.least("__sa", "__sb")
                     >= F.lit(threshold) * F.greatest("__sa", "__sb"))
+            # PPJoin position filter: matching at sorted positions
+            # (pa, pb) caps the remaining overlap at 1 + min(suffixes);
+            # the pair's FIRST common token always passes, so pruning
+            # late-position occurrences loses nothing (Xiao et al.)
+            .filter(F.lit(1) + F.least(F.col("__sa") - F.col("__pa"),
+                                       F.col("__sb") - F.col("__pb"))
+                    >= alpha)
             .select("id_a", "id_b")
             .distinct())
     sa = base.select(F.col("__id").alias("id_a"),
