@@ -472,3 +472,20 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
             "would be silently split); raise max_iter")
     return labels.select(F.col("vid").alias(id_col),
                          F.col("label").alias("cluster_rep"))
+
+
+def merge_minhash(sig_a: Column, sig_b: Column) -> Column:
+    """Merge two MinHash signatures: elementwise minimum.
+
+    min over a union distributes over the partition — sig(A ∪ B) =
+    zip_min(sig(A), sig(B)) EXACTLY, for any split, either hash family
+    (longs numerically, md5 digests lexicographically). That makes a
+    MinHash signature a mergeable aggregate state in the
+    operators/incremental.py sense: keep per-key signatures in a state
+    table, fold each new batch in with one co-keyed merge, and the
+    near-dup index never re-reads history — the signature of the full
+    corpus-so-far is always available incrementally. Property-pinned in
+    tests/test_llmdata.py (signature-of-union == merge-of-signatures,
+    every split).
+    """
+    return F.zip_with(sig_a, sig_b, lambda x, y: F.least(x, y))

@@ -867,3 +867,36 @@ class TestContentDefinedChunking:
     def test_empty_payload_single_empty_chunk(self, spark):
         rows = self._chunk(spark, [b""])
         assert len(rows) == 1 and rows[0]["length"] == 0
+
+
+class TestMergeableMinHash:
+    def test_signature_of_union_equals_merge(self, spark, sf_dir):
+        import random
+        from data_and_analytics_etl_spark.operators.dedup import (
+            merge_minhash, with_minhash_signature)
+        docs = load_table(spark, sf_dir, "documents").limit(40)
+        sh = with_word_shingles(docs, "text", n=3)
+        for family in ("xxhash64", "md5"):
+            # split each doc's shingle set into two arbitrary halves
+            parts = (sh.select(
+                "doc_id",
+                F.slice("shingles", 1,
+                        F.floor(F.size("shingles") / 2).cast("int") + 1)
+                .alias("p1"),
+                F.slice("shingles",
+                        F.floor(F.size("shingles") / 2).cast("int") + 2,
+                        F.size("shingles")).alias("p2"))
+                .filter(F.size("p2") > 0))
+            full = with_minhash_signature(
+                parts.withColumn("s", F.concat("p1", "p2")), "s",
+                hash_family=family).select("doc_id", "minhash")
+            a = with_minhash_signature(parts, "p1", out="ma",
+                                       hash_family=family)
+            merged = (with_minhash_signature(a, "p2", out="mb",
+                                             hash_family=family)
+                      .select("doc_id",
+                              merge_minhash(F.col("ma"), F.col("mb"))
+                              .alias("minhash")))
+            got = {r.doc_id: list(r.minhash) for r in merged.collect()}
+            want = {r.doc_id: list(r.minhash) for r in full.collect()}
+            assert got == want and got
