@@ -276,6 +276,48 @@ def group_weighted_percentiles(spark: SparkSession, sf_dir: str,
 
 
 @query(
+    "linkage_entity_resolution",
+    oracle="""
+WITH RECURSIVE n AS (
+  SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL
+), p AS (
+  SELECT a.v AS x, b.v AS y FROM n a JOIN n b
+  ON a.v < b.v AND levenshtein(a.v, b.v) <= 3
+), e AS (
+  SELECT x AS src, y AS dst FROM p UNION ALL SELECT y, x FROM p
+), reach(v, r) AS (
+  SELECT v, v FROM n
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.v
+)
+SELECT v AS value, min(r) AS canonical FROM reach
+GROUP BY v ORDER BY value
+""",
+    tags=("analytics", "linkage"),
+    doc="END-TO-END entity resolution: distinct dictionary -> lossless "
+        "length-banded edit-distance pairs (linkage.py:edit_distance_"
+        "pairs_banded) -> connected components (dedup.py:dedup_clusters"
+        ", pointer doubling) -> canonical = component minimum; "
+        "singletons map to themselves. The oracle recomputes the WHOLE "
+        "chain with a recursive-CTE transitive closure, proving the "
+        "iterative Spark loop equals a declarative fixpoint — the "
+        "linkage twin of the corpus-curation capstone.",
+)
+def linkage_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+    from ..operators.linkage import edit_distance_pairs_banded
+    p = load_table(spark, sf_dir, "part")
+    pairs = (edit_distance_pairs_banded(p, "p_name", 3)
+             .select(F.col("value_a").alias("id_a"),
+                     F.col("value_b").alias("id_b")))
+    dic = (p.select(F.col("p_name").alias("value"))
+           .where(F.col("value").isNotNull()).distinct())
+    out = dedup_clusters(pairs, dic, id_col="value")
+    return (out.select("value", F.col("cluster_rep").alias("canonical"))
+            .orderBy("value"))
+
+
+@query(
     "outlier_mad_robust",
     oracle="""
 WITH v AS (

@@ -103,7 +103,9 @@ ROUND_TIERS: dict[str, int] = {
     "vocab_build": 20,                  # ensure_fanout_parallelism rewrite
     "bigram_pmi": 20,                   # (shuffle-aware guard) sits under
     "text_vocab_logrank": 20,           # every shingle/token consumer
-    "text_bigram_logprob": 20,
+    # (text_bigram_logprob demoted to the pool: its changed machinery —
+    # the fan-out guard + bigram counting — is re-verified in-window by
+    # bigram_pmi and vocab_build)
     "corpus_decontaminate": 20,
     # (neardup_ngram_jaccard and dedup_simhash_md5 demoted to the pool:
     # their machinery — with_word_shingles + exact jaccard, and the md5
@@ -137,6 +139,7 @@ ROUND_TIERS: dict[str, int] = {
     "text_winnow_fingerprints": 30,     # MOSS winnowing selection
     "etl_snapshot_diff": 30,            # full-outer CDC delta recovery
     "group_weighted_percentiles": 30,   # integer-cumweight order stats
+    "linkage_entity_resolution": 30,    # ER capstone vs recursive CTE
 }
 
 

@@ -35,6 +35,7 @@ EXEMPT_PROBES = {
     "graph_pagerank",   # fixed-iteration power method: per-round
                         # localCheckpoint (lineage truncation) is eager
                         # by design (operators/graph.py)
+    "linkage_entity_resolution",  # composes dedup_clusters' CC loop
 }
 
 

@@ -32,7 +32,7 @@ MUST_BE_IN_WINDOW = {
     # threshold math, adaptive-limit persistence, checkpoint merge
     "categorical_entropy_profile", "multimodal_decode", "text_tfidf",
     "vocab_build", "bigram_pmi", "text_vocab_logrank",
-    "text_bigram_logprob", "corpus_decontaminate",
+    "corpus_decontaminate",
     "join_point_in_time_scd2", "sample_temperature_mixture",
     "rest_datasource_scan", "etl_incremental_overlap_dedup",
     # new operators in r6, never driver-verified (tier C, priority 30)
@@ -50,6 +50,7 @@ MUST_BE_IN_WINDOW = {
     "embedding_quantize_int8", "sequence_transition_matrix",
     "outlier_mad_robust", "text_winnow_fingerprints",
     "etl_snapshot_diff", "group_weighted_percentiles",
+    "linkage_entity_resolution",
 }
 
 
