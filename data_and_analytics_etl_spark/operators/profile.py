@@ -9,7 +9,7 @@ of column count, never one job per column.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 
 def profile(df: DataFrame, columns: list[str] | None = None,
@@ -386,3 +386,78 @@ def check_referential_integrity(fact: DataFrame, fact_key: str,
                     F.round(F.col("n_orphan_rows")
                             / F.greatest(F.col("n_fact_rows"), F.lit(1)),
                             6).alias("orphan_rate")))
+
+
+def linear_fit(df: DataFrame, group_cols: list[str], x_col: Column,
+               y_col: Column) -> DataFrame:
+    """Per-group ordinary-least-squares fit y = slope·x + intercept, plus
+    r² — the regr_slope/regr_intercept/regr_r2 family computed under the
+    engine-exact float policy instead of streaming double moments.
+
+    ``x_col`` / ``y_col`` must already be INTEGER-valued long columns
+    (quantize money via round(v·100) first): all five sufficient
+    statistics (Σx, Σy, Σx², Σy², Σxy) accumulate in DECIMAL(38,0) —
+    exact, order-independent — and the closed forms
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)
+        intercept = (Σy − slope·Σx) / n
+        r²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − Σx²)·(n·Σy² − Σy²))
+
+    evaluate as fixed chains of correctly-rounded IEEE double ops over
+    those exact integers, so results are bit-identical across engines
+    and partitionings (per-row products must fit a long: |x·y| < 2^63,
+    the caller's contract; the cross-engine oracle runs the same math in
+    HUGEINT). Groups with zero x-variance yield NULL slope/intercept;
+    zero y-variance additionally yields NULL r². ONE shuffle on the
+    group key — this is a plain partial-aggregated groupBy, the same
+    plan shape as any sum, so it scales like one.
+    """
+    d = df.select(*[F.col(g) for g in group_cols],
+                  x_col.alias("__x"), y_col.alias("__y"))
+    agg = (d.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("__x").cast("decimal(38,0)")).alias("sx"),
+                F.sum(F.col("__y").cast("decimal(38,0)")).alias("sy"),
+                F.sum((F.col("__x") * F.col("__x"))
+                      .cast("decimal(38,0)")).alias("sxx"),
+                F.sum((F.col("__y") * F.col("__y"))
+                      .cast("decimal(38,0)")).alias("syy"),
+                F.sum((F.col("__x") * F.col("__y"))
+                      .cast("decimal(38,0)")).alias("sxy")))
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = F.when(denx != 0, num / denx)
+    intercept = F.when(
+        denx != 0,
+        (F.col("sy").cast("double") - (num / denx)
+         * F.col("sx").cast("double")) / F.col("n").cast("double"))
+    r2 = F.when((denx != 0) & (deny != 0), (num * num) / (denx * deny))
+    return (agg.select(*group_cols, "n",
+                       slope.alias("slope"),
+                       intercept.alias("intercept"),
+                       r2.alias("r2")))
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str],
+                k: int = 5) -> DataFrame:
+    """Per-equivalence-class k-anonymity audit over quasi-identifiers.
+
+    A released table is k-anonymous iff every combination of
+    quasi-identifier values (an equivalence class) covers at least k
+    records — below that, the class re-identifies individuals. Output:
+    one row per class with its size and a ``violates_k`` flag; the
+    caller rolls up (count of violating classes, min class size) or
+    joins back to suppress/generalize violating rows.
+
+    Plan: ONE hash aggregate on the quasi-identifier tuple — partial
+    combine map-side, so skewed classes (the common ones are by
+    definition large) cost nothing extra; no window, no second shuffle.
+    Generalization (bucketing a continuous column before auditing) is
+    the caller's projection — pass the bucketed expression in
+    ``quasi_cols`` via select() upstream.
+    """
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("class_size"))
+            .withColumn("violates_k", F.col("class_size") < k))

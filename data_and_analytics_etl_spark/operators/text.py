@@ -394,6 +394,54 @@ def repetition_signals(text: Column) -> dict[str, Column]:
             "dup_bigram_frac": F.round(dup_bigram, 6)}
 
 
+def gopher_rules(text: Column,
+                 min_words: int = 20, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 min_stop_types: int = 2,
+                 max_dup_word_frac: float = 0.6,
+                 max_top_bigram_frac: float = 0.2) -> dict[str, Column]:
+    """Gopher-style document quality RULES (Rae et al. '21, Table A1),
+    each as an individual boolean flag plus the conjunctive ``keep``.
+
+    Unlike :func:`quality_score` (a blended scalar for ranking), this is
+    the hard-gate form production corpus filters use: every rule is
+    reported separately so a curation run can account for WHY documents
+    were dropped (per-rule drop counts are a one-line rollup downstream).
+    Rules: word count in [min,max]; mean word length in [min,max];
+    >= ``min_stop_types`` distinct required stopwords present; duplicate
+    -word fraction and top-bigram fraction under their caps (signals from
+    :func:`repetition_signals`). All pure column arithmetic — one
+    projection, no shuffle, no UDF.
+    """
+    toks = tokens_of(text)
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(text)
+    mean_wl = F.round((n_chars - n_words + 1).cast("double") / n_words, 4)
+    stop_types = sum(
+        (F.array_contains(toks, F.lit(w)).cast("int")
+         for w in STOPWORDS_EN), F.lit(0)).cast("long")
+    rep = repetition_signals(text)
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    r_stop = stop_types >= min_stop_types
+    r_dup = rep["dup_word_frac"] <= max_dup_word_frac
+    r_bigram = rep["top_bigram_frac"] <= max_top_bigram_frac
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "stop_types": stop_types,
+        "dup_word_frac": rep["dup_word_frac"],
+        "top_bigram_frac": rep["top_bigram_frac"],
+        "r_word_count": r_words,
+        "r_mean_word_len": r_wl,
+        "r_stopwords": r_stop,
+        "r_dup_word": r_dup,
+        "r_top_bigram": r_bigram,
+        "keep": r_words & r_wl & r_stop & r_dup & r_bigram,
+    }
+
+
 #: (pattern, replacement) pairs for PII redaction. Patterns restricted
 #: to syntax that Java regex (Spark) and RE2 (DuckDB, ripgrep) parse
 #: identically, so oracles can re-run the exact redaction.

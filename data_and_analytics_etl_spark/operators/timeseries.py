@@ -109,9 +109,16 @@ def interpolate_linear(resampled: DataFrame, key: str,
     next_v = F.first(v, ignorenulls=True).over(fwd)
     next_t = F.first(obs_us, ignorenulls=True).over(fwd)
     frac = (us - prev_t).cast("double") / (next_t - prev_t)
+    # Deliberately UNROUNDED: prev + (next-prev)*frac is a fixed chain of
+    # correctly-rounded IEEE ops over engine-exact inputs, so the raw
+    # double is bit-identical across engines — whereas round(x, 6) is
+    # NOT cross-engine stable at half-way boundaries (Spark rounds the
+    # exact binary value HALF_UP via BigDecimal, DuckDB rounds the
+    # scaled double), and an interpolated value landed exactly on one
+    # (…2.5e-6) in round-6 testing.
     interp = (F.when(v.isNotNull(), v)
               .when(prev_v.isNotNull() & next_v.isNotNull(),
-                    F.round(prev_v + (next_v - prev_v) * frac, 6)))
+                    prev_v + (next_v - prev_v) * frac))
     return resampled.withColumn(f"{value_col}_interp", interp)
 
 
@@ -157,3 +164,37 @@ def time_weighted_avg(df: DataFrame, key: str, ts_col: str,
                             / F.col("__den").cast("double"), 6)
                     .alias("twa"),
                     F.col("__den").cast("long").alias("observed_us")))
+
+
+def ewma_bounded(df: DataFrame, key: str, order_cols: list[str],
+                 value_col: str, lags: int = 8,
+                 out_col: str = "ewma") -> DataFrame:
+    """Truncated-history EWMA (alpha = 1/2) over the trailing ``lags`` rows.
+
+    The classic recursive EWMA s_t = a·x_t + (1-a)·s_{t-1} is a sequential
+    scan — the anti-pattern a distributed engine must avoid. With a = 1/2
+    the weights are powers of two, so the bounded form
+
+        ewma_t = Σ_{j<L} 2^(L-1-j)·x_{t-j}  /  Σ_{j<L} 2^(L-1-j)
+
+    (missing lags at a sequence head drop out of BOTH sums — the standard
+    ``adjust=True`` normalization) is exact INTEGER arithmetic over cent
+    values until one final double division: bit-stable across engines,
+    no pow(), no float accumulation. The L lag() calls share one window
+    spec, so Catalyst plans a single Sort+Window over one shuffle on
+    ``key``; per-row state is O(L) longs. The truncation error vs the
+    unbounded EWMA is ≤ 2^-L of the oldest history — at L = 8 under 0.4%,
+    decaying exponentially, which is why production metric pipelines use
+    exactly this windowed form.
+    """
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    x_c = F.round(F.col(value_col) * 100).cast("long")
+    num = F.lit(0)
+    den = F.lit(0)
+    for j in range(lags):
+        weight = 1 << (lags - 1 - j)
+        lx = F.lag(x_c, j).over(w) if j else x_c
+        num = num + weight * F.coalesce(lx, F.lit(0))
+        den = den + F.when(lx.isNotNull(), F.lit(weight)).otherwise(0)
+    return df.withColumn(
+        out_col, num.cast("double") / den / 100.0)

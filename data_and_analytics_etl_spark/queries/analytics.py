@@ -435,8 +435,8 @@ SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, n,
        sum_value,
        CASE WHEN sum_value IS NOT NULL THEN sum_value
             WHEN pv IS NOT NULL AND nv IS NOT NULL
-            THEN round(pv + (nv - pv)
-                       * (CAST(epoch_us(b) - pt AS DOUBLE) / (nt - pt)), 6)
+            THEN pv + (nv - pv)
+                 * (CAST(epoch_us(b) - pt AS DOUBLE) / (nt - pt))
        END AS sum_value_interp
 FROM w ORDER BY event_type, bucket
 """,
@@ -447,8 +447,9 @@ FROM w ORDER BY event_type, bucket
         "·frac with frac from integer-µs bucket positions, leading/"
         "trailing gaps stay NULL. Two running windows over one (key) "
         "shuffle, O(1) state per key; the interpolation is one double "
-        "expression per row (no accumulation), so it hashes identically "
-        "across engines.",
+        "expression per row (no accumulation) emitted UNROUNDED — the raw "
+        "IEEE result is bit-stable across engines where round(,6) "
+        "at a half-way boundary is not.",
 )
 def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import interpolate_linear, resample
@@ -1085,3 +1086,147 @@ def timeseries_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (time_weighted_avg(ev, key="user_id", ts_col="ts",
                               value_col="value", tie_break="event_id")
             .orderBy("user_id"))
+
+
+@query(
+    "timeseries_ewma",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS p_c
+  FROM orders WHERE o_custkey < 200
+), l AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, p_c,
+         lag(p_c, 1) OVER w AS l1,
+         lag(p_c, 2) OVER w AS l2,
+         lag(p_c, 3) OVER w AS l3,
+         lag(p_c, 4) OVER w AS l4,
+         lag(p_c, 5) OVER w AS l5,
+         lag(p_c, 6) OVER w AS l6,
+         lag(p_c, 7) OVER w AS l7
+  FROM o WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       CAST(p_c AS DOUBLE) / 100 AS price,
+       CAST(128*p_c + 64*coalesce(l1, 0) + 32*coalesce(l2, 0) + 16*coalesce(l3, 0) + 8*coalesce(l4, 0) + 4*coalesce(l5, 0) + 2*coalesce(l6, 0) + 1*coalesce(l7, 0) AS DOUBLE)
+         / (128 + CASE WHEN l1 IS NOT NULL THEN 64 ELSE 0 END + CASE WHEN l2 IS NOT NULL THEN 32 ELSE 0 END + CASE WHEN l3 IS NOT NULL THEN 16 ELSE 0 END + CASE WHEN l4 IS NOT NULL THEN 8 ELSE 0 END + CASE WHEN l5 IS NOT NULL THEN 4 ELSE 0 END + CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END + CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END)
+         / 100.0 AS ewma
+FROM l ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+    tags=("analytics", "timeseries"),
+    doc="Trailing EWMA of order value per customer (operators/"
+        "timeseries.py:ewma_bounded, alpha = 1/2, 8 lags). The "
+        "sequential-recursion EWMA re-expressed as a bounded lag "
+        "window with power-of-two integer weights: exact BIGINT "
+        "numerator/denominator, one double division at the end — "
+        "bit-stable across engines with no pow() and no float "
+        "accumulation. One shuffle on the customer key; the eight "
+        "lag() calls share a single Sort+Window node.",
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ewma_bounded
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    out = ewma_bounded(o, key="o_custkey",
+                       order_cols=["o_orderdate", "o_orderkey"],
+                       value_col="o_totalprice", lags=8)
+    return (out.select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+         .alias("o_orderdate"),
+        (F.round(F.col("o_totalprice") * 100).cast("long")
+         .cast("double") / 100).alias("price"),
+        "ewma")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey"))
+
+
+@query(
+    "group_linear_regression",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS HUGEINT) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS HUGEINT) AS sxx,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS HUGEINT) AS syy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS HUGEINT) AS sxy
+  FROM lineitem GROUP BY 1, 2
+), d AS (
+  SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM s
+)
+SELECT l_returnflag, l_linestatus, n,
+       CASE WHEN denx <> 0 THEN num / denx END AS slope,
+       CASE WHEN denx <> 0
+            THEN (syd - (num / denx) * sxd) / CAST(n AS DOUBLE)
+       END AS intercept,
+       CASE WHEN denx <> 0 AND deny <> 0
+            THEN (num * num) / (denx * deny) END AS r2
+FROM d
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("analytics", "stats"),
+    doc="Per-group OLS fit of price-cents on quantity (operators/"
+        "profile.py:linear_fit) — the regr_slope/intercept/r2 family "
+        "under the exact-sums float policy: five DECIMAL(38,0) "
+        "sufficient statistics per group (one partial-aggregated "
+        "shuffle, same plan as a sum), closed-form slope/intercept/r2 "
+        "as fixed IEEE chains over those exact integers (HUGEINT on "
+        "the oracle side), so every double is bit-identical across "
+        "engines. No streaming double moments — regr_* builtins "
+        "accumulate doubles in partition order and do NOT cross-engine "
+        "hash, which is why the engine derives them this way.",
+)
+def group_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import linear_fit
+    li = load_table(spark, sf_dir, "lineitem")
+    out = linear_fit(
+        li, group_cols=["l_returnflag", "l_linestatus"],
+        x_col=F.col("l_quantity").cast("long"),
+        y_col=F.round(F.col("l_extendedprice") * 100).cast("long"))
+    return out.orderBy("l_returnflag", "l_linestatus")
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+       count(*) AS class_size,
+       count(*) < 5 AS violates_k
+FROM customer
+GROUP BY 1, 2, 3
+ORDER BY c_nationkey, c_mktsegment, bal_band
+""",
+    tags=("analytics", "governance"),
+    doc="k-anonymity audit of the customer table under the "
+        "quasi-identifier (nation, segment, coarse balance band) "
+        "(operators/profile.py:k_anonymity, k=5): one row per "
+        "equivalence class with its size and violation flag — the "
+        "release-gate complement to text_redact_pii's content-level "
+        "scrubbing. One partial-aggregated hash agg, no window; the "
+        "balance generalization is floor(bal/2000), exact for "
+        "2-decimal money doubles away from band edges by construction "
+        "(bands are 2000.00-wide, values quantize to cents).",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import k_anonymity
+    c = (load_table(spark, sf_dir, "customer")
+         .select("c_nationkey", "c_mktsegment",
+                 F.floor(F.col("c_acctbal") / 2000).cast("long")
+                 .alias("bal_band")))
+    return (k_anonymity(c, ["c_nationkey", "c_mktsegment", "bal_band"],
+                        k=5)
+            .orderBy("c_nationkey", "c_mktsegment", "bal_band"))

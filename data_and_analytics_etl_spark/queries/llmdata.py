@@ -915,6 +915,73 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_gopher_rules",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         round((length(text) - len(toks) + 1.0) / len(toks), 4)
+           AS mean_word_len,
+         CAST(len(list_filter(['the', 'a', 'of', 'and', 'is', 'to', 'in'],
+                              w -> list_contains(toks, w)))
+              AS BIGINT) AS stop_types,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS bg
+  FROM t
+), c AS (
+  SELECT doc_id, n_words, mean_word_len, stop_types,
+         round(CASE WHEN len(toks) > 0 THEN
+                 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               ELSE 0.0 END, 6) AS dup_word_frac,
+         round(CASE WHEN len(bg) > 0 THEN
+                 CAST(list_max(list_transform(list_distinct(bg),
+                        d -> len(list_filter(bg, x -> x = d))))
+                      AS DOUBLE) / len(bg)
+               ELSE 0.0 END, 6) AS top_bigram_frac
+  FROM b
+)
+SELECT doc_id, n_words, mean_word_len, stop_types, dup_word_frac,
+       top_bigram_frac,
+       n_words BETWEEN 20 AND 100000            AS r_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0       AS r_mean_word_len,
+       stop_types >= 2                          AS r_stopwords,
+       dup_word_frac <= 0.6                     AS r_dup_word,
+       top_bigram_frac <= 0.2                   AS r_top_bigram,
+       (n_words BETWEEN 20 AND 100000)
+         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND stop_types >= 2 AND dup_word_frac <= 0.6
+         AND top_bigram_frac <= 0.2             AS keep
+FROM c
+ORDER BY doc_id
+""",
+    tags=("llm", "text"),
+    doc="Gopher-style hard quality gates (operators/text.py:gopher_rules): "
+        "word-count bounds, mean-word-length bounds, required-stopword "
+        "presence, duplicate-word and top-bigram caps — each reported as "
+        "its own boolean flag plus the conjunctive keep, so drop "
+        "accounting per rule is a trivial rollup. Pure per-row column "
+        "arithmetic over the full documents table: no shuffle, no UDF, "
+        "trivially data-parallel at 100 TB.",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import gopher_rules
+    d = load_table(spark, sf_dir, "documents")
+    g = gopher_rules(F.col("text"))
+    return (d.select("doc_id",
+                     *[g[k].alias(k) for k in
+                       ("n_words", "mean_word_len", "stop_types",
+                        "dup_word_frac", "top_bigram_frac",
+                        "r_word_count", "r_mean_word_len", "r_stopwords",
+                        "r_dup_word", "r_top_bigram", "keep")])
+            .orderBy("doc_id"))
+
+
+@query(
     "text_repetition_signals",
     oracle=r"""
 WITH t AS (

@@ -1100,3 +1100,68 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
             .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type",
                      "p_size"))
+
+
+@query(
+    "q20_excess_stock",
+    oracle="""
+WITH blue AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+), qty AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS q96,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qall
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM blue)
+  GROUP BY 1, 2
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+                 'NATION_4')
+  AND s_suppkey IN (SELECT l_suppkey FROM qty WHERE 2 * q96 > qall)
+ORDER BY s_name
+""",
+    tags=("join", "subquery", "agg"),
+    doc="Potential part promotion (TPC-H Q20 shape; no partsupp, so "
+        "ps_availqty > 0.5*shipped-in-year becomes its observable dual: "
+        "suppliers whose 1996 shipments of a 'blue' part exceed half "
+        "their all-time shipments of it — the same nested "
+        "IN-subquery-over-correlated-aggregate shape, comparing a "
+        "year-windowed sum against a scaled total per (part, supplier). "
+        "All quantity math is exact BIGINT (quantities are integral), "
+        "the doubled comparison avoids a fractional threshold. Plan: "
+        "the blue part list broadcasts into a semi-join on the lineitem "
+        "scan, one (part, supplier) hash-agg, then the qualifying "
+        "supplier set broadcasts into a semi-join against the "
+        "nation-filtered supplier dim — the fact table shuffles once "
+        "and nothing re-scans. Completes the 22/22 TPC-H shape set.",
+)
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    blue = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("blue%")).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*[f"NATION_{i}" for i in range(5)]))
+    in96 = ((F.col("l_shipdate")
+             >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    qty = (li.join(F.broadcast(blue), li.l_partkey == blue.p_partkey,
+                   "left_semi")
+           .groupBy("l_partkey", "l_suppkey")
+           .agg(F.sum(F.when(in96, F.col("l_quantity").cast("long"))
+                      .otherwise(F.lit(0))).alias("q96"),
+                F.sum(F.col("l_quantity").cast("long")).alias("qall")))
+    qual = (qty.filter(2 * F.col("q96") > F.col("qall"))
+            .select("l_suppkey").distinct())
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(qual), s.s_suppkey == F.col("l_suppkey"),
+                  "left_semi")
+            .select("s_name", "n_name")
+            .orderBy("s_name"))

@@ -229,3 +229,53 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_value").cast("double").alias("sum_value"))
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "window_distinct_running",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events WHERE user_id < 40
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       event_type,
+       CAST(sum(first_seen) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS distinct_types_so_far
+FROM e
+ORDER BY user_id, ts, event_id
+""",
+    tags=("window",),
+    doc="Running COUNT(DISTINCT) over an ordered stream — the window "
+        "shape SQL engines refuse (DISTINCT aggregates aren't framed), "
+        "decomposed into its scalable dual: a first-occurrence flag "
+        "(row_number = 1 over (key, value)) running-summed over the "
+        "event order. Two window specs but ONE shuffle pattern: both "
+        "partition by user_id (the second sort subsumes the first's "
+        "key prefix), state per row is O(1) vs the naive "
+        "collect_set-over-frame whose per-row set copy is O(distinct). "
+        "This is the form that survives 100 TB: no per-row set "
+        "materialization, plain longs through both windows.",
+)
+def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w_first = (Window.partitionBy("user_id", "event_type")
+               .orderBy("ts", "event_id"))
+    w_run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ev.withColumn(
+                "first_seen",
+                F.when(F.row_number().over(w_first) == 1, 1).otherwise(0))
+            .withColumn("distinct_types_so_far",
+                        F.sum("first_seen").over(w_run).cast("long"))
+            .select("user_id", "event_id",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                    "event_type", "distinct_types_so_far")
+            .orderBy("user_id", "ts", "event_id"))

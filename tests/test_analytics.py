@@ -575,3 +575,136 @@ class TestDenseIds:
              assign_dense_ids(o.repartition(13), "o_orderkey",
                               buckets=16).collect()}
         assert a == b
+
+
+class TestEwmaBounded:
+    def test_constant_series_is_identity(self, spark):
+        import datetime as dt
+        from data_and_analytics_etl_spark.operators.timeseries import (
+            ewma_bounded)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("k", t0 + dt.timedelta(hours=h), i, 7.5)
+                for h, i in [(h, h) for h in range(12)]]
+        df = spark.createDataFrame(rows, ["k", "ts", "i", "v"])
+        out = ewma_bounded(df, key="k", order_cols=["ts", "i"],
+                           value_col="v", lags=8)
+        vals = [r.ewma for r in out.collect()]
+        assert all(abs(v - 7.5) < 1e-12 for v in vals)
+
+    def test_first_row_equals_value_and_weights_decay(self, spark):
+        import datetime as dt
+        from data_and_analytics_etl_spark.operators.timeseries import (
+            ewma_bounded)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("k", t0 + dt.timedelta(hours=0), 0, 10.0),
+                ("k", t0 + dt.timedelta(hours=1), 1, 20.0)]
+        df = spark.createDataFrame(rows, ["k", "ts", "i", "v"])
+        out = {r.i: r.ewma for r in
+               ewma_bounded(df, key="k", order_cols=["ts", "i"],
+                            value_col="v", lags=8).collect()}
+        assert out[0] == 10.0                     # no history: identity
+        # adjust=True normalization: (128*20 + 64*10) / (128 + 64)
+        assert abs(out[1] - (128 * 20 + 64 * 10) / 192) < 1e-12
+
+    def test_matches_pandas_ewm_truncated(self, spark):
+        import datetime as dt
+        import pandas as pd
+        from data_and_analytics_etl_spark.operators.timeseries import (
+            ewma_bounded)
+        vals = [3.0, 9.5, 1.25, 7.0, 4.75, 8.0, 2.5, 6.0, 0.5, 5.25]
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("k", t0 + dt.timedelta(hours=h), h, v)
+                for h, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, ["k", "ts", "i", "v"])
+        got = {r.i: r.ewma for r in
+               ewma_bounded(df, key="k", order_cols=["ts", "i"],
+                            value_col="v", lags=8).collect()}
+        # reference: pandas ewm(alpha=.5, adjust=True) over a sliding
+        # 8-row truncation — recompute per position
+        for i in range(len(vals)):
+            lo = max(0, i - 7)
+            ref = pd.Series(vals[lo:i + 1]).ewm(alpha=0.5,
+                                                adjust=True).mean().iloc[-1]
+            assert abs(got[i] - ref) < 1e-9, (i, got[i], ref)
+
+
+class TestLinearFit:
+    def test_exact_line_recovered(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import (
+            linear_fit)
+        rows = [("g", x, 3 * x + 40) for x in range(1, 21)]
+        df = spark.createDataFrame(rows, ["g", "x", "y"])
+        out = linear_fit(df, ["g"], F.col("x").cast("long"),
+                         F.col("y").cast("long")).collect()[0]
+        assert out.slope == 3.0 and out.intercept == 40.0
+        assert out.r2 == 1.0
+
+    def test_constant_x_yields_nulls(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import (
+            linear_fit)
+        df = spark.createDataFrame([("g", 5, 1), ("g", 5, 9)],
+                                   ["g", "x", "y"])
+        out = linear_fit(df, ["g"], F.col("x").cast("long"),
+                         F.col("y").cast("long")).collect()[0]
+        assert out.slope is None and out.r2 is None
+
+    def test_matches_numpy_polyfit(self, spark, sf_dir):
+        import numpy as np
+        from data_and_analytics_etl_spark.operators.profile import (
+            linear_fit)
+        li = load_table(spark, sf_dir, "lineitem").limit(2000).cache()
+        out = linear_fit(
+            li, ["l_returnflag"],
+            F.col("l_quantity").cast("long"),
+            F.round(F.col("l_extendedprice") * 100).cast("long"))
+        pdf = li.select("l_returnflag", "l_quantity",
+                        (F.round(F.col("l_extendedprice") * 100)
+                         .cast("long")).alias("yc")).toPandas()
+        for r in out.collect():
+            sub = pdf[pdf.l_returnflag == r.group] \
+                if "group" in out.columns else \
+                pdf[pdf.l_returnflag == r.l_returnflag]
+            coef = np.polyfit(sub.l_quantity, sub.yc, 1)
+            assert abs(r.slope - coef[0]) < 1e-6 * max(1, abs(coef[0]))
+            assert abs(r.intercept - coef[1]) < 1e-4 * max(1, abs(coef[1]))
+
+
+class TestKAnonymity:
+    def test_flags_exactly_small_classes(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import (
+            k_anonymity)
+        rows = [("a", 1)] * 6 + [("b", 2)] * 3
+        df = spark.createDataFrame(rows, ["q1", "q2"])
+        out = {(r.q1, r.q2): (r.class_size, r.violates_k)
+               for r in k_anonymity(df, ["q1", "q2"], k=5).collect()}
+        assert out[("a", 1)] == (6, False)
+        assert out[("b", 2)] == (3, True)
+
+
+class TestGopherRules:
+    def test_keep_is_conjunction_and_rules_fire(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.text import (
+            gopher_rules)
+        d = load_table(spark, sf_dir, "documents")
+        g = gopher_rules(F.col("text"))
+        out = d.select(*[g[k].alias(k) for k in g]).cache()
+        flags = ["r_word_count", "r_mean_word_len", "r_stopwords",
+                 "r_dup_word", "r_top_bigram"]
+        # keep == AND of the flags, row by row
+        recon = out.filter(
+            F.col("keep") != (F.col(flags[0]) & F.col(flags[1])
+                              & F.col(flags[2]) & F.col(flags[3])
+                              & F.col(flags[4])))
+        assert recon.count() == 0
+        # the gate is non-vacuous both ways on the corpus
+        kept = out.filter("keep").count()
+        assert 0 < kept < out.count()
+
+    def test_short_doc_fails_word_count(self, spark):
+        from data_and_analytics_etl_spark.operators.text import (
+            gopher_rules)
+        df = spark.createDataFrame([("tiny doc",)], ["text"])
+        g = gopher_rules(F.col("text"))
+        r = df.select(g["r_word_count"].alias("f"),
+                      g["keep"].alias("k")).collect()[0]
+        assert r.f is False and r.k is False
