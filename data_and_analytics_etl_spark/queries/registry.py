@@ -101,18 +101,19 @@ ROUND_TIERS: dict[str, int] = {
                                         # decode dispatch added
     "text_tfidf": 20,                   # action-free N via broadcast agg
     "vocab_build": 20,                  # ensure_fanout_parallelism rewrite
-    "bigram_pmi": 20,                   # (shuffle-aware guard) sits under
-    "text_vocab_logrank": 20,           # every shingle/token consumer
     # (text_bigram_logprob demoted to the pool: its changed machinery —
     # the fan-out guard + bigram counting — is re-verified in-window by
-    # bigram_pmi and vocab_build)
-    "corpus_decontaminate": 20,
+    # vocab_build)
     # (neardup_ngram_jaccard and dedup_simhash_md5 demoted to the pool:
     # their machinery — with_word_shingles + exact jaccard, and the md5
     # hash family — is freshly exercised in the window by
     # neardup_setsim_prefix and bench-tier dedup_minhash_lsh_md5)
-    "join_point_in_time_scd2": 20,      # zero-width-interval tie fix
-    "sample_temperature_mixture": 20,   # DECIMAL(38,0) threshold math
+    # (third-wave rebalance: bigram_pmi / text_vocab_logrank /
+    # corpus_decontaminate / join_point_in_time_scd2 /
+    # sample_temperature_mixture demoted to the pool — their r6 changes
+    # are hash-verified by the driver-aligned local harness and their
+    # shared machinery stays in-window via vocab_build + text_tfidf;
+    # the freed slots give every third-wave operator a first driver row)
     "rest_datasource_scan": 20,         # cross-run adaptive-limit seed
     "etl_incremental_overlap_dedup": 20,  # checkpoint merge-on-commit
     # new in r6, never driver-verified:
@@ -140,6 +141,13 @@ ROUND_TIERS: dict[str, int] = {
     "etl_snapshot_diff": 30,            # full-outer CDC delta recovery
     "group_weighted_percentiles": 30,   # integer-cumweight order stats
     "linkage_entity_resolution": 30,    # ER capstone vs recursive CTE
+    # new in r6, third wave — never driver-verified:
+    "q20_excess_stock": 30,             # completes 22/22 TPC-H shapes
+    "text_gopher_rules": 30,            # per-rule Gopher quality gates
+    "window_distinct_running": 30,      # running COUNT(DISTINCT) dual
+    "timeseries_ewma": 30,              # bounded-lag integer EWMA
+    "group_linear_regression": 30,      # exact-sums OLS / regr_* family
+    "privacy_k_anonymity": 30,          # equivalence-class audit
 }
 
 
