@@ -255,3 +255,39 @@ def cap_per_group(df: DataFrame, group_col: str, key_col: str,
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .drop("__rn"))
+
+
+def weighted_reservoir_sample(df: DataFrame, key_col: str,
+                              weight: Column, k: int,
+                              seed: int = 0) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement (Efraimidis–
+    Spirakis A-Res): each row draws a deterministic pseudo-uniform
+    u ∈ (0,1) from hash(key, seed) and scores u^(1/w); the k largest
+    scores are the sample. P(row i first) = w_i / Σw, and conditioning
+    repeats on the remainder — the exact without-replacement semantics
+    a Bernoulli sampler (:func:`weighted_sample`) cannot give when the
+    output size must be k.
+
+    The whole operator is one codegen projection + a global top-k,
+    which Spark executes as TakeOrderedAndProject: per-partition
+    partial top-k, then a k-row merge on ONE reducer — k rows cross
+    the wire per partition, not data. Deterministic: same (data, seed,
+    k) → same sample on any partitioning, so splits are reproducible
+    across re-runs and engines that share the hash. Rows with
+    non-positive weight are excluded (their score is undefined).
+
+    The pow() puts this on the rows-only tier (libm pow is not
+    cross-engine bit-stable, the sampling.py:206 rule) — the
+    distributional contract is property-tested instead: inclusion
+    frequency across seeds tracks weight rank.
+    """
+    u = ((F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)),
+                 F.lit(1 << 53)).cast("double") + 0.5)
+         / F.lit(float(1 << 53)))
+    score = F.pow(u, 1.0 / weight)
+    scored = (df.filter(weight > 0)
+              .withColumn("__score", score))
+    from .topk import top_k
+    return (top_k(scored, k,
+                  [F.desc("__score"), F.col(key_col)])
+            .drop("__score"))

@@ -1,0 +1,111 @@
+"""Count-min sketch as a relational, mergeable counter table.
+
+The classic CMS is a d×w array of counters updated imperatively; the
+Spark-native re-expression keeps the exact same math but stores the
+array AS A DATAFRAME of (row, bucket, cnt) cells:
+
+  build:  every input row contributes +1 to d cells (one per hash row);
+          posexplode of the per-row bucket array then ONE hash aggregate
+          — map-side partial combine collapses each partition's
+          contributions to ≤ d·w rows before the shuffle, so the shuffle
+          volume is bounded by sketch size × partitions, NOT data size.
+  merge:  counter tables are sums — union + the same aggregate. This is
+          what makes the sketch incremental: per-day sketches union into
+          per-month ones without touching raw data.
+  query:  point estimate = min over the d rows of the queried key's
+          cell, via a broadcast join of the (tiny, ≤ d·w rows) counter
+          table against the probe keys.
+
+Counters are EXACT deterministic functions of the multiset of keys
+(sums of hash-indicator contributions), so unlike most sketches the
+whole pipeline is oracle-checkable cross-engine when built with the
+portable md5 hash family — the same twin-family pattern the MinHash
+pipeline uses (dedup.py: xxhash64 for production speed, md5 for the
+DuckDB oracle).
+
+Estimation guarantee (Cormode & Muthukrishnan '05): est ≥ true always
+(counters only over-count), and est ≤ true + e·N/w with probability
+≥ 1 − (1/2)^d per the pairwise-independence argument — pinned as a
+property test, not an oracle (the bound is probabilistic).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _buckets(key: Column, depth: int, width: int,
+             hash_family: str) -> Column:
+    """Array of ``depth`` bucket indices in [0, width) for one key.
+
+    xxhash64 family: pmod(xxhash64(key, seed_j), width) — one JVM hash
+    per row per hash row, the production path. md5 family: the last 3
+    hex digits of md5('<j>|' || key) as an integer mod width — slower,
+    but every engine with md5() computes the identical bucket, which is
+    what buys the cross-engine oracle (width must divide 4096 so the
+    3-digit window is unbiased).
+    """
+    if hash_family == "md5":
+        if 4096 % width:
+            raise ValueError("md5 family needs width dividing 4096 "
+                             "(3 unbiased hex digits)")
+        return F.array(*[
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{j}|"), key.cast("string"))),
+                30, 3), 16, 10).cast("long") % width
+            for j in range(depth)])
+    if hash_family == "xxhash64":
+        return F.array(*[
+            F.pmod(F.xxhash64(key, F.lit(j)), F.lit(width))
+            for j in range(depth)])
+    raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
+def cms_build(df: DataFrame, key_col: str, depth: int = 4,
+              width: int = 4096,
+              hash_family: str = "xxhash64") -> DataFrame:
+    """Build the (d, bucket, cnt) counter table for one key column.
+
+    One narrow projection, one d-way posexplode of ints (fan-out is d
+    rows of two ints each, not data), one partially-aggregated groupBy.
+    Output is at most d·width rows regardless of input size.
+    """
+    b = _buckets(F.col(key_col), depth, width, hash_family)
+    return (df.select(F.posexplode(b).alias("d", "bucket"))
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*counters: DataFrame) -> DataFrame:
+    """Merge counter tables built with the same (depth, width, family).
+
+    Counters are sums, so merge = union + re-aggregate. Buckets absent
+    from one side simply contribute nothing. Output shape is identical
+    to ``cms_build``'s, so merge composes (daily → monthly → yearly).
+    """
+    out = counters[0]
+    for c in counters[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(counters: DataFrame, keys: DataFrame, key_col: str,
+              depth: int = 4, width: int = 4096,
+              hash_family: str = "xxhash64") -> DataFrame:
+    """Point-estimate each key in ``keys``: min over hash rows of the
+    key's counter cell.
+
+    The counter table is ≤ d·width rows by construction — it BROADCASTS;
+    the probe side explodes to d rows per key, joins, and min-aggregates
+    back to one row per key. Keys whose cells were never touched get
+    cnt 0 (left join + coalesce), preserving est ≥ true for unseen keys
+    (true = 0). Output: (key, est).
+    """
+    b = _buckets(F.col(key_col), depth, width, hash_family)
+    probes = (keys.select(F.col(key_col).alias("key"),
+                          F.posexplode(b).alias("d", "bucket")))
+    return (probes.join(F.broadcast(counters), ["d", "bucket"], "left")
+            .groupBy("key")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est")))

@@ -1230,3 +1230,109 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (k_anonymity(c, ["c_nationkey", "c_mktsegment", "bal_band"],
                         k=5)
             .orderBy("c_nationkey", "c_mktsegment", "bal_band"))
+
+
+@query(
+    "sketch_cms_estimate",
+    oracle="""
+WITH src AS (
+  SELECT o_custkey AS key FROM orders
+), jrows AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) AS j(d)
+), cells AS (
+  SELECT d, bucket, count(*) AS cnt FROM (
+    SELECT j.d AS d,
+           md5(CAST(j.d AS VARCHAR) || '|' || CAST(key AS VARCHAR)) AS hj,
+           key
+    FROM src, jrows j
+  ) t, LATERAL (SELECT ((CASE WHEN ascii(substr(hj, 30, 1)) >= 97 THEN ascii(substr(hj, 30, 1)) - 87 ELSE ascii(substr(hj, 30, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(hj, 31, 1)) >= 97 THEN ascii(substr(hj, 31, 1)) - 87 ELSE ascii(substr(hj, 31, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(hj, 32, 1)) >= 97 THEN ascii(substr(hj, 32, 1)) - 87 ELSE ascii(substr(hj, 32, 1)) - 48 END)) AS bucket)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT p.key, j.d AS d, ((CASE WHEN ascii(substr(hj, 30, 1)) >= 97 THEN ascii(substr(hj, 30, 1)) - 87 ELSE ascii(substr(hj, 30, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(hj, 31, 1)) >= 97 THEN ascii(substr(hj, 31, 1)) - 87 ELSE ascii(substr(hj, 31, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(hj, 32, 1)) >= 97 THEN ascii(substr(hj, 32, 1)) - 87 ELSE ascii(substr(hj, 32, 1)) - 48 END)) AS bucket
+  FROM (SELECT DISTINCT key FROM src WHERE key < 100) p,
+       jrows j,
+       LATERAL (SELECT md5(CAST(j.d AS VARCHAR) || '|'
+                           || CAST(p.key AS VARCHAR)) AS hj)
+), est AS (
+  SELECT key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+  FROM probes p LEFT JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+  GROUP BY 1
+), exact AS (
+  SELECT key, count(*) AS exact_n FROM src GROUP BY 1
+)
+SELECT e.key, e.est, x.exact_n
+FROM est e JOIN exact x USING (key) ORDER BY key
+""",
+    tags=("analytics", "sketch"),
+    doc="Count-min sketch point estimates vs exact counts for customer "
+        "order frequencies (operators/sketch.py, md5 hash family, "
+        "d=4 x w=4096). Counters are exact deterministic sums of hash "
+        "indicators, so the WHOLE sketch pipeline (build -> broadcast "
+        "-> min-query) is oracle-checked cell-for-cell — the same "
+        "portable-twin pattern as dedup_minhash_lsh_md5; the xxhash64 "
+        "production twin is property-tested (est >= exact, mergeable). "
+        "Build shuffles at most d*w rows per partition (map-side "
+        "combine); the counter table broadcasts to the probe join.",
+)
+def sketch_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build, cms_query
+    o = load_table(spark, sf_dir, "orders")
+    counters = cms_build(o, "o_custkey", depth=4, width=4096,
+                         hash_family="md5")
+    keys = (o.filter(F.col("o_custkey") < 100)
+            .select("o_custkey").distinct())
+    est = cms_query(counters, keys, "o_custkey", depth=4, width=4096,
+                    hash_family="md5")
+    exact = (o.groupBy(F.col("o_custkey").alias("key"))
+             .agg(F.count(F.lit(1)).alias("exact_n")))
+    return (est.join(exact, "key")
+            .select("key", F.col("est").cast("long").alias("est"),
+                    "exact_n")
+            .orderBy("key"))
+
+
+@query(
+    "sketch_cms_topk",
+    tags=("analytics", "sketch"),
+    priority=150,
+    doc="Production-path CMS (xxhash64 family) estimates for the 20 "
+        "most frequent customers — rows-only by design (JVM hash "
+        "buckets are engine-specific); est >= exact and the merge "
+        "identity are pinned in tests/test_analytics.py.",
+)
+def sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build, cms_query
+    o = load_table(spark, sf_dir, "orders")
+    counters = cms_build(o, "o_custkey", depth=4, width=4096)
+    exact = (o.groupBy(F.col("o_custkey").alias("key"))
+             .agg(F.count(F.lit(1)).alias("exact_n")))
+    top = exact.orderBy(F.desc("exact_n"), "key").limit(20)
+    est = cms_query(counters, top.select(F.col("key")
+                                         .alias("o_custkey")),
+                    "o_custkey", depth=4, width=4096)
+    return (est.join(top, "key")
+            .select("key", F.col("est").cast("long").alias("est"),
+                    "exact_n")
+            .orderBy(F.desc("exact_n"), "key"))
+
+
+@query(
+    "sample_weighted_reservoir",
+    tags=("sampling",),
+    priority=150,
+    doc="Fixed-size weighted sample without replacement (operators/"
+        "sampling.py:weighted_reservoir_sample, Efraimidis-Spirakis "
+        "A-Res over a deterministic hash-uniform): 50 documents drawn "
+        "proportionally to n_chars. Rows-only by design — the u^(1/w) "
+        "scoring uses libm pow, which is not cross-engine bit-stable "
+        "(the sampling.py sqrt-only rule); determinism and the "
+        "weight-proportional inclusion property are pinned in "
+        "tests/test_analytics.py.",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_reservoir_sample
+    d = load_table(spark, sf_dir, "documents")
+    return (weighted_reservoir_sample(
+        d, "doc_id", F.col("n_chars").cast("double"), k=50, seed=7)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"))

@@ -99,7 +99,9 @@ ROUND_TIERS: dict[str, int] = {
     "categorical_entropy_profile": 20,  # oracle HUGEINT cast (the r5 red)
     "multimodal_decode": 20,            # oracle DECIMAL cast + PNG/JPEG
                                         # decode dispatch added
-    "text_tfidf": 20,                   # action-free N via broadcast agg
+    # (text_tfidf demoted to the pool: the action-free rewrite cannot
+    # change values — plan construction only — and is pinned by the
+    # construction-purity pytest + the full local sweep)
     "vocab_build": 20,                  # ensure_fanout_parallelism rewrite
     # (text_bigram_logprob demoted to the pool: its changed machinery —
     # the fan-out guard + bigram counting — is re-verified in-window by
@@ -148,6 +150,7 @@ ROUND_TIERS: dict[str, int] = {
     "timeseries_ewma": 30,              # bounded-lag integer EWMA
     "group_linear_regression": 30,      # exact-sums OLS / regr_* family
     "privacy_k_anonymity": 30,          # equivalence-class audit
+    "sketch_cms_estimate": 30,          # oracle-exact count-min sketch
 }
 
 

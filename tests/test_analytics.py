@@ -708,3 +708,82 @@ class TestGopherRules:
         r = df.select(g["r_word_count"].alias("f"),
                       g["keep"].alias("k")).collect()[0]
         assert r.f is False and r.k is False
+
+
+class TestCountMinSketch:
+    def test_estimate_never_undercounts_and_merge_identity(self, spark,
+                                                           sf_dir):
+        from data_and_analytics_etl_spark.operators.sketch import (
+            cms_build, cms_merge, cms_query)
+        o = load_table(spark, sf_dir, "orders").cache()
+        counters = cms_build(o, "o_custkey", depth=4, width=1024)
+        exact = (o.groupBy(F.col("o_custkey").alias("key"))
+                 .agg(F.count(F.lit(1)).alias("n")))
+        est = cms_query(counters, o.select("o_custkey").distinct(),
+                        "o_custkey", depth=4, width=1024)
+        joined = est.join(exact, "key").collect()
+        assert joined and all(r.est >= r.n for r in joined)
+        # overestimate bounded in practice: e*N/w with slack 4
+        n_total = o.count()
+        assert all(r.est - r.n <= 4 * 2.718 * n_total / 1024
+                   for r in joined)
+        # merge of disjoint halves == build on the whole (counters are
+        # exact sums, so this is exact equality, not approximate)
+        h1 = cms_build(o.filter("o_orderkey % 2 = 0"), "o_custkey",
+                       depth=4, width=1024)
+        h2 = cms_build(o.filter("o_orderkey % 2 = 1"), "o_custkey",
+                       depth=4, width=1024)
+        merged = {(r.d, r.bucket): r.cnt
+                  for r in cms_merge(h1, h2).collect()}
+        whole = {(r.d, r.bucket): r.cnt for r in counters.collect()}
+        assert merged == whole
+
+    def test_unseen_key_estimates_small(self, spark):
+        from data_and_analytics_etl_spark.operators.sketch import (
+            cms_build, cms_query)
+        df = spark.range(0, 1000).withColumnRenamed("id", "k")
+        counters = cms_build(df, "k", depth=4, width=2048)
+        probe = spark.createDataFrame([(10**9,)], ["k"])
+        est = cms_query(counters, probe, "k", depth=4,
+                        width=2048).collect()[0]
+        assert est.est <= 4  # collisions only; never negative
+        assert est.est >= 0
+
+
+class TestWeightedReservoir:
+    def test_deterministic_fixed_size(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.sampling import (
+            weighted_reservoir_sample)
+        d = load_table(spark, sf_dir, "documents")
+        w = F.col("n_chars").cast("double")
+        a = sorted(r.doc_id for r in weighted_reservoir_sample(
+            d, "doc_id", w, k=20, seed=3).collect())
+        b = sorted(r.doc_id for r in weighted_reservoir_sample(
+            d.repartition(7), "doc_id", w, k=20, seed=3).collect())
+        assert a == b and len(a) == 20
+
+    def test_inclusion_tracks_weight(self, spark):
+        from data_and_analytics_etl_spark.operators.sampling import (
+            weighted_reservoir_sample)
+        # two strata: ids 0-49 weight 10, ids 50-99 weight 1 — across
+        # seeds the heavy stratum must dominate the k=20 sample
+        rows = [(i, 10.0 if i < 50 else 1.0) for i in range(100)]
+        df = spark.createDataFrame(rows, ["id", "w"]).cache()
+        heavy = 0
+        for seed in range(10):
+            got = weighted_reservoir_sample(df, "id", F.col("w"), k=20,
+                                            seed=seed).collect()
+            assert len(got) == 20
+            heavy += sum(1 for r in got if r.id < 50)
+        # E[heavy per draw] ≈ 18/20 with w-ratio 10; even loosely, the
+        # heavy stratum must take well over half across 200 draws
+        assert heavy > 130
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from data_and_analytics_etl_spark.operators.sampling import (
+            weighted_reservoir_sample)
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0)], ["id", "w"])
+        got = weighted_reservoir_sample(df, "id", F.col("w"),
+                                        k=3).collect()
+        assert [r.id for r in got] == [1]

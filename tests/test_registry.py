@@ -26,11 +26,11 @@ MUST_BE_IN_WINDOW = {
     "topk_per_group", "window_running_agg", "cosine_topk", "dedup_exact",
     "dedup_minhash_lsh_md5", "sessionization", "dedup_clusters",
     "corpus_span_duplication", "drift_ks_exact", "corpus_curation_pipeline",
-    # changed in r6 (tier B, priority 20): oracle casts, the action-free
-    # tf_idf rewrite, the shuffle-aware fan-out guard under every
-    # shingle/token consumer, SCD2 zero-width-interval ties, DECIMAL
-    # threshold math, adaptive-limit persistence, checkpoint merge
-    "categorical_entropy_profile", "multimodal_decode", "text_tfidf",
+    # changed in r6 (tier B, priority 20): oracle casts, the
+    # shuffle-aware fan-out guard (vocab_build stands for every
+    # shingle/token consumer), adaptive-limit persistence, checkpoint
+    # merge-on-commit
+    "categorical_entropy_profile", "multimodal_decode",
     "vocab_build",
     "rest_datasource_scan", "etl_incremental_overlap_dedup",
     # new operators in r6, never driver-verified (tier C, priority 30)
@@ -54,6 +54,7 @@ MUST_BE_IN_WINDOW = {
     # k-anonymity
     "q20_excess_stock", "text_gopher_rules", "window_distinct_running",
     "timeseries_ewma", "group_linear_regression", "privacy_k_anonymity",
+    "sketch_cms_estimate",
 }
 
 
