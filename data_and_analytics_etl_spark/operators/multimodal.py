@@ -272,10 +272,93 @@ def _decode_pil(payload: bytes) -> dict:
             "signal_mean": total / n_px if n_px else 0.0}
 
 
+def _avi_parse(payload: bytes) -> tuple[int, int, int, list[tuple[int, int]]]:
+    """Minimal RIFF/AVI container walk (stdlib struct only).
+
+    Returns (width, height, usec_per_frame, [(offset, size) per video
+    frame]). Accepts only uncompressed DIB streams ('##db' chunks — raw
+    bottom-up BGR24 rows, 4-byte padded, i.e. BMP pixel data without the
+    header); a '##dc' (compressed) chunk raises NotImplementedError so
+    codec-bearing AVIs quarantine rather than mis-decode. The walk is a
+    linear chunk scan — no index ('idx1') required, matching players'
+    index-less fallback behavior.
+    """
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    meta = {"w": None, "h": None, "usec": None}
+    frames: list[tuple[int, int]] = []
+
+    def walk(lo: int, hi: int) -> None:
+        off = lo
+        while off + 8 <= hi:
+            fourcc = payload[off:off + 4]
+            size = struct.unpack_from("<I", payload, off + 4)[0]
+            data_lo = off + 8
+            data_hi = min(data_lo + size, hi)
+            if fourcc == b"LIST":
+                walk(data_lo + 4, data_hi)  # skip the list-type fourcc
+            elif fourcc == b"avih":
+                meta["usec"] = struct.unpack_from("<I", payload, data_lo)[0]
+                meta["w"], meta["h"] = struct.unpack_from(
+                    "<II", payload, data_lo + 32)
+            elif fourcc[2:4] == b"db":
+                frames.append((data_lo, size))
+            elif fourcc[2:4] == b"dc":
+                raise NotImplementedError(
+                    "compressed AVI stream ('##dc'); only uncompressed "
+                    "DIB frames ('##db') decode without av")
+            off = data_hi + (size & 1)
+
+    walk(12, len(payload))
+    if meta["w"] is None or not meta["usec"]:
+        raise ValueError("AVI missing avih header")
+    return meta["w"], meta["h"], meta["usec"], frames
+
+
+def _avi_frame_luma(payload: bytes, lo: int, width: int,
+                    height: int) -> tuple[float, float, int]:
+    """(mean, rms, n_px) of BT.601 luminance over one raw DIB frame."""
+    row_bytes = (width * 3 + 3) & ~3
+    tot = tot2 = 0.0
+    n_px = 0
+    for r in range(height):
+        base = lo + r * row_bytes
+        row = payload[base:base + width * 3]
+        for c in range(width):
+            b, g, rd = row[c * 3], row[c * 3 + 1], row[c * 3 + 2]
+            y = 0.299 * rd + 0.587 * g + 0.114 * b
+            tot += y
+            tot2 += y * y
+            n_px += 1
+    if not n_px:
+        return 0.0, 0.0, 0
+    return tot / n_px, (tot2 / n_px) ** 0.5, n_px
+
+
+def _decode_avi(payload: bytes) -> dict:
+    """Stdlib AVI decode: container walk + first-frame luminance.
+
+    The VIDEO analog of _decode_wav/_decode_bmp: real header parse,
+    real pixel statistics, no third-party codec — frame payloads are
+    uncompressed DIB (the format ffmpeg emits with ``-c:v rawvideo``).
+    """
+    width, height, usec, frames = _avi_parse(payload)
+    mean = None
+    if frames:
+        mean, _, _ = _avi_frame_luma(payload, frames[0][0], width, height)
+    return {"codec": "avi", "width": width, "height": height,
+            "n_frames": len(frames),
+            "duration_s": len(frames) * usec / 1e6,
+            "signal_mean": mean}
+
+
 def _decode_payload(payload: bytes, modality: str) -> dict:
-    """Codec boundary: stdlib decoders for WAV, BMP, and PNG; JPEG (and
-    any other PIL-supported format) via optional Pillow; video needs av
-    (absent in this container) and quarantines.
+    """Codec boundary: stdlib decoders for WAV, BMP, PNG, and rawvideo
+    AVI; JPEG (and any other PIL-supported format) via optional Pillow;
+    codec-bearing video (mp4/h264 etc.) needs av (absent in this
+    container) and quarantines.
 
     The working branches make the decode path REAL — header parse, PCM /
     pixel extraction, zlib inflate + unfilter, signal statistics — while
@@ -287,6 +370,8 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
         return _decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _decode_avi(payload)
     if payload[:3] == b"\xff\xd8\xff":  # JPEG SOI marker
         return _decode_pil(payload)
     try:
@@ -514,10 +599,11 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
 
     WAV payloads get a REAL implementation: the PCM stream splits into
     ``n_frames`` contiguous windows (frame i covers samples
-    [i·n/k, (i+1)·n/k)), each reporting exact mean/RMS — the audio
-    analog of video keyframe extraction, and the shape a whisper-style
-    featurizer consumes. Video needs av (absent) and quarantines per
-    row. Output rows explode map-side (no shuffle); downstream groupBys
+    [i·n/k, (i+1)·n/k)), each reporting exact mean/RMS — the shape a
+    whisper-style featurizer consumes. Uncompressed-DIB AVI payloads get
+    REAL keyframe extraction: evenly-spaced source frames, exact
+    luminance mean/RMS per frame. Codec-bearing video (mp4 etc.) needs
+    av (absent) and quarantines per row. Output rows explode map-side (no shuffle); downstream groupBys
     see (asset_id, frame_idx) provenance just like chunk_text's
     (doc_id, chunk_idx).
     """
@@ -554,6 +640,28 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
                            "frame_rms": round(rms, 6)})
         return frames
 
+    def _avi_sample(payload: bytes) -> list[dict]:
+        """Evenly-spaced VIDEO keyframes: frame i of k maps to source
+        frame i·nf//k; per frame the exact luminance mean/RMS over its
+        decoded pixels (n_samples = pixel count), start_s from the
+        container's microseconds-per-frame — true keyframe extraction,
+        no codec, for rawvideo AVI."""
+        width, height, usec, all_frames = _avi_parse(payload)
+        if not all_frames:
+            raise ValueError("AVI with no video frames")
+        k = min(n_frames, len(all_frames))
+        frames = []
+        for i in range(k):
+            src = i * len(all_frames) // k
+            m, rms, n_px = _avi_frame_luma(payload, all_frames[src][0],
+                                           width, height)
+            frames.append({"frame_idx": i,
+                           "start_s": round(src * usec / 1e6, 6),
+                           "n_samples": n_px,
+                           "frame_mean": round(m, 6),
+                           "frame_rms": round(rms, 6)})
+        return frames
+
     def _sample_batch(batches: Iterator[pd.DataFrame],
                       ) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in FRAMES_SCHEMA.fields]
@@ -566,11 +674,16 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
                         "error": None}
                 try:
                     p = bytes(payload or b"")
-                    if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
+                    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                        frs = _frames_of(p)
+                    elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                        frs = _avi_sample(p)
+                    else:
                         raise NotImplementedError(
-                            "frame sampling implemented for WAV; video "
-                            "needs av (absent in this environment)")
-                    for fr in _frames_of(p):
+                            "frame sampling implemented for WAV and "
+                            "uncompressed-DIB AVI; codec video needs av "
+                            "(absent in this environment)")
+                    for fr in frs:
                         out.append({**base, **fr})
                 except Exception as e:  # noqa: BLE001 — quarantine
                     out.append({**base,

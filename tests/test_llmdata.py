@@ -900,3 +900,87 @@ class TestMergeableMinHash:
             got = {r.doc_id: list(r.minhash) for r in merged.collect()}
             want = {r.doc_id: list(r.minhash) for r in full.collect()}
             assert got == want and got
+
+
+def _make_avi(frames_rgb, width, height, usec_per_frame=40000,
+              compressed=False):
+    """Minimal valid RIFF/AVI: hdrl(avih) + movi(00db raw BGR24 frames).
+
+    frames_rgb: list of frames, each a list of rows (top-down), each row
+    a list of (r, g, b). Encoded bottom-up with 4-byte row padding, the
+    DIB convention.
+    """
+    import struct
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack("<14I", usec_per_frame, 0, 0, 0, len(frames_rgb),
+                       0, 1, 0, width, height, 0, 0, 0, 0)
+    hdrl = b"hdrl" + chunk(b"avih", avih)
+    row_pad = b"\x00" * (((width * 3 + 3) & ~3) - width * 3)
+    frames = b""
+    for fr in frames_rgb:
+        data = b"".join(
+            bytes(c for (r, g, b) in row for c in (b, g, r)) + row_pad
+            for row in reversed(fr))
+        frames += chunk(b"00dc" if compressed else b"00db", data)
+    movi = b"movi" + frames
+    body = chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+
+
+class TestAviDecode:
+    def _two_frame_avi(self):
+        f0 = [[(100, 100, 100)] * 3] * 2      # flat gray: luma 100
+        f1 = [[(255, 0, 0)] * 3] * 2          # pure red: luma 76.245
+        return _make_avi([f0, f1], width=3, height=2)
+
+    def test_metadata_and_first_frame_luma(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            decode_assets)
+        payload = self._two_frame_avi()
+        df = spark.createDataFrame([(1, "video", payload)],
+                                   ["asset_id", "modality", "payload"])
+        r = decode_assets(df).collect()[0]
+        assert r.error is None and r.codec == "avi"
+        assert (r.width, r.height, r.n_frames) == (3, 2, 2)
+        assert abs(r.duration_s - 0.08) < 1e-9      # 2 × 40000 µs
+        assert abs(r.signal_mean - 100.0) < 1e-9    # first frame only
+
+    def test_frame_sampling_exact_per_frame_stats(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            sample_frames)
+        payload = self._two_frame_avi()
+        df = spark.createDataFrame([(1, "video", payload)],
+                                   ["asset_id", "modality", "payload"])
+        rows = sorted(sample_frames(df, n_frames=2).collect(),
+                      key=lambda r: r.frame_idx)
+        assert [r.error for r in rows] == [None, None]
+        assert [r.n_samples for r in rows] == [6, 6]
+        assert abs(rows[0].frame_mean - 100.0) < 1e-6
+        red_luma = 0.299 * 255
+        assert abs(rows[1].frame_mean - round(red_luma, 6)) < 1e-6
+        # flat frames: rms == mean
+        assert abs(rows[1].frame_rms - rows[1].frame_mean) < 1e-6
+        assert rows[0].start_s == 0.0 and abs(rows[1].start_s - 0.04) < 1e-9
+
+    def test_compressed_stream_quarantines(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            decode_assets)
+        payload = _make_avi([[[(1, 2, 3)]]], width=1, height=1,
+                            compressed=True)
+        df = spark.createDataFrame([(1, "video", payload)],
+                                   ["asset_id", "modality", "payload"])
+        r = decode_assets(df).collect()[0]
+        assert r.error is not None and "NotImplementedError" in r.error
+
+    def test_truncated_payload_quarantines_not_crashes(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            decode_assets)
+        payload = self._two_frame_avi()[:20]
+        df = spark.createDataFrame([(1, "video", payload)],
+                                   ["asset_id", "modality", "payload"])
+        r = decode_assets(df).collect()[0]
+        assert r.error is not None
