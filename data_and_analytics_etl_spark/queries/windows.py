@@ -256,23 +256,29 @@ ORDER BY user_id, ts, event_id
     doc="Running COUNT(DISTINCT) over an ordered stream — the window "
         "shape SQL engines refuse (DISTINCT aggregates aren't framed), "
         "decomposed into its scalable dual: a first-occurrence flag "
-        "(row_number = 1 over (key, value)) running-summed over the "
-        "event order. Two window specs but ONE shuffle pattern: both "
-        "partition by user_id (the second sort subsumes the first's "
-        "key prefix), state per row is O(1) vs the naive "
-        "collect_set-over-frame whose per-row set copy is O(distinct). "
-        "This is the form that survives 100 TB: no per-row set "
-        "materialization, plain longs through both windows.",
+        "running-summed over the event order. BOTH windows partition "
+        "by user_id only — the flag comes from change detection under "
+        "a (type, ts) sort (a type's rows are one contiguous run, so "
+        "first occurrence = type != lag(type)), not from a "
+        "row_number over (user, type), which would force a second "
+        "hash partitioning. ONE data shuffle, two in-partition sorts, "
+        "O(1) state per row vs the naive collect_set-over-frame whose "
+        "per-row set copy is O(distinct). The oracle states the same "
+        "semantics in the clearer row_number form — values are "
+        "identical, plans are not.",
 )
 def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
-    w_first = (Window.partitionBy("user_id", "event_type")
-               .orderBy("ts", "event_id"))
+    w_first = (Window.partitionBy("user_id")
+               .orderBy("event_type", "ts", "event_id"))
     w_run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prev_type = F.lag("event_type").over(w_first)
     return (ev.withColumn(
                 "first_seen",
-                F.when(F.row_number().over(w_first) == 1, 1).otherwise(0))
+                F.when(prev_type.isNull()
+                       | (prev_type != F.col("event_type")), 1)
+                .otherwise(0))
             .withColumn("distinct_types_so_far",
                         F.sum("first_seen").over(w_run).cast("long"))
             .select("user_id", "event_id",
