@@ -240,3 +240,70 @@ def stream_stream_interval_join(views: DataFrame, purchases: DataFrame,
                     F.col("r.event_id").alias("purchase_id"),
                     F.col("l.ts").alias("ts_view"),
                     F.col("r.ts").alias("ts_purchase")))
+
+
+def stream_sketch_to_table(stream_df: DataFrame, key_col: str, path: str,
+                           checkpoint_dir: str, depth: int = 4,
+                           width: int = 4096,
+                           hash_family: str = "xxhash64"):
+    """Incremental count-min sketch maintenance over a stream: each
+    micro-batch builds its own counter table (operators/sketch.py) and
+    merges it into the persisted one at ``path``.
+
+    This is what CMS's mergeability is FOR: the stored sketch is the
+    exact cell-for-cell equal of a batch build over everything ever
+    streamed (counters are sums), so frequency estimates stay available
+    at O(d·w) storage while the stream itself is unbounded — no raw-data
+    re-scan, no growing state. Per micro-batch the work is one bounded
+    aggregate (≤ d·w rows survive the partial combine) + a ≤ d·w-row
+    read-merge-rewrite of the stored table; batch size only changes the
+    scan cost, never the state size.
+
+    Delivery semantics: foreachBatch is at-least-once under retries and
+    counter merge is NOT idempotent, so the rewrite goes through a
+    temp-dir + atomic rename commit — a replayed batch that died before
+    the rename re-merges from the last committed sketch, and one that
+    died after finds its work already committed and the stream engine
+    skips the batch id. Same write-then-commit discipline as the batch
+    checkpoint contract (SURVEY §7.4).
+
+    Returns the started StreamingQuery (availableNow); callers
+    ``awaitTermination()``.
+    """
+    import os
+    import shutil
+
+    from ..operators.sketch import cms_build, cms_merge
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        committed = os.path.join(path, "committed")
+        marker = os.path.join(path, "_last_batch")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip() or -1) >= batch_id:
+                    return  # replayed batch already merged + committed
+        batch_sketch = cms_build(batch_df, key_col, depth=depth,
+                                 width=width, hash_family=hash_family)
+        if os.path.isdir(committed):
+            prior = spark.read.parquet(committed)
+            merged = cms_merge(prior, batch_sketch)
+        else:
+            merged = batch_sketch
+        tmp = os.path.join(path, f"_staging_{batch_id}")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = os.path.join(path, f"_old_{batch_id}")
+        if os.path.isdir(committed):
+            os.rename(committed, old)
+        os.rename(tmp, committed)
+        shutil.rmtree(old, ignore_errors=True)
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+
+    return (stream_df.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -257,3 +257,68 @@ class TestStreamMergeSink:
         files2 = sorted(glob.glob(f"{table}/**/*.parquet", recursive=True))
         assert files2 == files1
         assert [os.path.getmtime(f) for f in files2] == mtimes
+
+
+class TestStreamSketchSink:
+    """foreachBatch incremental count-min maintenance: the streamed
+    sketch must equal a batch build over everything streamed, exactly
+    (counters are sums), across multiple micro-batches."""
+
+    def test_streamed_sketch_equals_batch_build(self, spark, tmp_path):
+        from data_and_analytics_etl_spark.operators.sketch import cms_build
+        from data_and_analytics_etl_spark.streaming.ops import (
+            stream_sketch_to_table)
+        rows = [(i, i % 37) for i in range(3000)]
+        df = spark.createDataFrame(rows, ["event_id", "key"])
+        src = tmp_path / "src"
+        # three files -> three micro-batches at maxFilesPerTrigger=1
+        for part in range(3):
+            (df.filter(F.col("event_id") % 3 == part).coalesce(1)
+             .write.parquet(str(src / f"f{part}")))
+        stream = (spark.readStream.schema("event_id long, key long")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        q = stream_sketch_to_table(
+            stream, "key", str(tmp_path / "sketch"),
+            str(tmp_path / "ckpt"), depth=4, width=512)
+        q.awaitTermination(120)
+        got = {(r.d, r.bucket): r.cnt for r in spark.read.parquet(
+            str(tmp_path / "sketch" / "committed")).collect()}
+        want = {(r.d, r.bucket): r.cnt
+                for r in cms_build(df, "key", depth=4,
+                                   width=512).collect()}
+        assert got == want and sum(got.values()) == 4 * 3000
+
+    def test_replayed_batch_is_skipped(self, spark, tmp_path):
+        # simulate a post-commit replay: calling the already-committed
+        # batch id again must not double-count
+        import os
+
+        from data_and_analytics_etl_spark.operators.sketch import cms_build
+        from data_and_analytics_etl_spark.streaming.ops import (
+            stream_sketch_to_table)
+        rows = [(i, i % 11) for i in range(500)]
+        df = spark.createDataFrame(rows, ["event_id", "key"])
+        src = tmp_path / "src"
+        df.coalesce(1).write.parquet(str(src / "f0"))
+        stream = (spark.readStream.schema("event_id long, key long")
+                  .parquet(str(src / "*")))
+        q = stream_sketch_to_table(
+            stream, "key", str(tmp_path / "sketch"),
+            str(tmp_path / "ckpt"), depth=2, width=256)
+        q.awaitTermination(120)
+        marker = os.path.join(str(tmp_path / "sketch"), "_last_batch")
+        assert os.path.isfile(marker)
+        # second availableNow run over the same source: engine replays
+        # nothing new; even a forced re-run of batch 0 short-circuits on
+        # the marker
+        q2 = stream_sketch_to_table(
+            stream, "key", str(tmp_path / "sketch"),
+            str(tmp_path / "ckpt"), depth=2, width=256)
+        q2.awaitTermination(120)
+        got = {(r.d, r.bucket): r.cnt for r in spark.read.parquet(
+            str(tmp_path / "sketch" / "committed")).collect()}
+        want = {(r.d, r.bucket): r.cnt
+                for r in cms_build(df, "key", depth=2,
+                                   width=256).collect()}
+        assert got == want
