@@ -86,3 +86,58 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                  .localCheckpoint())
     e.unpersist()
     return ranks.select("node", "rank")
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global triangle count by degree-ordered edge orientation — the
+    algorithm that made trillion-edge triangle counting tractable
+    (Suri & Vassilvitskii '11 MapReduce form; cf. GraphX's
+    TriangleCount).
+
+    Orient every undirected edge from its lower-(degree, id) endpoint
+    to the higher one: the oriented graph is a DAG whose max out-degree
+    is O(√m), so the wedge join (pairs of out-edges sharing a source)
+    generates at most Σ outdeg² = O(m^1.5) candidates — the provable
+    bound that makes this survive power-law graphs, where the naive
+    per-node neighbor-pair expansion is Θ(max_deg²) on the hub. Each
+    triangle appears exactly once (its orientation-minimal vertex is
+    the wedge center), verified by ONE semi-join of wedges against
+    oriented edges.
+
+    Plan: dedup/canonicalize (one shuffle), degree agg (one), two
+    degree joins to attach endpoint ranks, the wedge self-join on the
+    source, and the closing semi-join — all hash equi-joins, no
+    cartesian anywhere. Output: one row (n_nodes, n_edges, triangles).
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    ed = (e.join(deg.withColumnRenamed("node", "a")
+                 .withColumnRenamed("deg", "da"), "a")
+          .join(deg.withColumnRenamed("node", "b")
+                .withColumnRenamed("deg", "db"), "b"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da"))
+        .alias("dv"))
+    o1 = o.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    o2 = o.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2"))))
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"], "left_semi")
+    counts = tri.agg(F.count(F.lit(1)).alias("triangles"))
+    stats = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (nodes.crossJoin(F.broadcast(stats))
+            .crossJoin(F.broadcast(counts))
+            .select("n_nodes", "n_edges", "triangles"))

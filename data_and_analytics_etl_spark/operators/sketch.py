@@ -109,3 +109,27 @@ def cms_query(counters: DataFrame, keys: DataFrame, key_col: str,
             .groupBy("key")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("est")))
+
+
+def cms_join_cardinality(counters_a: DataFrame,
+                         counters_b: DataFrame) -> DataFrame:
+    """Equi-join size estimate from two count-min sketches: for each
+    hash row d, Σ_bucket cntA·cntB over-estimates |A ⋈ B| (collisions
+    only inflate); the min over the d rows is the classic CMS inner-
+    product estimate (Cormode & Muthukrishnan '05 §4.2).
+
+    This is the planner-side use of the sketch: join cardinality for
+    two 100 TB inputs from two ≤ d·w-row tables — no data scan at
+    estimation time. Both sketches must share (depth, width, family).
+    One broadcast-joined elementwise product + a d-row aggregate;
+    output: a single row (est_join_rows).
+
+    Like the counters themselves the estimate is DETERMINISTIC given
+    the inputs, so the md5-family twin is oracle-checkable end to end.
+    """
+    a = counters_a.select("d", "bucket", F.col("cnt").alias("cnt_a"))
+    b = counters_b.select("d", "bucket", F.col("cnt").alias("cnt_b"))
+    per_row = (a.join(F.broadcast(b), ["d", "bucket"])
+               .groupBy("d")
+               .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip")))
+    return per_row.agg(F.min("ip").alias("est_join_rows"))

@@ -1336,3 +1336,136 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", F.col("n_chars").cast("double"), k=50, seed=7)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id"))
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id pa, b.vec_id pb,
+         round(list_dot_product(a.ev, b.ev)
+               / (sqrt(list_dot_product(a.ev, a.ev))
+                  * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT pa, pb,
+         row_number() OVER (PARTITION BY pa
+                            ORDER BY cosine DESC, pb) AS rank
+  FROM scored
+), knn AS (
+  SELECT pa, pb FROM ranked WHERE rank <= 5
+), mutual AS (
+  SELECT k1.pa AS a, k1.pb AS b
+  FROM knn k1 JOIN knn k2 ON k1.pa = k2.pb AND k1.pb = k2.pa
+  WHERE k1.pa < k1.pb
+)
+SELECT
+  (SELECT count(*) FROM
+     (SELECT DISTINCT x FROM
+        (SELECT a AS x FROM mutual UNION ALL SELECT b FROM mutual)))
+    AS n_nodes,
+  (SELECT count(*) FROM mutual) AS n_edges,
+  (SELECT count(*)
+   FROM mutual e1 JOIN mutual e2 ON e1.a = e2.a AND e1.b < e2.b
+   WHERE EXISTS (SELECT 1 FROM mutual e3
+                 WHERE e3.a = e1.b AND e3.b = e2.b)) AS triangles
+""",
+    tags=("graph", "similarity"),
+    doc="Triangle count of the mutual 5-NN cosine graph over the "
+        "embedding corpus (operators/graph.py:triangle_count) — the "
+        "local-clustering signal semantic-dedup pipelines use to judge "
+        "neighborhood coherence. Graph construction reuses the exact "
+        "cosine_topk baseline (mutual edges = reciprocal top-5 pairs); "
+        "counting orients edges lower-(degree,id) -> higher, bounding "
+        "the wedge join at O(m^1.5) candidates (hub-proof on power-law "
+        "graphs), closed by one semi-join. The oracle recomputes the "
+        "whole chain with simple id-orientation — triangle COUNT is "
+        "orientation-invariant, so the engines may orient differently "
+        "and must still agree. All equi-joins; the brute-force kNN "
+        "build is the declared bounded baseline (LSH/IVF are the ANN "
+        "scale path).",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+    from ..operators.similarity import cosine_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    knn = (cosine_topk(e, e, k=5)
+           .select(F.col("probe_id").alias("pa"),
+                   F.col("vec_id").alias("pb")))
+    k2 = knn.select(F.col("pa").alias("qa"), F.col("pb").alias("qb"))
+    mutual = (knn.join(k2, (F.col("pa") == F.col("qb"))
+                       & (F.col("pb") == F.col("qa")))
+              .filter(F.col("pa") < F.col("pb"))
+              .select(F.col("pa").alias("src"), F.col("pb").alias("dst")))
+    return triangle_count(mutual)
+
+
+@query(
+    "sketch_join_cardinality",
+    oracle="""
+WITH jrows AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) AS j(d)
+), ca AS (
+  SELECT d, bucket, count(*) AS cnt FROM (
+    SELECT j.d AS d,
+           md5(CAST(j.d AS VARCHAR) || '|'
+               || CAST(o_custkey AS VARCHAR)) AS hj
+    FROM orders, jrows j
+  ) t, LATERAL (SELECT ((CASE WHEN ascii(substr(hj, 30, 1)) >= 97 THEN ascii(substr(hj, 30, 1)) - 87 ELSE ascii(substr(hj, 30, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(hj, 31, 1)) >= 97 THEN ascii(substr(hj, 31, 1)) - 87 ELSE ascii(substr(hj, 31, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(hj, 32, 1)) >= 97 THEN ascii(substr(hj, 32, 1)) - 87 ELSE ascii(substr(hj, 32, 1)) - 48 END)) AS bucket) GROUP BY 1, 2
+), cb AS (
+  SELECT d, bucket, count(*) AS cnt FROM (
+    SELECT j.d AS d,
+           md5(CAST(j.d AS VARCHAR) || '|'
+               || CAST(user_id AS VARCHAR)) AS hj
+    FROM events, jrows j
+  ) t, LATERAL (SELECT ((CASE WHEN ascii(substr(hj, 30, 1)) >= 97 THEN ascii(substr(hj, 30, 1)) - 87 ELSE ascii(substr(hj, 30, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(hj, 31, 1)) >= 97 THEN ascii(substr(hj, 31, 1)) - 87 ELSE ascii(substr(hj, 31, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(hj, 32, 1)) >= 97 THEN ascii(substr(hj, 32, 1)) - 87 ELSE ascii(substr(hj, 32, 1)) - 48 END)) AS bucket) GROUP BY 1, 2
+), ip AS (
+  SELECT ca.d, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
+  FROM ca JOIN cb ON ca.d = cb.d AND ca.bucket = cb.bucket
+  GROUP BY 1
+), ex AS (
+  SELECT CAST(sum(a.n * b.n) AS BIGINT) AS exact_join_rows FROM
+    (SELECT o_custkey k, count(*) n FROM orders GROUP BY 1) a
+    JOIN (SELECT user_id k, count(*) n FROM events GROUP BY 1) b
+    USING (k)
+)
+SELECT (SELECT min(ip) FROM ip) AS est_join_rows,
+       exact_join_rows
+FROM ex
+""",
+    tags=("analytics", "sketch"),
+    doc="Equi-join cardinality estimation from two count-min sketches "
+        "(operators/sketch.py:cms_join_cardinality): min over hash "
+        "rows of the counter inner product — the planner-side sketch "
+        "use that prices orders-x-events joins from two <= d*w-row "
+        "tables without scanning either input at estimation time. "
+        "Deterministic md5 family, so estimate AND exact truth are "
+        "both oracle-checked in one row; the estimate provably "
+        "over-counts only (collisions inflate), pinned in pytest "
+        "alongside the relative-error bound on this data.",
+)
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build, cms_join_cardinality
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    ca = cms_build(o, "o_custkey", depth=4, width=4096,
+                   hash_family="md5")
+    cb = cms_build(ev, "user_id", depth=4, width=4096,
+                   hash_family="md5")
+    est = cms_join_cardinality(ca, cb)
+    na = (o.groupBy(F.col("o_custkey").alias("k"))
+          .agg(F.count(F.lit(1)).alias("n_a")))
+    nb = (ev.groupBy(F.col("user_id").alias("k"))
+          .agg(F.count(F.lit(1)).alias("n_b")))
+    exact = (na.join(nb, "k")
+             .agg(F.sum(F.col("n_a") * F.col("n_b"))
+                  .alias("exact_join_rows")))
+    return (est.crossJoin(F.broadcast(exact))
+            .select(F.col("est_join_rows").cast("long")
+                    .alias("est_join_rows"),
+                    F.col("exact_join_rows").cast("long")
+                    .alias("exact_join_rows")))

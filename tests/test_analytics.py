@@ -787,3 +787,59 @@ class TestWeightedReservoir:
         got = weighted_reservoir_sample(df, "id", F.col("w"),
                                         k=3).collect()
         assert [r.id for r in got] == [1]
+
+
+class TestTriangleCount:
+    def test_known_graphs(self, spark):
+        from data_and_analytics_etl_spark.operators.graph import (
+            triangle_count)
+
+        def tc(pairs):
+            df = spark.createDataFrame(pairs, ["src", "dst"])
+            return triangle_count(df).collect()[0]
+
+        # K4: 4 triangles, 6 edges
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        r = tc(k4)
+        assert (r.n_nodes, r.n_edges, r.triangles) == (4, 6, 4)
+        # path graph: none
+        r = tc([(0, 1), (1, 2), (2, 3)])
+        assert r.triangles == 0
+        # one triangle + pendant, duplicate/reversed/self edges ignored
+        r = tc([(0, 1), (1, 0), (1, 2), (2, 0), (2, 2), (2, 3)])
+        assert (r.n_nodes, r.n_edges, r.triangles) == (4, 4, 1)
+
+    def test_hub_graph_matches_combinatorics(self, spark):
+        from data_and_analytics_etl_spark.operators.graph import (
+            triangle_count)
+        # wheel graph: hub 0 + cycle 1..10 — triangles = cycle length
+        n = 10
+        edges = [(0, i) for i in range(1, n + 1)]
+        edges += [(i, i % n + 1) for i in range(1, n + 1)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        r = triangle_count(df).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.triangles) == (n + 1, 2 * n, n)
+
+
+class TestCmsJoinCardinality:
+    def test_overestimates_only_and_tightens_with_width(self, spark):
+        from data_and_analytics_etl_spark.operators.sketch import (
+            cms_build, cms_join_cardinality)
+        a = spark.createDataFrame([(i % 50,) for i in range(2000)], ["k"])
+        b = spark.createDataFrame([(i % 80,) for i in range(1600)], ["k"])
+        exact = (a.groupBy("k").count().withColumnRenamed("count", "na")
+                 .join(b.groupBy("k").count()
+                       .withColumnRenamed("count", "nb"), "k")
+                 .agg(F.sum(F.col("na") * F.col("nb")))
+                 .collect()[0][0])
+        ests = {}
+        for width in (64, 2048):
+            est = cms_join_cardinality(
+                cms_build(a, "k", depth=4, width=width),
+                cms_build(b, "k", depth=4, width=width),
+            ).collect()[0].est_join_rows
+            assert est >= exact
+            ests[width] = est
+        assert ests[2048] <= ests[64]
+        # at w=2048 with ~100 keys, collisions are rare: near-exact
+        assert ests[2048] <= exact * 1.05
