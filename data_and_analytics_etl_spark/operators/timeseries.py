@@ -198,3 +198,36 @@ def ewma_bounded(df: DataFrame, key: str, order_cols: list[str],
         den = den + F.when(lx.isNotNull(), F.lit(weight)).otherwise(0)
     return df.withColumn(
         out_col, num.cast("double") / den / 100.0)
+
+
+def interval_union_length(df: DataFrame, key: str, start_col: str,
+                          end_col: str) -> DataFrame:
+    """Per-key total covered time of a set of possibly-overlapping
+    [start, end) intervals, with the island count — the gaps-and-islands
+    sweep (uptime/SLA coverage, sensor on-time, session overlap).
+
+    Classic rewrite of the sequential sweep-line: order a key's
+    intervals by start; a row OPENS a new island iff its start exceeds
+    the running max end of all earlier rows (an O(1)-state window);
+    the island id is the running count of openers; coverage = Σ over
+    islands of (max end − min start). Two windows sharing ONE (key,
+    start) sort + one groupBy — a single shuffle on the key, exact
+    integer-µs arithmetic throughout. Zero-length and fully-nested
+    intervals fold into their island naturally.
+
+    Output: (key, covered_us, n_islands) — covered seconds are the
+    caller's division, kept integral here for cross-engine exactness.
+    """
+    s_us = F.unix_micros(F.col(start_col))
+    e_us = F.unix_micros(F.col(end_col))
+    w = Window.partitionBy(key).orderBy(s_us, e_us)
+    prev_max = (F.max(e_us)
+                .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    opener = F.when(prev_max.isNull() | (s_us > prev_max), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = (df.withColumn("__island", F.sum(opener).over(run))
+               .groupBy(key, "__island")
+               .agg(F.min(s_us).alias("__lo"), F.max(e_us).alias("__hi")))
+    return (islands.groupBy(key)
+            .agg(F.sum(F.col("__hi") - F.col("__lo")).alias("covered_us"),
+                 F.count(F.lit(1)).alias("n_islands")))

@@ -1469,3 +1469,53 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("est_join_rows"),
                     F.col("exact_join_rows").cast("long")
                     .alias("exact_join_rows")))
+
+
+@query(
+    "interval_coverage",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts AS s,
+         ts + to_microseconds((event_id % 7 + 1) * 60000000) AS e
+  FROM events WHERE user_id < 60
+), w AS (
+  SELECT user_id, epoch_us(s) AS s_us, epoch_us(e) AS e_us,
+         max(epoch_us(e)) OVER (PARTITION BY user_id ORDER BY
+           epoch_us(s), epoch_us(e)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+), o AS (
+  SELECT user_id, s_us, e_us,
+         CAST(sum(CASE WHEN pm IS NULL OR s_us > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island
+  FROM w
+), isl AS (
+  SELECT user_id, island, min(s_us) AS lo, max(e_us) AS hi
+  FROM o GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(hi - lo) AS BIGINT) AS covered_us,
+       count(*) AS n_islands
+FROM isl GROUP BY user_id ORDER BY user_id
+""",
+    tags=("analytics", "timeseries"),
+    doc="Per-user total covered time of overlapping activity intervals "
+        "(operators/timeseries.py:interval_union_length — gaps-and-"
+        "islands sweep): each event opens a [ts, ts + (id%7+1) min) "
+        "interval; islands form where a start exceeds the running max "
+        "end (O(1) window state), coverage is the exact integer-us sum "
+        "of island extents. One shuffle on the key shared by both "
+        "windows and the rollup — the distributed dual of the "
+        "sequential sweep-line.",
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import interval_union_length
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 60)
+          .select("user_id", F.col("ts").alias("s"),
+                  (F.col("ts") + F.make_interval(
+                      secs=(F.col("event_id") % 7 + 1) * 60))
+                  .alias("e")))
+    return (interval_union_length(ev, "user_id", "s", "e")
+            .orderBy("user_id"))

@@ -416,3 +416,50 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (snapshot_diff(old_s, new_s, ["o_orderkey"],
                           ["o_totalprice", "o_orderstatus"])
             .orderBy("o_orderkey"))
+
+
+@query(
+    "scan_parquet_merge_schema",
+    oracle="""
+WITH unioned AS (
+  SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value
+  FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+  UNION ALL
+  SELECT event_id, user_id, value
+  FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+)
+SELECT user_id, count(*) AS n, count(value) AS n_with_value,
+       CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_value
+FROM unioned GROUP BY user_id ORDER BY user_id
+""",
+    tags=("etl", "source"),
+    doc="Schema-evolution-on-read: two parquet drops of the same feed, "
+        "the older written BEFORE a 'value' column existed, read back "
+        "as one table via mergeSchema (Spark's footer-union; the "
+        "oracle states the same semantics as UNION ALL with a typed "
+        "NULL). The schema-drift survival path every long-lived "
+        "ingest needs — old files project NULL for later columns, no "
+        "rewrite of historical data. Read-back aggregate must equal "
+        "the source-computed one exactly.",
+)
+def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    dest = tempfile.mkdtemp(prefix="etl_msch_")
+    (ev.filter(F.col("ts") < cut)
+     .select("event_id", "user_id")
+     .write.mode("overwrite").parquet(os.path.join(dest, "v1")))
+    (ev.filter(F.col("ts") >= cut)
+     .select("event_id", "user_id", "value")
+     .write.mode("overwrite").parquet(os.path.join(dest, "v2")))
+    back = (spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(dest, "v1"),
+                     os.path.join(dest, "v2")))
+    return (back.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("value").alias("n_with_value"),
+                 F.sum(F.coalesce(F.col("value"), F.lit(0.0))
+                       .cast("decimal(18,2)"))
+                 .cast("double").alias("sum_value"))
+            .orderBy("user_id"))

@@ -843,3 +843,39 @@ class TestCmsJoinCardinality:
         assert ests[2048] <= ests[64]
         # at w=2048 with ~100 keys, collisions are rare: near-exact
         assert ests[2048] <= exact * 1.05
+
+
+class TestIntervalUnionLength:
+    def test_overlap_nesting_and_gaps(self, spark):
+        import datetime as dt
+        from data_and_analytics_etl_spark.operators.timeseries import (
+            interval_union_length)
+        t0 = dt.datetime(2024, 1, 1)
+
+        def iv(lo_min, hi_min):
+            return ("k", t0 + dt.timedelta(minutes=lo_min),
+                    t0 + dt.timedelta(minutes=hi_min))
+
+        # [0,10) ∪ [5,12) ∪ [11,20) chain -> one island [0,20)
+        # [30,40) nested [32,35) -> island [30,40)
+        # [50,50) zero-length joins nothing -> its own island, length 0
+        df = spark.createDataFrame(
+            [iv(0, 10), iv(5, 12), iv(11, 20), iv(30, 40), iv(32, 35),
+             iv(50, 50)],
+            ["k", "s", "e"])
+        r = interval_union_length(df, "k", "s", "e").collect()[0]
+        assert r.n_islands == 3
+        assert r.covered_us == (20 + 10 + 0) * 60 * 1_000_000
+
+    def test_disjoint_keys_independent(self, spark):
+        import datetime as dt
+        from data_and_analytics_etl_spark.operators.timeseries import (
+            interval_union_length)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("a", t0, t0 + dt.timedelta(minutes=5)),
+                ("b", t0, t0 + dt.timedelta(minutes=7))]
+        df = spark.createDataFrame(rows, ["k", "s", "e"])
+        out = {r.k: (r.covered_us, r.n_islands)
+               for r in interval_union_length(df, "k", "s", "e").collect()}
+        assert out == {"a": (5 * 60 * 1_000_000, 1),
+                       "b": (7 * 60 * 1_000_000, 1)}
