@@ -307,3 +307,71 @@ def stream_sketch_to_table(stream_df: DataFrame, key_col: str, path: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def stateful_user_stats_tws(df: DataFrame) -> DataFrame:
+    """The :func:`stateful_user_stats` semantics on Spark 4's
+    transformWithState API (StatefulProcessor + typed ValueState) —
+    the successor surface to applyInPandasWithState, kept as a twin so
+    both arbitrary-state APIs stay covered.
+
+    Runtime gate: transformWithState's Python worker speaks a protobuf
+    protocol to the JVM state server, so executing the stream needs the
+    public ``protobuf`` package (absent in this container — the
+    equivalence test skips itself when the import fails, the same
+    optional-dependency contract as the Pillow JPEG path). The
+    applyInPandasWithState twin above is the dependency-free portable
+    path and carries the driver-verified evidence.
+
+    Same contract: per-user running (count, integer-cent sum,
+    first/last event id by timestamp) across micro-batches, emitted in
+    update mode; cent accumulation makes the fold exact and
+    batch-order-independent, so the completed stream equals the batch
+    aggregate bit-for-bit. State is one fixed-width row per key —
+    bounded by keys, not stream length.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("agg", StructType([
+                StructField("n", LongType(), True),
+                StructField("s_cents", LongType(), True),
+                StructField("first_e", LongType(), True),
+                StructField("last_e", LongType(), True)]))
+
+        def handleInputRows(self, key, rows, timerValues):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            import pandas as pd
+            if self._state.exists():
+                n, s_cents, first_e, last_e = self._state.get()
+            else:
+                n, s_cents, first_e, last_e = 0, 0, None, None
+            cent = Decimal("0.01")
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                n += len(pdf)
+                s_cents += sum(
+                    int(Decimal(str(v)).quantize(cent, ROUND_HALF_UP)
+                        .scaleb(2))
+                    for v in pdf["value"])
+                if len(pdf):
+                    if first_e is None:
+                        first_e = int(pdf["event_id"].iloc[0])
+                    last_e = int(pdf["event_id"].iloc[-1])
+            self._state.update((n, s_cents, first_e, last_e))
+            yield pd.DataFrame([{"user_id": key[0], "n_events": n,
+                                 "sum_value": s_cents / 100.0,
+                                 "first_event": first_e,
+                                 "last_event": last_e}])
+
+        def close(self) -> None:
+            pass
+
+    return (df.groupBy("user_id")
+            .transformWithStateInPandas(statefulProcessor=_UserStats(),
+                                        outputStructType=_STATE_OUTPUT,
+                                        outputMode="Update",
+                                        timeMode="None"))

@@ -322,3 +322,29 @@ class TestStreamSketchSink:
                 for r in cms_build(df, "key", depth=2,
                                    width=256).collect()}
         assert got == want
+
+
+class TestTransformWithStateTwin:
+    def test_tws_equals_batch_aggregate_or_skips(self, spark, sf_dir):
+        """transformWithState twin == batch aggregate — runnable only
+        where protobuf (Spark's TWS worker protocol) is installed; the
+        operator itself must always construct."""
+        import pytest
+
+        from data_and_analytics_etl_spark.streaming.ops import (
+            events_stream, run_stream_to_table, stateful_user_stats_tws)
+        stream = stateful_user_stats_tws(events_stream(spark, sf_dir))
+        assert stream.isStreaming  # construction is dependency-free
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState worker protocol needs protobuf")
+        out = run_stream_to_table(stream, output_mode="update")
+        got = {r.user_id: (r.n_events, r.sum_value)
+               for r in out.collect()}
+        ev = load_table(spark, sf_dir, "events")
+        want = {r.user_id: (r.n, r.s) for r in
+                ev.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double").alias("s")).collect()}
+        assert got == want
