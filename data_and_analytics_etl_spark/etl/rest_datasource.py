@@ -35,6 +35,7 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceWriter, InputPartition,
+                                    SimpleDataSourceStreamReader,
                                     WriterCommitMessage)
 from pyspark.sql.types import StructType
 
@@ -273,6 +274,78 @@ class RestWriter(DataSourceWriter):
               "dedup downstream)")
 
 
+class RestStreamReader(SimpleDataSourceStreamReader):
+    """The incremental pull as a STREAMING source: each micro-batch
+    drains at most ``rows_per_batch`` new records past the stream's
+    committed offset — `spark.readStream.format("rest")`.
+
+    This is the reference's checkpointed poll loop
+    (CommCareAPIHandler.py:87-112: read checkpoint → pull window →
+    write → commit checkpoint) mapped onto Structured Streaming's
+    native offset contract, where it belongs: the engine's streaming
+    checkpoint IS the manifest (exactly-once offset commit, crash
+    replay via ``readBetweenOffsets``), the trigger is the schedule,
+    and every downstream operator (watermarked windows, dedup, the
+    foreachBatch MERGE sink) composes with it for free.
+
+    Offsets are keyset positions (``{"pos": next_unread_id}``), so
+    replay of a committed range is deterministic: ``readBetweenOffsets``
+    re-pulls [start, end) with the same transport the forward path
+    uses. The optional ``end`` bound makes availableNow runs finite
+    (an unbounded feed simply keeps returning the same offset when no
+    new data is available).
+    """
+
+    def __init__(self, options: dict):
+        self.start = int(options.get("start", 0))
+        self.end = int(options["end"]) if "end" in options else None
+        self.rows_per_batch = int(options.get("rows_per_batch", 1000))
+        self.limit = int(options.get("limit", 200))
+        self.transport_spec = options.get("transport", "synthetic")
+        self.http_cfg = {k[5:]: v for k, v in options.items()
+                         if k.startswith("http.")}
+        self._transport = None
+
+    def _t(self):
+        if self._transport is None:
+            self._transport = resolve_transport(self.transport_spec,
+                                                self.http_cfg)
+        return self._transport
+
+    def initialOffset(self) -> dict:
+        return {"pos": self.start}
+
+    def _pull(self, lo: int, hi: int) -> list[tuple]:
+        rows: list[tuple] = []
+        cursor = None
+        while True:
+            envelope = self._t()({"lo": lo, "hi": hi,
+                                  "limit": self.limit, "cursor": cursor})
+            rows.extend((obj["id"], obj["k"])
+                        for obj in envelope.get("objects", []))
+            cursor = (envelope.get("meta") or {}).get("next") or None
+            if not cursor:
+                return rows
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = int(start["pos"])
+        hi = lo + self.rows_per_batch
+        if self.end is not None:
+            hi = min(hi, self.end)
+        if hi <= lo:
+            return iter([]), {"pos": lo}
+        rows = self._pull(lo, hi)
+        # keyset contract: next offset = one past the highest pulled id,
+        # or the probed bound when the window came back empty
+        nxt = max((r[0] for r in rows), default=hi - 1) + 1
+        return iter(rows), {"pos": nxt}
+
+    def readBetweenOffsets(self, start: dict,
+                           end: dict) -> Iterator[tuple]:
+        # deterministic crash replay of a committed range
+        return iter(self._pull(int(start["pos"]), int(end["pos"])))
+
+
 class RestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -286,6 +359,9 @@ class RestDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> RestWriter:
         return RestWriter(dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> RestStreamReader:
+        return RestStreamReader(dict(self.options))
 
 
 def register(spark) -> None:

@@ -463,3 +463,33 @@ def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("decimal(18,2)"))
                  .cast("double").alias("sum_value"))
             .orderBy("user_id"))
+
+
+@query(
+    "rest_stream_scan",
+    oracle="""
+SELECT CAST(r.range AS BIGINT) AS id,
+       CAST(r.range * 31 % 97 AS BIGINT) AS k
+FROM range(0, 2000) r ORDER BY id
+""",
+    tags=("etl", "source", "streaming"),
+    doc="Streaming REST source (etl/rest_datasource.py:RestStreamReader "
+        "— spark.readStream.format('rest')): the reference's "
+        "checkpointed poll loop mapped onto Structured Streaming's "
+        "offset contract, where the engine checkpoint IS the manifest "
+        "(exactly-once offset commit, deterministic replay via "
+        "readBetweenOffsets). The probe drains a bounded synthetic "
+        "feed with availableNow and must reproduce the generator "
+        "formula exactly; multi-batch drain, offset resume, and "
+        "exactly-once delivery are pinned in "
+        "tests/test_streaming.py::TestRestStreamSource.",
+)
+def rest_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..etl.rest_datasource import register
+    from ..streaming.ops import run_stream_to_table
+    register(spark)
+    stream = (spark.readStream.format("rest")
+              .option("transport", "synthetic")
+              .option("start", 0).option("end", 2000)
+              .option("rows_per_batch", 2000).load())
+    return run_stream_to_table(stream).orderBy("id")

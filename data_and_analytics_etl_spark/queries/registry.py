@@ -102,7 +102,10 @@ ROUND_TIERS: dict[str, int] = {
     # (text_tfidf demoted to the pool: the action-free rewrite cannot
     # change values — plan construction only — and is pinned by the
     # construction-purity pytest + the full local sweep)
-    "vocab_build": 20,                  # ensure_fanout_parallelism rewrite
+    # (vocab_build demoted to the pool late-round: the fan-out guard
+    # is a result-invariant repartition, its whole consumer family is
+    # FULLVERIFY-green, and the slot buys the brand-new streaming REST
+    # source its first driver row)
     # (text_bigram_logprob demoted to the pool: its changed machinery —
     # the fan-out guard + bigram counting — is re-verified in-window by
     # vocab_build)
@@ -151,6 +154,7 @@ ROUND_TIERS: dict[str, int] = {
     "group_linear_regression": 30,      # exact-sums OLS / regr_* family
     "privacy_k_anonymity": 30,          # equivalence-class audit
     "sketch_cms_estimate": 30,          # oracle-exact count-min sketch
+    "rest_stream_scan": 30,             # streaming REST source drain
 }
 
 

@@ -31,7 +31,6 @@ MUST_BE_IN_WINDOW = {
     # shingle/token consumer), adaptive-limit persistence, checkpoint
     # merge-on-commit
     "categorical_entropy_profile", "multimodal_decode",
-    "vocab_build",
     "rest_datasource_scan", "etl_incremental_overlap_dedup",
     # new operators in r6, never driver-verified (tier C, priority 30)
     "etl_merge_partitioned",
@@ -54,7 +53,7 @@ MUST_BE_IN_WINDOW = {
     # k-anonymity
     "q20_excess_stock", "text_gopher_rules", "window_distinct_running",
     "timeseries_ewma", "group_linear_regression", "privacy_k_anonymity",
-    "sketch_cms_estimate",
+    "sketch_cms_estimate", "rest_stream_scan",
 }
 
 
