@@ -285,3 +285,104 @@ def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
                     "event_type", "distinct_types_so_far")
             .orderBy("user_id", "ts", "event_id"))
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS DECIMAL(38,0)) AS rev_c
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       CAST(rev_c AS DOUBLE) / 100 AS revenue,
+       CAST(rev_c AS DOUBLE)
+         / CAST(sum(rev_c) OVER (PARTITION BY region) AS DOUBLE)
+         AS share_of_region
+FROM rev
+ORDER BY region, nation
+""",
+    tags=("window", "agg"),
+    doc="Ratio-to-report: each nation's share of its region's revenue "
+        "— the contribution-analysis window (RATIO_TO_REPORT in "
+        "warehouse SQL). Revenue aggregates as exact integer cents "
+        "(decimal partials), the region total is ONE windowed sum over "
+        "the already-aggregated nation table (25 rows per region, "
+        "never the fact table), and the share is a single double "
+        "division of two exact decimals — bit-stable cross-engine. "
+        "Plan: one fact shuffle for the aggregate (dims broadcast), "
+        "one tiny window over the rollup.",
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .groupBy(F.col("n_regionkey").alias("region"),
+                    F.col("c_nationkey").alias("nation"))
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")
+                      .cast("decimal(38,0)")).alias("rev_c")))
+    w = Window.partitionBy("region")
+    return (rev.select(
+        "region", "nation",
+        (F.col("rev_c").cast("double") / 100).alias("revenue"),
+        (F.col("rev_c").cast("double")
+         / F.sum("rev_c").over(w).cast("double"))
+        .alias("share_of_region"))
+        .orderBy("region", "nation"))
+
+
+@query(
+    "timeseries_pct_change",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2)))
+              AS DECIMAL(38,2)) AS total
+  FROM events WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
+  GROUP BY 1, 2
+), shifted AS (
+  SELECT event_type, day, total,
+         lag(total) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM daily
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(total AS DOUBLE) AS total,
+       CASE WHEN prev IS NOT NULL AND prev <> 0
+            THEN (CAST(total AS DOUBLE) - CAST(prev AS DOUBLE))
+                 / CAST(prev AS DOUBLE) END AS pct_change
+FROM shifted
+ORDER BY event_type, day
+""",
+    tags=("window", "timeseries"),
+    doc="Period-over-period growth: daily value totals per event type "
+        "with the relative change vs the previous day — the lag-based "
+        "KPI delta every dashboard computes. Totals accumulate as "
+        "exact decimals; the change is a fixed (cur − prev)/prev "
+        "double chain over two exact values, NULL for the first day "
+        "and zero-denominator days. One shuffle for the daily rollup; "
+        "the lag window runs over the aggregated (type, day) table.",
+)
+def timeseries_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-02-01 00:00:00").cast("timestamp"))
+    daily = (ev.groupBy("event_type",
+                        F.col("ts").cast("date").alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("decimal(38,2)").alias("total")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total").over(w)
+    return (daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("total").cast("double").alias("total"),
+        F.when(prev.isNotNull() & (prev != 0),
+               (F.col("total").cast("double") - prev.cast("double"))
+               / prev.cast("double")).alias("pct_change"))
+        .orderBy("event_type", "day"))
