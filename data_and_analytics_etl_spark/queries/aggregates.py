@@ -351,3 +351,43 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.round(F.median("o_totalprice"), 4).alias("exact_med"))
          .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY n DESC, o_orderpriority) AS rk
+  FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+FROM ranked WHERE rk = 1
+ORDER BY o_orderstatus
+""",
+    tags=("agg",),
+    doc="Statistical mode per group: the most frequent order priority "
+        "per status, with an EXPLICIT (count desc, value asc) "
+        "tie-break — mode()/max_by() builtins leave ties "
+        "engine-defined, which is exactly the nondeterminism the "
+        "probe contract bans, so the engine derives the mode from a "
+        "ranked count rollup instead. Two shuffles, both over "
+        "aggregated rows (statuses × priorities, then statuses).",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    counts = (o.groupBy("o_orderstatus", "o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("o_orderstatus")
+         .orderBy(F.desc("n"), F.asc("o_orderpriority")))
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("o_orderstatus",
+                    F.col("o_orderpriority").alias("mode_priority"),
+                    F.col("n").alias("mode_count"))
+            .orderBy("o_orderstatus"))

@@ -375,3 +375,49 @@ def stateful_user_stats_tws(df: DataFrame) -> DataFrame:
                                         outputStructType=_STATE_OUTPUT,
                                         outputMode="Update",
                                         timeMode="None"))
+
+
+def stream_quality_gate(stream_df: DataFrame, checks: dict,
+                        good_path: str, quarantine_path: str,
+                        checkpoint_dir: str):
+    """Per-micro-batch data-quality gate: rows satisfying every check
+    land in ``good_path``, violators land in ``quarantine_path`` with a
+    ``__violated`` column naming the failed checks — the streaming
+    composition of the batch constraint validator
+    (operators/profile.py:check_constraints / quarantine_violations).
+
+    ``checks``: {name: boolean Column} (NULL counts as a violation, the
+    Deequ convention). Both sinks are plain appends inside ONE
+    foreachBatch body, so a batch is split exactly once — the predicate
+    evaluates per row in codegen, no second scan of the micro-batch
+    (the batch frame is persisted for the two writes and released
+    after). At-least-once under retries like any foreachBatch file
+    sink; idempotent readers dedup on their keys downstream.
+
+    Returns the started StreamingQuery (availableNow).
+    """
+    names = list(checks)
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        violated = F.array_compact(F.array(*[
+            F.when(~F.coalesce(c, F.lit(False)), F.lit(n))
+            for n, c in checks.items()]))
+        tagged = batch_df.withColumn("__violated", violated).persist()
+        try:
+            (tagged.filter(F.size("__violated") == 0)
+             .drop("__violated")
+             .write.mode("append").parquet(good_path))
+            bad = tagged.filter(F.size("__violated") > 0)
+            (bad.withColumn("__violated",
+                            F.array_join("__violated", ","))
+             .write.mode("append").parquet(quarantine_path))
+        finally:
+            tagged.unpersist()
+
+    return (stream_df.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
