@@ -196,3 +196,75 @@ class TestSessionizeVsPythonReference:
                 want[i] = sid
                 prev = sec
         assert got == want
+
+
+class TestIntervalUnionVsPythonReference:
+    """interval_union_length vs a zero-shared-code Python sweep on
+    generated interval sets — overlap/nesting/duplicates/zero-length
+    arise naturally from the generator."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 2),       # key
+                              st.integers(0, 500),     # start (s)
+                              st.integers(0, 120),     # duration (s)
+                              ), min_size=1, max_size=40))
+    def test_coverage_matches_direct_sweep(self, raw):
+        import datetime as dt
+
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            interval_union_length
+        from data_and_analytics_etl_spark.session import get_spark
+        spark = get_spark("daa-etl-spark-tests")
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(k, t0 + dt.timedelta(seconds=s),
+                 t0 + dt.timedelta(seconds=s + d)) for k, s, d in raw]
+        df = spark.createDataFrame(rows, ["k", "s", "e"])
+        got = {r.k: (r.covered_us, r.n_islands) for r in
+               interval_union_length(df, "k", "s", "e").collect()}
+        want = {}
+        by_key = {}
+        for k, s, d in raw:
+            by_key.setdefault(k, []).append((s, s + d))
+        for k, ivs in by_key.items():
+            covered = islands = 0
+            cur_lo = cur_hi = None
+            for s, e in sorted(ivs):
+                if cur_hi is None or s > cur_hi:
+                    if cur_hi is not None:
+                        covered += cur_hi - cur_lo
+                    cur_lo, cur_hi = s, e
+                    islands += 1
+                else:
+                    cur_hi = max(cur_hi, e)
+            covered += cur_hi - cur_lo
+            want[k] = (covered * 1_000_000, islands)
+        assert got == want
+
+
+class TestAviRoundTrip:
+    """AVI parse/stats vs direct computation on generated frame
+    stacks — the container walk and the luminance math must agree with
+    a from-scratch reference for arbitrary pixel content."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.lists(st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255),
+                  st.integers(0, 255)),
+        min_size=3, max_size=3), min_size=2, max_size=2),
+        min_size=1, max_size=4))
+    def test_parse_and_luma_match_reference(self, frames):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            _avi_frame_luma, _avi_parse)
+        from tests.test_llmdata import _make_avi
+        payload = _make_avi(frames, width=3, height=2)
+        w, h, usec, offs = _avi_parse(payload)
+        assert (w, h, usec) == (3, 2, 40000)
+        assert len(offs) == len(frames)
+        for fr, (lo, _size) in zip(frames, offs):
+            mean, rms, n = _avi_frame_luma(payload, lo, w, h)
+            lumas = [0.299 * r + 0.587 * g + 0.114 * b
+                     for row in fr for (r, g, b) in row]
+            assert n == 6
+            assert abs(mean - sum(lumas) / 6) < 1e-9
+            assert abs(rms - (sum(y * y for y in lumas) / 6) ** 0.5) \
+                < 1e-9
