@@ -96,3 +96,50 @@ def compact(spark, path: str, fmt: str = "parquet",
     _os.rename(tmp, path)
     _shutil.rmtree(old)
     return before, count_files(path)
+
+
+def vacuum_partitions(path: str, older_than, fmt: str = "parquet",
+                      ) -> list[str]:
+    """Retention enforcement on the hourly layout: delete every
+    ``year=/month=/day=/hour=`` partition directory strictly OLDER than
+    ``older_than`` (a datetime), returning the removed relative paths.
+
+    Pure partition-path arithmetic — no data is scanned or read, so
+    vacuuming a 100 TB table costs a directory listing: the hour each
+    directory holds is reconstructed from its Hive path segments and
+    compared to the cutoff truncated to the hour (a partition whose
+    hour CONTAINS the cutoff survives; only strictly-earlier hours
+    drop, the half-open convention every retention policy wants).
+    Irreversible by design — callers gate it like any DDL. Empty
+    parent day/month/year directories left behind are pruned too, so
+    listings stay bounded by live data.
+    """
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    cutoff = older_than.replace(minute=0, second=0, microsecond=0)
+    pat = _re.compile(
+        r"year=(\d+)/month=(\d+)/day=(\d+)/hour=(\d+)$")
+    removed: list[str] = []
+    for root, dirs, _files in _os.walk(path):
+        rel = _os.path.relpath(root, path)
+        m = pat.search(rel.replace(_os.sep, "/"))
+        if not m:
+            continue
+        dirs.clear()  # don't descend into a partition's data files
+        import datetime as _dt
+        y, mo, d, h = map(int, m.groups())
+        if _dt.datetime(y, mo, d, h) < cutoff:
+            _shutil.rmtree(root)
+            removed.append(rel)
+    # prune empty ancestors (day/month/year dirs whose hours all fell);
+    # listdir at visit time, not the walk snapshot — bottom-up rmdirs
+    # empty parents the snapshot still showed as occupied
+    for root, _dirs, _files in list(_os.walk(path, topdown=False)):
+        if root != path and not _os.listdir(root):
+            try:
+                _os.rmdir(root)
+            except OSError:
+                pass
+    return sorted(removed)

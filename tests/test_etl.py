@@ -361,3 +361,47 @@ class TestMergePartitioned:
         assert stats == {"affected_partitions": 0, "rewritten": 0,
                          "purged": 0}
         assert self._snapshot(dest) == before
+
+
+class TestVacuumPartitions:
+    def test_drops_only_strictly_older_hours(self, spark, tmp_path):
+        import datetime as dt
+
+        from data_and_analytics_etl_spark.etl.sink import (
+            read_partitioned, vacuum_partitions, write_partitioned)
+        base = dt.datetime(2024, 3, 1, 0, 0, 0)
+        rows = [(i, base + dt.timedelta(hours=i), float(i))
+                for i in range(6)]
+        df = spark.createDataFrame(rows, ["id", "ts", "v"])
+        dest = str(tmp_path / "t")
+        write_partitioned(df, dest, "ts")
+        # cutoff inside hour 3: hours 0-2 drop, hour 3 (contains the
+        # cutoff) and later survive
+        removed = vacuum_partitions(
+            dest, base + dt.timedelta(hours=3, minutes=30))
+        assert len(removed) == 3
+        assert all("hour=" in r for r in removed)
+        back = read_partitioned(spark, dest)
+        assert sorted(r.id for r in back.collect()) == [3, 4, 5]
+        # idempotent: nothing older remains
+        assert vacuum_partitions(
+            dest, base + dt.timedelta(hours=3, minutes=30)) == []
+
+    def test_prunes_emptied_parent_dirs(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from data_and_analytics_etl_spark.etl.sink import (
+            vacuum_partitions, write_partitioned)
+        d1 = dt.datetime(2024, 1, 15, 5)
+        d2 = dt.datetime(2024, 2, 20, 7)
+        df = spark.createDataFrame(
+            [(1, d1, 1.0), (2, d2, 2.0)], ["id", "ts", "v"])
+        dest = str(tmp_path / "t")
+        write_partitioned(df, dest, "ts")
+        vacuum_partitions(dest, dt.datetime(2024, 2, 1))
+        # January's whole year=2024/month=1 subtree is gone, not just
+        # its hour leaf
+        assert not any("month=1" in root and "month=12" not in root
+                       for root, _, _ in os.walk(dest))
+        assert any("month=2" in root for root, _, _ in os.walk(dest))
