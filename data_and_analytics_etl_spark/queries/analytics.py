@@ -1519,3 +1519,131 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("e")))
     return (interval_union_length(ev, "user_id", "s", "e")
             .orderBy("user_id"))
+
+
+@query(
+    "analytics_capstone_funnel_retention",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+), s AS (
+  SELECT user_id, session_id, ts, event_type FROM (
+    SELECT *, CAST(sum(CASE WHEN prev_us IS NULL
+                             OR us - prev_us > 1800000000
+                            THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS session_id
+    FROM e)
+), sess AS (
+  SELECT user_id, session_id, min(ts) AS session_start
+  FROM s GROUP BY 1, 2
+), g1 AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM s GROUP BY 1, 2
+), g2 AS (
+  SELECT s.user_id, s.session_id,
+         min(CASE WHEN s.event_type = 'click' AND s.ts > g1.t1
+                  THEN s.ts END) AS t2
+  FROM s JOIN g1 ON s.user_id = g1.user_id
+               AND s.session_id = g1.session_id
+  GROUP BY 1, 2
+), g3 AS (
+  SELECT s.user_id, s.session_id,
+         min(CASE WHEN s.event_type = 'purchase' AND s.ts > g2.t2
+                  THEN s.ts END) AS t3
+  FROM s JOIN g2 ON s.user_id = g2.user_id
+               AND s.session_id = g2.session_id
+  GROUP BY 1, 2
+), sx AS (
+  SELECT sess.user_id, sess.session_start,
+         g3.t3 IS NOT NULL AS converted
+  FROM sess JOIN g3 ON sess.user_id = g3.user_id
+                   AND sess.session_id = g3.session_id
+), coh AS (
+  SELECT user_id, date_trunc('week', min(session_start)) AS cohort_week
+  FROM sx GROUP BY 1
+), j AS (
+  SELECT sx.user_id, sx.converted, coh.cohort_week,
+         CAST((epoch_us(date_trunc('week', sx.session_start))
+               - epoch_us(coh.cohort_week)) / 604800000000 AS BIGINT)
+           AS off
+  FROM sx JOIN coh ON sx.user_id = coh.user_id
+), cs AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM coh GROUP BY 1
+)
+SELECT strftime(j.cohort_week, '%Y-%m-%d') AS cohort_week,
+       j.off AS week_offset,
+       cs.cohort_size,
+       count(DISTINCT j.user_id) AS active_users,
+       count(*) AS n_sessions,
+       CAST(sum(CASE WHEN j.converted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       CAST(count(DISTINCT j.user_id) AS DOUBLE) / cs.cohort_size
+         AS retention_rate
+FROM j JOIN cs ON j.cohort_week = cs.cohort_week
+GROUP BY 1, 2, 3 ORDER BY 1, 2
+""",
+    tags=("analytics", "capstone"),
+    doc="Event-analytics capstone: sessionize (30-min gap) -> in-"
+        "session ordered funnel (view -> click -> purchase, strictly "
+        "increasing timestamps) -> weekly acquisition cohorts -> "
+        "a full retention MATRIX (per cohort x week offset: actives, "
+        "sessions, conversions, retention rate) — "
+        "the product-analytics daily composed as ONE lazy plan from "
+        "four existing operators (sessionize.py, funnel.py, cohort "
+        "week-offset arithmetic), whole-chain oracle like the "
+        "curation and entity-resolution capstones: the hash match "
+        "proves stage COMPOSITION. Shuffle ledger: one (user) "
+        "exchange shared by sessionization's windows, one (session "
+        "key) exchange for the funnel windows + session rollup, two "
+        "tiny aggregates over per-user/per-session rows for cohorts "
+        "and the final cohort-week rollup. Week offsets are exact "
+        "integer-microsecond arithmetic between Monday-truncated "
+        "timestamps (both engines truncate weeks to Monday under "
+        "UTC).",
+)
+def analytics_capstone_funnel_retention(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_stages
+    from ..operators.sessionize import sessionize
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                   tie_break=("event_id",))
+    s = s.withColumn("skey", F.concat_ws("#", "user_id", "session_id"))
+    fun = (funnel_stages(s, "skey", "ts", "event_type",
+                         ["view", "click", "purchase"])
+           .select("skey", F.col("t3").isNotNull().alias("converted")))
+    sess = (s.groupBy("user_id", "session_id", "skey")
+            .agg(F.min("ts").alias("session_start")))
+    sess = (sess.join(fun, "skey", "left")
+            .select("user_id", "session_start",
+                    F.coalesce(F.col("converted"), F.lit(False))
+                    .alias("converted")))
+    coh = (sess.groupBy("user_id")
+           .agg(F.date_trunc("week", F.min("session_start"))
+                .alias("cohort_week")))
+    week_us = F.unix_micros(F.date_trunc("week", F.col("session_start")))
+    off = ((week_us - F.unix_micros(F.col("cohort_week")))
+           / F.lit(604_800_000_000)).cast("long")
+    j = sess.join(coh, "user_id").withColumn("off", off)
+    cs = (coh.groupBy("cohort_week")
+          .agg(F.count(F.lit(1)).alias("cohort_size")))
+    return (j.groupBy("cohort_week", "off")
+            .agg(F.countDistinct("user_id").alias("active_users"),
+                 F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum(F.col("converted").cast("long"))
+                 .alias("n_converted"))
+            .join(F.broadcast(cs), "cohort_week")
+            .select(F.date_format("cohort_week", "yyyy-MM-dd")
+                    .alias("cohort_week"),
+                    F.col("off").alias("week_offset"),
+                    "cohort_size", "active_users", "n_sessions",
+                    "n_converted",
+                    (F.col("active_users").cast("double")
+                     / F.col("cohort_size")).alias("retention_rate"))
+            .orderBy("cohort_week", "week_offset"))
