@@ -1580,3 +1580,123 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("min_doc"),
                  F.max("doc_id").alias("max_doc"))
             .orderBy("source"))
+
+
+@query(
+    "eval_classification_report",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks,
+         CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS cjk_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id, cjk_ratio,
+    len(list_filter(toks, x -> list_contains(__EN__, x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(__ES__, x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(__DE__, x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(__FR__, x))) AS s_fr
+  FROM t
+), pred AS (
+  SELECT doc_id,
+    CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+         WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         WHEN s_de >= s_fr THEN 'de'
+         ELSE 'fr' END AS pred
+  FROM scored
+), pairs AS (
+  SELECT d.lang AS truth, p.pred, count(*) AS n
+  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2
+), sup AS (
+  SELECT truth AS cls, CAST(sum(n) AS BIGINT) AS support
+  FROM pairs GROUP BY 1
+), prd AS (
+  SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS predicted
+  FROM pairs GROUP BY 1
+), diag AS (
+  SELECT truth AS cls, CAST(n AS BIGINT) AS tp
+  FROM pairs WHERE truth = pred
+), rep AS (
+  SELECT sup.cls, sup.support,
+         CAST(coalesce(diag.tp, 0) AS BIGINT) AS tp,
+         CASE WHEN prd.predicted > 0
+              THEN CAST(coalesce(diag.tp, 0) AS DOUBLE) / prd.predicted
+         END AS precision,
+         CAST(coalesce(diag.tp, 0) AS DOUBLE) / sup.support AS recall
+  FROM sup LEFT JOIN prd ON sup.cls = prd.cls
+           LEFT JOIN diag ON sup.cls = diag.cls
+)
+SELECT cls, support, tp, precision, recall,
+       CASE WHEN precision + recall > 0
+            THEN 2 * precision * recall / (precision + recall)
+       END AS f1
+FROM rep ORDER BY cls
+""".replace("__EN__", _sql_list(LANG_MARKERS["en"]))
+   .replace("__ES__", _sql_list(LANG_MARKERS["es"]))
+   .replace("__DE__", _sql_list(LANG_MARKERS["de"]))
+   .replace("__FR__", _sql_list(LANG_MARKERS["fr"])),
+    tags=("llm", "eval"),
+    doc="Classifier evaluation harness (operators/evaluation.py:"
+        "classification_report): per-class support/tp/precision/recall/"
+        "F1 of the heuristic lang-id against the corpus's ground-truth "
+        "lang column. The data-sized work is ONE confusion-matrix hash "
+        "agg (persisted); marginals re-aggregate the classes²-row "
+        "frame. NULL-honest: a never-predicted class has NULL "
+        "precision (0/0), one predicted only incorrectly has 0.0. "
+        "Every ratio is one double division of exact longs.",
+)
+def eval_classification_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import classification_report
+    d = load_table(spark, sf_dir, "documents")
+    return (classification_report(d, F.col("lang"),
+                                  lang_id(F.col("text")))
+            .orderBy("cls"))
+
+
+@query(
+    "eval_binary_auc",
+    oracle="""
+WITH d AS (
+  SELECT CAST(label % 2 AS INTEGER) AS y,
+         CAST(embedding[1] AS DOUBLE) AS s
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding[1] IS NOT NULL
+), per_s AS (
+  SELECT s, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+  FROM d GROUP BY 1
+), w AS (
+  SELECT s, c, p,
+         coalesce(sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM per_s
+), agg AS (
+  SELECT CAST(sum(p * (2 * below + c + 1)) AS BIGINT) AS rsum2,
+         CAST(sum(p) AS BIGINT) AS np,
+         CAST(sum(c) - sum(p) AS BIGINT) AS nn
+  FROM w
+)
+SELECT np AS n_pos, nn AS n_neg,
+       CASE WHEN np > 0 AND nn > 0
+            THEN CAST(rsum2 - np * (np + 1) AS DOUBLE) / 2
+                 / CAST(np * nn AS DOUBLE)
+       END AS auc
+FROM agg
+""",
+    tags=("llm", "eval"),
+    doc="Exact ROC-AUC (operators/evaluation.py:binary_auc) of the "
+        "first embedding component as a scorer for the odd-label "
+        "class — Mann-Whitney rank-sum with tie-averaged ranks in "
+        "DOUBLED-integer arithmetic, one final double division. The "
+        "running window scans the per-DISTINCT-score table (the "
+        "drift_ks bucketed-prefix-sum rule), never raw rows, so the "
+        "single ordered pass is score-cardinality-bounded at 100 TB.",
+)
+def eval_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import binary_auc
+    e = load_table(spark, sf_dir, "embeddings")
+    return binary_auc(
+        e, (F.col("label") % 2),
+        F.element_at("embedding", 1).cast("double"))

@@ -879,3 +879,61 @@ class TestIntervalUnionLength:
                for r in interval_union_length(df, "k", "s", "e").collect()}
         assert out == {"a": (5 * 60 * 1_000_000, 1),
                        "b": (7 * 60 * 1_000_000, 1)}
+
+
+class TestEvaluation:
+    def test_classification_report_null_honesty(self, spark):
+        from data_and_analytics_etl_spark.operators.evaluation import (
+            classification_report)
+        # truth a: 2 right, 1 wrong->b; truth b: never predicted right,
+        # predicted only via a's mistake; truth c: never predicted AT ALL
+        rows = [("a", "a"), ("a", "a"), ("a", "b"),
+                ("b", "b"), ("b", "a"),
+                ("c", "a")]
+        df = spark.createDataFrame(rows, ["t", "p"])
+        rep = {r.cls: r for r in classification_report(
+            df, F.col("t"), F.col("p")).collect()}
+        assert rep["a"].support == 3 and rep["a"].tp == 2
+        assert abs(rep["a"].precision - 2 / 4) < 1e-12  # a predicted 4x
+        assert abs(rep["a"].recall - 2 / 3) < 1e-12
+        assert rep["b"].tp == 1 and abs(rep["b"].precision - 1 / 2) < 1e-12
+        # c: never predicted -> precision NULL, recall 0, f1 NULL
+        assert rep["c"].precision is None
+        assert rep["c"].recall == 0.0 and rep["c"].f1 is None
+
+    def test_auc_matches_sklearn_style_reference(self, spark):
+        import random
+
+        from data_and_analytics_etl_spark.operators.evaluation import (
+            binary_auc)
+        rng = random.Random(7)
+        # ties included: scores quantized to one decimal
+        rows = [(rng.randint(0, 1), round(rng.random(), 1))
+                for _ in range(400)]
+        df = spark.createDataFrame(rows, ["y", "s"])
+        got = binary_auc(df, F.col("y"), F.col("s")).collect()[0]
+        # direct reference: P(s+ > s-) + 0.5 P(s+ == s-)
+        pos = [s for y, s in rows if y == 1]
+        neg = [s for y, s in rows if y == 0]
+        num = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+        assert got.n_pos == len(pos) and got.n_neg == len(neg)
+        assert abs(got.auc - num / (len(pos) * len(neg))) < 1e-12
+
+    def test_auc_degenerate_single_class_is_null(self, spark):
+        from data_and_analytics_etl_spark.operators.evaluation import (
+            binary_auc)
+        df = spark.createDataFrame([(1, 0.5), (1, 0.7)], ["y", "s"])
+        assert binary_auc(df, F.col("y"), F.col("s")).collect()[0].auc \
+            is None
+
+    def test_perfect_and_inverted_rankings(self, spark):
+        from data_and_analytics_etl_spark.operators.evaluation import (
+            binary_auc)
+        rows = [(1, float(10 + i)) for i in range(5)] + \
+               [(0, float(i)) for i in range(5)]
+        df = spark.createDataFrame(rows, ["y", "s"])
+        assert binary_auc(df, F.col("y"), F.col("s")).collect()[0].auc \
+            == 1.0
+        inv = df.withColumn("s", -F.col("s"))
+        assert binary_auc(inv, F.col("y"), F.col("s")).collect()[0].auc \
+            == 0.0
