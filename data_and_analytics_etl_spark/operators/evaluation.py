@@ -113,3 +113,47 @@ def binary_auc(df: DataFrame, label: Column, score: Column) -> DataFrame:
     return agg.select(F.col("np").cast("long").alias("n_pos"),
                       F.col("nn").cast("long").alias("n_neg"),
                       auc.alias("auc"))
+
+
+def calibration_lift(df: DataFrame, label: Column, score: Column,
+                     n_buckets: int = 10, lo: float = 0.0,
+                     hi: float = 1.0) -> DataFrame:
+    """Reliability-diagram + gains-table statistics over fixed-width
+    score buckets: per bucket (descending score) the exact count,
+    positive count, positive rate, cumulative capture of all
+    positives, and lift vs the base rate.
+
+    Fixed-width bucketing (not ntile) keeps the bucket id a pure
+    codegen expression — no global sort, the drift_psi histogram rule;
+    the cumulative pass is a running window over the N_BUCKETS-row
+    aggregate. Rates and lift are single double divisions of exact
+    longs, so the whole table oracle-checks. Scores outside [lo, hi]
+    clamp into the edge buckets (scorer overflow must not drop rows).
+    """
+    d = df.select(label.cast("long").alias("y"), score.alias("s")) \
+          .filter(F.col("y").isNotNull() & F.col("s").isNotNull())
+    width = (hi - lo) / n_buckets
+    raw = F.floor((F.col("s") - lo) / width).cast("int")
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+    agg = (d.withColumn("__b", bucket)
+           .groupBy("__b")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("y").alias("n_pos")))
+    w = (Window.orderBy(F.desc("__b"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = agg.agg(F.sum("n").alias("__tn"),
+                  F.sum("n_pos").alias("__tp"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .withColumn("cum_pos", F.sum("n_pos").over(w))
+            .select(F.col("__b").alias("bucket"), "n", "n_pos",
+                    (F.col("n_pos").cast("double") / F.col("n"))
+                    .alias("pos_rate"),
+                    F.col("cum_pos").cast("long").alias("cum_pos"),
+                    F.when(F.col("__tp") > 0,
+                           F.col("cum_pos").cast("double")
+                           / F.col("__tp")).alias("capture"),
+                    F.when(F.col("__tp") > 0,
+                           (F.col("n_pos").cast("double") / F.col("n"))
+                           / (F.col("__tp").cast("double")
+                              / F.col("__tn"))).alias("lift"))
+            .orderBy(F.desc("bucket")))

@@ -1700,3 +1700,54 @@ def eval_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_auc(
         e, (F.col("label") % 2),
         F.element_at("embedding", 1).cast("double"))
+
+
+@query(
+    "eval_calibration_lift",
+    oracle="""
+WITH d AS (
+  SELECT CAST(label % 2 AS BIGINT) AS y,
+         (CAST(embedding[1] AS DOUBLE) + 1) / 2 AS s
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding[1] IS NOT NULL
+), b AS (
+  SELECT least(greatest(CAST(floor((s - 0.0) / 0.1) AS INTEGER), 0), 9)
+           AS bucket,
+         count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+  FROM d GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_pos) AS BIGINT) AS tp
+  FROM b
+), c AS (
+  SELECT b.*, t.tn, t.tp,
+         CAST(sum(n_pos) OVER (ORDER BY bucket DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_pos
+  FROM b, t
+)
+SELECT bucket, n, n_pos,
+       CAST(n_pos AS DOUBLE) / n AS pos_rate,
+       cum_pos,
+       CASE WHEN tp > 0 THEN CAST(cum_pos AS DOUBLE) / tp END AS capture,
+       CASE WHEN tp > 0
+            THEN (CAST(n_pos AS DOUBLE) / n)
+                 / (CAST(tp AS DOUBLE) / tn) END AS lift
+FROM c ORDER BY bucket DESC
+""",
+    tags=("llm", "eval"),
+    doc="Reliability + gains table (operators/evaluation.py:"
+        "calibration_lift): the odd-label scorer's positive rate, "
+        "cumulative capture and lift per fixed-width score decile "
+        "(scores mapped to [0,1] from the first embedding component). "
+        "Bucket ids are pure codegen arithmetic (no global sort, the "
+        "drift_psi histogram rule); the cumulative pass windows over "
+        "the 10-row bucket table; every rate is one double division "
+        "of exact longs — fully oracle-checked.",
+)
+def eval_calibration_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import calibration_lift
+    e = load_table(spark, sf_dir, "embeddings")
+    return calibration_lift(
+        e, (F.col("label") % 2),
+        (F.element_at("embedding", 1).cast("double") + 1) / 2,
+        n_buckets=10)

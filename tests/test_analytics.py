@@ -937,3 +937,21 @@ class TestEvaluation:
         inv = df.withColumn("s", -F.col("s"))
         assert binary_auc(inv, F.col("y"), F.col("s")).collect()[0].auc \
             == 0.0
+
+    def test_calibration_lift_hand_case_and_clamping(self, spark):
+        from data_and_analytics_etl_spark.operators.evaluation import (
+            calibration_lift)
+        # 2 buckets over [0,1): high bucket 3 pos / 4, low 1 pos / 4;
+        # scores 1.7 and -0.3 clamp into the edge buckets
+        rows = [(1, 0.9), (1, 0.8), (1, 1.7), (0, 0.6),
+                (1, 0.1), (0, 0.2), (0, -0.3), (0, 0.4)]
+        df = spark.createDataFrame(rows, ["y", "s"])
+        out = {r.bucket: r for r in calibration_lift(
+            df, F.col("y"), F.col("s"), n_buckets=2).collect()}
+        hi, lo = out[1], out[0]
+        assert (hi.n, hi.n_pos) == (4, 3) and (lo.n, lo.n_pos) == (4, 1)
+        assert abs(hi.pos_rate - 0.75) < 1e-12
+        assert hi.cum_pos == 3 and lo.cum_pos == 4
+        assert abs(hi.capture - 0.75) < 1e-12 and lo.capture == 1.0
+        # base rate 0.5 -> lift of the high bucket = 1.5
+        assert abs(hi.lift - 1.5) < 1e-12
