@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..catalog import load_table
 from ..streaming.ops import (events_stream, run_stream_to_table,
                              session_window_agg, sliding_window_agg,
                              stateful_user_stats, streaming_dedup,
@@ -236,6 +237,81 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_interval_join(views, purchases),
         output_mode="append")
     return (out.select(
+        "user_id", "view_id", "purchase_id",
+        F.date_format("ts_view", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("ts_view"),
+        F.date_format("ts_purchase", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("ts_purchase"))
+        .orderBy("view_id", "purchase_id"))
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_view,
+       CASE WHEN p.event_id IS NOT NULL
+            THEN strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') END AS ts_purchase
+FROM events v
+LEFT JOIN events p
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 10 MINUTE
+WHERE v.event_type = 'view'
+ORDER BY view_id, purchase_id
+""",
+    tags=("streaming", "join"),
+    doc="Stream-stream LEFT OUTER interval join (streaming/ops.py:"
+        "stream_stream_interval_join, how='left_outer'): every view "
+        "emits — matched within 10 minutes or with NULL purchase "
+        "columns once the watermark passes its window. Outer emission "
+        "needs the watermark to move PAST the tail of a finite "
+        "stream, so the probe stages the events plus two trailing "
+        "far-future sentinel micro-batches (filtered from the "
+        "output) — the replay-side stand-in for the next real events "
+        "of an unbounded stream. Must equal the batch LEFT JOIN with "
+        "the same interval condition.",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import tempfile
+    import time
+
+    from ..streaming.ops import (run_stream_to_table,
+                                 stream_stream_interval_join)
+    cols = ("event_id long, ts timestamp, user_id long, "
+            "event_type string")
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "user_id", "event_type"))
+    d = tempfile.mkdtemp(prefix="ssoj_")
+    ev.coalesce(2).write.parquet(d + "/data/f1")
+    # two TRAILING sentinel micro-batches: the first advances the
+    # watermark past every real row's match window, the second gives
+    # the engine a batch in which to emit the flushed unmatched rows
+    for i, day in enumerate(("2030-01-01", "2030-01-02"), start=1):
+        time.sleep(0.05)
+        sent = [(-(2 * i - 1), dt.datetime.fromisoformat(day), -1,
+                 "view"),
+                (-(2 * i), dt.datetime.fromisoformat(day), -1,
+                 "purchase")]
+        (spark.createDataFrame(sent, cols).coalesce(1)
+         .write.parquet(d + f"/data/f{i + 1}"))
+
+    def src():
+        return (spark.readStream.schema(cols)
+                .option("maxFilesPerTrigger", 1).parquet(d + "/data/*"))
+
+    out = run_stream_to_table(
+        stream_stream_interval_join(
+            src().filter(F.col("event_type") == "view"),
+            src().filter(F.col("event_type") == "purchase"),
+            how="left_outer"),
+        output_mode="append")
+    return (out.filter(F.col("user_id") >= 0)
+            .select(
         "user_id", "view_id", "purchase_id",
         F.date_format("ts_view", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .alias("ts_view"),

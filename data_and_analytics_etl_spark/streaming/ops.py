@@ -220,21 +220,35 @@ def stateful_user_stats(df: DataFrame) -> DataFrame:
 def stream_stream_interval_join(views: DataFrame, purchases: DataFrame,
                                 key: str = "user_id",
                                 within: str = "10 minutes",
-                                watermark: str = "30 minutes") -> DataFrame:
-    """Stream-stream inner join on a key + event-time interval.
+                                watermark: str = "30 minutes",
+                                how: str = "inner") -> DataFrame:
+    """Stream-stream join on a key + event-time interval (inner or
+    left_outer).
 
     Both sides carry watermarks so the join state store can evict rows
     once the other side can no longer produce a match inside ``within``
     — the bounded-state requirement for stream-stream joins at scale
     (without it, state grows with stream length). With availableNow
     replay the result equals the equivalent batch interval join.
+
+    ``how="left_outer"``: unmatched left rows emit with NULL right
+    columns once the watermark passes their match window — which means
+    the LAST rows of a FINITE stream only flush if something later
+    advances the watermark past them. Batch replays that need the
+    complete outer result must append watermark-advancing sentinel
+    rows in a TRAILING micro-batch and filter them from the output
+    (see the stream_stream_left_outer probe); on an unbounded
+    production stream the next events do this naturally and no
+    sentinel is needed.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type {how!r}")
     l = views.withWatermark("ts", watermark).alias("l")
     r = purchases.withWatermark("ts", watermark).alias("r")
     cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
             & (F.col("r.ts") >= F.col("l.ts"))
             & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}")))
-    return (l.join(r, cond, "inner")
+    return (l.join(r, cond, how)
             .select(F.col(f"l.{key}").alias(key),
                     F.col("l.event_id").alias("view_id"),
                     F.col("r.event_id").alias("purchase_id"),

@@ -480,3 +480,56 @@ class TestStreamQualityGate:
         assert good == [1]
         assert set(bad[2].split(",")) == {"nonneg", "user"}
         assert bad[3] == "known"
+
+
+class TestStreamStreamOuterJoin:
+    def test_unmatched_views_emit_nulls_after_watermark(self, spark,
+                                                        tmp_path):
+        import time
+
+        from data_and_analytics_etl_spark.streaming.ops import (
+            run_stream_to_table, stream_stream_interval_join)
+        cols = ("event_id long, ts timestamp, user_id long, "
+                "event_type string")
+        t0 = dt.datetime(2024, 1, 1)
+        views = [(i, t0 + dt.timedelta(minutes=i), 1, "view")
+                 for i in range(5)]
+        buys = [(100, t0 + dt.timedelta(seconds=30), 1, "purchase"),
+                (102, t0 + dt.timedelta(minutes=2, seconds=30), 1,
+                 "purchase")]
+        (spark.createDataFrame(views + buys, cols).coalesce(1)
+         .write.parquet(str(tmp_path / "data" / "f1")))
+        for i, day in enumerate((dt.datetime(2024, 1, 1, 6),
+                                 dt.datetime(2024, 1, 1, 12)), start=1):
+            time.sleep(0.05)
+            sent = [(-(2 * i - 1), day, -1, "view"),
+                    (-(2 * i), day, -1, "purchase")]
+            (spark.createDataFrame(sent, cols).coalesce(1)
+             .write.parquet(str(tmp_path / "data" / f"f{i + 1}")))
+
+        def src():
+            return (spark.readStream.schema(cols)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(str(tmp_path / "data" / "*")))
+
+        out = run_stream_to_table(
+            stream_stream_interval_join(
+                src().filter(F.col("event_type") == "view"),
+                src().filter(F.col("event_type") == "purchase"),
+                how="left_outer"),
+            output_mode="append")
+        rows = sorted((r.view_id, r.purchase_id)
+                      for r in out.filter("user_id >= 0").collect())
+        # views 0-2 match inside 10 min (0 matches both purchases);
+        # views 3-4 have no later purchase and MUST still emit
+        assert rows == [(0, 100), (0, 102), (1, 102), (2, 102),
+                        (3, None), (4, None)]
+
+    def test_rejects_unknown_join_type(self, spark, sf_dir):
+        import pytest
+
+        from data_and_analytics_etl_spark.streaming.ops import (
+            events_stream, stream_stream_interval_join)
+        s = events_stream(spark, sf_dir)
+        with pytest.raises(ValueError, match="unsupported"):
+            stream_stream_interval_join(s, s, how="full_outer")
