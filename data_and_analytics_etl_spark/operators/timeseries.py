@@ -231,3 +231,40 @@ def interval_union_length(df: DataFrame, key: str, start_col: str,
     return (islands.groupBy(key)
             .agg(F.sum(F.col("__hi") - F.col("__lo")).alias("covered_us"),
                  F.count(F.lit(1)).alias("n_islands")))
+
+
+def rolling_anomaly_z(resampled: DataFrame, key: str,
+                      order_col: str = "bucket",
+                      value_col: str = "sum_value",
+                      lookback: int = 24,
+                      threshold: float = 3.0) -> DataFrame:
+    """Rolling z-score anomaly flags over a resampled series: each
+    bucket scored against the TRAILING ``lookback`` buckets' mean and
+    sample std (the current bucket excluded, so an anomaly can't mask
+    itself) — the monitoring primitive behind metric alerting.
+
+    Engine-exact (the outlier_zscore rule applied to a moving frame):
+    values quantize to integer cents; Σv and Σv² accumulate as
+    DECIMAL(38,0) windowed sums over ROWS BETWEEN lookback PRECEDING
+    AND 1 PRECEDING; mean/variance/z evaluate as ONE fixed double
+    chain per row from those exact sums. NULL z for gap buckets, for
+    fewer than 3 trailing observations, and for zero variance (an
+    honest can't-score, never a fake 0). One shuffle on the key —
+    the windows share the resample output's partitioning; state is
+    O(lookback) longs per key.
+    """
+    v_c = F.round(F.col(value_col) * 100).cast("long")
+    w = (Window.partitionBy(key).orderBy(order_col)
+         .rowsBetween(-lookback, -1))
+    s1 = F.sum(v_c.cast("decimal(38,0)")).over(w).cast("double")
+    s2 = F.sum((v_c * v_c).cast("decimal(38,0)")).over(w).cast("double")
+    n = F.count(v_c).over(w)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = F.when(v_c.isNotNull() & (n >= 3) & (var > 0),
+               (v_c - mean) / F.sqrt(var))
+    return (resampled
+            .withColumn("zscore", z)
+            .withColumn("is_anomaly",
+                        F.when(z.isNotNull(),
+                               F.abs(z) > threshold)))

@@ -1647,3 +1647,71 @@ def analytics_capstone_funnel_retention(spark: SparkSession,
                     (F.col("active_users").cast("double")
                      / F.col("cohort_size")).alias("retention_rate"))
             .orderBy("cohort_week", "week_offset"))
+
+
+@query(
+    "timeseries_anomaly_rolling_z",
+    oracle="""
+WITH agg AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS b,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+  FROM bounds
+), j AS (
+  SELECT s.event_type, s.b, coalesce(a.n, 0) AS n, a.sum_value,
+         CAST(round(a.sum_value * 100) AS BIGINT) AS v_c
+  FROM spine s LEFT JOIN agg a
+    ON s.event_type = a.event_type AND s.b = a.b
+), w AS (
+  SELECT event_type, b, n, sum_value, v_c,
+         CAST(sum(CAST(v_c AS DECIMAL(38,0))) OVER f AS DOUBLE) AS s1,
+         CAST(sum(CAST(v_c * v_c AS DECIMAL(38,0))) OVER f AS DOUBLE)
+           AS s2,
+         count(v_c) OVER f AS cnt
+  FROM j
+  WINDOW f AS (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_type, b, n, sum_value,
+         CASE WHEN v_c IS NOT NULL AND cnt >= 3
+               AND (s2 - s1 * s1 / cnt) / (cnt - 1) > 0
+              THEN (v_c - s1 / cnt)
+                   / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1))
+         END AS zscore
+  FROM w
+)
+SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+       sum_value, zscore,
+       CASE WHEN zscore IS NOT NULL THEN abs(zscore) > 3.0 END
+         AS is_anomaly
+FROM z ORDER BY event_type, bucket
+""",
+    tags=("analytics", "timeseries"),
+    doc="Rolling z-score anomaly detection over the hourly resampled "
+        "event series (operators/timeseries.py:rolling_anomaly_z): "
+        "each bucket scored against its trailing 24 buckets' exact-"
+        "decimal mean/std (current bucket excluded), NULL-honest for "
+        "gaps, short history, and zero variance. The full composition "
+        "— resample with gap materialization, then the moving-frame "
+        "z — is one plan, two shared-partition windows, recomputed "
+        "whole by the oracle.",
+)
+def timeseries_anomaly_rolling_z(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import resample, rolling_anomaly_z
+    ev = load_table(spark, sf_dir, "events")
+    r = resample(ev, key="event_type", ts_col="ts",
+                 interval="1 hour", value_col="value")
+    out = rolling_anomaly_z(r, key="event_type", lookback=24,
+                            threshold=3.0)
+    return (out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n", "sum_value", "zscore", "is_anomaly")
+        .orderBy("event_type", "bucket"))

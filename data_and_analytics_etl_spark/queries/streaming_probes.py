@@ -318,3 +318,36 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts_purchase", "yyyy-MM-dd HH:mm:ss.SSSSSS")
         .alias("ts_purchase"))
         .orderBy("view_id", "purchase_id"))
+
+
+@query(
+    "stream_windowed_distinct_users",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       count(DISTINCT user_id) AS n_distinct
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    tags=("streaming",),
+    doc="Exact hourly distinct users per event type on the stream "
+        "(streaming/ops.py:windowed_distinct_users) — COUNT(DISTINCT) "
+        "decomposed into its streaming-native dual, a stateful "
+        "dropDuplicates on (user, type, hour) CHAINED into a windowed "
+        "count (the Spark 3.4+ multi-stateful-operator capability). "
+        "The hour bucket rides the dedup key, so any arrival order "
+        "yields the same counts; must equal batch countDistinct.",
+)
+def stream_windowed_distinct_users(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from ..streaming.ops import windowed_distinct_users
+    out = run_stream_to_table(
+        windowed_distinct_users(events_stream(spark, sf_dir)),
+        output_mode="complete")
+    return (out.select(
+        F.date_format(F.col("window.start"), _TS_FMT)
+        .alias("window_start"),
+        "event_type", "n_distinct")
+        .orderBy("window_start", "event_type"))

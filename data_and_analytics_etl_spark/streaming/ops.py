@@ -435,3 +435,29 @@ def stream_quality_gate(stream_df: DataFrame, checks: dict,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def windowed_distinct_users(df: DataFrame, duration: str = "1 hour",
+                            key: str = "user_id",
+                            dim: str = "event_type") -> DataFrame:
+    """Exact distinct-key counts per event-time window on a stream —
+    hourly DAU — via CHAINED stateful operators: a streaming
+    dropDuplicates on (key, dim, window bucket) feeding a windowed
+    count. COUNT(DISTINCT) is not directly streamable (the distinct set
+    isn't an algebraic accumulator); the dedup-then-count chain is its
+    streaming-native decomposition, exact because the first operator's
+    state IS the distinct set, held as compact dedup keys.
+
+    Multiple stateful operators in one query is the Spark 3.4+
+    capability this exercises; the bucket rides the dedup key so the
+    kept representative's window assignment is deterministic (any
+    arrival order yields the same counts — proven against batch
+    countDistinct in the probe oracle and tests). State: one dedup key
+    per (key, dim, bucket) + one count per (window, dim); add a
+    watermark upstream to evict both at production scale.
+    """
+    b = F.date_trunc(duration.split()[-1].rstrip("s"), F.col("ts"))
+    dedup = (df.withColumn("__b", b)
+             .dropDuplicates([key, dim, "__b"]))
+    return (dedup.groupBy(F.window("ts", duration).alias("window"), dim)
+            .agg(F.count(F.lit(1)).alias("n_distinct")))

@@ -955,3 +955,42 @@ class TestEvaluation:
         assert abs(hi.capture - 0.75) < 1e-12 and lo.capture == 1.0
         # base rate 0.5 -> lift of the high bucket = 1.5
         assert abs(hi.lift - 1.5) < 1e-12
+
+
+class TestRollingAnomalyZ:
+    def test_spike_flagged_stable_not(self, spark):
+        import datetime as dt
+        from data_and_analytics_etl_spark.operators.timeseries import (
+            rolling_anomaly_z)
+        t0 = dt.datetime(2024, 1, 1)
+        # flat-ish series 10.0 ± 0.02 then a 50.0 spike at hour 10
+        vals = [10.0, 10.02, 9.98, 10.0, 10.02, 9.98, 10.0, 10.02,
+                9.98, 10.0, 50.0, 10.0]
+        rows = [("k", t0 + dt.timedelta(hours=h), 1, v)
+                for h, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, ["k", "bucket", "n",
+                                          "sum_value"])
+        out = {r.bucket.hour: (r.zscore, r.is_anomaly) for r in
+               rolling_anomaly_z(df, key="k", lookback=24,
+                                 threshold=3.0).collect()}
+        # first two rows: under 3 trailing observations -> NULL
+        assert out[0] == (None, None) and out[1] == (None, None)
+        z10, flag10 = out[10]
+        assert flag10 is True and z10 > 100     # massive spike
+        z9, flag9 = out[9]
+        assert flag9 is False and abs(z9) < 3
+        # the bucket AFTER the spike is judged against a window that
+        # now contains it -> inflated std, still not anomalous
+        assert out[11][1] is False
+
+    def test_zero_variance_history_gives_null(self, spark):
+        import datetime as dt
+        from data_and_analytics_etl_spark.operators.timeseries import (
+            rolling_anomaly_z)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("k", t0 + dt.timedelta(hours=h), 1, 5.0)
+                for h in range(6)]
+        df = spark.createDataFrame(rows, ["k", "bucket", "n",
+                                          "sum_value"])
+        out = rolling_anomaly_z(df, key="k").collect()
+        assert all(r.zscore is None for r in out)  # honest can't-score

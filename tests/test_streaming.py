@@ -533,3 +533,35 @@ class TestStreamStreamOuterJoin:
         s = events_stream(spark, sf_dir)
         with pytest.raises(ValueError, match="unsupported"):
             stream_stream_interval_join(s, s, how="full_outer")
+
+
+class TestWindowedDistinctUsers:
+    def test_equals_batch_count_distinct_any_arrival_order(self, spark,
+                                                           tmp_path):
+        from data_and_analytics_etl_spark.streaming.ops import (
+            run_stream_to_table, windowed_distinct_users)
+        cols = ("event_id long, ts timestamp, user_id long, "
+                "event_type string")
+        t0 = dt.datetime(2024, 1, 1)
+        # duplicates across buckets and shuffled arrival order
+        rows = [(i, t0 + dt.timedelta(minutes=m), u, e)
+                for i, (m, u, e) in enumerate(
+                    [(5, 1, "view"), (10, 1, "view"), (70, 1, "view"),
+                     (15, 2, "view"), (20, 2, "click"), (75, 2, "view"),
+                     (25, 1, "click"), (30, 1, "click")])]
+        import random
+        random.Random(3).shuffle(rows)
+        half = len(rows) // 2
+        (spark.createDataFrame(rows[:half], cols).coalesce(1)
+         .write.parquet(str(tmp_path / "d" / "f1")))
+        (spark.createDataFrame(rows[half:], cols).coalesce(1)
+         .write.parquet(str(tmp_path / "d" / "f2")))
+        stream = (spark.readStream.schema(cols)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(tmp_path / "d" / "*")))
+        out = run_stream_to_table(windowed_distinct_users(stream),
+                                  output_mode="complete")
+        got = {(r.window.start.hour, r.event_type): r.n_distinct
+               for r in out.collect()}
+        assert got == {(0, "view"): 2, (0, "click"): 2,
+                       (1, "view"): 2}
