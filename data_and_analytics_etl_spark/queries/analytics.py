@@ -1715,3 +1715,74 @@ def timeseries_anomaly_rolling_z(spark: SparkSession,
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         "n", "sum_value", "zscore", "is_anomaly")
         .orderBy("event_type", "bucket"))
+
+
+@query(
+    "timeseries_anomaly_seasonal_z",
+    oracle="""
+WITH agg AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS b,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+  FROM bounds
+), j AS (
+  SELECT s.event_type, s.b, coalesce(a.n, 0) AS n, a.sum_value,
+         CAST(round(a.sum_value * 100) AS BIGINT) AS v_c,
+         s.event_type || '#' || CAST(hour(s.b) AS VARCHAR) AS skey
+  FROM spine s LEFT JOIN agg a
+    ON s.event_type = a.event_type AND s.b = a.b
+), w AS (
+  SELECT event_type, b, n, sum_value, v_c,
+         CAST(sum(CAST(v_c AS DECIMAL(38,0))) OVER f AS DOUBLE) AS s1,
+         CAST(sum(CAST(v_c * v_c AS DECIMAL(38,0))) OVER f AS DOUBLE)
+           AS s2,
+         count(v_c) OVER f AS cnt
+  FROM j
+  WINDOW f AS (PARTITION BY skey ORDER BY b
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_type, b, n, sum_value,
+         CASE WHEN v_c IS NOT NULL AND cnt >= 3
+               AND (s2 - s1 * s1 / cnt) / (cnt - 1) > 0
+              THEN (v_c - s1 / cnt)
+                   / sqrt((s2 - s1 * s1 / cnt) / (cnt - 1))
+         END AS zscore
+  FROM w
+)
+SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+       sum_value, zscore,
+       CASE WHEN zscore IS NOT NULL THEN abs(zscore) > 3.0 END
+         AS is_anomaly
+FROM z ORDER BY event_type, bucket
+""",
+    tags=("analytics", "timeseries"),
+    doc="Seasonality-aware anomaly scoring: the SAME rolling_anomaly_z "
+        "machinery re-keyed to (event_type, hour-of-day), so each "
+        "hourly bucket is judged against the trailing 7 observations "
+        "of the SAME clock hour — the diurnal-baseline alerting that "
+        "plain trailing windows false-positive on (an 09:00 rush is "
+        "normal vs other 09:00s, anomalous vs 04:00s). Demonstrates "
+        "the operator's generality: the seasonal variant is a derived "
+        "partition column, not new machinery.",
+)
+def timeseries_anomaly_seasonal_z(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import resample, rolling_anomaly_z
+    ev = load_table(spark, sf_dir, "events")
+    r = (resample(ev, key="event_type", ts_col="ts",
+                  interval="1 hour", value_col="value")
+         .withColumn("__skey",
+                     F.concat_ws("#", F.col("event_type"),
+                                 F.hour("bucket").cast("string"))))
+    out = rolling_anomaly_z(r, key="__skey", lookback=7, threshold=3.0)
+    return (out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n", "sum_value", "zscore", "is_anomaly")
+        .orderBy("event_type", "bucket"))
