@@ -391,3 +391,39 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("o_orderpriority").alias("mode_priority"),
                     F.col("n").alias("mode_count"))
             .orderBy("o_orderstatus"))
+
+
+@query(
+    "agg_boolean_family",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       count(*) FILTER (o_totalprice > 100000) AS n_big,
+       bool_and(o_totalprice > 1000)  AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+         AS n_urgent
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("agg",),
+    doc="Boolean aggregate family: count_if, bool_and (every), bool_or "
+        "(any) per group — the predicate-rollup shapes quality gates "
+        "and monitoring queries lean on (Spark count_if/bool_and/"
+        "bool_or == DuckDB FILTER/bool_and/bool_or). One hash agg, "
+        "predicates in codegen.",
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_if(F.col("o_totalprice") > 100000)
+                 .alias("n_big"),
+                 F.bool_and(F.col("o_totalprice") > 1000)
+                 .alias("all_over_1k"),
+                 F.bool_or(F.col("o_totalprice") > 400000)
+                 .alias("any_over_400k"),
+                 F.count_if(F.col("o_orderpriority") == "1-URGENT")
+                 .alias("n_urgent"))
+            .orderBy("o_orderstatus"))
