@@ -1751,3 +1751,53 @@ def eval_calibration_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, (F.col("label") % 2),
         (F.element_at("embedding", 1).cast("double") + 1) / 2,
         n_buckets=10)
+
+
+@query(
+    "eval_accuracy_overall",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks,
+         CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS cjk_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, cjk_ratio,
+    len(list_filter(toks, x -> list_contains(__EN__, x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(__ES__, x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(__DE__, x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(__FR__, x))) AS s_fr
+  FROM t
+), pred AS (
+  SELECT lang,
+    CASE WHEN cjk_ratio > 0.3 THEN 'zh'
+         WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         WHEN s_de >= s_fr THEN 'de'
+         ELSE 'fr' END AS p
+  FROM scored
+)
+SELECT count(*) AS n_total,
+       CAST(sum(CASE WHEN lang = p THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(sum(CASE WHEN lang = p THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS accuracy
+FROM pred
+""".replace("__EN__", _sql_list(LANG_MARKERS["en"]))
+   .replace("__ES__", _sql_list(LANG_MARKERS["es"]))
+   .replace("__DE__", _sql_list(LANG_MARKERS["de"]))
+   .replace("__FR__", _sql_list(LANG_MARKERS["fr"])),
+    tags=("llm", "eval"),
+    doc="Overall accuracy of the lang-id heuristic against ground "
+        "truth — the headline number over eval_classification_report's "
+        "per-class detail: exact correct/total counts in one hash agg, "
+        "a single double division.",
+)
+def eval_accuracy_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hit = (F.col("lang") == lang_id(F.col("text"))).cast("long")
+    return (d.agg(F.count(F.lit(1)).alias("n_total"),
+                  F.sum(hit).alias("n_correct"),
+                  (F.sum(hit).cast("double") / F.count(F.lit(1)))
+                  .alias("accuracy")))
