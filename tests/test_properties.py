@@ -268,3 +268,57 @@ class TestAviRoundTrip:
             assert abs(mean - sum(lumas) / 6) < 1e-9
             assert abs(rms - (sum(y * y for y in lumas) / 6) ** 0.5) \
                 < 1e-9
+
+
+class TestTriangleCountVsBruteForce:
+    """triangle_count's degree-oriented wedge algorithm vs a from-
+    scratch triple enumeration on generated graphs — duplicates,
+    reversed edges and self-loops arise naturally from the generator."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                    min_size=1, max_size=40))
+    def test_matches_triple_enumeration(self, pairs):
+        from itertools import combinations
+
+        from data_and_analytics_etl_spark.operators.graph import (
+            triangle_count)
+        from data_and_analytics_etl_spark.session import get_spark
+        spark = get_spark("daa-etl-spark-tests")
+        df = spark.createDataFrame(pairs, ["src", "dst"])
+        got = triangle_count(df).collect()[0]
+        edges = {frozenset((a, b)) for a, b in pairs if a != b}
+        nodes = {n for e in edges for n in e}
+        want = sum(
+            1 for x, y, z in combinations(sorted(nodes), 3)
+            if {frozenset((x, y)), frozenset((y, z)),
+                frozenset((x, z))} <= edges)
+        assert (got.n_nodes, got.n_edges, got.triangles) == \
+            (len(nodes), len(edges), want)
+
+
+class TestAucVsBruteForce:
+    """binary_auc vs the direct pairwise P(s+ > s-) + ½P(s+ = s-)
+    definition on generated label/score sets with heavy ties."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 1),
+                              st.integers(0, 5)),   # 6 score levels: ties
+                    min_size=2, max_size=60))
+    def test_matches_pairwise_definition(self, rows):
+        from data_and_analytics_etl_spark.operators.evaluation import (
+            binary_auc)
+        from data_and_analytics_etl_spark.session import get_spark
+        import pyspark.sql.functions as F2
+        spark = get_spark("daa-etl-spark-tests")
+        df = spark.createDataFrame(
+            [(y, float(s)) for y, s in rows], ["y", "s"])
+        got = binary_auc(df, F2.col("y"), F2.col("s")).collect()[0]
+        pos = [s for y, s in rows if y == 1]
+        neg = [s for y, s in rows if y == 0]
+        if not pos or not neg:
+            assert got.auc is None
+            return
+        want = sum((p > n) + 0.5 * (p == n)
+                   for p in pos for n in neg) / (len(pos) * len(neg))
+        assert abs(got.auc - want) < 1e-12
