@@ -322,3 +322,50 @@ class TestAucVsBruteForce:
         want = sum((p > n) + 0.5 * (p == n)
                    for p in pos for n in neg) / (len(pos) * len(neg))
         assert abs(got.auc - want) < 1e-12
+
+
+class TestCmsVsBruteForce:
+    """cms_build/cms_query vs a from-scratch dict-of-counters model on
+    random key multisets: cell-exact counters (deterministic hashes)
+    and est >= exact for every key, including unseen probes."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(0, 30), min_size=1, max_size=80))
+    def test_counters_and_estimates_match_model(self, keys):
+        from collections import Counter
+
+        import pyspark.sql.functions as F2
+        from data_and_analytics_etl_spark.operators.sketch import (
+            cms_build, cms_query)
+        from data_and_analytics_etl_spark.session import get_spark
+        spark = get_spark("daa-etl-spark-tests")
+        depth, width = 3, 64
+        df = spark.createDataFrame([(k,) for k in keys], ["k"])
+        counters = {(r.d, r.bucket): r.cnt for r in
+                    cms_build(df, "k", depth=depth,
+                              width=width).collect()}
+        # model the same md5-free xxhash buckets via Spark itself (the
+        # hash is engine-side), but the COUNTER arithmetic via Python
+        probe_keys = sorted(set(keys) | {999})
+        bdf = (spark.createDataFrame([(k,) for k in probe_keys], ["k"])
+               .select("k", *[
+                   F2.pmod(F2.xxhash64("k", F2.lit(j)), F2.lit(width))
+                   .alias(f"b{j}") for j in range(depth)]))
+        buckets = {r.k: [r[f"b{j}"] for j in range(depth)]
+                   for r in bdf.collect()}
+        freq = Counter(keys)
+        model = Counter()
+        for k, n in freq.items():
+            for j, b in enumerate(buckets[k]):
+                model[(j, b)] += n
+        assert counters == dict(model)
+        est = {r.key: r.est for r in
+               cms_query(counters=cms_build(df, "k", depth=depth,
+                                            width=width),
+                         keys=spark.createDataFrame(
+                             [(k,) for k in probe_keys], ["k"]),
+                         key_col="k", depth=depth,
+                         width=width).collect()}
+        for k in probe_keys:
+            want = min(model[(j, b)] for j, b in enumerate(buckets[k]))
+            assert est[k] == want and est[k] >= freq.get(k, 0)
