@@ -369,3 +369,42 @@ class TestCmsVsBruteForce:
         for k in probe_keys:
             want = min(model[(j, b)] for j, b in enumerate(buckets[k]))
             assert est[k] == want and est[k] >= freq.get(k, 0)
+
+
+class TestGopherRulesVsPythonReference:
+    """gopher_rules' flags vs a from-scratch Python re-implementation
+    on generated word-soup documents (stopword presence, repetition,
+    and length edge cases arise from the generator)."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(
+        st.lists(st.sampled_from(
+            ["the", "a", "of", "data", "row", "row", "zz", "q"]),
+            min_size=1, max_size=60).map(" ".join),
+        min_size=1, max_size=8))
+    def test_flags_match_reference(self, docs):
+        import pyspark.sql.functions as F2
+        from data_and_analytics_etl_spark.operators.text import (
+            STOPWORDS_EN, gopher_rules)
+        from data_and_analytics_etl_spark.session import get_spark
+        spark = get_spark("daa-etl-spark-tests")
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], ["i", "text"])
+        g = gopher_rules(F2.col("text"))
+        got = {r.i: (r.r_word_count, r.r_stopwords, r.r_dup_word,
+                     r.keep)
+               for r in df.select("i", *[g[k].alias(k) for k in g])
+               .collect()}
+        for i, t in enumerate(docs):
+            toks = t.lower().split()
+            n = len(toks)
+            r_wc = 20 <= n <= 100_000
+            r_stop = sum(w in toks for w in STOPWORDS_EN) >= 2
+            dup = round(1 - len(set(toks)) / n, 6)
+            r_dup = dup <= 0.6
+            gwc, gstop, gdup, keep = got[i]
+            assert (gwc, gstop, gdup) == (r_wc, r_stop, r_dup)
+            assert keep == (gwc and gstop and gdup and got[i][3]
+                            == keep)  # keep implies its conjuncts
+            if keep:
+                assert r_wc and r_stop and r_dup
