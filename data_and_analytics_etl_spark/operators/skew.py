@@ -45,6 +45,64 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str],
             .drop("__salt"))
 
 
+#: partial-aggregate expression and merge expression per supported kind.
+#: Every kind is algebraically mergeable, so phase 2 is exact.
+_SALTED_KINDS = ("count", "sum", "min", "max", "avg")
+
+
+def salted_agg(df: DataFrame, keys: list[str], salt_source: Column,
+               aggs: list[tuple[str, str | None, str]],
+               buckets: int = 16) -> DataFrame:
+    """Two-phase GROUP BY with hot keys split across ``buckets`` salts.
+
+    AQE's skew handling only applies to JOINS — a skewed aggregation
+    key still lands one monster task. Spark's partial (map-side)
+    aggregation usually absorbs it, but high-cardinality-per-key
+    payloads (e.g. count DISTINCT-ish state, wide agg buffers) can
+    defeat the partial layer; this operator makes the split explicit:
+
+    - phase 1 groups by (keys, salt) where salt = hash(salt_source) %
+      ``buckets`` — one hot key now fans over ``buckets`` reducers;
+    - phase 2 merges the ``buckets`` partial states per key — input is
+      at most ``buckets`` rows per key, never the raw payload.
+
+    ``aggs`` is a list of (kind, column, alias) with kind in
+    ``count|sum|min|max|avg`` (``column`` ignored for count). All kinds
+    are algebraically mergeable, so the result is EXACTLY the plain
+    single-phase GROUP BY (probe ``agg_salted_twophase`` hash-checks
+    that). Sums over doubles should pre-cast to DECIMAL per the float
+    determinism rule — pass the cast column name via a withColumn.
+    """
+    for kind, _, _ in aggs:
+        if kind not in _SALTED_KINDS:
+            raise ValueError(f"unsupported agg kind {kind!r}")
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_source), F.lit(buckets)))
+    partials: list[Column] = []
+    merges: list[Column] = []
+    for i, (kind, col, alias) in enumerate(aggs):
+        p = f"__p{i}"
+        if kind == "count":
+            partials.append(F.count(F.lit(1)).alias(p))
+            merges.append(F.sum(p).alias(alias))
+        elif kind == "sum":
+            partials.append(F.sum(col).alias(p))
+            merges.append(F.sum(p).alias(alias))
+        elif kind == "min":
+            partials.append(F.min(col).alias(p))
+            merges.append(F.min(p).alias(alias))
+        elif kind == "max":
+            partials.append(F.max(col).alias(p))
+            merges.append(F.max(p).alias(alias))
+        else:  # avg: merge (sum, count) partial states, ONE division
+            partials.append(F.sum(col).alias(p))
+            partials.append(F.count(col).alias(p + "n"))
+            merges.append(
+                (F.sum(p) / F.sum(p + "n")).alias(alias))
+    return (salted.groupBy(*keys, "__salt").agg(*partials)
+            .groupBy(*keys).agg(*merges))
+
+
 def key_histogram(df: DataFrame, key_cols: list[str], top: int = 20,
                   ) -> DataFrame:
     """Per-key row counts, heaviest first — the diagnostic that decides
