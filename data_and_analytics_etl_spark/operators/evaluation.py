@@ -1,4 +1,5 @@
-"""Model-evaluation operators: confusion matrix, per-class PR, AUC.
+"""Model-evaluation operators: confusion matrix, per-class PR, AUC,
+agreement (Cohen's kappa), ranking metrics, survival curves.
 
 A training-data engine ends at an eval harness: classifier quality
 gates (which documents did lang-id mislabel?), per-class
@@ -18,6 +19,9 @@ aggregate:
 """
 
 from __future__ import annotations
+
+import functools
+import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
@@ -113,6 +117,176 @@ def binary_auc(df: DataFrame, label: Column, score: Column) -> DataFrame:
     return agg.select(F.col("np").cast("long").alias("n_pos"),
                       F.col("nn").cast("long").alias("n_neg"),
                       auc.alias("auc"))
+
+
+def cohen_kappa(df: DataFrame, truth: Column, pred: Column) -> DataFrame:
+    """Cohen's kappa inter-rater agreement as one exact rational.
+
+    kappa = (p_o - p_e) / (1 - p_e) with observed agreement
+    p_o = diag/n and chance agreement p_e = Σ_c support_c·predicted_c/n².
+    Clearing denominators keeps everything integral:
+
+        kappa = (n·diag − Σ_c s_c·p_c) / (n² − Σ_c s_c·p_c)
+
+    — a single double division of two exact longs, so it oracle-checks
+    bit-for-bit. The data-sized work is ONE confusion-matrix hash agg;
+    the marginal products run over the (classes² at most) matrix rows.
+    Perfect chance agreement (p_e = 1: both raters constant) yields NULL
+    kappa — the honest 0/0, never a crash.
+    """
+    cm = confusion_matrix(df, truth, pred).persist()
+    support = (cm.groupBy(F.col("truth").alias("cls"))
+               .agg(F.sum("n").alias("s")))
+    predicted = (cm.groupBy(F.col("pred").alias("cls"))
+                 .agg(F.sum("n").alias("p")))
+    # full outer: a class only ever predicted (or only ever true) still
+    # contributes 0 to the product, not a dropped row
+    marg = (support.join(predicted, "cls", "full")
+            .agg(F.sum(F.coalesce(F.col("s"), F.lit(0))
+                       * F.coalesce(F.col("p"), F.lit(0))).alias("pe_num")))
+    base = cm.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.when(F.col("truth") == F.col("pred"),
+                     F.col("n")).otherwise(F.lit(0))).alias("n_agree"))
+    out = base.crossJoin(F.broadcast(marg))
+    kappa = F.when(
+        F.col("n_total") * F.col("n_total") != F.col("pe_num"),
+        (F.col("n_total") * F.col("n_agree") - F.col("pe_num"))
+        .cast("double")
+        / (F.col("n_total") * F.col("n_total") - F.col("pe_num"))
+        .cast("double"))
+    return out.select(F.col("n_total").cast("long").alias("n_total"),
+                      F.col("n_agree").cast("long").alias("n_agree"),
+                      F.col("pe_num").cast("long").alias("pe_num"),
+                      kappa.alias("kappa"))
+
+
+def dcg_weights(k: int) -> list[float]:
+    """The fixed DCG position weights 1/log2(pos+1) for pos = 1..k.
+
+    Computed ONCE driver-side and embedded as double literals in the
+    plan (and, verbatim via repr, in any oracle SQL), so both engines
+    multiply/add the exact same doubles — the cross-engine float rule:
+    a fixed chain of IEEE ops over identical literals is bit-stable,
+    while engine-side log2() may differ in the last ulp.
+    """
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def ideal_dcg_prefix(k: int) -> list[float]:
+    """Left-fold prefix sums of dcg_weights(k): ideal DCG for 1..k
+    relevant items, accumulated in the same order the metric fold uses
+    so a perfect ranking scores ndcg exactly 1.0."""
+    out, acc = [], 0.0
+    for w in dcg_weights(k):
+        acc = acc + w
+        out.append(acc)
+    return out
+
+
+def ranking_metrics(df: DataFrame, query: Column, score: Column,
+                    relevance: Column, tie: Column,
+                    k: int = 10) -> DataFrame:
+    """Per-query ranking evaluation: hits@k, precision/recall@k,
+    reciprocal rank, DCG@k and NDCG@k — all exact or single-division.
+
+    One row_number window (one shuffle on the query key) ranks items by
+    (score DESC, tie ASC — the tie column makes the ranking total, so
+    float score ties cannot flap the hash cross-engine). The per-query
+    aggregate then extracts the relevance bit at each of the k fixed
+    positions with k conditional MAXes; DCG is the LITERAL-weighted
+    left-assoc sum of those k bits — never a groupBy SUM of doubles,
+    whose accumulation order is partition-dependent. IDCG comes from
+    the matching prefix-sum literal array, so NDCG = DCG/IDCG is one
+    double division and a perfect ranking is exactly 1.0.
+
+    Scales: no collect_list, no per-group arrays — group size is
+    unbounded; only k (a constant) widens the aggregate.
+    """
+    d = df.select(query.alias("q"), score.alias("s"),
+                  relevance.cast("int").alias("rel"), tie.alias("t")) \
+          .filter(F.col("s").isNotNull())
+    win = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("t"))
+    r = d.withColumn("rn", F.row_number().over(win))
+    pos_bits = [F.max(F.when(F.col("rn") == i + 1, F.col("rel")))
+                .alias(f"__r{i}") for i in range(k)]
+    g = r.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.coalesce(F.sum(F.when(F.col("rn") <= k, F.col("rel"))),
+                   F.lit(0)).cast("long").alias("hits_at_k"),
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("__fr"),
+        *pos_bits)
+    w = dcg_weights(k)
+    dcg = functools.reduce(
+        lambda acc, i: acc + F.coalesce(F.col(f"__r{i}"), F.lit(0))
+        .cast("double") * F.lit(w[i]),
+        range(1, k),
+        F.coalesce(F.col("__r0"), F.lit(0)).cast("double") * F.lit(w[0]))
+    prefix = F.array(*[F.lit(x) for x in ideal_dcg_prefix(k)])
+    idcg = F.element_at(prefix, F.least(F.col("n_rel"),
+                                        F.lit(k)).cast("int"))
+    return g.select(
+        "q", "n_items", "n_rel", "hits_at_k",
+        (F.col("hits_at_k").cast("double") / k).alias("precision_at_k"),
+        F.when(F.col("n_rel") > 0,
+               F.col("hits_at_k").cast("double") / F.col("n_rel"))
+        .alias("recall_at_k"),
+        F.when(F.col("__fr").isNotNull(),
+               F.lit(1.0) / F.col("__fr")).alias("rr"),
+        dcg.alias("dcg_at_k"),
+        F.when(F.col("n_rel") > 0, dcg / idcg).alias("ndcg_at_k"))
+
+
+def kaplan_meier(df: DataFrame, duration: Column,
+                 observed: Column) -> DataFrame:
+    """Kaplan–Meier survival curve over (duration, observed-event) data.
+
+    Classic product-limit estimator: at each distinct duration t with
+    n_i subjects still at risk and d_i observed events,
+    S(t) = Π_{t_i ≤ t} (1 − d_i/n_i). Censored subjects (observed = 0)
+    leave the risk set at their duration without an event.
+
+    Exactness: n_i and d_i are exact longs (one hash agg + one
+    prefix-sum window over the DISTINCT-duration table); each factor is
+    one double division of exact longs; the running product is a
+    left fold (F.aggregate) over the ordered factor prefix collected by
+    the same window — both Spark's fold and DuckDB's list_reduce
+    multiply in ascending-duration order, so the IEEE chain is
+    bit-identical cross-engine.
+
+    Scale: every window here runs over the distinct-duration table, not
+    raw rows — callers bucket continuous durations first (the
+    drift_ks/calibration rule), which bounds the single-task window by
+    construction.
+    """
+    d = (df.select(duration.alias("t"),
+                   observed.cast("int").alias("e"))
+         .filter(F.col("t").isNotNull()))
+    per_t = d.groupBy("t").agg(F.count(F.lit(1)).alias("c"),
+                               F.sum("e").cast("long").alias("d"))
+    tot = per_t.agg(F.sum("c").cast("long").alias("__n"))
+    w_before = (Window.orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    w_cum = (Window.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cur = (per_t.crossJoin(F.broadcast(tot))
+           .withColumn("n_risk",
+                       (F.col("__n")
+                        - F.coalesce(F.sum("c").over(w_before),
+                                     F.lit(0))).cast("long"))
+           .withColumn("__f",
+                       (F.col("n_risk") - F.col("d")).cast("double")
+                       / F.col("n_risk").cast("double"))
+           .withColumn("survival",
+                       F.aggregate(F.collect_list("__f").over(w_cum),
+                                   F.lit(1.0),
+                                   lambda acc, x: acc * x)))
+    return cur.select("t", "n_risk",
+                      F.col("d").alias("events"),
+                      (F.col("c") - F.col("d")).cast("long")
+                      .alias("censored"),
+                      "survival").orderBy("t")
 
 
 def calibration_lift(df: DataFrame, label: Column, score: Column,

@@ -1786,3 +1786,56 @@ def timeseries_anomaly_seasonal_z(spark: SparkSession,
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         "n", "sum_value", "zscore", "is_anomaly")
         .orderBy("event_type", "bucket"))
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) // 21600000000 AS t,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+  FROM events GROUP BY 1
+), p AS (
+  SELECT t, count(*) AS c, CAST(sum(e) AS BIGINT) AS d
+  FROM u GROUP BY 1
+), tt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM p),
+w AS (
+  SELECT t, c, d,
+         CAST(tt.n - coalesce(sum(c) OVER (ORDER BY t ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM p, tt
+), f AS (
+  SELECT t, n_risk, d, CAST(c - d AS BIGINT) AS censored,
+         CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+  FROM w
+)
+SELECT t, n_risk, d AS events, censored,
+       list_reduce(list(factor) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+         PRECEDING AND CURRENT ROW), (a, b) -> a * b) AS survival
+FROM f ORDER BY t
+""",
+    tags=("analytics", "survival"),
+    doc="Kaplan–Meier survival curve (operators/evaluation.py:"
+        "kaplan_meier) over per-user engagement lifetimes: duration = "
+        "6-hour buckets between a user's first and last event "
+        "(integer-µs div — no float boundary), observed event = the "
+        "user ever purchased, censored otherwise. n_risk/d_i are exact "
+        "longs from one hash agg + a prefix window over the DISTINCT-"
+        "duration table; each factor is one double division; the "
+        "product-limit S(t) is an ascending-duration left fold "
+        "(F.aggregate ≡ DuckDB list_reduce) so the float chain is "
+        "bit-identical cross-engine. Bucketing bounds the single-task "
+        "window by construction (the drift_ks rule).",
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import kaplan_meier
+    ev = load_table(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.max(F.unix_micros("ts")).alias("__mx"),
+              F.min(F.unix_micros("ts")).alias("__mn"),
+              F.max(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("e"))
+         .withColumn("t", F.expr("(__mx - __mn) div 21600000000")))
+    return kaplan_meier(u, F.col("t"), F.col("e"))

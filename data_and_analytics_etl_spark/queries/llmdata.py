@@ -1801,3 +1801,124 @@ def eval_accuracy_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(hit).alias("n_correct"),
                   (F.sum(hit).cast("double") / F.count(F.lit(1)))
                   .alias("accuracy")))
+
+
+# --- agreement + ranking evaluation (round 6, fourth wave) -----------------
+
+from ..operators.evaluation import dcg_weights, ideal_dcg_prefix
+
+_RANK_K = 10
+_DCG_W = dcg_weights(_RANK_K)
+_IDCG_P = ideal_dcg_prefix(_RANK_K)
+#: the literal weights are rendered ONCE (repr = shortest round-trip) and
+#: shared verbatim by the Spark plan and the oracle SQL, so both engines
+#: run the identical IEEE chain (evaluation.dcg_weights docstring).
+_POS_SQL = ",\n         ".join(
+    f"max(CASE WHEN rn = {i + 1} THEN rel END) AS r{i}"
+    for i in range(_RANK_K))
+_DCG_SQL = " + ".join(
+    f"CAST(coalesce(r{i}, 0) AS DOUBLE) * CAST({_DCG_W[i]!r} AS DOUBLE)"
+    for i in range(_RANK_K))
+_PRE_SQL = ("[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in _IDCG_P)
+            + "]")
+
+
+@query(
+    "eval_cohen_kappa",
+    oracle="""
+WITH pairs AS (
+  SELECT lang AS truth,
+         CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS pred,
+         count(*) AS n
+  FROM documents GROUP BY 1, 2
+), sup AS (
+  SELECT truth AS cls, CAST(sum(n) AS BIGINT) AS s FROM pairs GROUP BY 1
+), prd AS (
+  SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS p FROM pairs GROUP BY 1
+), marg AS (
+  SELECT CAST(sum(coalesce(s, 0) * coalesce(p, 0)) AS BIGINT) AS pe_num
+  FROM sup FULL JOIN prd USING (cls)
+), base AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN truth = pred THEN n ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM pairs
+)
+SELECT n_total, n_agree, pe_num,
+       CASE WHEN n_total * n_total <> pe_num
+            THEN CAST(n_total * n_agree - pe_num AS DOUBLE)
+                 / CAST(n_total * n_total - pe_num AS DOUBLE)
+       END AS kappa
+FROM base, marg
+""",
+    tags=("llm", "eval"),
+    doc="Cohen's kappa inter-annotator agreement (operators/evaluation"
+        ".py:cohen_kappa) between the corpus lang labels and a "
+        "deterministic noisy re-annotation (doc_id % 7 flips to 'en') "
+        "— the label-audit gate of a curation pipeline. Denominators "
+        "cleared so kappa = (n·diag − Σ s_c·p_c)/(n² − Σ s_c·p_c) is "
+        "ONE double division of exact longs; the data-sized work is a "
+        "single confusion-matrix hash agg.",
+)
+def eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import cohen_kappa
+    d = load_table(spark, sf_dir, "documents")
+    noisy = F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("en")).otherwise(F.col("lang"))
+    return cohen_kappa(d, F.col("lang"), noisy)
+
+
+@query(
+    "eval_ranking_ndcg",
+    oracle=f"""
+WITH d AS (
+  SELECT label AS q, CAST(embedding[1] AS DOUBLE) AS s,
+         CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS rel,
+         vec_id AS t
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding[1] IS NOT NULL
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY s DESC, t) AS rn
+  FROM d
+), g AS (
+  SELECT q, count(*) AS n_items, CAST(sum(rel) AS BIGINT) AS n_rel,
+         CAST(coalesce(sum(CASE WHEN rn <= {_RANK_K} THEN rel END), 0)
+              AS BIGINT) AS hits_at_k,
+         min(CASE WHEN rel = 1 THEN rn END) AS fr,
+         {_POS_SQL}
+  FROM r GROUP BY q
+)
+SELECT q, n_items, n_rel, hits_at_k,
+       CAST(hits_at_k AS DOUBLE) / {_RANK_K} AS precision_at_k,
+       CASE WHEN n_rel > 0 THEN CAST(hits_at_k AS DOUBLE) / n_rel
+       END AS recall_at_k,
+       CASE WHEN fr IS NOT NULL THEN CAST(1 AS DOUBLE) / fr END AS rr,
+       {_DCG_SQL} AS dcg_at_k,
+       CASE WHEN n_rel > 0
+            THEN ({_DCG_SQL}) / ({_PRE_SQL}[least(n_rel, {_RANK_K})])
+       END AS ndcg_at_k
+FROM g ORDER BY q
+""",
+    tags=("llm", "eval"),
+    doc="Per-query ranking metrics (operators/evaluation.py:"
+        "ranking_metrics): hits/precision/recall@10, reciprocal rank, "
+        "DCG@10 and NDCG@10 of the first-embedding-component scorer "
+        "against vec_id%3 relevance, one row per label-query. One "
+        "row_number window (single shuffle); DCG is a literal-weighted "
+        "left-assoc sum of the k per-position relevance bits extracted "
+        "by conditional MAXes — never a partition-order-dependent "
+        "double SUM — so every float is a fixed IEEE chain over "
+        "literals shared with the oracle, and a perfect ranking is "
+        "exactly 1.0.",
+)
+def eval_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import ranking_metrics
+    e = load_table(spark, sf_dir, "embeddings")
+    out = ranking_metrics(
+        e.filter(F.col("label").isNotNull()),
+        F.col("label"),
+        F.element_at("embedding", 1).cast("double"),
+        (F.col("vec_id") % 3 == 0),
+        F.col("vec_id"),
+        k=_RANK_K)
+    return out.orderBy("q")
