@@ -21,7 +21,7 @@ window idempotent per partition; writers scale with upstream parallelism
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 PARTITION_COLS = ("year", "month", "day", "hour")
 
@@ -96,6 +96,94 @@ def compact(spark, path: str, fmt: str = "parquet",
     _os.rename(tmp, path)
     _shutil.rmtree(old)
     return before, count_files(path)
+
+
+def compact_partitions(spark, path: str, fmt: str = "parquet",
+                       min_files: int = 2,
+                       target_records_per_file: int = 1_000_000) -> dict:
+    """Partition-targeted small-file compaction: rewrite ONLY the
+    fragmented partitions of an hourly-layout table, leave every other
+    partition's files byte-identical.
+
+    :func:`compact` rewrites the whole table — fine for a one-off, a
+    non-starter at 100 TB where an incremental sink fragments only the
+    recent hours while years of cold partitions are already healthy.
+    This variant bounds write amplification by the fragmentation:
+
+    1. per-partition file counts come from a DIRECTORY LISTING (no data
+       scan, the vacuum_partitions rule); a partition is fragmented
+       when it holds ≥ ``min_files`` data files;
+    2. only fragmented partitions are read back — the filter is an
+       OR-of-conjunctions over literal partition values, exactly the
+       form PruneFileSourcePartitions folds into a directory prune;
+    3. the slice is repartitioned BY the partition columns (without
+       this every write task holding rows of an hour emits its own
+       file there, reproducing the fragmentation) and rewritten via
+       DYNAMIC partition overwrite, which replaces exactly the
+       partitions present in the output;
+    4. row content is untouched — compaction is a physical-layout
+       operation; a read-back must equal the pre-compaction table.
+
+    Returns ``{"partitions_total", "compacted", "files_before",
+    "files_after"}`` (file counts over the fragmented set only).
+    """
+    import os as _os
+    from functools import reduce as _reduce
+
+    # 1. listing-only fragmentation census over the Hive layout
+    per_part: dict[tuple, int] = {}
+    for root, dirs, files in _os.walk(path):
+        data = [f for f in files
+                if f.endswith(f".{fmt}") and not f.startswith(("_", "."))]
+        if not data:
+            continue
+        rel = _os.path.relpath(root, path).replace(_os.sep, "/")
+        segs = [s.split("=", 1) for s in rel.split("/") if "=" in s]
+        key = tuple((c, int(v) if v.lstrip("-").isdigit() else v)
+                    for c, v in segs)
+        per_part[key] = per_part.get(key, 0) + len(data)
+    fragmented = {k: n for k, n in per_part.items()
+                  if k and n >= min_files}
+    if not fragmented:
+        return {"partitions_total": len(per_part), "compacted": 0,
+                "files_before": 0, "files_after": 0}
+
+    # 2. partition-pruned read of the fragmented slice only
+    df = spark.read.format(fmt).load(path)
+    part_pred = _reduce(
+        Column.__or__,
+        [_reduce(Column.__and__,
+                 [F.col(c) == F.lit(v) for c, v in key])
+         for key in sorted(fragmented)])
+    pcols = [c for c, _ in next(iter(fragmented))]
+    # localCheckpoint: Spark refuses to overwrite a path its write plan
+    # still reads; materializing the (fragmentation-bounded) slice
+    # truncates lineage back to the source files (merge.py rule).
+    slice_ = (df.filter(part_pred)
+              .repartition(*[F.col(c) for c in pcols])
+              .localCheckpoint(eager=True))
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        (slice_.write.mode("overwrite")
+         .option("maxRecordsPerFile", target_records_per_file)
+         .partitionBy(*pcols).format(fmt).save(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    after = 0
+    for key in fragmented:
+        d = _os.path.join(path, *(f"{c}={v}" for c, v in key))
+        after += sum(1 for f in _os.listdir(d)
+                     if f.endswith(f".{fmt}") and not f.startswith(("_",
+                                                                    ".")))
+    return {"partitions_total": len(per_part),
+            "compacted": len(fragmented),
+            "files_before": sum(fragmented.values()),
+            "files_after": after}
 
 
 def vacuum_partitions(path: str, older_than, fmt: str = "parquet",

@@ -493,3 +493,45 @@ def rest_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
               .option("start", 0).option("end", 2000)
               .option("rows_per_batch", 2000).load())
     return run_stream_to_table(stream).orderBy("id")
+
+
+@query(
+    "etl_compact_partitions",
+    oracle="""
+SELECT year(ts)  AS year, month(ts) AS month,
+       day(ts)   AS day,  hour(ts)  AS hour,
+       count(*)  AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY year, month, day, hour
+""",
+    tags=("etl", "sink", "compact"),
+    doc="Partition-targeted small-file compaction (etl/sink.py:"
+        "compact_partitions): two interleaved append runs fragment every "
+        "hour of the layout (>=2 files each, the incremental-sink "
+        "failure mode); compaction censuses fragmentation from a "
+        "DIRECTORY LISTING (no data scan), partition-prunes the read to "
+        "fragmented hours only, and rewrites them via dynamic partition "
+        "overwrite — content must be untouched, so the per-hour read-back "
+        "aggregates equal the oracle's straight recompute. File-count "
+        "reduction and untouched-partition byte identity are pinned in "
+        "tests/test_etl.py.",
+)
+def etl_compact_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..etl.sink import compact_partitions
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "value")
+          .filter(F.col("ts") < F.lit(dt.datetime(2024, 1, 2))))
+    dest = os.path.join(tempfile.mkdtemp(prefix="etl_cmp_"), "data")
+    for i in range(2):
+        write_partitioned(ev.filter(F.col("event_id") % 2 == i), dest,
+                          "ts", max_records_per_file=500)
+    compact_partitions(spark, dest, min_files=2)
+    back = spark.read.parquet(dest)
+    return (back.groupBy("year", "month", "day", "hour")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_value"))
+            .orderBy("year", "month", "day", "hour"))

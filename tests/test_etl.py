@@ -405,3 +405,72 @@ class TestVacuumPartitions:
         assert not any("month=1" in root and "month=12" not in root
                        for root, _, _ in os.walk(dest))
         assert any("month=2" in root for root, _, _ in os.walk(dest))
+
+
+class TestCompactPartitions:
+    """Partition-targeted compaction: only fragmented partitions are
+    rewritten; cold partitions stay byte-identical; content never
+    changes; the operation is idempotent."""
+
+    def _file_bytes(self, d):
+        import glob
+        import os
+        out = {}
+        for f in sorted(glob.glob(f"{d}/**/*.parquet", recursive=True)):
+            with open(f, "rb") as fh:
+                out[os.path.relpath(f, d)] = fh.read()
+        return out
+
+    def test_targets_only_fragmented_partitions(self, spark, sf_dir,
+                                                tmp_path):
+        from data_and_analytics_etl_spark.etl.sink import (
+            compact_partitions, write_partitioned)
+        ev = (load_table(spark, sf_dir, "events")
+              .select("event_id", "ts", "value"))
+        hot = ev.filter(F.col("ts") < F.lit(T1))
+        cold = ev.filter((F.col("ts") >= F.lit(T1))
+                         & (F.col("ts") < F.lit(T2)))
+        dest = str(tmp_path / "tbl")
+        # cold hours: single writer task -> exactly one file each
+        write_partitioned(cold.repartition(1), dest, "ts")
+        cold_before = self._file_bytes(dest)
+        # hot hours: two interleaved appends -> >=2 files each
+        for i in range(2):
+            write_partitioned(hot.filter(F.col("event_id") % 2 == i),
+                              dest, "ts")
+        n_total = spark.read.parquet(dest).count()
+
+        res = compact_partitions(spark, dest, min_files=2)
+        assert res["compacted"] > 0
+        assert res["files_after"] < res["files_before"]
+
+        after = self._file_bytes(dest)
+        # every cold file survives byte-identical at the same path
+        for rel, blob in cold_before.items():
+            assert after.get(rel) == blob, rel
+        # content untouched
+        back = spark.read.parquet(dest)
+        assert back.count() == n_total
+        merged = (hot.unionByName(cold)
+                  .agg(F.sum(F.col("value").cast("decimal(18,2)")))
+                  .collect()[0][0])
+        got = back.agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))).collect()[0][0]
+        assert got == merged
+        # idempotent: nothing left to compact at min_files=2 after the
+        # partition-aligned rewrite (one task per hour -> one file)
+        res2 = compact_partitions(spark, dest, min_files=2)
+        assert res2["compacted"] == 0
+
+    def test_noop_on_healthy_table(self, spark, sf_dir, tmp_path):
+        from data_and_analytics_etl_spark.etl.sink import (
+            compact_partitions, write_partitioned)
+        ev = (load_table(spark, sf_dir, "events")
+              .select("event_id", "ts", "value")
+              .filter(F.col("ts") < F.lit(T1)))
+        dest = str(tmp_path / "tbl")
+        write_partitioned(ev.repartition(1), dest, "ts")
+        before = self._file_bytes(dest)
+        res = compact_partitions(spark, dest, min_files=2)
+        assert res["compacted"] == 0
+        assert self._file_bytes(dest) == before
