@@ -133,3 +133,44 @@ def cms_join_cardinality(counters_a: DataFrame,
                .groupBy("d")
                .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip")))
     return per_row.agg(F.min("ip").alias("est_join_rows"))
+
+
+# --- HyperLogLog partials: incremental distinct counting -------------------
+
+def hll_build(df: DataFrame, group_cols: list[str], key_col: str,
+              lg_k: int = 12) -> DataFrame:
+    """Per-group HyperLogLog sketch of ``key_col`` as a BINARY column.
+
+    The mergeable-partial-state pattern (operators/incremental.py)
+    applied to COUNT(DISTINCT): a plain distinct count is not
+    incrementally maintainable (yesterday's count + today's count
+    double-counts returning keys), but an HLL sketch is — registers
+    merge by max, so per-increment sketches stored next to the data
+    roll up to any coarser grain without ever rescanning raw history.
+
+    Spark 3.5+ ships Apache DataSketches HLL natively
+    (``hll_sketch_agg`` — JVM-side, map-side combined, deterministic
+    for a given input multiset and lg_k), so a 100 TB scan collapses
+    to one tiny (groups × ~2^lg_k bytes) sketch table in a single
+    shuffle.
+    """
+    return (df.groupBy(*group_cols)
+            .agg(F.hll_sketch_agg(F.col(key_col), lg_k)
+                 .alias("hll_sketch")))
+
+
+def hll_rollup(sketches: DataFrame,
+               group_cols: list[str]) -> DataFrame:
+    """Merge stored sketches to a coarser grain and estimate.
+
+    Union-of-sketches ≡ sketch-of-union exactly (HLL registers merge
+    by max — deterministic, order-free), pinned by pytest. The input
+    is the tiny sketch table, so re-grading distinct counts over years
+    of increments costs a sketch-table aggregate, not a raw scan.
+    """
+    return (sketches.groupBy(*group_cols)
+            .agg(F.hll_union_agg(F.col("hll_sketch"))
+                 .alias("hll_sketch"))
+            .withColumn("distinct_est",
+                        F.hll_sketch_estimate(F.col("hll_sketch"))
+                        .cast("long")))

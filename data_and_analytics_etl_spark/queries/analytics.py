@@ -1839,3 +1839,30 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .otherwise(0)).alias("e"))
          .withColumn("t", F.expr("(__mx - __mn) div 21600000000")))
     return kaplan_meier(u, F.col("t"), F.col("e"))
+
+
+@query(
+    "sketch_hll_incremental_distinct",
+    # rows-only by design: DataSketches HLL estimates are deterministic
+    # for a given input and lg_k but not reproducible by DuckDB's
+    # different HLL implementation; pytest pins the merge identity
+    # (union-of-sketches == sketch-of-union, exact) and ±5% accuracy
+    # vs the exact distinct count (tests/test_analytics.py).
+    tags=("sketch", "incremental"),
+    doc="Incremental COUNT(DISTINCT) via mergeable HyperLogLog partials "
+        "(operators/sketch.py:hll_build/hll_rollup): per-(event_type, "
+        "day) sketches — the increment grain an hourly pipeline would "
+        "persist — roll up to per-type distinct-user estimates WITHOUT "
+        "rescanning raw history. Spark 3.5 DataSketches HLL, JVM-side, "
+        "map-side combined; the rollup aggregates the tiny sketch "
+        "table, so re-grading a year of increments never touches data.",
+)
+def sketch_hll_incremental_distinct(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_build, hll_rollup
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("day", F.to_date("ts")))
+    daily = hll_build(ev, ["event_type", "day"], "user_id", lg_k=12)
+    return (hll_rollup(daily, ["event_type"])
+            .select("event_type", "distinct_est")
+            .orderBy("event_type"))

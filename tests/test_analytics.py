@@ -994,3 +994,64 @@ class TestRollingAnomalyZ:
                                           "sum_value"])
         out = rolling_anomaly_z(df, key="k").collect()
         assert all(r.zscore is None for r in out)  # honest can't-score
+
+
+class TestHllIncrementalDistinct:
+    """Mergeable HLL partials: the merge identity is exact, the
+    estimate is close, and rollups never need raw history."""
+
+    def test_union_of_sketches_equals_sketch_of_union(self, spark,
+                                                      sf_dir):
+        from data_and_analytics_etl_spark.operators.sketch import (
+            hll_build, hll_rollup)
+        ev = load_table(spark, sf_dir, "events") \
+            .withColumn("day", F.to_date("ts"))
+        # increment grain -> rollup
+        daily = hll_build(ev, ["event_type", "day"], "user_id")
+        merged = {r["event_type"]: r["distinct_est"]
+                  for r in hll_rollup(daily, ["event_type"]).collect()}
+        # one-shot sketch over the union of all increments
+        direct = {r["event_type"]: r["distinct_est"]
+                  for r in hll_rollup(
+                      hll_build(ev, ["event_type"], "user_id"),
+                      ["event_type"]).collect()}
+        assert merged == direct
+
+    def test_estimate_within_5pct_of_exact(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.sketch import (
+            hll_build, hll_rollup)
+        ev = load_table(spark, sf_dir, "events") \
+            .withColumn("day", F.to_date("ts"))
+        est = {r["event_type"]: r["distinct_est"]
+               for r in hll_rollup(
+                   hll_build(ev, ["event_type", "day"], "user_id"),
+                   ["event_type"]).collect()}
+        exact = {r["event_type"]: r["n"]
+                 for r in ev.groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("n")).collect()}
+        for k, n in exact.items():
+            assert abs(est[k] - n) <= max(1, 0.05 * n), (k, est[k], n)
+
+    def test_new_increment_merges_without_history(self, spark, sf_dir):
+        """Appending a day = build ONE new daily sketch and re-run the
+        rollup over the sketch table — the old days' sketches are
+        reused as stored."""
+        import datetime as dt
+
+        from data_and_analytics_etl_spark.operators.sketch import (
+            hll_build, hll_rollup)
+        ev = load_table(spark, sf_dir, "events") \
+            .withColumn("day", F.to_date("ts"))
+        cut = dt.date(2024, 1, 10)
+        old = hll_build(ev.filter(F.col("day") < F.lit(cut)),
+                        ["event_type", "day"], "user_id")
+        new = hll_build(ev.filter(F.col("day") >= F.lit(cut)),
+                        ["event_type", "day"], "user_id")
+        inc = {r["event_type"]: r["distinct_est"]
+               for r in hll_rollup(old.unionByName(new),
+                                   ["event_type"]).collect()}
+        full = {r["event_type"]: r["distinct_est"]
+                for r in hll_rollup(
+                    hll_build(ev, ["event_type", "day"], "user_id"),
+                    ["event_type"]).collect()}
+        assert inc == full
