@@ -1922,3 +1922,55 @@ def eval_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id"),
         k=_RANK_K)
     return out.orderBy("q")
+
+
+@query(
+    "bpe_learn_merges",
+    # rows-only by design: BPE learning is an iterative argmax loop no
+    # SQL oracle can replay; tests/test_llmdata.py::TestBpe pins the
+    # ENTIRE merge table (and the tokenization of every word) to exact
+    # equality with a from-scratch Python reference implementation.
+    tags=("llm", "text", "bpe"),
+    doc="Distributed BPE merge learning (operators/bpe.py:"
+        "learn_bpe_merges, Sennrich et al. 2016): 24 merges over the "
+        "document corpus. Per iteration one hash agg over the "
+        "DISTINCT-word table's adjacent symbol pairs (Heaps-law "
+        "bounded — the corpus is scanned exactly once, for the initial "
+        "word-frequency table) + a 1-row argmax with a total "
+        "tie-break, then a pure-codegen array fold applies the merge; "
+        "per-round localCheckpoint keeps lineage flat. Returns the "
+        "learned (rank, left, right, pair_count) table.",
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import learn_bpe_merges
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, "text", num_merges=24)
+    rows = [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank: int, left: string, right: string, pair_count: long")
+
+
+@query(
+    "bpe_token_stats",
+    # rows-only: tokenization depends on the learned merge table above.
+    tags=("llm", "text", "bpe"),
+    doc="BPE tokenization (operators/bpe.py:apply_bpe) with the corpus-"
+        "learned merge table: per-language token totals and "
+        "chars-per-token compression ratio. The encode is ONE lazy "
+        "shuffle-free plan — per word a char+EOW fold through the "
+        "merges in learned order, all JVM-side higher-order "
+        "expressions, no UDF.",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import apply_bpe, learn_bpe_merges
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, "text", num_merges=24)
+    enc = apply_bpe(d, "text", merges)
+    return (enc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.size("bpe_tokens")).cast("long")
+                 .alias("n_tokens"),
+                 (F.sum(F.length("text")).cast("double")
+                  / F.sum(F.size("bpe_tokens")))
+                 .alias("chars_per_token"))
+            .orderBy("lang"))

@@ -36,6 +36,9 @@ EXEMPT_PROBES = {
                         # localCheckpoint (lineage truncation) is eager
                         # by design (operators/graph.py)
     "linkage_entity_resolution",  # composes dedup_clusters' CC loop
+    "bpe_learn_merges",   # BPE merge learning: per-merge argmax loop is
+    "bpe_token_stats",    # the algorithm (operators/bpe.py); encode
+                          # itself is lazy but consumes the learned table
 }
 
 

@@ -984,3 +984,83 @@ class TestAviDecode:
                                    ["asset_id", "modality", "payload"])
         r = decode_assets(df).collect()[0]
         assert r.error is not None
+
+
+class TestBpe:
+    """BPE learning/encoding vs a from-scratch reference implementation
+    (Sennrich et al. 2016 greedy merge loop) — exact equality."""
+
+    @staticmethod
+    def _ref_learn(word_freq, k, min_count=2):
+        syms = {w: tuple(w) + ("</w>",) for w in word_freq}
+        merges = []
+        for _ in range(k):
+            pairs = {}
+            for w, f in word_freq.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] = \
+                        pairs.get((s[i], s[i + 1]), 0) + f
+            if not pairs:
+                break
+            (a, b), n = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            if n < min_count:
+                break
+            merges.append((a, b, n))
+            for w in syms:
+                s, out, i = syms[w], [], 0
+                for x in s:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                syms[w] = tuple(out)
+        return merges, syms
+
+    @staticmethod
+    def _words(spark_docs):
+        import re
+        freq = {}
+        for r in spark_docs:
+            for w in re.split(r"\s+", r["text"].lower()):
+                if w:
+                    freq[w] = freq.get(w, 0) + 1
+        return freq
+
+    def test_learned_merges_match_reference(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.bpe import \
+            learn_bpe_merges
+        docs = load_table(spark, sf_dir, "documents") \
+            .filter(F.col("doc_id") < 40)
+        got = learn_bpe_merges(docs, "text", num_merges=15)
+        freq = self._words(docs.select("text").collect())
+        want, _ = self._ref_learn(freq, 15)
+        assert got == want
+
+    def test_encode_matches_reference(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.bpe import (
+            apply_bpe, learn_bpe_merges)
+        docs = load_table(spark, sf_dir, "documents") \
+            .filter(F.col("doc_id") < 40)
+        merges = learn_bpe_merges(docs, "text", num_merges=15)
+        freq = self._words(docs.select("text").collect())
+        _, ref_syms = self._ref_learn(freq, 15)
+        import re
+        enc = {r["doc_id"]: r["bpe_tokens"]
+               for r in apply_bpe(docs, "text", merges)
+               .select("doc_id", "bpe_tokens").collect()}
+        for r in docs.select("doc_id", "text").collect():
+            want = []
+            for w in re.split(r"\s+", r["text"].lower()):
+                if w:
+                    want.extend(ref_syms[w])
+            assert enc[r["doc_id"]] == want, r["doc_id"]
+
+    def test_greedy_single_pass_semantics(self, spark):
+        """'aaa' under merge (a,a) -> ['aa','a','</w>'] (non-overlapping
+        left-to-right), the standard BPE replacement rule."""
+        from data_and_analytics_etl_spark.operators.bpe import apply_bpe
+        df = spark.createDataFrame([("aaa",)], "text: string")
+        out = apply_bpe(df, "text", [("a", "a", 0)]).collect()
+        assert out[0]["bpe_tokens"] == ["aa", "a", "</w>"]
