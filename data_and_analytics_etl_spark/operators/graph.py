@@ -141,3 +141,46 @@ def triangle_count(edges: DataFrame, src: str = "src",
     return (nodes.crossJoin(F.broadcast(stats))
             .crossJoin(F.broadcast(counts))
             .select("n_nodes", "n_edges", "triangles"))
+
+
+def transitive_closure(edges: DataFrame, src: str = "src",
+                       dst: str = "dst",
+                       max_depth: int = 16) -> DataFrame:
+    """Reachability with shortest hop-distance — the WITH RECURSIVE
+    ancestor query Spark SQL lacks, as a LAZY min-plus pointer-doubling
+    plan.
+
+    Returns (node, anc, depth): every (src ⇝ reachable-dst) pair within
+    ``max_depth`` hops and its MINIMUM hop count. Classic repeated
+    squaring of the min-plus matrix: round r holds all shortest paths
+    of length ≤ 2^r, so ceil(log2(max_depth)) self-join rounds cover
+    the requested horizon — O(log depth) bucketed equi-joins on node
+    id, never node×node, the same complexity argument as the
+    connected-components pointer doubling (dedup.py).
+
+    Unlike the CC loop the round count is FIXED by ``max_depth`` (a
+    hierarchy's depth bound is a modeling fact: org charts, BOMs,
+    category trees), so construction is action-free — the whole closure
+    is ONE lazy plan a DuckDB WITH RECURSIVE oracle can recompute.
+    Per-round groupBy-min keeps the pair set deterministic on DAGs with
+    multiple paths; cyclic inputs are capped at 2^rounds hops by
+    construction (no infinite recursion, unlike an unguarded recursive
+    CTE).
+    """
+    import math
+    rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
+    closure = edges.select(F.col(src).alias("node"),
+                           F.col(dst).alias("anc"),
+                           F.lit(1).alias("depth"))
+    for _ in range(rounds):
+        hop = (closure.alias("l")
+               .join(closure.alias("r"),
+                     F.col("l.anc") == F.col("r.node"))
+               .select(F.col("l.node").alias("node"),
+                       F.col("r.anc").alias("anc"),
+                       (F.col("l.depth") + F.col("r.depth"))
+                       .alias("depth")))
+        closure = (closure.unionByName(hop)
+                   .groupBy("node", "anc")
+                   .agg(F.min("depth").alias("depth")))
+    return closure.filter(F.col("depth") <= max_depth)

@@ -1866,3 +1866,44 @@ def sketch_hll_incremental_distinct(spark: SparkSession,
     return (hll_rollup(daily, ["event_type"])
             .select("event_type", "distinct_est")
             .orderBy("event_type"))
+
+
+@query(
+    "graph_transitive_closure",
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS child, c_custkey // 10 AS parent
+  FROM customer WHERE c_custkey > 0
+), anc AS (
+  SELECT child AS node, parent AS anc, 1 AS depth FROM edges
+  UNION ALL
+  SELECT a.node, e.parent, a.depth + 1
+  FROM anc a JOIN edges e ON a.anc = e.child
+)
+SELECT node, anc, CAST(min(depth) AS INTEGER) AS depth
+FROM anc GROUP BY node, anc
+ORDER BY node, anc
+""",
+    tags=("graph", "recursive"),
+    doc="Transitive ancestor closure (operators/graph.py:"
+        "transitive_closure) over the derived custkey decimal-digit "
+        "hierarchy (child c -> parent c//10, a forest): every "
+        "(node, ancestor, hop-distance) triple, exactly what a SQL "
+        "WITH RECURSIVE ancestor query returns — Spark lacks recursive "
+        "CTEs, so the engine re-expresses it as ceil(log2(depth)) "
+        "min-plus pointer-doubling self-joins in ONE lazy action-free "
+        "plan. Oracle IS a recursive CTE (DuckDB), proving parity with "
+        "the missing SQL feature.",
+)
+def graph_transitive_closure(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..operators.graph import transitive_closure
+    c = load_table(spark, sf_dir, "customer")
+    edges = (c.filter(F.col("c_custkey") > 0)
+             .select(F.col("c_custkey").alias("src"),
+                     (F.col("c_custkey") / 10).cast("long")
+                     .alias("dst")))
+    out = transitive_closure(edges, max_depth=16)
+    return (out.select("node", "anc",
+                       F.col("depth").cast("int").alias("depth"))
+            .orderBy("node", "anc"))
