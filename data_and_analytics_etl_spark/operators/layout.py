@@ -63,3 +63,78 @@ def zorder_write(df: DataFrame, cols: list[Column], path: str,
      .sortWithinPartitions("__zkey")
      .drop("__zkey")
      .write.mode("overwrite").parquet(path))
+
+
+# --- Bloom-filter partition index: key-level data skipping -----------------
+
+def _hex_digit(h: Column, p: int) -> Column:
+    """Value of lowercase hex digit ``p`` (1-based) of a digest string —
+    pure ascii arithmetic every SQL engine computes identically (the
+    simhash bit-extraction rule, dedup.py)."""
+    a = F.ascii(F.substring(h, p, 1))
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
+def _bloom_bucket(key: Column, j: int) -> Column:
+    """Hash function j of the portable bloom family: the first three
+    hex digits of md5('<j>|' || key) as an integer in [0, 4096)."""
+    h = F.md5(F.concat(F.lit(f"{j}|"), key.cast("string")))
+    return (_hex_digit(h, 1) * 256 + _hex_digit(h, 2) * 16
+            + _hex_digit(h, 3))
+
+
+BLOOM_M = 4096  # 16^3: three hex digits index the bit array exactly
+
+
+def bloom_partition_index(df: DataFrame, part_cols: list[str],
+                          key_col: str, k: int = 3) -> DataFrame:
+    """Per-partition bloom filter over a key column, AS A TABLE:
+    (partition cols…, bucket) — the set bits of each partition's
+    filter.
+
+    The min/max footer stats Z-ordering exploits (zorder_write) cannot
+    skip on a HIGH-CARDINALITY point lookup (every partition's
+    [min,max] spans the key space); a bloom index can — this is
+    Delta/Hudi's bloom index re-expressed relationally. Each row
+    contributes k = 3 salted md5 buckets in [0, 4096); ONE distinct
+    aggregate collapses 100 TB to ≤ partitions × 4096 index rows,
+    map-side combined. The portable hash family (ascii-arithmetic hex
+    digits) makes the whole index an exact cross-engine expression —
+    the index CONTENT oracle-checks, not just its behavior.
+    """
+    buckets = F.array(*[_bloom_bucket(F.col(key_col), j)
+                        for j in range(k)])
+    return (df.select(*part_cols, F.explode(buckets).alias("bucket"))
+            .distinct())
+
+
+def bloom_prune(index: DataFrame, probes: DataFrame, key_col: str,
+                part_cols: list[str], k: int = 3) -> DataFrame:
+    """Qualify partitions for point-lookup keys: (probe key, partition)
+    survives iff ALL k of the key's buckets are set in that
+    partition's filter — the standard bloom conjunction, as one
+    equi-join on bucket + a count filter.
+
+    NO FALSE NEGATIVES by construction (a partition holding the key
+    set all k of its buckets — pytest-pinned); false positives only
+    waste a partition read. The join runs index-size × probe-size,
+    never data-size: this is the scan-planning step that turns a
+    100 TB point lookup into a handful of partition reads.
+    """
+    pk = (probes.select(F.col(key_col).alias("__key"))
+          .distinct()
+          .select("__key",
+                  F.explode(F.array_distinct(
+                      F.array(*[_bloom_bucket(F.col("__key"), j)
+                                for j in range(k)])))
+                  .alias("bucket")))
+    # the k salted hashes of one key may collide into fewer DISTINCT
+    # buckets — require presence of the key's own distinct set, not a
+    # literal k, or a self-colliding key could never qualify anywhere
+    need = pk.groupBy("__key").agg(F.count(F.lit(1)).alias("__need"))
+    hits = (pk.join(index, "bucket")
+            .groupBy("__key", *part_cols)
+            .agg(F.count(F.lit(1)).alias("__nb")))
+    return (hits.join(F.broadcast(need), "__key")
+            .filter(F.col("__nb") == F.col("__need"))
+            .select(F.col("__key").alias(key_col), *part_cols))

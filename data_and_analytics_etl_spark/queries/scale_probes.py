@@ -298,3 +298,70 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(edges, iters=10)
     return (pr.select("node", F.round("rank", 6).alias("rank"))
             .orderBy(F.desc("rank"), F.asc("node")).limit(20))
+
+
+def _bloom_digit_sql(h: str, p: int) -> str:
+    a = f"ascii(substr({h}, {p}, 1))"
+    return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+
+
+def _bloom_bucket_sql(j: int, key: str) -> str:
+    h = f"md5(concat('{j}|', CAST({key} AS VARCHAR)))"
+    return (f"({_bloom_digit_sql(h, 1)} * 256 + "
+            f"{_bloom_digit_sql(h, 2)} * 16 + {_bloom_digit_sql(h, 3)})")
+
+
+@query(
+    "layout_bloom_prune",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+), idx AS (
+  SELECT DISTINCT day, bucket FROM (
+    SELECT day, unnest([{_bloom_bucket_sql(0, 'user_id')},
+                        {_bloom_bucket_sql(1, 'user_id')},
+                        {_bloom_bucket_sql(2, 'user_id')}]) AS bucket
+    FROM ev
+  )
+), probe_keys AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0
+), pk AS (
+  SELECT DISTINCT user_id, bucket FROM (
+    SELECT user_id, unnest([{_bloom_bucket_sql(0, 'user_id')},
+                            {_bloom_bucket_sql(1, 'user_id')},
+                            {_bloom_bucket_sql(2, 'user_id')}]) AS bucket
+    FROM probe_keys
+  )
+), need AS (
+  SELECT user_id, count(*) AS nd FROM pk GROUP BY 1
+), hits AS (
+  SELECT pk.user_id, idx.day, count(*) AS nb
+  FROM pk JOIN idx USING (bucket)
+  GROUP BY 1, 2
+)
+SELECT h.user_id, h.day
+FROM hits h JOIN need n ON h.user_id = n.user_id
+WHERE h.nb = n.nd
+ORDER BY h.user_id, h.day
+""",
+    tags=("layout", "scale"),
+    doc="Bloom-filter partition index + point-lookup pruning "
+        "(operators/layout.py:bloom_partition_index/bloom_prune): "
+        "per-day bloom filters over user_id stored AS A TABLE of set "
+        "bits (k=3 salted md5 buckets in [0,4096)), then the qualified "
+        "(probe key, day) pairs by the all-buckets-present "
+        "conjunction. High-cardinality point lookups that min/max "
+        "footer stats (zorder) cannot skip become an index-table "
+        "equi-join — Delta/Hudi's bloom index relationally. The "
+        "portable ascii-arithmetic hash family means the oracle "
+        "recomputes the INDEX CONTENT bit-for-bit; no-false-negative "
+        "and pruning-power properties are pytest-pinned.",
+)
+def layout_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import bloom_partition_index, bloom_prune
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("day", F.to_date("ts")))
+    idx = bloom_partition_index(ev, ["day"], "user_id", k=3)
+    probes = ev.filter(F.col("user_id") % 37 == 0).select("user_id")
+    out = bloom_prune(idx, probes, "user_id", ["day"], k=3)
+    return out.orderBy("user_id", "day")

@@ -10,6 +10,8 @@ import random
 
 import pyspark.sql.functions as F
 
+from data_and_analytics_etl_spark.catalog import load_table
+
 from data_and_analytics_etl_spark.operators.rangejoin import (
     interval_overlap_join)
 from data_and_analytics_etl_spark.operators.sampling import top_p_by_group
@@ -199,3 +201,44 @@ class TestPageRank:
         # the (source-only) customers, which all sit at the teleport floor
         top = pr.orderBy(F.desc("rank")).first()
         assert top.node.startswith("s")
+
+
+class TestBloomPartitionIndex:
+    """Bloom index contract: never a false negative; real pruning
+    power; index size bounded by partitions × set bits."""
+
+    def test_no_false_negatives_and_prunes(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.layout import (
+            bloom_partition_index, bloom_prune)
+        ev = (load_table(spark, sf_dir, "events")
+              .withColumn("day", F.to_date("ts")))
+        idx = bloom_partition_index(ev, ["day"], "user_id", k=3)
+        probes = ev.select("user_id").distinct().limit(40)
+        qualified = {(r["user_id"], r["day"]) for r in
+                     bloom_prune(idx, probes, "user_id", ["day"],
+                                 k=3).collect()}
+        actual = {(r["user_id"], r["day"]) for r in
+                  ev.join(probes, "user_id")
+                  .select("user_id", "day").distinct().collect()}
+        # every true (key, partition) pair qualifies
+        assert actual <= qualified
+        # and the index actually skips: qualified pairs are far fewer
+        # than all (probe, partition) combinations
+        n_days = ev.select("day").distinct().count()
+        n_probes = probes.count()
+        assert len(qualified) < n_probes * n_days
+
+    def test_absent_key_rarely_qualifies(self, spark, sf_dir):
+        """A key never present in any partition should be pruned
+        everywhere (false-positive rate at these fill levels is far
+        below one partition's worth)."""
+        from data_and_analytics_etl_spark.operators.layout import (
+            bloom_partition_index, bloom_prune)
+        ev = (load_table(spark, sf_dir, "events")
+              .withColumn("day", F.to_date("ts")))
+        idx = bloom_partition_index(ev, ["day"], "user_id", k=3)
+        ghost = spark.createDataFrame([(10_000_001,), (10_000_007,)],
+                                      "user_id: long")
+        q = bloom_prune(idx, ghost, "user_id", ["day"], k=3).count()
+        n_days = ev.select("day").distinct().count()
+        assert q <= max(1, n_days // 5)
