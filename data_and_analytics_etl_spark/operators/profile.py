@@ -461,3 +461,32 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str],
     return (df.groupBy(*quasi_cols)
             .agg(F.count(F.lit(1)).alias("class_size"))
             .withColumn("violates_k", F.col("class_size") < k))
+
+
+def schema_diff(old_df: DataFrame, new_df: DataFrame) -> DataFrame:
+    """Schema drift between two dataset versions as rows:
+    (column, change ∈ {added, removed, type_changed}, old_type,
+    new_type) — unchanged columns are omitted.
+
+    The reference tolerates drift silently (schemaless JSON verbatim,
+    CommCareAPIHandler.py:204); a typed engine must instead DETECT it
+    so ingestion can alert before a type change corrupts downstream
+    casts. Pure plan-metadata computation: schemas come from Catalyst,
+    no job runs and no data is scanned — auditing a 100 TB table's
+    drift is free. Emitted as a DataFrame so drift feeds the same
+    quality gates as Deequ-style checks (check_constraints).
+    """
+    spark = old_df.sparkSession
+    old = {f.name: f.dataType.simpleString() for f in old_df.schema}
+    new = {f.name: f.dataType.simpleString() for f in new_df.schema}
+    rows = []
+    for c in sorted(old.keys() | new.keys()):
+        if c not in new:
+            rows.append((c, "removed", old[c], None))
+        elif c not in old:
+            rows.append((c, "added", None, new[c]))
+        elif old[c] != new[c]:
+            rows.append((c, "type_changed", old[c], new[c]))
+    return spark.createDataFrame(
+        rows, "column: string, change: string, old_type: string, "
+              "new_type: string")

@@ -535,3 +535,34 @@ def etl_compact_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("value").cast("decimal(18,2)"))
                   .cast("double").alias("sum_value"))
             .orderBy("year", "month", "day", "hour"))
+
+
+@query(
+    "etl_schema_drift",
+    oracle="""
+SELECT * FROM (VALUES
+  ('o_ingested_at', 'added',        CAST(NULL AS VARCHAR), 'timestamp'),
+  ('o_orderpriority', 'removed',    'string', CAST(NULL AS VARCHAR)),
+  ('o_totalprice', 'type_changed',  'double', 'string')
+) AS t("column", change, old_type, new_type)
+ORDER BY "column"
+""",
+    tags=("etl", "quality"),
+    doc="Schema drift detection (operators/profile.py:schema_diff): a "
+        "new extract that adds an audit column, drops a field, and "
+        "stringifies a price must report exactly {added, removed, "
+        "type_changed} rows. Pure Catalyst-metadata computation — no "
+        "job, no scan, free at 100 TB — feeding the same quality-gate "
+        "surface as the Deequ-style checks; the reference's schemaless "
+        "verbatim dump (CommCareAPIHandler.py:204) made this class of "
+        "corruption invisible.",
+)
+def etl_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import schema_diff
+    old = load_table(spark, sf_dir, "orders")
+    new = (old.drop("o_orderpriority")
+           .withColumn("o_totalprice",
+                       F.col("o_totalprice").cast("string"))
+           .withColumn("o_ingested_at",
+                       F.to_timestamp(F.lit("2024-01-01"))))
+    return schema_diff(old, new).orderBy("column")
