@@ -162,6 +162,12 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     hierarchy's depth bound is a modeling fact: org charts, BOMs,
     category trees), so construction is action-free — the whole closure
     is ONE lazy plan a DuckDB WITH RECURSIVE oracle can recompute.
+    Per-round lazy persist stops the self-join from recomputing its
+    doubled subtree; the LOGICAL tree still grows 2^rounds (fine at
+    the 3-5 rounds real hierarchies need — 16-hop horizon = 4 rounds).
+    For pathological depths (> ~64) switch the persist to
+    localCheckpoint, trading construction laziness for a flat plan,
+    exactly the dedup_clusters tradeoff.
     Per-round groupBy-min keeps the pair set deterministic on DAGs with
     multiple paths; cyclic inputs are capped at 2^rounds hops by
     construction (no infinite recursion, unlike an unguarded recursive
@@ -173,6 +179,13 @@ def transitive_closure(edges: DataFrame, src: str = "src",
                            F.col(dst).alias("anc"),
                            F.lit(1).alias("depth"))
     for _ in range(rounds):
+        # persist (lazy — construction stays action-free): the
+        # self-join references this round's frame TWICE; without a
+        # materialization point the logical subtree doubles per round
+        # (2^rounds copies — 94 Exchanges measured at 4 rounds) and
+        # every copy would recompute at scale. InMemoryTableScan
+        # collapses both references to one computation.
+        closure = closure.persist(StorageLevel.MEMORY_AND_DISK)
         hop = (closure.alias("l")
                .join(closure.alias("r"),
                      F.col("l.anc") == F.col("r.node"))
