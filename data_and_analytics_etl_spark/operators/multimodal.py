@@ -807,3 +807,187 @@ def chunk_dedup_ratio(chunks: DataFrame) -> DataFrame:
         .withColumn("shared_byte_ratio",
                     F.round(F.col("n_shared_bytes")
                             / F.greatest(F.col("n_bytes"), F.lit(1)), 4)))
+
+
+# --- Perceptual hashing: image near-dup detection --------------------------
+
+def _bmp_luma_matrix(payload: bytes):
+    """Decode an uncompressed 24bpp BMP to a float64 luminance matrix
+    (top-down row order regardless of stored orientation) — the
+    vectorized sibling of ``_decode_bmp``'s per-pixel statistics."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24bpp BMP")
+    h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    rows = []
+    for r in range(h):
+        base = data_offset + r * row_bytes
+        px = np.frombuffer(payload, dtype=np.uint8, count=width * 3,
+                           offset=base).reshape(width, 3).astype(np.float64)
+        # stored order is BGR
+        rows.append(0.299 * px[:, 2] + 0.587 * px[:, 1]
+                    + 0.114 * px[:, 0])
+    m = np.stack(rows)
+    if height > 0:          # bottom-up storage -> flip to top-down
+        m = m[::-1]
+    return m
+
+
+def _phash64(luma, grid: int = 32, keep: int = 8) -> int:
+    """64-bit DCT perceptual hash of a luminance matrix.
+
+    Nearest-neighbor resample to grid×grid, 2-D DCT-II by explicit
+    basis-matrix multiply (numpy float64 — deterministic on a platform,
+    which is all a fingerprint needs), keep the keep×keep low-frequency
+    block, set bit i iff coefficient i exceeds the block's median.
+    Structurally-similar images differ in a few bits; unrelated images
+    differ in ~32.
+    """
+    import numpy as np
+
+    h, w = luma.shape
+    ri = (np.arange(grid) * h) // grid
+    ci = (np.arange(grid) * w) // grid
+    small = luma[np.ix_(ri, ci)]
+    n = grid
+    k = np.arange(n)
+    dct = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    coef = dct @ small @ dct.T
+    block = coef[:keep, :keep].ravel()
+    med = float(np.median(block))
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    # interpret as signed 64-bit so the value fits Spark's LongType
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def perceptual_hash_images(assets: DataFrame) -> DataFrame:
+    """Per-image 64-bit perceptual hash via Arrow-batched mapInPandas:
+    (asset_id, phash, error) — undecodable payloads quarantine with
+    ``error`` set, the decode_assets contract.
+
+    The fingerprint is the standard DCT pHash (resample → 2-D DCT-II →
+    low-frequency median threshold), so visually-near-duplicate images
+    land within a small Hamming distance and the TEXT near-dup
+    machinery (simhash banding, hamming64) applies unchanged to image
+    corpora — one dedup stack across modalities.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    _ensure_portable()
+    schema = StructType([
+        StructField("asset_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("error", StringType()),
+    ])
+
+    def _batch(batches):
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"],
+                                         pdf["payload"]):
+                row = {"asset_id": int(asset_id), "phash": None,
+                       "error": None}
+                try:
+                    row["phash"] = _phash64(
+                        _bmp_luma_matrix(bytes(payload or b"")))
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    row["error"] = f"{type(e).__name__}: {e}"[:200]
+                out.append(row)
+            yield pd.DataFrame(out, columns=["asset_id", "phash",
+                                             "error"])
+
+    return (assets.select("asset_id", "payload")
+            .mapInPandas(_batch, schema=schema))
+
+
+def phash_neardup_pairs(hashes: DataFrame,
+                        max_distance: int = 3) -> DataFrame:
+    """Image near-dup pairs (id_a < id_b, hamming) from perceptual
+    hashes — banded exactly like SimHash text dedup.
+
+    Pigeonhole: two 64-bit hashes within Hamming distance 3 agree
+    exactly on ≥1 of 4 disjoint 16-bit bands, so candidate generation
+    is an equi-join on (band, band value) — bucketed, never all-pairs
+    — and the exact hamming64 recheck filters the candidates. The
+    scale shape is identical to minhash_lsh_pairs: ids-only through
+    the shuffle, collision mass bounded by band width.
+    """
+    from .dedup import hamming64
+
+    h = hashes.filter(F.col("phash").isNotNull())
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col("phash"), 16 * b)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("v"))
+        for b in range(4)])
+    banded = h.select(F.col("asset_id"), F.col("phash"),
+                      F.explode(bands).alias("bv"))
+    l = banded.select(F.col("asset_id").alias("id_a"),
+                      F.col("phash").alias("ph_a"),
+                      F.col("bv.band").alias("band"),
+                      F.col("bv.v").alias("v"))
+    r = banded.select(F.col("asset_id").alias("id_b"),
+                      F.col("phash").alias("ph_b"),
+                      F.col("bv.band").alias("band"),
+                      F.col("bv.v").alias("v"))
+    cand = (l.join(r, ["band", "v"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "ph_a", "ph_b").distinct())
+    return (cand.withColumn("hamming",
+                            hamming64(F.col("ph_a"), F.col("ph_b")))
+            .filter(F.col("hamming") <= max_distance)
+            .select("id_a", "id_b", "hamming"))
+
+
+def synthesize_bmp_assets(docs: DataFrame, size: int = 16) -> DataFrame:
+    """Deterministic BMP corpus from `documents`: each text renders to a
+    size×size 24bpp image whose pixels are md5-keyed bytes of the text
+    — identical texts yield identical images, so the corpus's planted
+    duplicates become image duplicates and the full decode→phash→pairs
+    pipeline is exercised end to end on REAL encoded payloads."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField
+
+    _ensure_portable()
+    schema = StructType([
+        StructField("asset_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def _batch(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                need = size * size * 3
+                seed = (text or "").encode("utf-8")
+                buf = b""
+                i = 0
+                while len(buf) < need:
+                    buf += hashlib.md5(seed + str(i).encode()).digest()
+                    i += 1
+                rows = [buf[r * size * 3:(r + 1) * size * 3]
+                        for r in range(size)]
+                out.append({"asset_id": int(doc_id),
+                            "payload": _encode_bmp(size, size, rows)})
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    return (docs.select("doc_id", "text")
+            .mapInPandas(_batch, schema=schema))

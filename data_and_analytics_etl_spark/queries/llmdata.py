@@ -1974,3 +1974,38 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / F.sum(F.size("bpe_tokens")))
                  .alias("chars_per_token"))
             .orderBy("lang"))
+
+
+@query(
+    "multimodal_phash_neardup",
+    # rows-only by design: the DCT coefficients behind the fingerprint
+    # are float math no SQL oracle reproduces; tests/test_llmdata.py::
+    # TestPerceptualHash pins determinism, identical->0-distance,
+    # near-copy small distance, unrelated large distance, and that the
+    # corpus pipeline's pair set equals the planted exact-duplicate set.
+    tags=("llm", "multimodal", "dedup"),
+    doc="Image near-duplicate detection (operators/multimodal.py:"
+        "perceptual_hash_images + phash_neardup_pairs): documents "
+        "render to REAL 24bpp BMPs (md5-keyed pixels, so planted text "
+        "dups become image dups), decode through the quarantining "
+        "mapInPandas path, fingerprint with the standard DCT pHash, "
+        "and pair up via 4×16-bit band equi-join + exact hamming64 "
+        "recheck — the TEXT near-dup scale shape (ids-only banding, "
+        "never all-pairs) applied unchanged to an image corpus.",
+)
+def multimodal_phash_neardup(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (perceptual_hash_images,
+                                        phash_neardup_pairs,
+                                        synthesize_bmp_assets)
+    d = load_table(spark, sf_dir, "documents")
+    # plant image duplicates: every 25th document re-enters under a
+    # shifted id, so the expected pair set is (doc_id, doc_id+100000)
+    # for doc_id % 25 == 0 — the crash-overlap re-ingest scenario on an
+    # image corpus
+    planted = (d.filter(F.col("doc_id") % 25 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 100000))
+    assets = synthesize_bmp_assets(d.unionByName(planted))
+    hashes = perceptual_hash_images(assets)
+    return (phash_neardup_pairs(hashes, max_distance=3)
+            .orderBy("id_a", "id_b"))

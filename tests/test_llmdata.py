@@ -1064,3 +1064,69 @@ class TestBpe:
         df = spark.createDataFrame([("aaa",)], "text: string")
         out = apply_bpe(df, "text", [("a", "a", 0)]).collect()
         assert out[0]["bpe_tokens"] == ["aa", "a", "</w>"]
+
+
+class TestPerceptualHash:
+    """DCT pHash: determinism, metric behavior on synthesized BMPs, and
+    corpus-pipeline equivalence to the planted-duplicate set."""
+
+    @staticmethod
+    def _bmp(pattern, w=64, h=48):
+        from data_and_analytics_etl_spark.operators.multimodal import \
+            _encode_bmp
+        rows = []
+        for r in range(h):
+            row = bytearray()
+            for c in range(w):
+                v = pattern(r, c) & 0xFF
+                row += bytes((v, v, v))
+            rows.append(bytes(row))
+        return _encode_bmp(w, h, rows)
+
+    def test_metric_behavior(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            perceptual_hash_images, phash_neardup_pairs)
+        base = self._bmp(lambda r, c: 2 * r + c)
+        near = self._bmp(lambda r, c: 2 * r + c + (3 if r < 2 else 0))
+        diff = self._bmp(lambda r, c: (r * c * 7 + 13) % 251)
+        assets = spark.createDataFrame(
+            [(1, base), (2, base), (3, near), (4, diff)],
+            "asset_id: long, payload: binary")
+        h = perceptual_hash_images(assets)
+        vals = {r["asset_id"]: r["phash"] for r in h.collect()}
+        assert vals[1] == vals[2]                       # identical -> 0
+        assert bin(vals[1] ^ vals[3]).count("1") <= 10  # near copy
+        assert bin(vals[1] ^ vals[4]).count("1") > 10   # unrelated
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in phash_neardup_pairs(h, max_distance=3)
+                 .collect()}
+        assert pairs.get((1, 2)) == 0
+        assert (1, 4) not in pairs and (2, 4) not in pairs
+
+    def test_quarantine_bad_payload(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import \
+            perceptual_hash_images
+        assets = spark.createDataFrame(
+            [(1, b"not an image")], "asset_id: long, payload: binary")
+        r = perceptual_hash_images(assets).collect()[0]
+        assert r["phash"] is None and "ValueError" in r["error"]
+
+    def test_corpus_pairs_equal_planted_duplicates(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            perceptual_hash_images, phash_neardup_pairs,
+            synthesize_bmp_assets)
+        d = load_table(spark, sf_dir, "documents")
+        planted = (d.filter(F.col("doc_id") % 25 == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 100000))
+        u = d.unionByName(planted)
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in phash_neardup_pairs(
+                     perceptual_hash_images(synthesize_bmp_assets(u)),
+                     max_distance=3).collect()}
+        dup = (u.alias("a").join(u.alias("b"),
+                                 F.col("a.text") == F.col("b.text"))
+               .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+               .select(F.col("a.doc_id").alias("x"),
+                       F.col("b.doc_id").alias("y")).collect())
+        want = {(r["x"], r["y"]) for r in dup}
+        assert want and pairs == want
