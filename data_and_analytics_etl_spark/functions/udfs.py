@@ -76,3 +76,40 @@ def tokenize_udtf():
 
 __all__ = ["price_band", "vectorized_label", "grouped_weighted_avg",
            "register_sql_udfs", "tokenize_udtf"]
+
+
+@pandas_udf(StringType())
+def nfc_normalize(s: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (vectorized pandas_udf).
+
+    Spark SQL has no normalization builtin; decomposed sequences
+    (e + U+0301) and their composed forms (é) must compare, hash and
+    dedup identically or a multilingual corpus silently splits.
+    Oracle-checkable cross-engine: Python unicodedata and DuckDB's
+    utf8proc agree on NFC for the Unicode compositions that occur in
+    practice (probe `udf_nfc_normalize` proves byte equality via md5).
+    """
+    import unicodedata
+    return s.map(lambda x: None if x is None
+                 else unicodedata.normalize("NFC", x))
+
+
+@pandas_udf(DoubleType())
+def compression_ratio(s: pd.Series) -> pd.Series:
+    """zlib compression ratio (compressed/raw bytes) — the classic
+    corpus-quality signal: highly repetitive or templated text
+    compresses far below natural prose, near-random noise approaches
+    (or exceeds) 1.0. Deterministic for a fixed zlib level (6), so
+    threshold gates are reproducible across runs; rows-only evidence
+    (no SQL engine ships zlib) with exact-equality pytest vs direct
+    zlib on every document.
+    """
+    import zlib
+    def ratio(x):
+        if x is None:
+            return None
+        raw = x.encode("utf-8")
+        if not raw:
+            return None
+        return len(zlib.compress(raw, 6)) / len(raw)
+    return s.map(ratio)

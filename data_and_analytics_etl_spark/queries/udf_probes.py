@@ -137,3 +137,59 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem WHERE l_orderkey < 300
         ORDER BY l_orderkey, l_linenumber
     """)
+
+
+@query(
+    "udf_nfc_normalize",
+    oracle="""
+SELECT doc_id,
+       length(text || 'e' || chr(769)) AS raw_len,
+       length(nfc_normalize(text || 'e' || chr(769))) AS norm_len,
+       md5(nfc_normalize(text || 'e' || chr(769))) AS norm_md5
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("udf", "text"),
+    doc="Unicode NFC normalization (functions/udfs.py:nfc_normalize, "
+        "Arrow-vectorized pandas_udf — Spark has no builtin): every "
+        "document gets a decomposed 'e'+U+0301 suffix, normalization "
+        "must compose it to é — norm_len = raw_len − 1 and the md5 of "
+        "the normalized bytes matches DuckDB's utf8proc NFC exactly. "
+        "The dedup/hashing stack upstream depends on this: decomposed "
+        "and composed spellings must collapse to one key.",
+)
+def udf_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import nfc_normalize
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit("e"), F.lit("́"))
+    norm = nfc_normalize(raw)
+    return (d.select("doc_id",
+                     F.length(raw).alias("raw_len"),
+                     F.length(norm).alias("norm_len"),
+                     F.md5(norm.cast("binary")).alias("norm_md5"))
+            .orderBy("doc_id"))
+
+
+@query(
+    "udf_compression_ratio",
+    # rows-only: no SQL oracle ships zlib; tests/test_gaps.py pins
+    # exact equality vs direct zlib per document plus the
+    # repetitive-compresses-better property.
+    tags=("udf", "text", "quality"),
+    doc="zlib compression-ratio quality signal (functions/udfs.py:"
+        "compression_ratio): per-source min/mean/max compressibility "
+        "of the corpus — the Gopher-era repetition gate complement "
+        "(templated text scores low, natural prose ~0.5-0.8). "
+        "Arrow-vectorized, deterministic at fixed level 6.",
+)
+def udf_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import compression_ratio
+    d = load_table(spark, sf_dir, "documents")
+    r = compression_ratio(F.col("text"))
+    return (d.select("source", r.alias("ratio"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("ratio"), 6).alias("min_ratio"),
+                 F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+                 F.round(F.max("ratio"), 6).alias("max_ratio"))
+            .orderBy("source"))

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from data_and_analytics_etl_spark.catalog import load_table
 
 
@@ -51,3 +53,34 @@ def test_hash_stratified_frac_one_stratum(spark, sf_dir):
         {"F": 1.0}, default_frac=0.0)
     assert got.filter("o_orderstatus = 'F'").count() == full
     assert got.filter("o_orderstatus <> 'F'").count() == 0
+
+
+class TestCompressionRatio:
+    def test_exact_vs_direct_zlib(self, spark, sf_dir):
+        import zlib
+
+        from data_and_analytics_etl_spark.functions.udfs import \
+            compression_ratio
+        d = load_table(spark, sf_dir, "documents")
+        got = {r["doc_id"]: r["ratio"] for r in
+               d.select("doc_id",
+                        compression_ratio(F.col("text")).alias("ratio"))
+               .collect()}
+        for r in d.select("doc_id", "text").collect():
+            raw = r["text"].encode("utf-8")
+            want = len(zlib.compress(raw, 6)) / len(raw)
+            assert got[r["doc_id"]] == want, r["doc_id"]
+
+    def test_repetitive_compresses_below_noise(self, spark):
+        from data_and_analytics_etl_spark.functions.udfs import \
+            compression_ratio
+        rep = "the cat sat on the mat " * 50
+        import hashlib
+        noise = "".join(hashlib.md5(str(i).encode()).hexdigest()
+                        for i in range(80))
+        df = spark.createDataFrame([(1, rep), (2, noise)],
+                                   "id: long, text: string")
+        vals = {r["id"]: r["r"] for r in
+                df.select("id", compression_ratio(F.col("text"))
+                          .alias("r")).collect()}
+        assert vals[1] < 0.2 < vals[2]
