@@ -566,3 +566,57 @@ def etl_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("o_ingested_at",
                        F.to_timestamp(F.lit("2024-01-01"))))
     return schema_diff(old, new).orderBy("column")
+
+
+@query(
+    "etl_version_travel",
+    oracle="""
+SELECT year(ts) AS year, day(ts) AS day, count(*) AS n_v1,
+       CAST(NULL AS BIGINT) AS n_delta
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY 1, 2
+UNION ALL
+SELECT year(ts) AS year, day(ts) AS day,
+       CAST(NULL AS BIGINT) AS n_v1, count(*) AS n_delta
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+GROUP BY 1, 2
+ORDER BY year, day, n_v1 NULLS LAST
+""",
+    tags=("etl", "sink", "versioning"),
+    doc="Snapshot time travel + incremental change reads "
+        "(etl/versioning.py): day-1 events commit as v1, day-2 append "
+        "commits as v2; reading AS OF v1 must see ONLY day 1 even "
+        "though day 2 is already on disk, and read_changes(v1, v2) "
+        "must read exactly the appended files — the Delta-style "
+        "transaction-log idea reduced to the append-only hourly sink "
+        "(manifest = directory listing, no data scan at commit time). "
+        "Probe returns v1 per-day counts plus the delta's per-day "
+        "counts; the oracle recomputes both windows straight from the "
+        "corpus.",
+)
+def etl_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..etl.versioning import (commit_version, read_changes,
+                                  read_version)
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "value"))
+    dest = os.path.join(tempfile.mkdtemp(prefix="etl_ver_"), "data")
+    write_partitioned(ev.filter(F.col("ts") < F.lit(
+        dt.datetime(2024, 1, 2))), dest, "ts")
+    v1 = commit_version(dest)
+    write_partitioned(ev.filter(
+        (F.col("ts") >= F.lit(dt.datetime(2024, 1, 2)))
+        & (F.col("ts") < F.lit(dt.datetime(2024, 1, 3)))), dest, "ts")
+    v2 = commit_version(dest)
+    as_of_v1 = (read_version(spark, dest, v1)
+                .groupBy("year", "day")
+                .agg(F.count(F.lit(1)).alias("n_v1"))
+                .withColumn("n_delta", F.lit(None).cast("long")))
+    delta = (read_changes(spark, dest, since=v1, until=v2)
+             .groupBy("year", "day")
+             .agg(F.count(F.lit(1)).alias("n_delta"))
+             .withColumn("n_v1", F.lit(None).cast("long"))
+             .select("year", "day", "n_v1", "n_delta"))
+    return (as_of_v1.unionByName(delta)
+            .orderBy("year", "day", F.asc_nulls_last("n_v1")))

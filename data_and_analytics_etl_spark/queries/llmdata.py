@@ -2009,3 +2009,69 @@ def multimodal_phash_neardup(spark: SparkSession,
     hashes = perceptual_hash_images(assets)
     return (phash_neardup_pairs(hashes, max_distance=3)
             .orderBy("id_a", "id_b"))
+
+
+@query(
+    "corpus_nutrition_label",
+    oracle=r"""
+WITH t AS (
+  SELECT source, lang, n_chars, text,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tokens,
+         count(*) OVER (PARTITION BY text) AS n_copies
+  FROM documents
+), flagged AS (
+  SELECT source, lang, n_chars, n_tokens,
+         CASE WHEN n_copies > 1 THEN 1 ELSE 0 END AS is_dup,
+         CASE WHEN n_chars >= 50 AND n_tokens >= 5
+              THEN 1 ELSE 0 END AS passes
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+       CAST(sum(passes) AS DOUBLE) / count(*) AS pass_rate
+FROM flagged GROUP BY source ORDER BY source
+""",
+    tags=("llm", "capstone", "quality"),
+    doc="Corpus nutrition label — the fourth whole-chain capstone: "
+        "per-source dataset documentation (Gebru et al. datasheets) "
+        "computed as ONE lazy plan — exact-dup exposure (count window "
+        "over text), language diversity, token/char volumes and a "
+        "quality pass rate — with the oracle recomputing the ENTIRE "
+        "chain. Two shuffles total (text-key window + source agg); "
+        "every ratio is one double division of exact longs. This is "
+        "the report a 100 TB ingest publishes per increment so "
+        "training-mix decisions cite measured composition, not "
+        "folklore.",
+)
+def corpus_nutrition_label(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                           lambda x: x != ""))
+    n_copies = F.count(F.lit(1)).over(Window.partitionBy("text"))
+    flagged = (d.withColumn("n_tokens", toks)
+               .withColumn("is_dup", (n_copies > 1).cast("int"))
+               .withColumn("passes",
+                           ((F.col("n_chars") >= 50)
+                            & (F.col("n_tokens") >= 5)).cast("int")))
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("is_dup").cast("long").alias("n_dup_docs"),
+                 F.countDistinct("lang").cast("long").alias("n_langs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 (F.sum("n_chars").cast("double")
+                  / F.count(F.lit(1))).alias("avg_chars"),
+                 (F.sum("n_tokens").cast("double")
+                  / F.count(F.lit(1))).alias("avg_tokens"),
+                 (F.sum("passes").cast("double")
+                  / F.count(F.lit(1))).alias("pass_rate"))
+            .orderBy("source"))

@@ -474,3 +474,56 @@ class TestCompactPartitions:
         res = compact_partitions(spark, dest, min_files=2)
         assert res["compacted"] == 0
         assert self._file_bytes(dest) == before
+
+
+class TestVersioning:
+    """Snapshot commit log: time travel, delta reads, and the
+    append-only fence."""
+
+    def _write(self, spark, sf_dir, dest, lo, hi):
+        from data_and_analytics_etl_spark.etl.sink import \
+            write_partitioned
+        ev = (load_table(spark, sf_dir, "events")
+              .select("event_id", "ts", "value")
+              .filter((F.col("ts") >= F.lit(lo))
+                      & (F.col("ts") < F.lit(hi))))
+        write_partitioned(ev, dest, "ts")
+        return ev.count()
+
+    def test_travel_and_changes(self, spark, sf_dir, tmp_path):
+        import datetime as dtm
+
+        from data_and_analytics_etl_spark.etl.versioning import (
+            commit_version, list_versions, read_changes, read_version)
+        dest = str(tmp_path / "tbl")
+        n1 = self._write(spark, sf_dir, dest,
+                         dtm.datetime(2024, 1, 1), dtm.datetime(2024, 1, 3))
+        v1 = commit_version(dest)
+        n2 = self._write(spark, sf_dir, dest,
+                         dtm.datetime(2024, 1, 3), dtm.datetime(2024, 1, 5))
+        v2 = commit_version(dest)
+        assert list_versions(dest) == [v1, v2] == [1, 2]
+        assert read_version(spark, dest, v1).count() == n1
+        assert read_version(spark, dest, v2).count() == n1 + n2
+        assert read_changes(spark, dest, v1, v2).count() == n2
+        # empty delta: same version twice
+        assert read_changes(spark, dest, v2, v2).count() == 0
+        # partition columns survive the manifest read (basePath)
+        assert "hour" in read_version(spark, dest, v1).columns
+
+    def test_mutation_fences_commit(self, spark, sf_dir, tmp_path):
+        import datetime as dtm
+        import glob
+        import os
+
+        from data_and_analytics_etl_spark.etl.versioning import (
+            commit_version, reset_versions)
+        dest = str(tmp_path / "tbl")
+        self._write(spark, sf_dir, dest,
+                    dtm.datetime(2024, 1, 1), dtm.datetime(2024, 1, 3))
+        commit_version(dest)
+        os.unlink(glob.glob(f"{dest}/**/*.parquet", recursive=True)[0])
+        with pytest.raises(ValueError, match="append-only"):
+            commit_version(dest)
+        reset_versions(dest)
+        assert commit_version(dest) == 1
