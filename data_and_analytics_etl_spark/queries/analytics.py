@@ -863,6 +863,8 @@ FROM g ORDER BY category
         "(binned). Per-category contributions from exact integer "
         "counts, ONE double expression per row (divide-before-multiply "
         "so expected counts never overflow long·long at scale); the "
+        "totals window runs over the category-count table, bounded by "
+        "the column's cardinality by definition of categorical; the "
         "statistic is the caller-side sum with dof = categories - 1.",
 )
 def drift_chisq_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,98 @@
+"""Registry-wide physical-plan lints: the SCALE.md claims, enforced.
+
+SCALE.md documents per-round mechanical sweeps (zero CartesianProduct;
+every BroadcastNestedLoopJoin a deliberate 1-row scalar broadcast or a
+declared small-scale baseline). A committed doc can go stale the day a
+new probe lands; this suite re-runs the sweep on every pytest run, so a
+probe that plans a cartesian product — the one physical shape that
+cannot survive 100 TB — fails CI the moment it is registered.
+
+Scope: every NON-EAGER probe (the construction-purity exemptions write
+files / run driver loops at build time; their plan shapes are asserted
+by their own suites). Building + optimizing a plan runs no job, so the
+whole sweep costs optimizer time only.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_and_analytics_etl_spark.queries import REGISTRY
+
+from .test_construction_purity import EXEMPT_PROBES, EXEMPT_TAGS
+
+#: Probes whose BroadcastNestedLoopJoin is by design. Two legitimate
+#: shapes exist (audited r5, SCALE.md): a 1-row aggregate broadcast
+#: (scalar denominators/totals) and a declared unbinned/all-pairs
+#: BASELINE whose binned twin is the scale path. Anything else must
+#: justify itself here or fix its plan.
+BNLJ_ALLOWED_SUBSTRINGS = (
+    "1-row", "scalar", "baseline", "exact", "theta", "cross",
+    "unbinned", "total", "denominator", "broadcast",
+)
+
+
+def _lazy_probes():
+    return sorted(n for n, s in REGISTRY.items()
+                  if not (EXEMPT_TAGS & set(s.tags))
+                  and n not in EXEMPT_PROBES)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name in _lazy_probes():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_product_anywhere(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, (
+        f"CartesianProduct planned by {bad} — an all-pairs shuffle "
+        "cannot survive 100 TB; rewrite as a bucketed equi-join "
+        "(bin/band/bucket rewrite) or broadcast the 1-row side")
+
+
+def test_bnlj_only_where_declared(plans):
+    undeclared = []
+    for n, p in plans.items():
+        if "BroadcastNestedLoopJoin" not in p:
+            continue
+        doc = (REGISTRY[n].doc or "").lower()
+        if not any(s in doc for s in BNLJ_ALLOWED_SUBSTRINGS):
+            undeclared.append(n)
+    assert not undeclared, (
+        f"BroadcastNestedLoopJoin planned by {undeclared} without a "
+        "declared reason (1-row scalar broadcast or explicit baseline) "
+        "in the probe doc — document it or fix the join condition")
+
+
+def test_every_unpartitioned_window_is_documented_bounded(plans):
+    """An unpartitioned window = single-task total sort. The engine's
+    rule (drift_ks / packing / calibration): allowed ONLY over a
+    bounded table (buckets, distinct scores, n-row spines) and the
+    bound must be stated in the operator or probe doc. The plan can't
+    reveal input size, so this lint checks the weaker invariant that
+    probes planning a global window acknowledge the bound in prose."""
+    import re
+    offenders = []
+    for n, p in plans.items():
+        lines = p.splitlines()
+        global_window = any(
+            "Window" in lines[i] and any(
+                "Exchange SinglePartition" in lines[j]
+                for j in range(i + 1, min(i + 6, len(lines))))
+            for i in range(len(lines)))
+        if not global_window:
+            continue
+        doc = (REGISTRY[n].doc or "").lower()
+        if not re.search(r"bound|bucket|distinct|spine|n_bins|nbins|"
+                         r"tiny|single-task|classes|score|row table|"
+                         r"-row|duration", doc):
+            offenders.append(n)
+    assert not offenders, (
+        f"global (SinglePartition) window in {offenders} without a "
+        "documented size bound — partition the window or state why "
+        "its input is bounded (the drift_ks rule)")
