@@ -1,0 +1,75 @@
+"""Feature repair + scaling: the last mile before training.
+
+Two operators a feature pipeline runs on every numeric column, both
+engine-exact under the repo's float policy:
+
+- ``impute_group_median``: NULLs filled with the group's LOWER median
+  (an order statistic — an actual observed value, deterministic, no
+  interpolation to disagree about cross-engine). Median-imputation is
+  the robust default where mean-imputation drags toward outliers.
+- ``scale_minmax``: per-group [0, 1] rescale. Every scaled value is a
+  fixed chain of IEEE ops over the raw doubles ((v−min)/(max−min)) —
+  bit-stable cross-engine, no accumulation anywhere. Constant groups
+  (max = min) yield NULL, the honest 0/0.
+
+Scale shape (both): one hash agg / one ranked window over the group to
+get the per-group statistic (tiny result), broadcast back onto the
+scan; the fill/scale expression runs in codegen. Raw data crosses ONE
+shuffle at most.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def group_lower_median(df: DataFrame, value_col: str,
+                       group_col: str) -> DataFrame:
+    """Per-group lower median as an order statistic: the value at rank
+    ceil(n/2) among non-null values. Ties in the value don't matter —
+    any tie order selects the same value. One ranked window per group.
+    """
+    nn = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col))
+    ranked = nn.select(group_col, value_col,
+                       F.row_number().over(w).alias("__rn"))
+    counts = (nn.groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("__cnt")))
+    return (ranked.join(counts, group_col)
+            # lower-median rank: ceil(n/2) = (n + 1) div 2, in integer
+            # arithmetic so no float boundary exists
+            .filter(F.col("__rn") == F.expr("(__cnt + 1) div 2"))
+            .select(group_col, F.col(value_col).alias("median")))
+
+
+def impute_group_median(df: DataFrame, value_col: str, group_col: str,
+                        out_col: str | None = None) -> DataFrame:
+    """Fill NULLs in ``value_col`` with the group's lower median.
+
+    Groups with no non-null value stay NULL (nothing to impute from) —
+    surfaced, never silently zero-filled."""
+    med = group_lower_median(df, value_col, group_col)
+    out = out_col or f"{value_col}_imputed"
+    return (df.join(F.broadcast(med), group_col, "left")
+            .withColumn(out, F.coalesce(F.col(value_col),
+                                        F.col("median")))
+            .drop("median"))
+
+
+def scale_minmax(df: DataFrame, value_col: str, group_col: str,
+                 out_col: str | None = None) -> DataFrame:
+    """Per-group min-max rescale to [0, 1]: (v − min)/(max − min), a
+    fixed IEEE chain over raw doubles — bit-stable cross-engine.
+    Constant groups yield NULL."""
+    stats = (df.groupBy(group_col)
+             .agg(F.min(value_col).alias("__mn"),
+                  F.max(value_col).alias("__mx")))
+    out = out_col or f"{value_col}_scaled"
+    scaled = F.when(
+        F.col("__mx") != F.col("__mn"),
+        (F.col(value_col) - F.col("__mn"))
+        / (F.col("__mx") - F.col("__mn")))
+    return (df.join(F.broadcast(stats), group_col, "left")
+            .withColumn(out, scaled)
+            .drop("__mn", "__mx"))

@@ -1909,3 +1909,94 @@ def graph_transitive_closure(spark: SparkSession,
     return (out.select("node", "anc",
                        F.col("depth").cast("int").alias("depth"))
             .orderBy("node", "anc"))
+
+
+@query(
+    "feature_impute_median",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value
+  FROM events
+), nn AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM ev WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, value AS median
+  FROM nn WHERE rn = (cnt + 1) // 2
+)
+SELECT e.event_type,
+       CAST(sum(CASE WHEN e.value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_imputed,
+       round(any_value(m.median), 6) AS median_used,
+       CAST(sum(CAST(coalesce(e.value, m.median) AS DECIMAL(18,6)))
+            AS DOUBLE) AS sum_imputed
+FROM ev e LEFT JOIN med m ON e.event_type = m.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+    tags=("analytics", "features", "quality"),
+    doc="Group-median NULL imputation (operators/features.py:"
+        "impute_group_median): every 11th event's value is knocked out, "
+        "then refilled with the group's LOWER median — an order "
+        "statistic at integer rank ceil(n/2) (no interpolation to "
+        "disagree about cross-engine), computed by one ranked window "
+        "per group and broadcast back onto the scan. The probe checks "
+        "imputed counts, the median used, and the exact-decimal sum of "
+        "the repaired column.",
+)
+def feature_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import impute_group_median
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "event_type",
+                  F.when(F.col("event_id") % 11 == 0, None)
+                  .otherwise(F.col("value")).alias("value")))
+    rep = impute_group_median(ev, "value", "event_type")
+    med = (rep.filter(F.col("value").isNull())
+           .groupBy("event_type")
+           .agg(F.first("value_imputed").alias("median_used")))
+    return (rep.groupBy("event_type")
+            .agg(F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_imputed"),
+                 F.sum(F.col("value_imputed").cast("decimal(18,6)"))
+                 .cast("double").alias("sum_imputed"))
+            .join(F.broadcast(med), "event_type")
+            .select("event_type", "n_imputed",
+                    F.round("median_used", 6).alias("median_used"),
+                    "sum_imputed")
+            .orderBy("event_type"))
+
+
+@query(
+    "feature_scale_minmax",
+    oracle="""
+WITH s AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN s.mx <> s.mn
+            THEN (e.value - s.mn) / (s.mx - s.mn) END AS value_scaled
+FROM events e JOIN s USING (event_type)
+WHERE e.event_id < 500
+ORDER BY e.event_id
+""",
+    tags=("analytics", "features"),
+    doc="Per-group min-max feature scaling (operators/features.py:"
+        "scale_minmax): (v − min)/(max − min) over the per-type range, "
+        "a fixed IEEE chain over the raw doubles (subtract, subtract, "
+        "divide — no accumulation), so every scaled value hashes "
+        "bit-identically cross-engine with NO rounding. Range stats "
+        "are one hash agg broadcast back; the scale expression runs in "
+        "codegen. Constant groups yield NULL (honest 0/0).",
+)
+def feature_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import scale_minmax
+    ev = load_table(spark, sf_dir, "events")
+    out = scale_minmax(ev, "value", "event_type")
+    return (out.filter(F.col("event_id") < 500)
+            .select("event_id", "event_type", "value_scaled")
+            .orderBy("event_id"))

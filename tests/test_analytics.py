@@ -1055,3 +1055,37 @@ class TestHllIncrementalDistinct:
                     hll_build(ev, ["event_type", "day"], "user_id"),
                     ["event_type"]).collect()}
         assert inc == full
+
+
+class TestFeatureRepair:
+    def test_all_null_group_stays_null(self, spark):
+        from data_and_analytics_etl_spark.operators.features import \
+            impute_group_median
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", None), ("b", None)],
+            "g: string, v: double")
+        out = {(r["g"], r["v"]): r["v_imputed"]
+               for r in impute_group_median(df, "v", "g").collect()}
+        assert out[("a", None)] == 1.0
+        assert out[("b", None)] is None   # nothing to impute from
+
+    def test_even_count_uses_lower_median(self, spark):
+        from data_and_analytics_etl_spark.operators.features import \
+            group_lower_median
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)],
+            "g: string, v: double")
+        assert group_lower_median(df, "v", "g").collect()[0][
+            "median"] == 2.0
+
+    def test_minmax_bounds_and_constant_group(self, spark):
+        from data_and_analytics_etl_spark.operators.features import \
+            scale_minmax
+        df = spark.createDataFrame(
+            [("a", 10.0), ("a", 20.0), ("a", 15.0),
+             ("c", 7.0), ("c", 7.0)], "g: string, v: double")
+        rows = scale_minmax(df, "v", "g").collect()
+        vals = {(r["g"], r["v"]): r["v_scaled"] for r in rows}
+        assert vals[("a", 10.0)] == 0.0 and vals[("a", 20.0)] == 1.0
+        assert vals[("a", 15.0)] == 0.5
+        assert vals[("c", 7.0)] is None
