@@ -73,3 +73,36 @@ def scale_minmax(df: DataFrame, value_col: str, group_col: str,
     return (df.join(F.broadcast(stats), group_col, "left")
             .withColumn(out, scaled)
             .drop("__mn", "__mx"))
+
+
+def quantile_rank(df: DataFrame, value_col: str, group_col: str,
+                  out_col: str | None = None) -> DataFrame:
+    """Per-group quantile (rank) transform: value → ECDF position
+    (rank − 1)/(n − 1) ∈ [0, 1], average rank on ties so equal inputs
+    map to equal outputs regardless of partition order.
+
+    The robust alternative to min-max scaling (outliers compress the
+    whole min-max range; ranks are immune). Exact: ranks are integers
+    from one window (average tie rank = (2·below + ties + 1)/2, the
+    binary_auc arithmetic), n from one broadcast count per group, and
+    the output is ONE double division — engine-portable. Singleton
+    groups map to NULL (no spread), the min-max constant-group
+    convention.
+    """
+    nn = df.filter(F.col(value_col).isNotNull())
+    # rows strictly below + half the tie block, in DOUBLED integers:
+    # rangeBetween(-1) bounds by VALUE, so the count covers v' < v
+    below = F.coalesce(F.count(F.lit(1)).over(
+        Window.partitionBy(group_col).orderBy(F.col(value_col))
+        .rangeBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    ties = F.count(F.lit(1)).over(
+        Window.partitionBy(group_col).orderBy(F.col(value_col))
+        .rangeBetween(0, 0))
+    counts = nn.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    out = out_col or f"{value_col}_qrank"
+    r2 = 2 * below + ties + 1          # doubled average rank
+    expr = F.when(F.col("__n") > 1,
+                  (r2 - 2).cast("double") / (2 * (F.col("__n") - 1)))
+    return (nn.join(F.broadcast(counts), group_col)
+            .withColumn(out, expr)
+            .drop("__n"))

@@ -490,3 +490,25 @@ def schema_diff(old_df: DataFrame, new_df: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "column: string, change: string, old_type: string, "
               "new_type: string")
+
+
+def l_diversity(df: DataFrame, quasi_cols: list[str],
+                sensitive_col: str, l: int = 2) -> DataFrame:
+    """Distinct l-diversity audit — k-anonymity's necessary complement.
+
+    A k-anonymous class still leaks when every one of its records
+    shares the same SENSITIVE value (the homogeneity attack: knowing
+    someone is in the class reveals their attribute). Distinct
+    l-diversity requires ≥ l distinct sensitive values per equivalence
+    class. Output: one row per class with class_size, n_sensitive and
+    ``violates_l``.
+
+    Plan: ONE hash aggregate on the quasi-identifier tuple with a
+    count-distinct on the sensitive column (Catalyst's two-phase
+    distinct expansion — still a single shuffle family, partial
+    combined). Composes with :func:`k_anonymity` on the same grouping.
+    """
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("class_size"),
+                 F.countDistinct(sensitive_col).alias("n_sensitive"))
+            .withColumn("violates_l", F.col("n_sensitive") < l))

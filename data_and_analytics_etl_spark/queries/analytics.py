@@ -2000,3 +2000,78 @@ def feature_scale_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.filter(F.col("event_id") < 500)
             .select("event_id", "event_type", "value_scaled")
             .orderBy("event_id"))
+
+
+@query(
+    "privacy_l_diversity",
+    oracle="""
+SELECT c_nationkey, c_mktsegment,
+       count(*) AS class_size,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 4000) AS BIGINT))
+            AS BIGINT) AS n_sensitive,
+       count(DISTINCT CAST(floor(c_acctbal / 4000) AS BIGINT)) < 3
+         AS violates_l
+FROM customer
+GROUP BY 1, 2
+ORDER BY c_nationkey, c_mktsegment
+""",
+    tags=("analytics", "governance"),
+    doc="Distinct l-diversity audit (operators/profile.py:l_diversity, "
+        "l=3): k-anonymity's homogeneity-attack complement — each "
+        "(nation, segment) equivalence class must span ≥3 distinct "
+        "coarse balance bands or knowing the class reveals the "
+        "sensitive attribute. ONE hash agg with a count-distinct "
+        "(two-phase expansion, partial combined); composes with "
+        "privacy_k_anonymity on the same grouping.",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import l_diversity
+    c = (load_table(spark, sf_dir, "customer")
+         .select("c_nationkey", "c_mktsegment",
+                 F.floor(F.col("c_acctbal") / 4000).cast("long")
+                 .alias("bal_band")))
+    return (l_diversity(c, ["c_nationkey", "c_mktsegment"],
+                        "bal_band", l=3)
+            .orderBy("c_nationkey", "c_mktsegment"))
+
+
+@query(
+    "feature_quantile_rank",
+    oracle="""
+WITH nn AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         count(*) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS below,
+         count(*) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice
+                        RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+           AS ties,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT o_orderkey, o_orderpriority,
+       CASE WHEN n > 1
+            THEN CAST(2 * coalesce(below, 0) + ties + 1 - 2 AS DOUBLE)
+                 / (2 * (n - 1)) END AS price_qrank
+FROM nn WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+""",
+    tags=("analytics", "features"),
+    doc="Per-group quantile (rank) transform (operators/features.py:"
+        "quantile_rank): order price → ECDF position in [0,1] within "
+        "its priority class, tie-averaged in DOUBLED-integer rank "
+        "arithmetic (the binary_auc identity) so equal prices map "
+        "equal everywhere — the outlier-immune alternative to min-max "
+        "scaling. One value-range window per group + a broadcast "
+        "count; ONE double division per row.",
+)
+def feature_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import quantile_rank
+    o = load_table(spark, sf_dir, "orders")
+    out = quantile_rank(o, "o_totalprice", "o_orderpriority",
+                        out_col="price_qrank")
+    return (out.filter(F.col("o_orderkey") < 2000)
+            .select("o_orderkey", "o_orderpriority", "price_qrank")
+            .orderBy("o_orderkey"))
