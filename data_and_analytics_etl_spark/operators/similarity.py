@@ -448,3 +448,115 @@ def cosine_topk_int8(corpus: DataFrame, probes: DataFrame, k: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("probe_id", "vec_id", "cosine", "rank"))
+
+
+# --- Product quantization: compressed-scan ANN -----------------------------
+
+def pq_index(corpus: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", m: int = 8, nbits: int = 4,
+             seed: int = 42) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization index (Jégou et al. 2011): the vector
+    splits into ``m`` subvectors, each quantized against its own
+    2^nbits-centroid k-means codebook — a 64-dim float vector becomes
+    ``m`` small ints (32× memory compression at m=8/nbits=4), which is
+    what lets a 100 TB embedding corpus live in executor memory for
+    scanning.
+
+    Returns (codes, codebooks): codes = (vec_id, sub, code) rows —
+    already exploded to the join grain search needs; codebooks =
+    (sub, code, centroid) — m·2^nbits rows, broadcast-sized. The m
+    k-means fits are driver-sequenced (an index BUILD, eager by
+    nature, like IVF's fit); each fit clusters only the d/m-dim slice.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    d = len(corpus.select(vec_col).first()[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    feat = corpus.select(F.col(id_col).alias("vec_id"),
+                         as_double(F.col(vec_col)).alias("__vec"))
+    for j in range(m):
+        feat = feat.withColumn(
+            f"__f{j}", array_to_vector(
+                F.slice(F.col("__vec"), j * dsub + 1, dsub)))
+    feat = feat.persist()
+    cb_rows = []
+    coded = feat
+    for j in range(m):
+        model = KMeans(k=2 ** nbits, seed=seed + j,
+                       featuresCol=f"__f{j}",
+                       predictionCol=f"__c{j}").fit(feat)
+        coded = model.transform(coded)
+        cb_rows += [(j, c, [float(x) for x in cent]) for c, cent in
+                    enumerate(model.clusterCenters())]
+    codes = coded.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("sub"),
+                     F.col(f"__c{j}").alias("code"))
+            for j in range(m)])).alias("sc")) \
+        .select("vec_id", "sc.sub", "sc.code")
+    codebooks = spark.createDataFrame(
+        cb_rows, "sub: int, code: int, centroid: array<double>")
+    return codes, codebooks
+
+
+def pq_ann(corpus: DataFrame, probes: DataFrame, k: int,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           m: int = 8, nbits: int = 4, refine: int = 4,
+           seed: int = 42) -> DataFrame:
+    """ANN by asymmetric-distance PQ scan + exact re-rank.
+
+    Search never touches corpus floats until the final re-rank:
+    per probe, the inner product against every corpus vector is
+    approximated as Σ_j ⟨q_j, centroid[code_j]⟩ — a broadcast join of
+    the per-probe (sub, code) → partial-IP lookup (m·2^nbits rows per
+    probe) against the CODES table, then one sum per (probe, vec).
+    The top ``refine``·k approximate candidates per probe re-rank with
+    exact cosine against their original vectors (a vec_id equi-join of
+    a candidate set that is k·refine per probe, not the corpus).
+
+    This is the compressed-EXHAUSTIVE-scan member of the ANN family
+    (candidates = whole corpus, but at m·code-width bytes per vector);
+    compose with ivf_ann's cells for the FAISS IVFPQ shape when even a
+    compressed scan is too much. Recall vs brute force is pytest-pinned
+    like every ANN variant.
+    """
+    codes, codebooks = pq_index(corpus, id_col, vec_col, m, nbits,
+                                seed)
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      as_double(F.col(vec_col)).alias("__pvec"))
+    dsub = len(corpus.select(vec_col).first()[0]) // m
+    # per-probe ADC lookup table: partial IP of each (sub, code)
+    lut = (p.join(F.broadcast(codebooks), F.lit(True))
+           .withColumn("__ip", dot(
+               F.slice(F.col("__pvec"), F.col("sub") * dsub + 1,
+                       F.lit(dsub)),
+               F.col("centroid")))
+           .select("probe_id", "sub", "code", "__ip"))
+    approx = (codes.join(F.broadcast(lut), ["sub", "code"])
+              .groupBy("probe_id", "vec_id")
+              .agg(F.sum("__ip").alias("approx_ip"))
+              .filter(F.col("probe_id") != F.col("vec_id")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("approx_ip"),
+                                               F.asc("vec_id"))
+    cand = (approx.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k * refine)
+            .select("probe_id", "vec_id"))
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      as_double(F.col(vec_col)).alias("__cvec"),
+                      l2_norm(as_double(F.col(vec_col)))
+                      .alias("__cnorm"))
+    pn = p.withColumn("__pnorm", l2_norm(F.col("__pvec")))
+    scored = (cand.join(c, "vec_id").join(pn, "probe_id")
+              .withColumn("cosine", F.round(cosine_prenormed(
+                  F.col("__pvec"), F.col("__cvec"),
+                  F.col("__pnorm"), F.col("__cnorm")), 6)))
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("cosine"),
+                                                F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", "cosine", "rank"))

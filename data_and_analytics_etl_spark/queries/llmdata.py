@@ -2075,3 +2075,26 @@ def corpus_nutrition_label(spark: SparkSession,
                  (F.sum("passes").cast("double")
                   / F.count(F.lit(1))).alias("pass_rate"))
             .orderBy("source"))
+
+
+@query(
+    "ann_pq",
+    # rows-only: k-means codebooks are float-iterative (the IVF/BRP
+    # evidence contract); recall vs brute force + exact-rerank-score
+    # equality are pytest-pinned (TestPqAnn).
+    tags=("llm", "similarity", "ann"),
+    doc="Product-quantization ANN (operators/similarity.py:pq_index/"
+        "pq_ann, Jégou et al. 2011): 64-dim vectors compress to 8 "
+        "4-bit codes (32× memory), the asymmetric-distance scan "
+        "approximates inner products from a broadcast (sub, code) "
+        "lookup joined against the CODES table — corpus floats are "
+        "touched only to re-rank refine·k candidates per probe with "
+        "exact cosine. The compressed-exhaustive-scan member of the "
+        "ANN family (compose with ivf_ann's cells for FAISS IVFPQ).",
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_ann
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    return (pq_ann(e, probes, k=10, refine=4)
+            .orderBy("probe_id", "rank"))

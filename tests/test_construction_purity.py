@@ -36,6 +36,7 @@ EXEMPT_PROBES = {
                         # localCheckpoint (lineage truncation) is eager
                         # by design (operators/graph.py)
     "linkage_entity_resolution",  # composes dedup_clusters' CC loop
+    "ann_pq",             # PQ index build: m k-means fits + dim probe
     "bpe_learn_merges",   # BPE merge learning: per-merge argmax loop is
     "bpe_token_stats",    # the algorithm (operators/bpe.py); encode
                           # itself is lazy but consumes the learned table

@@ -1130,3 +1130,35 @@ class TestPerceptualHash:
                        F.col("b.doc_id").alias("y")).collect())
         want = {(r["x"], r["y"]) for r in dup}
         assert want and pairs == want
+
+
+class TestPqAnn:
+    def test_recall_vs_brute_force(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.similarity import (
+            cosine_topk, pq_ann)
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 10)
+        exact = {}
+        for r in cosine_topk(e, probes, k=10).collect():
+            exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        got = {}
+        for r in pq_ann(e, probes, k=10, refine=4).collect():
+            got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        recalls = [len(exact[p] & got.get(p, set())) / len(exact[p])
+                   for p in exact]
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    def test_reranked_scores_are_exact(self, spark, sf_dir):
+        """The re-rank stage must emit EXACT cosines (same rounding as
+        cosine_topk) — PQ only approximates candidate selection, never
+        the reported score."""
+        from data_and_analytics_etl_spark.operators.similarity import (
+            cosine_topk, pq_ann)
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 3)
+        exact = {(r["probe_id"], r["vec_id"]): r["cosine"]
+                 for r in cosine_topk(e, probes, k=10).collect()}
+        for r in pq_ann(e, probes, k=10, refine=4).collect():
+            key = (r["probe_id"], r["vec_id"])
+            if key in exact:
+                assert r["cosine"] == exact[key], key
