@@ -51,6 +51,11 @@ BENCH_QUERIES: dict[str, str] = {
     # composed as ONE lazy plan; the composed-pipeline shape gets a
     # round-over-round number, not just its oracle row
     "b15_curation_pipeline": "corpus_curation_pipeline",
+    # r6 addition (2nd session): the recursive-CTE-parity closure — the
+    # min-plus pointer-doubling self-join shape (log-rounds joins with
+    # per-round lazy persist), the one bench entry exercising repeated
+    # self-joins over a growing frame.
+    "b16_transitive_closure": "graph_transitive_closure",
 }
 
 #: Queries whose probe fn executes work eagerly during construction

@@ -560,3 +560,92 @@ def pq_ann(corpus: DataFrame, probes: DataFrame, k: int,
     return (scored.withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
             .select("probe_id", "vec_id", "cosine", "rank"))
+
+
+def ivfpq_ann(corpus: DataFrame, probes: DataFrame, k: int,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              n_cells: int = 16, n_probe: int = 4, m: int = 8,
+              nbits: int = 4, refine: int = 4,
+              seed: int = 42) -> DataFrame:
+    """IVF + PQ composed — the FAISS IVFPQ shape: coarse k-means cells
+    bound WHICH vectors are scanned (candidate mass ≈ n_probe/n_cells
+    of the corpus), product quantization bounds the BYTES per scanned
+    vector (m code ints instead of d floats), and exact cosine
+    re-ranks refine·k finalists per probe.
+
+    Pure composition of the two indexes this module already ships —
+    cell routing from :func:`ivf_ann`'s coarse quantizer, the ADC
+    lookup scan from :func:`pq_ann` — joined on cell BEFORE the code
+    join, so the ADC aggregate runs only over routed candidates. This
+    is the configuration that scans 100 TB of embeddings: neither a
+    full scan (IVF prunes it) nor full-width vectors (PQ compresses
+    them) ever cross the shuffle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    # --- coarse quantizer: route vectors and probes to cells
+    feat = corpus.select(F.col(id_col).alias("vec_id"),
+                         as_double(F.col(vec_col)).alias("__vec"),
+                         array_to_vector(as_double(F.col(vec_col)))
+                         .alias("features"))
+    coarse = KMeans(k=n_cells, seed=seed, featuresCol="features",
+                    predictionCol="cell").fit(feat)
+    assigned = (coarse.transform(feat)
+                .select("vec_id", "cell").persist())
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in
+         enumerate(coarse.clusterCenters())],
+        "cell: int, centroid: array<double>")
+
+    # --- fine quantizer: PQ codes for every corpus vector
+    codes, codebooks = pq_index(corpus, id_col, vec_col, m, nbits,
+                                seed=seed + 1000)
+    routed_codes = codes.join(assigned, "vec_id")
+
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      as_double(F.col(vec_col)).alias("__pvec"))
+    cent = centroids.withColumn("__cnorm", l2_norm(F.col("centroid")))
+    pn = p.withColumn("__pnorm", l2_norm(F.col("__pvec")))
+    pc = (pn.join(F.broadcast(cent), F.lit(True))
+          .withColumn("c_cos", cosine_prenormed(
+              F.col("__pvec"), F.col("centroid"),
+              F.col("__pnorm"), F.col("__cnorm")))
+          .withColumn("c_rank", F.row_number().over(
+              Window.partitionBy("probe_id")
+              .orderBy(F.desc("c_cos"), F.asc("cell"))))
+          .filter(F.col("c_rank") <= n_probe)
+          .select("probe_id", "cell"))
+
+    dsub = len(corpus.select(vec_col).first()[0]) // m
+    lut = (p.join(F.broadcast(codebooks), F.lit(True))
+           .withColumn("__ip", dot(
+               F.slice(F.col("__pvec"), F.col("sub") * dsub + 1,
+                       F.lit(dsub)),
+               F.col("centroid")))
+           .select("probe_id", "sub", "code", "__ip"))
+    # route FIRST (cell join bounds the scan), ADC over survivors only
+    approx = (routed_codes.join(F.broadcast(pc), "cell")
+              .join(F.broadcast(lut), ["probe_id", "sub", "code"])
+              .groupBy("probe_id", "vec_id")
+              .agg(F.sum("__ip").alias("approx_ip"))
+              .filter(F.col("probe_id") != F.col("vec_id")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("approx_ip"),
+                                               F.asc("vec_id"))
+    cand = (approx.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k * refine)
+            .select("probe_id", "vec_id"))
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      as_double(F.col(vec_col)).alias("__cvec"),
+                      l2_norm(as_double(F.col(vec_col)))
+                      .alias("__ccnorm"))
+    scored = (cand.join(c, "vec_id").join(pn, "probe_id")
+              .withColumn("cosine", F.round(cosine_prenormed(
+                  F.col("__pvec"), F.col("__cvec"),
+                  F.col("__pnorm"), F.col("__ccnorm")), 6)))
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("cosine"),
+                                                F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", "cosine", "rank"))

