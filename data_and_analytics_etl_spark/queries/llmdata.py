@@ -2098,3 +2098,24 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.filter(F.col("vec_id") < 10)
     return (pq_ann(e, probes, k=10, refine=4)
             .orderBy("probe_id", "rank"))
+
+
+@query(
+    "ann_ivfpq",
+    # rows-only: doubly float-iterative (coarse + fine k-means); recall
+    # and routing-boundedness pytest-pinned (TestIvfPqAnn).
+    tags=("llm", "similarity", "ann"),
+    doc="IVF+PQ composed ANN (operators/similarity.py:ivfpq_ann) — the "
+        "FAISS IVFPQ shape: coarse cells bound WHICH vectors are "
+        "scanned (n_probe/n_cells of the corpus), PQ codes bound the "
+        "BYTES per scanned vector (32×), exact cosine re-ranks "
+        "refine·k finalists. Cell routing joins BEFORE the code join, "
+        "so the ADC aggregate only sees routed candidates — the "
+        "configuration that scans 100 TB of embeddings.",
+)
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_ann
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    return (ivfpq_ann(e, probes, k=10, n_cells=8, n_probe=4, refine=4)
+            .orderBy("probe_id", "rank"))
