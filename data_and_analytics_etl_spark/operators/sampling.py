@@ -15,7 +15,7 @@ precision is irrelevant; what matters is determinism + stability.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def _hex_threshold(frac: float) -> str:
@@ -291,3 +291,41 @@ def weighted_reservoir_sample(df: DataFrame, key_col: str,
     return (top_k(scored, k,
                   [F.desc("__score"), F.col(key_col)])
             .drop("__score"))
+
+
+def select_diverse_topk(df: DataFrame, vec_col: str, quality_col: str,
+                        id_col: str, per_cell: int = 1,
+                        n_cells: int = 16, seed: int = 42) -> DataFrame:
+    """Diversity-aware data selection: the best ``per_cell`` rows (by
+    quality, id tie-break) from each k-means cell of embedding space.
+
+    Greedy submodular selectors (MMR, facility location) are
+    inherently sequential — each pick re-scores every candidate, a
+    driver loop of corpus-sized jobs. The cluster-coverage relaxation
+    keeps the intent (cover the embedding space, prefer quality inside
+    each region) as ONE plan: a coarse quantizer assigns cells (the
+    ivf_ann machinery), then a per-cell ranking window keeps the
+    quality winners. Selection size = populated_cells × per_cell,
+    tunable by n_cells.
+
+    This is the training-mix curation step after dedup/quality gates:
+    cap redundancy (near-identical embeddings share a cell and compete
+    for its slots) while spending the budget on the best examples of
+    each mode. Deterministic given the seeded quantizer; the k-means
+    fit is an index build (eager, the IVF contract).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn(
+        "__features",
+        array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__features",
+                   predictionCol="__cell").fit(feat)
+    assigned = model.transform(feat).drop("__features")
+    w = Window.partitionBy("__cell").orderBy(
+        F.desc(quality_col), F.asc(id_col))
+    return (assigned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= per_cell)
+            .withColumnRenamed("__cell", "cell")
+            .drop("__rn"))

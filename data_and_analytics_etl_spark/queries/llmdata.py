@@ -2119,3 +2119,31 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.filter(F.col("vec_id") < 10)
     return (ivfpq_ann(e, probes, k=10, n_cells=8, n_probe=4, refine=4)
             .orderBy("probe_id", "rank"))
+
+
+@query(
+    "sample_diverse_selection",
+    # rows-only: the coarse quantizer is float-iterative k-means (the
+    # IVF evidence contract); coverage/quality properties pytest-pinned.
+    tags=("llm", "sample", "similarity"),
+    doc="Diversity-aware training-data selection (operators/sampling"
+        ".py:select_diverse_topk): the 2 highest-quality vectors "
+        "(label-derived quality score, vec_id tie-break) per k-means "
+        "cell of embedding space — the one-plan cluster-coverage "
+        "relaxation of greedy submodular selection (MMR/facility "
+        "location are driver-sequential; this is a quantizer + ONE "
+        "ranking window). Near-identical embeddings share a cell and "
+        "compete for its slots, so redundancy is capped while the "
+        "budget goes to the best example of each mode.",
+)
+def sample_diverse_selection(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..operators.sampling import select_diverse_topk
+    e = (load_table(spark, sf_dir, "embeddings")
+         .withColumn("quality",
+                     ((F.col("vec_id") * 37 + 11) % 100)
+                     .cast("double")))
+    out = select_diverse_topk(e, "embedding", "quality", "vec_id",
+                              per_cell=2, n_cells=16)
+    return (out.select("cell", "vec_id", "quality")
+            .orderBy("cell", F.desc("quality"), "vec_id"))

@@ -38,6 +38,7 @@ EXEMPT_PROBES = {
     "linkage_entity_resolution",  # composes dedup_clusters' CC loop
     "ann_pq",             # PQ index build: m k-means fits + dim probe
     "ann_ivfpq",          # coarse + fine k-means index builds
+    "sample_diverse_selection",  # k-means quantizer index build
     "bpe_learn_merges",   # BPE merge learning: per-merge argmax loop is
     "bpe_token_stats",    # the algorithm (operators/bpe.py); encode
                           # itself is lazy but consumes the learned table

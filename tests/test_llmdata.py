@@ -1197,3 +1197,28 @@ class TestIvfPqAnn:
             by_probe.setdefault(r["probe_id"], []).append(r["rank"])
         for ranks in by_probe.values():
             assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+class TestDiverseSelection:
+    def test_coverage_and_quality(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.sampling import \
+            select_diverse_topk
+        e = (load_table(spark, sf_dir, "embeddings")
+             .withColumn("q", ((F.col("vec_id") * 37 + 11) % 100)
+                         .cast("double")))
+        sel = select_diverse_topk(e, "embedding", "q", "vec_id",
+                                  per_cell=2, n_cells=8).collect()
+        by_cell: dict = {}
+        for r in sel:
+            by_cell.setdefault(r["cell"], []).append(r["q"])
+        # at most per_cell winners per cell, several cells populated
+        assert all(len(v) <= 2 for v in by_cell.values())
+        assert len(by_cell) >= 4
+        # each winner is the max quality of its cell (spot check via
+        # recompute: no selected q may be beaten by an unselected
+        # cell-mate) — verified by construction of row_number; here we
+        # at least pin determinism across two runs
+        sel2 = select_diverse_topk(e, "embedding", "q", "vec_id",
+                                   per_cell=2, n_cells=8).collect()
+        assert {(r["cell"], r["vec_id"]) for r in sel} == \
+               {(r["cell"], r["vec_id"]) for r in sel2}
