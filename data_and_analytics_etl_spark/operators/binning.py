@@ -214,3 +214,47 @@ def weighted_percentiles(df: DataFrame, group_col: str, value_col: str,
             F.col("__cw") >= F.lit(p) * F.col("__tw"),
             F.col(value_col))).alias(name))
     return d.groupBy(group_col).agg(*aggs)
+
+
+def merged_histogram_quantiles(hists: DataFrame, quantiles: list[float],
+                               lo: float, hi: float,
+                               nbins: int) -> DataFrame:
+    """Quantile estimates from MERGED fixed-width histograms — the
+    incremental-maintenance form of percentiles.
+
+    Exact percentiles need the data; but per-increment histograms (the
+    ``fixed_histogram`` shape an hourly pipeline persists alongside its
+    partitions) are SUMS, so any window of increments merges with one
+    tiny aggregate and yields every quantile to ±binwidth without
+    rescanning raw history — the COUNT(DISTINCT)→HLL argument
+    (hll_rollup) applied to order statistics.
+
+    Estimate: smallest bucket whose cumulative count reaches
+    ceil(q·total); the reported value is that bucket's RIGHT edge
+    (cumulative(bucket) ≥ rank guarantees the true order statistic is
+    ≤ the edge; the left edge bounds it below — so the error bound is
+    one binwidth by construction, pytest-pinned). All arithmetic is
+    exact integers + one fixed-chain edge expression, so the estimate
+    is engine-portable. The cumulative window runs over the
+    ≤ nbins-row merged table (single-task by bound, the drift_ks rule).
+    """
+    merged = hists.groupBy("bucket").agg(F.sum("n").alias("n"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = (merged.withColumn("cum", F.sum("n").over(w))
+           .withColumn("total", F.sum("n").over(wall)))
+    width = (hi - lo) / nbins
+    out = None
+    for q in quantiles:
+        rank = F.ceil(F.lit(q) * F.col("total")).cast("long")
+        hit = (cum.filter(F.col("cum") >= rank)
+               .orderBy("bucket").limit(1)
+               .select(F.lit(q).alias("q"),
+                       F.col("bucket"),
+                       (F.lit(lo) + (F.col("bucket") + 1)
+                        * F.lit(width)).alias("estimate"),
+                       F.col("total").cast("long").alias("n_total")))
+        out = hit if out is None else out.unionByName(hit)
+    return out

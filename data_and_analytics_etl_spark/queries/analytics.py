@@ -2075,3 +2075,62 @@ def feature_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.filter(F.col("o_orderkey") < 2000)
             .select("o_orderkey", "o_orderpriority", "price_qrank")
             .orderBy("o_orderkey"))
+
+
+@query(
+    "incremental_quantile_merge",
+    oracle="""
+WITH tagged AS (
+  SELECT value,
+         least(greatest(CAST(floor((value - 0.0) / 2.5) AS BIGINT), 0),
+               199) AS bucket
+  FROM events
+), merged AS (
+  SELECT bucket, count(*) AS n FROM tagged GROUP BY 1
+), c AS (
+  SELECT bucket, n,
+         CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM merged
+)
+SELECT CAST(q AS DOUBLE) AS q, bucket,
+       CAST(0.0 AS DOUBLE) + (bucket + 1) * CAST(2.5 AS DOUBLE)
+         AS estimate,
+       total AS n_total
+FROM (
+  SELECT 0.5 AS q UNION ALL SELECT 0.9 UNION ALL SELECT 0.99
+) qs, LATERAL (
+  SELECT bucket, total FROM c
+  WHERE cum >= CAST(ceil(qs.q * total) AS BIGINT)
+  ORDER BY bucket LIMIT 1
+)
+ORDER BY q
+""",
+    tags=("analytics", "incremental", "binning"),
+    doc="Incrementally-maintained quantiles (operators/binning.py:"
+        "merged_histogram_quantiles): per-day fixed-width histograms "
+        "of event values — the tiny sidecar an hourly pipeline "
+        "persists — merge with ONE aggregate and answer p50/p90/p99 "
+        "to ±binwidth (2.5 here over [0,500), 200 bins) without "
+        "rescanning raw history; the HLL-rollup argument applied to "
+        "order statistics. All integer arithmetic + one fixed edge "
+        "expression; cumulative window bounded by nbins rows.",
+)
+def incremental_quantile_merge(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.binning import (fixed_histogram,
+                                     merged_histogram_quantiles)
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("day", F.to_date("ts")))
+    # per-increment histograms, union-merged — structurally the stored
+    # sidecar files a real pipeline would read back
+    hists = None
+    for lo_d, hi_d in ((1, 11), (11, 21), (21, 32)):
+        inc = ev.filter((F.dayofmonth("day") >= lo_d)
+                        & (F.dayofmonth("day") < hi_d))
+        h = fixed_histogram(inc, "value", 0.0, 500.0, 200)
+        hists = h if hists is None else hists.unionByName(h)
+    return (merged_histogram_quantiles(hists, [0.5, 0.9, 0.99],
+                                       0.0, 500.0, 200)
+            .orderBy("q"))

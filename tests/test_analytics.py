@@ -1089,3 +1089,37 @@ class TestFeatureRepair:
         assert vals[("a", 10.0)] == 0.0 and vals[("a", 20.0)] == 1.0
         assert vals[("a", 15.0)] == 0.5
         assert vals[("c", 7.0)] is None
+
+
+class TestIncrementalQuantileMerge:
+    def test_estimate_within_one_binwidth_of_exact(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.binning import (
+            fixed_histogram, merged_histogram_quantiles)
+        ev = load_table(spark, sf_dir, "events")
+        h = fixed_histogram(ev, "value", 0.0, 500.0, 200)
+        est = {r["q"]: r["estimate"] for r in
+               merged_histogram_quantiles(h, [0.5, 0.9], 0.0, 500.0,
+                                          200).collect()}
+        exact = ev.agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90")).collect()[0]
+        width = 500.0 / 200
+        assert abs(est[0.5] - exact["p50"]) <= width
+        assert abs(est[0.9] - exact["p90"]) <= width
+
+    def test_merge_equals_oneshot(self, spark, sf_dir):
+        """Histograms summed across increments must answer identically
+        to one histogram of everything — the mergeability contract."""
+        from data_and_analytics_etl_spark.operators.binning import (
+            fixed_histogram, merged_histogram_quantiles)
+        ev = load_table(spark, sf_dir, "events")
+        a = fixed_histogram(ev.filter(F.col("event_id") % 2 == 0),
+                            "value", 0.0, 500.0, 200)
+        b = fixed_histogram(ev.filter(F.col("event_id") % 2 == 1),
+                            "value", 0.0, 500.0, 200)
+        inc = merged_histogram_quantiles(a.unionByName(b), [0.5, 0.99],
+                                         0.0, 500.0, 200).collect()
+        one = merged_histogram_quantiles(
+            fixed_histogram(ev, "value", 0.0, 500.0, 200),
+            [0.5, 0.99], 0.0, 500.0, 200).collect()
+        assert sorted(map(tuple, inc)) == sorted(map(tuple, one))
