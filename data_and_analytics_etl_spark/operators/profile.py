@@ -512,3 +512,35 @@ def l_diversity(df: DataFrame, quasi_cols: list[str],
             .agg(F.count(F.lit(1)).alias("class_size"),
                  F.countDistinct(sensitive_col).alias("n_sensitive"))
             .withColumn("violates_l", F.col("n_sensitive") < l))
+
+
+def partition_checksums(df: DataFrame, part_cols: list[str],
+                        content_cols: list[str]) -> DataFrame:
+    """Order-insensitive per-partition content checksum: (partition…,
+    n_rows, checksum) where checksum = Σ rows' 48-bit md5 prefix —
+    the replication/audit manifest that lets two copies of a 100 TB
+    table be compared partition-by-partition with ONE aggregate per
+    side and a tiny join, no row-level diff until a partition disagrees.
+
+    A summed per-row hash is commutative, so the checksum is
+    independent of partitioning, task order and file layout — exactly
+    what a physical-layout-changing operation (compaction, merge
+    rewrite) must NOT change. The 48-bit value is built from md5 hex
+    digits by ascii arithmetic (the bloom-index/simhash portable-hash
+    rule), so an external SQL engine recomputes the manifest
+    bit-for-bit; the sum accumulates as DECIMAL(38,0) from the first
+    row, so no partition size can overflow (2^48 per row never reaches
+    38 digits before ~10^23 rows).
+    """
+    from .layout import _hex_digit
+
+    h = F.md5(F.concat_ws("|", *[F.col(c).cast("string")
+                                 for c in content_cols]))
+    val = F.lit(0).cast("long")
+    for p in range(1, 13):
+        val = val * 16 + _hex_digit(h, p)
+    return (df.groupBy(*part_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 # cast BEFORE the sum: the accumulator must already be
+                 # decimal or a >65k-row partition overflows the long
+                 F.sum(val.cast("decimal(38,0)")).alias("checksum")))

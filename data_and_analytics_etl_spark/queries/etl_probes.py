@@ -620,3 +620,53 @@ def etl_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("year", "day", "n_v1", "n_delta"))
     return (as_of_v1.unionByName(delta)
             .orderBy("year", "day", F.asc_nulls_last("n_v1")))
+
+
+def _cksum_digit_sql(h: str, p: int) -> str:
+    a = f"ascii(substr({h}, {p}, 1))"
+    return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+
+
+def _cksum_sql(cols: str) -> str:
+    h = f"md5(concat_ws('|', {cols}))"
+    expr = "CAST(0 AS BIGINT)"
+    for p in range(1, 13):
+        expr = f"({expr} * 16 + {_cksum_digit_sql(h, p)})"
+    return expr
+
+
+@query(
+    "etl_partition_checksums",
+    oracle=f"""
+SELECT year(ts) AS year, day(ts) AS day,
+       count(*) AS n_rows,
+       CAST(sum({_cksum_sql("CAST(event_id AS VARCHAR), "
+                            "CAST(user_id AS VARCHAR), event_type")})
+            AS DECIMAL(38,0)) AS checksum
+FROM events
+WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+GROUP BY 1, 2
+ORDER BY year, day
+""",
+    tags=("etl", "quality", "audit"),
+    doc="Per-partition content checksums (operators/profile.py:"
+        "partition_checksums): Σ of each row's 48-bit md5 prefix per "
+        "(year, day) — commutative, so independent of partitioning, "
+        "task order and file layout: the audit manifest for comparing "
+        "two copies of a table (replication, post-compaction, "
+        "post-merge) with one aggregate per side. Portable "
+        "ascii-arithmetic hash (the bloom-index rule) so the oracle "
+        "recomputes the manifest bit-for-bit; DECIMAL(38,0) "
+        "accumulation so no partition size overflows.",
+)
+def etl_partition_checksums(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from ..operators.profile import partition_checksums
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("ts") < F.lit(dt.datetime(2024, 1, 5)))
+          .withColumn("year", F.year("ts"))
+          .withColumn("day", F.dayofmonth("ts")))
+    out = partition_checksums(
+        ev, ["year", "day"],
+        ["event_id", "user_id", "event_type"])
+    return out.orderBy("year", "day")

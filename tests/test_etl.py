@@ -527,3 +527,57 @@ class TestVersioning:
             commit_version(dest)
         reset_versions(dest)
         assert commit_version(dest) == 1
+
+
+class TestPartitionChecksums:
+    def test_layout_invariance(self, spark, sf_dir, tmp_path):
+        """The checksum manifest must be identical before and after a
+        physical-layout change (compaction) — that is its job."""
+        from data_and_analytics_etl_spark.etl.sink import (
+            compact_partitions, write_partitioned)
+        from data_and_analytics_etl_spark.operators.profile import \
+            partition_checksums
+
+        def manifest(df):
+            return {tuple(r)[:2]: (r["n_rows"], r["checksum"])
+                    for r in partition_checksums(
+                        df.withColumn("year", F.year("ts"))
+                        .withColumn("day", F.dayofmonth("ts")),
+                        ["year", "day"],
+                        ["event_id", "user_id", "event_type"])
+                    .collect()}
+
+        ev = (load_table(spark, sf_dir, "events")
+              .select("event_id", "ts", "user_id", "event_type")
+              .filter(F.col("ts") < F.lit(T1)))
+        before = manifest(ev)
+        dest = str(tmp_path / "tbl")
+        for i in range(2):
+            write_partitioned(ev.filter(F.col("event_id") % 2 == i),
+                              dest, "ts")
+        compact_partitions(spark, dest, min_files=2)
+        after = manifest(spark.read.parquet(dest)
+                         .select("event_id", "ts", "user_id",
+                                 "event_type"))
+        assert before == after
+
+    def test_detects_single_row_change(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.profile import \
+            partition_checksums
+        ev = (load_table(spark, sf_dir, "events")
+              .filter(F.col("ts") < F.lit(T1))
+              .withColumn("year", F.year("ts"))
+              .withColumn("day", F.dayofmonth("ts")))
+        tampered = ev.withColumn(
+            "event_type",
+            F.when(F.col("event_id") == ev.select(F.min("event_id"))
+                   .collect()[0][0], F.lit("TAMPERED"))
+            .otherwise(F.col("event_type")))
+        a = {tuple(r)[:2]: r["checksum"] for r in partition_checksums(
+            ev, ["year", "day"],
+            ["event_id", "user_id", "event_type"]).collect()}
+        b = {tuple(r)[:2]: r["checksum"] for r in partition_checksums(
+            tampered, ["year", "day"],
+            ["event_id", "user_id", "event_type"]).collect()}
+        diff = [k for k in a if a[k] != b.get(k)]
+        assert len(diff) == 1
