@@ -461,3 +461,36 @@ def windowed_distinct_users(df: DataFrame, duration: str = "1 hour",
              .dropDuplicates([key, dim, "__b"]))
     return (dedup.groupBy(F.window("ts", duration).alias("window"), dim)
             .agg(F.count(F.lit(1)).alias("n_distinct")))
+
+
+def stream_to_versioned_sink(stream_df: DataFrame, path: str,
+                             ts_col: str, checkpoint_dir: str,
+                             fmt: str = "parquet"):
+    """Streaming append sink that COMMITS A SNAPSHOT VERSION per
+    micro-batch (etl/versioning.py) — so downstream batch consumers
+    get the streaming-offset experience on a plain parquet table:
+    read AS OF any committed version, or read_changes(since, until)
+    to consume exactly the micro-batches they haven't seen.
+
+    This closes the loop between the engine's two incremental stories:
+    the stream's checkpoint makes the WRITE exactly-once per batch,
+    the version manifest makes the READ incremental — without a table
+    format. Append-only by construction (the partitioned sink in
+    append mode), so the versioning fence never trips.
+
+    Returns the started query (availableNow trigger).
+    """
+    from ..etl.sink import write_partitioned
+    from ..etl.versioning import commit_version
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_partitioned(batch_df, path, ts_col, fmt=fmt)
+        commit_version(path, fmt=fmt)
+
+    return (stream_df.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

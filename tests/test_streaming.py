@@ -621,3 +621,32 @@ class TestStreamingEndToEnd:
         # every quarantined row names exactly the failed check
         labels = {r["__violated"] for r in bad.collect()}
         assert labels == {"k_under_90"}
+
+
+class TestVersionedStreamSink:
+    def test_each_batch_is_a_version_and_deltas_reconstruct(
+            self, spark, sf_dir, tmp_path):
+        from data_and_analytics_etl_spark.etl.versioning import (
+            list_versions, read_changes, read_version)
+        from data_and_analytics_etl_spark.streaming.ops import (
+            events_stream, stream_to_versioned_sink)
+        dest = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "ckpt")
+        stream = events_stream(spark, sf_dir)
+        q = stream_to_versioned_sink(stream, dest, "ts", ckpt)
+        q.awaitTermination()
+        versions = list_versions(dest)
+        assert versions, "no version committed"
+        total = read_version(spark, dest, versions[-1]).count()
+        batch = load_table(spark, sf_dir, "events")
+        assert total == batch.count()
+        # deltas between consecutive versions partition the table
+        n = read_version(spark, dest, versions[0]).count()
+        for a, b in zip(versions, versions[1:]):
+            n += read_changes(spark, dest, a, b).count()
+        assert n == total
+        # re-running against the same checkpoint adds no version
+        q2 = stream_to_versioned_sink(
+            events_stream(spark, sf_dir), dest, "ts", ckpt)
+        q2.awaitTermination()
+        assert list_versions(dest) == versions
