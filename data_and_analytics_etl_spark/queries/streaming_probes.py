@@ -351,3 +351,42 @@ def stream_windowed_distinct_users(spark: SparkSession,
         .alias("window_start"),
         "event_type", "n_distinct")
         .orderBy("window_start", "event_type"))
+
+
+@query(
+    "stream_versioned_sink",
+    oracle="""
+SELECT year(ts) AS year, day(ts) AS day, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY year, day
+""",
+    tags=("streaming", "etl", "versioning"),
+    doc="Streaming sink with a snapshot version per micro-batch "
+        "(streaming/ops.py:stream_to_versioned_sink): the full events "
+        "replay lands in the hourly layout, each micro-batch commits a "
+        "manifest, and the probe reads back the LATEST version AS OF "
+        "its commit — per-day aggregates must equal the batch "
+        "recompute, proving the stream's exactly-once write and the "
+        "version manifest agree on table contents. Version-by-version "
+        "delta reconstruction and checkpoint-re-run idempotence are "
+        "pytest-pinned (TestVersionedStreamSink).",
+)
+def stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..etl.versioning import list_versions, read_version
+    from ..streaming.ops import events_stream, stream_to_versioned_sink
+    root = tempfile.mkdtemp(prefix="stream_ver_")
+    dest = os.path.join(root, "data")
+    q = stream_to_versioned_sink(events_stream(spark, sf_dir), dest,
+                                 "ts", os.path.join(root, "ckpt"))
+    q.awaitTermination()
+    back = read_version(spark, dest, list_versions(dest)[-1])
+    return (back.groupBy("year", "day")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_value"))
+            .orderBy("year", "day"))
