@@ -991,3 +991,141 @@ def synthesize_bmp_assets(docs: DataFrame, size: int = 16) -> DataFrame:
 
     return (docs.select("doc_id", "text")
             .mapInPandas(_batch, schema=schema))
+
+
+def _wav_pcm(payload: bytes) -> tuple[list[int], int]:
+    """First-channel PCM samples + sample rate (the _decode_wav read
+    path, returning the raw samples instead of statistics)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        sample_rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sampwidth == 2:
+        samples = list(struct.unpack(f"<{len(raw) // 2}h",
+                                     raw))[::n_channels]
+    elif sampwidth == 1:
+        samples = [b - 128 for b in raw[::n_channels]]
+    else:
+        raise NotImplementedError(f"WAV sample width {sampwidth}")
+    return samples, sample_rate
+
+
+def _audio_fp64(samples: list[int], n_frames: int = 65) -> int:
+    """64-bit audio fingerprint: sign of successive frame-energy deltas.
+
+    The signal splits into ``n_frames`` equal windows; frame energy is
+    the EXACT integer sum of squared PCM samples; bit i is set iff
+    energy[i+1] > energy[i]. All-integer, so the fingerprint is
+    deterministic AND amplitude-invariant (scaling PCM by c scales
+    every energy by c², preserving every comparison) — the Shazam-family
+    robustness property, pytest-pinned. Too-short signals raise
+    (quarantined by the caller's error contract).
+    """
+    n = len(samples)
+    if n < n_frames:
+        raise ValueError(f"audio too short for {n_frames} frames")
+    energies = []
+    for i in range(n_frames):
+        lo = (i * n) // n_frames
+        hi = ((i + 1) * n) // n_frames
+        energies.append(sum(s * s for s in samples[lo:hi]))
+    bits = 0
+    for i in range(n_frames - 1):
+        if energies[i + 1] > energies[i]:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def audio_fingerprints(assets: DataFrame) -> DataFrame:
+    """Per-asset 64-bit audio fingerprint via mapInPandas:
+    (asset_id, afp, error) — quarantining, the decode_assets contract.
+
+    With :func:`phash_neardup_pairs`' banded hamming join (rename the
+    hash column), the SAME near-dup machinery covers text (simhash),
+    images (pHash) and audio — one dedup stack across modalities.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    _ensure_portable()
+    schema = StructType([
+        StructField("asset_id", LongType()),
+        StructField("afp", LongType()),
+        StructField("error", StringType()),
+    ])
+
+    def _batch(batches):
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"],
+                                         pdf["payload"]):
+                row = {"asset_id": int(asset_id), "afp": None,
+                       "error": None}
+                try:
+                    samples, _sr = _wav_pcm(bytes(payload or b""))
+                    row["afp"] = _audio_fp64(samples)
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    row["error"] = f"{type(e).__name__}: {e}"[:200]
+                out.append(row)
+            yield pd.DataFrame(out, columns=["asset_id", "afp",
+                                             "error"])
+
+    return (assets.select("asset_id", "payload")
+            .mapInPandas(_batch, schema=schema))
+
+
+def synthesize_wav_assets(docs: DataFrame, n_samples: int = 2000,
+                          sample_rate: int = 8000) -> DataFrame:
+    """Deterministic WAV corpus from `documents`: each text renders to a
+    16-bit mono tone whose frequency/phase derive from the text's md5 —
+    identical texts yield identical audio (the synthesize_bmp_assets
+    contract for the audio modality), so planted duplicates exercise
+    decode → fingerprint → pair end to end on REAL encoded payloads."""
+    import hashlib
+    import io
+    import math
+    import struct
+    import wave
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField
+
+    _ensure_portable()
+    schema = StructType([
+        StructField("asset_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def _batch(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = hashlib.md5((text or "").encode()).digest()
+                freq = 200 + d[0] * 7          # 200..1985 Hz
+                freq2 = 150 + d[1] * 5         # second partial
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    frames = b"".join(
+                        struct.pack("<h", int(
+                            6000 * math.sin(2 * math.pi * freq * i
+                                            / sample_rate)
+                            + 3000 * math.sin(2 * math.pi * freq2 * i
+                                              / sample_rate)))
+                        for i in range(n_samples))
+                    w.writeframes(frames)
+                out.append({"asset_id": int(doc_id),
+                            "payload": buf.getvalue()})
+            yield pd.DataFrame(out, columns=["asset_id", "payload"])
+
+    return (docs.select("doc_id", "text")
+            .mapInPandas(_batch, schema=schema))

@@ -2147,3 +2147,36 @@ def sample_diverse_selection(spark: SparkSession,
                               per_cell=2, n_cells=16)
     return (out.select("cell", "vec_id", "quality")
             .orderBy("cell", F.desc("quality"), "vec_id"))
+
+
+@query(
+    "multimodal_audio_neardup",
+    # rows-only: the fingerprint rides Python-side PCM decode; metric/
+    # invariance/quarantine properties pytest-pinned
+    # (TestAudioFingerprint), and the planted duplicates are all found
+    # at hamming 0 (TestAudioFingerprint pipeline test) — additional
+    # pairs are near-frequency tones, i.e. real near-dups.
+    tags=("llm", "multimodal", "dedup"),
+    doc="Audio near-duplicate detection (operators/multimodal.py:"
+        "audio_fingerprints + the banded hamming join from "
+        "phash_neardup_pairs): documents render to REAL 16-bit WAV "
+        "tones (md5-derived frequencies — identical texts, identical "
+        "audio), decode through the quarantining mapInPandas path, "
+        "fingerprint by exact-integer frame-energy delta signs "
+        "(amplitude-invariant, Shazam-family), and pair via the SAME "
+        "4×16-bit band machinery as images — one dedup stack across "
+        "text, image and audio modalities.",
+)
+def multimodal_audio_neardup(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (audio_fingerprints,
+                                        phash_neardup_pairs,
+                                        synthesize_wav_assets)
+    d = load_table(spark, sf_dir, "documents")
+    planted = (d.filter(F.col("doc_id") % 25 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 100000))
+    assets = synthesize_wav_assets(d.unionByName(planted))
+    fp = (audio_fingerprints(assets)
+          .withColumnRenamed("afp", "phash"))
+    return (phash_neardup_pairs(fp, max_distance=3)
+            .orderBy("id_a", "id_b"))

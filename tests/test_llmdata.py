@@ -1222,3 +1222,58 @@ class TestDiverseSelection:
                                    per_cell=2, n_cells=8).collect()
         assert {(r["cell"], r["vec_id"]) for r in sel} == \
                {(r["cell"], r["vec_id"]) for r in sel2}
+
+
+class TestAudioFingerprint:
+    def test_identity_scale_invariance_and_locality(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import \
+            audio_fingerprints
+        base = _make_wav(freq=440, n_frames=2000, amp=8000)
+        same = _make_wav(freq=440, n_frames=2000, amp=8000)
+        # amplitude-scaled rendition of the same signal
+        quiet = _make_wav(freq=440, n_frames=2000, amp=2000)
+        other = _make_wav(freq=1733, n_frames=2000, amp=8000)
+        assets = spark.createDataFrame(
+            [(1, base), (2, same), (3, quiet), (4, other)],
+            "asset_id: long, payload: binary")
+        vals = {r["asset_id"]: r["afp"]
+                for r in audio_fingerprints(assets).collect()}
+        assert vals[1] == vals[2]              # deterministic
+        assert vals[1] == vals[3]              # amplitude-invariant
+        d = bin(vals[1] ^ vals[4]).count("1")
+        assert d > 8, d                        # different tone differs
+
+    def test_quarantine_contract(self, spark):
+        from data_and_analytics_etl_spark.operators.multimodal import \
+            audio_fingerprints
+        assets = spark.createDataFrame(
+            [(1, b"not audio"), (2, _make_wav(n_frames=10))],
+            "asset_id: long, payload: binary")
+        rows = {r["asset_id"]: r for r in
+                audio_fingerprints(assets).collect()}
+        assert rows[1]["afp"] is None and rows[1]["error"]
+        assert rows[2]["afp"] is None   # too short for 65 frames
+        assert "ValueError" in rows[2]["error"]
+
+
+class TestAudioNeardupPipeline:
+    def test_planted_duplicates_found_at_distance_zero(self, spark,
+                                                       sf_dir):
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            audio_fingerprints, phash_neardup_pairs,
+            synthesize_wav_assets)
+        d = load_table(spark, sf_dir, "documents")
+        planted = (d.filter(F.col("doc_id") % 25 == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 100000))
+        fp = (audio_fingerprints(
+            synthesize_wav_assets(d.unionByName(planted)))
+            .withColumnRenamed("afp", "phash"))
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in phash_neardup_pairs(fp,
+                                              max_distance=3).collect()}
+        want = {r["doc_id"] for r in
+                d.filter(F.col("doc_id") % 25 == 0)
+                .select("doc_id").collect()}
+        assert want
+        for doc_id in want:
+            assert pairs.get((doc_id, doc_id + 100000)) == 0, doc_id
