@@ -2134,3 +2134,73 @@ def incremental_quantile_merge(spark: SparkSession,
     return (merged_histogram_quantiles(hists, [0.5, 0.9, 0.99],
                                        0.0, 500.0, 200)
             .orderBy("q"))
+
+
+@query(
+    "graph_hierarchy_rollup",
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS child, c_custkey // 10 AS parent
+  FROM customer WHERE c_custkey > 0
+), anc AS (
+  SELECT child AS node, parent AS anc, 1 AS depth FROM edges
+  UNION ALL
+  SELECT a.node, e.parent, a.depth + 1
+  FROM anc a JOIN edges e ON a.anc = e.child
+), subtree AS (
+  SELECT DISTINCT node, anc FROM anc
+  UNION
+  SELECT c_custkey AS node, c_custkey AS anc FROM customer
+), rev AS (
+  SELECT o_custkey AS node,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r,
+         count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT s.anc AS node,
+       CAST(count(DISTINCT s.node) AS BIGINT) AS n_subtree,
+       CAST(sum(coalesce(rev.n, 0)) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(rev.r), 0) AS DOUBLE) AS subtree_revenue
+FROM subtree s LEFT JOIN rev ON s.node = rev.node
+GROUP BY s.anc
+HAVING CAST(sum(coalesce(rev.n, 0)) AS BIGINT) > 0
+ORDER BY node
+""",
+    tags=("graph", "recursive", "analytics"),
+    doc="Hierarchical subtree rollup (transitive_closure applied): "
+        "order revenue aggregated to EVERY ancestor of the custkey "
+        "decimal-digit tree — the org-chart/BOM rollup that needs the "
+        "closure, not just one parent hop. Spark side: the lazy "
+        "min-plus closure ∪ self-rows joined to per-customer revenue "
+        "(exact decimal) and grouped by ancestor; oracle recomputes "
+        "with a recursive CTE. Zero-order subtrees filtered on BOTH "
+        "sides so the comparison set is revenue-bearing nodes.",
+)
+def graph_hierarchy_rollup(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from ..operators.graph import transitive_closure
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (c.filter(F.col("c_custkey") > 0)
+             .select(F.col("c_custkey").alias("src"),
+                     (F.col("c_custkey") / 10).cast("long")
+                     .alias("dst")))
+    closure = transitive_closure(edges, max_depth=16) \
+        .select("node", "anc")
+    self_rows = c.select(F.col("c_custkey").alias("node"),
+                         F.col("c_custkey").alias("anc"))
+    subtree = closure.unionByName(self_rows).distinct()
+    rev = (o.groupBy(F.col("o_custkey").alias("node"))
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("r"),
+                F.count(F.lit(1)).alias("n")))
+    return (subtree.join(rev, "node", "left")
+            .groupBy(F.col("anc").alias("node"))
+            .agg(F.countDistinct("node").alias("__nd"),
+                 F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("long")
+                 .alias("n_orders"),
+                 F.coalesce(F.sum("r"), F.lit(0).cast("decimal(18,2)"))
+                 .cast("double").alias("subtree_revenue"))
+            .filter(F.col("n_orders") > 0)
+            .withColumnRenamed("__nd", "n_subtree")
+            .orderBy("node"))
