@@ -224,8 +224,12 @@ def ranking_metrics(df: DataFrame, query: Column, score: Column,
         range(1, k),
         F.coalesce(F.col("__r0"), F.lit(0)).cast("double") * F.lit(w[0]))
     prefix = F.array(*[F.lit(x) for x in ideal_dcg_prefix(k)])
-    idcg = F.element_at(prefix, F.least(F.col("n_rel"),
-                                        F.lit(k)).cast("int"))
+    # clamp the index to ≥1: element_at(arr, 0) raises even with ANSI
+    # off, and when() does not short-circuit evaluation — the n_rel=0
+    # case is masked to NULL by the outer when() below
+    idcg = F.element_at(
+        prefix, F.greatest(F.lit(1), F.least(F.col("n_rel"),
+                                             F.lit(k))).cast("int"))
     return g.select(
         "q", "n_items", "n_rel", "hits_at_k",
         (F.col("hits_at_k").cast("double") / k).alias("precision_at_k"),

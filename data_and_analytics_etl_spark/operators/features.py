@@ -90,19 +90,24 @@ def quantile_rank(df: DataFrame, value_col: str, group_col: str,
     convention.
     """
     nn = df.filter(F.col(value_col).isNotNull())
-    # rows strictly below + half the tie block, in DOUBLED integers:
-    # rangeBetween(-1) bounds by VALUE, so the count covers v' < v
-    below = F.coalesce(F.count(F.lit(1)).over(
-        Window.partitionBy(group_col).orderBy(F.col(value_col))
-        .rangeBetween(Window.unboundedPreceding, -1)), F.lit(0))
-    ties = F.count(F.lit(1)).over(
-        Window.partitionBy(group_col).orderBy(F.col(value_col))
-        .rangeBetween(0, 0))
+    # per-DISTINCT-value aggregation first, then a ROWS window over the
+    # distinct-value table (the binary_auc shape). NEVER a RANGE window
+    # with a numeric offset: on a double order key `rangeBetween(-1)`
+    # means "values ≤ v − 1.0" — a VALUE offset, not "strictly below" —
+    # silently mis-ranking any values within 1.0 of each other.
+    per_v = (nn.groupBy(group_col, value_col)
+             .agg(F.count(F.lit(1)).alias("__c")))
+    w = (Window.partitionBy(group_col).orderBy(F.col(value_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    below = F.coalesce(F.sum("__c").over(w), F.lit(0))
     counts = nn.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     out = out_col or f"{value_col}_qrank"
-    r2 = 2 * below + ties + 1          # doubled average rank
-    expr = F.when(F.col("__n") > 1,
-                  (r2 - 2).cast("double") / (2 * (F.col("__n") - 1)))
-    return (nn.join(F.broadcast(counts), group_col)
-            .withColumn(out, expr)
-            .drop("__n"))
+    r2 = 2 * below + F.col("__c") + 1  # doubled tie-averaged rank
+    ranked = (per_v.withColumn("__r2", r2)
+              .join(F.broadcast(counts), group_col)
+              .withColumn(out, F.when(
+                  F.col("__n") > 1,
+                  (F.col("__r2") - 2).cast("double")
+                  / (2 * (F.col("__n") - 1))))
+              .select(group_col, value_col, out))
+    return nn.join(ranked, [group_col, value_col])

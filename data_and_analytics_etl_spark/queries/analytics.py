@@ -2038,25 +2038,29 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "feature_quantile_rank",
     oracle="""
-WITH nn AS (
-  SELECT o_orderkey, o_orderpriority, o_totalprice,
-         count(*) OVER (PARTITION BY o_orderpriority
-                        ORDER BY o_totalprice
-                        RANGE BETWEEN UNBOUNDED PRECEDING
-                        AND 1 PRECEDING) AS below,
-         count(*) OVER (PARTITION BY o_orderpriority
-                        ORDER BY o_totalprice
-                        RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
-           AS ties,
-         count(*) OVER (PARTITION BY o_orderpriority) AS n
-  FROM orders WHERE o_totalprice IS NOT NULL
+WITH pv AS (
+  SELECT o_orderpriority, o_totalprice, count(*) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+), r AS (
+  SELECT o_orderpriority, o_totalprice, c,
+         coalesce(sum(c) OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM pv
+), t AS (
+  SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS n
+  FROM pv GROUP BY 1
 )
-SELECT o_orderkey, o_orderpriority,
-       CASE WHEN n > 1
-            THEN CAST(2 * coalesce(below, 0) + ties + 1 - 2 AS DOUBLE)
-                 / (2 * (n - 1)) END AS price_qrank
-FROM nn WHERE o_orderkey < 2000
-ORDER BY o_orderkey
+SELECT o.o_orderkey, o.o_orderpriority,
+       CASE WHEN t.n > 1
+            THEN CAST(2 * r.below + r.c + 1 - 2 AS DOUBLE)
+                 / (2 * (t.n - 1)) END AS price_qrank
+FROM orders o
+JOIN r ON o.o_orderpriority = r.o_orderpriority
+      AND o.o_totalprice = r.o_totalprice
+JOIN t ON o.o_orderpriority = t.o_orderpriority
+WHERE o.o_orderkey < 2000
+ORDER BY o.o_orderkey
 """,
     tags=("analytics", "features"),
     doc="Per-group quantile (rank) transform (operators/features.py:"
@@ -2064,8 +2068,11 @@ ORDER BY o_orderkey
         "its priority class, tie-averaged in DOUBLED-integer rank "
         "arithmetic (the binary_auc identity) so equal prices map "
         "equal everywhere — the outlier-immune alternative to min-max "
-        "scaling. One value-range window per group + a broadcast "
-        "count; ONE double division per row.",
+        "scaling. Per-DISTINCT-value aggregation first, then a ROWS "
+        "window over the distinct-value table (the binary_auc shape — "
+        "never a numeric-offset RANGE window, which on a double key "
+        "means a VALUE offset) + a broadcast count; ONE double "
+        "division per distinct value.",
 )
 def feature_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.features import quantile_rank

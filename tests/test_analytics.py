@@ -1123,3 +1123,38 @@ class TestIncrementalQuantileMerge:
             fixed_histogram(ev, "value", 0.0, 500.0, 200),
             [0.5, 0.99], 0.0, 500.0, 200).collect()
         assert sorted(map(tuple, inc)) == sorted(map(tuple, one))
+
+
+class TestQuantileRankSemantics:
+    def test_fractional_spacing_and_ties(self, spark):
+        """Values within 1.0 of each other must still rank strictly —
+        the numeric-offset RANGE-window trap this operator explicitly
+        avoids — and ties must share the averaged rank."""
+        from data_and_analytics_etl_spark.operators.features import \
+            quantile_rank
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 1.4), ("g", 1.4), ("g", 1.9),
+             ("g", 2.0)], "grp: string, v: double")
+        out = {}
+        for r in quantile_rank(df, "v", "grp").collect():
+            out.setdefault(r["v"], set()).add(r["v_qrank"])
+        # n=5: qrank = (avg_rank - 1) / 4
+        assert out[1.0] == {0.0}
+        assert out[1.4] == {(2.5 - 1) / 4}    # tie-averaged rank 2.5
+        assert out[1.9] == {(4 - 1) / 4}
+        assert out[2.0] == {1.0}
+
+    def test_rel_free_ranking_group_yields_nulls(self, spark):
+        """ranking_metrics must not crash on a query with zero
+        relevant items (element_at index-0 trap): rr/recall/ndcg NULL,
+        counts zero."""
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            ranking_metrics
+        df = spark.createDataFrame(
+            [(1, 0.9, False, 10), (1, 0.5, False, 11)],
+            "q: long, s: double, rel: boolean, t: long")
+        r = ranking_metrics(df, F.col("q"), F.col("s"), F.col("rel"),
+                            F.col("t"), k=10).collect()[0]
+        assert r["n_rel"] == 0 and r["hits_at_k"] == 0
+        assert r["rr"] is None and r["ndcg_at_k"] is None
+        assert r["recall_at_k"] is None
