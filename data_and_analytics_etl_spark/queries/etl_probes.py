@@ -640,9 +640,9 @@ def _cksum_sql(cols: str) -> str:
     oracle=f"""
 SELECT year(ts) AS year, day(ts) AS day,
        count(*) AS n_rows,
-       CAST(sum({_cksum_sql("CAST(event_id AS VARCHAR), "
-                            "CAST(user_id AS VARCHAR), event_type")})
-            AS DECIMAL(38,0)) AS checksum
+       CAST(CAST(sum({_cksum_sql("CAST(event_id AS VARCHAR), "
+                                 "CAST(user_id AS VARCHAR), event_type")})
+                 AS DECIMAL(38,0)) AS VARCHAR) AS checksum
 FROM events
 WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
 GROUP BY 1, 2
@@ -669,4 +669,9 @@ def etl_partition_checksums(spark: SparkSession,
     out = partition_checksums(
         ev, ["year", "day"],
         ["event_id", "user_id", "event_type"])
-    return out.orderBy("year", "day")
+    # string-render the decimal checksum at the probe boundary: the
+    # registry lint forbids DECIMAL/HUGEINT probe outputs (driver
+    # canonicalizers render them inconsistently across engines)
+    return (out.withColumn("checksum",
+                           F.col("checksum").cast("string"))
+            .orderBy("year", "day"))
