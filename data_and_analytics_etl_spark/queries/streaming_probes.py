@@ -390,3 +390,40 @@ def stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("value").cast("decimal(18,2)"))
                  .cast("double").alias("sum_value"))
             .orderBy("year", "day"))
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL 1 DAY, e.ts),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       c.c_mktsegment,
+       count(*) AS n,
+       CAST(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+            / 100 AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY window_start, c_mktsegment
+""",
+    tags=("streaming", "join"),
+    doc="Stream-static enrichment join (streaming/ops.py:"
+        "stream_static_enrich_agg): the events stream joins the "
+        "BROADCAST customer dimension per micro-batch (no join state "
+        "at all — the streaming analog of the star join) and rolls up "
+        "per (day window, market segment); must equal the batch "
+        "join+aggregate. Money sums ride integer cents (the stateful-"
+        "op float rule).",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ops import stream_static_enrich_agg
+    dim = (load_table(spark, sf_dir, "customer")
+           .select(F.col("c_custkey"), F.col("c_mktsegment")))
+    ev = events_stream(spark, sf_dir).withColumnRenamed("user_id",
+                                                        "c_custkey")
+    out = run_stream_to_table(
+        stream_static_enrich_agg(ev, dim, "c_custkey", "c_mktsegment"),
+        output_mode="complete")
+    return (out.select(
+        F.date_format("window_start", _TS_FMT).alias("window_start"),
+        "c_mktsegment", "n", "sum_value")
+        .orderBy("window_start", "c_mktsegment"))

@@ -494,3 +494,32 @@ def stream_to_versioned_sink(stream_df: DataFrame, path: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_static_enrich_agg(stream_df: DataFrame, dim_df: DataFrame,
+                             join_key: str, dim_col: str,
+                             duration: str = "1 day") -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each micro-batch
+    joins the (broadcast) static dimension — the streaming analog of
+    every TPC-H star join, and the shape a 100 TB event firehose uses
+    to tag events with slowly-changing reference data without any
+    stream-stream state.
+
+    Stream-static joins keep NO join state (the static side re-reads
+    its current snapshot per micro-batch — pair with an SCD2 dimension
+    for bitemporal correctness); the only stateful operator is the
+    downstream windowed aggregate. Dimension broadcast means the
+    stream side never shuffles for the join.
+    """
+    enriched = stream_df.join(F.broadcast(dim_df),
+                              stream_df[join_key] == dim_df[join_key])
+    return (enriched
+            .groupBy(F.window("ts", duration).alias("w"),
+                     F.col(dim_col))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("cents"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col(dim_col), "n",
+                    (F.col("cents").cast("double") / 100)
+                    .alias("sum_value")))
