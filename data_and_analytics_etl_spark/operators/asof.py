@@ -34,6 +34,7 @@ def asof_join(
     suffix: str = "_right",
     how: str = "left",
     direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """Join each left row to its as-of right row, per equality key ``on``.
 
@@ -48,6 +49,13 @@ def asof_join(
     direction : 'backward' = latest right with right_ts <= left_ts
         (DuckDB's default ASOF >=-match); 'forward' = earliest right
         with right_ts >= left_ts. Ties match in both directions.
+    tolerance_s : maximum staleness in seconds (pandas merge_asof's
+        ``tolerance``): a match farther than this from the left
+        timestamp is treated as NO match (NULLs under 'left', dropped
+        under 'inner'). Compared in exact integer microseconds, so the
+        boundary row never flaps cross-engine. A stale quote/sensor
+        reading being silently carried forever is the classic as-of
+        footgun this bounds.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, "
@@ -100,6 +108,16 @@ def asof_join(
 
     out = (unioned.filter(F.col("_side") == F.lit(left_tag))
            .select(F.col("_lrow.*"), *carried_all))
+    if tolerance_s is not None:
+        rts = F.col(f"{right_ts}{suffix}")
+        gap_us = (F.unix_micros(F.col(left_ts)) - F.unix_micros(rts)
+                  if backward
+                  else F.unix_micros(rts) - F.unix_micros(F.col(left_ts)))
+        ok = rts.isNotNull() & (gap_us <= int(tolerance_s * 1_000_000))
+        left_cols = [c for c in out.columns if c not in carried_all]
+        out = out.select(
+            *left_cols,
+            *[F.when(ok, F.col(c)).alias(c) for c in carried_all])
     if how == "inner":
         out = out.filter(F.col(f"{right_ts}{suffix}").isNotNull())
     elif how != "left":

@@ -645,3 +645,43 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return (c.select("c_mktsegment", "c_nationkey").distinct()
              .orderBy("c_mktsegment", "c_nationkey"))
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+SELECT p.event_id, p.user_id,
+       CASE WHEN c.ts IS NOT NULL
+             AND epoch_us(p.ts) - epoch_us(c.ts) <= 7200000000
+            THEN c.event_id END AS click_event_id,
+       CASE WHEN c.ts IS NOT NULL
+             AND epoch_us(p.ts) - epoch_us(c.ts) <= 7200000000
+            THEN strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') END AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""",
+    tags=("join", "ext"),
+    doc="As-of join with a staleness tolerance (operators/asof.py "
+        "tolerance_s — pandas merge_asof parity): each purchase takes "
+        "its latest preceding click ONLY within 2 hours; a staler "
+        "match becomes NULL instead of being carried forever (the "
+        "stale-quote footgun). The gap compares in exact integer "
+        "microseconds so the boundary row never flaps; the oracle is "
+        "DuckDB's native ASOF JOIN with the same post-filter.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_values=["event_id"], how="left", tolerance_s=7200)
+    return (joined.select(
+        "event_id", "user_id",
+        F.col("event_id_right").alias("click_event_id"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("click_ts"))
+        .orderBy("event_id"))
