@@ -408,3 +408,107 @@ class TestGopherRulesVsPythonReference:
                             == keep)  # keep implies its conjuncts
             if keep:
                 assert r_wc and r_stop and r_dup
+
+
+class TestTransitiveClosureVsBfs:
+    """Min-plus pointer doubling vs a from-scratch BFS over random
+    parent forests: identical (node, ancestor, shortest-depth) sets."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(1, 60), min_size=5, max_size=40,
+                    unique=True))
+    def test_matches_bfs_reference(self, nodes):
+        from data_and_analytics_etl_spark.session import get_spark
+        spark = get_spark("prop-closure")
+        from data_and_analytics_etl_spark.operators.graph import \
+            transitive_closure
+        edges = [(n, n // 3) for n in nodes if n // 3 != n]
+        if not edges:
+            return
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        got = {(r["node"], r["anc"]): r["depth"]
+               for r in transitive_closure(df, max_depth=16).collect()}
+        # reference: follow parent chain
+        parent = dict(edges)
+        want = {}
+        for n in parent:
+            d, a = 1, parent[n]
+            while True:
+                want[(n, a)] = d
+                if a not in parent:
+                    break
+                a, d = parent[a], d + 1
+                if d > 16:
+                    break
+        assert got == want
+
+
+class TestCohenKappaVsFormula:
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 2)),
+                    min_size=2, max_size=60))
+    def test_matches_direct_formula(self, pairs):
+        from data_and_analytics_etl_spark.session import get_spark
+        spark = get_spark("prop-kappa")
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            cohen_kappa
+        df = spark.createDataFrame(pairs, "a: int, b: int")
+        r = cohen_kappa(df, F.col("a"), F.col("b")).collect()[0]
+        n = len(pairs)
+        agree = sum(1 for a, b in pairs if a == b)
+        pe_num = sum(
+            sum(1 for a, _ in pairs if a == c)
+            * sum(1 for _, b in pairs if b == c) for c in range(3))
+        assert r["n_total"] == n and r["n_agree"] == agree
+        if n * n == pe_num:
+            assert r["kappa"] is None
+        else:
+            assert r["kappa"] == (n * agree - pe_num) / (n * n - pe_num)
+
+
+class TestKaplanMeierVsReference:
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 8), st.booleans()),
+                    min_size=3, max_size=40))
+    def test_matches_product_limit_reference(self, subjects):
+        from data_and_analytics_etl_spark.session import get_spark
+        spark = get_spark("prop-km")
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            kaplan_meier
+        df = spark.createDataFrame(subjects, "t: int, e: boolean")
+        got = {r["t"]: (r["n_risk"], r["events"], r["censored"],
+                        r["survival"])
+               for r in kaplan_meier(df, F.col("t"),
+                                     F.col("e")).collect()}
+        # reference: classic product-limit sweep in ascending t,
+        # multiplying in the same order as the operator's fold
+        times = sorted({t for t, _ in subjects})
+        at_risk = len(subjects)
+        s = 1.0
+        for t in times:
+            c = sum(1 for x, _ in subjects if x == t)
+            d = sum(1 for x, e in subjects if x == t and e)
+            s = s * ((at_risk - d) / at_risk)
+            assert got[t] == (at_risk, d, c - d, s), t
+            at_risk -= c
+
+
+class TestMergedQuantileBound:
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.floats(min_value=0.0, max_value=99.999,
+                              allow_nan=False), min_size=5,
+                    max_size=120))
+    def test_within_one_binwidth(self, values):
+        from data_and_analytics_etl_spark.session import get_spark
+        spark = get_spark("prop-quant")
+        from data_and_analytics_etl_spark.operators.binning import (
+            fixed_histogram, merged_histogram_quantiles)
+        df = spark.createDataFrame([(v,) for v in values], "v: double")
+        h = fixed_histogram(df, "v", 0.0, 100.0, 50)
+        est = {r["q"]: r["estimate"] for r in
+               merged_histogram_quantiles(h, [0.5], 0.0, 100.0,
+                                          50).collect()}
+        xs = sorted(values)
+        import math
+        exact = xs[math.ceil(0.5 * len(xs)) - 1]  # order statistic
+        assert abs(est[0.5] - exact) <= 100.0 / 50 + 1e-9
