@@ -268,3 +268,58 @@ def rolling_anomaly_z(resampled: DataFrame, key: str,
             .withColumn("is_anomaly",
                         F.when(z.isNotNull(),
                                F.abs(z) > threshold)))
+
+
+def decompose_seasonal(resampled: DataFrame, key: str,
+                       value_col: str = "sum_value",
+                       phase_col: str = "phase",
+                       ma_window: int = 5) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite, seasonal-means
+    flavor): value = trend + seasonal + residual, per key.
+
+    - trend: centered moving average over ``ma_window`` buckets (odd),
+      NULL at the edges where the full window doesn't exist (honest
+      boundary, no padding);
+    - seasonal: mean(value | phase) − mean(value) — the classic
+      seasonal-means estimate, with the phase column supplied by the
+      caller (hour-of-day for daily seasonality, day-of-week for
+      weekly);
+    - residual: value − trend − seasonal (NULL where trend is NULL).
+
+    Exactness: every component is built from DECIMAL sums (exact,
+    order-free) and finished by at most two double divisions and a
+    fixed subtraction chain — no double ever accumulates, so each row
+    hashes identically cross-engine (the exact-sums float policy).
+
+    Scale: one per-key ordered window over the RESAMPLED series (tiny
+    next to raw; the resample already paid the only data-sized
+    shuffle), one (key, phase) aggregate and one key aggregate, both
+    broadcast back.
+    """
+    if ma_window % 2 == 0:
+        raise ValueError("ma_window must be odd (centered average)")
+    half = ma_window // 2
+    dec = F.col(value_col).cast("decimal(18,2)")
+    w_ma = (Window.partitionBy(key).orderBy("bucket")
+            .rowsBetween(-half, half))
+    trend = F.when(
+        F.count(dec).over(w_ma) == ma_window,
+        F.sum(dec).over(w_ma).cast("double") / ma_window)
+    d = resampled.withColumn("__trend", trend)
+    phase_stats = (resampled.groupBy(key, phase_col)
+                   .agg(F.sum(dec).alias("__ps"),
+                        F.count(dec).alias("__pn")))
+    totals = (resampled.groupBy(key)
+              .agg(F.sum(dec).alias("__ts"),
+                   F.count(dec).alias("__tn")))
+    seasonal = (F.col("__ps").cast("double") / F.col("__pn")
+                - F.col("__ts").cast("double") / F.col("__tn"))
+    out = (d.join(F.broadcast(phase_stats), [key, phase_col])
+           .join(F.broadcast(totals), key)
+           .withColumn("seasonal", seasonal)
+           .withColumn("trend", F.col("__trend"))
+           .withColumn("residual",
+                       F.col(value_col) - F.col("__trend")
+                       - F.col("seasonal")))
+    return out.select(key, "bucket", phase_col, value_col, "trend",
+                      "seasonal", "residual")

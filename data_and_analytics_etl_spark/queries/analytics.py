@@ -8,6 +8,8 @@ string timestamps, total ORDER BY everywhere.
 
 from __future__ import annotations
 
+import datetime as dt
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -2211,3 +2213,72 @@ def graph_hierarchy_rollup(spark: SparkSession,
             .filter(F.col("n_orders") > 0)
             .withColumnRenamed("__nd", "n_subtree")
             .orderBy("node"))
+
+
+@query(
+    "timeseries_decompose_seasonal",
+    oracle="""
+WITH r AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, bucket, hour(bucket) AS phase, sv,
+         CASE WHEN count(*) OVER w = 5
+              THEN CAST(sum(sv) OVER w AS DOUBLE) / 5 END AS trend
+  FROM r
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+), p AS (
+  SELECT event_type, hour(bucket) AS phase,
+         CAST(sum(sv) AS DECIMAL(18,2)) AS ps, count(*) AS pn
+  FROM r GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(sv) AS DECIMAL(18,2)) AS ts2,
+         count(*) AS tn
+  FROM r GROUP BY 1
+)
+SELECT t.event_type,
+       strftime(t.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       t.phase,
+       CAST(t.sv AS DOUBLE) AS sum_value,
+       t.trend,
+       CAST(p.ps AS DOUBLE) / p.pn - CAST(tot.ts2 AS DOUBLE) / tot.tn
+         AS seasonal,
+       CAST(t.sv AS DOUBLE) - t.trend
+         - (CAST(p.ps AS DOUBLE) / p.pn
+            - CAST(tot.ts2 AS DOUBLE) / tot.tn) AS residual
+FROM t JOIN p ON t.event_type = p.event_type AND t.phase = p.phase
+JOIN tot ON t.event_type = tot.event_type
+WHERE t.bucket < TIMESTAMP '2024-01-05 00:00:00'
+ORDER BY t.event_type, bucket
+""",
+    tags=("analytics", "timeseries"),
+    doc="Additive seasonal decomposition (operators/timeseries.py:"
+        "decompose_seasonal, STL-lite seasonal-means flavor): hourly "
+        "per-type event volume splits into a centered-5-bucket moving-"
+        "average trend (NULL at honest edges), an hour-of-day seasonal "
+        "(phase mean − overall mean) and the residual. Every component "
+        "is exact DECIMAL sums + at most two double divisions and a "
+        "fixed subtraction chain — no double accumulation anywhere, so "
+        "rows hash identically cross-engine. Windows run over the "
+        "resampled (tiny) series; phase/total stats broadcast back.",
+)
+def timeseries_decompose_seasonal(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import decompose_seasonal, resample
+    ev = load_table(spark, sf_dir, "events")
+    r = (resample(ev, key="event_type", ts_col="ts",
+                  interval="1 hour", value_col="value")
+         .filter(F.col("n") > 0)
+         .withColumn("phase", F.hour("bucket")))
+    out = decompose_seasonal(r, "event_type", value_col="sum_value",
+                             phase_col="phase", ma_window=5)
+    return (out.filter(F.col("bucket")
+                       < F.lit(dt.datetime(2024, 1, 5)))
+            .select("event_type",
+                    F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+                    .alias("bucket"),
+                    "phase", "sum_value", "trend", "seasonal",
+                    "residual")
+            .orderBy("event_type", "bucket"))
