@@ -1158,3 +1158,40 @@ class TestQuantileRankSemantics:
         assert r["n_rel"] == 0 and r["hits_at_k"] == 0
         assert r["rr"] is None and r["ndcg_at_k"] is None
         assert r["recall_at_k"] is None
+
+
+class TestSeasonalDecompose:
+    def test_edges_and_reconstruction(self, spark):
+        import datetime as dtm
+
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            decompose_seasonal
+        rows = [("k", dtm.datetime(2024, 1, 1, h), h % 3,
+                 float(10 + h)) for h in range(9)]
+        df = spark.createDataFrame(
+            rows, "key: string, bucket: timestamp, phase: int, "
+                  "sum_value: double")
+        out = {r["bucket"].hour: r for r in
+               decompose_seasonal(df, "key", ma_window=5).collect()}
+        # honest edges: first/last two buckets have no full window
+        for h in (0, 1, 7, 8):
+            assert out[h]["trend"] is None
+            assert out[h]["residual"] is None
+        # interior: value reconstructs exactly from the components
+        for h in (2, 3, 4, 5, 6):
+            r = out[h]
+            assert r["trend"] == 10.0 + h  # linear series: CMA = value
+            assert abs(r["trend"] + r["seasonal"] + r["residual"]
+                       - r["sum_value"]) < 1e-9
+
+    def test_even_window_rejected(self, spark):
+        import pytest as _pytest
+
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            decompose_seasonal
+        df = spark.createDataFrame(
+            [("k", None, 0, 1.0)],
+            "key: string, bucket: timestamp, phase: int, "
+            "sum_value: double")
+        with _pytest.raises(ValueError, match="odd"):
+            decompose_seasonal(df, "key", ma_window=4)
