@@ -489,3 +489,42 @@ def merge_minhash(sig_a: Column, sig_b: Column) -> Column:
     every split).
     """
     return F.zip_with(sig_a, sig_b, lambda x, y: F.least(x, y))
+
+
+def containment_pairs(df: DataFrame, id_col: str, set_col: str,
+                      threshold: float = 0.9) -> DataFrame:
+    """Jaccard-CONTAINMENT near-dup pairs: |A∩B| / |A| ≥ threshold —
+    the asymmetric criterion that catches a document swallowed whole
+    by a longer one (quote-plus-commentary, boilerplate wrappers),
+    which symmetric Jaccard misses when the containing doc is much
+    larger.
+
+    Candidate generation is a single-shingle equi-join (a pair with
+    containment ≥ t > 0 shares ≥1 shingle) with ids-only through the
+    shuffle, then one exact intersection recheck per candidate —
+    bounded by shared-shingle mass, never |docs|². At 100 TB prefix
+    filtering (setsim_prefix_pairs' ordering argument) or MinHash
+    bucketing bounds the candidate mass further; this form is the
+    exact baseline the sketch paths verify against. Output:
+    (id_small, id_big, containment) with the SMALLER set first —
+    both directions are checked, asymmetric by design.
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.array_distinct(F.col(set_col)).alias("s"))
+    tok = sh.select("id", F.explode("s").alias("t"))
+    cand = (tok.alias("a").join(tok.alias("b"), "t")
+            .filter(F.col("a.id") != F.col("b.id"))
+            .select(F.col("a.id").alias("id_small"),
+                    F.col("b.id").alias("id_big"))
+            .distinct())
+    j = (cand
+         .join(sh.select(F.col("id").alias("id_small"),
+                         F.col("s").alias("s_small")), "id_small")
+         .join(sh.select(F.col("id").alias("id_big"),
+                         F.col("s").alias("s_big")), "id_big")
+         .withColumn("containment",
+                     F.size(F.array_intersect("s_small", "s_big"))
+                     .cast("double") / F.size("s_small")))
+    return (j.filter((F.col("containment") >= threshold)
+                     & (F.size("s_small") <= F.size("s_big")))
+            .select("id_small", "id_big", "containment"))

@@ -2180,3 +2180,171 @@ def multimodal_audio_neardup(spark: SparkSession,
           .withColumnRenamed("afp", "phash"))
     return (phash_neardup_pairs(fp, max_distance=3)
             .orderBy("id_a", "id_b"))
+
+
+@query(
+    "neardup_containment",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 200000,
+               list_filter(string_split_regex(lower(
+                 concat(text, ' appended commentary about the source',
+                        ' document and its provenance notes')), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents WHERE doc_id % 40 = 0)
+)
+SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+         AS containment
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE len(a.s) <= len(b.s)
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.9
+ORDER BY id_small, id_big
+""",
+    tags=("llm", "dedup"),
+    doc="Jaccard-containment near-dup pairs (operators/dedup.py:"
+        "containment_pairs): every 40th document re-enters wrapped "
+        "with appended commentary — symmetric Jaccard dilutes below "
+        "threshold as the wrapper grows, containment |A∩B|/|A| stays "
+        "1.0 for the swallowed original. Candidates via single-shingle "
+        "equi-join (ids-only through the shuffle), exact intersection "
+        "recheck; the oracle recomputes the full pipeline from "
+        "3-gram shingles. Output keeps the smaller set first "
+        "(asymmetric by design).",
+)
+def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+    d = load_table(spark, sf_dir, "documents")
+    wrapped = (d.filter(F.col("doc_id") % 40 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 200000)
+               .withColumn("text", F.concat(
+                   F.col("text"),
+                   F.lit(" appended commentary about the source"
+                         " document and its provenance notes"))))
+    sh = with_word_shingles(d.unionByName(wrapped), "text", n=3)
+    return (containment_pairs(sh, "doc_id", "shingles", threshold=0.9)
+            .orderBy("id_small", "id_big"))
+
+
+@query(
+    "corpus_chunk_sentences",
+    # rows-only: the greedy struct-fold has no SQL-oracle equivalent
+    # (DuckDB's list_reduce can't build lists); exact reference-
+    # equality + text-preservation + over-long-sentence pytests
+    # (TestSentenceChunking).
+    tags=("llm", "corpus"),
+    doc="Boundary-respecting chunking (operators/corpus.py:"
+        "chunk_sentences): sentences pack greedily into ≤64-token "
+        "chunks, never split mid-sentence — the retrieval-friendly "
+        "complement to corpus_chunk_text's fixed windows. One "
+        "pure-codegen struct fold per document (no UDF), posexplode "
+        "fan-out; per-source chunk statistics returned.",
+)
+def corpus_chunk_sentences(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from ..operators.corpus import chunk_sentences
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_sentences(d, max_tokens=64)
+    return (ch.join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.max("n_tokens").alias("max_chunk_tokens"))
+            .orderBy("source"))
+
+
+def _matryoshka_dim_sql(d: int) -> str:
+    return f"""
+  SELECT {d} AS dim, t.probe_id, t.vec_id
+  FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cosine DESC, vec_id) AS rank
+    FROM (
+      SELECT p.vec_id AS probe_id, c.vec_id,
+             round(list_dot_product(p.pv[1:{d}], c.cv[1:{d}])
+                   / (sqrt(list_dot_product(p.pv[1:{d}], p.pv[1:{d}]))
+                      * sqrt(list_dot_product(c.cv[1:{d}],
+                                              c.cv[1:{d}]))), 6)
+               AS cosine
+      FROM p, c WHERE p.vec_id <> c.vec_id
+    )
+  ) t WHERE t.rank <= 10
+"""
+
+
+@query(
+    "eval_matryoshka_truncation",
+    oracle="""
+WITH p AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+), topk AS (
+""" + "  UNION ALL".join(_matryoshka_dim_sql(d)
+                         for d in (8, 16, 32, 64)) + """
+), full_k AS (
+  SELECT probe_id, vec_id FROM topk WHERE dim = 64
+), ov AS (
+  SELECT t.dim, t.probe_id, count(*) AS n_common
+  FROM topk t JOIN full_k f
+    ON t.probe_id = f.probe_id AND t.vec_id = f.vec_id
+  WHERE t.dim < 64
+  GROUP BY 1, 2
+)
+SELECT dim, count(*) AS n_probes,
+       CAST(sum(n_common) AS DOUBLE) / (10 * count(*))
+         AS mean_overlap_at_10,
+       CAST(min(n_common) AS BIGINT) AS min_overlap,
+       CAST(max(n_common) AS BIGINT) AS max_overlap
+FROM ov GROUP BY dim ORDER BY dim
+""",
+    tags=("llm", "eval", "similarity"),
+    doc="Matryoshka truncation evaluation (composition of "
+        "operators/similarity.py:cosine_topk over embedding prefixes): "
+        "top-10 retrieval overlap of 8/16/32-dim prefixes against the "
+        "full 64-dim ranking — the measurement behind "
+        "truncatable-embedding serving decisions (how much recall does "
+        "a 4× cheaper index cost?). Deterministic: rounded cosines "
+        "with vec_id tie-breaks make every top-k set exact, overlaps "
+        "are integer counts, the mean is one double division. Every "
+        "probe with zero overlap still counts via the per-probe "
+        "grouping (overlap floor 1 here: a vector's own neighborhood "
+        "is stable at these dims).",
+)
+def eval_matryoshka_truncation(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+
+    def topk_at(d: int):
+        trunc = F.slice("embedding", 1, d)
+        return cosine_topk(e.withColumn("embedding", trunc),
+                           probes.withColumn("embedding", trunc),
+                           k=10).select("probe_id", "vec_id")
+
+    full = topk_at(64)
+    out = None
+    for d in (8, 16, 32):
+        ov = (topk_at(d).join(full, ["probe_id", "vec_id"])
+              .groupBy("probe_id")
+              .agg(F.count(F.lit(1)).alias("n_common"))
+              .agg(F.lit(d).alias("dim"),
+                   F.count(F.lit(1)).alias("n_probes"),
+                   (F.sum("n_common").cast("double")
+                    / (10 * F.count(F.lit(1))))
+                   .alias("mean_overlap_at_10"),
+                   F.min("n_common").cast("long").alias("min_overlap"),
+                   F.max("n_common").cast("long").alias("max_overlap")))
+        out = ov if out is None else out.unionByName(ov)
+    return out.orderBy("dim")

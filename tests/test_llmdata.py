@@ -1277,3 +1277,49 @@ class TestAudioNeardupPipeline:
         assert want
         for doc_id in want:
             assert pairs.get((doc_id, doc_id + 100000)) == 0, doc_id
+
+
+class TestSentenceChunking:
+    @staticmethod
+    def _ref(text, max_tokens):
+        import re
+        sents = [s for s in re.split(r"(?<=[.!?])\s+", text) if s != ""]
+        chunks, cur, n = [], "", 0
+        for s in sents:
+            t = len([x for x in re.split(r"\s+", s) if x])
+            if n == 0 or n + t <= max_tokens:
+                cur = f"{cur} {s}" if n > 0 else s
+                n += t
+            else:
+                chunks.append(cur)
+                cur, n = s, t
+        if n > 0:
+            chunks.append(cur)
+        return chunks
+
+    def test_matches_reference_and_preserves_text(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.corpus import \
+            chunk_sentences
+        d = load_table(spark, sf_dir, "documents") \
+            .filter(F.col("doc_id") < 60)
+        got = {}
+        for r in chunk_sentences(d, max_tokens=40).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk"], r["n_tokens"]))
+        for r in d.select("doc_id", "text").collect():
+            want = self._ref(r["text"], 40)
+            rows = sorted(got[r["doc_id"]])
+            assert [c for _, c, _ in rows] == want, r["doc_id"]
+            # no sentence split: chunk stream rejoins to sentence stream
+            assert " ".join(c for _, c, _ in rows) == " ".join(want)
+
+    def test_overlong_sentence_is_own_chunk(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import \
+            chunk_sentences
+        long_s = "w " * 100
+        df = spark.createDataFrame(
+            [(1, f"short one. {long_s.strip()}. tail here.")],
+            "doc_id: long, text: string")
+        rows = sorted((r["chunk_id"], r["n_tokens"]) for r in
+                      chunk_sentences(df, max_tokens=10).collect())
+        assert rows[1][1] == 100  # the over-long sentence, intact
