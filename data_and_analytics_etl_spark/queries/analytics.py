@@ -2282,3 +2282,190 @@ def timeseries_decompose_seasonal(spark: SparkSession,
                     "phase", "sum_value", "trend", "seasonal",
                     "residual")
             .orderBy("event_type", "bucket"))
+
+
+@query(
+    "analytics_market_basket",
+    oracle="""
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), itemn AS (
+  SELECT item, count(*) AS n_item FROM bi
+  GROUP BY 1 HAVING count(*) >= 20
+), tot AS (
+  SELECT count(DISTINCT basket) AS n_baskets FROM bi
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab,
+         CAST(max(ia.n_item) AS BIGINT) AS n_a,
+         CAST(max(ib.n_item) AS BIGINT) AS n_b
+  FROM bi a
+  JOIN bi b ON a.basket = b.basket AND a.item < b.item
+  JOIN itemn ia ON a.item = ia.item
+  JOIN itemn ib ON b.item = ib.item
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT item_a, item_b, n_a, n_b, n_ab,
+       CAST(tot.n_baskets AS BIGINT) AS n_baskets,
+       CAST(n_ab AS DOUBLE) / CAST(tot.n_baskets AS DOUBLE) AS support,
+       CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS conf_ab,
+       CAST(n_ab AS DOUBLE) / CAST(n_b AS DOUBLE) AS conf_ba,
+       (CAST(n_ab AS DOUBLE) * CAST(tot.n_baskets AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift
+FROM pairs, tot
+ORDER BY item_a, item_b
+""",
+    tags=("analytics", "basket"),
+    doc="Market-basket association rules (operators/basket.py:"
+        "association_rules): support/confidence/lift for part pairs "
+        "co-ordered in the same order, Apriori-pruned (items under the "
+        "frequent-item floor are semi-joined away BEFORE pairing — "
+        "support is anti-monotone so no frequent pair is lost) and "
+        "paired by an equi-join on the order key with an item_a < "
+        "item_b residual, never item×item. All counts exact longs; "
+        "every ratio is a fixed IEEE chain over doubles cast from "
+        "those longs — no rounding needed. The basket total rides a "
+        "1-row broadcast crossJoin (action-free construction).",
+)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.basket import association_rules
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = association_rules(li, "l_orderkey", "l_partkey",
+                              min_item_count=20, min_pair_count=3)
+    return rules.orderBy("item_a", "item_b")
+
+
+@query(
+    "analytics_rfm_segments",
+    oracle="""
+WITH pc0 AS (
+  SELECT o_custkey, count(*) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents,
+         max(o_orderdate) AS last_order
+  FROM orders GROUP BY 1
+), mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+pc AS (
+  SELECT o_custkey, frequency, monetary_cents,
+         date_diff('day', CAST(last_order AS DATE), CAST(maxd AS DATE))
+           AS recency_days
+  FROM pc0, mx
+),
+tr AS (SELECT recency_days AS v,
+              row_number() OVER (ORDER BY recency_days) AS rn,
+              count(*) OVER () AS n FROM pc),
+qr AS (SELECT
+  max(CASE WHEN rn = greatest(CAST(ceil(0.2*n) AS BIGINT),1) THEN v END) AS p20,
+  max(CASE WHEN rn = greatest(CAST(ceil(0.4*n) AS BIGINT),1) THEN v END) AS p40,
+  max(CASE WHEN rn = greatest(CAST(ceil(0.6*n) AS BIGINT),1) THEN v END) AS p60,
+  max(CASE WHEN rn = greatest(CAST(ceil(0.8*n) AS BIGINT),1) THEN v END) AS p80
+  FROM tr),
+tf AS (SELECT frequency AS v,
+              row_number() OVER (ORDER BY frequency) AS rn,
+              count(*) OVER () AS n FROM pc),
+qf AS (SELECT
+  max(CASE WHEN rn = greatest(CAST(ceil(0.2*n) AS BIGINT),1) THEN v END) AS p20,
+  max(CASE WHEN rn = greatest(CAST(ceil(0.4*n) AS BIGINT),1) THEN v END) AS p40,
+  max(CASE WHEN rn = greatest(CAST(ceil(0.6*n) AS BIGINT),1) THEN v END) AS p60,
+  max(CASE WHEN rn = greatest(CAST(ceil(0.8*n) AS BIGINT),1) THEN v END) AS p80
+  FROM tf),
+tm AS (SELECT monetary_cents AS v,
+              row_number() OVER (ORDER BY monetary_cents) AS rn,
+              count(*) OVER () AS n FROM pc),
+qm AS (SELECT
+  max(CASE WHEN rn = greatest(CAST(ceil(0.2*n) AS BIGINT),1) THEN v END) AS p20,
+  max(CASE WHEN rn = greatest(CAST(ceil(0.4*n) AS BIGINT),1) THEN v END) AS p40,
+  max(CASE WHEN rn = greatest(CAST(ceil(0.6*n) AS BIGINT),1) THEN v END) AS p60,
+  max(CASE WHEN rn = greatest(CAST(ceil(0.8*n) AS BIGINT),1) THEN v END) AS p80
+  FROM tm),
+s AS (
+  SELECT pc.*,
+         6 - (1 + CAST(recency_days > qr.p20 AS INTEGER)
+                + CAST(recency_days > qr.p40 AS INTEGER)
+                + CAST(recency_days > qr.p60 AS INTEGER)
+                + CAST(recency_days > qr.p80 AS INTEGER)) AS r_score,
+         1 + CAST(frequency > qf.p20 AS INTEGER)
+           + CAST(frequency > qf.p40 AS INTEGER)
+           + CAST(frequency > qf.p60 AS INTEGER)
+           + CAST(frequency > qf.p80 AS INTEGER) AS f_score,
+         1 + CAST(monetary_cents > qm.p20 AS INTEGER)
+           + CAST(monetary_cents > qm.p40 AS INTEGER)
+           + CAST(monetary_cents > qm.p60 AS INTEGER)
+           + CAST(monetary_cents > qm.p80 AS INTEGER) AS m_score
+  FROM pc, qr, qf, qm
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(CAST(sum(monetary_cents) AS BIGINT) AS DOUBLE)
+         / CAST(100 * count(*) AS DOUBLE) AS avg_monetary
+FROM s GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+""",
+    tags=("analytics", "cohort"),
+    doc="RFM customer segmentation (operators/cohort.py:rfm_scores): "
+        "recency/frequency/monetary quintile scores 1-5 by VALUE "
+        "thresholds at the quintile order statistics of the "
+        "per-customer metric table (data members — no interpolation "
+        "for engines to disagree on; ties share a score by "
+        "construction), recency inverted so most-recent = 5. Metrics "
+        "are one hash agg over orders (monetary in exact cents); each "
+        "threshold set is one ranked window over the per-customer "
+        "aggregate broadcast back as a 1-row crossJoin. Output: "
+        "segment cell counts + exact-cents average order value per "
+        "customer (ONE double division).",
+)
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cohort import rfm_scores
+    o = load_table(spark, sf_dir, "orders")
+    s = rfm_scores(o, "o_custkey", "o_orderdate", "o_totalprice")
+    return (s.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("monetary_cents").cast("long").alias("__s"))
+            .select("r_score", "f_score", "m_score", "n_customers",
+                    (F.col("__s").cast("double")
+                     / (F.lit(100) * F.col("n_customers")).cast("double"))
+                    .alias("avg_monetary"))
+            .orderBy("r_score", "f_score", "m_score"))
+
+
+@query(
+    "analytics_pareto_abc",
+    oracle="""
+WITH pk AS (
+  SELECT l_partkey AS key,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+), r AS (
+  SELECT key, cents,
+         CAST(row_number() OVER (ORDER BY cents DESC, key) AS BIGINT)
+           AS rank,
+         sum(cents) OVER (ORDER BY cents DESC, key
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+         sum(cents) OVER () AS tot
+  FROM pk
+)
+SELECT key, cents, rank,
+       CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+            WHEN cum * 100 <= tot * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r ORDER BY rank
+""",
+    tags=("analytics", "basket"),
+    doc="Pareto / ABC revenue-concentration classes (operators/"
+        "basket.py:pareto_abc): parts ranked by descending exact-cents "
+        "revenue, class A while the running share is ≤80%, B ≤95%, "
+        "else C. The share test is cross-multiplied integer arithmetic "
+        "(cum·100 ≤ pct·total, DECIMAL(38,0) on the Spark side, "
+        "HUGEINT in DuckDB) — no float boundary exists anywhere. The "
+        "fact table collapses to one row per part first; the ranking "
+        "window runs over that aggregate (single-task bounded by the "
+        "part-dimension cardinality; ids.assign_dense_ids is the "
+        "bucketed path past that).",
+)
+def analytics_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.basket import pareto_abc
+    li = load_table(spark, sf_dir, "lineitem")
+    return (pareto_abc(li, "l_partkey", "l_extendedprice")
+            .orderBy("rank"))

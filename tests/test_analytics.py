@@ -1195,3 +1195,85 @@ class TestSeasonalDecompose:
             "sum_value: double")
         with _pytest.raises(ValueError, match="odd"):
             decompose_seasonal(df, "key", ma_window=4)
+
+
+class TestMarketBasket:
+    def test_known_rule_arithmetic(self, spark):
+        from data_and_analytics_etl_spark.operators.basket import \
+            association_rules
+        rows = [(1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y"),
+                (3, "x"), (4, "y"), (4, "w")]
+        df = spark.createDataFrame(rows, "basket: int, item: string")
+        out = {(r["item_a"], r["item_b"]): r for r in
+               association_rules(df, "basket", "item",
+                                 min_item_count=1,
+                                 min_pair_count=1).collect()}
+        r = out[("x", "y")]
+        assert (r["n_a"], r["n_b"], r["n_ab"], r["n_baskets"]) \
+            == (3, 3, 2, 4)
+        assert r["support"] == 2 / 4
+        assert r["conf_ab"] == 2 / 3
+        assert r["lift"] == (2.0 * 4.0) / (3.0 * 3.0)
+
+    def test_apriori_prune_drops_rare_items(self, spark):
+        from data_and_analytics_etl_spark.operators.basket import \
+            association_rules
+        rows = [(1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y")]
+        df = spark.createDataFrame(rows, "basket: int, item: string")
+        out = association_rules(df, "basket", "item",
+                                min_item_count=2,
+                                min_pair_count=1).collect()
+        # z appears once -> pruned before pairing; only (x, y) survives
+        assert {(r["item_a"], r["item_b"]) for r in out} == {("x", "y")}
+
+    def test_duplicate_lines_count_once_per_basket(self, spark):
+        from data_and_analytics_etl_spark.operators.basket import \
+            association_rules
+        rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y")]
+        df = spark.createDataFrame(rows, "basket: int, item: string")
+        r = association_rules(df, "basket", "item", min_item_count=1,
+                              min_pair_count=1).collect()[0]
+        assert r["n_ab"] == 2 and r["n_a"] == 2
+
+
+class TestParetoAbc:
+    def test_boundary_classes(self, spark):
+        from data_and_analytics_etl_spark.operators.basket import pareto_abc
+        rows = [("a", 0.80), ("b", 0.15), ("c", 0.05)]
+        df = spark.createDataFrame(rows, "k: string, amt: double")
+        out = {r["key"]: r for r in
+               pareto_abc(df, "k", "amt").collect()}
+        # cum shares 80% / 95% / 100%: boundaries are INCLUSIVE
+        assert out["a"]["abc_class"] == "A" and out["a"]["rank"] == 1
+        assert out["b"]["abc_class"] == "B" and out["b"]["rank"] == 2
+        assert out["c"]["abc_class"] == "C" and out["c"]["rank"] == 3
+
+    def test_classes_partition_and_order(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.basket import pareto_abc
+        li = load_table(spark, sf_dir, "lineitem")
+        out = pareto_abc(li, "l_partkey", "l_extendedprice").collect()
+        seen = [r["abc_class"] for r in sorted(out, key=lambda r: r["rank"])]
+        # classes are contiguous runs A..B..C down the ranking
+        assert seen == sorted(seen)
+        assert {r["rank"] for r in out} == set(range(1, len(out) + 1))
+
+
+class TestRfmScores:
+    def test_extremes_score_five(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.cohort import rfm_scores
+        o = load_table(spark, sf_dir, "orders")
+        s = rfm_scores(o, "o_custkey", "o_orderdate",
+                       "o_totalprice").cache()
+        rows = s.collect()
+        assert all(1 <= r[c] <= 5 for r in rows
+                   for c in ("r_score", "f_score", "m_score"))
+        top_m = max(rows, key=lambda r: r["monetary_cents"])
+        assert top_m["m_score"] == 5
+        most_recent = min(rows, key=lambda r: r["recency_days"])
+        assert most_recent["r_score"] == 5
+        # quintile thresholds: each score bucket holds >0 customers at
+        # this cardinality and the 5-bucket split roughly balances
+        from collections import Counter
+        c = Counter(r["m_score"] for r in rows)
+        assert set(c) == {1, 2, 3, 4, 5}
+        s.unpersist()
