@@ -270,6 +270,113 @@ def rolling_anomaly_z(resampled: DataFrame, key: str,
                                F.abs(z) > threshold)))
 
 
+def acf(resampled: DataFrame, key: str, order_col: str = "bucket",
+        value_col: str = "sum_value", max_lag: int = 6) -> DataFrame:
+    """Per-key autocorrelation function at lags 1..``max_lag``:
+    Pearson correlation between the series and its lag-j shift over
+    the buckets where BOTH are observed (gap buckets drop out of that
+    lag's pair set only) — the seasonality/memory diagnostic that
+    picks ``decompose_seasonal``'s period and validates
+    ``rolling_anomaly_z``'s lookback.
+
+    Engine-exact (the linear_fit rule): values quantize to integer
+    cents; per (key, lag) the five sufficient statistics (n, Σx, Σy,
+    Σxy, Σx², Σy²) accumulate as DECIMAL(38,0); the correlation is ONE
+    fixed double chain (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²)·√(n·Σy² −
+    Σy²)) — sqrt is correctly rounded, so rows hash identically
+    cross-engine. Degenerate lags (n < 3 or zero variance) yield NULL.
+
+    Scale: the ``max_lag`` lag() calls share ONE window spec (one
+    sort within the resample output's key partitioning); pairs then
+    explode ×max_lag and collapse in one hash agg — all over the
+    RESAMPLED series, which is already tiny next to raw data.
+    """
+    w = Window.partitionBy(key).orderBy(order_col)
+    x_c = F.round(F.col(value_col) * 100).cast("long")
+    # lag columns materialize BEFORE the explode — a window function
+    # can't sit inside a generator expression
+    d = resampled.withColumn("__x", x_c)
+    for j in range(1, max_lag + 1):
+        d = d.withColumn(f"__y{j}", F.lag("__x", j).over(w))
+    pairs = F.array(*[
+        F.struct(F.lit(j).alias("lag"), F.col(f"__y{j}").alias("y"))
+        for j in range(1, max_lag + 1)])
+    d = (d.withColumn("__p", F.explode(pairs))
+         .select(key, F.col("__x"),
+                 F.col("__p.lag").alias("lag"),
+                 F.col("__p.y").alias("__y"))
+         .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull()))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = (d.groupBy(key, "lag")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(dec(F.col("__x"))).alias("__sx"),
+                  F.sum(dec(F.col("__y"))).alias("__sy"),
+                  F.sum(dec(F.col("__x") * F.col("__y"))).alias("__sxy"),
+                  F.sum(dec(F.col("__x") * F.col("__x"))).alias("__sx2"),
+                  F.sum(dec(F.col("__y") * F.col("__y"))).alias("__sy2")))
+    db = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = db("n") * db("__sxy") - db("__sx") * db("__sy")
+    vx = db("n") * db("__sx2") - db("__sx") * db("__sx")
+    vy = db("n") * db("__sy2") - db("__sy") * db("__sy")
+    corr = F.when((F.col("n") >= 3) & (vx > 0) & (vy > 0),
+                  num / (F.sqrt(vx) * F.sqrt(vy)))
+    return stats.select(key, "lag", "n", corr.alias("acf"))
+
+
+def cusum_changepoints(resampled: DataFrame, key: str,
+                       order_col: str = "bucket",
+                       value_col: str = "sum_value",
+                       slack: float = 0.0,
+                       threshold: float = 1.0) -> DataFrame:
+    """One-sided (upward) CUSUM level-shift detection per key, exactly,
+    via the drawdown identity: the sequential recursion
+    S_t = max(0, S_{t-1} + d_t) equals C_t − min(0, min_{j≤t} C_j)
+    where C_t = Σ_{i≤t} d_i — so the scan-order recurrence becomes two
+    running windows (sum + min-of-sum), distributed-friendly with O(1)
+    state per key.
+
+    Deviations are demeaned per key WITHOUT leaving integers: with
+    n = bucket count and S = Σ cents per key, d'_t = n·x_t − S −
+    n·slack_cents is the per-key-mean-centered deviation scaled by n —
+    all exact longs accumulated as DECIMAL(38,0) (HUGEINT in DuckDB),
+    and the alarm test S'_t > n·h_cents is an exact integer
+    comparison, so the flag can never sit on a float boundary. The
+    reported ``cusum`` converts back to value units by ONE fixed
+    double chain (S'/n/100).
+
+    ``slack`` is the classic k allowance (per-bucket drift tolerance,
+    value units); ``threshold`` is the alarm level h (value units).
+    Gap buckets (NULL value) break nothing: they contribute d' = −S −
+    n·slack_c... they are EXCLUDED up front (a gap is not evidence of
+    a shift). One broadcast of the per-key (n, S) aggregate; the two
+    windows share one (key, bucket) sort over the resampled series.
+    """
+    slack_c = round(slack * 100)
+    h_c = round(threshold * 100)
+    obs = resampled.filter(F.col(value_col).isNotNull())
+    x_c = F.round(F.col(value_col) * 100).cast("long")
+    per_key = (obs.groupBy(key)
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    F.sum(x_c).alias("__s")))
+    d_scaled = (F.col("__n") * x_c - F.col("__s")
+                - F.col("__n") * F.lit(slack_c)).cast("decimal(38,0)")
+    w = Window.partitionBy(key).orderBy(order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = F.sum(d_scaled).over(run)
+    d2 = (obs.join(F.broadcast(per_key), key)
+          .withColumn("__c", c))
+    low = F.least(F.lit(0).cast("decimal(38,0)"),
+                  F.min("__c").over(run))
+    s_scaled = F.col("__c") - low
+    return (d2.withColumn("__ss", s_scaled)
+            .select(key, order_col, F.col(value_col),
+                    (F.col("__ss").cast("double")
+                     / F.col("__n").cast("double") / 100.0).alias("cusum"),
+                    (F.col("__ss")
+                     > (F.col("__n") * F.lit(h_c)).cast("decimal(38,0)"))
+                    .alias("is_change")))
+
+
 def decompose_seasonal(resampled: DataFrame, key: str,
                        value_col: str = "sum_value",
                        phase_col: str = "phase",

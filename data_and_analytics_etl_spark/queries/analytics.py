@@ -2469,3 +2469,143 @@ def analytics_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (pareto_abc(li, "l_partkey", "l_extendedprice")
             .orderBy("rank"))
+
+
+@query(
+    "timeseries_acf",
+    oracle="""
+WITH r AS (
+  SELECT event_type AS key, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+         CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+        FROM r GROUP BY 1)
+), s AS (
+  SELECT sp.key, sp.bucket, r.x
+  FROM sp LEFT JOIN r ON sp.key = r.key AND sp.bucket = r.bucket
+), p AS (
+  SELECT key, 1 AS lag, x,
+         lag(x, 1) OVER (PARTITION BY key ORDER BY bucket) AS y FROM s
+  UNION ALL
+  SELECT key, 2, x,
+         lag(x, 2) OVER (PARTITION BY key ORDER BY bucket) FROM s
+  UNION ALL
+  SELECT key, 3, x,
+         lag(x, 3) OVER (PARTITION BY key ORDER BY bucket) FROM s
+  UNION ALL
+  SELECT key, 4, x,
+         lag(x, 4) OVER (PARTITION BY key ORDER BY bucket) FROM s
+), st AS (
+  SELECT key, lag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         sum(x*x) AS sx2, sum(y*y) AS sy2
+  FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT key AS event_type, CAST(lag AS INTEGER) AS lag,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 3
+             AND CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS acf
+FROM st ORDER BY event_type, lag
+""",
+    tags=("analytics", "timeseries"),
+    doc="Autocorrelation function (operators/timeseries.py:acf): "
+        "Pearson correlation of the hourly per-type value series with "
+        "its lag-1..4 shifts over the RESAMPLED spine (gap buckets "
+        "drop from a lag's pair set only — the spine keeps lag "
+        "positions honest). Values quantize to integer cents; the "
+        "five sufficient statistics per (type, lag) accumulate as "
+        "DECIMAL(38,0); the correlation is one fixed double chain "
+        "with correctly-rounded sqrt — bit-identical cross-engine, "
+        "no rounding. All lag() calls share ONE window spec (one "
+        "sort); pairs explode and collapse in one hash agg over the "
+        "tiny resampled series.",
+)
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import acf, resample
+    ev = load_table(spark, sf_dir, "events")
+    r = resample(ev, key="event_type", ts_col="ts",
+                 interval="1 hour", value_col="value")
+    return (acf(r, "event_type", value_col="sum_value", max_lag=4)
+            .orderBy("event_type", "lag"))
+
+
+@query(
+    "timeseries_cusum_changepoints",
+    oracle="""
+WITH r AS (
+  SELECT event_type AS key, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+         CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), pk AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n, sum(x) AS s
+  FROM r GROUP BY 1
+), d AS (
+  SELECT r.key, r.bucket, r.x, pk.n,
+         pk.n * r.x - pk.s - pk.n * 500 AS dd
+  FROM r JOIN pk ON r.key = pk.key
+), c0 AS (
+  SELECT key, bucket, x, n,
+         sum(dd) OVER (PARTITION BY key ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cc
+  FROM d
+), c AS (
+  SELECT key, bucket, x, n, cc,
+         least(CAST(0 AS HUGEINT),
+               min(cc) OVER (PARTITION BY key ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)) AS low
+  FROM c0
+)
+SELECT key AS event_type,
+       strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(x AS DOUBLE) / 100.0 AS sum_value,
+       CAST(cc - low AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS cusum,
+       (cc - low) > n * 15000 AS is_change
+FROM c
+WHERE bucket < TIMESTAMP '2024-01-08 00:00:00'
+ORDER BY event_type, bucket
+""",
+    tags=("analytics", "timeseries"),
+    doc="One-sided CUSUM level-shift detection (operators/"
+        "timeseries.py:cusum_changepoints, slack=5.0, h=150.0): the "
+        "sequential recursion S_t = max(0, S_{t-1} + d_t) rewritten "
+        "by the drawdown identity S_t = C_t − min(0, min C_j) into "
+        "two running windows — distributed, O(1) state. Deviations "
+        "demean per key WITHOUT rationals (d' = n·x − Σx − n·slack, "
+        "exact longs in DECIMAL(38,0)/HUGEINT), and the alarm test "
+        "S' > n·h is an exact integer comparison that can never sit "
+        "on a float boundary. The reported cusum is one fixed double "
+        "chain back to value units.",
+)
+def timeseries_cusum_changepoints(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import cusum_changepoints, resample
+    ev = load_table(spark, sf_dir, "events")
+    r = (resample(ev, key="event_type", ts_col="ts",
+                  interval="1 hour", value_col="value")
+         .filter(F.col("n") > 0))
+    out = cusum_changepoints(r, "event_type", value_col="sum_value",
+                             slack=5.0, threshold=150.0)
+    return (out.filter(F.col("bucket")
+                       < F.lit(dt.datetime(2024, 1, 8)))
+            .select("event_type",
+                    F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+                    .alias("bucket"),
+                    "sum_value", "cusum", "is_change")
+            .orderBy("event_type", "bucket"))

@@ -1277,3 +1277,93 @@ class TestRfmScores:
         c = Counter(r["m_score"] for r in rows)
         assert set(c) == {1, 2, 3, 4, 5}
         s.unpersist()
+
+
+class TestAcf:
+    def test_matches_pearson_reference(self, spark):
+        import datetime as dtm
+        import math
+        rows = []
+        vals = [10.0, 12.0, 9.0, 14.0, 11.0, 13.0, 8.0, 15.0, 10.5,
+                12.5, 9.5, 13.5]
+        for h, v in enumerate(vals):
+            rows.append(("k", dtm.datetime(2024, 1, 1, h), 1, v))
+        df = spark.createDataFrame(
+            rows, "event_type: string, bucket: timestamp, n: long, "
+                  "sum_value: double")
+        from data_and_analytics_etl_spark.operators.timeseries import acf
+        out = {r["lag"]: r for r in
+               acf(df, "event_type", max_lag=3).collect()}
+
+        def pearson(xs, ys):
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sx2 = sum(a * a for a in xs)
+            sy2 = sum(b * b for b in ys)
+            return ((n * sxy - sx * sy)
+                    / (math.sqrt(n * sx2 - sx * sx)
+                       * math.sqrt(n * sy2 - sy * sy)))
+        cents = [round(v * 100) for v in vals]
+        for lag in (1, 2, 3):
+            xs = cents[lag:]
+            ys = cents[:-lag]
+            assert out[lag]["n"] == len(xs)
+            assert abs(out[lag]["acf"] - pearson(xs, ys)) < 1e-12
+
+    def test_degenerate_null(self, spark):
+        import datetime as dtm
+        rows = [("k", dtm.datetime(2024, 1, 1, h), 1, 5.0)
+                for h in range(6)]
+        df = spark.createDataFrame(
+            rows, "event_type: string, bucket: timestamp, n: long, "
+                  "sum_value: double")
+        from data_and_analytics_etl_spark.operators.timeseries import acf
+        out = acf(df, "event_type", max_lag=2).collect()
+        # constant series: zero variance -> NULL, never NaN or 1.0
+        assert all(r["acf"] is None for r in out)
+
+
+class TestCusum:
+    def _series(self, spark, vals):
+        import datetime as dtm
+        rows = [("k", dtm.datetime(2024, 1, 1, h), 1, float(v))
+                for h, v in enumerate(vals)]
+        return spark.createDataFrame(
+            rows, "event_type: string, bucket: timestamp, n: long, "
+                  "sum_value: double")
+
+    def test_drawdown_identity_matches_recursion(self, spark):
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            cusum_changepoints
+        vals = [10, 11, 9, 10, 30, 31, 29, 30, 10, 9]
+        df = self._series(spark, vals)
+        out = [r["cusum"] for r in
+               cusum_changepoints(df, "event_type", slack=1.0,
+                                  threshold=20.0)
+               .orderBy("bucket").collect()]
+        # sequential reference: S_t = max(0, S_{t-1} + x - mean - slack)
+        n = len(vals)
+        cents = [v * 100 for v in vals]
+        s_tot = sum(cents)
+        s, ref = 0, []
+        for c in cents:
+            s = max(0, s + (n * c - s_tot - n * 100))
+            ref.append(s / n / 100.0)
+        assert all(abs(a - b) < 1e-9 for a, b in zip(out, ref))
+
+    def test_level_shift_flags_after_changepoint(self, spark):
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            cusum_changepoints
+        vals = [10] * 10 + [40] * 10
+        df = self._series(spark, vals)
+        rows = (cusum_changepoints(df, "event_type", slack=2.0,
+                                   threshold=30.0)
+                .orderBy("bucket").collect())
+        flags = [r["is_change"] for r in rows]
+        # no alarm inside the stable prefix, alarm raised in the
+        # shifted regime and latched while the level stays high
+        assert not any(flags[:10])
+        assert any(flags[10:])
+        first = flags.index(True)
+        assert first >= 10
