@@ -335,3 +335,39 @@ def calibration_lift(df: DataFrame, label: Column, score: Column,
                            / (F.col("__tp").cast("double")
                               / F.col("__tn"))).alias("lift"))
             .orderBy(F.desc("bucket")))
+
+
+def regression_metrics(df: DataFrame, group_col: str, actual_col: str,
+                       pred_col: str) -> DataFrame:
+    """Per-group regression evaluation: n, MAE, RMSE, R² of a
+    prediction column against the actual — the numeric twin of
+    :func:`classification_report`.
+
+    Exact under the float policy: actuals and predictions quantize to
+    integer cents, so every residual is an exact long; Σ|r|, Σr², Σy,
+    Σy² accumulate as DECIMAL(38,0); each metric finishes as ONE fixed
+    double chain from those exact sums (sqrt is correctly rounded) —
+    bit-stable cross-engine, no rounding needed. R² = 1 − Σr²/SST with
+    SST = Σy² − (Σy)²/n derived from the exact sums (the welch_ttest
+    shape); constant-actual groups yield NULL R² (honest 0/0). One
+    hash agg; nothing leaves codegen before it.
+    """
+    y_c = F.round(F.col(actual_col) * 100).cast("long")
+    p_c = F.round(F.col(pred_col) * 100).cast("long")
+    r = y_c - p_c
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = (df.filter(F.col(actual_col).isNotNull()
+                       & F.col(pred_col).isNotNull())
+             .groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(dec(F.abs(r))).alias("__sa"),
+                  F.sum(dec(r * r)).alias("__sr2"),
+                  F.sum(dec(y_c)).alias("__sy"),
+                  F.sum(dec(y_c * y_c)).alias("__sy2")))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sst = d("__sy2") - d("__sy") * d("__sy") / d("n")
+    return stats.select(
+        group_col, "n",
+        (d("__sa") / d("n") / 100.0).alias("mae"),
+        (F.sqrt(d("__sr2") / d("n")) / 100.0).alias("rmse"),
+        F.when(sst > 0, F.lit(1.0) - d("__sr2") / sst).alias("r2"))

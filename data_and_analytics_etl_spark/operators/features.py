@@ -75,6 +75,34 @@ def scale_minmax(df: DataFrame, value_col: str, group_col: str,
             .drop("__mn", "__mx"))
 
 
+def target_encode_loo(df: DataFrame, cat_col: str, target_col: str,
+                      out_col: str | None = None) -> DataFrame:
+    """Leave-one-out target-mean encoding: each row's category encodes
+    as the mean of the OTHER rows' targets in its category,
+    enc_i = (Σ_g t − t_i) / (n_g − 1) — the standard leakage guard for
+    high-cardinality categoricals (plain target means memorize the
+    row's own label; LOO subtracts it).
+
+    Exact: targets quantize to integer cents, the numerator Σ_g − t_i
+    is an exact long, and the encoding is ONE double division
+    ((S − t)/((n−1)·100)) — bit-stable cross-engine. Singleton
+    categories yield NULL (no other rows to encode from), the honest
+    convention. One hash agg broadcast back onto the scan; the
+    encoding expression runs in codegen.
+    """
+    t_c = F.round(F.col(target_col) * 100).cast("long")
+    stats = (df.groupBy(cat_col)
+             .agg(F.sum(t_c).alias("__s"),
+                  F.count(F.lit(1)).alias("__n")))
+    out = out_col or f"{cat_col}_loo"
+    enc = F.when(F.col("__n") > 1,
+                 (F.col("__s") - t_c).cast("double")
+                 / ((F.col("__n") - 1) * 100).cast("double"))
+    return (df.join(F.broadcast(stats), cat_col)
+            .withColumn(out, enc)
+            .drop("__s", "__n"))
+
+
 def quantile_rank(df: DataFrame, value_col: str, group_col: str,
                   out_col: str | None = None) -> DataFrame:
     """Per-group quantile (rank) transform: value → ECDF position

@@ -2609,3 +2609,102 @@ def timeseries_cusum_changepoints(spark: SparkSession,
                     .alias("bucket"),
                     "sum_value", "cusum", "is_change")
             .orderBy("event_type", "bucket"))
+
+
+@query(
+    "feature_target_encode_loo",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sc,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       CASE WHEN s.n > 1 THEN
+         CAST(s.sc - CAST(round(o.o_totalprice * 100) AS BIGINT)
+              AS DOUBLE)
+         / CAST((s.n - 1) * 100 AS DOUBLE) END AS prio_loo
+FROM orders o JOIN s USING (o_orderpriority)
+WHERE o.o_orderkey < 2000
+ORDER BY o.o_orderkey
+""",
+    tags=("analytics", "features"),
+    doc="Leave-one-out target-mean encoding (operators/features.py:"
+        "target_encode_loo): each order's priority encodes as the mean "
+        "total price of the OTHER orders in its priority class — the "
+        "standard leakage guard for categorical features (a plain "
+        "target mean memorizes the row's own label). Targets quantize "
+        "to exact cents, the numerator Σ−t is an exact long, and the "
+        "encoding is ONE double division — no rounding needed. One "
+        "hash agg broadcast back; codegen everywhere else.",
+)
+def feature_target_encode_loo(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from ..operators.features import target_encode_loo
+    o = load_table(spark, sf_dir, "orders")
+    out = target_encode_loo(o, "o_orderpriority", "o_totalprice",
+                            out_col="prio_loo")
+    return (out.filter(F.col("o_orderkey") < 2000)
+            .select("o_orderkey", "o_orderpriority", "prio_loo")
+            .orderBy("o_orderkey"))
+
+
+@query(
+    "eval_regression_metrics",
+    oracle="""
+WITH nn AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, value AS median FROM nn WHERE rn = (cnt + 1) // 2
+), d AS (
+  SELECT e.event_type,
+         CAST(round(e.value * 100) AS BIGINT) AS yc,
+         CAST(round(m.median * 100) AS BIGINT) AS pc
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
+), st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(abs(yc - pc)) AS sa,
+         sum((yc - pc) * (yc - pc)) AS sr2,
+         sum(yc) AS sy,
+         sum(yc * yc) AS sy2
+  FROM d GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mae,
+       sqrt(CAST(sr2 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS rmse,
+       CASE WHEN CAST(sy2 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                   / CAST(n AS DOUBLE) > 0
+            THEN 1.0 - CAST(sr2 AS DOUBLE)
+                 / (CAST(sy2 AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                      / CAST(n AS DOUBLE)) END AS r2
+FROM st ORDER BY event_type
+""",
+    tags=("analytics", "evaluation"),
+    doc="Per-group regression metrics (operators/evaluation.py:"
+        "regression_metrics): MAE/RMSE/R² of a per-type lower-median "
+        "predictor (an order statistic — a data member, so the "
+        "prediction itself is engine-exact) against event values. "
+        "Residuals are exact longs in cents; Σ|r|, Σr², Σy, Σy² "
+        "accumulate as DECIMAL(38,0)/HUGEINT; each metric is one "
+        "fixed double chain with correctly-rounded sqrt — emitted "
+        "unrounded. R² from SST = Σy² − (Σy)²/n (the welch_ttest "
+        "shape); constant-actual groups honest-NULL.",
+)
+def eval_regression_metrics(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import regression_metrics
+    from ..operators.features import group_lower_median
+    ev = load_table(spark, sf_dir, "events")
+    med = group_lower_median(ev, "value", "event_type")
+    pred = ev.join(F.broadcast(med), "event_type")
+    return (regression_metrics(pred, "event_type", "value", "median")
+            .orderBy("event_type"))

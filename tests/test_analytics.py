@@ -1367,3 +1367,68 @@ class TestCusum:
         assert any(flags[10:])
         first = flags.index(True)
         assert first >= 10
+
+
+class TestTargetEncodeLoo:
+    def test_hand_case_and_singleton(self, spark):
+        from data_and_analytics_etl_spark.operators.features import \
+            target_encode_loo
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0)]
+        df = spark.createDataFrame(rows, "cat: string, t: double")
+        out = target_encode_loo(df, "cat", "t", out_col="enc").collect()
+        by_t = {(r["cat"], r["t"]): r["enc"] for r in out}
+        assert by_t[("a", 1.0)] == 2.5   # (2+3)/2
+        assert by_t[("a", 2.0)] == 2.0   # (1+3)/2
+        assert by_t[("a", 3.0)] == 1.5   # (1+2)/2
+        assert by_t[("b", 7.0)] is None  # singleton: nothing to encode
+
+    def test_never_leaks_own_row(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.features import \
+            target_encode_loo
+        o = load_table(spark, sf_dir, "orders")
+        out = target_encode_loo(o, "o_orderpriority", "o_totalprice",
+                                out_col="enc")
+        # plain (leaky) mean for comparison
+        leaky = (o.groupBy("o_orderpriority")
+                 .agg((F.sum(F.round(F.col("o_totalprice") * 100)
+                             .cast("long")).cast("double")
+                       / (F.count(F.lit(1)) * 100).cast("double"))
+                      .alias("mean")))
+        j = out.join(leaky, "o_orderpriority")
+        # LOO differs from the leaky mean on every non-degenerate row
+        same = j.filter(F.col("enc") == F.col("mean")).count()
+        assert same == 0
+
+
+class TestRegressionMetrics:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            regression_metrics
+        rng = np.random.default_rng(7)
+        y = np.round(rng.normal(50, 10, 200), 2)
+        p = np.round(y + rng.normal(0, 3, 200), 2)
+        rows = [("g", float(a), float(b)) for a, b in zip(y, p)]
+        df = spark.createDataFrame(rows, "g: string, y: double, p: double")
+        r = regression_metrics(df, "g", "y", "p").collect()[0]
+        yc = np.round(y * 100)
+        pc = np.round(p * 100)
+        res = yc - pc
+        assert r["n"] == 200
+        assert abs(r["mae"] - np.abs(res).mean() / 100) < 1e-9
+        assert abs(r["rmse"] - np.sqrt((res ** 2).mean()) / 100) < 1e-9
+        sst = ((yc - yc.mean()) ** 2).sum()
+        assert abs(r["r2"] - (1 - (res ** 2).sum() / sst)) < 1e-9
+
+    def test_perfect_and_constant(self, spark):
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            regression_metrics
+        rows = [("perfect", 3.0, 3.0), ("perfect", 4.0, 4.0),
+                ("const", 5.0, 4.0), ("const", 5.0, 6.0)]
+        df = spark.createDataFrame(rows, "g: string, y: double, p: double")
+        out = {r["g"]: r for r in
+               regression_metrics(df, "g", "y", "p").collect()}
+        assert out["perfect"]["mae"] == 0.0
+        assert out["perfect"]["rmse"] == 0.0
+        assert out["perfect"]["r2"] == 1.0
+        assert out["const"]["r2"] is None  # zero SST: honest NULL
