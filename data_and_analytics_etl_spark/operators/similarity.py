@@ -649,3 +649,48 @@ def ivfpq_ann(corpus: DataFrame, probes: DataFrame, k: int,
     return (scored.withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
             .select("probe_id", "vec_id", "cosine", "rank"))
+
+
+def semantic_dedup(df: DataFrame, threshold: float,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   bits: int = 6) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as pure joins:
+    coarse-cluster embeddings with the deterministic sign-cell
+    quantizer, then WITHIN each cell drop every vector that has a
+    near-identical peer (cosine ≥ threshold) with a smaller id — the
+    greedy keep-first rule as one anti-join, no connected components
+    needed (keep-first by id is order-free: a row drops iff ANY
+    smaller-id near-dup shares its cell, regardless of what happens to
+    that peer).
+
+    Within-cell semantics on purpose: the published algorithm dedups
+    inside k-means clusters only — cross-cluster near-dups are the
+    accepted recall tradeoff that makes the pair scan tractable. Here
+    the quantizer is sign-bit cells (engine-neutral, oracle-checkable)
+    instead of k-means; expected cell population is corpus/2^bits, so
+    the per-cell pair join is bounded and shuffles only on the cell id
+    (the ann_signcell posting-list shape). Norms are precomputed per
+    row, not per pair.
+
+    Returns the KEPT rows of ``df``; anti-join the result against the
+    input for the drop list.
+    """
+    prepped = (df.select(F.col(id_col),
+                         as_double(F.col(vec_col)).alias("__v"))
+               .withColumn("__cell", signcell(F.col("__v"), bits))
+               .withColumn("__n", l2_norm(F.col("__v"))))
+    a = prepped.select(F.col("__cell"), F.col(id_col).alias("__id_a"),
+                       F.col("__v").alias("__va"),
+                       F.col("__n").alias("__na"))
+    b = prepped.select(F.col("__cell"), F.col(id_col).alias("__id_b"),
+                       F.col("__v").alias("__vb"),
+                       F.col("__n").alias("__nb"))
+    sim = cosine_prenormed(F.col("__va"), F.col("__vb"),
+                           F.col("__na"), F.col("__nb"))
+    drops = (a.join(b, "__cell")
+             .filter(F.col("__id_b") < F.col("__id_a"))
+             .withColumn("__cos", F.round(sim, 6))
+             .filter(F.col("__cos") >= threshold)
+             .select(F.col("__id_a").alias(id_col))
+             .distinct())
+    return df.join(drops, id_col, "left_anti")

@@ -2348,3 +2348,46 @@ def eval_matryoshka_truncation(spark: SparkSession,
                    F.max("n_common").cast("long").alias("max_overlap")))
         out = ov if out is None else out.unionByName(ov)
     return out.orderBy("dim")
+
+
+@query(
+    "neardup_semantic_dedup",
+    oracle="""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+         + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+         + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS cell
+  FROM embeddings
+), drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM c a JOIN c b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM drops)
+ORDER BY e.vec_id
+""",
+    tags=("llm", "similarity", "dedup"),
+    doc="SemDeDup semantic near-dup removal (operators/similarity.py:"
+        "semantic_dedup, arXiv:2303.09540): sign-cell coarse clusters "
+        "(deterministic, engine-neutral — the oracle recomputes the "
+        "identical partition, unlike k-means centroids), within-cell "
+        "cosine pairs from ONE cell equi-join (corpus/2^bits expected "
+        "per cell, never all-pairs), greedy keep-first-by-id as an "
+        "anti-join — no connected components needed since keep-first "
+        "is order-free. Threshold 0.4 exercises both branches on the "
+        "synthetic corpus (max within-cell cosine ≈ 0.51); production "
+        "thresholds (0.9+) are a parameter, not a code path.",
+)
+def neardup_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+    e = load_table(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(e, threshold=0.4, bits=6)
+    return kept.select("vec_id", "label").orderBy("vec_id")

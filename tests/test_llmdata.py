@@ -1323,3 +1323,40 @@ class TestSentenceChunking:
         rows = sorted((r["chunk_id"], r["n_tokens"]) for r in
                       chunk_sentences(df, max_tokens=10).collect())
         assert rows[1][1] == 100  # the over-long sentence, intact
+
+
+class TestSemanticDedup:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    def test_planted_duplicate_keeps_smaller_id(self, spark):
+        from data_and_analytics_etl_spark.operators.similarity import \
+            semantic_dedup
+        base = [0.5, 0.2, -0.3, 0.8, 0.1, -0.6, 0.4, 0.9]
+        other = [-0.5, 0.3, 0.2, -0.8, 0.6, 0.1, -0.4, 0.2]
+        df = self._df(spark, [(1, base), (2, base), (3, other)])
+        kept = sorted(r["vec_id"] for r in
+                      semantic_dedup(df, 0.99, bits=4).collect())
+        assert kept == [1, 3]
+
+    def test_chain_drops_all_but_first(self, spark):
+        from data_and_analytics_etl_spark.operators.similarity import \
+            semantic_dedup
+        base = [0.5, 0.2, -0.3, 0.8, 0.1, -0.6, 0.4, 0.9]
+        df = self._df(spark, [(i, base) for i in range(1, 5)])
+        kept = sorted(r["vec_id"] for r in
+                      semantic_dedup(df, 0.99, bits=4).collect())
+        # keep-first is order-free: every later copy sees id 1
+        assert kept == [1]
+
+    def test_cross_cell_neardups_survive(self, spark):
+        from data_and_analytics_etl_spark.operators.similarity import \
+            semantic_dedup
+        # identical except a sign flip in dim 1 -> different cells;
+        # the documented within-cell recall tradeoff keeps both
+        a = [0.001, 0.2, -0.3, 0.8, 0.1, -0.6, 0.4, 0.9]
+        b = [-0.001, 0.2, -0.3, 0.8, 0.1, -0.6, 0.4, 0.9]
+        df = self._df(spark, [(1, a), (2, b)])
+        kept = sorted(r["vec_id"] for r in
+                      semantic_dedup(df, 0.9, bits=4).collect())
+        assert kept == [1, 2]
