@@ -139,3 +139,40 @@ def quantile_rank(df: DataFrame, value_col: str, group_col: str,
                   / (2 * (F.col("__n") - 1))))
               .select(group_col, value_col, out))
     return nn.join(ranked, [group_col, value_col])
+
+
+def hash_features(df: DataFrame, id_col: str, text_col: str,
+                  n_buckets: int = 64) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): bag-of-
+    words into a FIXED ``n_buckets``-dim sparse vector with no
+    vocabulary pass — bucket = hash(token) mod n_buckets, weight =
+    Σ ±sign(token) over occurrences (the signed variant: collisions
+    cancel in expectation instead of biasing upward).
+
+    The hash family is the repo's portable ascii-arithmetic md5
+    (layout.py's bloom rule): bucket from the first two hex digits mod
+    n_buckets, sign from the parity of the third — every SQL engine
+    computes the identical feature matrix, so the CONTENT oracle-
+    checks, not just shapes. Requires n_buckets ≤ 256 (two hex
+    digits); the vocabulary-free property is the point at corpus
+    scale — no dictionary build, no OOV, one explode + one hash agg
+    (map-side combined), shuffling only (id, bucket, partial-weight)
+    triples.
+
+    Output: (id, bucket, weight) sparse triples, weight ≠ 0 rows only
+    (exact cancellations drop — they carry no information).
+    """
+    if n_buckets > 256:
+        raise ValueError("n_buckets > 256 needs more hex digits; "
+                         "widen the bucket expression")
+    tok = F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+    d = (df.select(F.col(id_col), tok.alias("__t"))
+         .filter(F.col("__t") != ""))
+    h = F.md5(F.col("__t"))
+    a = lambda p: F.ascii(F.substring(h, p, 1))  # noqa: E731
+    dig = lambda p: F.when(a(p) >= 97, a(p) - 87).otherwise(a(p) - 48)  # noqa: E731
+    bucket = (dig(1) * 16 + dig(2)) % n_buckets
+    sign = F.when(dig(3) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+    return (d.groupBy(F.col(id_col), bucket.alias("bucket"))
+            .agg(F.sum(sign).cast("long").alias("weight"))
+            .filter(F.col("weight") != 0))

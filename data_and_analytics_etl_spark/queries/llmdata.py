@@ -2391,3 +2391,52 @@ def neardup_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     kept = semantic_dedup(e, threshold=0.4, bits=6)
     return kept.select("vec_id", "label").orderBy("vec_id")
+
+
+@query(
+    "feature_hash_trick",
+    oracle=r"""
+WITH f AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents WHERE doc_id < 100
+), h AS (
+  SELECT doc_id, md5(tok) AS hx FROM f WHERE tok <> ''
+), d AS (
+  SELECT doc_id,
+         CASE WHEN ascii(substr(hx, 1, 1)) >= 97
+              THEN ascii(substr(hx, 1, 1)) - 87
+              ELSE ascii(substr(hx, 1, 1)) - 48 END AS d1,
+         CASE WHEN ascii(substr(hx, 2, 1)) >= 97
+              THEN ascii(substr(hx, 2, 1)) - 87
+              ELSE ascii(substr(hx, 2, 1)) - 48 END AS d2,
+         CASE WHEN ascii(substr(hx, 3, 1)) >= 97
+              THEN ascii(substr(hx, 3, 1)) - 87
+              ELSE ascii(substr(hx, 3, 1)) - 48 END AS d3
+  FROM h
+), w AS (
+  SELECT doc_id, (d1 * 16 + d2) % 64 AS bucket,
+         CAST(sum(CASE WHEN d3 % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT)
+           AS weight
+  FROM d GROUP BY 1, 2
+)
+SELECT doc_id, bucket, weight FROM w WHERE weight <> 0
+ORDER BY doc_id, bucket
+""",
+    tags=("llm", "features"),
+    doc="Hashing-trick featurization (operators/features.py:"
+        "hash_features, Weinberger et al. 2009): whitespace tokens "
+        "hash into a fixed 64-bucket signed bag-of-words — no "
+        "vocabulary pass, no OOV, collisions cancel in expectation "
+        "via the ± sign hash. The portable ascii-arithmetic md5 "
+        "family (the bloom-index rule) makes the ENTIRE feature "
+        "matrix an exact cross-engine expression: the oracle "
+        "recomputes identical buckets, signs, and weights. One "
+        "explode + one map-side-combined hash agg; only (id, bucket, "
+        "partial) triples shuffle.",
+)
+def feature_hash_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import hash_features
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 100))
+    return (hash_features(d, "doc_id", "text", n_buckets=64)
+            .orderBy("doc_id", "bucket"))

@@ -1360,3 +1360,39 @@ class TestSemanticDedup:
         kept = sorted(r["vec_id"] for r in
                       semantic_dedup(df, 0.9, bits=4).collect())
         assert kept == [1, 2]
+
+
+class TestHashFeatures:
+    def test_weights_match_python_reference(self, spark):
+        import hashlib
+        from collections import defaultdict
+
+        from data_and_analytics_etl_spark.operators.features import \
+            hash_features
+        texts = [(1, "the cat sat on the mat"),
+                 (2, "The CAT the the"),
+                 (3, "")]
+        df = spark.createDataFrame(texts, "doc_id: long, text: string")
+        out = {(r["doc_id"], r["bucket"]): r["weight"] for r in
+               hash_features(df, "doc_id", "text", 64).collect()}
+
+        ref = defaultdict(int)
+        for i, t in texts:
+            for tok in t.lower().split():
+                hx = hashlib.md5(tok.encode()).hexdigest()
+                b = (int(hx[0], 16) * 16 + int(hx[1], 16)) % 64
+                s = 1 if int(hx[2], 16) % 2 == 1 else -1
+                ref[(i, b)] += s
+        ref = {k: v for k, v in ref.items() if v != 0}
+        assert out == ref
+
+    def test_dimensionality_bound(self, spark):
+        import pytest as _pytest
+
+        from data_and_analytics_etl_spark.operators.features import \
+            hash_features
+        df = spark.createDataFrame([(1, "a")], "doc_id: long, text: string")
+        with _pytest.raises(ValueError, match="hex"):
+            hash_features(df, "doc_id", "text", n_buckets=512)
+        out = hash_features(df, "doc_id", "text", 8).collect()
+        assert all(0 <= r["bucket"] < 8 for r in out)
