@@ -133,3 +133,77 @@ def merge_upsert_partitioned(spark, path: str, updates: DataFrame,
             purged += 1
     return {"affected_partitions": len(affected_set),
             "rewritten": len(written & affected_set), "purged": purged}
+
+
+def delete_keys_partitioned(spark, path: str, keys_df: DataFrame,
+                            keys: list[str], fmt: str = "parquet",
+                            max_records_per_file: int = 100_000) -> dict:
+    """Right-to-be-forgotten erasure: remove every row whose key appears
+    in ``keys_df``, rewriting ONLY the partitions where a matched key
+    actually lives — the GDPR/CCPA deletion path every persistent store
+    needs, with :func:`merge_upsert_partitioned`'s write-amplification
+    bound (a full-table rewrite per deletion request is a non-starter
+    at 100 TB).
+
+    1. affected = partitions holding a matched key (column-pruned
+       LEFT SEMI scan of (keys, partition cols) against the broadcast
+       key set — deletion requests are small by nature);
+    2. those partitions alone are read back (the same OR-of-literal-
+       conjunctions predicate PruneFileSourcePartitions folds into a
+       directory prune) and anti-joined against the keys;
+    3. survivors land via dynamic partition overwrite; a partition
+       whose every row matched is purged explicitly (dynamic overwrite
+       skips empty outputs — the merge operator's stale-hour rule).
+
+    Returns ``{"affected_partitions", "rewritten", "purged",
+    "deleted_rows"}`` — the deletion-audit record a compliance log
+    wants.
+    """
+    import os
+    import shutil
+    from functools import reduce
+
+    from .sink import PARTITION_COLS
+
+    existing = spark.read.format(fmt).load(path)
+    del_keys = keys_df.select(*keys).distinct()
+
+    pcols = list(PARTITION_COLS)
+    affected = (existing.join(F.broadcast(del_keys), keys, "left_semi")
+                .select(*pcols).distinct().collect())
+    affected_set = {tuple(r) for r in affected}
+    if not affected_set:
+        return {"affected_partitions": 0, "rewritten": 0, "purged": 0,
+                "deleted_rows": 0}
+
+    part_pred = reduce(
+        Column.__or__,
+        [reduce(Column.__and__,
+                [F.col(c) == F.lit(v) for c, v in zip(pcols, t)])
+         for t in sorted(affected_set)])
+    slice_ = existing.filter(part_pred).localCheckpoint(eager=True)
+    kept = (slice_.join(F.broadcast(del_keys), keys, "left_anti")
+            .localCheckpoint(eager=True))
+    deleted = slice_.count() - kept.count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        (kept.write.mode("overwrite")
+         .option("maxRecordsPerFile", max_records_per_file)
+         .partitionBy(*pcols).format(fmt).save(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    written = {tuple(r) for r in kept.select(*pcols).distinct().collect()}
+    purged = 0
+    for t in affected_set - written:
+        d = os.path.join(path, *(f"{c}={v}" for c, v in zip(pcols, t)))
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            purged += 1
+    return {"affected_partitions": len(affected_set),
+            "rewritten": len(written & affected_set),
+            "purged": purged, "deleted_rows": deleted}

@@ -675,3 +675,49 @@ def etl_partition_checksums(spark: SparkSession,
     return (out.withColumn("checksum",
                            F.col("checksum").cast("string"))
             .orderBy("year", "day"))
+
+
+@query(
+    "etl_delete_partitioned",
+    oracle="""
+WITH base AS (
+  SELECT event_id, ts, user_id, value FROM events
+  WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+), kept AS (
+  SELECT * FROM base WHERE user_id % 37 <> 0
+)
+SELECT year(ts) AS year, month(ts) AS month, day(ts) AS day,
+       hour(ts) AS hour, count(*) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM kept GROUP BY 1, 2, 3, 4
+ORDER BY year, month, day, hour
+""",
+    tags=("etl", "merge", "sink", "governance"),
+    doc="Partition-targeted key deletion (etl/merge.py:"
+        "delete_keys_partitioned): a GDPR-style erasure of every 37th "
+        "user against the hourly-partitioned events table rewrites "
+        "ONLY partitions where a matched key lives (broadcast semi-"
+        "join discovery, partition-pruned read-back, anti-join, "
+        "dynamic partition overwrite) — the read-back per-hour state "
+        "must equal the oracle's recomputed post-delete table. "
+        "Untouched-partition byte identity, emptied-partition purge, "
+        "and second-pass no-op are pinned in tests/test_etl.py.",
+)
+def etl_delete_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..etl.merge import delete_keys_partitioned
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value")
+    base = ev.filter(F.col("ts") < F.lit(dt.datetime(2024, 1, 3)))
+    dest = os.path.join(tempfile.mkdtemp(prefix="etl_del_"), "data")
+    write_partitioned(base, dest, "ts", max_records_per_file=1000)
+    doomed = (base.filter(F.col("user_id") % 37 == 0)
+              .select("user_id").distinct())
+    delete_keys_partitioned(spark, dest, doomed, keys=["user_id"])
+    back = spark.read.parquet(dest)
+    return (back.groupBy("year", "month", "day", "hour")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_value"))
+            .orderBy("year", "month", "day", "hour"))

@@ -581,3 +581,72 @@ class TestPartitionChecksums:
             ["event_id", "user_id", "event_type"]).collect()}
         diff = [k for k in a if a[k] != b.get(k)]
         assert len(diff) == 1
+
+
+class TestDeleteKeysPartitioned:
+    """GDPR-style key erasure: only partitions holding a matched key
+    are rewritten; a fully-emptied partition is purged; a second pass
+    is a no-op."""
+
+    @staticmethod
+    def _write_base(spark, dest):
+        import datetime as dt
+        from data_and_analytics_etl_spark.etl.sink import write_partitioned
+        rows = [(1, dt.datetime(2024, 1, 1, 0, 10), 100, 10.0),
+                (2, dt.datetime(2024, 1, 1, 0, 20), 200, 20.0),
+                (3, dt.datetime(2024, 1, 1, 1, 10), 100, 30.0),
+                (4, dt.datetime(2024, 1, 1, 2, 10), 300, 40.0),
+                (5, dt.datetime(2024, 1, 1, 3, 10), 400, 50.0)]
+        base = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "value double")
+        write_partitioned(base, dest, "ts")
+
+    def test_targeted_delete_and_purge(self, spark, tmp_path):
+        from data_and_analytics_etl_spark.etl.merge import \
+            delete_keys_partitioned
+        dest = str(tmp_path / "data")
+        self._write_base(spark, dest)
+        before = TestMergePartitioned._snapshot(dest)
+        doomed = spark.createDataFrame([(100,), (300,)], "user_id: long")
+        stats = delete_keys_partitioned(spark, dest, doomed,
+                                        keys=["user_id"])
+        # user 100 lives in hours 0 and 1 (hour 1's only row); user 300
+        # is hour 2's only row -> hours 1 and 2 empty out entirely
+        assert stats["affected_partitions"] == 3
+        assert stats["deleted_rows"] == 3
+        assert stats["purged"] == 2       # hours 1 and 2 emptied
+        assert stats["rewritten"] == 1    # hour 0 keeps event 2
+        after = TestMergePartitioned._snapshot(dest)
+        # hour 3 (no matched keys) is byte-identical; 1 and 2 are gone
+        assert {k: v for k, v in after.items() if "hour=3" in k} \
+            == {k: v for k, v in before.items() if "hour=3" in k}
+        assert not any("hour=1" in k or "hour=2" in k for k in after)
+        got = {r.event_id for r in spark.read.parquet(dest).collect()}
+        assert got == {2, 5}
+
+    def test_second_pass_is_noop(self, spark, tmp_path):
+        from data_and_analytics_etl_spark.etl.merge import \
+            delete_keys_partitioned
+        dest = str(tmp_path / "data")
+        self._write_base(spark, dest)
+        doomed = spark.createDataFrame([(100,)], "user_id: long")
+        delete_keys_partitioned(spark, dest, doomed, keys=["user_id"])
+        before = TestMergePartitioned._snapshot(dest)
+        stats = delete_keys_partitioned(spark, dest, doomed,
+                                        keys=["user_id"])
+        assert stats == {"affected_partitions": 0, "rewritten": 0,
+                         "purged": 0, "deleted_rows": 0}
+        assert TestMergePartitioned._snapshot(dest) == before
+
+    def test_unmatched_keys_touch_nothing(self, spark, tmp_path):
+        from data_and_analytics_etl_spark.etl.merge import \
+            delete_keys_partitioned
+        dest = str(tmp_path / "data")
+        self._write_base(spark, dest)
+        before = TestMergePartitioned._snapshot(dest)
+        ghost = spark.createDataFrame([(99999,)], "user_id: long")
+        stats = delete_keys_partitioned(spark, dest, ghost,
+                                        keys=["user_id"])
+        assert stats["affected_partitions"] == 0
+        assert TestMergePartitioned._snapshot(dest) == before
