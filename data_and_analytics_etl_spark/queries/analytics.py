@@ -2708,3 +2708,129 @@ def eval_regression_metrics(spark: SparkSession,
     pred = ev.join(F.broadcast(med), "event_type")
     return (regression_metrics(pred, "event_type", "value", "median")
             .orderBy("event_type"))
+
+
+@query(
+    "analytics_capstone_ab_experiment",
+    oracle="""
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           AS value_total,
+         max(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), arms AS (
+  SELECT *, CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                      < '80'
+                 THEN 'holdout' ELSE 'train' END AS arm
+  FROM pu
+), vc AS (
+  SELECT arm, CAST(round(value_total * 100) AS BIGINT) AS v FROM arms
+), st AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         sum(v) AS s1, sum(v * v) AS s2
+  FROM vc GROUP BY 1
+), wt0 AS (
+  SELECT a.n AS n_a, b.n AS n_b,
+         CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+         CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+         ((CAST(a.s2 AS DOUBLE)
+           - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE)
+             / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1))
+           / CAST(a.n AS DOUBLE) AS sea,
+         ((CAST(b.s2 AS DOUBLE)
+           - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE)
+             / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1))
+           / CAST(b.n AS DOUBLE) AS seb
+  FROM (SELECT * FROM st WHERE arm = 'train') a,
+       (SELECT * FROM st WHERE arm = 'holdout') b
+), wt AS (
+  SELECT 'welch_t' AS test, 'user_value' AS detail, n_a, n_b,
+         round(ma / 100.0, 6) AS mean_a,
+         round(mb / 100.0, 6) AS mean_b,
+         round((ma - mb) / sqrt(sea + seb), 6) AS statistic,
+         round((sea + seb) * (sea + seb)
+               / (sea * sea / (CAST(n_a AS DOUBLE) - 1)
+                  + seb * seb / (CAST(n_b AS DOUBLE) - 1)), 6) AS aux
+  FROM wt0
+), cv AS (
+  SELECT arm, CASE WHEN conv = 1 THEN 'converted'
+                   ELSE 'not_converted' END AS category
+  FROM arms
+), cc AS (
+  SELECT category,
+         CAST(sum(CASE WHEN arm = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN arm = 'holdout' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b
+  FROM cv GROUP BY 1
+), tt AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+         count(*) AS ncat
+  FROM cc
+), ch AS (
+  SELECT 'chisq' AS test, category AS detail, n_a, n_b,
+         CAST(NULL AS DOUBLE) AS mean_a, CAST(NULL AS DOUBLE) AS mean_b,
+         round((n_a - (n_a + n_b) * (CAST(ta AS DOUBLE) / (ta + tb)))
+               * (n_a - (n_a + n_b) * (CAST(ta AS DOUBLE) / (ta + tb)))
+               / ((n_a + n_b) * (CAST(ta AS DOUBLE) / (ta + tb)))
+             + (n_b - (n_a + n_b) * (CAST(tb AS DOUBLE) / (ta + tb)))
+               * (n_b - (n_a + n_b) * (CAST(tb AS DOUBLE) / (ta + tb)))
+               / ((n_a + n_b) * (CAST(tb AS DOUBLE) / (ta + tb))), 6)
+           AS statistic,
+         CAST(ncat - 1 AS DOUBLE) AS aux
+  FROM cc, tt
+)
+SELECT * FROM wt
+UNION ALL
+SELECT * FROM ch
+ORDER BY test, detail
+""",
+    tags=("analytics", "capstone", "evaluation"),
+    doc="A/B experiment analysis capstone — three proven operators in "
+        "ONE lazy plan, whole chain recomputed by the oracle (the "
+        "curation/ER/funnel capstone pattern): (1) per-user metrics "
+        "(exact-decimal value totals, high-value-purchase conversion flag) from "
+        "one hash agg; (2) leakage-safe arm assignment by md5 user "
+        "bucket (operators/sampling.py:holdout_split — every user's "
+        "events land in one arm, stable across engines and loads); "
+        "(3) Welch t on user value (profile.py:welch_ttest, exact "
+        "DECIMAL(38,0) sufficient statistics) and chi-square on "
+        "conversion (profile.py:drift_chisq, per-category "
+        "contributions from exact counts). One unified report table: "
+        "(test, detail, n_a, n_b, mean_a, mean_b, statistic, aux).",
+)
+def analytics_capstone_ab_experiment(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    from ..operators.profile import drift_chisq, welch_ttest
+    from ..operators.sampling import holdout_split
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double").alias("value_total"),
+                     F.max(((F.col("event_type") == "purchase")
+                            & (F.col("value") > 150))
+                           .cast("int")).alias("__conv")))
+    assigned = holdout_split(per_user, "user_id", 0.5,
+                             split_col="__arm")
+    arm_a = assigned.filter(F.col("__arm") == "train")
+    arm_b = assigned.filter(F.col("__arm") == "holdout")
+    w = welch_ttest(arm_a.withColumn("metric", F.lit("user_value")),
+                    arm_b.withColumn("metric", F.lit("user_value")),
+                    "value_total", "metric")
+    cat = F.when(F.col("__conv") == 1, "converted") \
+        .otherwise("not_converted").alias("category")
+    c = drift_chisq(arm_a.select(cat), arm_b.select(cat), "category")
+    w2 = w.select(F.lit("welch_t").alias("test"),
+                  F.col("group").alias("detail"), "n_a", "n_b",
+                  "mean_a", "mean_b",
+                  F.col("t_stat").alias("statistic"),
+                  F.col("dof").alias("aux"))
+    c2 = c.select(F.lit("chisq").alias("test"),
+                  F.col("category").alias("detail"), "n_a", "n_b",
+                  F.lit(None).cast("double").alias("mean_a"),
+                  F.lit(None).cast("double").alias("mean_b"),
+                  F.col("chisq_contrib").alias("statistic"),
+                  F.col("dof").cast("double").alias("aux"))
+    return w2.unionByName(c2).orderBy("test", "detail")
