@@ -10,7 +10,7 @@ into a single projection.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 #: Tiny per-language marker vocabularies for the n-gram/stopword language
 #: heuristic. Deliberately small and ASCII so the same sets are literally
@@ -558,3 +558,74 @@ def bigram_logprob_score(df: DataFrame, id_col: str = "doc_id",
                 F.round(F.sum("__term")
                         / (F.lit(1_000_000.0) * F.count(F.lit(1))), 4)
                 .alias("mean_logprob")))
+
+
+def naive_bayes_classify(train: DataFrame, test: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         label_col: str = "lang") -> DataFrame:
+    """Multinomial Naive Bayes text classification, trained and applied
+    in ONE lazy plan — the classic supervised twin of the lang_id
+    heuristic, engine-exact end to end.
+
+    Training (add-one smoothing): log P(token|class) =
+    ln((c_tc + 1)/(c_c + V)) from exact token counts; unseen test
+    tokens take the class's OOV mass ln(1/(c_c + V)); log priors from
+    document counts. Every log term quantizes to the
+    floor(ln(p)·10^6) integer grid (the bigram_logprob_score rule), so
+    per-document score sums are exact longs — fold-order-free — and
+    the argmax can never sit on a float boundary. Prediction: best
+    (score desc, class asc) per document via one bounded window.
+
+    Scale shape: the class-conditional probability table is
+    vocab × classes (broadcast); test tokens cross-join only the
+    |classes|-row class-constant table before the probability lookup
+    join, so the blow-up factor is the class count, bounded by
+    definition of classification. Token occurrences score
+    individually — the irreducible cost of multinomial NB.
+
+    Output: (id, true label, pred_label, score_grid) per test doc.
+    """
+    def toks(d: DataFrame, *cols: str) -> DataFrame:
+        return (d.select(*cols, F.explode(
+                    tokens_of(F.col(text_col))).alias("__tok"))
+                .filter(F.col("__tok") != ""))
+
+    tr = toks(train, label_col)
+    ctc = (tr.groupBy(label_col, "__tok")
+           .agg(F.count(F.lit(1)).alias("__c")).persist())
+    cc = ctc.groupBy(label_col).agg(F.sum("__c").alias("__tot"))
+    v = ctc.agg(F.countDistinct("__tok").alias("__vs"))
+    pri = train.groupBy(label_col).agg(F.count(F.lit(1)).alias("__nd"))
+    nn = train.agg(F.count(F.lit(1)).alias("__n"))
+    grid = lambda x: F.floor(x * 1_000_000).cast("long")  # noqa: E731
+    cls = (cc.join(pri, label_col).crossJoin(F.broadcast(v))
+           .crossJoin(F.broadcast(nn))
+           .select(F.col(label_col).alias("__cand"),
+                   F.col("__tot"), F.col("__vs"),
+                   grid(F.log(F.lit(1.0)
+                              / (F.col("__tot") + F.col("__vs"))))
+                   .alias("__oov"),
+                   grid(F.log(F.col("__nd").cast("double")
+                              / F.col("__n").cast("double")))
+                   .alias("__prior")))
+    probs = (ctc.join(cc, label_col).crossJoin(F.broadcast(v))
+             .select(F.col(label_col).alias("__cand"), F.col("__tok"),
+                     grid(F.log((F.col("__c") + 1).cast("double")
+                                / (F.col("__tot") + F.col("__vs"))
+                                .cast("double"))).alias("__term")))
+    te = toks(test, id_col, label_col)
+    scored = (te.crossJoin(F.broadcast(cls.select("__cand", "__oov",
+                                                  "__prior")))
+              .join(F.broadcast(probs), ["__cand", "__tok"], "left")
+              .groupBy(id_col, label_col, "__cand")
+              .agg((F.max("__prior")
+                    + F.sum(F.coalesce(F.col("__term"),
+                                       F.col("__oov"))))
+                   .alias("__score")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__score"),
+                                           F.asc("__cand"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col(id_col), F.col(label_col),
+                    F.col("__cand").alias("pred_label"),
+                    F.col("__score").alias("score_grid")))

@@ -2440,3 +2440,93 @@ def feature_hash_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.col("doc_id") < 100))
     return (hash_features(d, "doc_id", "text", n_buckets=64)
             .orderBy("doc_id", "bucket"))
+
+
+@query(
+    "text_naive_bayes_confusion",
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id, lang, lower(text) AS t,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' AS is_test
+  FROM documents
+), trtok AS (
+  SELECT lang, unnest(string_split_regex(t, '\s+')) AS tok
+  FROM docs WHERE NOT is_test
+), trtok2 AS (
+  SELECT * FROM trtok WHERE tok <> ''
+), ctc AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+  FROM trtok2 GROUP BY 1, 2
+), cc AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM ctc GROUP BY 1
+), v AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs FROM trtok2
+), pri AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS nd
+  FROM docs WHERE NOT is_test GROUP BY 1
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM docs WHERE NOT is_test
+), cls AS (
+  SELECT cc.lang AS cand,
+         CAST(floor(ln(1.0 / CAST(cc.tot + v.vs AS DOUBLE)) * 1000000)
+              AS BIGINT) AS oov,
+         CAST(floor(ln(CAST(pri.nd AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                    * 1000000) AS BIGINT) AS prior
+  FROM cc, v, pri, nn WHERE cc.lang = pri.lang
+), probs AS (
+  SELECT ctc.lang AS cand, ctc.tok,
+         CAST(floor(ln(CAST(ctc.c + 1 AS DOUBLE)
+                       / CAST(cc.tot + v.vs AS DOUBLE)) * 1000000)
+              AS BIGINT) AS term
+  FROM ctc, cc, v WHERE ctc.lang = cc.lang
+), tetok AS (
+  SELECT doc_id, lang AS true_lang,
+         unnest(string_split_regex(t, '\s+')) AS tok
+  FROM docs WHERE is_test
+), tetok2 AS (
+  SELECT * FROM tetok WHERE tok <> ''
+), scored AS (
+  SELECT te.doc_id, te.true_lang, c.cand,
+         max(c.prior) + sum(coalesce(p.term, c.oov)) AS score
+  FROM tetok2 te CROSS JOIN cls c
+  LEFT JOIN probs p ON p.cand = c.cand AND p.tok = te.tok
+  GROUP BY 1, 2, 3
+), pred AS (
+  SELECT doc_id, true_lang, cand AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM scored
+)
+SELECT true_lang AS lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1
+GROUP BY 1, 2 ORDER BY lang, pred_lang
+""",
+    tags=("llm", "text", "evaluation"),
+    doc="Multinomial Naive Bayes language classifier "
+        "(operators/text.py:naive_bayes_classify): trained on the "
+        "md5-split train half, applied to the held-out half, reported "
+        "as a confusion matrix — train + predict + eval in ONE lazy "
+        "plan, whole chain recomputed by the oracle. Add-one smoothed "
+        "log P(token|class), per-class OOV mass, and log priors all "
+        "quantize to the floor(ln·10^6) integer grid (the "
+        "bigram_logprob rule), so document scores are exact long sums "
+        "and the argmax can never sit on a float boundary. The "
+        "probability table is vocab×classes (broadcast); test tokens "
+        "cross-join only the |classes|-row constant table. (The "
+        "synthetic corpus's lang labels are uncorrelated with its "
+        "text, so the matrix is diffuse by design — separability is "
+        "pytest-pinned on a constructed corpus.)",
+)
+def text_naive_bayes_confusion(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import naive_bayes_classify
+    d = load_table(spark, sf_dir, "documents")
+    is_test = hash_bucket(F.col("doc_id")) < F.lit("80")
+    train = d.filter(~is_test)
+    test = d.filter(is_test)
+    out = naive_bayes_classify(train, test, "doc_id", "text", "lang")
+    return (out.groupBy(F.col("lang"),
+                        F.col("pred_label").alias("pred_lang"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang", "pred_lang"))

@@ -1396,3 +1396,74 @@ class TestHashFeatures:
             hash_features(df, "doc_id", "text", n_buckets=512)
         out = hash_features(df, "doc_id", "text", 8).collect()
         assert all(0 <= r["bucket"] < 8 for r in out)
+
+
+class TestNaiveBayes:
+    def test_separable_corpus_classifies_perfectly(self, spark):
+        from data_and_analytics_etl_spark.operators.text import \
+            naive_bayes_classify
+        train = spark.createDataFrame(
+            [(1, "the cat sat on the mat", "en"),
+             (2, "the dog and the cat", "en"),
+             (3, "el gato y el perro", "es"),
+             (4, "la casa de el gato", "es")],
+            "doc_id: long, text: string, lang: string")
+        test = spark.createDataFrame(
+            [(10, "the cat and the dog sat", "en"),
+             (11, "el perro de la casa", "es")],
+            "doc_id: long, text: string, lang: string")
+        out = {r["doc_id"]: r["pred_label"] for r in
+               naive_bayes_classify(train, test).collect()}
+        assert out == {10: "en", 11: "es"}
+
+    def test_matches_python_reference_scores(self, spark):
+        import math
+        from collections import Counter
+
+        from data_and_analytics_etl_spark.operators.text import \
+            naive_bayes_classify
+        train_rows = [(1, "a b b c", "x"), (2, "b c c d", "x"),
+                      (3, "e f e g", "y")]
+        test_rows = [(10, "b c e q", "x")]
+        train = spark.createDataFrame(
+            train_rows, "doc_id: long, text: string, lang: string")
+        test = spark.createDataFrame(
+            test_rows, "doc_id: long, text: string, lang: string")
+        r = naive_bayes_classify(train, test).collect()[0]
+
+        ctc = Counter()
+        for _, t, c in train_rows:
+            for tok in t.split():
+                ctc[(c, tok)] += 1
+        tot = Counter()
+        for (c, _), n in ctc.items():
+            tot[c] += n
+        vs = len({tok for _, tok in ctc})
+        nd = Counter(c for _, _, c in train_rows)
+        n = len(train_rows)
+
+        def score(c, text):
+            s = math.floor(math.log(nd[c] / n) * 1e6)
+            for tok in text.split():
+                if (c, tok) in ctc:
+                    p = (ctc[(c, tok)] + 1) / (tot[c] + vs)
+                else:
+                    p = 1.0 / (tot[c] + vs)
+                s += math.floor(math.log(p) * 1e6)
+            return s
+        best = max(sorted(nd), key=lambda c: (score(c, "b c e q"),))
+        assert r["pred_label"] == best
+        assert r["score_grid"] == score(best, "b c e q")
+
+    def test_tie_breaks_on_class_name(self, spark):
+        from data_and_analytics_etl_spark.operators.text import \
+            naive_bayes_classify
+        # symmetric corpus: identical counts under both labels -> every
+        # candidate scores equally; the contract picks the FIRST class
+        train = spark.createDataFrame(
+            [(1, "a a", "x"), (2, "a a", "y")],
+            "doc_id: long, text: string, lang: string")
+        test = spark.createDataFrame(
+            [(10, "a", "x")], "doc_id: long, text: string, lang: string")
+        r = naive_bayes_classify(train, test).collect()[0]
+        assert r["pred_label"] == "x"
