@@ -544,3 +544,65 @@ def partition_checksums(df: DataFrame, part_cols: list[str],
                  # cast BEFORE the sum: the accumulator must already be
                  # decimal or a >65k-row partition overflows the long
                  F.sum(val.cast("decimal(38,0)")).alias("checksum")))
+
+
+def t_closeness(df: DataFrame, quasi_cols: list[str],
+                sensitive_col: str, t: float = 0.2) -> DataFrame:
+    """t-closeness audit over an ORDERED sensitive attribute — the
+    third leg of the privacy triad (k_anonymity: class size;
+    l_diversity: distinct values; t_closeness: the class's sensitive
+    DISTRIBUTION must stay within Earth-Mover's Distance ``t`` of the
+    global one, Li/Li/Venkatasubramanian ICDE'07 — l-diverse classes
+    still leak when their values are diverse but skewed).
+
+    For ordered values the EMD has the closed prefix form
+    (1/(m−1))·Σ_i |Σ_{j≤i}(p_j − q_j)|. Denominators are cleared
+    BEFORE any arithmetic: with class counts c_j (size n), global
+    counts g_j (size N), each prefix term is the exact integer
+    Σ_{j≤i}(N·c_j − n·g_j), so the whole sum is exact and ONE double
+    division by n·N·(m−1) finishes it — the violates flag compares the
+    integer sum against t·n·N·(m−1) as a single multiply, never an
+    accumulated float.
+
+    Scale: the (class × band) grid is classes × m rows (m = sensitive
+    cardinality, bounded by definition of "categorical/banded") built
+    by cross-joining the broadcast band dictionary, so absent bands
+    contribute their honest 0; the prefix window is bounded by m rows
+    per class. Output: (quasi…, n, emd, violates_t).
+    """
+    from pyspark.sql import Window
+
+    bands = df.select(F.col(sensitive_col).alias("__band")).distinct()
+    g = (df.groupBy(F.col(sensitive_col).alias("__band"))
+         .agg(F.count(F.lit(1)).alias("__g")))
+    nn = df.agg(F.count(F.lit(1)).alias("__N"))
+    cls = (df.groupBy(*quasi_cols)
+           .agg(F.count(F.lit(1)).alias("n")))
+    cell = (df.groupBy(*quasi_cols,
+                       F.col(sensitive_col).alias("__band"))
+            .agg(F.count(F.lit(1)).alias("__c")))
+    grid = (cls.crossJoin(F.broadcast(bands))
+            .join(cell, [*quasi_cols, "__band"], "left")
+            .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+            .join(F.broadcast(g), "__band")
+            .crossJoin(F.broadcast(nn)))
+    w = (Window.partitionBy(*quasi_cols).orderBy("__band")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    diff = (F.col("__N") * F.col("__c")
+            - F.col("n") * F.col("__g")).cast("decimal(38,0)")
+    pref = F.sum(diff).over(w)
+    m = F.count(F.lit(1)).over(Window.partitionBy(*quasi_cols))
+    scored = (grid.withColumn("__p", F.abs(pref))
+              .withColumn("__m", m))
+    agg = (scored.groupBy(*quasi_cols)
+           .agg(F.max("n").alias("n"),
+                F.sum("__p").alias("__s"),
+                F.max("__m").alias("__mm"),
+                F.max("__N").alias("__NN")))
+    denom = (F.col("n").cast("double") * F.col("__NN").cast("double")
+             * (F.col("__mm") - 1).cast("double"))
+    return (agg.filter(F.col("__mm") > 1)
+            .select(*quasi_cols, "n",
+                    (F.col("__s").cast("double") / denom).alias("emd"),
+                    (F.col("__s").cast("double")
+                     > F.lit(t) * denom).alias("violates_t")))

@@ -2834,3 +2834,81 @@ def analytics_capstone_ab_experiment(spark: SparkSession,
                   F.col("chisq_contrib").alias("statistic"),
                   F.col("dof").cast("double").alias("aux"))
     return w2.unionByName(c2).orderBy("test", "detail")
+
+
+@query(
+    "privacy_t_closeness",
+    oracle="""
+WITH d AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 4000) AS BIGINT) AS band
+  FROM customer
+), g AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS gg FROM d GROUP BY 1
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS nt FROM d
+), cls AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2
+), bands AS (
+  SELECT DISTINCT band FROM d
+), cell AS (
+  SELECT c_nationkey, c_mktsegment, band,
+         CAST(count(*) AS BIGINT) AS c
+  FROM d GROUP BY 1, 2, 3
+), grid AS (
+  SELECT cls.c_nationkey, cls.c_mktsegment, cls.n, b.band,
+         coalesce(cell.c, 0) AS c, g.gg, nn.nt
+  FROM cls CROSS JOIN bands b
+  LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+                AND cell.c_mktsegment = cls.c_mktsegment
+                AND cell.band = b.band
+  JOIN g ON g.band = b.band
+  CROSS JOIN nn
+), pref AS (
+  SELECT c_nationkey, c_mktsegment, n,
+         abs(sum(nt * c - n * gg)
+             OVER (PARTITION BY c_nationkey, c_mktsegment
+                   ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)) AS p,
+         count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS m,
+         nt
+  FROM grid
+), agg AS (
+  SELECT c_nationkey, c_mktsegment, max(n) AS n, sum(p) AS s,
+         max(m) AS mm, max(nt) AS nt
+  FROM pref GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, n,
+       CAST(s AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(nt AS DOUBLE)
+            * CAST(mm - 1 AS DOUBLE)) AS emd,
+       CAST(s AS DOUBLE)
+         > 0.2 * (CAST(n AS DOUBLE) * CAST(nt AS DOUBLE)
+                  * CAST(mm - 1 AS DOUBLE)) AS violates_t
+FROM agg WHERE mm > 1
+ORDER BY c_nationkey, c_mktsegment
+""",
+    tags=("analytics", "governance"),
+    doc="t-closeness audit (operators/profile.py:t_closeness, t=0.2): "
+        "completes the privacy triad over the same (nation, segment) "
+        "classes as privacy_k_anonymity/privacy_l_diversity — a class "
+        "whose balance-band DISTRIBUTION drifts more than EMD 0.2 "
+        "from the global one leaks by skew even when l-diverse. The "
+        "ordered-EMD prefix form clears all denominators first "
+        "(Σ|Σ(N·c − n·g)| in exact DECIMAL(38,0)/HUGEINT integers), "
+        "finishing with ONE double division; the violates flag is a "
+        "single multiply-compare. The class×band grid is built from "
+        "the broadcast band dictionary so absent bands contribute "
+        "honest zeros; every window is bounded by the band "
+        "cardinality.",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import t_closeness
+    c = (load_table(spark, sf_dir, "customer")
+         .select("c_nationkey", "c_mktsegment",
+                 F.floor(F.col("c_acctbal") / 4000).cast("long")
+                 .alias("bal_band")))
+    return (t_closeness(c, ["c_nationkey", "c_mktsegment"],
+                        "bal_band", t=0.2)
+            .orderBy("c_nationkey", "c_mktsegment"))

@@ -1432,3 +1432,36 @@ class TestRegressionMetrics:
         assert out["perfect"]["rmse"] == 0.0
         assert out["perfect"]["r2"] == 1.0
         assert out["const"]["r2"] is None  # zero SST: honest NULL
+
+
+class TestTCloseness:
+    def test_hand_computed_emd(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import \
+            t_closeness
+        # global: bands 0/1 with 4+4 rows; class "a" all band 0 (max
+        # skew), class "b" mirrors the global split exactly
+        rows = ([("a", 0)] * 4 + [("b", 0)] * 0
+                + [("b", 0), ("b", 0)] + [("b", 1)] * 2 + [("c", 1)] * 2)
+        df = spark.createDataFrame(rows, "cls: string, band: int")
+        out = {r["cls"]: r for r in
+               t_closeness(df, ["cls"], "band", t=0.2).collect()}
+        # m=2 bands, N=10, g=(6,4)
+        # class a: n=4, cells (4,0): prefix |10*4-4*6|=16 -> emd 16/(4*10*1)=0.4
+        assert abs(out["a"]["emd"] - 0.4) < 1e-12
+        assert out["a"]["violates_t"]
+        # class b: n=4, cells (2,2): prefix |10*2-4*6|=4 -> 4/40=0.1
+        assert abs(out["b"]["emd"] - 0.1) < 1e-12
+        assert not out["b"]["violates_t"]
+        # class c: n=2, cells (0,2): prefix |0-2*6|=12 -> 12/(2*10)=0.6
+        assert abs(out["c"]["emd"] - 0.6) < 1e-12
+        assert out["c"]["violates_t"]
+
+    def test_global_distribution_scores_zero(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import \
+            t_closeness
+        rows = [("a", b) for b in (0, 1, 2)] * 3 \
+            + [("b", b) for b in (0, 1, 2)]
+        df = spark.createDataFrame(rows, "cls: string, band: int")
+        out = {r["cls"]: r["emd"] for r in
+               t_closeness(df, ["cls"], "band").collect()}
+        assert out["a"] == 0.0 and out["b"] == 0.0
