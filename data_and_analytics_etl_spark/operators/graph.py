@@ -197,3 +197,51 @@ def transitive_closure(edges: DataFrame, src: str = "src",
                    .groupBy("node", "anc")
                    .agg(F.min("depth").alias("depth")))
     return closure.filter(F.col("depth") <= max_depth)
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+           max_rounds: int = 32) -> DataFrame:
+    """k-core decomposition for a fixed k: iteratively peel nodes of
+    degree < k until the remaining (maximal) subgraph has minimum
+    degree ≥ k — the standard dense-substructure/spam-cluster filter
+    one notch below triangle counting.
+
+    Input is an UNDIRECTED unique edge list (a < b convention, the
+    triangle_count contract). Each peel round is one degree aggregate
+    (union of endpoints → hash agg) and two LEFT SEMI joins filtering
+    edges to surviving endpoints — all bucketed shuffles on node id,
+    never node×node. Per-round ``localCheckpoint`` keeps the plan
+    O(1)-deep (the pagerank rule); the fixpoint probe compares edge
+    counts (an edge count unchanged ⇔ no node fell below k, since
+    dropping a node removes its edges). Peel depth is data-dependent —
+    a path graph peels from the ends in O(n) rounds — so the loop
+    raises past ``max_rounds`` instead of silently returning a
+    non-core (the dedup_clusters convergence-guard contract).
+
+    Returns (node, degree) for the surviving core — empty when no
+    k-core exists.
+    """
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct().localCheckpoint(eager=True))
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        deg = (e.select(F.col("a").alias("node"))
+               .unionAll(e.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+        alive = deg.filter(F.col("degree") >= k).select("node")
+        e2 = (e.join(alive.withColumnRenamed("node", "a"), "a",
+                     "left_semi")
+              .join(alive.withColumnRenamed("node", "b"), "b",
+                    "left_semi")
+              .localCheckpoint(eager=True))
+        n2 = e2.count()
+        if n2 == n_edges:
+            return deg.filter(F.col("degree") >= k)
+        e, n_edges = e2, n2
+        if n_edges == 0:
+            return (deg.filter(F.lit(False))
+                    .select("node", "degree"))
+    raise RuntimeError(
+        f"k_core did not reach a fixpoint within {max_rounds} rounds; "
+        "raise max_rounds (peel depth is data-dependent)")
