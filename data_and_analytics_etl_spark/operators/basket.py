@@ -105,12 +105,14 @@ def pareto_abc(df: DataFrame, key_col: str, amount_col: str,
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wall = Window.partitionBy(F.lit(0)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
+    # cast BEFORE the window sum (repo rule, cf. profile.partition_
+    # checksums): a long accumulator would wrap silently at corpus scale
+    # while the DuckDB oracle's HUGEINT does not
+    cents_dec = F.col("cents").cast("decimal(38,0)")
     ranked = (per_key
               .withColumn("rank", F.row_number().over(w).cast("long"))
-              .withColumn("__cum", F.sum("cents").over(wc)
-                          .cast("decimal(38,0)"))
-              .withColumn("__tot", F.sum("cents").over(wall)
-                          .cast("decimal(38,0)")))
+              .withColumn("__cum", F.sum(cents_dec).over(wc))
+              .withColumn("__tot", F.sum(cents_dec).over(wall)))
     cls = (F.when(F.col("__cum") * 100 <= F.col("__tot") * a_pct, "A")
            .when(F.col("__cum") * 100 <= F.col("__tot") * b_pct, "B")
            .otherwise("C"))

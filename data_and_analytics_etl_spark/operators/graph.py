@@ -206,8 +206,11 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     degree ≥ k — the standard dense-substructure/spam-cluster filter
     one notch below triangle counting.
 
-    Input is an UNDIRECTED unique edge list (a < b convention, the
-    triangle_count contract). Each peel round is one degree aggregate
+    Input is an UNDIRECTED edge list; edges are canonicalized to
+    (least, greatest) and deduplicated up front, so reversed
+    duplicates and self-loops cannot inflate degrees (the
+    triangle_count contract, enforced rather than assumed). Each peel
+    round is one degree aggregate
     (union of endpoints → hash agg) and two LEFT SEMI joins filtering
     edges to surviving endpoints — all bucketed shuffles on node id,
     never node×node. Per-round ``localCheckpoint`` keeps the plan
@@ -221,7 +224,8 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     Returns (node, degree) for the surviving core — empty when no
     k-core exists.
     """
-    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
          .filter(F.col("a") != F.col("b"))
          .distinct().localCheckpoint(eager=True))
     n_edges = e.count()

@@ -588,8 +588,12 @@ def t_closeness(df: DataFrame, quasi_cols: list[str],
             .crossJoin(F.broadcast(nn)))
     w = (Window.partitionBy(*quasi_cols).orderBy("__band")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    diff = (F.col("__N") * F.col("__c")
-            - F.col("n") * F.col("__g")).cast("decimal(38,0)")
+    # cast the OPERANDS to decimal(38,0) before multiplying: at N≈1e12
+    # rows the long×long products N·c and n·g overflow silently before
+    # an after-the-fact cast could apply (r6 advice)
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+    diff = dec("__N") * dec("__c") - dec("n") * dec("__g")
     pref = F.sum(diff).over(w)
     m = F.count(F.lit(1)).over(Window.partitionBy(*quasi_cols))
     scored = (grid.withColumn("__p", F.abs(pref))

@@ -311,9 +311,15 @@ def acf(resampled: DataFrame, key: str, order_col: str = "bucket",
              .agg(F.count(F.lit(1)).alias("n"),
                   F.sum(dec(F.col("__x"))).alias("__sx"),
                   F.sum(dec(F.col("__y"))).alias("__sy"),
-                  F.sum(dec(F.col("__x") * F.col("__y"))).alias("__sxy"),
-                  F.sum(dec(F.col("__x") * F.col("__x"))).alias("__sx2"),
-                  F.sum(dec(F.col("__y") * F.col("__y"))).alias("__sy2")))
+                  # cast operands BEFORE the product (r6 advice): a
+                  # long×long x·y wraps at |x|,|y| ≥ ~3e9 cents while
+                  # the decimal×decimal product cannot
+                  F.sum(dec(F.col("__x")) * dec(F.col("__y")))
+                  .alias("__sxy"),
+                  F.sum(dec(F.col("__x")) * dec(F.col("__x")))
+                  .alias("__sx2"),
+                  F.sum(dec(F.col("__y")) * dec(F.col("__y")))
+                  .alias("__sy2")))
     db = lambda c: F.col(c).cast("double")  # noqa: E731
     num = db("n") * db("__sxy") - db("__sx") * db("__sy")
     vx = db("n") * db("__sx2") - db("__sx") * db("__sx")
@@ -357,9 +363,12 @@ def cusum_changepoints(resampled: DataFrame, key: str,
     x_c = F.round(F.col(value_col) * 100).cast("long")
     per_key = (obs.groupBy(key)
                .agg(F.count(F.lit(1)).alias("__n"),
-                    F.sum(x_c).alias("__s")))
-    d_scaled = (F.col("__n") * x_c - F.col("__s")
-                - F.col("__n") * F.lit(slack_c)).cast("decimal(38,0)")
+                    # accumulate Σx as decimal from the first add — a
+                    # long Σ wraps first at corpus scale (r6 advice)
+                    F.sum(x_c.cast("decimal(38,0)")).alias("__s")))
+    n_dec = F.col("__n").cast("decimal(38,0)")
+    d_scaled = (n_dec * x_c.cast("decimal(38,0)") - F.col("__s")
+                - n_dec * F.lit(slack_c).cast("decimal(38,0)"))
     w = Window.partitionBy(key).orderBy(order_col)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = F.sum(d_scaled).over(run)
@@ -373,7 +382,7 @@ def cusum_changepoints(resampled: DataFrame, key: str,
                     (F.col("__ss").cast("double")
                      / F.col("__n").cast("double") / 100.0).alias("cusum"),
                     (F.col("__ss")
-                     > (F.col("__n") * F.lit(h_c)).cast("decimal(38,0)"))
+                     > n_dec * F.lit(h_c).cast("decimal(38,0)"))
                     .alias("is_change")))
 
 

@@ -1395,17 +1395,91 @@ SELECT
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count
+    mutual = _mutual_knn_graph(spark, sf_dir)
+    return triangle_count(mutual)
+
+
+def _mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual 5-NN cosine graph over the embedding corpus (src < dst
+    unique undirected edges) — the shared substrate of the graph
+    probes (triangle count, k-core)."""
     from ..operators.similarity import cosine_topk
     e = load_table(spark, sf_dir, "embeddings")
     knn = (cosine_topk(e, e, k=5)
            .select(F.col("probe_id").alias("pa"),
                    F.col("vec_id").alias("pb")))
     k2 = knn.select(F.col("pa").alias("qa"), F.col("pb").alias("qb"))
-    mutual = (knn.join(k2, (F.col("pa") == F.col("qb"))
-                       & (F.col("pb") == F.col("qa")))
-              .filter(F.col("pa") < F.col("pb"))
-              .select(F.col("pa").alias("src"), F.col("pb").alias("dst")))
-    return triangle_count(mutual)
+    return (knn.join(k2, (F.col("pa") == F.col("qb"))
+                     & (F.col("pb") == F.col("qa")))
+            .filter(F.col("pa") < F.col("pb"))
+            .select(F.col("pa").alias("src"), F.col("pb").alias("dst")))
+
+
+@query(
+    "graph_k_core",
+    oracle="""
+WITH RECURSIVE v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id pa, b.vec_id pb,
+         round(list_dot_product(a.ev, b.ev)
+               / (sqrt(list_dot_product(a.ev, a.ev))
+                  * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT pa, pb,
+         row_number() OVER (PARTITION BY pa
+                            ORDER BY cosine DESC, pb) AS rank
+  FROM scored
+), knn AS (
+  SELECT pa, pb FROM ranked WHERE rank <= 5
+), mutual AS (
+  SELECT k1.pa AS a, k1.pb AS b
+  FROM knn k1 JOIN knn k2 ON k1.pa = k2.pb AND k1.pb = k2.pa
+  WHERE k1.pa < k1.pb
+), peel AS (
+  SELECT 0 AS iter, a, b FROM mutual
+  UNION ALL
+  SELECT p.iter + 1, p.a, p.b
+  FROM peel p
+  WHERE p.iter < 40
+    AND p.a IN (SELECT node FROM
+                  (SELECT a AS node FROM peel WHERE iter = p.iter
+                   UNION ALL SELECT b FROM peel WHERE iter = p.iter)
+                GROUP BY node HAVING count(*) >= 3)
+    AND p.b IN (SELECT node FROM
+                  (SELECT a AS node FROM peel WHERE iter = p.iter
+                   UNION ALL SELECT b FROM peel WHERE iter = p.iter)
+                GROUP BY node HAVING count(*) >= 3)
+), core AS (
+  SELECT a, b FROM peel WHERE iter = 40
+)
+SELECT node, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT a AS node FROM core UNION ALL SELECT b FROM core)
+GROUP BY node
+ORDER BY node
+""",
+    tags=("graph", "similarity"),
+    doc="3-core of the mutual 5-NN cosine graph (operators/graph.py:"
+        "k_core) — the dense-substructure filter spam/bot-cluster "
+        "detection peels with. Spark side loops degree-agg + two "
+        "left-semi joins to the data-dependent fixpoint "
+        "(localCheckpoint per round, convergence guard); the oracle "
+        "replays the peel as a recursive CTE with a 40-round cap — "
+        "measured fixpoint on this corpus is round 8, so both sides "
+        "provably reach the same maximal subgraph. Output is the "
+        "surviving (node, degree); degree ≥ k for every row by the "
+        "k-core definition, which the unit suite asserts on hand "
+        "graphs (K4, path, triangle+pendant, empty core).",
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_core
+    mutual = _mutual_knn_graph(spark, sf_dir)
+    return (k_core(mutual, k=3)
+            .select("node", "degree")
+            .orderBy("node"))
 
 
 @query(

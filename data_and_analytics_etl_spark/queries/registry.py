@@ -46,7 +46,7 @@ DRIVER_WINDOW = 50
 #: Current verification round. Bump once per driver round: the rotation
 #: offset below advances with it, so stale green probes cycle back
 #: through the window a slice at a time.
-VERIFY_ROUND = 6
+VERIFY_ROUND = 7
 
 #: Priority bands (lower sorts earlier in the export):
 #:   < POOL_PRIORITY   fixed placement — bench-critical (10), probes whose
@@ -77,9 +77,9 @@ ROUND_TIERS: dict[str, int] = {
     # maps to (b8's xxhash64 bench path is rows-only by design; its md5
     # twin carries the correctness evidence). These re-verify every
     # round so a bench number never ships without a same-round
-    # correctness row. r6: b13/b14's probes move here from last round's
-    # tier 30 (they are bench-mapped), and b15 (the curation capstone —
-    # the widest composed plan in the registry) joins the bench set.
+    # correctness row. r7: graph_transitive_closure joins (b16 is
+    # bench-mapped since late r6 but its probe never sat in the bench
+    # tier — the r6 rule said every bench-mapped oracle probe does).
     "q1_pricing_summary": 10,
     "q3_shipping_priority": 10,
     "q5_star_join": 10,
@@ -95,66 +95,33 @@ ROUND_TIERS: dict[str, int] = {
     "corpus_span_duplication": 10,
     "drift_ks_exact": 10,
     "corpus_curation_pipeline": 10,
-    # changed in r6 (code or oracle):
-    "categorical_entropy_profile": 20,  # oracle HUGEINT cast (the r5 red)
-    "multimodal_decode": 20,            # oracle DECIMAL cast + PNG/JPEG
-                                        # decode dispatch added
-    # (text_tfidf demoted to the pool: the action-free rewrite cannot
-    # change values — plan construction only — and is pinned by the
-    # construction-purity pytest + the full local sweep)
-    # (vocab_build demoted to the pool late-round: the fan-out guard
-    # is a result-invariant repartition, its whole consumer family is
-    # FULLVERIFY-green, and the slot buys the brand-new streaming REST
-    # source its first driver row)
-    # (text_bigram_logprob demoted to the pool: its changed machinery —
-    # the fan-out guard + bigram counting — is re-verified in-window by
-    # vocab_build)
-    # (neardup_ngram_jaccard and dedup_simhash_md5 demoted to the pool:
-    # their machinery — with_word_shingles + exact jaccard, and the md5
-    # hash family — is freshly exercised in the window by
-    # neardup_setsim_prefix and bench-tier dedup_minhash_lsh_md5)
-    # (third-wave rebalance: bigram_pmi / text_vocab_logrank /
-    # corpus_decontaminate / join_point_in_time_scd2 /
-    # sample_temperature_mixture demoted to the pool — their r6 changes
-    # are hash-verified by the driver-aligned local harness and their
-    # shared machinery stays in-window via vocab_build + text_tfidf;
-    # the freed slots give every third-wave operator a first driver row)
-    "rest_datasource_scan": 20,         # cross-run adaptive-limit seed
-    "etl_incremental_overlap_dedup": 20,  # checkpoint merge-on-commit
-    # new in r6, never driver-verified:
-    "etl_merge_partitioned": 30,        # partition-targeted MERGE sink
-    "q9_product_profit": 30,            # the six remaining TPC-H shapes
-    "q21_waiting_supplier": 30,         # (corpus has no partsupp; shapes
-    "q22_inactive_customers": 30,       #  adapted via lineitem bridge —
-    "q2_min_cost_supplier": 30,         #  see tpch.py docstrings). With
-    "q11_part_value_share": 30,         #  these, all 22 TPC-H query
-    "q16_supplier_part_count": 30,      #  shapes carry a probe.
-    "pivot_event_type_counts": 30,      # long->wide reshape
-    "unpivot_order_measures": 30,       # wide->long reshape (Expand)
-    "timeseries_weighted_avg": 30,      # sample-and-hold exact TWA
-    "corpus_domain_cap": 30,            # per-source anti-domination cap
-    # new in r6, second wave — never driver-verified:
-    "neardup_setsim_prefix": 30,        # exact PPJoin prefix filtering
-    "fuzzy_join_lossless_band": 30,     # complete-recall edit-dist join
-    "drift_chisq_categorical": 30,      # categorical drift chi-square
-    "ab_welch_ttest": 30,               # exact-sums Welch t statistic
-    "timeseries_interpolate": 30,       # linear gap interpolation
-    "embedding_quantize_int8": 30,      # symmetric int8 quantization
-    "sequence_transition_matrix": 30,   # Markov P(to|from) cells
-    "outlier_mad_robust": 30,           # MAD order-statistic outliers
-    "text_winnow_fingerprints": 30,     # MOSS winnowing selection
-    "etl_snapshot_diff": 30,            # full-outer CDC delta recovery
-    "group_weighted_percentiles": 30,   # integer-cumweight order stats
-    "linkage_entity_resolution": 30,    # ER capstone vs recursive CTE
-    # new in r6, third wave — never driver-verified:
-    "q20_excess_stock": 30,             # completes 22/22 TPC-H shapes
-    "text_gopher_rules": 30,            # per-rule Gopher quality gates
-    "window_distinct_running": 30,      # running COUNT(DISTINCT) dual
-    "timeseries_ewma": 30,              # bounded-lag integer EWMA
-    "group_linear_regression": 30,      # exact-sums OLS / regr_* family
-    "privacy_k_anonymity": 30,          # equivalence-class audit
-    "sketch_cms_estimate": 30,          # oracle-exact count-min sketch
-    "rest_stream_scan": 30,             # streaming REST source drain
+    "graph_transitive_closure": 10,
+    # changed in r7 (code or oracle): the ADVICE decimal-overflow fixes
+    # (cast BEFORE sum/product) and the object-store-safe partition
+    # purge both touch probed plans — their probes re-verify in-window.
+    # analytics_pareto_abc / privacy_t_closeness / timeseries_acf /
+    # timeseries_cusum_changepoints are ALSO in the never-driver-
+    # verified 13; one slot each covers both reasons.
+    "etl_merge_partitioned": 20,        # Hadoop-FS purge path (r7)
+    # the 13 probes registered after r6's closing FULLVERIFY — green in
+    # the local oracle sweep but present in NO driver artifact (the r6
+    # verdict's #1 finding). Every one is pinned until CORRECTNESS_r07 /
+    # FULLVERIFY_r07 carries its row.
+    "analytics_market_basket": 30,      # association rules (supp/conf/lift)
+    "analytics_rfm_segments": 30,       # RFM quintile segmentation
+    "analytics_pareto_abc": 30,         # ABC classes (+ r7 decimal fix)
+    "timeseries_acf": 30,               # autocorrelation (+ r7 decimal fix)
+    "timeseries_cusum_changepoints": 30,  # CUSUM (+ r7 decimal fix)
+    "feature_target_encode_loo": 30,    # leave-one-out target encoding
+    "eval_regression_metrics": 30,      # exact-sums MSE/MAE/R2
+    "analytics_capstone_ab_experiment": 30,  # A/B capstone (Welch + chi2)
+    "privacy_t_closeness": 30,          # EMD audit (+ r7 decimal fix)
+    "etl_delete_partitioned": 30,       # GDPR partition-targeted delete
+    "neardup_semantic_dedup": 30,       # SemDeDup (+ r7 bits contract)
+    "feature_hash_trick": 30,           # signed hashing-trick features
+    "text_naive_bayes_confusion": 30,   # integer-grid NB whole chain
+    # new in r7, never driver-verified:
+    "graph_k_core": 30,                 # k-core peel vs recursive CTE
 }
 
 

@@ -821,6 +821,56 @@ class TestTriangleCount:
         assert (r.n_nodes, r.n_edges, r.triangles) == (n + 1, 2 * n, n)
 
 
+class TestKCore:
+    def _core(self, spark, pairs, k, **kw):
+        from data_and_analytics_etl_spark.operators.graph import k_core
+        df = spark.createDataFrame(pairs, ["src", "dst"])
+        return sorted((r.node, r.degree)
+                      for r in k_core(df, k, **kw).collect())
+
+    def test_triangle_with_pendant_peels_to_triangle(self, spark):
+        # 2-core of triangle+pendant is the triangle; peeling node 3
+        # drops node 2's degree from 3 to 2 but not below k
+        got = self._core(spark, [(0, 1), (1, 2), (2, 0), (2, 3)], k=2)
+        assert got == [(0, 2), (1, 2), (2, 2)]
+
+    def test_k4_is_its_own_3_core(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        assert self._core(spark, k4, k=3) == [(i, 3) for i in range(4)]
+
+    def test_path_graph_peels_from_the_ends_to_empty(self, spark):
+        # a path has no 2-core; the peel removes one node per end per
+        # round — the data-dependent-depth case the max_rounds guard
+        # exists for
+        path = [(i, i + 1) for i in range(8)]
+        assert self._core(spark, path, k=2) == []
+
+    def test_cycle_survives_2_core_intact(self, spark):
+        n = 6
+        cyc = [(i, (i + 1) % n) for i in range(n)]
+        assert self._core(spark, cyc, k=2) == [(i, 2) for i in range(n)]
+
+    def test_dup_reversed_self_edges_ignored(self, spark):
+        got = self._core(
+            spark, [(0, 1), (1, 0), (1, 2), (2, 0), (1, 1)], k=2)
+        assert got == [(0, 2), (1, 2), (2, 2)]
+
+    def test_max_rounds_raises_instead_of_returning_non_core(self, spark):
+        import pytest as _pytest
+        path = [(i, i + 1) for i in range(10)]
+        with _pytest.raises(RuntimeError, match="max_rounds"):
+            self._core(spark, path, k=2, max_rounds=2)
+
+    def test_min_degree_invariant(self, spark):
+        # every survivor's degree within the core is >= k (the k-core
+        # definition), on a mixed graph: K4 glued to a path tail
+        pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+        pairs += [(3, 4), (4, 5), (5, 6)]
+        got = self._core(spark, pairs, k=3)
+        assert got and all(d >= 3 for _, d in got)
+        assert [n for n, _ in got] == [0, 1, 2, 3]
+
+
 class TestCmsJoinCardinality:
     def test_overestimates_only_and_tightens_with_width(self, spark):
         from data_and_analytics_etl_spark.operators.sketch import (

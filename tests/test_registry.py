@@ -20,40 +20,29 @@ from data_and_analytics_etl_spark.queries.registry import (DRIVER_WINDOW,
 MUST_BE_IN_WINDOW = {
     # bench-critical (tier A, priority 10): every oracle-backed probe a
     # BENCH_QUERIES entry maps to — a bench number never ships without a
-    # same-round correctness row (b13/b14/b15 probes included since r6)
+    # same-round correctness row (graph_transitive_closure joins in r7:
+    # b16 is bench-mapped)
     "q1_pricing_summary", "q3_shipping_priority", "q5_star_join",
     "q10_returned_revenue", "q7_nation_volume",
     "topk_per_group", "window_running_agg", "cosine_topk", "dedup_exact",
     "dedup_minhash_lsh_md5", "sessionization", "dedup_clusters",
     "corpus_span_duplication", "drift_ks_exact", "corpus_curation_pipeline",
-    # changed in r6 (tier B, priority 20): oracle casts, the
-    # shuffle-aware fan-out guard (vocab_build stands for every
-    # shingle/token consumer), adaptive-limit persistence, checkpoint
-    # merge-on-commit
-    "categorical_entropy_profile", "multimodal_decode",
-    "rest_datasource_scan", "etl_incremental_overlap_dedup",
-    # new operators in r6, never driver-verified (tier C, priority 30)
+    "graph_transitive_closure",
+    # changed in r7 (tier B, priority 20): the object-store-safe
+    # partition purge rewired both partition-targeted writers
     "etl_merge_partitioned",
-    "q9_product_profit", "q21_waiting_supplier", "q22_inactive_customers",
-    "q2_min_cost_supplier", "q11_part_value_share",
-    "q16_supplier_part_count", "pivot_event_type_counts",
-    "unpivot_order_measures", "timeseries_weighted_avg",
-    "corpus_domain_cap",
-    # r6 second wave (tier C, priority 30): exact PPJoin, lossless band
-    # linkage, categorical chi-square, Welch t, linear interpolation,
-    # int8 quantization, Markov transitions, MAD outliers, winnowing
-    "neardup_setsim_prefix", "fuzzy_join_lossless_band",
-    "drift_chisq_categorical", "ab_welch_ttest", "timeseries_interpolate",
-    "embedding_quantize_int8", "sequence_transition_matrix",
-    "outlier_mad_robust", "text_winnow_fingerprints",
-    "etl_snapshot_diff", "group_weighted_percentiles",
-    "linkage_entity_resolution",
-    # r6 third wave (tier C, priority 30): Q20 (22/22 TPC-H), Gopher
-    # rule gates, running distinct, bounded-lag EWMA, exact-sums OLS,
-    # k-anonymity
-    "q20_excess_stock", "text_gopher_rules", "window_distinct_running",
-    "timeseries_ewma", "group_linear_regression", "privacy_k_anonymity",
-    "sketch_cms_estimate", "rest_stream_scan",
+    # the 13 probes registered after r6's closing FULLVERIFY — in no
+    # driver artifact (r6 verdict finding #1). Pinned until
+    # CORRECTNESS_r07 / FULLVERIFY_r07 carries each row.
+    "analytics_market_basket", "analytics_rfm_segments",
+    "analytics_pareto_abc", "timeseries_acf",
+    "timeseries_cusum_changepoints", "feature_target_encode_loo",
+    "eval_regression_metrics", "analytics_capstone_ab_experiment",
+    "privacy_t_closeness", "etl_delete_partitioned",
+    "neardup_semantic_dedup", "feature_hash_trick",
+    "text_naive_bayes_confusion",
+    # new in r7 (tier C, priority 30)
+    "graph_k_core",
 }
 
 
@@ -194,3 +183,38 @@ def test_local_harness_is_hugeint_strict():
         con, "SELECT CAST(sum(x) AS BIGINT) AS s "
              "FROM (SELECT 1 AS x UNION ALL SELECT 2)")
     assert canon_rows(rows2, cols2) == spark_like
+
+
+def test_no_round_closes_with_unswept_probes():
+    """r6 verdict finding #1 as CI: every registered probe must appear in
+    the current round's committed FULLVERIFY artifact.
+
+    13 probes shipped after r6's closing FULLVERIFY run and sat in no
+    driver-side artifact (257 swept vs 270 registered). This test makes
+    that impossible to repeat silently: once FULLVERIFY_r{N}.json exists
+    for the current VERIFY_ROUND, registering a probe without re-running
+    the sweep turns the suite red — so a round cannot close green with
+    registered-but-unswept probes. Before the round's first sweep the
+    test fails with an instruction (not a skip: a skip is exactly the
+    masking this guards against).
+    """
+    import json
+    import os
+
+    from data_and_analytics_etl_spark.queries.registry import VERIFY_ROUND
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, f"FULLVERIFY_r{VERIFY_ROUND:02d}.json")
+    assert os.path.exists(path), (
+        f"no FULLVERIFY artifact for round {VERIFY_ROUND} — run "
+        f"FULLVERIFY_OUT={path} python scripts/verify_probes.py before "
+        "closing the round (r6 verdict: no round closes with "
+        "registered-but-unswept probes)")
+    with open(path) as f:
+        art = json.load(f)
+    swept = set(art["probes"])
+    unswept = sorted(set(REGISTRY) - swept)
+    assert not unswept, (
+        f"probes registered after the round-{VERIFY_ROUND} FULLVERIFY "
+        f"sweep: {unswept} — re-run scripts/verify_probes.py with "
+        f"FULLVERIFY_OUT={path}")
