@@ -131,9 +131,16 @@ def apply_bpe(df: DataFrame, text_col: str,
     shuffle-free, UDF-free plan.
 
     Per document: whitespace words -> per-word char+EOW symbols ->
-    the merges fold in learned order (nested codegen folds; merge
-    table size is a constant, so plan depth is bounded) -> flattened
-    token stream."""
+    the merges fold in learned order (nested codegen folds) ->
+    flattened token stream.
+
+    CEILING: plan depth is O(len(merges)) — one nested fold per
+    learned merge. Practical limit is a few hundred merges (beyond
+    ~200 the expression tree exceeds codegen/analysis budgets; a
+    production 30k-merge vocabulary will NOT plan). This form is the
+    oracle-shaped baseline; use :func:`apply_bpe_fast` (identical
+    semantics, exact-equality-pinned in tests/test_llmdata.py) for
+    real merge tables."""
     from .text import tokens_of
 
     def encode_word(w: Column) -> Column:
@@ -145,3 +152,101 @@ def apply_bpe(df: DataFrame, text_col: str,
     words = F.filter(tokens_of(F.col(text_col)), lambda w: w != "")
     toks = F.flatten(F.transform(words, encode_word))
     return df.withColumn(out_col, toks)
+
+
+def apply_bpe_fast(df: DataFrame, text_col: str,
+                   merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+                   out_col: str = "bpe_tokens") -> DataFrame:
+    """Scale-path BPE tokenizer: Arrow-batched ``mapInPandas`` greedy
+    encoder with IDENTICAL semantics to :func:`apply_bpe`'s fold form
+    (exact-equality-pinned in tests/test_llmdata.py).
+
+    Why a Python path at all (the repo's UDFs-are-the-slow-path rule):
+    the fold form nests one codegen fold per merge, so a production
+    30k-merge vocabulary cannot plan (see apply_bpe's CEILING note).
+    Here the merge table is a plain dict in the closure — plan depth
+    is O(1) regardless of vocabulary size, and the per-row work is
+    the same O(len(merges) x word_len) greedy scan the fold does,
+    minus planning cost.
+
+    Scale design:
+    - no shuffle: mapInPandas is a narrow transform; partitioning and
+      ordering pass through untouched;
+    - the merge table ships once per task via the serialized closure
+      (a 30k-entry list is ~1 MB — broadcast-sized by construction,
+      Heaps-law-bounded like the vocab it came from);
+    - per-partition WORD memoization: encoding is computed once per
+      distinct word seen by the task (Heaps' law makes the distinct-
+      word set sublinear in corpus size — the vocab_build argument),
+      then reused across rows and batches, so the effective cost per
+      additional occurrence is a dict hit;
+    - per-merge skip: a merge (a, b) whose left symbol is absent from
+      the word's current symbol set skips without scanning — on
+      natural text the overwhelming majority of the 30k merges skip
+      for any given word.
+
+    Tokenization mirrors tokens_of (split lowercased text on ASCII
+    whitespace runs); the equality pytest pins the two paths on the
+    real corpus, so any divergence in the split/lower semantics
+    fails loudly rather than drifting.
+    """
+    import re
+
+    from pyspark.sql.types import (ArrayType, StringType, StructField,
+                                   StructType)
+
+    mtab = [(m[0], m[1]) for m in merges]
+    in_cols = list(df.columns)
+    # fresh StructType: StructType.add MUTATES the DataFrame's cached
+    # schema object in place
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(StringType()))])
+    ws = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only
+
+    def encode(iterator):
+        cache: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            syms.append(EOW)
+            present = set(syms)
+            for a, b in mtab:
+                if a not in present or b not in present:
+                    continue
+                # greedy left-to-right single pass, non-overlapping:
+                # the merged symbol is not re-examined as `a` (the
+                # _merge_once fold contract: 'aaa' under (a,a) ->
+                # ['aa','a'])
+                out: list[str] = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                if len(out) != len(syms):
+                    syms = out
+                    present = set(syms)
+            cache[w] = syms
+            return syms
+
+        for pdf in iterator:
+            toks = []
+            for text in pdf[text_col]:
+                if text is None:
+                    # mirror the fold form: NULL text -> NULL tokens
+                    toks.append(None)
+                    continue
+                row_toks: list[str] = []
+                for w in ws.split(str(text).lower()):
+                    if w:
+                        row_toks.extend(encode_word(w))
+                toks.append(row_toks)
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            yield pdf
+
+    return df.select(*in_cols).mapInPandas(encode, schema=out_schema)

@@ -651,9 +651,28 @@ def ivfpq_ann(corpus: DataFrame, probes: DataFrame, k: int,
             .select("probe_id", "vec_id", "cosine", "rank"))
 
 
+def bits_for_corpus(n_rows: int, target_cell_rows: int = 4096) -> int:
+    """Sign-cell bit width that bounds EXPECTED cell population at
+    ``target_cell_rows``: the smallest b with n_rows / 2^b <= target.
+
+    The within-cell pair join of :func:`semantic_dedup` costs
+    Σ n_c·(n_c−1)/2 ≈ n·(n/2^b)/2 pairs under a uniform spread, so a
+    FIXED b makes the join grow quadratically with the corpus — b must
+    scale with log2(corpus) to keep per-cell work constant. Callers
+    size b from a cheap count (or a known table size) BEFORE building
+    the plan; the function is pure so operator construction stays
+    action-free.
+    """
+    import math
+    if n_rows <= 0 or target_cell_rows <= 0:
+        raise ValueError("n_rows and target_cell_rows must be positive")
+    return max(1, math.ceil(math.log2(max(1.0,
+                                          n_rows / target_cell_rows))))
+
+
 def semantic_dedup(df: DataFrame, threshold: float,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   bits: int = 6) -> DataFrame:
+                   *, bits: int) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as pure joins:
     coarse-cluster embeddings with the deterministic sign-cell
     quantizer, then WITHIN each cell drop every vector that has a
@@ -667,10 +686,16 @@ def semantic_dedup(df: DataFrame, threshold: float,
     inside k-means clusters only — cross-cluster near-dups are the
     accepted recall tradeoff that makes the pair scan tractable. Here
     the quantizer is sign-bit cells (engine-neutral, oracle-checkable)
-    instead of k-means; expected cell population is corpus/2^bits, so
-    the per-cell pair join is bounded and shuffles only on the cell id
-    (the ann_signcell posting-list shape). Norms are precomputed per
+    instead of k-means; the join shuffles only on the cell id (the
+    ann_signcell posting-list shape) and norms are precomputed per
     row, not per pair.
+
+    ``bits`` is REQUIRED and must scale with the corpus: expected cell
+    population is corpus/2^bits, so the within-cell pair join costs
+    ~n·(n/2^bits)/2 — a fixed bits grows QUADRATICALLY with corpus
+    size. Size it with :func:`bits_for_corpus` (n / 2^bits ≤ target
+    cell rows); the pair-count bound is property-tested in
+    tests/test_llmdata.py.
 
     Returns the KEPT rows of ``df``; anti-join the result against the
     input for the drop list.

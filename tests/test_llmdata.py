@@ -1065,6 +1065,64 @@ class TestBpe:
         out = apply_bpe(df, "text", [("a", "a", 0)]).collect()
         assert out[0]["bpe_tokens"] == ["aa", "a", "</w>"]
 
+    def test_fast_path_equals_fold_on_real_corpus(self, spark, sf_dir):
+        """apply_bpe_fast (mapInPandas scale path) must be byte-equal
+        to apply_bpe's fold form on the real corpus with real learned
+        merges — the exact-equality pin the fold ceiling relies on."""
+        from data_and_analytics_etl_spark.operators.bpe import (
+            apply_bpe, apply_bpe_fast, learn_bpe_merges)
+        docs = load_table(spark, sf_dir, "documents") \
+            .filter(F.col("doc_id") < 60)
+        merges = learn_bpe_merges(docs, "text", num_merges=25)
+        fold = {r["doc_id"]: r["bpe_tokens"]
+                for r in apply_bpe(docs, "text", merges)
+                .select("doc_id", "bpe_tokens").collect()}
+        fast = {r["doc_id"]: r["bpe_tokens"]
+                for r in apply_bpe_fast(docs, "text", merges)
+                .select("doc_id", "bpe_tokens").collect()}
+        assert fast == fold
+
+    def test_fast_path_handles_1k_plus_merges(self, spark):
+        """The scale path's whole reason to exist: a merge table far
+        past the fold form's plan-depth ceiling, pinned against the
+        pure-Python reference learner/encoder on the same corpus."""
+        import random
+
+        from data_and_analytics_etl_spark.operators.bpe import (
+            apply_bpe_fast)
+        rng = random.Random(42)
+        vocab = ["".join(rng.choice("abcdefghij") for _ in range(12))
+                 for _ in range(400)]
+        freq = {}
+        for w in vocab:
+            freq[w] = freq.get(w, 0) + 1
+        merges, ref_syms = self._ref_learn(freq, 1500, min_count=1)
+        assert len(merges) >= 1000, len(merges)
+        docs = [(i, " ".join(rng.sample(vocab, 30))) for i in range(40)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r["doc_id"]: r["bpe_tokens"]
+               for r in apply_bpe_fast(df, "text", merges)
+               .select("doc_id", "bpe_tokens").collect()}
+        for i, text in docs:
+            want = []
+            for w in text.split(" "):
+                want.extend(ref_syms[w])
+            assert got[i] == want, i
+
+    def test_fast_path_null_and_empty_text(self, spark):
+        from data_and_analytics_etl_spark.operators.bpe import (
+            apply_bpe, apply_bpe_fast)
+        df = spark.createDataFrame(
+            [(1, "ab ab"), (2, ""), (3, None), (4, "   ")],
+            "doc_id: long, text: string")
+        merges = [("a", "b", 0)]
+        fold = {r["doc_id"]: r["bpe_tokens"]
+                for r in apply_bpe(df, "text", merges).collect()}
+        fast = {r["doc_id"]: r["bpe_tokens"]
+                for r in apply_bpe_fast(df, "text", merges).collect()}
+        assert fast == fold
+        assert fast[3] is None
+
 
 class TestPerceptualHash:
     """DCT pHash: determinism, metric behavior on synthesized BMPs, and
@@ -1360,6 +1418,57 @@ class TestSemanticDedup:
         kept = sorted(r["vec_id"] for r in
                       semantic_dedup(df, 0.9, bits=4).collect())
         assert kept == [1, 2]
+
+    def test_bits_is_required(self):
+        import inspect
+
+        from data_and_analytics_etl_spark.operators.similarity import \
+            semantic_dedup
+        p = inspect.signature(semantic_dedup).parameters["bits"]
+        assert p.kind is inspect.Parameter.KEYWORD_ONLY
+        assert p.default is inspect.Parameter.empty
+
+    def test_bits_for_corpus_bounds_expected_cell_population(self):
+        from data_and_analytics_etl_spark.operators.similarity import \
+            bits_for_corpus
+        for n in (1, 100, 4096, 10**6, 10**9, 10**12):
+            for cap in (64, 1024, 4096):
+                b = bits_for_corpus(n, cap)
+                assert n / 2 ** b <= cap
+                # and b is minimal (one bit fewer would break the cap)
+                assert b == 1 or n / 2 ** (b - 1) > cap
+        # bits GROWS with corpus at fixed cap: per-cell work stays flat
+        assert (bits_for_corpus(10**12, 4096)
+                == bits_for_corpus(10**6, 4096) + 20)
+
+    def test_candidate_pair_count_matches_cell_bound(self, spark, sf_dir):
+        """The within-cell pair join generates EXACTLY
+        sum n_c*(n_c-1)/2 candidates — the cost formula the bits
+        contract is stated in — and raising bits shrinks it."""
+        from data_and_analytics_etl_spark.operators.similarity import (
+            as_double, signcell)
+        e = load_table(spark, sf_dir, "embeddings")
+
+        def pairs_at(bits):
+            cells = (e.select(signcell(as_double(F.col("embedding")),
+                                       bits).alias("c"))
+                     .groupBy("c").agg(F.count(F.lit(1)).alias("n")))
+            per_cell = {r["c"]: r["n"] for r in cells.collect()}
+            want = sum(n * (n - 1) // 2 for n in per_cell.values())
+            lhs = e.select(signcell(as_double(F.col("embedding")),
+                                    bits).alias("c"),
+                           F.col("vec_id").alias("ia"))
+            rhs = e.select(signcell(as_double(F.col("embedding")),
+                                    bits).alias("c"),
+                           F.col("vec_id").alias("ib"))
+            got = (lhs.join(rhs, "c")
+                   .filter(F.col("ib") < F.col("ia")).count())
+            return want, got
+
+        w4, g4 = pairs_at(4)
+        w8, g8 = pairs_at(8)
+        assert g4 == w4 and g8 == w8
+        assert g8 < g4  # more bits -> fewer candidate pairs
 
 
 class TestHashFeatures:
