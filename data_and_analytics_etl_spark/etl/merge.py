@@ -40,6 +40,32 @@ def merge_upsert(existing: DataFrame, updates: DataFrame,
             .drop("__rn", "__src"))
 
 
+def _purge_partition_dirs(spark, path: str, pcols: list[str],
+                          parts) -> int:
+    """Remove stale partition directories through the Hadoop
+    FileSystem API.
+
+    os.path/shutil only works on a POSIX mount — on an object store
+    (s3a://, gs://, abfs://) it silently no-ops and leaves the stale
+    partition VISIBLE, which for the GDPR delete path is a compliance
+    failure, not a perf bug. ``Path.getFileSystem`` resolves whatever
+    scheme ``path`` carries (local file:// included), so the same code
+    path is exercised by the local pytests and production stores.
+    Returns the number of directories actually removed.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    purged = 0
+    for t in parts:
+        sub = "/".join(f"{c}={v}" for c, v in zip(pcols, t))
+        p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + sub)
+        fs = p.getFileSystem(hconf)
+        # recursive delete; False return = already absent (benign race)
+        if fs.exists(p) and fs.delete(p, True):
+            purged += 1
+    return purged
+
+
 def merge_upsert_partitioned(spark, path: str, updates: DataFrame,
                              keys: list[str], ts_col: str,
                              order_by: list[Column] | None = None,
@@ -73,9 +99,6 @@ def merge_upsert_partitioned(spark, path: str, updates: DataFrame,
 
     Returns ``{"affected_partitions": n, "rewritten": n, "purged": n}``.
     """
-    import os
-    import shutil
-
     from .sink import PARTITION_COLS, with_time_partitions
 
     existing = spark.read.format(fmt).load(path)
@@ -122,15 +145,11 @@ def merge_upsert_partitioned(spark, path: str, updates: DataFrame,
 
     # purge affected partitions that ended up with zero rows (dynamic
     # overwrite never touches a partition absent from the output, so a
-    # fully-superseded hour would otherwise keep its stale files).
-    # Local/HDFS-style path semantics; object stores swap in their FS API.
+    # fully-superseded hour would otherwise keep its stale files) —
+    # through the Hadoop FS API so object stores purge too.
     written = {tuple(r) for r in merged.select(*pcols).distinct().collect()}
-    purged = 0
-    for t in affected_set - written:
-        d = os.path.join(path, *(f"{c}={v}" for c, v in zip(pcols, t)))
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-            purged += 1
+    purged = _purge_partition_dirs(spark, path, pcols,
+                                   sorted(affected_set - written))
     return {"affected_partitions": len(affected_set),
             "rewritten": len(written & affected_set), "purged": purged}
 
@@ -159,8 +178,6 @@ def delete_keys_partitioned(spark, path: str, keys_df: DataFrame,
     "deleted_rows"}`` — the deletion-audit record a compliance log
     wants.
     """
-    import os
-    import shutil
     from functools import reduce
 
     from .sink import PARTITION_COLS
@@ -198,12 +215,8 @@ def delete_keys_partitioned(spark, path: str, keys_df: DataFrame,
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     written = {tuple(r) for r in kept.select(*pcols).distinct().collect()}
-    purged = 0
-    for t in affected_set - written:
-        d = os.path.join(path, *(f"{c}={v}" for c, v in zip(pcols, t)))
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-            purged += 1
+    purged = _purge_partition_dirs(spark, path, pcols,
+                                   sorted(affected_set - written))
     return {"affected_partitions": len(affected_set),
             "rewritten": len(written & affected_set),
             "purged": purged, "deleted_rows": deleted}

@@ -62,28 +62,64 @@ def _manifest(path: str, version: int) -> list[str]:
         return json.load(fh)["files"]
 
 
-def commit_version(path: str, fmt: str = "parquet") -> int:
+class ConcurrentCommitError(RuntimeError):
+    """Raised when a commit loses the version-slot race more than
+    ``max_attempts`` times in a row — the store is untouched and
+    readable; the caller retries or serializes its writers."""
+
+
+def commit_version(path: str, fmt: str = "parquet",
+                   max_attempts: int = 16) -> int:
     """Snapshot the current file set as the next version. Refuses to
     commit if a previously-manifested file vanished (a mutation broke
-    append-only time travel)."""
-    files = _data_files(path, fmt)
-    versions = list_versions(path)
-    if versions:
-        prev = set(_manifest(path, versions[-1]))
-        gone = prev - set(files)
-        if gone:
-            raise ValueError(
-                "append-only contract violated: files in v"
-                f"{versions[-1]} no longer exist ({sorted(gone)[:3]}…); "
-                "run reset_versions() after mutating operations")
-    n = (versions[-1] + 1) if versions else 1
+    append-only time travel).
+
+    Concurrent-writer fence: the manifest publishes via an EXCLUSIVE
+    link — ``os.link(tmp, v{N}.json)`` atomically fails with EEXIST
+    when another writer already owns slot N (a plain rename would
+    silently overwrite the winner's manifest, corrupting the log).
+    The loser re-lists, re-validates append-only against the NEW
+    latest manifest, and retries the next slot; after
+    ``max_attempts`` collisions it raises :class:`ConcurrentCommitError`
+    with the store intact. Every published v{N}.json is therefore
+    complete and written by exactly one writer, interleaving or not
+    (tests/test_etl.py races 8 writers through this). The protocol is
+    POSIX/HDFS-correct; an S3-style store without atomic
+    create-if-absent needs a real table format's commit service —
+    exactly the boundary the module docstring draws.
+    """
     vdir = os.path.join(path, "_versions")
     os.makedirs(vdir, exist_ok=True)
-    tmp = os.path.join(vdir, f".v{n}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": n, "files": files}, fh)
-    os.rename(tmp, os.path.join(vdir, f"v{n}.json"))  # atomic publish
-    return n
+    import threading
+    tmp = os.path.join(
+        vdir, f".commit-{os.getpid()}-{threading.get_ident()}.tmp")
+    try:
+        for _ in range(max_attempts):
+            files = _data_files(path, fmt)
+            versions = list_versions(path)
+            if versions:
+                prev = set(_manifest(path, versions[-1]))
+                gone = prev - set(files)
+                if gone:
+                    raise ValueError(
+                        "append-only contract violated: files in v"
+                        f"{versions[-1]} no longer exist "
+                        f"({sorted(gone)[:3]}…); "
+                        "run reset_versions() after mutating operations")
+            n = (versions[-1] + 1) if versions else 1
+            with open(tmp, "w") as fh:
+                json.dump({"version": n, "files": files}, fh)
+            try:
+                os.link(tmp, os.path.join(vdir, f"v{n}.json"))
+                return n
+            except FileExistsError:
+                continue  # lost slot n to a concurrent writer; retry
+        raise ConcurrentCommitError(
+            f"could not claim a version slot in {max_attempts} "
+            f"attempts under {vdir}")
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def reset_versions(path: str) -> None:

@@ -528,6 +528,61 @@ class TestVersioning:
         reset_versions(dest)
         assert commit_version(dest) == 1
 
+    def test_concurrent_writers_get_distinct_versions(self, spark,
+                                                      sf_dir, tmp_path):
+        """8 writers racing commit_version must each claim a DISTINCT
+        slot (the exclusive-link fence); the log stays fully readable
+        with every manifest complete. Before the fence, colliding
+        writers silently overwrote each other's v{N}.json."""
+        import datetime as dtm
+        import threading
+
+        from data_and_analytics_etl_spark.etl.versioning import (
+            _manifest, commit_version, list_versions)
+        dest = str(tmp_path / "tbl")
+        self._write(spark, sf_dir, dest,
+                    dtm.datetime(2024, 1, 1), dtm.datetime(2024, 1, 3))
+        results, errors = [], []
+        gate = threading.Barrier(8)
+
+        def writer():
+            try:
+                gate.wait()
+                results.append(commit_version(dest))
+            except Exception as ex:  # pragma: no cover - fail loudly
+                errors.append(ex)
+
+        threads = [threading.Thread(target=writer) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert sorted(results) == list(range(1, 9))
+        assert list_versions(dest) == list(range(1, 9))
+        # every published manifest parses and carries the full file set
+        sets = [set(_manifest(dest, v)) for v in range(1, 9)]
+        assert all(s == sets[0] and s for s in sets)
+        # no stray tmp files left behind
+        import os
+        assert not [f for f in os.listdir(os.path.join(dest, "_versions"))
+                    if f.endswith(".tmp")]
+
+    def test_exhausted_retries_raise_cleanly(self, spark, sf_dir,
+                                             tmp_path):
+        import datetime as dtm
+
+        from data_and_analytics_etl_spark.etl.versioning import (
+            ConcurrentCommitError, commit_version, list_versions)
+        dest = str(tmp_path / "tbl")
+        self._write(spark, sf_dir, dest,
+                    dtm.datetime(2024, 1, 1), dtm.datetime(2024, 1, 3))
+        commit_version(dest)
+        with pytest.raises(ConcurrentCommitError):
+            commit_version(dest, max_attempts=0)
+        # the failed commit left the store readable and unchanged
+        assert list_versions(dest) == [1]
+
 
 class TestPartitionChecksums:
     def test_layout_invariance(self, spark, sf_dir, tmp_path):
