@@ -117,3 +117,56 @@ def pareto_abc(df: DataFrame, key_col: str, amount_col: str,
            .when(F.col("__cum") * 100 <= F.col("__tot") * b_pct, "B")
            .otherwise("C"))
     return ranked.select("key", "cents", "rank", cls.alias("abc_class"))
+
+
+def item_neighbors(baskets: DataFrame, basket_col: str, item_col: str,
+                   k: int = 10, min_item_count: int = 2,
+                   min_pair_count: int = 2) -> DataFrame:
+    """Item-to-item collaborative-filtering neighbors ("customers who
+    bought X also bought Y", Linden et al. 2003): per item, the top-k
+    most similar items by co-occurrence cosine, with Jaccard alongside.
+
+        cosine(a,b)  = n_ab / sqrt(n_a · n_b)
+        jaccard(a,b) = n_ab / (n_a + n_b − n_ab)
+
+    Counts come from :func:`association_rules`'s Apriori-pruned pair
+    aggregate (same scale fence: frequent-item semi-join before
+    pairing, basket-key equi-join, never item×item). The n_a·n_b
+    product runs in DECIMAL(38,0) before the sqrt (long·long would
+    wrap at ~3e9-basket item counts); each similarity is then a fixed
+    one-division IEEE chain over exact longs — cross-engine
+    hash-stable. Ranking ties break on the neighbor id, so top-k is
+    total.
+
+    Output: (item, neighbor, n_item, n_neighbor, n_both, cosine,
+    jaccard, rank), rank 1..k per item. The per-item ranking window
+    partitions on the item — bounded by the pair fan-out of one item,
+    not the catalog.
+    """
+    rules = association_rules(baskets, basket_col, item_col,
+                              min_item_count=min_item_count,
+                              min_pair_count=min_pair_count)
+    fwd = rules.select(F.col("item_a").alias("item"),
+                       F.col("item_b").alias("neighbor"),
+                       F.col("n_a").alias("n_item"),
+                       F.col("n_b").alias("n_neighbor"),
+                       F.col("n_ab").alias("n_both"))
+    rev = rules.select(F.col("item_b").alias("item"),
+                       F.col("item_a").alias("neighbor"),
+                       F.col("n_b").alias("n_item"),
+                       F.col("n_a").alias("n_neighbor"),
+                       F.col("n_ab").alias("n_both"))
+    sym = fwd.unionByName(rev)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    d = lambda c: F.col(c).cast("double")           # noqa: E731
+    cosine = d("n_both") / F.sqrt((dec("n_item") * dec("n_neighbor"))
+                                  .cast("double"))
+    jaccard = d("n_both") / (d("n_item") + d("n_neighbor")
+                             - d("n_both"))
+    scored = (sym.withColumn("cosine", cosine)
+              .withColumn("jaccard", jaccard))
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"),
+                                           F.asc("neighbor"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))

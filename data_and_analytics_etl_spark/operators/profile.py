@@ -610,3 +610,104 @@ def t_closeness(df: DataFrame, quasi_cols: list[str],
                     (F.col("__s").cast("double") / denom).alias("emd"),
                     (F.col("__s").cast("double")
                      > F.lit(t) * denom).alias("violates_t")))
+
+
+#: Benford expected first-digit probabilities log10(1 + 1/d), d=1..9 —
+#: ONE Python-computed literal table feeding BOTH the Spark plan and
+#: the DuckDB oracle (the NDCG literal-weight rule: never compute
+#: transcendentals engine-side when cross-engine bit-equality is the
+#: contract; repr round-trips doubles exactly).
+BENFORD_P: dict[int, float] = {
+    d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_digit_audit(df: DataFrame, value_col: str,
+                        tolerance: float = 0.02) -> DataFrame:
+    """First-significant-digit audit against Benford's law — the
+    fraud/fabrication screen auditors run on naturally-occurring
+    amounts (Nigrini 2012).
+
+    Exactness: amounts quantize to integer cents (round(v·100), the
+    engine-wide rule) and the leading digit is CHARACTER arithmetic on
+    that integer — no log/pow on data, so no float boundary decides a
+    digit. Counts are exact longs; observed share is ONE double
+    division; expected share is the literal table; the deviation and
+    its flag are a fixed two-op IEEE chain. Everything is therefore
+    hash-identical cross-engine.
+
+    Zero/negative amounts are excluded (Benford applies to positive
+    magnitudes). Output: (digit, n, obs_p, exp_p, dev,
+    outside_tolerance) — 9 rows, absent digits emitting honest zeros
+    via the broadcast digit spine.
+
+    Scale: one hash aggregate over the fact table (9 groups), then
+    dictionary-sized arithmetic. Nothing else.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    digits = (df.filter(F.col(value_col) > 0)
+              .select(F.substring(cents.cast("string"), 1, 1)
+                      .cast("long").alias("digit"))
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d, BENFORD_P[d]) for d in range(1, 10)],
+        "digit: long, exp_p: double")
+    tot = digits.agg(F.sum("n").cast("long").alias("__tot"))
+    # broadcast the RIGHT side: left-outer can only build right
+    out = (spine.join(F.broadcast(digits), "digit", "left")
+           .withColumn("n", F.coalesce("n", F.lit(0)).cast("long"))
+           .crossJoin(F.broadcast(tot)))
+    obs = F.col("n").cast("double") / F.col("__tot").cast("double")
+    dev = obs - F.col("exp_p")
+    return (out.select("digit", "n", obs.alias("obs_p"), "exp_p",
+                       dev.alias("dev"),
+                       (F.abs(dev) > F.lit(tolerance))
+                       .alias("outside_tolerance"))
+            .orderBy("digit"))
+
+
+def gini_concentration(df: DataFrame, group_cols: list[str],
+                       key_col: str, amount_col: str) -> DataFrame:
+    """Per-group Gini coefficient of amount concentration across keys
+    — the inequality/concentration metric behind "top 1% of customers
+    drive X%" dashboards (and the Lorenz curve's scalar summary).
+
+    Exact integer form: amounts quantize to cents and per-key totals
+    rank ascending with a total (cents, key) tie-break; with x_i the
+    i-th smallest total (i = 1..n),
+
+        gini = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
+
+    Every product and both sums run in DECIMAL(38,0) (operands cast
+    BEFORE multiplying — the t_closeness rule), so the numerator and
+    denominator are exact integers and the result is ONE double
+    division: hash-identical cross-engine. Negative totals are kept
+    (the formula is the standard one over real incomes); an all-zero
+    group emits NULL.
+
+    Scale shape: one hash agg collapses the fact table to a row per
+    (group, key); the ranking window then runs over that AGGREGATE,
+    bounded by the dimension cardinality per group (the pareto_abc
+    posture). Output: (group…, n_units, total_cents, gini).
+    """
+    cents = F.round(F.col(amount_col) * 100).cast("long")
+    per_key = (df.groupBy(*group_cols, F.col(key_col).alias("__k"))
+               .agg(F.sum(cents.cast("decimal(38,0)")).alias("__x")))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__x"),
+                                                F.col("__k"))
+    ranked = per_key.withColumn(
+        "__i", F.row_number().over(w).cast("decimal(38,0)"))
+    g = (ranked.groupBy(*group_cols)
+         .agg(F.count(F.lit(1)).alias("__n"),
+              F.sum(F.col("__i") * F.col("__x")).alias("__s1"),
+              F.sum("__x").alias("__s")))
+    n_dec = F.col("__n").cast("decimal(38,0)")
+    num = (F.lit(2).cast("decimal(38,0)") * F.col("__s1")
+           - (n_dec + F.lit(1).cast("decimal(38,0)")) * F.col("__s"))
+    den = n_dec * F.col("__s")
+    return g.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n_units"),
+        F.col("__s").cast("long").alias("total_cents"),
+        F.when(F.col("__s") != 0,
+               num.cast("double") / den.cast("double")).alias("gini"))

@@ -16,7 +16,7 @@ upstream (`F.slice` after the sort) without changing the shape.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def encode_events(df: DataFrame, key_col: str, ts_col: str,
@@ -83,3 +83,43 @@ def transition_matrix(df: DataFrame, key_col: str, ts_col: str,
             .withColumn("n_from", F.sum("n").over(wrow))
             .select("from_type", "to_type", "n", "n_from",
                     F.round(F.col("n") / F.col("n_from"), 6).alias("p")))
+
+
+def top_paths(df: DataFrame, key_col: str, ts_col: str, type_col: str,
+              gap_seconds: int, tiebreak_col: str,
+              max_len: int = 8, k: int = 50) -> DataFrame:
+    """Top-k navigation paths: sessionize the event stream (gap rule),
+    render each session's first ``max_len`` event types as a '>'-joined
+    path string, and rank paths by session count — the "what do users
+    actually do" report product analytics starts from.
+
+    Determinism: the per-session ordering is a total (ts, tiebreak)
+    sort INSIDE array_sort over collected structs (JVM-side, no window
+    sort), truncation to ``max_len`` is applied after it, and the
+    final ranking breaks count ties on the path string.
+
+    Scale shape: one shuffle to (key)-partition the sessionize window,
+    one hash agg to (key, session) path strings, one hash agg to path
+    counts (path cardinality is grammar-bounded — event-type^max_len
+    worst case, Zipf-tiny in practice), and only that path-count table
+    crosses the global ranking window. Output: (path, n_sessions,
+    rank).
+    """
+    from .sessionize import sessionize
+
+    s = sessionize(df, key_col, ts_col, gap_seconds,
+                   tie_break=(tiebreak_col,))
+    ev = F.struct(F.col(ts_col), F.col(tiebreak_col),
+                  F.col(type_col).alias("t"))
+    path = F.array_join(
+        F.transform(F.slice(F.array_sort(F.collect_list(ev)),
+                            1, max_len),
+                    lambda e: e["t"]), ">")
+    per_session = (s.groupBy(key_col, "session_id")
+                   .agg(path.alias("path")))
+    counts = (per_session.groupBy("path")
+              .agg(F.count(F.lit(1)).alias("n_sessions")))
+    w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (counts.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))

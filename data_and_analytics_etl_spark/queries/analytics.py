@@ -2986,3 +2986,284 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t_closeness(c, ["c_nationkey", "c_mktsegment"],
                         "bal_band", t=0.2)
             .orderBy("c_nationkey", "c_mktsegment"))
+
+
+@query(
+    "analytics_attribution_multitouch",
+    oracle="""
+WITH conv AS (
+  SELECT user_id AS u, ts AS cts, event_id AS cid
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS u, ts AS tts, event_id AS tid,
+         event_type AS channel
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+), j AS (
+  SELECT c.cid, t.channel, t.tts, t.tid
+  FROM conv c JOIN touch t
+    ON c.u = t.u AND t.tts < c.cts
+   AND t.tts >= c.cts - INTERVAL 3 DAY
+), ranked AS (
+  SELECT cid, channel,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY tts, tid) AS rf,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY tts DESC, tid DESC) AS rl
+  FROM j
+), pc AS (
+  SELECT cid, channel, count(*) AS n FROM j GROUP BY cid, channel
+), firsts AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS first_touch
+  FROM ranked WHERE rf = 1 GROUP BY channel
+), lasts AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS last_touch
+  FROM ranked WHERE rl = 1 GROUP BY channel
+), parts AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS participation,
+         CAST(sum(n) AS BIGINT) AS touches
+  FROM pc GROUP BY channel
+)
+SELECT p.channel,
+       CAST(coalesce(f.first_touch, 0) AS BIGINT) AS first_touch,
+       CAST(coalesce(l.last_touch, 0) AS BIGINT) AS last_touch,
+       p.participation, p.touches
+FROM parts p
+LEFT JOIN firsts f ON p.channel = f.channel
+LEFT JOIN lasts l ON p.channel = l.channel
+ORDER BY p.channel
+""",
+    tags=("analytics", "events"),
+    doc="Multi-touch attribution (operators/attribution.py): purchase "
+        "conversions credited to view/click/signup touchpoints within "
+        "a 3-day lookback, under the four integer-credit models "
+        "(first/last/participation/touch volume — fractional models "
+        "are refused by design: per-channel double sums accumulate in "
+        "partition order and break exact-hash determinism). Spark "
+        "elects first/last per conversion with ONE min_by/max_by hash "
+        "aggregate over a (ts, event_id) struct — no window sort; the "
+        "oracle replays the election as dual row_number windows. The "
+        "user-key join is the only corpus-sized shuffle; per-user "
+        "volume bounds the pair fan-out.",
+)
+def analytics_attribution_multitouch(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    from ..operators.attribution import multitouch_attribution
+    ev = load_table(spark, sf_dir, "events")
+    return (multitouch_attribution(
+        ev, "user_id", "ts", "event_type", "event_id",
+        conversion_type="purchase",
+        touch_types=["view", "click", "signup"],
+        lookback_seconds=3 * 86400)
+        .orderBy("channel"))
+
+
+def _benford_spine_sql() -> str:
+    from ..operators.profile import BENFORD_P
+    rows = ", ".join(f"({d}, CAST({BENFORD_P[d]!r} AS DOUBLE))"
+                     for d in range(1, 10))
+    return f"(VALUES {rows}) AS s(digit, exp_p)"
+
+
+@query(
+    "profile_benford_digits",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+), counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS t FROM counts
+)
+SELECT CAST(s.digit AS BIGINT) AS digit,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(t AS DOUBLE) AS obs_p,
+       s.exp_p,
+       CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(t AS DOUBLE) - s.exp_p
+         AS dev,
+       abs(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(t AS DOUBLE)
+           - s.exp_p) > 0.02 AS outside_tolerance
+FROM {_benford_spine_sql()}
+LEFT JOIN counts c ON s.digit = c.digit
+CROSS JOIN tot
+ORDER BY s.digit
+""",
+    tags=("profile", "quality"),
+    doc="Benford first-digit audit of order amounts (operators/"
+        "profile.py:benford_digit_audit) — the fraud/fabrication "
+        "screen over naturally-occurring monetary values. Leading "
+        "digit is character arithmetic on exact integer cents (no "
+        "log/pow on data decides a digit); expected shares are ONE "
+        "Python literal table (log10(1+1/d)) feeding both engines "
+        "(the NDCG literal rule); observed share and deviation are a "
+        "fixed two-op IEEE chain after a single 9-group hash "
+        "aggregate. Absent digits emit honest zeros via the "
+        "broadcast digit spine.",
+)
+def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import benford_digit_audit
+    o = load_table(spark, sf_dir, "orders")
+    return benford_digit_audit(o, "o_totalprice", tolerance=0.02)
+
+
+@query(
+    "analytics_gini_concentration",
+    oracle="""
+WITH pk AS (
+  SELECT c.c_nationkey AS c_nationkey, o.o_custkey AS k,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+              AS HUGEINT) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), r AS (
+  SELECT c_nationkey, x,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY x, k) AS i
+  FROM pk
+), g AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(i AS HUGEINT) * x) AS s1, sum(x) AS s
+  FROM r GROUP BY c_nationkey
+)
+SELECT c_nationkey, n AS n_units, CAST(s AS BIGINT) AS total_cents,
+       CASE WHEN s <> 0
+            THEN CAST(2 * s1 - (CAST(n AS HUGEINT) + 1) * s AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * s AS DOUBLE)
+       END AS gini
+FROM g ORDER BY c_nationkey
+""",
+    tags=("analytics", "profile"),
+    doc="Per-nation Gini coefficient of customer revenue "
+        "concentration (operators/profile.py:gini_concentration) — "
+        "the Lorenz-curve scalar behind top-X%-drives-Y% dashboards. "
+        "Exact rank formula (2·Σi·x_i − (n+1)·Σx_i)/(n·Σx_i) over "
+        "integer cents with every product/sum in DECIMAL(38,0)/"
+        "HUGEINT (operands cast before multiplying) and ONE closing "
+        "double division. One fact-table hash agg to per-(nation, "
+        "customer) totals; the ranking window runs over that "
+        "aggregate, bounded by customers-per-nation.",
+)
+def analytics_gini_concentration(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..operators.profile import gini_concentration
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey", "o_custkey", "o_totalprice")
+    return (gini_concentration(j, ["c_nationkey"], "o_custkey",
+                               "o_totalprice")
+            .orderBy("c_nationkey"))
+
+
+@query(
+    "analytics_item_neighbors",
+    oracle="""
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), freq AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY i
+  HAVING count(*) >= 2
+), pruned AS (
+  SELECT bi.b, bi.i, f.n FROM bi JOIN freq f ON bi.i = f.i
+), pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b,
+         CAST(max(a.n) AS BIGINT) AS n_a,
+         CAST(max(b.n) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM pruned a JOIN pruned b ON a.b = b.b AND a.i < b.i
+  GROUP BY a.i, b.i HAVING count(*) >= 2
+), sym AS (
+  SELECT item_a AS item, item_b AS neighbor,
+         n_a AS n_item, n_b AS n_neighbor, n_ab AS n_both FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, n_b, n_a, n_ab FROM pairs
+), scored AS (
+  SELECT *,
+         CAST(n_both AS DOUBLE)
+           / sqrt(CAST(CAST(n_item AS HUGEINT) * n_neighbor
+                       AS DOUBLE)) AS cosine,
+         CAST(n_both AS DOUBLE)
+           / (CAST(n_item AS DOUBLE) + CAST(n_neighbor AS DOUBLE)
+              - CAST(n_both AS DOUBLE)) AS jaccard
+  FROM sym
+)
+SELECT item, neighbor, n_item, n_neighbor, n_both, cosine, jaccard,
+       rank
+FROM (SELECT *, CAST(row_number() OVER (
+          PARTITION BY item ORDER BY cosine DESC, neighbor)
+        AS BIGINT) AS rank
+      FROM scored)
+WHERE rank <= 5
+ORDER BY item, rank
+""",
+    tags=("analytics", "basket"),
+    doc="Item-to-item collaborative filtering neighbors (operators/"
+        "basket.py:item_neighbors, Linden et al. 2003 'customers who "
+        "bought X also bought Y') over order baskets: top-5 co-"
+        "occurrence-cosine neighbors per part with Jaccard alongside. "
+        "Apriori frequent-item semi-join fences the pair fan-out "
+        "BEFORE the basket-key equi-join (never item x item); counts "
+        "are exact longs, the n_a*n_b product runs in DECIMAL(38,0)/"
+        "HUGEINT before the sqrt, and each similarity is a fixed "
+        "one-division IEEE chain, so the top-k ranking (tie-broken on "
+        "neighbor id) is total and cross-engine identical.",
+)
+def analytics_item_neighbors(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..operators.basket import item_neighbors
+    li = load_table(spark, sf_dir, "lineitem")
+    return (item_neighbors(li, "l_orderkey", "l_partkey", k=5,
+                           min_item_count=2, min_pair_count=2)
+            .orderBy("item", "rank"))
+
+
+@query(
+    "sequence_top_paths",
+    oracle="""
+WITH e AS (
+  SELECT user_id AS u, ts, event_id AS eid, event_type AS et
+  FROM events
+), lagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts - lag(ts) OVER w) > 1800
+            THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY u ORDER BY ts, eid)
+), sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY u ORDER BY ts, eid
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+), paths AS (
+  SELECT u, sid,
+         array_to_string(list_slice(list(et ORDER BY ts, eid), 1, 8),
+                         '>') AS path
+  FROM sess GROUP BY u, sid
+), counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY path
+)
+SELECT path, n_sessions, rank
+FROM (SELECT *, CAST(row_number() OVER (
+          ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+      FROM counts)
+WHERE rank <= 50
+ORDER BY rank
+""",
+    tags=("analytics", "sequence"),
+    doc="Top-50 session navigation paths (operators/sequence.py:"
+        "top_paths): 30-minute-gap sessionization, each session's "
+        "first 8 event types joined '>'-wise, paths ranked by session "
+        "count with path-string tie-break. Per-session ordering is a "
+        "total (ts, event_id) array_sort INSIDE the collect aggregate "
+        "(JVM-side, no second window sort); only the grammar-bounded "
+        "path-count table crosses the global ranking window. The "
+        "oracle replays the gap rule as lag+running-sum and the "
+        "truncation as list_slice over an ordered list aggregate.",
+)
+def sequence_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequence import top_paths
+    ev = load_table(spark, sf_dir, "events")
+    return (top_paths(ev, "user_id", "ts", "event_type",
+                      gap_seconds=1800, tiebreak_col="event_id",
+                      max_len=8, k=50)
+            .orderBy("rank"))

@@ -122,6 +122,11 @@ ROUND_TIERS: dict[str, int] = {
     "text_naive_bayes_confusion": 30,   # integer-grid NB whole chain
     # new in r7, never driver-verified:
     "graph_k_core": 30,                 # k-core peel vs recursive CTE
+    "analytics_attribution_multitouch": 30,  # first/last/participation
+    "profile_benford_digits": 30,       # first-digit fraud screen
+    "analytics_gini_concentration": 30,  # exact rank-formula Gini
+    "analytics_item_neighbors": 30,     # item-item CF cosine top-k
+    "sequence_top_paths": 30,           # sessionized path ranking
 }
 
 

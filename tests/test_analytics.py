@@ -1515,3 +1515,214 @@ class TestTCloseness:
         out = {r["cls"]: r["emd"] for r in
                t_closeness(df, ["cls"], "band").collect()}
         assert out["a"] == 0.0 and out["b"] == 0.0
+
+
+class TestAttribution:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id: long, ts: timestamp, user_id: long, "
+                  "event_type: string")
+
+    def test_hand_computed_credits(self, spark):
+        import datetime as dtm
+
+        from data_and_analytics_etl_spark.operators.attribution import \
+            multitouch_attribution
+        t0 = dtm.datetime(2024, 1, 1)
+
+        def at(mins):
+            return t0 + dtm.timedelta(minutes=mins)
+
+        # user 1: view(0) -> click(10) -> purchase(20)
+        # user 2: click(0) -> view(5) -> purchase(10)
+        # user 3: purchase with no prior touch
+        rows = [(1, at(0), 1, "view"), (2, at(10), 1, "click"),
+                (3, at(20), 1, "purchase"),
+                (4, at(0), 2, "click"), (5, at(5), 2, "view"),
+                (6, at(10), 2, "purchase"),
+                (7, at(0), 3, "purchase")]
+        got = {r["channel"]: r for r in multitouch_attribution(
+            self._events(spark, rows), "user_id", "ts", "event_type",
+            "event_id", "purchase", ["view", "click"],
+            lookback_seconds=3600).collect()}
+        assert got["view"]["first_touch"] == 1   # user 1
+        assert got["click"]["first_touch"] == 1  # user 2
+        assert got["view"]["last_touch"] == 1    # user 2
+        assert got["click"]["last_touch"] == 1   # user 1
+        assert got["view"]["participation"] == 2
+        assert got["click"]["participation"] == 2
+        assert got["view"]["touches"] == 2
+
+    def test_lookback_and_strictly_before(self, spark):
+        import datetime as dtm
+
+        from data_and_analytics_etl_spark.operators.attribution import \
+            multitouch_attribution
+        t0 = dtm.datetime(2024, 1, 1)
+        rows = [
+            # touch outside the 60s lookback
+            (1, t0 - dtm.timedelta(seconds=120), 1, "view"),
+            # touch exactly AT the conversion ts: not strictly before
+            (2, t0, 1, "click"),
+            (3, t0, 1, "purchase"),
+        ]
+        out = multitouch_attribution(
+            self._events(spark, rows), "user_id", "ts", "event_type",
+            "event_id", "purchase", ["view", "click"],
+            lookback_seconds=60).collect()
+        assert out == []
+
+    def test_tie_breaks_on_id(self, spark):
+        import datetime as dtm
+
+        from data_and_analytics_etl_spark.operators.attribution import \
+            multitouch_attribution
+        t0 = dtm.datetime(2024, 1, 1)
+        rows = [(1, t0, 1, "view"), (2, t0, 1, "click"),  # same ts
+                (9, t0 + dtm.timedelta(seconds=30), 1, "purchase")]
+        got = {r["channel"]: r for r in multitouch_attribution(
+            self._events(spark, rows), "user_id", "ts", "event_type",
+            "event_id", "purchase", ["view", "click"],
+            lookback_seconds=3600).collect()}
+        assert got["view"]["first_touch"] == 1   # lower event_id wins
+        assert got["click"]["last_touch"] == 1
+
+
+class TestBenford:
+    def test_digits_and_exclusions(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import \
+            benford_digit_audit
+        # 19.99 -> digit 1, 2.50 -> 2, 0.91 -> 9 (cents 91), zero and
+        # negative excluded
+        df = spark.createDataFrame(
+            [(19.99,), (2.50,), (0.91,), (0.0,), (-5.0,)], "v: double")
+        rows = {r["digit"]: r for r in
+                benford_digit_audit(df, "v").collect()}
+        assert len(rows) == 9
+        assert [rows[d]["n"] for d in range(1, 10)] == [
+            1, 1, 0, 0, 0, 0, 0, 0, 1]
+        assert abs(rows[1]["obs_p"] - 1 / 3) < 1e-12
+        assert rows[3]["n"] == 0 and rows[3]["obs_p"] == 0.0
+
+    def test_benford_sample_within_tolerance(self, spark):
+        import math
+
+        from data_and_analytics_etl_spark.operators.profile import \
+            benford_digit_audit
+        # powers of a constant are the canonical Benford-conformant
+        # sequence (equidistribution of fractional log10)
+        vals = [(1.017 ** i,) for i in range(1, 1201)]
+        df = spark.createDataFrame(vals, "v: double")
+        rows = benford_digit_audit(df, "v", tolerance=0.03).collect()
+        assert all(not r["outside_tolerance"] for r in rows)
+        assert abs(sum(r["obs_p"] for r in rows) - 1.0) < 1e-9
+        assert abs(sum(math.log10(1 + 1 / d)
+                       for d in range(1, 10)) - 1.0) < 1e-12
+
+
+class TestGini:
+    def _gini(self, spark, amounts):
+        from data_and_analytics_etl_spark.operators.profile import \
+            gini_concentration
+        df = spark.createDataFrame(
+            [(1, i, float(a)) for i, a in enumerate(amounts)],
+            "g: long, k: long, v: double")
+        return gini_concentration(df, ["g"], "k", "v").collect()[0]
+
+    def test_perfect_equality_is_zero(self, spark):
+        assert self._gini(spark, [5.0] * 8)["gini"] == 0.0
+
+    def test_total_concentration_approaches_one(self, spark):
+        r = self._gini(spark, [0.0] * 9 + [100.0])
+        # exact formula: (n-1)/n = 0.9 when one unit holds everything
+        assert abs(r["gini"] - 0.9) < 1e-12
+
+    def test_known_two_value_case(self, spark):
+        # x = [1, 3]: gini = (2*(1*1+2*3) - 3*4) / (2*4) = 2/8 = 0.25
+        r = self._gini(spark, [1.0, 3.0])
+        assert abs(r["gini"] - 0.25) < 1e-12
+        assert r["n_units"] == 2 and r["total_cents"] == 400
+
+    def test_zero_total_emits_null(self, spark):
+        assert self._gini(spark, [0.0, 0.0])["gini"] is None
+
+
+class TestItemNeighbors:
+    def test_hand_computed_cosine(self, spark):
+        import math
+
+        from data_and_analytics_etl_spark.operators.basket import \
+            item_neighbors
+        # baskets: {a,b}, {a,b}, {a,c} -> n_a=3, n_b=2, n_c=1(pruned)
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"),
+             (3, "c")], "b: long, i: string")
+        rows = item_neighbors(df, "b", "i", k=5, min_item_count=2,
+                              min_pair_count=2).collect()
+        got = {(r["item"], r["neighbor"]): r for r in rows}
+        assert set(got) == {("a", "b"), ("b", "a")}  # c pruned
+        r = got[("a", "b")]
+        assert (r["n_item"], r["n_neighbor"], r["n_both"]) == (3, 2, 2)
+        assert abs(r["cosine"] - 2 / math.sqrt(6)) < 1e-12
+        assert abs(r["jaccard"] - 2 / 3) < 1e-12
+        # symmetric counts swap
+        assert got[("b", "a")]["n_item"] == 2
+
+    def test_k_truncates_with_total_ties(self, spark):
+        from data_and_analytics_etl_spark.operators.basket import \
+            item_neighbors
+        # x co-occurs equally with y and z -> tie broken by neighbor id
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "x"), (2, "y"),
+             (3, "x"), (3, "z"), (4, "x"), (4, "z")],
+            "b: long, i: string")
+        rows = [r for r in item_neighbors(df, "b", "i", k=1).collect()
+                if r["item"] == "x"]
+        assert len(rows) == 1 and rows[0]["neighbor"] == "y"
+
+
+class TestTopPaths:
+    def test_sessions_split_and_truncate(self, spark):
+        import datetime as dtm
+
+        from data_and_analytics_etl_spark.operators.sequence import \
+            top_paths
+        t0 = dtm.datetime(2024, 1, 1)
+
+        def at(secs):
+            return t0 + dtm.timedelta(seconds=secs)
+
+        rows = [
+            # user 1 session 1: a>b ; session 2 (gap > 60): a>b
+            (1, at(0), 1, "a"), (2, at(10), 1, "b"),
+            (3, at(100), 1, "a"), (4, at(110), 1, "b"),
+            # user 2: one long session truncated at max_len=2: a>b(, c)
+            (5, at(0), 2, "a"), (6, at(10), 2, "b"), (7, at(20), 2, "c"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id: long, ts: timestamp, user_id: long, "
+                  "event_type: string")
+        got = top_paths(df, "user_id", "ts", "event_type",
+                        gap_seconds=60, tiebreak_col="event_id",
+                        max_len=2, k=10).collect()
+        assert [(r["path"], r["n_sessions"], r["rank"])
+                for r in sorted(got, key=lambda r: r["rank"])] == [
+            ("a>b", 3, 1)]
+
+    def test_rank_tie_breaks_on_path(self, spark):
+        import datetime as dtm
+
+        from data_and_analytics_etl_spark.operators.sequence import \
+            top_paths
+        t0 = dtm.datetime(2024, 1, 1)
+        rows = [(1, t0, 1, "a"), (2, t0 + dtm.timedelta(seconds=300),
+                                  2, "b")]
+        df = spark.createDataFrame(
+            rows, "event_id: long, ts: timestamp, user_id: long, "
+                  "event_type: string")
+        got = top_paths(df, "user_id", "ts", "event_type",
+                        gap_seconds=60, tiebreak_col="event_id",
+                        max_len=8, k=10).collect()
+        assert [(r["path"], r["rank"]) for r in
+                sorted(got, key=lambda r: r["rank"])] == [
+            ("a", 1), ("b", 2)]

@@ -42,6 +42,8 @@ EXEMPT_PROBES = {
     "bpe_learn_merges",   # BPE merge learning: per-merge argmax loop is
     "bpe_token_stats",    # the algorithm (operators/bpe.py); encode
                           # itself is lazy but consumes the learned table
+    "graph_k_core",       # degree-peel fixpoint loop: per-round edge
+                          # count is the convergence probe (graph.py)
 }
 
 

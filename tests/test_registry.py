@@ -42,7 +42,9 @@ MUST_BE_IN_WINDOW = {
     "neardup_semantic_dedup", "feature_hash_trick",
     "text_naive_bayes_confusion",
     # new in r7 (tier C, priority 30)
-    "graph_k_core",
+    "graph_k_core", "analytics_attribution_multitouch",
+    "profile_benford_digits", "analytics_gini_concentration",
+    "analytics_item_neighbors", "sequence_top_paths",
 }
 
 
