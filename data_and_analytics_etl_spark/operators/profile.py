@@ -155,6 +155,12 @@ def drift_ks(df_a: DataFrame, df_b: DataFrame, value_col: str,
                         bucket.alias("__bucket"),
                         F.lit(a).alias("__a"), F.lit(b).alias("__b"))
 
+    # pts feeds the scored branch and the bucket-totals branch; Catalyst
+    # plans the subtree per consumer but AQE's exchange reuse collapses
+    # the identical agg exchanges at runtime. (A persist() here was
+    # measured SLOWER at sf0.1 — cache materialization of the
+    # distinct-value table costs more than the re-scan; revisit only if
+    # profiling at target scale shows the scans dominating.)
     pts = (tag(df_a, 1, 0).unionByName(tag(df_b, 0, 1))
            .groupBy("__bucket", "v")
            .agg(F.sum("__a").alias("n_a"), F.sum("__b").alias("n_b")))
@@ -168,13 +174,16 @@ def drift_ks(df_a: DataFrame, df_b: DataFrame, value_col: str,
         F.coalesce(F.sum("__bb").over(wb), F.lit(0)).alias("__baseb"))
     wv = (Window.partitionBy("__bucket").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, 0))
-    wall = Window.partitionBy(F.lit(0)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
+    # Grand totals as a 1-row aggregate broadcast-cross-joined in —
+    # NOT a partitionBy(lit(0)) window, which would funnel the whole
+    # distinct-values table through one task just to attach two longs.
+    # Derived from the nbins-row totals table, not pts, so the rollup
+    # is O(nbins) work on the cached frame.
+    tot = totals.agg(F.sum("__ba").alias("__ta"), F.sum("__bb").alias("__tb"))
     scored = (pts.join(F.broadcast(base), "__bucket")
               .withColumn("__ca", F.col("__basea") + F.sum("n_a").over(wv))
               .withColumn("__cb", F.col("__baseb") + F.sum("n_b").over(wv))
-              .withColumn("__ta", F.sum("n_a").over(wall))
-              .withColumn("__tb", F.sum("n_b").over(wall))
+              .crossJoin(F.broadcast(tot))
               .withColumn("ks_at_v", F.abs(
                   F.col("__ca") / F.col("__ta")
                   - F.col("__cb") / F.col("__tb"))))
