@@ -176,3 +176,42 @@ def hash_features(df: DataFrame, id_col: str, text_col: str,
     return (d.groupBy(F.col(id_col), bucket.alias("bucket"))
             .agg(F.sum(sign).cast("long").alias("weight"))
             .filter(F.col("weight") != 0))
+
+
+def mutual_info_cells(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mutual information between two categorical columns, emitted as
+    per-(x, y) CELL contributions — the feature-selection signal
+    I(X;Y) = Σ_cells p(x,y)·ln(p(x,y)/(p(x)p(y))), with the total left
+    as a caller-side sum over the bounded cell rows (the drift_psi /
+    categorical_profile per-row-contribution contract: no
+    order-sensitive double accumulation ever crosses an engine
+    boundary).
+
+    Each cell row carries (x, y, n_xy, n_x, n_y, n_total, mi_contrib)
+    where mi_contrib = (n_xy/N)·ln((n_xy·N)/(n_x·n_y)) as ONE double
+    expression from exact integer counts (operands go to double BEFORE
+    the products — long·long would wrap at ~3e9-row margins, and the
+    quotient is what ln needs anyway).
+
+    Plan: one hash agg to the (x, y) cell table; the marginals ride
+    windows PARTITIONED by x and by y over that aggregate (bounded by
+    the categorical cardinalities by definition); the grand total
+    broadcast-cross-joins from a 1-row rollup — no data-sized
+    single-task stage (the drift_ks totals rule).
+    """
+    cells = (df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+             .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy")))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    tot = cells.agg(F.sum("n_xy").alias("n_total"))
+    nxy = F.col("n_xy").cast("double")
+    nx = F.col("n_x").cast("double")
+    ny = F.col("n_y").cast("double")
+    nn = F.col("n_total").cast("double")
+    return (cells
+            .withColumn("n_x", F.sum("n_xy").over(wx))
+            .withColumn("n_y", F.sum("n_xy").over(wy))
+            .crossJoin(F.broadcast(tot))
+            .select("x", "y", "n_xy", "n_x", "n_y", "n_total",
+                    F.round((nxy / nn) * F.log((nxy * nn) / (nx * ny)), 6)
+                     .alias("mi_contrib")))

@@ -266,7 +266,10 @@ def welch_ttest(df_a: DataFrame, df_b: DataFrame, value_col: str,
     agg = (both.groupBy("group", "__s")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("__vc").cast("decimal(38,0)")).alias("s1"),
-                F.sum((F.col("__vc") * F.col("__vc"))
+                # cast BEFORE the square: long*long wraps at |v| > ~3e9
+                # cents; decimal*decimal cannot
+                F.sum((F.col("__vc").cast("decimal(19,0)")
+                       * F.col("__vc").cast("decimal(19,0)"))
                       .cast("decimal(38,0)")).alias("s2")))
     a = agg.filter(F.col("__s") == "a").select(
         "group", F.col("n").alias("n_a"),
@@ -720,3 +723,67 @@ def gini_concentration(df: DataFrame, group_cols: list[str],
         F.col("__s").cast("long").alias("total_cents"),
         F.when(F.col("__s") != 0,
                num.cast("double") / den.cast("double")).alias("gini"))
+
+
+def cuped_adjust(units: DataFrame, arm_col: str, metric_col: str,
+                 covariate_col: str) -> DataFrame:
+    """CUPED variance reduction for experiment readouts (Deng et al.
+    '13): shrink each unit's metric Y by its pre-experiment covariate X
+    before comparing arms,
+
+        Y'_i = Y_i − θ·(X_i − mean(X)),   θ = cov(X, Y) / var(X),
+
+    with θ fit on ALL units pooled (standard practice — the covariate
+    is pre-assignment, so pooling can't leak arm effects). Reported per
+    arm: n, raw metric mean, CUPED-adjusted mean, plus the pooled θ
+    and the variance-reduction fraction ρ² = θ²·var(X)/var(Y) every
+    arm row repeats (readability over normalization).
+
+    Engine-exact float policy (welch_ttest's): X and Y quantize to
+    integer cents; Σx, Σy, Σxy, Σx², Σy² accumulate in DECIMAL(38,0)
+    with operands cast BEFORE the products; every emitted double is ONE
+    expression over those exact sums, so results are bit-identical
+    across engines and partitionings. Plan: one hash agg per arm (one
+    shuffle), the 1-row pooled rollup derives from the per-arm rows and
+    broadcast-cross-joins back — no data-sized single-task stage.
+    """
+    d = F.col("__x").cast("decimal(19,0)")
+    e = F.col("__y").cast("decimal(19,0)")
+    q = (units.select(
+            F.col(arm_col).alias("arm"),
+            F.round(F.col(covariate_col) * 100).cast("long").alias("__x"),
+            F.round(F.col(metric_col) * 100).cast("long").alias("__y"))
+         .select("arm", "__x", "__y",
+                 (d * e).cast("decimal(38,0)").alias("__xy"),
+                 (d * d).cast("decimal(38,0)").alias("__xx"),
+                 (e * e).cast("decimal(38,0)").alias("__yy")))
+    per_arm = q.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("__y").cast("decimal(38,0)")).alias("sy"),
+        F.sum("__xy").alias("sxy"),
+        F.sum("__xx").alias("sxx"),
+        F.sum("__yy").alias("syy"))
+    pooled = per_arm.agg(
+        F.sum("n").alias("tn"), F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"), F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"), F.sum("syy").alias("tsyy"))
+    tn = F.col("tn").cast("double")
+    tsx = F.col("tsx").cast("double")
+    tsy = F.col("tsy").cast("double")
+    cov = F.col("tsxy").cast("double") - tsx * tsy / tn
+    varx = F.col("tsxx").cast("double") - tsx * tsx / tn
+    vary = F.col("tsyy").cast("double") - tsy * tsy / tn
+    theta = cov / varx
+    mean_x_all = tsx / tn
+    n = F.col("n").cast("double")
+    mean_y = F.col("sy").cast("double") / n
+    mean_x = F.col("sx").cast("double") / n
+    adj = mean_y - theta * (mean_x - mean_x_all)
+    return (per_arm.crossJoin(F.broadcast(pooled))
+            .select("arm", "n",
+                    F.round(mean_y / 100.0, 6).alias("mean_metric"),
+                    F.round(adj / 100.0, 6).alias("mean_adjusted"),
+                    F.round(theta, 6).alias("theta"),
+                    F.round(theta * theta * varx / vary, 6)
+                     .alias("var_reduction")))

@@ -439,3 +439,60 @@ def decompose_seasonal(resampled: DataFrame, key: str,
                        - F.col("seasonal")))
     return out.select(key, "bucket", phase_col, value_col, "trend",
                       "seasonal", "residual")
+
+
+def holt_linear(resampled: DataFrame, key: str, order_col: str,
+                value_col: str, alpha: float = 0.5,
+                beta: float = 0.25) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + trend) with a
+    one-step-ahead forecast — the trending complement of
+    :func:`ewma_bounded` (which tracks level only and cannot follow a
+    ramp without lag).
+
+        l_t = α·v_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        init: l_1 = v_1, b_1 = 0
+
+    The recursion is inherently sequential IN t but embarrassingly
+    parallel ACROSS keys, so each key's (bounded, resampled) series
+    folds in one F.aggregate over its collected, sorted values — the
+    kaplan_meier shape: one shuffle on the key, per-key state is two
+    doubles. Callers resample first (timeseries.resample), which bounds
+    the per-key array by the series length by construction.
+
+    Float policy: the fold is a FIXED chain of IEEE ops over the input
+    doubles with binary-exact default coefficients (α = 0.5, β = 0.25),
+    so the result is bit-identical across engines running the same
+    chain (the round-6 timeseries_interpolate lesson: emit the raw
+    double, don't re-round). Output: (key, n_obs, level, trend,
+    forecast_1 = level + trend).
+    """
+    a, bb = F.lit(float(alpha)), F.lit(float(beta))
+    series = (resampled
+              .groupBy(key)
+              .agg(F.array_sort(
+                  F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                          F.col(value_col).alias("v"))))
+                  .alias("__s")))
+    vals = F.transform(F.col("__s"), lambda s: s["v"])
+    init = F.struct(F.lit(0).alias("n"),
+                    F.lit(0.0).alias("l"), F.lit(0.0).alias("b"))
+
+    def step(acc, v):
+        lp = a * v + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        return F.when(acc["n"] == 0,
+                      F.struct(F.lit(1).alias("n"), v.alias("l"),
+                               F.lit(0.0).alias("b"))) \
+                .otherwise(F.struct(
+                    (acc["n"] + 1).alias("n"),
+                    lp.alias("l"),
+                    (bb * (lp - acc["l"])
+                     + (F.lit(1.0) - bb) * acc["b"]).alias("b")))
+
+    fin = F.aggregate(vals, init, step)
+    return (series.select(
+        key,
+        fin["n"].alias("n_obs"),
+        fin["l"].alias("level"),
+        fin["b"].alias("trend"),
+        (fin["l"] + fin["b"]).alias("forecast_1")))

@@ -3267,3 +3267,206 @@ def sequence_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                       gap_seconds=1800, tiebreak_col="event_id",
                       max_len=8, k=50)
             .orderBy("rank"))
+
+
+@query(
+    "incremental_join_delta",
+    oracle="""
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("analytics", "incremental"),
+    doc="Incremental JOIN maintenance (operators/incremental.py:"
+        "join_delta): orders and customer each split into an old half "
+        "and an insert delta; the maintained join = materialized "
+        "old-side join + join_delta(ΔA⋈B_old ∪ A_new⋈ΔB). The oracle "
+        "is a FULL recompute of the unsplit join — the probe asserts "
+        "the delta algebra Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB is bag-exact, "
+        "the IVM contract that lets an hourly batch maintain a 100 TB "
+        "join without re-shuffling history (the delta side broadcasts).",
+)
+def incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import join_delta
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    a_old = o.filter(F.col("o_orderdate") < cut).drop("o_orderdate")
+    a_delta = o.filter(F.col("o_orderdate") >= cut).drop("o_orderdate")
+    b_old = c.filter(F.col("custkey") % 10 != 0)
+    b_delta = c.filter(F.col("custkey") % 10 == 0)
+    maintained = (a_old.join(b_old, "custkey")
+                  .unionByName(join_delta(a_old, a_delta,
+                                          b_old, b_delta, ["custkey"])))
+    return (maintained.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("revenue"))
+            .orderBy("c_nationkey"))
+
+
+@query(
+    "analytics_cuped_adjustment",
+    oracle="""
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS pre_value,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS post_value
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), q AS (
+  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+              THEN 'holdout' ELSE 'train' END AS arm,
+         CAST(round(pre_value * 100) AS BIGINT) AS x,
+         CAST(round(post_value * 100) AS BIGINT) AS y
+  FROM pu
+), pa AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM q GROUP BY 1
+), pooled AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS tn, CAST(sum(sx) AS DOUBLE) AS tsx,
+         CAST(sum(sy) AS DOUBLE) AS tsy, CAST(sum(sxy) AS DOUBLE) AS tsxy,
+         CAST(sum(sxx) AS DOUBLE) AS tsxx, CAST(sum(syy) AS DOUBLE) AS tsyy
+  FROM pa
+)
+SELECT arm, n,
+       round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6)
+         AS mean_metric,
+       round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              - ((tsxy - tsx * tsy / tn) / (tsxx - tsx * tsx / tn))
+                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - tsx / tn))
+             / 100.0, 6) AS mean_adjusted,
+       round((tsxy - tsx * tsy / tn) / (tsxx - tsx * tsx / tn), 6)
+         AS theta,
+       round(((tsxy - tsx * tsy / tn) / (tsxx - tsx * tsx / tn))
+             * ((tsxy - tsx * tsy / tn) / (tsxx - tsx * tsx / tn))
+             * (tsxx - tsx * tsx / tn) / (tsyy - tsy * tsy / tn), 6)
+         AS var_reduction
+FROM pa, pooled ORDER BY arm
+""",
+    tags=("analytics", "experiment"),
+    doc="CUPED variance-reduced experiment readout (operators/"
+        "profile.py:cuped_adjust, Deng et al. '13): per-user PRE-cutoff "
+        "spend is the covariate, POST-cutoff spend the metric, arms by "
+        "md5 hash (the ab_welch_ttest assignment); θ = cov(X,Y)/var(X) "
+        "fit pooled from exact decimal Σx/Σy/Σxy/Σx²/Σy² (operands cast "
+        "before products), every emitted double ONE expression over "
+        "those sums. The oracle recomputes the identical algebra.",
+)
+def analytics_cuped_adjustment(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.profile import cuped_adjust
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    cut = F.lit("2024-01-16").cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,2)")
+    vdec = F.col("value").cast("decimal(18,2)")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, vdec).otherwise(zero))
+         .cast("double").alias("pre_value"),
+        F.sum(F.when(F.col("ts") >= cut, vdec).otherwise(zero))
+         .cast("double").alias("post_value"))
+    units = per_user.withColumn(
+        "arm",
+        F.when(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2)
+               < "80", "holdout").otherwise("train"))
+    return (cuped_adjust(units, "arm", "post_value", "pre_value")
+            .orderBy("arm"))
+
+
+@query(
+    "timeseries_holt_linear",
+    oracle="""
+WITH RECURSIVE series AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), s2 AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket)
+           AS rn
+  FROM series
+), r AS (
+  SELECT event_type, 1 AS i, v AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM s2 WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         0.5 * t.v + 0.5 * (r.l + r.b),
+         0.25 * ((0.5 * t.v + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+  FROM r JOIN s2 t ON t.event_type = r.event_type AND t.rn = r.i + 1
+), mx AS (
+  SELECT event_type, CAST(max(rn) AS INTEGER) AS n_obs FROM s2 GROUP BY 1
+)
+SELECT r.event_type AS event_type, mx.n_obs, r.l AS level,
+       r.b AS trend, r.l + r.b AS forecast_1
+FROM r JOIN mx ON r.event_type = mx.event_type AND r.i = mx.n_obs
+ORDER BY r.event_type
+""",
+    tags=("analytics", "timeseries"),
+    doc="Holt double exponential smoothing (operators/timeseries.py:"
+        "holt_linear): per event_type the daily value series folds "
+        "through level/trend recursion (α=0.5, β=0.25, both binary-"
+        "exact) in ONE F.aggregate over the collected sorted series — "
+        "sequential in t, parallel across keys, one shuffle. The "
+        "oracle replays the identical IEEE chain as a recursive CTE, "
+        "proving the fold is bit-stable cross-engine (the kaplan_meier "
+        "list-fold precedent); raw doubles emitted, no re-rounding.",
+)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_linear
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("day", F.col("ts")).alias("bucket"))
+              .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                   .cast("double").alias("v")))
+    return (holt_linear(series, "event_type", "bucket", "v")
+            .orderBy("event_type"))
+
+
+@query(
+    "feature_mutual_info",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y,
+         CAST(count(*) AS BIGINT) AS n_xy
+  FROM orders GROUP BY 1, 2
+), m AS (
+  SELECT x, y, n_xy,
+         CAST(sum(n_xy) OVER (PARTITION BY x) AS BIGINT) AS n_x,
+         CAST(sum(n_xy) OVER (PARTITION BY y) AS BIGINT) AS n_y,
+         CAST((SELECT sum(n_xy) FROM cells) AS BIGINT) AS n_total
+  FROM cells
+)
+SELECT x, y, n_xy, n_x, n_y, n_total,
+       round((CAST(n_xy AS DOUBLE) / CAST(n_total AS DOUBLE))
+             * ln((CAST(n_xy AS DOUBLE) * CAST(n_total AS DOUBLE))
+                  / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6)
+         AS mi_contrib
+FROM m ORDER BY x, y
+""",
+    tags=("analytics", "feature"),
+    doc="Mutual information between categorical feature and label "
+        "(operators/features.py:mutual_info_cells): per-(x,y) cell "
+        "contribution (n_xy/N)·ln(n_xy·N/(n_x·n_y)) as ONE double "
+        "expression from exact integer counts; I(X;Y) is a caller-side "
+        "sum over the bounded cell rows (the categorical_profile "
+        "contract). Marginals ride windows over the cell AGGREGATE, "
+        "the grand total broadcast-cross-joins from a 1-row rollup.",
+)
+def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import mutual_info_cells
+    o = load_table(spark, sf_dir, "orders")
+    return (mutual_info_cells(o, "o_orderpriority", "o_orderstatus")
+            .orderBy("x", "y"))

@@ -721,3 +721,54 @@ def etl_delete_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("value").cast("decimal(18,2)"))
                   .cast("double").alias("sum_value"))
             .orderBy("year", "month", "day", "hour"))
+
+
+@query(
+    "etl_cdc_apply",
+    oracle="""
+WITH ch AS (
+  SELECT o_custkey AS c_custkey,
+         'upd#' || CAST(o_orderkey AS VARCHAR) AS c_name,
+         o_totalprice AS c_acctbal,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders
+), u AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         CAST(NULL AS BIGINT) AS seq, 'U' AS op
+  FROM customer
+  UNION ALL SELECT * FROM ch
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY c_custkey
+      ORDER BY seq DESC NULLS LAST, op DESC) AS rn
+  FROM u
+)
+SELECT c_custkey, c_name, c_acctbal
+FROM r WHERE rn = 1 AND op <> 'D'
+ORDER BY c_custkey
+""",
+    tags=("etl", "incremental"),
+    doc="CDC changelog apply (operators/incremental.py:apply_changelog "
+        "— the Debezium/binlog-consumer shape, reference per-record "
+        "push replay CommCareAPIHandler.py:214-260): orders become a "
+        "keyed changelog over customer (seq = orderkey, every 7th a "
+        "delete), base rows rank as seq -inf upserts, ONE window picks "
+        "the highest-sequence survivor and the delete filter drops "
+        "erased keys. The oracle replays the same log with row_number.",
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import apply_changelog
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    o = load_table(spark, sf_dir, "orders")
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("upd#"),
+                 F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, "D")
+         .otherwise("U").alias("op"))
+    return (apply_changelog(c, changes, ["c_custkey"], "seq", "op")
+            .orderBy("c_custkey"))

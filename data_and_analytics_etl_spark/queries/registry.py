@@ -103,6 +103,8 @@ ROUND_TIERS: dict[str, int] = {
     # timeseries_cusum_changepoints are ALSO in the never-driver-
     # verified 13; one slot each covers both reasons.
     "etl_merge_partitioned": 20,        # Hadoop-FS purge path (r7)
+    "corpus_decontaminate": 20,         # pre-explode array_distinct (r7)
+    "ab_welch_ttest": 20,               # s2 cast-before-square fix (r7)
     # the 13 probes registered after r6's closing FULLVERIFY — green in
     # the local oracle sweep but present in NO driver artifact (the r6
     # verdict's #1 finding). Every one is pinned until CORRECTNESS_r07 /
@@ -127,6 +129,12 @@ ROUND_TIERS: dict[str, int] = {
     "analytics_gini_concentration": 30,  # exact rank-formula Gini
     "analytics_item_neighbors": 30,     # item-item CF cosine top-k
     "sequence_top_paths": 30,           # sessionized path ranking
+    # new in r7 (2nd session), never driver-verified:
+    "etl_cdc_apply": 30,                # CDC changelog apply
+    "incremental_join_delta": 30,       # IVM join-delta maintenance
+    "analytics_cuped_adjustment": 30,   # CUPED variance reduction
+    "timeseries_holt_linear": 30,       # Holt level+trend fold
+    "feature_mutual_info": 30,          # per-cell MI contributions
 }
 
 

@@ -1726,3 +1726,166 @@ class TestTopPaths:
         assert [(r["path"], r["rank"]) for r in
                 sorted(got, key=lambda r: r["rank"])] == [
             ("a", 1), ("b", 2)]
+
+
+class TestApplyChangelog:
+    def _run(self, spark):
+        from data_and_analytics_etl_spark.operators.incremental import (
+            apply_changelog)
+        base = spark.createDataFrame(
+            [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+            "k long, name string, bal double")
+        # key 1: updated twice (seq 5 wins); key 2: deleted; key 3:
+        # untouched; key 4: insert-then-delete-then-reinsert (seq 9
+        # upsert wins); key 5: delete of a key the base never had
+        changes = spark.createDataFrame(
+            [(1, "a2", 11.0, 3, "U"), (1, "a3", 12.0, 5, "U"),
+             (2, None, None, 4, "D"),
+             (4, "dave", 40.0, 7, "U"), (4, None, None, 8, "D"),
+             (4, "dave2", 41.0, 9, "U"),
+             (5, None, None, 2, "D")],
+            "k long, name string, bal double, seq long, op string")
+        out = apply_changelog(base, changes, ["k"], "seq", "op")
+        return {r["k"]: (r["name"], r["bal"]) for r in out.collect()}
+
+    def test_latest_sequence_wins_and_deletes_erase(self, spark):
+        got = self._run(spark)
+        assert got == {1: ("a3", 12.0), 3: ("carol", 30.0),
+                       4: ("dave2", 41.0)}
+
+    def test_same_seq_tie_prefers_upsert(self, spark):
+        from data_and_analytics_etl_spark.operators.incremental import (
+            apply_changelog)
+        base = spark.createDataFrame([(1, "x")], "k long, v string")
+        changes = spark.createDataFrame(
+            [(1, "up", 3, "U"), (1, None, 3, "D")],
+            "k long, v string, seq long, op string")
+        out = apply_changelog(base, changes, ["k"], "seq", "op").collect()
+        assert [(r["k"], r["v"]) for r in out] == [(1, "up")]
+
+
+class TestJoinDelta:
+    def test_maintained_equals_recompute(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.incremental import (
+            join_delta)
+        o = (load_table(spark, sf_dir, "orders")
+             .select(F.col("o_custkey").alias("ck"), "o_orderkey"))
+        c = (load_table(spark, sf_dir, "customer")
+             .select(F.col("c_custkey").alias("ck"), "c_nationkey"))
+        a_old = o.filter(F.col("o_orderkey") % 3 != 0)
+        a_delta = o.filter(F.col("o_orderkey") % 3 == 0)
+        b_old = c.filter(F.col("ck") % 4 != 0)
+        b_delta = c.filter(F.col("ck") % 4 == 0)
+        maintained = (a_old.join(b_old, "ck")
+                      .unionByName(join_delta(a_old, a_delta,
+                                              b_old, b_delta, ["ck"])))
+        full = o.join(c, "ck")
+        assert maintained.exceptAll(full).count() == 0
+        assert full.exceptAll(maintained).count() == 0
+
+
+class TestCuped:
+    def test_matches_hand_computation(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import (
+            cuped_adjust)
+        rows = [("a", 10.0, 1.0), ("a", 20.0, 3.0),
+                ("b", 30.0, 2.0), ("b", 40.0, 4.0)]
+        df = spark.createDataFrame(rows, "arm string, y double, x double")
+        out = {r["arm"]: r for r in
+               cuped_adjust(df, "arm", "y", "x").collect()}
+        xs = [100, 300, 200, 400]   # cents
+        ys = [1000, 2000, 3000, 4000]
+        n = 4.0
+        sx, sy = float(sum(xs)), float(sum(ys))
+        sxy = float(sum(a * b for a, b in zip(xs, ys)))
+        sxx = float(sum(a * a for a in xs))
+        syy = float(sum(b * b for b in ys))
+        theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        for arm, (xa, ya) in {"a": ([100, 300], [1000, 2000]),
+                              "b": ([200, 400], [3000, 4000])}.items():
+            my = sum(ya) / 2.0
+            mx = sum(xa) / 2.0
+            adj = my - theta * (mx - sx / n)
+            assert out[arm]["n"] == 2
+            assert out[arm]["mean_metric"] == round(my / 100.0, 6)
+            assert out[arm]["mean_adjusted"] == round(adj / 100.0, 6)
+            assert out[arm]["theta"] == round(theta, 6)
+
+    def test_perfect_covariate_removes_all_variance(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import (
+            cuped_adjust)
+        # y = 2x exactly -> theta = 2, var_reduction = 1
+        rows = [("a", 2.0 * v, v) for v in (1.0, 2.0, 3.0, 5.0)]
+        df = spark.createDataFrame(rows, "arm string, y double, x double")
+        r = cuped_adjust(df, "arm", "y", "x").collect()[0]
+        assert r["theta"] == 2.0
+        assert r["var_reduction"] == 1.0
+
+
+class TestHoltLinear:
+    def test_matches_python_fold(self, spark):
+        from data_and_analytics_etl_spark.operators.timeseries import (
+            holt_linear)
+        vals = [1.0, 2.0, 4.0, 3.0, 8.0]
+        rows = [("k", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "key string, t long, v double")
+        out = holt_linear(df, "key", "t", "v").collect()[0]
+        l, b = vals[0], 0.0
+        for v in vals[1:]:
+            lp = 0.5 * v + 0.5 * (l + b)
+            b = 0.25 * (lp - l) + 0.75 * b
+            l = lp
+        assert out["n_obs"] == len(vals)
+        assert out["level"] == l
+        assert out["trend"] == b
+        assert out["forecast_1"] == l + b
+
+    def test_linear_ramp_trend_converges_positive(self, spark):
+        from data_and_analytics_etl_spark.operators.timeseries import (
+            holt_linear)
+        rows = [("k", i, float(10 + 2 * i)) for i in range(40)]
+        df = spark.createDataFrame(rows, "key string, t long, v double")
+        out = holt_linear(df, "key", "t", "v").collect()[0]
+        # on a clean slope-2 ramp the trend estimate approaches 2
+        assert abs(out["trend"] - 2.0) < 0.05
+        assert out["forecast_1"] > out["level"]
+
+    def test_single_point_series(self, spark):
+        from data_and_analytics_etl_spark.operators.timeseries import (
+            holt_linear)
+        df = spark.createDataFrame([("k", 1, 7.0)],
+                                   "key string, t long, v double")
+        out = holt_linear(df, "key", "t", "v").collect()[0]
+        assert (out["n_obs"], out["level"], out["trend"]) == (1, 7.0, 0.0)
+
+
+class TestMutualInfo:
+    def test_matches_hand_computation(self, spark):
+        import math
+        from data_and_analytics_etl_spark.operators.features import (
+            mutual_info_cells)
+        rows = ([("p", "t")] * 4 + [("p", "f")] * 1
+                + [("q", "t")] * 2 + [("q", "f")] * 3)
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = {(r["x"], r["y"]): r for r in
+               mutual_info_cells(df, "x", "y").collect()}
+        N = 10
+        marg_x = {"p": 5, "q": 5}
+        marg_y = {"t": 6, "f": 4}
+        cells = {("p", "t"): 4, ("p", "f"): 1,
+                 ("q", "t"): 2, ("q", "f"): 3}
+        for k, nxy in cells.items():
+            r = out[k]
+            assert (r["n_xy"], r["n_x"], r["n_y"], r["n_total"]) == \
+                (nxy, marg_x[k[0]], marg_y[k[1]], N)
+            want = round((nxy / N) * math.log(
+                (nxy * N) / (marg_x[k[0]] * marg_y[k[1]])), 6)
+            assert r["mi_contrib"] == want
+
+    def test_independent_columns_zero_mi(self, spark):
+        from data_and_analytics_etl_spark.operators.features import (
+            mutual_info_cells)
+        rows = [(x, y) for x in ("a", "b") for y in ("c", "d")] * 3
+        df = spark.createDataFrame(rows, "x string, y string")
+        out = mutual_info_cells(df, "x", "y").collect()
+        assert all(r["mi_contrib"] == 0.0 for r in out)

@@ -29,8 +29,10 @@ MUST_BE_IN_WINDOW = {
     "corpus_span_duplication", "drift_ks_exact", "corpus_curation_pipeline",
     "graph_transitive_closure",
     # changed in r7 (tier B, priority 20): the object-store-safe
-    # partition purge rewired both partition-targeted writers
-    "etl_merge_partitioned",
+    # partition purge rewired both partition-targeted writers; the
+    # 2nd-session perf/overflow fixes touched decontaminate (pre-explode
+    # array_distinct) and welch_ttest (cast-before-square s2)
+    "etl_merge_partitioned", "corpus_decontaminate", "ab_welch_ttest",
     # the 13 probes registered after r6's closing FULLVERIFY — in no
     # driver artifact (r6 verdict finding #1). Pinned until
     # CORRECTNESS_r07 / FULLVERIFY_r07 carries each row.
@@ -45,6 +47,10 @@ MUST_BE_IN_WINDOW = {
     "graph_k_core", "analytics_attribution_multitouch",
     "profile_benford_digits", "analytics_gini_concentration",
     "analytics_item_neighbors", "sequence_top_paths",
+    # new in r7 2nd session (tier C, priority 30)
+    "etl_cdc_apply", "incremental_join_delta",
+    "analytics_cuped_adjustment", "timeseries_holt_linear",
+    "feature_mutual_info",
 }
 
 
