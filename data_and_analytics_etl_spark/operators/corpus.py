@@ -226,3 +226,63 @@ def chunk_sentences(df: DataFrame, id_col: str = "doc_id",
     return (df.select(F.col(id_col),
                       F.posexplode(chunks).alias("chunk_id", "chunk"))
             .withColumn("n_tokens", ntok(F.col("chunk"))))
+
+
+def split_leakage(train: DataFrame, holdout: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, min_overlap: int = 3,
+                  max_gram_df: int | None = None) -> DataFrame:
+    """Cross-split contamination audit: for every HOLDOUT document, how
+    many TRAIN documents share at least ``min_overlap`` distinct word
+    n-grams with it — the eval-integrity twin of :func:`decontaminate`
+    (which flags the training side against a small benchmark; this
+    flags the held-out side against the full training split, where
+    neither side is broadcastable).
+
+    Output per holdout doc: (id, n_leaky_train_docs, max_overlap,
+    leaked). Zero-leak docs are kept via a left join — an eval set
+    report that silently drops clean rows under-counts its own size.
+
+    Plan: both sides reduce to distinct (doc, gram) pairs with the
+    pre-explode ``array_distinct`` trick (no dedup shuffle), candidates
+    come from the gram equi-join carrying ids only, and the pair
+    overlap is one (holdout, train) hash agg. The quadratic hazard is
+    HOT grams (a stopword trigram in f train docs × g holdout docs
+    fans out f·g candidate rows); ``max_gram_df`` drops grams seen in
+    more than that many TRAIN documents before the join — rare-gram
+    evidence is what leakage detection wants anyway (Lee et al. '22
+    drop the head of the gram-frequency distribution for the same
+    reason). Unset means no cap (exact, oracle-comparable).
+    """
+    def grams(d: DataFrame, out_id: str) -> DataFrame:
+        return (with_word_shingles(
+            d.select(F.col(id_col).alias(out_id), text_col),
+            text_col, n=n, out="__grams")
+            .select(out_id,
+                    F.explode(F.array_distinct("__grams"))
+                    .alias("__gram")))
+
+    tg = grams(train, "__tid")
+    hg = grams(holdout, "__hid")
+    if max_gram_df is not None:
+        keep = (tg.groupBy("__gram")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_gram_df)
+                .select("__gram"))
+        tg = tg.join(keep, "__gram", "left_semi")
+    pair_overlap = (hg.join(tg, "__gram")
+                    .groupBy("__hid", "__tid")
+                    .agg(F.count(F.lit(1)).alias("__ov")))
+    leaky = (pair_overlap.filter(F.col("__ov") >= min_overlap)
+             .groupBy("__hid")
+             .agg(F.count(F.lit(1)).alias("n_leaky_train_docs"),
+                  F.max("__ov").alias("max_overlap")))
+    return (holdout.select(F.col(id_col))
+            .join(leaky, F.col(id_col) == F.col("__hid"), "left")
+            .select(id_col,
+                    F.coalesce("n_leaky_train_docs", F.lit(0).cast("long"))
+                     .alias("n_leaky_train_docs"),
+                    F.coalesce("max_overlap", F.lit(0).cast("long"))
+                     .alias("max_overlap"),
+                    F.col("n_leaky_train_docs").isNotNull()
+                     .alias("leaked")))

@@ -371,3 +371,53 @@ def regression_metrics(df: DataFrame, group_col: str, actual_col: str,
         (d("__sa") / d("n") / 100.0).alias("mae"),
         (F.sqrt(d("__sr2") / d("n")) / 100.0).alias("rmse"),
         F.when(sst > 0, F.lit(1.0) - d("__sr2") / sst).alias("r2"))
+
+
+def rbo_weights(p: float, depth: int) -> list[float]:
+    """The fixed RBO weight table (1−p)·p^(k−1) for k = 1..depth,
+    computed ONCE in Python so the identical double literals feed both
+    the Spark plan and any SQL oracle (the NDCG literal-weight rule:
+    never compute pow() engine-side where bit-stability matters)."""
+    return [(1.0 - p) * p ** (k - 1) for k in range(1, depth + 1)]
+
+
+def rank_biased_overlap(ranks: DataFrame, rank_a: str, rank_b: str,
+                        p: float = 0.9, depth: int = 20) -> DataFrame:
+    """Rank-biased overlap (Webber et al. '10) between two rankings of
+    the same item set, emitted as per-depth contribution rows — the
+    ranking-churn readout (how much did the leaderboard move between
+    snapshots / model versions / index builds?).
+
+    Input: one row per item with its 1-based rank in each list.
+    Per prefix depth k ≤ ``depth``: X_k = |top_k(A) ∩ top_k(B)| —
+    which for full rankings of one item set is simply the count of
+    items with max(rank_a, rank_b) ≤ k — agreement A_k = X_k/k, and
+    rbo_contrib = (1−p)·p^(k−1)·X_k/k. Truncated RBO@depth is the
+    caller-side sum over the ``depth`` rows (per-row-contribution
+    contract; the weights come from :func:`rbo_weights` as literals).
+
+    Plan: items collapse to a count per m = max(ra, rb) clamped into
+    [1, depth+1] — one hash agg, so the downstream spine join and
+    cumulative window run over at most depth+1 rows regardless of item
+    count. No data-sized window, no theta join.
+    """
+    weights = rbo_weights(p, depth)
+    m = F.greatest(F.col(rank_a), F.col(rank_b))
+    per_m = (ranks
+             .select(F.least(m, F.lit(depth + 1)).cast("int").alias("m"))
+             .groupBy("m").agg(F.count(F.lit(1)).alias("c")))
+    spine = ranks.sparkSession.range(1, depth + 1).select(
+        F.col("id").cast("int").alias("k"))
+    w_cum = (Window.orderBy("k")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wcol = F.element_at(F.array(*[F.lit(w) for w in weights]),
+                        F.col("k"))
+    return (spine.join(F.broadcast(per_m), spine["k"] == per_m["m"],
+                       "left")
+            .select("k", F.coalesce(F.col("c"), F.lit(0)).alias("__c"))
+            .withColumn("x_k", F.sum("__c").over(w_cum))
+            .select("k", "x_k",
+                    (F.col("x_k").cast("double") / F.col("k"))
+                    .alias("agreement"),
+                    (wcol * F.col("x_k").cast("double") / F.col("k"))
+                    .alias("rbo_contrib")))

@@ -11,7 +11,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import load_table
 from .registry import query
@@ -3470,3 +3470,80 @@ def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (mutual_info_cells(o, "o_orderpriority", "o_orderstatus")
             .orderBy("x", "y"))
+
+
+def _rbo_weight_sql() -> str:
+    from ..operators.evaluation import rbo_weights
+    rows = ", ".join(f"({k + 1}, CAST({w!r} AS DOUBLE))"
+                     for k, w in enumerate(rbo_weights(0.9, 20)))
+    return f"(VALUES {rows}) AS w(k, wt)"
+
+
+@query(
+    "eval_rank_biased_overlap",
+    oracle=f"""
+WITH per AS (
+  SELECT o_custkey AS ck,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS sa,
+         sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS sb
+  FROM orders GROUP BY 1
+), ta AS (
+  SELECT ck, ra FROM (
+    SELECT ck, row_number() OVER (ORDER BY sa DESC, ck) AS ra FROM per)
+  WHERE ra <= 20
+), tb AS (
+  SELECT ck, rb FROM (
+    SELECT ck, row_number() OVER (ORDER BY sb DESC, ck) AS rb FROM per)
+  WHERE rb <= 20
+), j AS (
+  SELECT greatest(coalesce(ra, 21), coalesce(rb, 21)) AS m
+  FROM ta FULL JOIN tb USING (ck)
+)
+SELECT CAST(w.k AS INTEGER) AS k,
+       CAST((SELECT count(*) FROM j WHERE m <= w.k) AS BIGINT) AS x_k,
+       CAST((SELECT count(*) FROM j WHERE m <= w.k) AS DOUBLE) / w.k
+         AS agreement,
+       w.wt * CAST((SELECT count(*) FROM j WHERE m <= w.k) AS DOUBLE)
+         / w.k AS rbo_contrib
+FROM {_rbo_weight_sql()}
+ORDER BY k
+""",
+    tags=("analytics", "eval"),
+    doc="Rank-biased overlap at depth 20 (operators/evaluation.py:"
+        "rank_biased_overlap, Webber et al. '10) between the customer "
+        "spend leaderboards of two order-date halves — the ranking-"
+        "churn readout. Top-20 per list via global sort + limit (the "
+        "distributed TakeOrdered path, no data-sized window); prefix "
+        "intersections collapse to a depth+1-row m-histogram before "
+        "the bounded cumulative window; (1-p)p^(k-1) weights are ONE "
+        "Python literal table feeding both engines (the NDCG rule). "
+        "RBO@20 is the caller-side sum of rbo_contrib.",
+)
+def eval_rank_biased_overlap(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import rank_biased_overlap
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = (o.groupBy(F.col("o_custkey").alias("ck"))
+           .agg(F.sum(F.when(F.col("o_orderdate") < cut, cents)
+                      .otherwise(0)).alias("sa"),
+                F.sum(F.when(F.col("o_orderdate") >= cut, cents)
+                      .otherwise(0)).alias("sb")))
+
+    def top_ranks(col: str, out: str) -> DataFrame:
+        d = 20
+        top = per.orderBy(F.col(col).desc(), F.col("ck")).limit(d)
+        w = Window.orderBy(F.col(col).desc(), F.col("ck"))  # d rows
+        return top.select("ck", F.row_number().over(w).alias(out))
+
+    ranks = (top_ranks("sa", "ra")
+             .join(top_ranks("sb", "rb"), "ck", "full_outer")
+             .select(F.coalesce("ra", F.lit(21)).alias("ra"),
+                     F.coalesce("rb", F.lit(21)).alias("rb")))
+    return (rank_biased_overlap(ranks, "ra", "rb", p=0.9, depth=20)
+            .orderBy("k"))

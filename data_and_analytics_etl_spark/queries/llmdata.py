@@ -2530,3 +2530,50 @@ def text_naive_bayes_confusion(spark: SparkSession,
                         F.col("pred_label").alias("pred_lang"))
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("lang", "pred_lang"))
+
+
+@query(
+    "corpus_split_leakage",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(t) - 1, 1)),
+    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS gram
+  FROM toks
+), pairs AS (
+  SELECT h.doc_id AS hid, tr.doc_id AS tid,
+         CAST(count(*) AS BIGINT) AS ov
+  FROM (SELECT * FROM g WHERE doc_id % 5 = 0) h
+  JOIN (SELECT * FROM g WHERE doc_id % 5 <> 0) tr USING (gram)
+  GROUP BY 1, 2
+), lk AS (
+  SELECT hid, CAST(count(*) AS BIGINT) AS n_leaky_train_docs,
+         max(ov) AS max_overlap
+  FROM pairs WHERE ov >= 3 GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(lk.n_leaky_train_docs, 0) AS n_leaky_train_docs,
+       coalesce(lk.max_overlap, 0) AS max_overlap,
+       lk.n_leaky_train_docs IS NOT NULL AS leaked
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN lk ON d.doc_id = lk.hid
+ORDER BY doc_id
+""",
+    tags=("llm", "corpus"),
+    doc="Cross-split contamination audit (operators/corpus.py:"
+        "split_leakage): every 5th document is the holdout split; for "
+        "each holdout doc, count training docs sharing >=3 distinct "
+        "word 3-grams. Ids-only gram equi-join, one (holdout, train) "
+        "hash agg, left join keeps zero-leak docs; the max_gram_df "
+        "hot-gram cap (exercised in pytest) bounds the join fan-out "
+        "at corpus scale.",
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_leakage
+    d = load_table(spark, sf_dir, "documents")
+    holdout = d.filter(F.col("doc_id") % 5 == 0)
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    return (split_leakage(train, holdout, n=3, min_overlap=3)
+            .orderBy("doc_id"))

@@ -135,6 +135,8 @@ ROUND_TIERS: dict[str, int] = {
     "analytics_cuped_adjustment": 30,   # CUPED variance reduction
     "timeseries_holt_linear": 30,       # Holt level+trend fold
     "feature_mutual_info": 30,          # per-cell MI contributions
+    "eval_rank_biased_overlap": 30,     # RBO ranking churn
+    "corpus_split_leakage": 30,         # cross-split contamination
 }
 
 

@@ -1889,3 +1889,81 @@ class TestMutualInfo:
         df = spark.createDataFrame(rows, "x string, y string")
         out = mutual_info_cells(df, "x", "y").collect()
         assert all(r["mi_contrib"] == 0.0 for r in out)
+
+
+class TestRankBiasedOverlap:
+    def _ranks(self, spark, pairs):
+        return spark.createDataFrame(pairs, "ra int, rb int")
+
+    def test_identical_rankings_sum_to_truncated_mass(self, spark):
+        from data_and_analytics_etl_spark.operators.evaluation import (
+            rank_biased_overlap, rbo_weights)
+        ranks = self._ranks(spark, [(i, i) for i in range(1, 30)])
+        out = rank_biased_overlap(ranks, "ra", "rb", p=0.9, depth=20)
+        rows = sorted(out.collect(), key=lambda r: r["k"])
+        assert all(r["agreement"] == 1.0 for r in rows)
+        # identical lists: RBO@d == sum of the weight table exactly
+        assert sum(r["rbo_contrib"] for r in rows) == \
+            sum(rbo_weights(0.9, 20))
+
+    def test_disjoint_prefixes_zero(self, spark):
+        from data_and_analytics_etl_spark.operators.evaluation import (
+            rank_biased_overlap)
+        # every item is top-20 in exactly one list (rank 21+ in the other)
+        pairs = [(i, 21) for i in range(1, 21)] + \
+                [(21, i) for i in range(1, 21)]
+        out = rank_biased_overlap(self._ranks(spark, pairs),
+                                  "ra", "rb", depth=20)
+        assert all(r["x_k"] == 0 and r["rbo_contrib"] == 0.0
+                   for r in out.collect())
+
+    def test_prefix_intersection_counts(self, spark):
+        from data_and_analytics_etl_spark.operators.evaluation import (
+            rank_biased_overlap)
+        # swap ranks 1 and 2 between lists; agree from depth 2 onward
+        pairs = [(1, 2), (2, 1)] + [(i, i) for i in range(3, 25)]
+        out = {r["k"]: r for r in rank_biased_overlap(
+            self._ranks(spark, pairs), "ra", "rb", depth=5).collect()}
+        assert out[1]["x_k"] == 0
+        assert [out[k]["x_k"] for k in range(2, 6)] == [2, 3, 4, 5]
+
+
+class TestSplitLeakage:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_counts_and_zero_leak_rows(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import (
+            split_leakage)
+        train = self._docs(spark, [
+            (1, "a b c d e"),          # shares 3 grams with doc 10
+            (2, "a b c d x"),          # shares 2 grams -> below cutoff
+            (3, "p q r s t")])         # unrelated
+        holdout = self._docs(spark, [
+            (10, "a b c d e f"),       # leaks from doc 1 only
+            (11, "z z z z")])          # clean
+        out = {r["doc_id"]: r for r in split_leakage(
+            train, holdout, n=3, min_overlap=3).collect()}
+        assert out[10]["n_leaky_train_docs"] == 1
+        assert out[10]["max_overlap"] == 3
+        assert out[10]["leaked"] is True
+        assert out[11]["n_leaky_train_docs"] == 0
+        assert out[11]["leaked"] is False
+
+    def test_hot_gram_cap_prunes_fanout(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import (
+            split_leakage)
+        # "the cat sat" appears in EVERY train doc (hot gram); the
+        # unique tail grams only in doc 1
+        train = self._docs(spark, [
+            (i, "the cat sat") for i in range(1, 6)] + [
+            (6, "the cat sat on rare mats here")])
+        holdout = self._docs(spark, [(10, "the cat sat on rare mats")])
+        uncapped = split_leakage(train, holdout, n=3,
+                                 min_overlap=1).collect()[0]
+        capped = split_leakage(train, holdout, n=3, min_overlap=1,
+                               max_gram_df=1).collect()[0]
+        assert uncapped["n_leaky_train_docs"] == 6
+        # cap=1 drops the everywhere-gram; only doc 6's rare grams match
+        assert capped["n_leaky_train_docs"] == 1
+        assert capped["max_overlap"] == 3

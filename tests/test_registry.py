@@ -50,7 +50,8 @@ MUST_BE_IN_WINDOW = {
     # new in r7 2nd session (tier C, priority 30)
     "etl_cdc_apply", "incremental_join_delta",
     "analytics_cuped_adjustment", "timeseries_holt_linear",
-    "feature_mutual_info",
+    "feature_mutual_info", "eval_rank_biased_overlap",
+    "corpus_split_leakage",
 }
 
 
