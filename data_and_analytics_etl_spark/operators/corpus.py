@@ -286,3 +286,55 @@ def split_leakage(train: DataFrame, holdout: DataFrame,
                      .alias("max_overlap"),
                     F.col("n_leaky_train_docs").isNotNull()
                      .alias("leaked")))
+
+
+def mixture_plan(df: DataFrame, source_col: str, ntok_col: str,
+                 weights: dict[str, float],
+                 budget_tokens: int | None = None) -> DataFrame:
+    """Training-mixture planning: given per-source token inventories and
+    target mixture weights, the largest total token budget servable
+    WITHOUT upsampling any source, and the per-source take that
+    realizes it — the arithmetic behind every "X% web, Y% code, Z%
+    books" data card (cf. corpus_nutrition_label, which measures what
+    exists; this plans what to draw).
+
+    For each source i with available_i tokens and weight w_i (weights
+    are normalized internally): capacity_i = available_i / ŵ_i; the
+    achievable budget is min_i capacity_i unless ``budget_tokens`` caps
+    it lower; take_i = floor(ŵ_i · budget), rate_i = take_i /
+    available_i, and ``binding`` marks the scarcest source (the one to
+    go buy more of). Sources present in the corpus but absent from
+    ``weights`` get weight 0 — reported with take 0, never silently
+    dropped from the plan.
+
+    Weights should be binary-exact literals (0.5, 0.25, …) when the
+    plan feeds an exact-comparison harness: ŵ·budget is then an exact
+    IEEE product and floor() is engine-stable. One hash agg to a row
+    per source; the min-capacity rollup is a 1-row broadcast back (the
+    drift_ks totals rule) — nothing data-sized crosses a single task.
+    """
+    total_w = sum(weights.values())
+    norm = {k: v / total_w for k, v in weights.items()}
+    w_expr = F.coalesce(
+        *[F.when(F.col("source") == k, F.lit(v)) for k, v in norm.items()],
+        F.lit(0.0))
+    per = (df.groupBy(F.col(source_col).alias("source"))
+           .agg(F.sum(F.col(ntok_col).cast("decimal(38,0)"))
+                .cast("double").alias("available"))
+           .withColumn("weight", w_expr))
+    cap = (per.filter(F.col("weight") > 0)
+           .agg(F.min(F.col("available") / F.col("weight"))
+                .alias("__cap")))
+    budget = (F.least(F.col("__cap"), F.lit(float(budget_tokens)))
+              if budget_tokens is not None else F.col("__cap"))
+    take = F.floor(F.col("weight") * budget).cast("long")
+    return (per.crossJoin(F.broadcast(cap))
+            .select("source",
+                    F.col("available").cast("long").alias("available"),
+                    F.round("weight", 6).alias("weight"),
+                    take.alias("take_tokens"),
+                    F.round(take.cast("double") / F.col("available"), 6)
+                     .alias("sample_rate"),
+                    ((F.col("weight") > 0)
+                     & (F.col("available") / F.col("weight")
+                        == F.col("__cap"))).alias("binding")))

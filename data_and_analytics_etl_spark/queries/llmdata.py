@@ -2577,3 +2577,44 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("doc_id") % 5 != 0)
     return (split_leakage(train, holdout, n=3, min_overlap=3)
             .orderBy("doc_id"))
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle="""
+WITH per AS (
+  SELECT source,
+         CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS available,
+         CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                     WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+                     WHEN 'src2' THEN CAST(0.125 AS DOUBLE)
+                     WHEN 'src3' THEN CAST(0.125 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END AS weight
+  FROM documents GROUP BY 1
+), cap AS (
+  SELECT min(available / weight) AS c FROM per WHERE weight > 0
+)
+SELECT source, CAST(available AS BIGINT) AS available,
+       round(weight, 6) AS weight,
+       CAST(floor(weight * c) AS BIGINT) AS take_tokens,
+       round(CAST(floor(weight * c) AS DOUBLE) / available, 6)
+         AS sample_rate,
+       weight > 0 AND available / weight = c AS binding
+FROM per, cap ORDER BY source
+""",
+    tags=("llm", "corpus"),
+    doc="Training-mixture planning (operators/corpus.py:mixture_plan): "
+        "target weights 1/2:1/4:1/8:1/8 over four sources (binary-exact "
+        "literals), zero for the rest; the plan reports the largest "
+        "no-upsampling budget (min available_i/w_i), per-source take "
+        "(floor(w·budget)), sample rate and the binding source. One "
+        "hash agg to a per-source row, 1-row min-capacity rollup "
+        "broadcast back. The oracle recomputes the identical plan.",
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import mixture_plan
+    d = load_table(spark, sf_dir, "documents")
+    return (mixture_plan(d, "source", "n_chars",
+                         {"src0": 0.5, "src1": 0.25,
+                          "src2": 0.125, "src3": 0.125})
+            .orderBy("source"))

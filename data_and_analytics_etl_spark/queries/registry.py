@@ -137,6 +137,7 @@ ROUND_TIERS: dict[str, int] = {
     "feature_mutual_info": 30,          # per-cell MI contributions
     "eval_rank_biased_overlap": 30,     # RBO ranking churn
     "corpus_split_leakage": 30,         # cross-split contamination
+    "corpus_mixture_plan": 30,          # no-upsampling mixture budget
 }
 
 

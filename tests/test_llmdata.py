@@ -1576,3 +1576,47 @@ class TestNaiveBayes:
             [(10, "a", "x")], "doc_id: long, text: string, lang: string")
         r = naive_bayes_classify(train, test).collect()[0]
         assert r["pred_label"] == "x"
+
+
+class TestMixturePlan:
+    def test_binding_source_and_takes(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import (
+            mixture_plan)
+        rows = [("web", 1000), ("web", 1000),    # 2000 available
+                ("code", 300),                   # 300 available
+                ("books", 5000),
+                ("junk", 99)]                    # unweighted
+        df = spark.createDataFrame(rows, "source string, n_tokens long")
+        out = {r["source"]: r for r in mixture_plan(
+            df, "source", "n_tokens",
+            {"web": 0.5, "code": 0.25, "books": 0.25}).collect()}
+        # capacities: web 4000, code 1200, books 20000 -> budget 1200
+        assert out["code"]["binding"] is True
+        assert out["web"]["binding"] is False
+        assert out["web"]["take_tokens"] == 600     # 0.5 * 1200
+        assert out["code"]["take_tokens"] == 300    # full inventory
+        assert out["code"]["sample_rate"] == 1.0
+        assert out["books"]["take_tokens"] == 300
+        assert out["junk"]["take_tokens"] == 0
+        assert out["junk"]["weight"] == 0.0
+
+    def test_budget_cap_scales_every_take(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import (
+            mixture_plan)
+        rows = [("a", 1000), ("b", 1000)]
+        df = spark.createDataFrame(rows, "source string, n_tokens long")
+        out = {r["source"]: r for r in mixture_plan(
+            df, "source", "n_tokens", {"a": 0.5, "b": 0.5},
+            budget_tokens=800).collect()}
+        assert out["a"]["take_tokens"] == 400
+        assert out["b"]["take_tokens"] == 400
+        assert out["a"]["sample_rate"] == 0.4
+
+    def test_weights_normalize(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import (
+            mixture_plan)
+        df = spark.createDataFrame([("a", 100), ("b", 100)],
+                                   "source string, n_tokens long")
+        out = {r["source"]: r for r in mixture_plan(
+            df, "source", "n_tokens", {"a": 2.0, "b": 2.0}).collect()}
+        assert out["a"]["weight"] == 0.5 and out["b"]["weight"] == 0.5

@@ -51,7 +51,7 @@ MUST_BE_IN_WINDOW = {
     "etl_cdc_apply", "incremental_join_delta",
     "analytics_cuped_adjustment", "timeseries_holt_linear",
     "feature_mutual_info", "eval_rank_biased_overlap",
-    "corpus_split_leakage",
+    "corpus_split_leakage", "corpus_mixture_plan",
 }
 
 
