@@ -314,6 +314,10 @@ def mixture_plan(df: DataFrame, source_col: str, ntok_col: str,
     drift_ks totals rule) — nothing data-sized crosses a single task.
     """
     total_w = sum(weights.values())
+    if not weights or total_w <= 0:
+        # an all-zero plan would propagate NULL takes from an empty
+        # min(); refuse loudly instead
+        raise ValueError("mixture_plan needs at least one positive weight")
     norm = {k: v / total_w for k, v in weights.items()}
     w_expr = F.coalesce(
         *[F.when(F.col("source") == k, F.lit(v)) for k, v in norm.items()],

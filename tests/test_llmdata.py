@@ -1620,3 +1620,14 @@ class TestMixturePlan:
         out = {r["source"]: r for r in mixture_plan(
             df, "source", "n_tokens", {"a": 2.0, "b": 2.0}).collect()}
         assert out["a"]["weight"] == 0.5 and out["b"]["weight"] == 0.5
+
+    def test_refuses_empty_or_zero_weights(self, spark):
+        import pytest as _pytest
+        from data_and_analytics_etl_spark.operators.corpus import (
+            mixture_plan)
+        df = spark.createDataFrame([("a", 100)],
+                                   "source string, n_tokens long")
+        with _pytest.raises(ValueError):
+            mixture_plan(df, "source", "n_tokens", {})
+        with _pytest.raises(ValueError):
+            mixture_plan(df, "source", "n_tokens", {"a": 0.0})
