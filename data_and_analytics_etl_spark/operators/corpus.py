@@ -342,3 +342,91 @@ def mixture_plan(df: DataFrame, source_col: str, ntok_col: str,
                     ((F.col("weight") > 0)
                      & (F.col("available") / F.col("weight")
                         == F.col("__cap"))).alias("binding")))
+
+
+def segment_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n_words: int = 20) -> DataFrame:
+    """Global exact segment-level dedup with document reassembly — the
+    CCNet/C4 "line dedup" shape (Wenzek et al. '19 dedup paragraphs
+    across the whole crawl, not just whole documents): a repeated
+    boilerplate block is removed from every document except the first
+    one (in (id, position) order) that carries it, and the surviving
+    segments are stitched back together in original order.
+
+    Documents are segmented into fixed ``n_words``-word blocks (this
+    corpus has no newlines, so position-based blocks stand in for
+    lines; the dedup machinery is delimiter-agnostic). Output per
+    document: ``n_segments``, ``n_kept``, and ``text_kept`` (surviving
+    segments joined in order; empty string when everything was a dup).
+
+    Scale shape: explode to (doc, seg_idx, segment) rows, ONE window
+    keyed by the segment string picks the (id, idx)-min first owner
+    (same shuffle family as exact dedup — at 100 TB key by a segment
+    hash so only digests cross the wire), then one doc-keyed aggregate
+    reassembles via collect_list + array_sort (per-document arrays,
+    bounded by document length — never corpus-sized). No doc x doc
+    comparison anywhere.
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    nseg = F.ceil(F.size("__words") / F.lit(n_words)).cast("int")
+    segs = (df.select(F.col(id_col), words.alias("__words"))
+            .withColumn("__nseg", nseg)
+            .select(
+                id_col,
+                F.posexplode(F.transform(
+                    F.sequence(F.lit(0), F.col("__nseg") - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("__words"), i * n_words + 1, n_words),
+                        " "))).alias("seg_idx", "__seg")))
+    wfirst = Window.partitionBy("__seg").orderBy(id_col, "seg_idx")
+    flagged = segs.withColumn(
+        "__keep", F.row_number().over(wfirst) == 1)
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("seg_idx"), F.col("__seg")))
+    return (flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["__seg"]),
+            " ").alias("text_kept")))
+
+
+def curriculum_order(df: DataFrame, difficulty_col: str,
+                     id_col: str = "doc_id",
+                     n_stages: int = 10) -> DataFrame:
+    """Deterministic curriculum ordering: interleave difficulty stages
+    so every prefix of the training order samples the full difficulty
+    range (easy->hard round-robin), instead of presenting all easy
+    documents first (Bengio et al. '09 curriculum without the
+    degenerate sorted-by-difficulty schedule).
+
+    Stage assignment is a fixed-width bin over ``difficulty_col``
+    (global min/max from a 1-row rollup broadcast back — the drift_ks
+    totals rule, NOT a corpus-sized ntile window, which would collapse
+    the corpus into one task). Within each stage documents are ranked
+    by id (parallel per-stage windows); the curriculum position is
+    pure arithmetic — ``(stage_pos - 1) * n_stages + stage`` — so no
+    global window ever runs. Positions are unique across the corpus
+    because (stage, stage_pos) is unique and the formula is injective.
+    """
+    extent = df.agg(
+        F.min(F.col(difficulty_col).cast("double")).alias("__lo"),
+        F.max(F.col(difficulty_col).cast("double")).alias("__hi"))
+    staged = (df.crossJoin(F.broadcast(extent))
+              .withColumn(
+                  "stage",
+                  F.when(F.col("__hi") == F.col("__lo"), F.lit(1))
+                  .otherwise(F.least(
+                      F.floor((F.col(difficulty_col).cast("double")
+                               - F.col("__lo"))
+                              / ((F.col("__hi") - F.col("__lo"))
+                                 / F.lit(float(n_stages)))).cast("int"),
+                      F.lit(n_stages - 1)) + 1))
+              .drop("__lo", "__hi"))
+    ws = Window.partitionBy("stage").orderBy(id_col)
+    return (staged.withColumn("stage_pos", F.row_number().over(ws))
+            .withColumn(
+                "curriculum_pos",
+                ((F.col("stage_pos") - 1).cast("long") * n_stages
+                 + F.col("stage"))))

@@ -3547,3 +3547,37 @@ def eval_rank_biased_overlap(spark: SparkSession,
                      F.coalesce("rb", F.lit(21)).alias("rb")))
     return (rank_biased_overlap(ranks, "ra", "rb", p=0.9, depth=20)
             .orderBy("k"))
+
+
+@query(
+    "analytics_skyline_dominance",
+    oracle="""
+WITH pts AS (
+  SELECT DISTINCT p_retailprice AS price, p_size AS size_v FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+)
+SELECT price, size_v FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price <= p.price AND q.size_v >= p.size_v
+    AND (q.price < p.price OR q.size_v > p.size_v))
+ORDER BY price, size_v
+""",
+    tags=("analytics",),
+    doc="Two-dimensional skyline / Pareto frontier (operators/"
+        "skyline.py:skyline_2d, Borzsony et al. ICDE'01): parts not "
+        "dominated on (minimize retail price, maximize size). The "
+        "oracle is the O(n^2) NOT-EXISTS definition; the engine runs "
+        "the range-bucketed sweep — per-bin strictly-preceding-min "
+        "windows in parallel plus one n_bins-row cumulative-min "
+        "table broadcast back, so no data-sized single-task stage and "
+        "no pair join.",
+)
+def analytics_skyline_dominance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline_2d
+    p = load_table(spark, sf_dir, "part")
+    return (skyline_2d(p, "p_retailprice", "p_size", maximize_y=True)
+            .select(F.col("p_retailprice").alias("price"),
+                    F.col("p_size").alias("size_v"))
+            .orderBy("price", "size_v"))

@@ -2618,3 +2618,87 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                          {"src0": 0.5, "src1": 0.25,
                           "src2": 0.125, "src3": 0.125})
             .orderBy("source"))
+
+
+@query(
+    "corpus_segment_dedup",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), segs AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) AS seg_idx,
+         array_to_string(list_slice(ws, t.i * 20 + 1, t.i * 20 + 20), ' ')
+           AS seg
+  FROM w, UNNEST(generate_series(
+           0, CAST(ceil(len(ws) / 20.0) AS BIGINT) - 1)) AS t(i)
+), flagged AS (
+  SELECT doc_id, seg_idx, seg,
+         (row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1)
+           AS keep
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN seg END, ' '
+                           ORDER BY seg_idx), '') AS text_kept
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("llm", "dedup"),
+    doc="Global segment-level exact dedup with document reassembly "
+        "(operators/corpus.py:segment_dedup — the CCNet/C4 line-dedup "
+        "shape, Wenzek et al. '19): fixed 20-word blocks, corpus-wide "
+        "keep-first by (doc_id, seg_idx), survivors stitched back in "
+        "order. One segment-keyed window shuffle + one doc-keyed "
+        "reassembly aggregate; per-doc arrays bounded by doc length, "
+        "never doc x doc.",
+)
+def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import segment_dedup
+    d = load_table(spark, sf_dir, "documents")
+    return segment_dedup(d, n_words=20).orderBy("doc_id")
+
+
+@query(
+    "corpus_curriculum_order",
+    oracle="""
+WITH ext AS (
+  SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+         CAST(max(n_chars) AS DOUBLE) AS hi
+  FROM documents
+), staged AS (
+  SELECT doc_id,
+         CASE WHEN hi = lo THEN 1
+              ELSE least(CAST(floor((CAST(n_chars AS DOUBLE) - lo)
+                                    / ((hi - lo) / 10.0)) AS INTEGER),
+                         9) + 1
+         END AS stage
+  FROM documents CROSS JOIN ext
+), pos AS (
+  SELECT doc_id, stage,
+         CAST(row_number() OVER (PARTITION BY stage ORDER BY doc_id)
+              AS INTEGER) AS stage_pos
+  FROM staged
+)
+SELECT doc_id, stage, stage_pos,
+       CAST(stage_pos - 1 AS BIGINT) * 10 + stage AS curriculum_pos
+FROM pos ORDER BY curriculum_pos
+""",
+    tags=("llm", "sampling"),
+    doc="Deterministic curriculum ordering (operators/corpus.py:"
+        "curriculum_order, Bengio et al. '09 interleaved schedule): "
+        "difficulty stage from a fixed-width n_chars bin (1-row "
+        "min/max rollup broadcast back — no corpus-sized ntile "
+        "window), per-stage rank windows parallel across stages, and "
+        "a pure-arithmetic interleave position so every training "
+        "prefix spans the full difficulty range. No global window "
+        "anywhere.",
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import curriculum_order
+    d = load_table(spark, sf_dir, "documents")
+    return (curriculum_order(d, "n_chars", n_stages=10)
+            .select("doc_id", "stage", "stage_pos", "curriculum_pos")
+            .orderBy("curriculum_pos"))
