@@ -56,6 +56,11 @@ BENCH_QUERIES: dict[str, str] = {
     # per-round lazy persist), the one bench entry exercising repeated
     # self-joins over a growing frame.
     "b16_transitive_closure": "graph_transitive_closure",
+    # r7 addition: global segment-level dedup with in-order document
+    # reassembly — the explode -> segment-keyed window -> doc-keyed
+    # ordered-reassembly shape (CCNet line dedup), the one bench entry
+    # whose dominant cost is a collect_list regroup after a fan-out.
+    "b17_segment_dedup": "corpus_segment_dedup",
 }
 
 #: Queries whose probe fn executes work eagerly during construction

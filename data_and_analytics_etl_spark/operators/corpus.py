@@ -430,3 +430,44 @@ def curriculum_order(df: DataFrame, difficulty_col: str,
                 "curriculum_pos",
                 ((F.col("stage_pos") - 1).cast("long") * n_stages
                  + F.col("stage"))))
+
+
+def shard_by_weight(df: DataFrame, weight_col: str, target_weight: int,
+                    id_col: str = "doc_id",
+                    n_buckets: int = 1024) -> DataFrame:
+    """Assign documents to contiguous, weight-balanced output shards —
+    "write the corpus as N files of ~target tokens each", the layout
+    step before training dataloaders stream fixed-size shards.
+
+    Documents take the deterministic (bucket, id) order used by
+    :func:`pack_to_token_budget`; a document's shard is
+    ``cum_before DIV target_weight`` where ``cum_before`` is the exact
+    integer cumulative weight of everything ordered before it. Every
+    shard's weight lands in [target - max_doc, target + max_doc): a
+    document never splits, so per-shard imbalance is bounded by the
+    single largest document, not by corpus skew.
+
+    Scale shape is pack_to_token_budget's: bucket totals (one hash
+    agg), ONE single-task window over the n_buckets-row totals table
+    (tiny by construction), broadcast back, then per-bucket cumulative
+    windows that parallelize across buckets. Integer DIV keeps the
+    assignment exact at any corpus size (no double rounding at 2^53).
+    """
+    d = df.withColumn("__bucket", F.col(id_col) % n_buckets)
+    totals = d.groupBy("__bucket").agg(
+        F.sum(weight_col).alias("__btotal"))
+    wb = (Window.orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    base = totals.withColumn(
+        "__bbase", F.coalesce(F.sum("__btotal").over(wb), F.lit(0)))
+    ww = (Window.partitionBy("__bucket").orderBy(id_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    return (d.join(F.broadcast(base.select("__bucket", "__bbase")),
+                   "__bucket")
+            .withColumn("__cum_before",
+                        F.col("__bbase")
+                        + F.coalesce(F.sum(weight_col).over(ww), F.lit(0)))
+            .withColumn("shard",
+                        F.expr(f"CAST(__cum_before DIV {int(target_weight)}"
+                               " AS INT)"))
+            .drop("__bucket", "__bbase", "__cum_before"))

@@ -772,3 +772,49 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise("U").alias("op"))
     return (apply_changelog(c, changes, ["c_custkey"], "seq", "op")
             .orderBy("c_custkey"))
+
+
+@query(
+    "etl_write_audit_publish",
+    oracle="""
+SELECT year(ts) AS year, day(ts) AS day, count(*) AS n_rows,
+       CAST(1 AS BIGINT) AS n_versions
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY 1, 2 ORDER BY year, day
+""",
+    tags=("etl", "sink", "versioning"),
+    doc="Write-Audit-Publish capstone (etl/publish.py:"
+        "write_audit_publish, the Iceberg WAP pattern on the versioned "
+        "store): a clean day-1 batch passes its constraint audit and "
+        "publishes as v1; a poisoned day-2 batch (values nulled) fails "
+        "the gate, is rolled back through the Hadoop FS API, and the "
+        "table stays at v1 — the probe reads the LATEST version after "
+        "both attempts and must see only day 1, with exactly one "
+        "version in the log. Audit cost is one scan + one wide "
+        "aggregate over the staged files only.",
+)
+def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..etl.publish import QualityGateError, write_audit_publish
+    from ..etl.versioning import list_versions, read_version
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "value"))
+    dest = os.path.join(tempfile.mkdtemp(prefix="etl_wap_"), "data")
+    checks = {"value_present": F.col("value").isNotNull()}
+    good = ev.filter(F.col("ts") < F.lit(dt.datetime(2024, 1, 2)))
+    write_audit_publish(spark, good, dest, checks)
+    poisoned = (ev.filter(
+        (F.col("ts") >= F.lit(dt.datetime(2024, 1, 2)))
+        & (F.col("ts") < F.lit(dt.datetime(2024, 1, 3))))
+        .withColumn("value", F.when(F.col("event_id") % 7 == 0,
+                                    F.col("value"))))
+    try:
+        write_audit_publish(spark, poisoned, dest, checks)
+    except QualityGateError:
+        pass  # the gate doing its job; table must still be v1
+    n_versions = len(list_versions(dest))
+    return (read_version(spark, dest)
+            .groupBy(F.year("ts").alias("year"), F.dayofmonth("ts")
+                     .alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("n_versions", F.lit(n_versions).cast("long"))
+            .orderBy("year", "day"))

@@ -2702,3 +2702,40 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (curriculum_order(d, "n_chars", n_stages=10)
             .select("doc_id", "stage", "stage_pos", "curriculum_pos")
             .orderBy("curriculum_pos"))
+
+
+@query(
+    "corpus_shard_assign",
+    oracle="""
+WITH cum AS (
+  SELECT doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (
+           ORDER BY doc_id % 1024, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM documents
+)
+SELECT CAST(cum_before // 50000 AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM cum GROUP BY 1 ORDER BY shard
+""",
+    tags=("llm", "layout"),
+    doc="Weight-balanced shard assignment (operators/corpus.py:"
+        "shard_by_weight): contiguous training shards of ~50k chars "
+        "each in deterministic (bucket, id) order; per-shard imbalance "
+        "bounded by the largest single document. Bucket-level prefix "
+        "sums — the only single-task window runs over the n_buckets-row "
+        "totals table (the pack_to_token_budget shape); integer DIV, "
+        "exact at any corpus size. Oracle replays the global "
+        "cumulative-sum definition the bucketed form is provably "
+        "equal to.",
+)
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import shard_by_weight
+    d = load_table(spark, sf_dir, "documents")
+    return (shard_by_weight(d, "n_chars", target_weight=50_000)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("shard"))

@@ -96,6 +96,7 @@ ROUND_TIERS: dict[str, int] = {
     "drift_ks_exact": 10,
     "corpus_curation_pipeline": 10,
     "graph_transitive_closure": 10,
+    "corpus_segment_dedup": 10,         # b17 joins the bench set (r7)
     # changed in r7 (code or oracle): the ADVICE decimal-overflow fixes
     # (cast BEFORE sum/product) and the object-store-safe partition
     # purge both touch probed plans — their probes re-verify in-window.
@@ -138,6 +139,11 @@ ROUND_TIERS: dict[str, int] = {
     "eval_rank_biased_overlap": 30,     # RBO ranking churn
     "corpus_split_leakage": 30,         # cross-split contamination
     "corpus_mixture_plan": 30,          # no-upsampling mixture budget
+    # new in r7 (3rd session), never driver-verified. The window is at
+    # 50 fixed with these two; corpus_curriculum_order stays in the
+    # pool — FULLVERIFY_r07 carries its row (the r6-note rule when
+    # candidates outnumber slots).
+    "analytics_skyline_dominance": 30,  # Pareto frontier vs NOT-EXISTS
 }
 
 

@@ -705,3 +705,60 @@ class TestDeleteKeysPartitioned:
                                         keys=["user_id"])
         assert stats["affected_partitions"] == 0
         assert TestMergePartitioned._snapshot(dest) == before
+
+
+class TestWriteAuditPublish:
+    """WAP gate: publish on pass, byte-identical rollback on fail."""
+
+    @staticmethod
+    def _df(spark, vals):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, value double")
+
+    def test_clean_batch_publishes(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.etl.publish import \
+            write_audit_publish
+        from data_and_analytics_etl_spark.etl.versioning import read_version
+        dest = str(tmp_path / "t")
+        v, audit = write_audit_publish(
+            spark, self._df(spark, [1.0, 2.0]), dest,
+            {"value_present": F.col("value").isNotNull()})
+        assert v == 1
+        arow = audit.collect()[0]
+        assert arow.n_violations == 0
+        assert read_version(spark, dest).count() == 2
+
+    def test_failed_audit_rolls_back(self, spark, tmp_path):
+        import os
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.etl.publish import (
+            QualityGateError, write_audit_publish)
+        from data_and_analytics_etl_spark.etl.versioning import (
+            _data_files, _manifest, read_version)
+        import pytest
+        dest = str(tmp_path / "t")
+        checks = {"value_present": F.col("value").isNotNull()}
+        write_audit_publish(spark, self._df(spark, [1.0]), dest, checks)
+        files_v1 = _manifest(dest, 1)
+        with pytest.raises(QualityGateError) as ei:
+            write_audit_publish(
+                spark, self._df(spark, [2.0, None]), dest, checks)
+        # audit rows travel with the error
+        assert ei.value.audit[0].n_violations == 1
+        # store byte-identical: same file set on disk, still readable v1
+        assert _data_files(dest, "parquet") == files_v1
+        assert [r.value for r in read_version(spark, dest).collect()] \
+            == [1.0]
+
+    def test_violation_rate_threshold(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.etl.publish import \
+            write_audit_publish
+        dest = str(tmp_path / "t")
+        # 1 null in 4 rows = 25% violation; 0.5 tolerance publishes
+        v, _ = write_audit_publish(
+            spark, self._df(spark, [1.0, 2.0, 3.0, None]), dest,
+            {"value_present": F.col("value").isNotNull()},
+            max_violation_rate=0.5)
+        assert v == 1

@@ -537,3 +537,42 @@ class TestRound7ThirdWave:
         assert {r.stage for r in out} == {1}
         assert sorted(r.curriculum_pos for r in out) == \
             [1, 11, 21, 31, 41]
+
+
+class TestShardByWeight:
+    def test_matches_global_cumsum_definition(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import \
+            shard_by_weight
+        rows = [(i, 10 + (i * 7) % 90) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = {r.doc_id: r.shard for r in
+               shard_by_weight(df, "w", target_weight=1000,
+                               n_buckets=16).collect()}
+        order = sorted(rows, key=lambda t: (t[0] % 16, t[0]))
+        cum = 0
+        for doc_id, w in order:
+            assert got[doc_id] == cum // 1000
+            cum += w
+
+    def test_shard_weight_bounded_by_largest_doc(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import \
+            shard_by_weight
+        rows = [(i, 10 + (i * 37) % 190) for i in range(800)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        out = shard_by_weight(df, "w", target_weight=2000).groupBy(
+            "shard").sum("w").collect()
+        max_doc = max(w for _, w in rows)
+        full = [r for r in out if r.shard < max(x.shard for x in out)]
+        for r in full:  # every non-final shard within one doc of target
+            assert 2000 - max_doc <= r["sum(w)"] < 2000 + max_doc
+
+    def test_stable_across_partitioning(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import \
+            shard_by_weight
+        rows = [(i, 50) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        a = {(r.doc_id, r.shard) for r in
+             shard_by_weight(df, "w", 500).collect()}
+        b = {(r.doc_id, r.shard) for r in
+             shard_by_weight(df.repartition(13), "w", 500).collect()}
+        assert a == b

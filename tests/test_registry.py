@@ -52,6 +52,9 @@ MUST_BE_IN_WINDOW = {
     "analytics_cuped_adjustment", "timeseries_holt_linear",
     "feature_mutual_info", "eval_rank_biased_overlap",
     "corpus_split_leakage", "corpus_mixture_plan",
+    # new in r7 3rd session: b17 bench pin + the skyline operator
+    # (corpus_curriculum_order stays in the pool; FULLVERIFY carries it)
+    "corpus_segment_dedup", "analytics_skyline_dominance",
 }
 
 
