@@ -155,3 +155,33 @@ def read_changes(spark, path: str, since: int, until: int | None = None,
         return read_version(spark, path, u, fmt).limit(0)
     return (spark.read.option("basePath", path).format(fmt)
             .load(delta))
+
+
+def vacuum_unreferenced(spark, path: str, fmt: str = "parquet") -> int:
+    """Delete data files referenced by NO committed version — Delta's
+    VACUUM for this store. Orphans accumulate from writers that died
+    between write and commit (the WAP gate rolls back its own staging,
+    but a crashed process can't), and from aborted Spark tasks; they
+    cost storage and, worse, would get swept into the NEXT
+    ``commit_version`` directory listing and silently publish.
+
+    Deletion routes through the Hadoop FileSystem API (the merge.py
+    purge rule — os.remove no-ops on object stores and the ghost bytes
+    then publish with the next commit, which is a correctness bug, not
+    a cost bug). Callers must serialize vacuum with active writers:
+    a writer between write and commit looks exactly like an orphan
+    (same fence a real table format draws — VACUUM vs retention
+    window). Returns the number of files deleted.
+    """
+    referenced: set[str] = set()
+    for v in list_versions(path):
+        referenced.update(_manifest(path, v))
+    orphans = [f for f in _data_files(path, fmt) if f not in referenced]
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    deleted = 0
+    for f in orphans:
+        p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + f)
+        if p.getFileSystem(hconf).delete(p, False):
+            deleted += 1
+    return deleted

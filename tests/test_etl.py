@@ -762,3 +762,32 @@ class TestWriteAuditPublish:
             {"value_present": F.col("value").isNotNull()},
             max_violation_rate=0.5)
         assert v == 1
+
+
+class TestVacuumUnreferenced:
+    def test_orphans_deleted_referenced_kept(self, spark, tmp_path):
+        import os
+        from data_and_analytics_etl_spark.etl.versioning import (
+            commit_version, read_version, vacuum_unreferenced)
+        dest = str(tmp_path / "t")
+        spark.range(5).write.mode("append").parquet(dest)
+        commit_version(dest)
+        # a crashed writer's staging: written but never committed
+        spark.range(100, 103).write.mode("append").parquet(dest)
+        n = vacuum_unreferenced(spark, dest)
+        assert n >= 1
+        # v1 still fully readable; the orphan rows are really gone
+        assert sorted(r.id for r in
+                      read_version(spark, dest).collect()) == list(range(5))
+        assert sorted(
+            r.id for r in spark.read.parquet(dest).collect()
+        ) == list(range(5))
+        # idempotent
+        assert vacuum_unreferenced(spark, dest) == 0
+
+    def test_vacuum_before_any_commit_clears_all(self, spark, tmp_path):
+        from data_and_analytics_etl_spark.etl.versioning import \
+            vacuum_unreferenced
+        dest = str(tmp_path / "t")
+        spark.range(3).write.mode("append").parquet(dest)
+        assert vacuum_unreferenced(spark, dest) >= 1
