@@ -3059,7 +3059,7 @@ def analytics_attribution_multitouch(spark: SparkSession,
 
 def _benford_spine_sql() -> str:
     from ..operators.profile import BENFORD_P
-    rows = ", ".join(f"({d}, CAST({BENFORD_P[d]!r} AS DOUBLE))"
+    rows = ", ".join(f"({d}, CAST('{BENFORD_P[d]!r}' AS DOUBLE))"
                      for d in range(1, 10))
     return f"(VALUES {rows}) AS s(digit, exp_p)"
 
@@ -3474,7 +3474,7 @@ def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rbo_weight_sql() -> str:
     from ..operators.evaluation import rbo_weights
-    rows = ", ".join(f"({k + 1}, CAST({w!r} AS DOUBLE))"
+    rows = ", ".join(f"({k + 1}, CAST('{w!r}' AS DOUBLE))"
                      for k, w in enumerate(rbo_weights(0.9, 20)))
     return f"(VALUES {rows}) AS w(k, wt)"
 

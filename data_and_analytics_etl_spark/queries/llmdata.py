@@ -1817,9 +1817,9 @@ _POS_SQL = ",\n         ".join(
     f"max(CASE WHEN rn = {i + 1} THEN rel END) AS r{i}"
     for i in range(_RANK_K))
 _DCG_SQL = " + ".join(
-    f"CAST(coalesce(r{i}, 0) AS DOUBLE) * CAST({_DCG_W[i]!r} AS DOUBLE)"
+    f"CAST(coalesce(r{i}, 0) AS DOUBLE) * CAST('{_DCG_W[i]!r}' AS DOUBLE)"
     for i in range(_RANK_K))
-_PRE_SQL = ("[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in _IDCG_P)
+_PRE_SQL = ("[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in _IDCG_P)
             + "]")
 
 

@@ -230,3 +230,36 @@ def test_no_round_closes_with_unswept_probes():
         f"probes registered after the round-{VERIFY_ROUND} FULLVERIFY "
         f"sweep: {unswept} — re-run scripts/verify_probes.py with "
         f"FULLVERIFY_OUT={path}")
+
+
+def test_oracle_float_literals_parse_exactly():
+    """DuckDB types an unquoted numeric literal as DECIMAL first, so a
+    17+-significant-digit double repr can double-round on its way to
+    DOUBLE — CAST(0.015009463529699916 AS DOUBLE) lands 1 ulp off the
+    Python/Spark value (eval_rank_biased_overlap went red at sf0.001;
+    the same latent bug sat in the NDCG and Benford weight tables at
+    ranks whose multiplier happened to be zero at sf0.01). Fix is to
+    quote the literal (string -> correctly-rounded float parse); this
+    lint round-trips every unquoted float literal in every oracle
+    through DuckDB and fails on any value that does not come back
+    bit-identical.
+    """
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    pat = re.compile(r"(?<!['\w])\d+\.\d+(?:[eE]-?\d+)?\b")
+    bad = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle:
+            continue
+        for lit in set(pat.findall(spec.oracle)):
+            py = float(lit)
+            got = con.execute(f"SELECT CAST({lit} AS DOUBLE)").fetchone()[0]
+            if got != py:
+                bad.append((name, lit))
+    assert not bad, (
+        f"oracle float literals that mis-parse via DECIMAL: {bad} — "
+        "quote them (CAST('<repr>' AS DOUBLE)) so DuckDB uses the "
+        "correctly-rounded string->double parse")
