@@ -629,3 +629,100 @@ def naive_bayes_classify(train: DataFrame, test: DataFrame,
             .select(F.col(id_col), F.col(label_col),
                     F.col("__cand").alias("pred_label"),
                     F.col("__score").alias("score_grid")))
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Okapi BM25 scores for a fixed query over the corpus (Robertson &
+    Zaragoza '09) — the lexical-retrieval baseline every hybrid search
+    stack keeps next to its embedding index. Per document:
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·doclen/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Determinism: each term's contribution is quantized to
+    floor(contrib·10^6) and summed as an INTEGER (the vocab_logrank
+    grid rule — ln() is not required to be correctly rounded, so the
+    raw-double sum could drift by fold order AND by libm), with one
+    double division at the end. Output: (id, score, n_terms_matched),
+    matched docs only.
+
+    Scale shape: tokens explode once; df/tf are hash aggregates over
+    the query-filtered token stream (the isin() filter prunes the
+    fan-out to |query| terms before any shuffle); N/avgdl and the
+    per-term df table are 1-row / |query|-row broadcasts back. One
+    doc-keyed shuffle for the final rollup — corpus text never crosses
+    a shuffle.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    toks = (ensure_fanout_parallelism(df.select(id_col, text_col))
+            .select(id_col, F.explode(tokens_of(F.col(text_col)))
+                    .alias("token"))
+            .filter(F.col("token") != ""))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__doclen"))
+    glob = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        (F.sum("__doclen").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("__avgdl"))
+    hits = toks.filter(F.col("token").isin(list(query_terms)))
+    dfreq = (hits.groupBy("token")
+             .agg(F.count_distinct(F.col(id_col)).cast("double")
+                  .alias("__df")))
+    tf = (hits.groupBy(id_col, "token")
+          .agg(F.count(F.lit(1)).cast("double").alias("__tf")))
+    idf = F.log((F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5)) + F.lit(1.0))
+    denom = (F.col("__tf")
+             + F.lit(k1) * (F.lit(1.0 - b)
+                            + F.lit(b) * (F.col("__doclen").cast("double")
+                                          / F.col("__avgdl"))))
+    contrib = ((idf * (F.col("__tf") * F.lit(k1 + 1.0)) / denom)
+               * F.lit(1_000_000.0))
+    return (tf.join(dl, id_col)
+            .join(F.broadcast(dfreq), "token")
+            .crossJoin(F.broadcast(glob))
+            .withColumn("__c", F.floor(contrib).cast("long"))
+            .groupBy(id_col)
+            .agg(F.sum("__c").alias("score_micro"),
+                 F.count(F.lit(1)).alias("n_terms_matched"))
+            .withColumn("bm25",
+                        F.col("score_micro").cast("double") / 1_000_000.0))
+
+
+def inverted_index(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   block_size: int = 128) -> DataFrame:
+    """Block-partitioned positional inverted index — token →
+    fixed-size posting blocks of (doc, position) pairs, the on-disk
+    layout of every lexical search engine (Lucene's postings blocks).
+
+    A naive ``collect_list`` per token materializes one corpus-sized
+    array for every stopword; blocking caps each output row at
+    ``block_size`` postings: rank postings within the token (per-token
+    windows, parallel across tokens), block = rank DIV block_size, and
+    collect per (token, block) — every aggregate group is bounded by
+    construction, which is exactly why real indexes block their
+    postings. Output rows: (token, block, n_postings, postings) with
+    postings rendered ``doc:pos`` space-joined in (doc, pos) order
+    (string at the boundary — array outputs don't canonicalize).
+    """
+    toks = (ensure_fanout_parallelism(df.select(id_col, text_col))
+            .select(id_col,
+                    F.posexplode(F.filter(tokens_of(F.col(text_col)),
+                                          lambda t: t != ""))
+                    .alias("pos", "token")))
+    w = Window.partitionBy("token").orderBy(id_col, "pos")
+    blocked = toks.withColumn("__rn", F.row_number().over(w)).withColumn(
+        # integer DIV, not double /: exact at any posting count
+        "block", F.expr(f"CAST((__rn - 1) DIV {int(block_size)} AS INT)")
+        ).drop("__rn")
+    return (blocked.groupBy("token", "block")
+            .agg(F.count(F.lit(1)).alias("n_postings"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col(id_col), F.col("pos")))),
+                         lambda s: F.concat_ws(":", s[id_col], s["pos"])),
+                     " ").alias("postings")))

@@ -2739,3 +2739,109 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"))
             .orderBy("shard"))
+
+
+def _bm25_oracle() -> str:
+    # identical literals feed both engines (the NDCG rule); quoted so
+    # DuckDB uses the correctly-rounded string->double parse
+    k1, b = 1.2, 0.75
+    k1p1, one_minus_b = k1 + 1.0, 1.0 - b
+    terms = "('table','spark','value')"
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS doclen FROM tok GROUP BY 1
+), g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+), dfq AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfv
+  FROM tok WHERE token IN {terms} GROUP BY 1
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tfv
+  FROM tok WHERE token IN {terms} GROUP BY 1, 2
+), per AS (
+  SELECT tf.doc_id,
+         CAST(floor((ln((g.n_docs - dfq.dfv + CAST('0.5' AS DOUBLE))
+                        / (dfq.dfv + CAST('0.5' AS DOUBLE))
+                        + CAST('1.0' AS DOUBLE))
+                     * (tf.tfv * CAST('{k1p1!r}' AS DOUBLE))
+                     / (tf.tfv + CAST('{k1!r}' AS DOUBLE)
+                        * (CAST('{one_minus_b!r}' AS DOUBLE)
+                           + CAST('{b!r}' AS DOUBLE)
+                             * (CAST(dl.doclen AS DOUBLE) / g.avgdl))))
+                    * CAST('1000000.0' AS DOUBLE)) AS BIGINT) AS c
+  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN g
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro,
+       CAST(count(*) AS BIGINT) AS n_terms_matched,
+       CAST(sum(c) AS DOUBLE) / 1000000.0 AS bm25
+FROM per GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query(
+    "text_bm25_scores",
+    oracle=_bm25_oracle(),
+    tags=("llm", "text", "retrieval"),
+    doc="Okapi BM25 over the corpus for a fixed 3-term query "
+        "(operators/text.py:bm25_scores, Robertson & Zaragoza '09) — "
+        "the lexical-retrieval baseline beside the ANN stack. Each "
+        "term's contribution lands on an integer 10^-6 grid before the "
+        "per-doc sum (ln() is not correctly-rounded libm-to-libm, so "
+        "raw-double sums could drift); N/avgdl is a 1-row broadcast, "
+        "df a |query|-row broadcast, and the isin() filter prunes the "
+        "token stream to query terms before any shuffle.",
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bm25_scores
+    d = load_table(spark, sf_dir, "documents")
+    return (bm25_scores(d, ["table", "spark", "value"])
+            .select("doc_id", "score_micro", "n_terms_matched", "bm25")
+            .orderBy("doc_id"))
+
+
+@query(
+    "text_inverted_index",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS token,
+         CAST(unnest(generate_series(0, len(ws) - 1)) AS INTEGER) AS pos
+  FROM w
+), blocked AS (
+  SELECT token, doc_id, pos,
+         CAST((row_number() OVER (PARTITION BY token
+                                  ORDER BY doc_id, pos) - 1) // 128
+              AS INTEGER) AS block
+  FROM tok
+)
+SELECT token, block,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       string_agg(doc_id || ':' || pos, ' ' ORDER BY doc_id, pos)
+         AS postings
+FROM blocked GROUP BY token, block ORDER BY token, block
+""",
+    tags=("llm", "text", "retrieval"),
+    doc="Block-partitioned positional inverted index (operators/"
+        "text.py:inverted_index, the Lucene postings-block layout): "
+        "token -> 128-posting blocks of doc:pos pairs. Per-token rank "
+        "windows parallel across tokens; every aggregate group is "
+        "bounded at block_size postings by construction — the reason "
+        "real indexes block their postings instead of one "
+        "corpus-sized list per stopword.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import inverted_index
+    d = load_table(spark, sf_dir, "documents")
+    return (inverted_index(d, block_size=128)
+            .orderBy("token", "block"))

@@ -576,3 +576,58 @@ class TestShardByWeight:
         b = {(r.doc_id, r.shard) for r in
              shard_by_weight(df.repartition(13), "w", 500).collect()}
         assert a == b
+
+
+class TestBm25:
+    def test_rare_term_outscores_common(self, spark):
+        from data_and_analytics_etl_spark.operators.text import bm25_scores
+        rows = [(1, "rare common common"), (2, "common common common"),
+                (3, "common filler words"), (4, "filler words only")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.bm25 for r in
+               bm25_scores(df, ["rare", "common"]).collect()}
+        assert 4 not in out           # no query term -> no row
+        assert out[1] > out[2]        # rare-term doc wins
+        assert out[2] > out[3]        # tf saturation still orders
+
+    def test_doclen_normalization(self, spark):
+        # same tf, longer doc -> lower score (b > 0)
+        from data_and_analytics_etl_spark.operators.text import bm25_scores
+        rows = [(1, "hit aa"), (2, "hit " + "pad " * 40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.bm25 for r in
+               bm25_scores(df, ["hit"]).collect()}
+        assert out[1] > out[2]
+
+    def test_empty_query_raises(self, spark):
+        import pytest
+        from data_and_analytics_etl_spark.operators.text import bm25_scores
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bm25_scores(df, [])
+
+
+class TestInvertedIndex:
+    def test_blocks_bounded_and_ordered(self, spark):
+        from data_and_analytics_etl_spark.operators.text import \
+            inverted_index
+        rows = [(i, "hot " * 10) for i in range(30)]  # 300 'hot' postings
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = sorted(inverted_index(df, block_size=128).collect(),
+                     key=lambda r: r.block)
+        assert [r.block for r in out] == [0, 1, 2]
+        assert [r.n_postings for r in out] == [128, 128, 44]
+        # postings within and across blocks are (doc, pos)-ordered
+        flat = " ".join(r.postings for r in out).split(" ")
+        pairs = [tuple(map(int, p.split(":"))) for p in flat]
+        assert pairs == sorted(pairs)
+        assert len(pairs) == 300
+
+    def test_positions_skip_filtered_empties(self, spark):
+        from data_and_analytics_etl_spark.operators.text import \
+            inverted_index
+        df = spark.createDataFrame([(1, "  a   b  ")],
+                                   "doc_id long, text string")
+        out = {r.token: r.postings for r in
+               inverted_index(df).collect()}
+        assert out == {"a": "1:0", "b": "1:1"}
