@@ -787,3 +787,147 @@ def cuped_adjust(units: DataFrame, arm_col: str, metric_col: str,
                     F.round(theta, 6).alias("theta"),
                     F.round(theta * theta * varx / vary, 6)
                      .alias("var_reduction")))
+
+
+def dp_noisy_counts(df: DataFrame, group_col: str,
+                    epsilon: float = 1.0,
+                    seed: str = "dp") -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism
+    (Dwork et al. '06; count queries have sensitivity 1, so noise scale
+    b = 1/ε) — the release side of the privacy stack (k-anonymity /
+    l-diversity / t-closeness audit what a table leaks; this bounds
+    what a published aggregate leaks).
+
+    The Laplace draw is DETERMINISTIC: u ∈ (0,1) comes from the first
+    6 hex chars of md5(group ‖ seed) — the engine's hash-sampling
+    uniform — pushed through the inverse CDF. Deterministic noise is
+    what makes the release testable/oracle-checkable; in production
+    the seed is a per-release secret (a repeated release with the same
+    seed answers the same, which is exactly the composition-friendly
+    behavior you want — fresh randomness per query would burn ε each
+    time). The inverse-CDF ln() lands on a 10^-6 integer grid before
+    it touches the count (the bm25/vocab_logrank libm rule), and the
+    exact count never appears in the output. One hash aggregate; the
+    noise is a codegen expression over the group keys — nothing about
+    the mechanism shuffles or collects.
+    """
+    b = 1.0 / epsilon
+    agg = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    hex6 = F.substring(
+        F.md5(F.concat_ws("|", F.col(group_col).cast("string"),
+                          F.lit(seed))), 1, 6)
+    u = ((F.conv(hex6, 16, 10).cast("long").cast("double")
+          + F.lit(0.5)) / F.lit(16777216.0))
+    noise = F.when(
+        u >= 0.5,
+        -F.lit(b) * F.log(F.lit(1.0) - F.lit(2.0) * (u - F.lit(0.5)))
+    ).otherwise(
+        F.lit(b) * F.log(F.lit(1.0) - F.lit(2.0) * (F.lit(0.5) - u)))
+    return (agg
+            .withColumn("__nm", F.floor(noise * F.lit(1_000_000.0))
+                        .cast("long"))
+            .select(group_col,
+                    (F.col("__n") * F.lit(1_000_000) + F.col("__nm"))
+                    .alias("noisy_micro"))
+            .withColumn("noisy_count",
+                        F.col("noisy_micro").cast("double")
+                        / F.lit(1_000_000.0)))
+
+
+def mondrian_anonymize(df: DataFrame, quasi_cols: list[str], k: int,
+                       max_rounds: int = 32) -> DataFrame:
+    """Mondrian multidimensional k-anonymization (LeFevre et al. '06):
+    recursively median-split the quasi-identifier space, committing a
+    split only when BOTH halves keep >= k rows, until no class can
+    split — the transform that MAKES a table k-anonymous (k_anonymity /
+    l_diversity / t_closeness only audit). Returns the input rows with
+    a ``__class`` id; publish per-class QI ranges, not values.
+
+    Determinism: the split value is the lower median (an order
+    statistic — integer rank arithmetic, no float boundary), the split
+    column is the widest-range QI with first-in-list tie-break, and
+    class ids evolve as cls*2+{1,2}, so the output is a pure function
+    of the data regardless of partitioning.
+
+    Scale shape: each round is class-keyed hash aggregates (stats +
+    candidate counts, at most n/k classes), one rank window per class
+    for the median (parallel across classes), and a broadcast of the
+    classes-sized decision table back onto the rows; the ONLY driver
+    action is a 1-row "did any class split?" probe (the k_core
+    convergence family). Rounds are bounded by log2(n/k) and fenced by
+    ``max_rounds``; per-round localCheckpoint keeps lineage flat.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    cur = df.withColumn("__class", F.lit(0).cast("long")).localCheckpoint()
+    for _ in range(max_rounds):
+        stats = cur.groupBy("__class").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[f for c in quasi_cols
+              for f in (F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                        F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))])
+        # widest-range column, first-in-list tie-break
+        rng = {c: F.col(f"__hi_{c}") - F.col(f"__lo_{c}")
+               for c in quasi_cols}
+        best = F.lit(quasi_cols[0])
+        best_r = rng[quasi_cols[0]]
+        for c in quasi_cols[1:]:
+            wider = rng[c] > best_r
+            best = F.when(wider, F.lit(c)).otherwise(best)
+            best_r = F.when(wider, rng[c]).otherwise(best_r)
+        choice = (stats.filter(F.col("__n") >= 2 * k)
+                  .select("__class", best.alias("__col")))
+        if choice.isEmpty():  # no class large enough to ever split
+            break
+        tagged = cur.join(F.broadcast(choice), "__class", "left")
+        val = F.coalesce(*[F.when(F.col("__col") == c,
+                                  F.col(c).cast("double"))
+                           for c in quasi_cols])
+        wcls = Window.partitionBy("__class").orderBy(val)
+        ranked = tagged.withColumn("__val", val).withColumn(
+            "__rn", F.when(F.col("__col").isNotNull(),
+                           F.row_number().over(wcls)))
+        counts = ranked.groupBy("__class").agg(
+            F.count(F.lit(1)).alias("__cnt"))
+        med = (ranked.join(counts, "__class")
+               .filter(F.col("__rn") == F.expr("(__cnt + 1) div 2"))
+               .select("__class", F.col("__val").alias("__median")))
+        sided = (ranked.join(F.broadcast(med), "__class", "left")
+                 .withColumn("__side",
+                             F.when(F.col("__median").isNull(), F.lit(None))
+                             .when(F.col("__val") <= F.col("__median"), 1)
+                             .otherwise(2)))
+        sizes = (sided.filter(F.col("__side").isNotNull())
+                 .groupBy("__class")
+                 .agg(F.sum(F.when(F.col("__side") == 1, 1).otherwise(0))
+                      .alias("__nl"),
+                      F.sum(F.when(F.col("__side") == 2, 1).otherwise(0))
+                      .alias("__nr")))
+        ok = (sizes.filter((F.col("__nl") >= k) & (F.col("__nr") >= k))
+              .select("__class", F.lit(True).alias("__commit")))
+        nxt = (sided.join(F.broadcast(ok), "__class", "left")
+               .withColumn("__class",
+                           F.when(F.col("__commit").isNotNull(),
+                                  F.col("__class") * 2 + F.col("__side"))
+                           .otherwise(F.col("__class")))
+               .drop("__col", "__val", "__rn", "__median", "__side",
+                     "__commit"))
+        # bounded driver action: did any class actually split?
+        if ok.isEmpty():
+            break
+        cur = nxt.localCheckpoint()
+    return cur
+
+
+def mondrian_class_ranges(anon: DataFrame,
+                          quasi_cols: list[str]) -> DataFrame:
+    """The publishable generalization of :func:`mondrian_anonymize`'s
+    output: per class, its size and each QI's [lo, hi] range — one
+    hash aggregate."""
+    return anon.groupBy("__class").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[f for c in quasi_cols
+          for f in (F.min(c).alias(f"lo_{c}"),
+                    F.max(c).alias(f"hi_{c}"))])

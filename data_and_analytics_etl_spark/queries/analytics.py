@@ -3581,3 +3581,85 @@ def analytics_skyline_dominance(spark: SparkSession,
             .select(F.col("p_retailprice").alias("price"),
                     F.col("p_size").alias("size_v"))
             .orderBy("price", "size_v"))
+
+
+def _hex6_int_sql(h: str) -> str:
+    # integer value of the first 6 hex chars of md5 expression `h`
+    # (DuckDB has no conv(); per-digit arithmetic, the checksum rule)
+    expr = "CAST(0 AS BIGINT)"
+    for p in range(1, 7):
+        a = f"ascii(substr({h}, {p}, 1))"
+        d = f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+        expr = f"({expr} * 16 + {d})"
+    return expr
+
+
+def _dp_counts_oracle() -> str:
+    h = "md5(event_type || '|' || 'dp')"
+    u = f"((CAST({_hex6_int_sql(h)} AS DOUBLE) + 0.5) / 16777216.0)"
+    noise = (f"(CASE WHEN {u} >= 0.5 "
+             f"THEN -(CAST('1.0' AS DOUBLE)) "
+             f"* ln(1.0 - 2.0 * ({u} - 0.5)) "
+             f"ELSE CAST('1.0' AS DOUBLE) "
+             f"* ln(1.0 - 2.0 * (0.5 - {u})) END)")
+    return f"""
+WITH g AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+)
+SELECT event_type,
+       CAST(n * 1000000
+            + CAST(floor({noise} * 1000000.0) AS BIGINT) AS BIGINT)
+         AS noisy_micro,
+       CAST(CAST(n * 1000000
+                 + CAST(floor({noise} * 1000000.0) AS BIGINT) AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS noisy_count
+FROM g ORDER BY event_type
+"""
+
+
+@query(
+    "privacy_dp_counts",
+    oracle=_dp_counts_oracle(),
+    tags=("analytics", "privacy"),
+    doc="ε-DP group counts via the Laplace mechanism with ε=1 "
+        "(operators/profile.py:dp_noisy_counts, Dwork et al. '06) — "
+        "the release half of the privacy stack. The Laplace draw is a "
+        "deterministic md5-derived uniform through the inverse CDF, "
+        "quantized to a 10^-6 integer grid before touching the count "
+        "(ln is not libm-stable); exact counts never reach the "
+        "output. One hash aggregate, noise is pure codegen over the "
+        "group keys.",
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import dp_noisy_counts
+    e = load_table(spark, sf_dir, "events")
+    return (dp_noisy_counts(e, "event_type", epsilon=1.0, seed="dp")
+            .orderBy("event_type"))
+
+
+@query(
+    "privacy_mondrian_anonymize",
+    oracle=None,  # split order/medians are impl-defined (lower-median
+                  # order statistic + first-widest tie-break); the
+                  # k-guarantee, partition, determinism, and
+                  # audit-passes properties carry the evidence in
+                  # tests/test_operators.py::TestMondrianAnonymize
+    tags=("analytics", "privacy"),
+    priority=150,
+    doc="Mondrian k-anonymization with k=25 over customer "
+        "(c_acctbal, c_nationkey) quasi-identifiers (operators/"
+        "profile.py:mondrian_anonymize, LeFevre et al. '06) — the "
+        "transform that MAKES the table k-anonymous; output is the "
+        "publishable per-class generalization (size + QI ranges). "
+        "Driver loop bounded by log2(n/k) rounds; per round only a "
+        "1-row any-split probe leaves the cluster.",
+)
+def privacy_mondrian_anonymize(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.profile import (mondrian_anonymize,
+                                     mondrian_class_ranges)
+    c = load_table(spark, sf_dir, "customer")
+    anon = mondrian_anonymize(c, ["c_acctbal", "c_nationkey"], k=25)
+    return (mondrian_class_ranges(anon, ["c_acctbal", "c_nationkey"])
+            .withColumnRenamed("__class", "class_id")
+            .orderBy("class_id"))

@@ -44,6 +44,9 @@ EXEMPT_PROBES = {
                           # itself is lazy but consumes the learned table
     "graph_k_core",       # degree-peel fixpoint loop: per-round edge
                           # count is the convergence probe (graph.py)
+    "privacy_mondrian_anonymize",  # median-split fixpoint loop: the
+                          # per-round any-split probe is the algorithm
+                          # (profile.py:mondrian_anonymize)
 }
 
 

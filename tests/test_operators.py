@@ -631,3 +631,95 @@ class TestInvertedIndex:
         out = {r.token: r.postings for r in
                inverted_index(df).collect()}
         assert out == {"a": "1:0", "b": "1:1"}
+
+
+class TestDpNoisyCounts:
+    def test_noise_bounded_and_deterministic(self, spark):
+        import math
+        from data_and_analytics_etl_spark.operators.profile import \
+            dp_noisy_counts
+        rows = [(i, f"g{i % 5}") for i in range(1000)]
+        df = spark.createDataFrame(rows, "id long, g string")
+        out1 = {r.g: r.noisy_micro for r in
+                dp_noisy_counts(df, "g", epsilon=1.0).collect()}
+        out2 = {r.g: r.noisy_micro for r in
+                dp_noisy_counts(df.repartition(7), "g",
+                                epsilon=1.0).collect()}
+        assert out1 == out2  # seed-deterministic across partitionings
+        # u in (0,1) with 24-bit grid -> |noise| <= b * ln(2^25)
+        bound = math.log(2 ** 25) * 1_000_000
+        for g, nm in out1.items():
+            assert abs(nm - 200 * 1_000_000) <= bound
+        # exact count must not be recoverable: some group has nonzero
+        # noise (all-zero would mean the mechanism is the identity)
+        assert any(nm != 200 * 1_000_000 for nm in out1.values())
+
+    def test_epsilon_scales_noise(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import \
+            dp_noisy_counts
+        df = spark.createDataFrame([(i, "a") for i in range(100)],
+                                   "id long, g string")
+        n1 = dp_noisy_counts(df, "g", epsilon=1.0).collect()[0]
+        n01 = dp_noisy_counts(df, "g", epsilon=0.1).collect()[0]
+        d1 = abs(n1.noisy_micro - 100_000_000)
+        d01 = abs(n01.noisy_micro - 100_000_000)
+        # same u, b scales 10x (up to the 1e-6 grid)
+        assert abs(d01 - 10 * d1) <= 10
+
+
+class TestMondrianAnonymize:
+    def test_k_guarantee_and_partition(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import \
+            mondrian_anonymize
+        rows = [(i, float((i * 37) % 997), (i * 13) % 7)
+                for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, x double, y int")
+        anon = mondrian_anonymize(df, ["x", "y"], k=20)
+        import pyspark.sql.functions as F
+        sizes = [r["cnt"] for r in
+                 anon.groupBy("__class")
+                 .agg(F.count("*").alias("cnt")).collect()]
+        assert min(sizes) >= 20       # the k-guarantee
+        assert sum(sizes) == 400      # a partition: no row lost/duped
+        assert len(sizes) > 1         # it actually split
+
+    def test_passes_k_anonymity_audit(self, spark):
+        # the transform must satisfy the repo's own audit operator
+        from data_and_analytics_etl_spark.operators.profile import \
+            k_anonymity, mondrian_anonymize
+        rows = [(i, float(i % 50), i % 3) for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, x double, y int")
+        anon = mondrian_anonymize(df, ["x", "y"], k=15)
+        audit = k_anonymity(anon, ["__class"], k=15).collect()
+        assert audit and all(not r.violates_k for r in audit)
+
+    def test_deterministic_across_partitioning(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import \
+            mondrian_anonymize
+        rows = [(i, float((i * 7) % 101), (i * 3) % 11)
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, x double, y int")
+        a = {(r.id, r["__class"]) for r in
+             mondrian_anonymize(df, ["x", "y"], k=10).collect()}
+        b = {(r.id, r["__class"]) for r in
+             mondrian_anonymize(df.repartition(9), ["x", "y"],
+                                k=10).collect()}
+        assert a == b
+
+    def test_small_input_single_class(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import \
+            mondrian_anonymize
+        df = spark.createDataFrame([(i, float(i)) for i in range(5)],
+                                   "id long, x double")
+        anon = mondrian_anonymize(df, ["x"], k=4).collect()
+        assert {r["__class"] for r in anon} == {0}  # 5 < 2k: no split
+
+    def test_bad_params_raise(self, spark):
+        import pytest
+        from data_and_analytics_etl_spark.operators.profile import \
+            mondrian_anonymize
+        df = spark.createDataFrame([(1, 1.0)], "id long, x double")
+        with pytest.raises(ValueError):
+            mondrian_anonymize(df, [], k=5)
+        with pytest.raises(ValueError):
+            mondrian_anonymize(df, ["x"], k=1)
