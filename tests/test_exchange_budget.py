@@ -1,0 +1,73 @@
+"""Shuffle budgets for the bench-critical probes, pinned as CI.
+
+SCALE.md's per-operator claims ("one shuffle on the key", "3 broadcast
+dims + 2 fact-fact shuffles") are prose; this suite pins the number of
+Exchange nodes each bench-mapped plan is ALLOWED to contain, so a
+regression that silently adds a shuffle (a lost broadcast hint, a
+repartition sneaking in, AQE disabled on a path) fails the suite
+instead of showing up as a 2× driver bench number two rounds later.
+
+ReusedExchange is excluded: exchange reuse means the data crosses the
+wire once, which is the thing the budget measures. Budgets are the
+CURRENT measured counts — the contract is "never more"; if a rewrite
+legitimately needs another shuffle, change the budget in the same
+commit and say why. The transitive closure is iterative (its exchange
+count scales with rounds x per-round joins), so it gets a loose bound
+tied to its round count instead of an exact pin.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_and_analytics_etl_spark.queries import REGISTRY
+
+#: probe -> max Exchange nodes (ReusedExchange excluded), measured at
+#: sf0.01 with shuffle.partitions=32 (r7 third session).
+EXCHANGE_BUDGETS = {
+    "q1_pricing_summary": 3,
+    "q3_shipping_priority": 3,
+    "q5_star_join": 7,
+    "topk_per_group": 2,
+    "window_running_agg": 2,
+    "cosine_topk": 3,
+    "dedup_exact": 2,
+    "dedup_minhash_lsh": 9,
+    "sessionization": 2,
+    "q10_returned_revenue": 4,
+    "q7_nation_volume": 8,
+    "corpus_span_duplication": 4,
+    "drift_ks_exact": 10,
+    "corpus_curation_pipeline": 19,
+    "corpus_segment_dedup": 3,
+}
+
+#: iterative plans: rounds x per-round joins; bound loosely so a round
+#: -count change doesn't false-alarm but a per-round blowup still does
+LOOSE_BUDGETS = {
+    "graph_transitive_closure": 120,
+}
+
+
+def _count_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(1 for line in plan.splitlines()
+               if "Exchange" in line and "ReusedExchange" not in line)
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGETS))
+def test_exchange_budget(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    got = _count_exchanges(df)
+    budget = EXCHANGE_BUDGETS[name]
+    assert got <= budget, (
+        f"{name}: {got} Exchange nodes > budget {budget} — a shuffle "
+        "was added to a bench-critical plan; remove it or justify the "
+        "new budget in this file")
+
+
+@pytest.mark.parametrize("name", sorted(LOOSE_BUDGETS))
+def test_exchange_budget_iterative(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    got = _count_exchanges(df)
+    assert got <= LOOSE_BUDGETS[name]
