@@ -138,3 +138,37 @@ def bloom_prune(index: DataFrame, probes: DataFrame, key_col: str,
     return (hits.join(F.broadcast(need), "__key")
             .filter(F.col("__nb") == F.col("__need"))
             .select(F.col("__key").alias(key_col), *part_cols))
+
+
+def zonemap_index(df: DataFrame, part_cols: list[str],
+                  value_cols: list[str]) -> DataFrame:
+    """Per-partition zone maps: (partition cols…, lo_<c>, hi_<c>,
+    n_rows) — the min/max footer statistics every columnar format
+    keeps, materialized AS A TABLE so scan planning is a relational
+    operation (the Iceberg/Delta manifest-stats idea; complements the
+    bloom index, which handles the point lookups zone maps cannot).
+
+    ONE hash aggregate with map-side combine collapses 100 TB to one
+    row per partition; NULLs are ignored by min/max, so an all-NULL
+    partition yields NULL bounds (prunable by every range — correct,
+    NULL never matches a range predicate)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in value_cols:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    return df.groupBy(*part_cols).agg(*aggs)
+
+
+def zonemap_prune(index: DataFrame, value_col: str,
+                  lo, hi) -> DataFrame:
+    """Partitions a range predicate ``value_col BETWEEN lo AND hi``
+    must read: those whose [lo_c, hi_c] zone intersects the query
+    range — interval overlap on the index table (index-sized work,
+    never data-sized; the planning step that turns a full scan into a
+    handful of partition reads when the data is range-clustered, e.g.
+    by zorder_write).
+
+    NO FALSE NEGATIVES: a partition holding a matching row has
+    lo_c <= hi and hi_c >= lo by definition of min/max; false
+    positives only waste a partition read."""
+    return index.filter((F.col(f"lo_{value_col}") <= F.lit(hi))
+                        & (F.col(f"hi_{value_col}") >= F.lit(lo)))

@@ -365,3 +365,36 @@ def layout_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ev.filter(F.col("user_id") % 37 == 0).select("user_id")
     out = bloom_prune(idx, probes, "user_id", ["day"], k=3)
     return out.orderBy("user_id", "day")
+
+
+@query(
+    "layout_zonemap_prune",
+    oracle="""
+WITH zm AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(value) AS lo_value, max(value) AS hi_value
+  FROM events GROUP BY 1
+)
+SELECT day, n_rows, lo_value, hi_value FROM zm
+WHERE lo_value <= 500.0 AND hi_value >= 300.0
+ORDER BY day
+""",
+    tags=("scale", "layout"),
+    doc="Zone-map scan planning (operators/layout.py:zonemap_index / "
+        "zonemap_prune — the Iceberg/Delta manifest-stats idea as a "
+        "relational op): per-day min/max/count manifest over events "
+        "(one map-side-combined hash aggregate), then the partitions a "
+        "value BETWEEN 300 AND 500 scan must read via interval overlap "
+        "on the index table — index-sized planning work, no false "
+        "negatives by min/max definition. Complements the bloom index "
+        "(point lookups) and zorder_key (making ranges prunable).",
+)
+def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zonemap_index, zonemap_prune
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("day", F.to_date("ts")))
+    idx = zonemap_index(ev, ["day"], ["value"])
+    return (zonemap_prune(idx, "value", 300.0, 500.0)
+            .select("day", "n_rows", "lo_value", "hi_value")
+            .orderBy("day"))

@@ -723,3 +723,26 @@ class TestMondrianAnonymize:
             mondrian_anonymize(df, [], k=5)
         with pytest.raises(ValueError):
             mondrian_anonymize(df, ["x"], k=1)
+
+
+class TestZonemapPrune:
+    def test_no_false_negatives(self, spark):
+        from data_and_analytics_etl_spark.operators.layout import (
+            zonemap_index, zonemap_prune)
+        rows = [(i % 4, float((i * 17) % 100)) for i in range(200)]
+        df = spark.createDataFrame(rows, "p int, v double")
+        idx = zonemap_index(df, ["p"], ["v"])
+        kept = {r.p for r in zonemap_prune(idx, "v", 40.0, 60.0)
+                .collect()}
+        must = {r.p for r in
+                df.filter((df.v >= 40.0) & (df.v <= 60.0))
+                .select("p").distinct().collect()}
+        assert must <= kept  # every partition with a match survives
+
+    def test_disjoint_range_prunes_everything(self, spark):
+        from data_and_analytics_etl_spark.operators.layout import (
+            zonemap_index, zonemap_prune)
+        df = spark.createDataFrame([(0, 1.0), (1, 2.0)],
+                                   "p int, v double")
+        idx = zonemap_index(df, ["p"], ["v"])
+        assert zonemap_prune(idx, "v", 10.0, 20.0).count() == 0
