@@ -427,3 +427,54 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_start", _TS_FMT).alias("window_start"),
         "c_mktsegment", "n", "sum_value")
         .orderBy("window_start", "c_mktsegment"))
+
+
+@query(
+    "stream_cdc_apply_sink",
+    oracle="""
+WITH ch AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN event_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM events
+), last AS (
+  SELECT user_id, max(event_id) AS m FROM ch GROUP BY 1
+)
+SELECT c.user_id AS user_id, c.event_id AS event_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       c.value
+FROM ch c JOIN last l ON c.user_id = l.user_id AND c.event_id = l.m
+WHERE c.op <> 'delete'
+ORDER BY c.user_id
+""",
+    tags=("streaming", "etl", "sink"),
+    doc="Streaming CDC consumer capstone (streaming/ops.py:"
+        "stream_cdc_to_partitioned): the events replay becomes a "
+        "changelog (every 10th event a delete, seq = event_id, key = "
+        "user_id), applied per micro-batch through the partition-"
+        "targeted merge + GDPR delete writers. Final table state must "
+        "equal the batch rule: each user's highest-seq change, kept "
+        "iff it is an upsert — the Debezium tail brought to rest with "
+        "the write-amplification bound. Cross-batch ordering and "
+        "delete-then-upsert sequences are pytest-pinned "
+        "(TestStreamCdcApply).",
+)
+def stream_cdc_apply_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.ops import stream_cdc_to_partitioned
+    ch = (events_stream(spark, sf_dir)
+          .withColumn("op", F.when(F.col("event_id") % 10 == 0,
+                                   F.lit("delete"))
+                      .otherwise(F.lit("upsert")))
+          .withColumn("seq", F.col("event_id")))
+    root = tempfile.mkdtemp(prefix="stream_cdc_")
+    dest = os.path.join(root, "data")
+    q = stream_cdc_to_partitioned(ch, dest, ["user_id"], "ts",
+                                  os.path.join(root, "ckpt"))
+    q.awaitTermination()
+    back = spark.read.parquet(dest)
+    return (back.select("user_id", "event_id",
+                        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                        .alias("ts"), "value")
+            .orderBy("user_id"))

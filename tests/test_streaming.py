@@ -650,3 +650,73 @@ class TestVersionedStreamSink:
             events_stream(spark, sf_dir), dest, "ts", ckpt)
         q2.awaitTermination()
         assert list_versions(dest) == versions
+
+
+class TestStreamCdcApply:
+    """Cross-batch CDC semantics through the partitioned sink."""
+
+    @staticmethod
+    def _write_batch(spark, src_dir, name, rows):
+        import pyspark.sql.functions as F
+        df = spark.createDataFrame(
+            rows, "user_id long, seq long, op string, value double, "
+                  "ts timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{src_dir}/.tmp_{name}")
+        # move the single part file in as one stable-named file so each
+        # call lands exactly one new file for the stream to pick up
+        import glob
+        import shutil
+        part = glob.glob(f"{src_dir}/.tmp_{name}/part-*.parquet")[0]
+        shutil.move(part, f"{src_dir}/{name}.parquet")
+        shutil.rmtree(f"{src_dir}/.tmp_{name}")
+
+    def _run(self, spark, src_dir, dest, ckpt, schema):
+        from data_and_analytics_etl_spark.streaming.ops import \
+            stream_cdc_to_partitioned
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = stream_cdc_to_partitioned(stream, dest, ["user_id"], "ts",
+                                      ckpt)
+        q.awaitTermination()
+
+    def test_cross_batch_delete_and_reinsert(self, spark, tmp_path):
+        import datetime as dt
+        src = str(tmp_path / "src"); dest = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "ckpt")
+        import os
+        os.makedirs(src)
+        t = dt.datetime(2024, 1, 1, 12)
+        # batch 1: users 1..3 upsert; user 4 delete (no-op on empty)
+        self._write_batch(spark, src, "b1", [
+            (1, 10, "upsert", 1.0, t), (2, 11, "upsert", 2.0, t),
+            (3, 12, "upsert", 3.0, t), (4, 13, "delete", None, t)])
+        schema = spark.read.parquet(f"{src}/b1.parquet").schema
+        self._run(spark, src, dest, ckpt, schema)
+        got = {r.user_id: r.value for r in
+               spark.read.parquet(dest).collect()}
+        assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+        # batch 2: delete user 2; update user 3; re-insert user 4;
+        # within-batch delete-then-upsert for user 5 (upsert wins by seq)
+        self._write_batch(spark, src, "b2", [
+            (2, 20, "delete", None, t), (3, 21, "upsert", 33.0, t),
+            (4, 22, "upsert", 4.0, t),
+            (5, 23, "delete", None, t), (5, 24, "upsert", 5.0, t)])
+        self._run(spark, src, dest, ckpt, schema)
+        got = {r.user_id: r.value for r in
+               spark.read.parquet(dest).collect()}
+        assert got == {1: 1.0, 3: 33.0, 4: 4.0, 5: 5.0}
+
+    def test_seq_tie_upsert_beats_delete(self, spark, tmp_path):
+        import datetime as dt
+        import os
+        src = str(tmp_path / "src"); dest = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        t = dt.datetime(2024, 1, 1, 12)
+        self._write_batch(spark, src, "b1", [
+            (1, 10, "delete", None, t), (1, 10, "upsert", 1.5, t)])
+        schema = spark.read.parquet(f"{src}/b1.parquet").schema
+        self._run(spark, src, dest, ckpt, schema)
+        got = {r.user_id: r.value for r in
+               spark.read.parquet(dest).collect()}
+        assert got == {1: 1.5}
