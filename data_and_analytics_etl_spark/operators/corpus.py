@@ -373,11 +373,17 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
             .withColumn("__nseg", nseg)
             .select(
                 id_col,
-                F.posexplode(F.transform(
-                    F.sequence(F.lit(0), F.col("__nseg") - 1),
-                    lambda i: F.array_join(
-                        F.slice(F.col("__words"), i * n_words + 1, n_words),
-                        " "))).alias("seg_idx", "__seg")))
+                F.posexplode(F.when(
+                    # sequence(0, -1) would DESCEND ([0, -1]) on an
+                    # empty document; emit no segments instead
+                    F.col("__nseg") > 0,
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("__nseg") - 1),
+                        lambda i: F.array_join(
+                            F.slice(F.col("__words"),
+                                    i * n_words + 1, n_words),
+                            " "))).otherwise(F.array().cast("array<string>")))
+                .alias("seg_idx", "__seg")))
     wfirst = Window.partitionBy("__seg").orderBy(id_col, "seg_idx")
     flagged = segs.withColumn(
         "__keep", F.row_number().over(wfirst) == 1)

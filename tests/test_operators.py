@@ -746,3 +746,15 @@ class TestZonemapPrune:
                                    "p int, v double")
         idx = zonemap_index(df, ["p"], ["v"])
         assert zonemap_prune(idx, "v", 10.0, 20.0).count() == 0
+
+
+class TestSegmentDedupEdge:
+    def test_empty_and_whitespace_docs_emit_no_segments(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import \
+            segment_dedup
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "a b")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in segment_dedup(df, n_words=3).collect()}
+        assert set(out) == {3}  # empty docs vanish (oracle parity)
+        assert out[3].text_kept == "a b"
