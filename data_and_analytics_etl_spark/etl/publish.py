@@ -17,8 +17,13 @@ location. ``write_audit_publish``:
    files, leaving the store byte-identical to the previous version.
 
 Concurrency inherits the versioning fence: the manifest publishes via
-an exclusive link, so two WAP writers cannot corrupt the log; the
-rollback path only ever deletes files the failed writer itself staged.
+an exclusive link, so two WAP writers cannot corrupt the log. But the
+staging DOMAIN is shared — "staged" is computed as on-disk files minus
+the last manifest, so a concurrent writer mid-stage (or a crashed
+writer's orphans — run ``vacuum_unreferenced`` first) would be swept
+into this writer's audit and rollback. Serialize WAP writers per
+table, the same fence vacuum draws; the exclusive-link commit protects
+the log, not another writer's unpublished bytes.
 """
 
 from __future__ import annotations
