@@ -421,3 +421,49 @@ def rank_biased_overlap(ranks: DataFrame, rank_a: str, rank_b: str,
                     .alias("agreement"),
                     (wcol * F.col("x_k").cast("double") / F.col("k"))
                     .alias("rbo_contrib")))
+
+
+def average_precision_at_k(df: DataFrame, query: Column, score: Column,
+                           relevance: Column, tie: Column,
+                           k: int = 10) -> DataFrame:
+    """Per-query average precision at k — the order-sensitive ranking
+    metric NDCG's log discount smooths over (AP@k credits EVERY
+    relevant hit with the precision at its own position):
+
+        AP@k = (1/min(R, k)) · Σ_{i<=k, rel_i=1} (cum_i / i)
+
+    with R = the query's total relevant count and cum_i the running
+    relevant count through position i. Mean over queries (MAP@k) is
+    the caller's one-line rollup.
+
+    Same determinism discipline as :func:`ranking_metrics`: one
+    total-order ranking window (score DESC, tie ASC), k conditional
+    MAXes pull the position bits, cum_i is integer arithmetic, and the
+    sum of the k per-position terms is a LEFT-ASSOC fixed expression —
+    never an aggregate SUM of doubles, whose fold order is partition-
+    dependent. R = 0 yields NULL (no relevant items = AP undefined,
+    not zero). Group size is unbounded; only k widens the aggregate.
+    """
+    d = df.select(query.alias("q"), score.alias("s"),
+                  relevance.cast("int").alias("rel"), tie.alias("t")) \
+          .filter(F.col("s").isNotNull())
+    win = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("t"))
+    r = d.withColumn("rn", F.row_number().over(win))
+    pos_bits = [F.coalesce(
+        F.max(F.when(F.col("rn") == i + 1, F.col("rel"))), F.lit(0))
+        .alias(f"__b{i}") for i in range(k)]
+    g = r.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rel").cast("long").alias("n_rel"),
+        *pos_bits)
+    cum = F.lit(0)
+    chain = F.lit(0.0)
+    for i in range(k):
+        b = F.col(f"__b{i}")
+        cum = cum + b
+        chain = chain + b.cast("double") * (cum.cast("double")
+                                            / F.lit(float(i + 1)))
+    denom = F.least(F.col("n_rel"), F.lit(k)).cast("double")
+    return g.select(
+        "q", "n_items", "n_rel",
+        F.when(F.col("n_rel") > 0, chain / denom).alias("ap_at_k"))

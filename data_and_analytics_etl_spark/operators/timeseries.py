@@ -496,3 +496,76 @@ def holt_linear(resampled: DataFrame, key: str, order_col: str,
         fin["l"].alias("level"),
         fin["b"].alias("trend"),
         (fin["l"] + fin["b"]).alias("forecast_1")))
+
+
+def holt_winters_seasonal(resampled: DataFrame, key: str, order_col: str,
+                          value_col: str, period: int,
+                          alpha: float = 0.5, beta: float = 0.25,
+                          gamma: float = 0.5) -> DataFrame:
+    """Per-key additive Holt-Winters (level + trend + seasonality) with
+    a one-step-ahead forecast — the seasonal completion of
+    :func:`holt_linear` (which follows a ramp but repeats none of the
+    daily/weekly shape that dominates operational series).
+
+        l_t = α·(v_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(v_t − l_t) + (1−γ)·s_{t−m}
+
+    Deterministic init from the first period (m = ``period`` obs):
+    l = mean(v_1..v_m), b = 0, s_i = v_i − l; the fold then consumes
+    v_{m+1}.. — keys with fewer than ``period + 1`` observations are
+    emitted with NULL state (no seasonal estimate is honest, a
+    half-period fit is not). Same execution shape as holt_linear:
+    sequential IN t, parallel ACROSS keys, one shuffle on the key;
+    per-key state is two doubles plus an m-double seasonal array,
+    bounded by the resample grid. The fold is a fixed IEEE chain with
+    binary-exact default coefficients, pinned bit-identical against a
+    pure-Python replay (tests) — the struct-state fold has no SQL
+    form, so the probe is rows-only by design.
+
+    Output: (key, n_obs, level, trend, seasonal ``array<double>``
+    rendered by callers, forecast_1 = level + trend + s_{t+1−m}).
+    """
+    m = int(period)
+    if m < 2:
+        raise ValueError("period must be >= 2")
+    a, bb, g = (F.lit(float(alpha)), F.lit(float(beta)),
+                F.lit(float(gamma)))
+    series = (resampled
+              .groupBy(key)
+              .agg(F.array_sort(
+                  F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                          F.col(value_col).alias("v"))))
+                  .alias("__s")))
+    vals = F.transform(F.col("__s"), lambda s: s["v"])
+    first = F.slice(vals, 1, m)
+    l0 = F.aggregate(first, F.lit(0.0), lambda acc, v: acc + v) / F.lit(
+        float(m))
+    s0 = F.transform(first, lambda v: v - l0)
+    rest = F.slice(vals, m + 1, F.greatest(F.size(vals) - m, F.lit(0)))
+    init = F.struct(F.lit(0).alias("i"), l0.alias("l"),
+                    F.lit(0.0).alias("b"), s0.alias("s"))
+
+    def step(acc, v):
+        # seasonal slot for this t cycles 1..m as i mod m + 1
+        p = (acc["i"] % m) + 1
+        sm = F.element_at(acc["s"], p)
+        lt = a * (v - sm) + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        bt = bb * (lt - acc["l"]) + (F.lit(1.0) - bb) * acc["b"]
+        st = g * (v - lt) + (F.lit(1.0) - g) * sm
+        upd = F.transform(
+            acc["s"],
+            lambda sv, idx: F.when(idx + 1 == p, st).otherwise(sv))
+        return F.struct((acc["i"] + 1).alias("i"), lt.alias("l"),
+                        bt.alias("b"), upd.alias("s"))
+
+    fin = F.aggregate(rest, init, step)
+    enough = F.size(vals) >= m + 1
+    nxt = F.element_at(fin["s"], (fin["i"] % m) + 1)
+    return (series.select(
+        key,
+        F.size(vals).alias("n_obs"),
+        F.when(enough, fin["l"]).alias("level"),
+        F.when(enough, fin["b"]).alias("trend"),
+        F.when(enough, fin["s"]).alias("seasonal"),
+        F.when(enough, fin["l"] + fin["b"] + nxt).alias("forecast_1")))

@@ -3663,3 +3663,43 @@ def privacy_mondrian_anonymize(spark: SparkSession,
     return (mondrian_class_ranges(anon, ["c_acctbal", "c_nationkey"])
             .withColumnRenamed("__class", "class_id")
             .orderBy("class_id"))
+
+
+@query(
+    "timeseries_holt_winters",
+    oracle=None,  # struct-state ordered fold has no SQL form; exact
+                  # equality vs a pure-Python replay of the identical
+                  # IEEE chain is pinned in tests/test_operators.py::
+                  # TestHoltWinters, plus determinism and short-series
+                  # NULL contracts
+    tags=("analytics", "timeseries"),
+    priority=150,
+    doc="Additive Holt-Winters level+trend+seasonality per event type "
+        "over hourly buckets with a daily (period=24) cycle "
+        "(operators/timeseries.py:holt_winters_seasonal) — the "
+        "seasonal completion of holt_linear. Sequential in t, parallel "
+        "across keys, one key shuffle; per-key state is two doubles + "
+        "a 24-double seasonal array bounded by the resample grid. "
+        "Seasonal array rendered to a rounded string at the probe "
+        "boundary (array outputs don't canonicalize).",
+)
+def timeseries_holt_winters(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_winters_seasonal
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("bucket"))
+              .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                   .cast("double").alias("v")))
+    out = holt_winters_seasonal(series, "event_type", "bucket", "v",
+                                period=24)
+    return (out.select(
+        "event_type", "n_obs",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast_1", 6).alias("forecast_1"),
+        F.array_join(F.transform("seasonal",
+                                 lambda s: F.round(s, 6).cast("string")),
+                     ",").alias("seasonal"))
+            .orderBy("event_type"))

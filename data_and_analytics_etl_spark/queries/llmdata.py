@@ -2845,3 +2845,68 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (inverted_index(d, block_size=128)
             .orderBy("token", "block"))
+
+
+def _ap_chain_sql(k: int) -> str:
+    # the SAME left-assoc term chain the Spark expression builds —
+    # never an aggregate SUM of doubles (fold order)
+    chain = "CAST('0.0' AS DOUBLE)"
+    for i in range(k):
+        cum = "(" + " + ".join(f"b{j}" for j in range(i + 1)) + ")"
+        chain = (f"({chain} + CAST(b{i} AS DOUBLE) * "
+                 f"(CAST({cum} AS DOUBLE) / {float(i + 1)!r}))")
+    return chain
+
+
+def _map_at_k_oracle(k: int = 10) -> str:
+    bits = ",\n         ".join(
+        f"coalesce(max(CASE WHEN rn = {i + 1} THEN rel END), 0) AS b{i}"
+        for i in range(k))
+    return f"""
+WITH ranked AS (
+  SELECT label AS q,
+         CAST(embedding[1] AS DOUBLE) AS s,
+         CAST(vec_id % 3 = 0 AS INTEGER) AS rel,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY CAST(embedding[1] AS DOUBLE) DESC, vec_id) AS rn
+  FROM embeddings WHERE label IS NOT NULL
+), g AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(rel) AS BIGINT) AS n_rel,
+         {bits}
+  FROM ranked GROUP BY q
+)
+SELECT q, n_items, n_rel,
+       CASE WHEN n_rel > 0
+            THEN {_ap_chain_sql(k)}
+                 / CAST(least(n_rel, {k}) AS DOUBLE)
+       END AS ap_at_k
+FROM g ORDER BY q
+"""
+
+
+@query(
+    "eval_map_at_k",
+    oracle=_map_at_k_oracle(10),
+    tags=("llm", "eval"),
+    doc="Per-query average precision at 10 (operators/evaluation.py:"
+        "average_precision_at_k) over the same deterministic embedding "
+        "ranking the NDCG probe uses — AP credits every relevant hit "
+        "with the precision at its own position. Position bits via k "
+        "conditional MAXes, integer running counts, LEFT-ASSOC term "
+        "chain mirrored textually in the oracle (never an aggregate "
+        "double SUM); one ranking window shuffle, group size "
+        "unbounded.",
+)
+def eval_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import average_precision_at_k
+    e = load_table(spark, sf_dir, "embeddings")
+    out = average_precision_at_k(
+        e.filter(F.col("label").isNotNull()),
+        F.col("label"),
+        F.element_at("embedding", 1).cast("double"),
+        (F.col("vec_id") % 3 == 0),
+        F.col("vec_id"),
+        k=10)
+    return out.orderBy("q")

@@ -478,3 +478,41 @@ def stream_cdc_apply_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
                         .alias("ts"), "value")
             .orderBy("user_id"))
+
+
+@query(
+    "stream_novelty_filter",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), hist AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250
+)
+SELECT f.doc_id, f.fingerprint
+FROM fp f LEFT JOIN hist h USING (fingerprint)
+WHERE h.fingerprint IS NULL
+ORDER BY f.doc_id
+""",
+    tags=("streaming", "llm", "dedup"),
+    doc="Incremental-crawl novelty gate (streaming/ops.py:"
+        "novelty_filter): the documents replay streams against the "
+        "historical fingerprint manifest (docs < 250) and only "
+        "never-seen content survives — fingerprint projection + "
+        "stream-static broadcast LEFT ANTI join, no state store (the "
+        "manifest IS the state; 16-byte fingerprints, never bodies). "
+        "Batch/stream parity is the oracle: the same anti join "
+        "recomputed relationally.",
+)
+def stream_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ops import novelty_filter, table_stream
+    from ..operators.text import fingerprint
+    hist = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 250)
+            .select(fingerprint(F.col("text")).alias("fingerprint"))
+            .distinct())
+    stream = table_stream(spark, sf_dir, "documents")
+    novel = novelty_filter(stream, hist).select("doc_id", "fingerprint")
+    return run_stream_to_table(novel).orderBy("doc_id")

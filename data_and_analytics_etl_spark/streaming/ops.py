@@ -589,3 +589,37 @@ def stream_cdc_to_partitioned(stream_df: DataFrame, path: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Replay any catalog table's parquet as a file-source stream
+    (events_stream generalized; events itself should keep using
+    events_stream for the ts normalization)."""
+    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir))
+
+
+def novelty_filter(docs: DataFrame, history_fps: DataFrame,
+                   text_col: str = "text",
+                   fp_col: str = "fingerprint") -> DataFrame:
+    """Keep only documents whose content fingerprint has never been
+    seen — the incremental-crawl dedup gate: yesterday's corpus
+    publishes its fingerprint manifest, today's batches stream through
+    and only NOVEL documents survive to the expensive downstream
+    stages (quality, near-dup, embedding).
+
+    Stateless per batch, so the SAME call works on a batch frame or a
+    streaming frame: fingerprint (md5 over normalized text — a codegen
+    projection) + a stream-static LEFT ANTI join against the broadcast
+    manifest. No streaming state store at all — the history is the
+    state, which is why the manifest, not a watermark, bounds memory;
+    refresh the static side per deployment to advance the horizon. At
+    100 TB the manifest is fingerprints only (16 bytes a row), never
+    document bodies.
+    """
+    from ..operators.text import fingerprint
+    return (docs.withColumn(fp_col, fingerprint(F.col(text_col)))
+            .join(F.broadcast(history_fps.select(fp_col)),
+                  fp_col, "left_anti"))

@@ -758,3 +758,102 @@ class TestSegmentDedupEdge:
         out = {r.doc_id: r for r in segment_dedup(df, n_words=3).collect()}
         assert set(out) == {3}  # empty docs vanish (oracle parity)
         assert out[3].text_kept == "a b"
+
+
+class TestHoltWinters:
+    @staticmethod
+    def _replay(vals, m, a=0.5, b=0.25, g=0.5):
+        # pure-Python replay of the documented IEEE chain
+        l = 0.0
+        for v in vals[:m]:
+            l = l + v
+        l = l / float(m)
+        s = [v - l for v in vals[:m]]
+        bt = 0.0
+        for j, v in enumerate(vals[m:]):
+            p = j % m
+            sm = s[p]
+            lt = a * (v - sm) + (1.0 - a) * (l + bt)
+            bt = b * (lt - l) + (1.0 - b) * bt
+            s[p] = g * (v - lt) + (1.0 - g) * sm
+            l = lt
+        nxt = s[len(vals[m:]) % m]
+        return l, bt, s, l + bt + nxt
+
+    def test_bit_identical_to_python_replay(self, spark):
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            holt_winters_seasonal
+        vals = [10.0 + (i % 4) * 3.0 + i * 0.5 + ((i * 7) % 5) * 0.25
+                for i in range(23)]
+        rows = [(1, i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k long, t long, v double")
+        r = holt_winters_seasonal(df, "k", "t", "v", period=4).collect()[0]
+        l, b, s, f1 = self._replay(vals, 4)
+        assert r.level == l and r.trend == b  # bit-identical, no approx
+        assert list(r.seasonal) == s
+        assert r.forecast_1 == f1
+
+    def test_seasonal_signal_recovered(self, spark):
+        # pure seasonal square wave, no trend: forecast continues it
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            holt_winters_seasonal
+        vals = [100.0 if i % 2 == 0 else 0.0 for i in range(40)]
+        df = spark.createDataFrame([(1, i, v) for i, v in enumerate(vals)],
+                                   "k long, t long, v double")
+        r = holt_winters_seasonal(df, "k", "t", "v", period=2).collect()[0]
+        assert abs(r.trend) < 1.0
+        assert r.forecast_1 > 60.0  # t=40 is even -> high phase
+
+    def test_short_series_null_state(self, spark):
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            holt_winters_seasonal
+        df = spark.createDataFrame([(1, i, float(i)) for i in range(4)],
+                                   "k long, t long, v double")
+        r = holt_winters_seasonal(df, "k", "t", "v", period=4).collect()[0]
+        assert r.n_obs == 4
+        assert r.level is None and r.forecast_1 is None
+
+    def test_deterministic_across_partitioning(self, spark):
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            holt_winters_seasonal
+        rows = [(k, i, float((k * 31 + i * 7) % 50))
+                for k in range(3) for i in range(30)]
+        df = spark.createDataFrame(rows, "k long, t long, v double")
+        a = sorted(map(tuple, holt_winters_seasonal(
+            df, "k", "t", "v", period=6).drop("seasonal").collect()))
+        b = sorted(map(tuple, holt_winters_seasonal(
+            df.repartition(11), "k", "t", "v",
+            period=6).drop("seasonal").collect()))
+        assert a == b
+
+
+class TestAveragePrecision:
+    def test_hand_computed_ap(self, spark):
+        # ranking by score desc: items rel pattern 1,0,1,0 ->
+        # AP@4 = (1/2) * (1/1 + 2/3)
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            average_precision_at_k
+        import pyspark.sql.functions as F
+        rows = [("q", 4.0, 1, 1), ("q", 3.0, 0, 2),
+                ("q", 2.0, 1, 3), ("q", 1.0, 0, 4)]
+        df = spark.createDataFrame(rows, "q string, s double, rel int, "
+                                         "t int")
+        r = average_precision_at_k(df, F.col("q"), F.col("s"),
+                                   F.col("rel") == 1, F.col("t"),
+                                   k=4).collect()[0]
+        assert r.ap_at_k == (1.0 + 2.0 / 3.0) / 2.0
+        assert r.n_rel == 2
+
+    def test_no_relevant_is_null_perfect_is_one(self, spark):
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            average_precision_at_k
+        import pyspark.sql.functions as F
+        rows = [("none", 2.0, 0, 1), ("none", 1.0, 0, 2),
+                ("perfect", 2.0, 1, 1), ("perfect", 1.0, 1, 2)]
+        df = spark.createDataFrame(rows, "q string, s double, rel int, "
+                                         "t int")
+        got = {r.q: r.ap_at_k for r in average_precision_at_k(
+            df, F.col("q"), F.col("s"), F.col("rel") == 1,
+            F.col("t"), k=10).collect()}
+        assert got["none"] is None
+        assert got["perfect"] == 1.0

@@ -720,3 +720,22 @@ class TestStreamCdcApply:
         got = {r.user_id: r.value for r in
                spark.read.parquet(dest).collect()}
         assert got == {1: 1.5}
+
+
+class TestNoveltyFilter:
+    def test_exact_dup_across_horizon_filtered(self, spark):
+        # doc 10 repeats historical doc 1's content with different
+        # punctuation/case -> same normalized fingerprint -> filtered
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.operators.text import fingerprint
+        from data_and_analytics_etl_spark.streaming.ops import \
+            novelty_filter
+        hist_docs = spark.createDataFrame(
+            [(1, "Hello world, again!")], "doc_id long, text string")
+        hist = hist_docs.select(
+            fingerprint(F.col("text")).alias("fingerprint")).distinct()
+        new = spark.createDataFrame(
+            [(10, "hello   WORLD again"), (11, "genuinely new text")],
+            "doc_id long, text string")
+        got = [r.doc_id for r in novelty_filter(new, hist).collect()]
+        assert got == [11]
