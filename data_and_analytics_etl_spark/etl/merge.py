@@ -22,19 +22,24 @@ from pyspark.sql import Column, DataFrame, Window
 
 def merge_upsert(existing: DataFrame, updates: DataFrame,
                  keys: list[str],
-                 order_by: list[Column] | None = None) -> DataFrame:
+                 order_by: list[Column] | None = None,
+                 allow_missing_columns: bool = False) -> DataFrame:
     """MERGE: update rows whose key exists in ``updates``, insert the rest.
 
     ``updates`` rows always beat ``existing`` rows on the same key;
     within a side, ``order_by`` (descending-preference list) breaks
     ties — pass the natural version/timestamp column. Columns must be
-    union-compatible (same schema both sides).
+    union-compatible (same schema both sides) unless
+    ``allow_missing_columns`` — the additive-schema-evolution mode:
+    either side's missing columns NULL-fill (merge_upsert_evolving
+    wraps this with the type-clash refusal).
     """
     lhs = existing.withColumn("__src", F.lit(1))
     rhs = updates.withColumn("__src", F.lit(0))   # 0 sorts first = wins
     order = [F.col("__src").asc()] + list(order_by or [])
     w = Window.partitionBy(*keys).orderBy(*order)
-    return (lhs.unionByName(rhs)
+    return (lhs.unionByName(rhs,
+                            allowMissingColumns=allow_missing_columns)
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src"))
@@ -70,7 +75,8 @@ def merge_upsert_partitioned(spark, path: str, updates: DataFrame,
                              keys: list[str], ts_col: str,
                              order_by: list[Column] | None = None,
                              fmt: str = "parquet",
-                             max_records_per_file: int = 100_000) -> dict:
+                             max_records_per_file: int = 100_000,
+                             allow_missing_columns: bool = False) -> dict:
     """Sink-side MERGE that rewrites ONLY partitions containing touched
     keys — the scale-critical half the pure computation above leaves to
     the caller.
@@ -129,8 +135,10 @@ def merge_upsert_partitioned(spark, path: str, updates: DataFrame,
     # overwrite a path its write plan still reads from; checkpointing
     # materializes the merged slice (bounded by the affected partitions,
     # not the table) and truncates the lineage back to the source files.
-    merged = merge_upsert(slice_, upd, keys,
-                          order_by=order_by).localCheckpoint(eager=True)
+    merged = merge_upsert(
+        slice_, upd, keys, order_by=order_by,
+        allow_missing_columns=allow_missing_columns,
+    ).localCheckpoint(eager=True)
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                           "static")
@@ -220,3 +228,63 @@ def delete_keys_partitioned(spark, path: str, keys_df: DataFrame,
     return {"affected_partitions": len(affected_set),
             "rewritten": len(written & affected_set),
             "purged": purged, "deleted_rows": deleted}
+
+
+def align_for_evolution(existing: DataFrame,
+                        updates: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution for MERGE: align two frames to the union of
+    their columns, NULL-filling what either side lacks (Delta's
+    ``mergeSchema`` semantics for the add-a-column case — existing rows
+    carry NULL in new columns, update rows carry NULL in dropped-from-
+    source columns; a TYPE change is refused loudly rather than
+    silently cast, because 4.2 million parquet footers disagreeing
+    about a column's type is how tables die).
+
+    Returns (existing', updates') with identical schemas, column order
+    = existing order + net-new update columns in update order.
+    """
+    e_types = {f.name: f.dataType for f in existing.schema.fields}
+    u_types = {f.name: f.dataType for f in updates.schema.fields}
+    clash = [c for c in e_types if c in u_types
+             and e_types[c] != u_types[c]]
+    if clash:
+        raise ValueError(
+            f"schema evolution refuses type changes: {clash} "
+            f"(existing {[str(e_types[c]) for c in clash]} vs update "
+            f"{[str(u_types[c]) for c in clash]})")
+    order = list(e_types) + [c for c in u_types if c not in e_types]
+    ex2 = existing.select(*[
+        F.col(c) if c in e_types
+        else F.lit(None).cast(u_types[c]).alias(c) for c in order])
+    up2 = updates.select(*[
+        F.col(c) if c in u_types
+        else F.lit(None).cast(e_types[c]).alias(c) for c in order])
+    return ex2, up2
+
+
+def merge_upsert_evolving(spark, path: str, updates: DataFrame,
+                          keys: list[str], ts_col: str,
+                          order_by: list[Column] | None = None,
+                          fmt: str = "parquet",
+                          max_records_per_file: int = 100_000) -> dict:
+    """:func:`merge_upsert_partitioned` with additive schema evolution:
+    when the updates carry NET-NEW columns, the affected partitions are
+    rewritten with the evolved (union) schema and untouched partitions
+    keep their old footers — readers must set ``mergeSchema`` (or use
+    the catalog's schema union) until a compaction pass homogenizes,
+    which is exactly Delta/Iceberg's add-column behavior rendered onto
+    plain parquet. Type changes raise (align_for_evolution).
+
+    Same write-amplification bound as the base MERGE: only partitions
+    holding touched keys rewrite, regardless of the schema delta.
+    """
+    existing = spark.read.format(fmt).load(path)
+    data_cols = [c for c in existing.columns
+                 if c not in ("year", "month", "day", "hour")]
+    # validation only: raises on type clashes; NULL-filling itself is
+    # unionByName(allowMissingColumns) inside the base MERGE
+    align_for_evolution(existing.select(*data_cols), updates)
+    return merge_upsert_partitioned(
+        spark, path, updates, keys, ts_col, order_by=order_by, fmt=fmt,
+        max_records_per_file=max_records_per_file,
+        allow_missing_columns=True)

@@ -528,3 +528,27 @@ def containment_pairs(df: DataFrame, id_col: str, set_col: str,
     return (j.filter((F.col("containment") >= threshold)
                      & (F.size("s_small") <= F.size("s_big")))
             .select("id_small", "id_big", "containment"))
+
+
+def survivorship(clusters: DataFrame, attrs: DataFrame,
+                 quality_col: str, id_col: str = "doc_id",
+                 cluster_col: str = "cluster_rep") -> DataFrame:
+    """Pick the canonical document of each duplicate cluster by POLICY
+    (highest ``quality_col``, id as the deterministic tie-break) — the
+    survivorship step after detection (pairs) and clustering
+    (connected components). "Keep the first" silently keeps whichever
+    copy crawled first; real pipelines keep the longest / highest-
+    quality copy and drop the rest (MDM survivorship; Penedo et al.
+    RefinedWeb keep-longest).
+
+    Input: (id, cluster_rep) from :func:`dedup_clusters` + an
+    attribute frame carrying the quality column. Output adds
+    ``is_survivor``; exactly one survivor per cluster by construction
+    (row_number over a total order). One broadcast-or-shuffle join on
+    the id + one per-cluster rank window — cluster count, not corpus
+    size, bounds the window groups.
+    """
+    j = clusters.join(attrs.select(id_col, quality_col), id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(quality_col), F.asc(id_col))
+    return j.withColumn("is_survivor", F.row_number().over(w) == 1)

@@ -818,3 +818,61 @@ def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .withColumn("n_versions", F.lit(n_versions).cast("long"))
             .orderBy("year", "day"))
+
+
+@query(
+    "etl_merge_schema_evolution",
+    oracle="""
+WITH merged AS (
+  SELECT event_id, ts, value, CAST(NULL AS VARCHAR) AS src
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+  UNION ALL
+  SELECT event_id, ts, value * 2, 'v2' AS src
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+    AND ts < TIMESTAMP '2024-01-03 00:00:00'
+)
+SELECT year(ts) AS year, day(ts) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(sum(CASE WHEN src = 'v2' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_v2
+FROM merged GROUP BY 1, 2 ORDER BY year, day
+""",
+    tags=("etl", "sink", "merge"),
+    doc="Additive schema evolution through the partition-targeted "
+        "MERGE (etl/merge.py:merge_upsert_evolving — Delta's "
+        "mergeSchema add-column case on plain parquet): a day-2 update "
+        "batch carrying a NEW src column upserts into a two-day table; "
+        "day-1 partitions keep their old footers (and read back NULL "
+        "src under mergeSchema), day-2 rewrites with the evolved "
+        "schema, type changes refuse loudly. Write amplification "
+        "stays bounded by touched partitions regardless of the schema "
+        "delta; byte-identity of untouched partitions is pytest-pinned "
+        "(TestMergeSchemaEvolution).",
+)
+def etl_merge_schema_evolution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..etl.merge import merge_upsert_evolving
+    from ..etl.sink import write_partitioned
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "ts", "value"))
+    dest = os.path.join(tempfile.mkdtemp(prefix="etl_evo_"), "data")
+    write_partitioned(ev.filter(F.col("ts") < F.lit(
+        dt.datetime(2024, 1, 3))), dest, "ts")
+    upd = (ev.filter((F.col("ts") >= F.lit(dt.datetime(2024, 1, 2)))
+                     & (F.col("ts") < F.lit(dt.datetime(2024, 1, 3))))
+           .withColumn("value", F.col("value") * 2)
+           .withColumn("src", F.lit("v2")))
+    merge_upsert_evolving(spark, dest, upd, ["event_id"], "ts")
+    back = spark.read.option("mergeSchema", "true").parquet(dest)
+    return (back.groupBy(F.year("ts").alias("year"),
+                         F.dayofmonth("ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("cents"),
+                 F.sum(F.when(F.col("src") == "v2", 1).otherwise(0))
+                 .cast("long").alias("n_v2"))
+            .orderBy("year", "day"))

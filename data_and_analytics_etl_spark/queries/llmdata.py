@@ -2910,3 +2910,63 @@ def eval_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id"),
         k=10)
     return out.orderBy("q")
+
+
+@query(
+    "dedup_survivorship",
+    oracle=r"""
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+           i -> concat_ws(' ',
+                string_split_regex(text, '\s+')[i],
+                string_split_regex(text, '\s+')[i+1],
+                string_split_regex(text, '\s+')[i+2]))) AS sh
+  FROM documents WHERE doc_id < 250
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a, s b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), cl AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_rep
+  FROM s d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT c.doc_id, c.cluster_rep,
+       (row_number() OVER (PARTITION BY c.cluster_rep
+                           ORDER BY d.n_chars DESC, c.doc_id) = 1)
+         AS is_survivor
+FROM cl c JOIN documents d USING (doc_id)
+ORDER BY c.doc_id
+""",
+    tags=("llm", "dedup"),
+    doc="Cluster survivorship policy (operators/dedup.py:survivorship "
+        "— MDM survivorship / RefinedWeb keep-longest): after pairs -> "
+        "connected components, each duplicate cluster keeps its "
+        "highest-n_chars member (id tie-break), exactly one survivor "
+        "per cluster by a total-order rank window. One id join + one "
+        "per-cluster window; the oracle recomputes the WHOLE chain "
+        "(shingles, Jaccard pairs, recursive-CTE components, ranked "
+        "survivor).",
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters, survivorship
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    sh = with_word_shingles(d, "text", n=3)
+    pairs = jaccard_pairs(sh, "doc_id", "shingles", threshold=0.5)
+    clusters = dedup_clusters(pairs, d.select("doc_id"), id_col="doc_id")
+    return (survivorship(clusters, d, "n_chars")
+            .select("doc_id", "cluster_rep", "is_survivor")
+            .orderBy("doc_id"))

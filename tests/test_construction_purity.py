@@ -47,6 +47,7 @@ EXEMPT_PROBES = {
     "privacy_mondrian_anonymize",  # median-split fixpoint loop: the
                           # per-round any-split probe is the algorithm
                           # (profile.py:mondrian_anonymize)
+    "dedup_survivorship",  # composes dedup_clusters' CC fixpoint loop
 }
 
 

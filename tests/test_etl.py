@@ -791,3 +791,46 @@ class TestVacuumUnreferenced:
         dest = str(tmp_path / "t")
         spark.range(3).write.mode("append").parquet(dest)
         assert vacuum_unreferenced(spark, dest) >= 1
+
+
+class TestMergeSchemaEvolution:
+    def test_new_column_evolves_and_bound_holds(self, spark, tmp_path):
+        import datetime as dt
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.etl.merge import \
+            merge_upsert_evolving
+        from data_and_analytics_etl_spark.etl.sink import write_partitioned
+        dest = str(tmp_path / "t")
+        t1 = dt.datetime(2024, 1, 1, 10)
+        t2 = dt.datetime(2024, 1, 2, 10)
+        base = spark.createDataFrame(
+            [(1, t1, 10.0), (2, t2, 20.0)],
+            "k long, ts timestamp, v double")
+        write_partitioned(base, dest, "ts")
+        upd = spark.createDataFrame(
+            [(2, t2, 21.0, "tag-b"), (3, t2, 30.0, "tag-c")],
+            "k long, ts timestamp, v double, tag string")
+        stats = merge_upsert_evolving(spark, dest, upd, ["k"], "ts")
+        # day-1 partition untouched (key 1 not in the update batch)
+        assert stats["affected_partitions"] == 1
+        back = (spark.read.option("mergeSchema", "true").parquet(dest)
+                .select("k", "v", "tag").orderBy("k").collect())
+        got = [(r.k, r.v, r.tag) for r in back]
+        assert got == [(1, 10.0, None), (2, 21.0, "tag-b"),
+                       (3, 30.0, "tag-c")]
+
+    def test_type_change_refused(self, spark, tmp_path):
+        import datetime as dt
+        import pytest
+        from data_and_analytics_etl_spark.etl.merge import \
+            merge_upsert_evolving
+        from data_and_analytics_etl_spark.etl.sink import write_partitioned
+        dest = str(tmp_path / "t")
+        t1 = dt.datetime(2024, 1, 1, 10)
+        base = spark.createDataFrame([(1, t1, 10.0)],
+                                     "k long, ts timestamp, v double")
+        write_partitioned(base, dest, "ts")
+        bad = spark.createDataFrame([(1, t1, "oops")],
+                                    "k long, ts timestamp, v string")
+        with pytest.raises(ValueError, match="type changes"):
+            merge_upsert_evolving(spark, dest, bad, ["k"], "ts")
