@@ -329,3 +329,47 @@ def select_diverse_topk(df: DataFrame, vec_col: str, quality_col: str,
             .filter(F.col("__rn") <= per_cell)
             .withColumnRenamed("__cell", "cell")
             .drop("__rn"))
+
+
+def quota_allocate(df: DataFrame, stratum_col: str,
+                   total: int) -> DataFrame:
+    """Exact proportional quota allocation across strata by the
+    largest-remainder (Hamilton) method: quotas are integers, sum to
+    EXACTLY ``total``, and each stratum's quota differs from its exact
+    proportional share by < 1 — the allocation step a fixed-size
+    stratified sample needs before any row is drawn (float
+    `frac`-based samplers can't promise an exact total).
+
+    All arithmetic is integer: base = (n_s · total) DIV T, remainder
+    r_s = n_s · total − base · T, and the ``total − Σ base`` leftover
+    units go to the strata with the largest remainders (stratum value
+    ascending on ties). No float ever enters, so the allocation is
+    deterministic and oracle-exact. The products n_s · total ride
+    DECIMAL(38,0) so corpus-scale counts cannot overflow a long.
+
+    Scale shape: one hash aggregate to a strata-sized table; the only
+    windows (remainder rank) and the 1-row totals rollup run over that
+    bounded table, broadcast back — nothing data-sized crosses a
+    single task. Output: (stratum, n_rows, quota).
+    """
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    per = (df.groupBy(F.col(stratum_col).alias("stratum"))
+           .agg(F.count(F.lit(1)).alias("n_rows")))
+    tot = per.agg(F.sum(F.col("n_rows").cast("decimal(38,0)"))
+                  .alias("__T"))
+    j = per.crossJoin(F.broadcast(tot))
+    prod = F.col("n_rows").cast("decimal(38,0)") * F.lit(total)
+    base = F.floor(prod / F.col("__T")).cast("long")
+    rem = (prod - base.cast("decimal(38,0)") * F.col("__T"))
+    j = j.withColumn("__base", base).withColumn("__rem", rem)
+    # leftover units: total - sum(base); strata-sized table, bounded
+    left = j.agg((F.lit(total)
+                  - F.sum("__base")).cast("long").alias("__L"))
+    wr = Window.orderBy(F.desc("__rem"), F.asc("stratum"))
+    return (j.crossJoin(F.broadcast(left))
+            .withColumn("__rk", F.row_number().over(wr))
+            .select("stratum", "n_rows",
+                    (F.col("__base")
+                     + (F.col("__rk") <= F.col("__L")).cast("long"))
+                    .alias("quota")))

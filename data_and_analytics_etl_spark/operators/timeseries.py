@@ -569,3 +569,43 @@ def holt_winters_seasonal(resampled: DataFrame, key: str, order_col: str,
         F.when(enough, fin["b"]).alias("trend"),
         F.when(enough, fin["s"]).alias("seasonal"),
         F.when(enough, fin["l"] + fin["b"] + nxt).alias("forecast_1")))
+
+
+def interarrival_stats(df: DataFrame, key: str, ts_col: str,
+                       tie_col: str) -> DataFrame:
+    """Per-key inter-arrival gap statistics + the Goh–Barabási
+    burstiness index B = (σ−µ)/(σ+µ) ∈ [−1, 1] — the bot/spam signal
+    every event pipeline profiles (humans are bursty, B → 1; timers
+    are regular, B → −1; a Poisson process sits at 0).
+
+    Gaps are exact integer microseconds from one lag window ordered by
+    (ts, tie); µ and σ come from cleared-denominator exact sums
+    (Σg, Σg² as DECIMAL(38,0)) with the float entering only in the
+    final fixed chain — population variance n·Σg² − (Σg)² over n², a
+    correctly-rounded sqrt, and one division for B. Keys with a single
+    event (no gap) are emitted with NULL stats. One shuffle on the
+    key; the lag window sorts per key.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tie_col)
+    us = F.unix_micros(F.col(ts_col))
+    gaps = (df.withColumn("__gap", us - F.lag(us).over(w))
+            .filter(F.col("__gap").isNotNull()))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = gaps.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(dec(F.col("__gap"))).alias("__sg"),
+        F.sum(dec(F.col("__gap")) * dec(F.col("__gap"))).alias("__sg2"),
+        F.min("__gap").alias("min_gap_us"),
+        F.max("__gap").alias("max_gap_us"))
+    n = F.col("n_gaps").cast("double")
+    sg = F.col("__sg").cast("double")
+    sg2 = F.col("__sg2").cast("double")
+    mean = sg / n
+    var = (n * sg2 - sg * sg) / (n * n)
+    sigma = F.sqrt(var)
+    return g.select(
+        key, "n_gaps", "min_gap_us", "max_gap_us",
+        mean.alias("mean_gap_us"),
+        sigma.alias("sigma_gap_us"),
+        F.when(sigma + mean > 0.0,
+               (sigma - mean) / (sigma + mean)).alias("burstiness"))

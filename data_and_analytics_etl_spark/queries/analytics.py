@@ -3703,3 +3703,102 @@ def timeseries_holt_winters(spark: SparkSession,
                                  lambda s: F.round(s, 6).cast("string")),
                      ",").alias("seasonal"))
             .orderBy("event_type"))
+
+
+@query(
+    "sample_quota_allocation",
+    oracle="""
+WITH per AS (
+  SELECT o_orderpriority AS stratum, count(*) AS n_rows
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT sum(n_rows) AS t FROM per
+), j AS (
+  SELECT stratum, n_rows,
+         (n_rows * 1000) // t AS base,
+         (n_rows * 1000) % t AS rem
+  FROM per CROSS JOIN tot
+), l AS (
+  SELECT 1000 - sum(base) AS leftover FROM j
+)
+SELECT stratum, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC,
+                                                stratum) <= leftover
+                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM j CROSS JOIN l ORDER BY stratum
+""",
+    tags=("analytics", "sampling"),
+    doc="Exact largest-remainder (Hamilton) quota allocation of 1000 "
+        "sample slots across order priorities (operators/sampling.py:"
+        "quota_allocate): integer-only arithmetic on DECIMAL(38,0) "
+        "products, quotas sum to exactly the total, each within 1 of "
+        "its proportional share. One hash aggregate to a strata-sized "
+        "table; the remainder-rank window and 1-row totals run over "
+        "that bounded table, broadcast back.",
+)
+def sample_quota_allocation(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from ..operators.sampling import quota_allocate
+    o = load_table(spark, sf_dir, "orders")
+    return (quota_allocate(o, "o_orderpriority", total=1000)
+            .orderBy("stratum"))
+
+
+@query(
+    "profile_interarrival_burstiness",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), nn AS (
+  SELECT user_id, gap FROM g WHERE gap IS NOT NULL
+), a AS (
+  SELECT user_id, count(*) AS n_gaps,
+         sum(CAST(gap AS HUGEINT)) AS sg,
+         sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sg2,
+         min(gap) AS min_gap_us, max(gap) AS max_gap_us
+  FROM nn GROUP BY 1
+)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(min_gap_us AS BIGINT) AS min_gap_us,
+       CAST(max_gap_us AS BIGINT) AS max_gap_us,
+       CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+       sqrt((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+             - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+            / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+         AS sigma_gap_us,
+       CASE WHEN sqrt((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                       - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                      / (CAST(n_gaps AS DOUBLE)
+                         * CAST(n_gaps AS DOUBLE)))
+                 + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0.0
+            THEN (sqrt((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                       / (CAST(n_gaps AS DOUBLE)
+                          * CAST(n_gaps AS DOUBLE)))
+                  - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                 / (sqrt((CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                          - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                         / (CAST(n_gaps AS DOUBLE)
+                            * CAST(n_gaps AS DOUBLE)))
+                    + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+       END AS burstiness
+FROM a ORDER BY user_id
+""",
+    tags=("analytics", "profile", "timeseries"),
+    doc="Per-user inter-arrival statistics + Goh-Barabási burstiness "
+        "(operators/timeseries.py:interarrival_stats) — the bot/spam "
+        "regularity signal: B -> -1 timers, 0 Poisson, +1 bursty "
+        "humans. Exact integer-microsecond gaps from one lag window, "
+        "cleared-denominator decimal sums, float only in the final "
+        "fixed chain (population sigma via correctly-rounded sqrt). "
+        "One key shuffle.",
+)
+def profile_interarrival_burstiness(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import interarrival_stats
+    ev = load_table(spark, sf_dir, "events")
+    return (interarrival_stats(ev, "user_id", "ts", "event_id")
+            .orderBy("user_id"))

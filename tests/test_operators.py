@@ -857,3 +857,58 @@ class TestAveragePrecision:
             F.col("t"), k=10).collect()}
         assert got["none"] is None
         assert got["perfect"] == 1.0
+
+
+class TestQuotaAllocate:
+    def test_sums_to_total_and_within_one_of_share(self, spark):
+        from data_and_analytics_etl_spark.operators.sampling import \
+            quota_allocate
+        rows = [(i, f"s{(i * 7) % 5}") for i in range(997)]
+        df = spark.createDataFrame(rows, "id long, s string")
+        out = quota_allocate(df, "s", total=100).collect()
+        assert sum(r.quota for r in out) == 100
+        for r in out:
+            share = 100 * r.n_rows / 997
+            assert abs(r.quota - share) < 1.0
+
+    def test_total_zero_and_exact_division(self, spark):
+        from data_and_analytics_etl_spark.operators.sampling import \
+            quota_allocate
+        df = spark.createDataFrame(
+            [(i, f"s{i % 4}") for i in range(80)], "id long, s string")
+        z = quota_allocate(df, "s", total=0).collect()
+        assert all(r.quota == 0 for r in z)
+        e = quota_allocate(df, "s", total=40).collect()
+        assert all(r.quota == 10 for r in e)  # exact shares, no remainder
+
+
+class TestInterarrivalStats:
+    def test_regular_timer_vs_bursty(self, spark):
+        import datetime as dt
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            interarrival_stats
+        t0 = dt.datetime(2024, 1, 1)
+        rows = ([(1, t0 + dt.timedelta(seconds=10 * i), i)
+                 for i in range(20)]       # perfect timer
+                + [(2, t0 + dt.timedelta(seconds=s), 100 + i)
+                   for i, s in enumerate(
+                       [0, 1, 2, 3, 1000, 1001, 1002, 2500])])  # bursty
+        df = spark.createDataFrame(rows,
+                                   "user_id long, ts timestamp, "
+                                   "event_id long")
+        out = {r.user_id: r for r in
+               interarrival_stats(df, "user_id", "ts",
+                                  "event_id").collect()}
+        assert out[1].burstiness == -1.0   # sigma 0 -> (0-mu)/(0+mu)
+        assert out[2].burstiness > 0.2     # bursty side of Poisson
+        assert out[1].mean_gap_us == 10_000_000.0
+
+    def test_single_event_key_absent(self, spark):
+        import datetime as dt
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            interarrival_stats
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 0)],
+            "user_id long, ts timestamp, event_id long")
+        assert interarrival_stats(df, "user_id", "ts",
+                                  "event_id").count() == 0
