@@ -467,3 +467,39 @@ def average_precision_at_k(df: DataFrame, query: Column, score: Column,
     return g.select(
         "q", "n_items", "n_rel",
         F.when(F.col("n_rel") > 0, chain / denom).alias("ap_at_k"))
+
+
+def cost_sensitive_report(df: DataFrame, truth: Column, pred: Column,
+                          costs: dict[tuple[str, str], int],
+                          default_cost: int = 0) -> DataFrame:
+    """Cost-sensitive classification evaluation: accuracy treats every
+    mistake the same; deployed classifiers rarely can (a spam
+    false-negative and a false-positive have different prices). Each
+    (truth, pred) cell is charged its cost from the caller's matrix
+    (INTEGER costs — the money rule: cell totals are exact long sums,
+    the only float is the final mean division), missing cells charge
+    ``default_cost``.
+
+    Output per truth class: n, n_correct, total_cost, mean_cost — the
+    caller's 1-row rollup gives the overall expected cost. One hash
+    aggregate on the (truth, pred) pair, then the literal cost matrix
+    applies as a codegen CASE over the cells table (class-cardinality-
+    bounded); nothing data-sized crosses a second shuffle.
+    """
+    cells = (df.select(truth.alias("__t"), pred.alias("__p"))
+             .groupBy("__t", "__p").agg(F.count(F.lit(1)).alias("__n")))
+    cost = F.lit(int(default_cost))
+    for (t, p), c in sorted(costs.items()):
+        cost = F.when((F.col("__t") == t) & (F.col("__p") == p),
+                      F.lit(int(c))).otherwise(cost)
+    per_cell = cells.withColumn("__cost", cost)
+    return (per_cell.groupBy(F.col("__t").alias("truth"))
+            .agg(F.sum("__n").alias("n"),
+                 F.sum(F.when(F.col("__t") == F.col("__p"),
+                              F.col("__n")).otherwise(0))
+                 .cast("long").alias("n_correct"),
+                 F.sum(F.col("__n") * F.col("__cost")).cast("long")
+                 .alias("total_cost"))
+            .withColumn("mean_cost",
+                        F.col("total_cost").cast("double")
+                        / F.col("n").cast("double")))

@@ -249,3 +249,35 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     raise RuntimeError(
         f"k_core did not reach a fixpoint within {max_rounds} rounds; "
         "raise max_rounds (peel depth is data-dependent)")
+
+
+def sssp_hops(edges: DataFrame, source, src: str = "src",
+              dst: str = "dst", max_depth: int = 8) -> DataFrame:
+    """Single-source shortest hop-distances within ``max_depth`` — the
+    one-source specialization of :func:`transitive_closure`. The
+    all-pairs closure is the wrong plan when only one root matters:
+    each of the ``max_depth`` LINEAR rounds here joins the
+    reached-so-far set (bounded by the answer size) against the edge
+    table, so work scales with the source's reachable neighborhood,
+    never node×node — the BFS frontier argument, kept LAZY (no
+    convergence probe; the horizon is the modeling bound, as in the
+    closure) so construction is action-free and a recursive-CTE
+    oracle can replay it.
+
+    Returns (node, depth) with depth = minimum hops from ``source``
+    (the source itself at depth 0). Per-round lazy persist stops the
+    union's double reference from recomputing the reached set; cycles
+    are capped at the horizon by construction.
+    """
+    dist = (edges.sparkSession.range(1)
+            .select(F.lit(source).cast("long").alias("node"),
+                    F.lit(0).alias("depth")))
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    for _ in range(int(max_depth)):
+        dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
+        step = (dist.join(e, dist["node"] == e["__s"])
+                .select(F.col("__d").alias("node"),
+                        (F.col("depth") + 1).alias("depth")))
+        dist = (dist.unionByName(step)
+                .groupBy("node").agg(F.min("depth").alias("depth")))
+    return dist

@@ -3802,3 +3802,100 @@ def profile_interarrival_burstiness(spark: SparkSession,
     ev = load_table(spark, sf_dir, "events")
     return (interarrival_stats(ev, "user_id", "ts", "event_id")
             .orderBy("user_id"))
+
+
+@query(
+    "graph_sssp_hops",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT c_custkey // 10 AS src, c_custkey AS dst
+  FROM customer WHERE c_custkey > 0
+), r(node, depth) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+  UNION
+  SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node
+  WHERE r.depth < 6
+)
+SELECT node, CAST(min(depth) AS INTEGER) AS depth
+FROM r GROUP BY node ORDER BY node
+""",
+    tags=("analytics", "graph"),
+    doc="Single-source shortest hop-distances from the root of the "
+        "customer decimal-digit hierarchy (operators/graph.py:"
+        "sssp_hops): max_depth LINEAR lazy rounds, each joining the "
+        "reached set (answer-bounded, the BFS frontier argument) "
+        "against the edges — never the all-pairs closure when one "
+        "source matters. Oracle is the recursive CTE; depth-capped so "
+        "cycles cannot recurse.",
+)
+def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import sssp_hops
+    c = load_table(spark, sf_dir, "customer")
+    edges = (c.filter(F.col("c_custkey") > 0)
+             .select((F.col("c_custkey") / 10).cast("long").alias("src"),
+                     F.col("c_custkey").alias("dst")))
+    return (sssp_hops(edges, 0, max_depth=6)
+            .select("node", F.col("depth").cast("int").alias("depth"))
+            .orderBy("node"))
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _cost_matrix() -> dict[tuple[str, str], int]:
+    # deterministic asymmetric integer costs, diagonal free; ONE Python
+    # function feeds both the Spark literal CASE and the oracle text
+    return {(t, p): 0 if t == p else 1 + (len(t) + 2 * len(p)) % 3
+            for t in _EVENT_TYPES for p in _EVENT_TYPES}
+
+
+def _cost_sensitive_oracle() -> str:
+    types_sql = ", ".join(f"'{t}'" for t in _EVENT_TYPES)
+    cost_case = " ".join(
+        f"WHEN truth = '{t}' AND pred = '{p}' THEN {c}"
+        for (t, p), c in sorted(_cost_matrix().items()))
+    return f"""
+WITH p AS (
+  SELECT event_type AS truth,
+         CASE WHEN event_id % 7 < 5 THEN event_type
+              ELSE ([{types_sql}])[CAST(event_id % 5 AS INTEGER) + 1]
+         END AS pred
+  FROM events
+), cells AS (
+  SELECT truth, pred, count(*) AS n FROM p GROUP BY 1, 2
+), costed AS (
+  SELECT truth, pred, n, CASE {cost_case} ELSE 0 END AS cost
+  FROM cells
+)
+SELECT truth, CAST(sum(n) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN truth = pred THEN n ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(sum(n * cost) AS BIGINT) AS total_cost,
+       CAST(CAST(sum(n * cost) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS mean_cost
+FROM costed GROUP BY truth ORDER BY truth
+"""
+
+
+@query(
+    "eval_cost_sensitive",
+    oracle=_cost_sensitive_oracle(),
+    tags=("analytics", "eval"),
+    doc="Cost-sensitive classification evaluation (operators/"
+        "evaluation.py:cost_sensitive_report): a deterministic "
+        "pseudo-classifier over events is charged an asymmetric "
+        "integer cost matrix (one Python literal table feeding both "
+        "engines) — exact long cost totals per truth class, float "
+        "only in the final mean division. One pair hash aggregate + a "
+        "codegen CASE over the class-bounded cells table.",
+)
+def eval_cost_sensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import cost_sensitive_report
+    ev = load_table(spark, sf_dir, "events")
+    types_arr = F.array(*[F.lit(t) for t in _EVENT_TYPES])
+    pred = F.when(F.col("event_id") % 7 < 5, F.col("event_type")) \
+            .otherwise(F.element_at(
+                types_arr, (F.col("event_id") % 5).cast("int") + 1))
+    return (cost_sensitive_report(ev, F.col("event_type"), pred,
+                                  _cost_matrix())
+            .orderBy("truth"))

@@ -912,3 +912,38 @@ class TestInterarrivalStats:
             "user_id long, ts timestamp, event_id long")
         assert interarrival_stats(df, "user_id", "ts",
                                   "event_id").count() == 0
+
+
+class TestSsspHops:
+    def test_hand_graph_distances(self, spark):
+        from data_and_analytics_etl_spark.operators.graph import sssp_hops
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (9, 10)],
+            "src long, dst long")
+        got = {r.node: r.depth for r in
+               sssp_hops(edges, 0, max_depth=6).collect()}
+        # 9/10 unreachable from 0; 3 via the SHORTER of two paths
+        assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+    def test_cycle_capped_by_horizon(self, spark):
+        from data_and_analytics_etl_spark.operators.graph import sssp_hops
+        edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+        got = {r.node: r.depth for r in
+               sssp_hops(edges, 0, max_depth=4).collect()}
+        assert got == {0: 0, 1: 1}  # revisits never improve depth
+
+
+class TestCostSensitiveReport:
+    def test_exact_costs(self, spark):
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            cost_sensitive_report
+        rows = [("a", "a")] * 3 + [("a", "b")] * 2 + [("b", "b")]
+        df = spark.createDataFrame(rows, "t string, p string")
+        out = {r.truth: r for r in cost_sensitive_report(
+            df, F.col("t"), F.col("p"),
+            {("a", "b"): 5, ("b", "a"): 1}).collect()}
+        assert out["a"].n == 5 and out["a"].n_correct == 3
+        assert out["a"].total_cost == 10  # 2 mistakes x cost 5
+        assert out["a"].mean_cost == 2.0
+        assert out["b"].total_cost == 0
