@@ -947,3 +947,49 @@ class TestCostSensitiveReport:
         assert out["a"].total_cost == 10  # 2 mistakes x cost 5
         assert out["a"].mean_cost == 2.0
         assert out["b"].total_cost == 0
+
+
+class TestThirdSessionEdges:
+    def test_skyline_nulls_and_single_point(self, spark):
+        from data_and_analytics_etl_spark.operators.skyline import skyline_2d
+        df = spark.createDataFrame(
+            [(None, 1), (2, None), (5, 5)], "x int, y int")
+        got = [(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()]
+        assert got == [(5, 5)]  # NULLs incomparable -> excluded
+
+    def test_quota_more_strata_than_total(self, spark):
+        # 10 strata, 3 slots: only the largest-remainder strata get one
+        from data_and_analytics_etl_spark.operators.sampling import \
+            quota_allocate
+        df = spark.createDataFrame(
+            [(i, f"s{i}") for i in range(10)], "id long, s string")
+        out = quota_allocate(df, "s", total=3).collect()
+        assert sum(r.quota for r in out) == 3
+        assert all(r.quota in (0, 1) for r in out)
+        # equal remainders -> ties break by stratum value ascending
+        winners = sorted(r.stratum for r in out if r.quota == 1)
+        assert winners == ["s0", "s1", "s2"]
+
+    def test_shard_empty_input(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import \
+            shard_by_weight
+        df = spark.createDataFrame([], "doc_id long, w long")
+        assert shard_by_weight(df, "w", 100).count() == 0
+
+    def test_bm25_single_doc_corpus(self, spark):
+        # N=1, df=1: idf = ln(1.5/1.5 + 1) = ln 2 > 0 — never negative
+        from data_and_analytics_etl_spark.operators.text import bm25_scores
+        df = spark.createDataFrame([(1, "only doc here")],
+                                   "doc_id long, text string")
+        r = bm25_scores(df, ["only"]).collect()[0]
+        assert r.bm25 > 0
+
+    def test_curriculum_two_stage_alternates(self, spark):
+        from data_and_analytics_etl_spark.operators.corpus import \
+            curriculum_order
+        rows = [(i, 10 if i % 2 == 0 else 1000) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        out = sorted(curriculum_order(df, "n_chars", n_stages=2)
+                     .collect(), key=lambda r: r.curriculum_pos)
+        stages = [r.stage for r in out]
+        assert stages == [1, 2] * 10  # perfect easy/hard interleave
