@@ -23,7 +23,8 @@ from pyspark.sql import Column, DataFrame, Window
 def merge_upsert(existing: DataFrame, updates: DataFrame,
                  keys: list[str],
                  order_by: list[Column] | None = None,
-                 allow_missing_columns: bool = False) -> DataFrame:
+                 allow_missing_columns: bool = False,
+                 order_dominates: bool = False) -> DataFrame:
     """MERGE: update rows whose key exists in ``updates``, insert the rest.
 
     ``updates`` rows always beat ``existing`` rows on the same key;
@@ -33,10 +34,20 @@ def merge_upsert(existing: DataFrame, updates: DataFrame,
     ``allow_missing_columns`` — the additive-schema-evolution mode:
     either side's missing columns NULL-fill (merge_upsert_evolving
     wraps this with the type-clash refusal).
+
+    ``order_dominates=True`` inverts the precedence: ``order_by``
+    sorts FIRST and the update-side preference becomes the final
+    tiebreak. This is the CDC mode — when rows carry a total change
+    order (log sequence number), an already-applied higher-seq row
+    must beat a late-arriving lower-seq update, which the default
+    updates-always-win rule would silently overwrite.
     """
     lhs = existing.withColumn("__src", F.lit(1))
     rhs = updates.withColumn("__src", F.lit(0))   # 0 sorts first = wins
-    order = [F.col("__src").asc()] + list(order_by or [])
+    if order_dominates:
+        order = list(order_by or []) + [F.col("__src").asc()]
+    else:
+        order = [F.col("__src").asc()] + list(order_by or [])
     w = Window.partitionBy(*keys).orderBy(*order)
     return (lhs.unionByName(rhs,
                             allowMissingColumns=allow_missing_columns)
@@ -76,7 +87,8 @@ def merge_upsert_partitioned(spark, path: str, updates: DataFrame,
                              order_by: list[Column] | None = None,
                              fmt: str = "parquet",
                              max_records_per_file: int = 100_000,
-                             allow_missing_columns: bool = False) -> dict:
+                             allow_missing_columns: bool = False,
+                             order_dominates: bool = False) -> dict:
     """Sink-side MERGE that rewrites ONLY partitions containing touched
     keys — the scale-critical half the pure computation above leaves to
     the caller.
@@ -138,6 +150,7 @@ def merge_upsert_partitioned(spark, path: str, updates: DataFrame,
     merged = merge_upsert(
         slice_, upd, keys, order_by=order_by,
         allow_missing_columns=allow_missing_columns,
+        order_dominates=order_dominates,
     ).localCheckpoint(eager=True)
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",

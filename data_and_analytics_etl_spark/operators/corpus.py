@@ -305,7 +305,11 @@ def mixture_plan(df: DataFrame, source_col: str, ntok_col: str,
     available_i, and ``binding`` marks the scarcest source (the one to
     go buy more of). Sources present in the corpus but absent from
     ``weights`` get weight 0 — reported with take 0, never silently
-    dropped from the plan.
+    dropped from the plan. Two refusal modes, never silent NULLs: an
+    all-zero ``weights`` dict raises at build, and a corpus containing
+    NONE of the positively-weighted sources raises at execution (the
+    min-capacity aggregate would be empty -> NULL budget -> all-NULL
+    takes otherwise).
 
     Weights should be binary-exact literals (0.5, 0.25, …) when the
     plan feeds an exact-comparison harness: ŵ·budget is then an exact
@@ -329,8 +333,21 @@ def mixture_plan(df: DataFrame, source_col: str, ntok_col: str,
     cap = (per.filter(F.col("weight") > 0)
            .agg(F.min(F.col("available") / F.col("weight"))
                 .alias("__cap")))
-    budget = (F.least(F.col("__cap"), F.lit(float(budget_tokens)))
-              if budget_tokens is not None else F.col("__cap"))
+    # Refuse loudly when NO positively-weighted source exists in the
+    # corpus: the capacity aggregate is then min() over zero rows →
+    # NULL __cap → every take_tokens silently NULL (the exact failure
+    # the all-zero-weights ValueError above refuses at build). The
+    # guard must stay LAZY (construction purity: probes launch zero
+    # jobs at build), so it is an execution-time raise_error folded
+    # into the budget expression — value-neutral when __cap exists.
+    guarded_cap = F.when(
+        F.col("__cap").isNull(),
+        F.raise_error(F.lit(
+            "mixture_plan: no positively-weighted source is present "
+            "in the corpus — the plan would be all-NULL takes"))
+        .cast("double")).otherwise(F.col("__cap"))
+    budget = (F.least(guarded_cap, F.lit(float(budget_tokens)))
+              if budget_tokens is not None else guarded_cap)
     take = F.floor(F.col("weight") * budget).cast("long")
     return (per.crossJoin(F.broadcast(cap))
             .select("source",

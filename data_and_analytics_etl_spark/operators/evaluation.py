@@ -436,21 +436,32 @@ def average_precision_at_k(df: DataFrame, query: Column, score: Column,
     relevant count through position i. Mean over queries (MAP@k) is
     the caller's one-line rollup.
 
+    NULL-score rows are UNRANKED (an unretrieved/unscored item can
+    never occupy a top-k position) but they still count toward
+    ``n_items`` and toward R — dropping them before the counts would
+    shrink R and inflate AP@k for partially-scored inputs, turning
+    "we failed to score a relevant item" into a better metric. The
+    ranking window sorts NULL scores last and the position bits
+    additionally require a non-NULL score, so an unscored row can't
+    claim a position even when fewer than k rows are scored.
+
     Same determinism discipline as :func:`ranking_metrics`: one
-    total-order ranking window (score DESC, tie ASC), k conditional
-    MAXes pull the position bits, cum_i is integer arithmetic, and the
-    sum of the k per-position terms is a LEFT-ASSOC fixed expression —
-    never an aggregate SUM of doubles, whose fold order is partition-
-    dependent. R = 0 yields NULL (no relevant items = AP undefined,
-    not zero). Group size is unbounded; only k widens the aggregate.
+    total-order ranking window (score DESC NULLS LAST, tie ASC), k
+    conditional MAXes pull the position bits, cum_i is integer
+    arithmetic, and the sum of the k per-position terms is a
+    LEFT-ASSOC fixed expression — never an aggregate SUM of doubles,
+    whose fold order is partition-dependent. R = 0 yields NULL (no
+    relevant items = AP undefined, not zero). Group size is
+    unbounded; only k widens the aggregate.
     """
     d = df.select(query.alias("q"), score.alias("s"),
-                  relevance.cast("int").alias("rel"), tie.alias("t")) \
-          .filter(F.col("s").isNotNull())
-    win = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("t"))
+                  relevance.cast("int").alias("rel"), tie.alias("t"))
+    win = Window.partitionBy("q").orderBy(F.desc_nulls_last("s"),
+                                          F.asc("t"))
     r = d.withColumn("rn", F.row_number().over(win))
     pos_bits = [F.coalesce(
-        F.max(F.when(F.col("rn") == i + 1, F.col("rel"))), F.lit(0))
+        F.max(F.when((F.col("rn") == i + 1) & F.col("s").isNotNull(),
+                     F.col("rel"))), F.lit(0))
         .alias(f"__b{i}") for i in range(k)]
     g = r.groupBy("q").agg(
         F.count(F.lit(1)).alias("n_items"),

@@ -133,10 +133,12 @@ def apply_changelog(base: DataFrame, changes: DataFrame, keys: list[str],
     order per key — log offset, LSN, commit timestamp), ``op_col``
     ('U' upsert / ``delete_op``), and the full payload for upserts.
     Base rows participate as sequence -inf upserts, so a base row never
-    outranks any change. Ties on (key, seq) are broken by preferring
-    the change side, then by op descending ('U' > 'D' — an upsert and
-    delete sharing a sequence number resolve to the upsert,
-    deterministically).
+    outranks any change. Ties on (key, seq) resolve to the upsert:
+    the sort key is the BOOLEAN ``op == delete_op`` ascending (false
+    first), never the op literals themselves — 'U' happens to sort
+    after 'D' lexicographically, but a caller-supplied
+    ``delete_op='delete'`` paired with op 'U' would invert a
+    string-ordered tie rule, so the rule must not depend on spelling.
 
     Plan: union + ONE window (partitionBy key, orderBy seq desc,
     row_number = 1) + a delete filter — one shuffle on the key, no
@@ -157,7 +159,7 @@ def apply_changelog(base: DataFrame, changes: DataFrame, keys: list[str],
     unioned = tagged_base.unionByName(tagged_changes)
     w = (Window.partitionBy(*keys)
          .orderBy(F.col("__seq").desc_nulls_last(),
-                  F.col("__op").desc()))
+                  (F.col("__op") == delete_op).asc()))
     return (unioned
             .withColumn("__rn", F.row_number().over(w))
             .filter((F.col("__rn") == 1) & (F.col("__op") != delete_op))

@@ -648,7 +648,12 @@ def benford_digit_audit(df: DataFrame, value_col: str,
     hash-identical cross-engine.
 
     Zero/negative amounts are excluded (Benford applies to positive
-    magnitudes). Output: (digit, n, obs_p, exp_p, dev,
+    magnitudes) — and the exclusion happens on the QUANTIZED integer
+    (cents >= 1), not the raw value: an amount in (0, 0.005) rounds to
+    0 cents, whose "leading digit" is 0 — filtering on the raw value
+    would drop it from the 1..9 spine while still counting it in the
+    total, silently deflating every digit's observed share (obs_p
+    would no longer sum to 1). Output: (digit, n, obs_p, exp_p, dev,
     outside_tolerance) — 9 rows, absent digits emitting honest zeros
     via the broadcast digit spine.
 
@@ -656,8 +661,9 @@ def benford_digit_audit(df: DataFrame, value_col: str,
     dictionary-sized arithmetic. Nothing else.
     """
     cents = F.round(F.col(value_col) * 100).cast("long")
-    digits = (df.filter(F.col(value_col) > 0)
-              .select(F.substring(cents.cast("string"), 1, 1)
+    digits = (df.select(cents.alias("__cents"))
+              .filter(F.col("__cents") >= 1)
+              .select(F.substring(F.col("__cents").cast("string"), 1, 1)
                       .cast("long").alias("digit"))
               .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
     spark = df.sparkSession

@@ -3067,10 +3067,11 @@ def _benford_spine_sql() -> str:
 @query(
     "profile_benford_digits",
     oracle=f"""
-WITH d AS (
-  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                             AS VARCHAR), 1, 1) AS BIGINT) AS digit
-  FROM orders WHERE o_totalprice > 0
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+), d AS (
+  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cents WHERE c >= 1
 ), counts AS (
   SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
 ), tot AS (

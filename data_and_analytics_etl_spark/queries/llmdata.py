@@ -2860,7 +2860,8 @@ def _ap_chain_sql(k: int) -> str:
 
 def _map_at_k_oracle(k: int = 10) -> str:
     bits = ",\n         ".join(
-        f"coalesce(max(CASE WHEN rn = {i + 1} THEN rel END), 0) AS b{i}"
+        f"coalesce(max(CASE WHEN rn = {i + 1} AND s IS NOT NULL "
+        f"THEN rel END), 0) AS b{i}"
         for i in range(k))
     return f"""
 WITH ranked AS (

@@ -451,18 +451,20 @@ ORDER BY c.user_id
         "stream_cdc_to_partitioned): the events replay becomes a "
         "changelog (every 10th event a delete, seq = event_id, key = "
         "user_id), applied per micro-batch through the partition-"
-        "targeted merge + GDPR delete writers. Final table state must "
-        "equal the batch rule: each user's highest-seq change, kept "
-        "iff it is an upsert — the Debezium tail brought to rest with "
-        "the write-amplification bound. Cross-batch ordering and "
-        "delete-then-upsert sequences are pytest-pinned "
-        "(TestStreamCdcApply).",
+        "targeted seq-dominant merge (deletes persist as tombstones, "
+        "so cross-batch OUT-OF-ORDER seqs resolve to the log order, "
+        "not the arrival order). Final table state read through "
+        "read_cdc_table must equal the batch rule: each user's "
+        "highest-seq change, kept iff it is an upsert — the Debezium "
+        "tail brought to rest with the write-amplification bound. "
+        "Cross-batch reordering, resurrection, and delete-then-upsert "
+        "sequences are pytest-pinned (TestStreamCdcApply).",
 )
 def stream_cdc_apply_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ..streaming.ops import stream_cdc_to_partitioned
+    from ..streaming.ops import read_cdc_table, stream_cdc_to_partitioned
     ch = (events_stream(spark, sf_dir)
           .withColumn("op", F.when(F.col("event_id") % 10 == 0,
                                    F.lit("delete"))
@@ -473,7 +475,7 @@ def stream_cdc_apply_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_cdc_to_partitioned(ch, dest, ["user_id"], "ts",
                                   os.path.join(root, "ckpt"))
     q.awaitTermination()
-    back = spark.read.parquet(dest)
+    back = read_cdc_table(spark, dest)
     return (back.select("user_id", "event_id",
                         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
                         .alias("ts"), "value")

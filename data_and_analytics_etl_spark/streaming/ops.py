@@ -539,23 +539,37 @@ def stream_cdc_to_partitioned(stream_df: DataFrame, path: str,
     (only partitions holding touched keys rewrite; a full-table rewrite
     per batch is a non-starter at 100 TB).
 
-    Per batch: collapse to the highest-seq change per key (upsert beats
-    delete on seq ties — apply_changelog's rule), then surviving
-    upserts MERGE (:func:`~..etl.merge.merge_upsert_partitioned`) and
-    surviving deletes erase (:func:`~..etl.merge.
-    delete_keys_partitioned`); the two key sets are disjoint after the
-    collapse, so apply order within the batch cannot matter. Cross-
-    batch order is the stream's. At-least-once foreachBatch + an
-    idempotent batch body (re-applying re-elects the same winners,
-    re-deletes the same keys) = effectively-exactly-once table state,
-    the stream_merge_to_partitioned argument.
+    The table persists the changelog sequence (``__seq``) and keeps
+    deletes as TOMBSTONE rows (``__deleted`` = true, payload NULLed)
+    instead of physically erasing — because micro-batch boundaries are
+    an artifact of the trigger, not of the log: a key's changes may
+    straddle batches OUT of seq order (replayed partitions, multi-
+    topic sources), and without persisted state a later batch's
+    lower-seq change would silently overwrite the higher-seq row
+    already applied, and a lower-seq upsert would RESURRECT a deleted
+    key. The Delta/Iceberg MoR answer, on plain parquet.
+
+    Per batch: collapse to the highest-seq change per key (upsert
+    beats delete on seq ties — apply_changelog's rule, spelled as the
+    boolean ``op == 'delete'`` so it never depends on the op
+    literals' lexicographic order), convert deletes to tombstones,
+    then ONE partition-targeted MERGE with ``order_dominates=True``
+    on (__seq DESC, __deleted ASC): the stored seq — not the batch
+    boundary — decides every conflict, cross-batch reordering
+    included. Read the table through :func:`read_cdc_table`, which
+    filters tombstones; tombstones are retained until a compaction
+    with a seq horizon older than the source's maximum reordering
+    window (the Kafka-compaction delete.retention.ms contract).
+
+    At-least-once foreachBatch + an idempotent batch body
+    (re-applying re-elects the same winners against the same stored
+    seqs) = effectively-exactly-once table state.
 
     Returns the started StreamingQuery (availableNow trigger).
     """
     import os
 
-    from ..etl.merge import (delete_keys_partitioned,
-                             merge_upsert_partitioned)
+    from ..etl.merge import merge_upsert_partitioned
     from ..etl.sink import write_partitioned
     from ..operators.dedup import keyed_dedup
 
@@ -568,27 +582,49 @@ def stream_cdc_to_partitioned(stream_df: DataFrame, path: str,
             [F.col(seq_col).desc(),
              (F.col(op_col) == "delete").asc()]
             + [F.col(c) for c in batch_df.columns])
-        ups = (latest.filter(F.col(op_col) != "delete")
-               .drop(op_col, seq_col))
-        dels = latest.filter(F.col(op_col) == "delete").select(*keys)
+        payload = [c for c in batch_df.columns
+                   if c not in set(keys) | {ts_col, op_col, seq_col}]
+        # deletes become tombstones: key + partition ts + seq survive,
+        # payload is NULLed (the GDPR posture — a tombstone must not
+        # retain the data it deletes)
+        rows = (latest
+                .withColumn("__deleted", F.col(op_col) == F.lit("delete"))
+                .withColumn("__seq", F.col(seq_col).cast("long"))
+                .select(*keys, ts_col, "__seq", "__deleted",
+                        *[F.when(~F.col("__deleted"), F.col(c))
+                          .alias(c) for c in payload]))
         if not os.path.isdir(path):
-            if not ups.isEmpty():
-                write_partitioned(ups, path, ts_col, fmt=fmt)
+            write_partitioned(rows, path, ts_col, fmt=fmt)
             return
-        if not ups.isEmpty():
-            merge_upsert_partitioned(batch_df.sparkSession, path, ups,
-                                     keys, ts_col,
-                                     order_by=[F.col(ts_col).desc()],
-                                     fmt=fmt)
-        if not dels.isEmpty():
-            delete_keys_partitioned(batch_df.sparkSession, path, dels,
-                                    keys, fmt=fmt)
+        merge_upsert_partitioned(
+            batch_df.sparkSession, path, rows, keys, ts_col,
+            order_by=[F.col("__seq").desc_nulls_last(),
+                      F.col("__deleted").asc()],
+            order_dominates=True, fmt=fmt,
+            allow_missing_columns=True)
 
     return (stream_df.writeStream
             .foreachBatch(_apply)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def read_cdc_table(spark: SparkSession, path: str,
+                   fmt: str = "parquet") -> DataFrame:
+    """Read the LIVE rows of a CDC-maintained table
+    (:func:`stream_cdc_to_partitioned`): tombstones filtered, the
+    bookkeeping columns (``__seq``, ``__deleted``) dropped. The
+    filter is a partition-local predicate on a stored boolean —
+    min/max row-group stats skip pure-tombstone files, no shuffle.
+    Tables written before seq persistence (no ``__deleted`` column)
+    read back unchanged.
+    """
+    df = spark.read.format(fmt).load(path)
+    if "__deleted" in df.columns:
+        df = (df.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+              .drop("__seq", "__deleted"))
+    return df
 
 
 def table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

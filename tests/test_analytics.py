@@ -1604,6 +1604,22 @@ class TestBenford:
         assert abs(rows[1]["obs_p"] - 1 / 3) < 1e-12
         assert rows[3]["n"] == 0 and rows[3]["obs_p"] == 0.0
 
+    def test_subcent_positive_excluded_from_total(self, spark):
+        """An amount in (0, 0.005) rounds to 0 cents — it must be
+        excluded from BOTH the digit counts and the total, or every
+        obs_p silently deflates and no longer sums to 1 (r7 advice)."""
+        from data_and_analytics_etl_spark.operators.profile import \
+            benford_digit_audit
+        df = spark.createDataFrame(
+            [(0.004,), (1.00,), (2.00,)], "v: double")
+        rows = {r["digit"]: r for r in
+                benford_digit_audit(df, "v").collect()}
+        # total is 2 (the sub-cent positive dropped), not 3
+        assert rows[1]["n"] == 1 and rows[2]["n"] == 1
+        assert abs(rows[1]["obs_p"] - 0.5) < 1e-15
+        assert abs(sum(rows[d]["obs_p"] for d in range(1, 10))
+                   - 1.0) < 1e-12
+
     def test_benford_sample_within_tolerance(self, spark):
         import math
 
@@ -1761,6 +1777,21 @@ class TestApplyChangelog:
             [(1, "up", 3, "U"), (1, None, 3, "D")],
             "k long, v string, seq long, op string")
         out = apply_changelog(base, changes, ["k"], "seq", "op").collect()
+        assert [(r["k"], r["v"]) for r in out] == [(1, "up")]
+
+    def test_tie_rule_independent_of_op_literals(self, spark):
+        """With delete_op='delete' and upsert op 'U', 'delete' sorts
+        AFTER 'U' lexicographically — a string-ordered tie rule would
+        let the delete win. The rule must be the boolean
+        op == delete_op, never the literals (r7 advice)."""
+        from data_and_analytics_etl_spark.operators.incremental import (
+            apply_changelog)
+        base = spark.createDataFrame([(1, "x")], "k long, v string")
+        changes = spark.createDataFrame(
+            [(1, "up", 3, "U"), (1, None, 3, "delete")],
+            "k long, v string, seq long, op string")
+        out = apply_changelog(base, changes, ["k"], "seq", "op",
+                              delete_op="delete").collect()
         assert [(r["k"], r["v"]) for r in out] == [(1, "up")]
 
 

@@ -1612,6 +1612,24 @@ class TestMixturePlan:
         assert out["b"]["take_tokens"] == 400
         assert out["a"]["sample_rate"] == 0.4
 
+    def test_no_weighted_source_present_raises(self, spark):
+        """None of the positively-weighted sources exist in the corpus:
+        the min-capacity aggregate is empty -> the plan must refuse at
+        execution instead of emitting all-NULL take_tokens (r7
+        advice). The raise is lazy (construction purity holds)."""
+        import pytest
+        from pyspark.errors import PySparkException
+
+        from data_and_analytics_etl_spark.operators.corpus import (
+            mixture_plan)
+        df = spark.createDataFrame([("junk", 100), ("spam", 50)],
+                                   "source string, n_tokens long")
+        plan = mixture_plan(df, "source", "n_tokens",
+                            {"web": 0.5, "code": 0.5})  # lazy: no raise
+        with pytest.raises(PySparkException,
+                           match="no positively-weighted source"):
+            plan.collect()
+
     def test_weights_normalize(self, spark):
         from data_and_analytics_etl_spark.operators.corpus import (
             mixture_plan)

@@ -858,6 +858,25 @@ class TestAveragePrecision:
         assert got["none"] is None
         assert got["perfect"] == 1.0
 
+    def test_null_score_counts_toward_r_but_never_ranks(self, spark):
+        """A relevant item we FAILED to score must still count toward
+        R (denominator) while never occupying a ranked position —
+        dropping it would inflate AP@k for partially-scored inputs
+        (r7 advice). Here: scored rel at position 1, unscored rel ->
+        R=2, AP@4 = (1/2)·(1/1) = 0.5, n_items = 3."""
+        import pyspark.sql.functions as F
+
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            average_precision_at_k
+        rows = [("q", 4.0, 1, 1), ("q", 3.0, 0, 2), ("q", None, 1, 3)]
+        df = spark.createDataFrame(rows, "q string, s double, rel int, "
+                                         "t int")
+        r = average_precision_at_k(df, F.col("q"), F.col("s"),
+                                   F.col("rel") == 1, F.col("t"),
+                                   k=4).collect()[0]
+        assert r.n_items == 3 and r.n_rel == 2
+        assert r.ap_at_k == 0.5
+
 
 class TestQuotaAllocate:
     def test_sums_to_total_and_within_one_of_share(self, spark):

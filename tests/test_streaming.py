@@ -679,6 +679,13 @@ class TestStreamCdcApply:
                                       ckpt)
         q.awaitTermination()
 
+    @staticmethod
+    def _live(spark, dest):
+        from data_and_analytics_etl_spark.streaming.ops import \
+            read_cdc_table
+        return {r.user_id: r.value
+                for r in read_cdc_table(spark, dest).collect()}
+
     def test_cross_batch_delete_and_reinsert(self, spark, tmp_path):
         import datetime as dt
         src = str(tmp_path / "src"); dest = str(tmp_path / "tbl")
@@ -686,15 +693,13 @@ class TestStreamCdcApply:
         import os
         os.makedirs(src)
         t = dt.datetime(2024, 1, 1, 12)
-        # batch 1: users 1..3 upsert; user 4 delete (no-op on empty)
+        # batch 1: users 1..3 upsert; user 4 delete (tombstone on empty)
         self._write_batch(spark, src, "b1", [
             (1, 10, "upsert", 1.0, t), (2, 11, "upsert", 2.0, t),
             (3, 12, "upsert", 3.0, t), (4, 13, "delete", None, t)])
         schema = spark.read.parquet(f"{src}/b1.parquet").schema
         self._run(spark, src, dest, ckpt, schema)
-        got = {r.user_id: r.value for r in
-               spark.read.parquet(dest).collect()}
-        assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+        assert self._live(spark, dest) == {1: 1.0, 2: 2.0, 3: 3.0}
         # batch 2: delete user 2; update user 3; re-insert user 4;
         # within-batch delete-then-upsert for user 5 (upsert wins by seq)
         self._write_batch(spark, src, "b2", [
@@ -702,9 +707,8 @@ class TestStreamCdcApply:
             (4, 22, "upsert", 4.0, t),
             (5, 23, "delete", None, t), (5, 24, "upsert", 5.0, t)])
         self._run(spark, src, dest, ckpt, schema)
-        got = {r.user_id: r.value for r in
-               spark.read.parquet(dest).collect()}
-        assert got == {1: 1.0, 3: 33.0, 4: 4.0, 5: 5.0}
+        assert self._live(spark, dest) == {1: 1.0, 3: 33.0, 4: 4.0,
+                                           5: 5.0}
 
     def test_seq_tie_upsert_beats_delete(self, spark, tmp_path):
         import datetime as dt
@@ -717,9 +721,70 @@ class TestStreamCdcApply:
             (1, 10, "delete", None, t), (1, 10, "upsert", 1.5, t)])
         schema = spark.read.parquet(f"{src}/b1.parquet").schema
         self._run(spark, src, dest, ckpt, schema)
-        got = {r.user_id: r.value for r in
-               spark.read.parquet(dest).collect()}
-        assert got == {1: 1.5}
+        assert self._live(spark, dest) == {1: 1.5}
+
+    def test_out_of_order_cross_batch_update_loses(self, spark, tmp_path):
+        """A later BATCH carrying a lower seq must not overwrite the
+        higher-seq row already applied: the stored __seq, not the
+        micro-batch boundary, is the change order (the r7 advice's
+        silent-overwrite scenario)."""
+        import datetime as dt
+        import os
+        src = str(tmp_path / "src"); dest = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        t = dt.datetime(2024, 1, 1, 12)
+        self._write_batch(spark, src, "b1", [(1, 50, "upsert", 5.0, t)])
+        schema = spark.read.parquet(f"{src}/b1.parquet").schema
+        self._run(spark, src, dest, ckpt, schema)
+        # seq 40 arrives after seq 50 was applied -> must lose
+        self._write_batch(spark, src, "b2", [(1, 40, "upsert", 4.0, t)])
+        self._run(spark, src, dest, ckpt, schema)
+        assert self._live(spark, dest) == {1: 5.0}
+
+    def test_out_of_order_upsert_does_not_resurrect(self, spark,
+                                                    tmp_path):
+        """A deleted key must stay deleted when a LOWER-seq upsert for
+        it arrives in a later batch: the tombstone carries the delete's
+        seq and wins the merge."""
+        import datetime as dt
+        import os
+        src = str(tmp_path / "src"); dest = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        t = dt.datetime(2024, 1, 1, 12)
+        self._write_batch(spark, src, "b1", [
+            (1, 10, "upsert", 1.0, t), (2, 30, "delete", None, t)])
+        schema = spark.read.parquet(f"{src}/b1.parquet").schema
+        self._run(spark, src, dest, ckpt, schema)
+        assert self._live(spark, dest) == {1: 1.0}
+        # late replay: seq 20 upsert for the key deleted at seq 30
+        self._write_batch(spark, src, "b2", [(2, 20, "upsert", 2.0, t)])
+        self._run(spark, src, dest, ckpt, schema)
+        assert self._live(spark, dest) == {1: 1.0}
+        # but a HIGHER-seq upsert legitimately re-inserts
+        self._write_batch(spark, src, "b3", [(2, 40, "upsert", 9.0, t)])
+        self._run(spark, src, dest, ckpt, schema)
+        assert self._live(spark, dest) == {1: 1.0, 2: 9.0}
+
+    def test_tombstone_payload_is_nulled(self, spark, tmp_path):
+        """GDPR posture: the tombstone row retains key/ts/seq only —
+        the deleted payload must not survive in the raw files."""
+        import datetime as dt
+        import os
+        src = str(tmp_path / "src"); dest = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        t = dt.datetime(2024, 1, 1, 12)
+        self._write_batch(spark, src, "b1", [(1, 10, "upsert", 1.0, t)])
+        schema = spark.read.parquet(f"{src}/b1.parquet").schema
+        self._run(spark, src, dest, ckpt, schema)
+        self._write_batch(spark, src, "b2", [(1, 20, "delete", 7.7, t)])
+        self._run(spark, src, dest, ckpt, schema)
+        raw = spark.read.parquet(dest).collect()
+        assert len(raw) == 1 and raw[0]["__deleted"] is True
+        assert raw[0]["value"] is None
+        assert self._live(spark, dest) == {}
 
 
 class TestNoveltyFilter:
