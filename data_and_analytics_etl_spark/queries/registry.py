@@ -46,7 +46,7 @@ DRIVER_WINDOW = 50
 #: Current verification round. Bump once per driver round: the rotation
 #: offset below advances with it, so stale green probes cycle back
 #: through the window a slice at a time.
-VERIFY_ROUND = 7
+VERIFY_ROUND = 8
 
 #: Priority bands (lower sorts earlier in the export):
 #:   < POOL_PRIORITY   fixed placement — bench-critical (10), probes whose
@@ -73,78 +73,91 @@ POOL_PRIORITY = 100
 #: never driver-verified. Keep tests/test_registry.py MUST_BE_IN_WINDOW in
 #: sync with the <100 entries here.
 ROUND_TIERS: dict[str, int] = {
-    # bench-critical: every oracle-backed probe a BENCH_QUERIES entry
-    # maps to (b8's xxhash64 bench path is rows-only by design; its md5
-    # twin carries the correctness evidence). These re-verify every
-    # round so a bench number never ships without a same-round
-    # correctness row. r7: graph_transitive_closure joins (b16 is
-    # bench-mapped since late r6 but its probe never sat in the bench
-    # tier — the r6 rule said every bench-mapped oracle probe does).
-    "q1_pricing_summary": 10,
-    "q3_shipping_priority": 10,
-    "q5_star_join": 10,
-    "q10_returned_revenue": 10,
-    "q7_nation_volume": 10,
-    "topk_per_group": 10,
-    "window_running_agg": 10,
-    "cosine_topk": 10,
-    "dedup_exact": 10,
-    "dedup_minhash_lsh_md5": 10,
-    "sessionization": 10,
-    "dedup_clusters": 10,
-    "corpus_span_duplication": 10,
-    "drift_ks_exact": 10,
-    "corpus_curation_pipeline": 10,
-    "graph_transitive_closure": 10,
-    "corpus_segment_dedup": 10,         # b17 joins the bench set (r7)
-    # changed in r7 (code or oracle): the ADVICE decimal-overflow fixes
-    # (cast BEFORE sum/product) and the object-store-safe partition
-    # purge both touch probed plans — their probes re-verify in-window.
-    # analytics_pareto_abc / privacy_t_closeness / timeseries_acf /
-    # timeseries_cusum_changepoints are ALSO in the never-driver-
-    # verified 13; one slot each covers both reasons.
-    "etl_merge_partitioned": 20,        # Hadoop-FS purge path (r7)
-    "corpus_decontaminate": 20,         # pre-explode array_distinct (r7)
-    "ab_welch_ttest": 20,               # s2 cast-before-square fix (r7)
-    # the 13 probes registered after r6's closing FULLVERIFY — green in
-    # the local oracle sweep but present in NO driver artifact (the r6
-    # verdict's #1 finding). Every one is pinned until CORRECTNESS_r07 /
-    # FULLVERIFY_r07 carries its row.
-    "analytics_market_basket": 30,      # association rules (supp/conf/lift)
-    "analytics_rfm_segments": 30,       # RFM quintile segmentation
-    "analytics_pareto_abc": 30,         # ABC classes (+ r7 decimal fix)
-    "timeseries_acf": 30,               # autocorrelation (+ r7 decimal fix)
-    "timeseries_cusum_changepoints": 30,  # CUSUM (+ r7 decimal fix)
-    "feature_target_encode_loo": 30,    # leave-one-out target encoding
-    "eval_regression_metrics": 30,      # exact-sums MSE/MAE/R2
-    "analytics_capstone_ab_experiment": 30,  # A/B capstone (Welch + chi2)
-    "privacy_t_closeness": 30,          # EMD audit (+ r7 decimal fix)
-    "etl_delete_partitioned": 30,       # GDPR partition-targeted delete
-    "neardup_semantic_dedup": 30,       # SemDeDup (+ r7 bits contract)
-    "feature_hash_trick": 30,           # signed hashing-trick features
-    "text_naive_bayes_confusion": 30,   # integer-grid NB whole chain
-    # new in r7, never driver-verified:
-    "graph_k_core": 30,                 # k-core peel vs recursive CTE
-    "analytics_attribution_multitouch": 30,  # first/last/participation
-    "profile_benford_digits": 30,       # first-digit fraud screen
-    "analytics_gini_concentration": 30,  # exact rank-formula Gini
-    "analytics_item_neighbors": 30,     # item-item CF cosine top-k
-    "sequence_top_paths": 30,           # sessionized path ranking
-    # new in r7 (2nd session), never driver-verified:
-    "etl_cdc_apply": 30,                # CDC changelog apply
-    "incremental_join_delta": 30,       # IVM join-delta maintenance
-    "analytics_cuped_adjustment": 30,   # CUPED variance reduction
-    "timeseries_holt_linear": 30,       # Holt level+trend fold
-    "feature_mutual_info": 30,          # per-cell MI contributions
-    "eval_rank_biased_overlap": 30,     # RBO ranking churn
-    "corpus_split_leakage": 30,         # cross-split contamination
-    "corpus_mixture_plan": 30,          # no-upsampling mixture budget
-    # new in r7 (3rd session), never driver-verified. The window is at
-    # 50 fixed with these two; corpus_curriculum_order stays in the
-    # pool — FULLVERIFY_r07 carries its row (the r6-note rule when
-    # candidates outnumber slots).
-    "analytics_skyline_dominance": 30,  # Pareto frontier vs NOT-EXISTS
+    # --- round 8: the backlog-drain round (r7 verdict task 1). ---
+    # 55 oracle-backed probes had never appeared in ANY driver
+    # CORRECTNESS artifact (union r01..r07). The verdict's #1 task is
+    # to pin ~50 of them; with 5 changed-this-round slots that leaves
+    # 45 backlog pins + 10 deferred to r9 (DEFERRED_BACKLOG below).
+    # The bench tier vacates the window FOR THIS ROUND ONLY: its
+    # same-round correctness evidence comes from FULLVERIFY_r08's
+    # sf0.1 bench section (verdict task 6 — the same DuckDB oracle at
+    # the bench's own scale, a STRONGER check than the driver's
+    # sf0.01 rows), so no bench number ships without same-round
+    # correctness evidence. At r9: re-pin the bench tier, pin
+    # DEFERRED_BACKLOG, and pin everything registered in r8.
+    #
+    # changed in r8 (tier 20): the r7-advice fixes all touch probed
+    # plans — CDC seq persistence/tombstones (stream_cdc_apply_sink is
+    # ALSO backlog; one slot covers both), the op-literal-independent
+    # changelog tie rule, the cents>=1 Benford filter, the
+    # mixture_plan empty-capacity refusal, the AP@k NULL-score R fix
+    # (eval_map_at_k also backlog), and the merge_upsert
+    # order_dominates plumbing.
+    "etl_cdc_apply": 20,                # changelog tie-rule fix
+    "profile_benford_digits": 20,       # cents>=1 exclusion fix
+    "corpus_mixture_plan": 20,          # empty-capacity refusal
+    "etl_merge_partitioned": 20,        # order_dominates plumbing
+    "etl_merge_upsert": 20,             # order_dominates plumbing
+    # backlog (tier 30): never in any CORRECTNESS_r01..r07 artifact.
+    "analytics_capstone_funnel_retention": 30,
+    "corpus_curriculum_order": 30,
+    "corpus_nutrition_label": 30,
+    "corpus_shard_assign": 30,
+    "dedup_survivorship": 30,
+    "etl_compact_partitions": 30,
+    "etl_merge_schema_evolution": 30,
+    "etl_partition_checksums": 30,
+    "etl_version_travel": 30,
+    "etl_write_audit_publish": 30,
+    "eval_accuracy_overall": 30,
+    "eval_binary_auc": 30,
+    "eval_calibration_lift": 30,
+    "eval_classification_report": 30,
+    "eval_cohen_kappa": 30,
+    "eval_cost_sensitive": 30,
+    "eval_map_at_k": 30,                # + r8 NULL-score R fix
+    "eval_matryoshka_truncation": 30,
+    "eval_ranking_ndcg": 30,
+    "graph_hierarchy_rollup": 30,
+    "graph_sssp_hops": 30,
+    "graph_triangle_count": 30,
+    "incremental_quantile_merge": 30,
+    "join_asof_tolerance": 30,
+    "layout_bloom_prune": 30,
+    "layout_zonemap_prune": 30,
+    "neardup_containment": 30,
+    "privacy_dp_counts": 30,
+    "privacy_l_diversity": 30,
+    "profile_interarrival_burstiness": 30,
+    "sample_quota_allocation": 30,
+    "sketch_join_cardinality": 30,
+    "stream_cdc_apply_sink": 30,        # + r8 seq/tombstone fix
+    "stream_novelty_filter": 30,
+    "stream_static_join": 30,
+    "stream_stream_left_outer": 30,
+    "stream_versioned_sink": 30,
+    "stream_windowed_distinct_users": 30,
+    "survival_kaplan_meier": 30,
+    "text_bm25_scores": 30,
+    "text_inverted_index": 30,
+    "timeseries_anomaly_rolling_z": 30,
+    "timeseries_anomaly_seasonal_z": 30,
+    "timeseries_decompose_seasonal": 30,
+    "udf_nfc_normalize": 30,
 }
+
+#: The 10 backlog probes that did NOT fit the r8 window (50 slots,
+#: 60 candidates). Chosen for lowest regression risk — single-shape
+#: SQL-mechanical probes whose operators share code paths with
+#: driver-green siblings. FULLVERIFY_r08 carries their oracle rows;
+#: tests/test_backlog_ledger.py enforces they are pinned at r9.
+DEFERRED_BACKLOG: frozenset[str] = frozenset({
+    "agg_boolean_family", "agg_mode_per_group", "etl_schema_drift",
+    "feature_impute_median", "feature_quantile_rank",
+    "feature_scale_minmax", "interval_coverage",
+    "scan_parquet_merge_schema", "timeseries_pct_change",
+    "window_ratio_to_report",
+})
 
 
 def rotation_selected() -> set[str]:

@@ -96,13 +96,54 @@ def main() -> int:
             bad.append(name)
         print(name, results[name]["status"].upper(),
               results[name].get("rows", ""), results[name].get("err", ""))
+    # r8 (verdict task 6): the bench-family probes re-verify at sf0.1 —
+    # the bench's own scale — to catch scale-dependent hash divergence
+    # (double accumulation order, window ties) the 20k-row sweep can't
+    # see. Runs only on full sweeps that write an artifact.
+    bench_results: dict[str, dict] = {}
     out_path = os.environ.get("FULLVERIFY_OUT")
+    if out_path and not names:
+        from bench import BENCH_QUERIES
+        bsf = os.environ.get("BENCH_VERIFY_SF_DIR", "/root/testdata/sf0.1")
+        bcon = duckdb.connect()
+        for t in TABLES:
+            bcon.execute(f"CREATE VIEW {t} AS "
+                         f"SELECT * FROM read_parquet('{bsf}/{t}.parquet')")
+        bench_probes = sorted(
+            {(p if p in osql else p + "_md5") for p in BENCH_QUERIES.values()}
+            & set(osql))
+        for name in bench_probes:
+            try:
+                df = qs[name](spark, bsf)
+                s = [tuple(r) for r in df.collect()]
+                otab = bcon.execute(osql[name]).arrow()
+                oc = otab.column_names
+                orows = [tuple(d[c] for c in oc) for d in otab.to_pylist()]
+                ok = (vhash(s, df.columns) == vhash(orows, oc)
+                      and len(s) == len(orows))
+                bench_results[name] = {
+                    "status": "green" if ok else "red",
+                    "rows": len(s), "oracle_rows": len(orows)}
+            except Exception as exc:  # noqa: BLE001
+                last = traceback.format_exception_only(
+                    type(exc), exc)[-1].strip()
+                bench_results[name] = {"status": "error", "err": last[:500]}
+            if bench_results[name]["status"] in ("red", "error"):
+                bad.append(f"sf0.1:{name}")
+            print(f"[sf0.1] {name}", bench_results[name]["status"].upper(),
+                  bench_results[name].get("rows", ""),
+                  bench_results[name].get("err", ""))
     if out_path:
         n_green = sum(1 for r in results.values() if r["status"] == "green")
+        art = {"sf_dir": sf, "n_probes": len(results),
+               "n_green": n_green, "n_bad": len(bad), "probes": results}
+        if bench_results:
+            art["bench_sf0_1"] = {
+                "sf_dir": os.environ.get("BENCH_VERIFY_SF_DIR",
+                                         "/root/testdata/sf0.1"),
+                "probes": bench_results}
         with open(out_path, "w") as f:
-            json.dump({"sf_dir": sf, "n_probes": len(results),
-                       "n_green": n_green, "n_bad": len(bad),
-                       "probes": results}, f, indent=1)
+            json.dump(art, f, indent=1)
         print(f"wrote {out_path}: {n_green} green / {len(results)}")
     print("FAIL:", bad) if bad else print("ALL MATCH")
     return 1 if bad else 0

@@ -1057,6 +1057,108 @@ class TestBpe:
                     want.extend(ref_syms[w])
             assert enc[r["doc_id"]] == want, r["doc_id"]
 
+    def test_heap_learner_equals_sequential_spark_loop(self, spark,
+                                                       sf_dir):
+        """The r8 scale-path learner (one aggregate + one bounded
+        collect + in-memory lazy-invalidation heap) must be BIT-EQUAL
+        to the retired one-merge-per-Spark-round loop over the ENTIRE
+        learnable range of the real corpus (both stop at
+        min_pair_count) — the r7 verdict's weak-mark fix is only valid
+        if nothing about the learned table changes."""
+        from data_and_analytics_etl_spark.operators.bpe import (
+            _learn_bpe_merges_sequential, learn_bpe_merges)
+        docs = load_table(spark, sf_dir, "documents") \
+            .filter(F.col("doc_id") < 80)
+        fast = learn_bpe_merges(docs, "text", num_merges=500)
+        slow = _learn_bpe_merges_sequential(docs, "text", num_merges=500)
+        assert len(fast) == len(slow) > 50
+        assert fast == slow
+
+    def test_thousand_merges_in_constant_spark_jobs(self, spark):
+        """The verdict's done-bar: >=1,000 merges in <= merges/20
+        Spark jobs. The heap learner runs exactly ONE Spark action
+        (the capped word-frequency collect) no matter the vocabulary
+        size — counted here by patching the classic DataFrame.collect.
+        The sf0.001 corpus exhausts at ~105 merges (every word fully
+        merges), so the vocabulary here is a seeded synthetic one with
+        >1k learnable adjacencies."""
+        import random
+
+        from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+        from data_and_analytics_etl_spark.operators.bpe import \
+            learn_bpe_merges
+        rng = random.Random(7)
+        words = ["".join(rng.choice("abcdefghijklmnopqrst")
+                         for _ in range(rng.randint(6, 14)))
+                 for _ in range(4000)]
+        docs = spark.createDataFrame(
+            [(" ".join(words[i:i + 40]),) for i in range(0, 4000, 40)],
+            "text: string")
+        calls = [0]
+        orig = CDF.collect
+
+        def patched(self):
+            calls[0] += 1
+            return orig(self)
+
+        CDF.collect = patched
+        try:
+            merges = learn_bpe_merges(docs, "text", num_merges=2000,
+                                      min_pair_count=1)
+        finally:
+            CDF.collect = orig
+        assert len(merges) >= 1000, len(merges)
+        assert calls[0] == 1
+
+    def test_distributed_batched_equals_heap_learner(self, spark,
+                                                     sf_dir):
+        """learn_bpe_merges_distributed (exact contiguous-prefix
+        batching for vocabularies too large to collect) must agree
+        with the heap learner — both claim sequential equality, so
+        they must agree with each other."""
+        from data_and_analytics_etl_spark.operators.bpe import (
+            learn_bpe_merges, learn_bpe_merges_distributed)
+        docs = load_table(spark, sf_dir, "documents") \
+            .filter(F.col("doc_id") < 40)
+        dist = learn_bpe_merges_distributed(docs, "text", num_merges=30)
+        heap = learn_bpe_merges(docs, "text", num_merges=30)
+        assert dist == heap
+
+    def test_exact_batch_selection_rules(self):
+        """_select_exact_batch unit semantics: contiguity, symbol
+        disjointness, concat collision, strict-drop pop, rank-1
+        fallback."""
+        from data_and_analytics_etl_spark.operators.bpe import \
+            _select_exact_batch
+
+        def rows(*trips):
+            return [{"a": a, "b": b, "n": n} for a, b, n in trips]
+
+        # disjoint prefix accepted until the first symbol conflict
+        got = _select_exact_batch(
+            rows(("a", "b", 10), ("c", "d", 9), ("b", "e", 8)),
+            1, 10, exhausted=True)
+        assert got == [("a", "b", 10), ("c", "d", 9)]
+        # a tie at the boundary pops the tail (created-pair tie hazard)
+        got = _select_exact_batch(
+            rows(("a", "b", 10), ("c", "d", 9), ("b", "e", 9)),
+            1, 10, exhausted=True)
+        assert got == [("a", "b", 10)]
+        # rank-1 never pops even on a tie (it IS the sequential pick)
+        got = _select_exact_batch(
+            rows(("a", "b", 10), ("a", "c", 10)), 1, 10, exhausted=True)
+        assert got == [("a", "b", 10)]
+        # identical concatenations may not share a batch
+        got = _select_exact_batch(
+            rows(("a", "bc", 10), ("ab", "c", 9), ("x", "y", 8)),
+            1, 10, exhausted=True)
+        assert got == [("a", "bc", 10)]
+        # min_pair_count stops acceptance, no pop needed
+        got = _select_exact_batch(
+            rows(("a", "b", 10), ("c", "d", 1)), 2, 10, exhausted=True)
+        assert got == [("a", "b", 10)]
+
     def test_greedy_single_pass_semantics(self, spark):
         """'aaa' under merge (a,a) -> ['aa','a','</w>'] (non-overlapping
         left-to-right), the standard BPE replacement rule."""

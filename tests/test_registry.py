@@ -14,47 +14,43 @@ from data_and_analytics_etl_spark.queries.registry import (DRIVER_WINDOW,
                                                            POOL_PRIORITY,
                                                            rotation_selected)
 
-#: Probes that MUST hold a fresh driver-verified row this round:
-#: bench queries plus every probe whose code or oracle changed in r6.
+#: Probes that MUST hold a fresh driver-verified row this round.
 #: Source of truth: registry.ROUND_TIERS (this set mirrors its <100 keys).
+#: Round 8 is the backlog-drain round (r7 verdict task 1): 45 of the
+#: 55 never-driver-verified probes + 5 changed-this-round = 50, the
+#: whole window. The bench tier vacates the window for THIS round only
+#: — FULLVERIFY_r08's sf0.1 bench section carries the bench probes'
+#: same-round correctness evidence (verdict task 6); they re-pin at r9.
 MUST_BE_IN_WINDOW = {
-    # bench-critical (tier A, priority 10): every oracle-backed probe a
-    # BENCH_QUERIES entry maps to — a bench number never ships without a
-    # same-round correctness row (graph_transitive_closure joins in r7:
-    # b16 is bench-mapped)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_star_join",
-    "q10_returned_revenue", "q7_nation_volume",
-    "topk_per_group", "window_running_agg", "cosine_topk", "dedup_exact",
-    "dedup_minhash_lsh_md5", "sessionization", "dedup_clusters",
-    "corpus_span_duplication", "drift_ks_exact", "corpus_curation_pipeline",
-    "graph_transitive_closure",
-    # changed in r7 (tier B, priority 20): the object-store-safe
-    # partition purge rewired both partition-targeted writers; the
-    # 2nd-session perf/overflow fixes touched decontaminate (pre-explode
-    # array_distinct) and welch_ttest (cast-before-square s2)
-    "etl_merge_partitioned", "corpus_decontaminate", "ab_welch_ttest",
-    # the 13 probes registered after r6's closing FULLVERIFY — in no
-    # driver artifact (r6 verdict finding #1). Pinned until
-    # CORRECTNESS_r07 / FULLVERIFY_r07 carries each row.
-    "analytics_market_basket", "analytics_rfm_segments",
-    "analytics_pareto_abc", "timeseries_acf",
-    "timeseries_cusum_changepoints", "feature_target_encode_loo",
-    "eval_regression_metrics", "analytics_capstone_ab_experiment",
-    "privacy_t_closeness", "etl_delete_partitioned",
-    "neardup_semantic_dedup", "feature_hash_trick",
-    "text_naive_bayes_confusion",
-    # new in r7 (tier C, priority 30)
-    "graph_k_core", "analytics_attribution_multitouch",
-    "profile_benford_digits", "analytics_gini_concentration",
-    "analytics_item_neighbors", "sequence_top_paths",
-    # new in r7 2nd session (tier C, priority 30)
-    "etl_cdc_apply", "incremental_join_delta",
-    "analytics_cuped_adjustment", "timeseries_holt_linear",
-    "feature_mutual_info", "eval_rank_biased_overlap",
-    "corpus_split_leakage", "corpus_mixture_plan",
-    # new in r7 3rd session: b17 bench pin + the skyline operator
-    # (corpus_curriculum_order stays in the pool; FULLVERIFY carries it)
-    "corpus_segment_dedup", "analytics_skyline_dominance",
+    # changed in r8 (tier B, priority 20): the r7-advice fixes — CDC
+    # seq/tombstone persistence, op-literal-independent changelog tie,
+    # Benford cents>=1, mixture_plan empty-capacity refusal, AP@k
+    # NULL-score R, merge_upsert order_dominates plumbing.
+    "etl_cdc_apply", "profile_benford_digits", "corpus_mixture_plan",
+    "etl_merge_partitioned", "etl_merge_upsert",
+    # backlog (tier C, priority 30): never in any CORRECTNESS_r01..r07
+    # artifact (tests/test_backlog_ledger.py owns the full accounting).
+    "analytics_capstone_funnel_retention", "corpus_curriculum_order",
+    "corpus_nutrition_label", "corpus_shard_assign",
+    "dedup_survivorship", "etl_compact_partitions",
+    "etl_merge_schema_evolution", "etl_partition_checksums",
+    "etl_version_travel", "etl_write_audit_publish",
+    "eval_accuracy_overall", "eval_binary_auc", "eval_calibration_lift",
+    "eval_classification_report", "eval_cohen_kappa",
+    "eval_cost_sensitive", "eval_map_at_k",
+    "eval_matryoshka_truncation", "eval_ranking_ndcg",
+    "graph_hierarchy_rollup", "graph_sssp_hops", "graph_triangle_count",
+    "incremental_quantile_merge", "join_asof_tolerance",
+    "layout_bloom_prune", "layout_zonemap_prune", "neardup_containment",
+    "privacy_dp_counts", "privacy_l_diversity",
+    "profile_interarrival_burstiness", "sample_quota_allocation",
+    "sketch_join_cardinality", "stream_cdc_apply_sink",
+    "stream_novelty_filter", "stream_static_join",
+    "stream_stream_left_outer", "stream_versioned_sink",
+    "stream_windowed_distinct_users", "survival_kaplan_meier",
+    "text_bm25_scores", "text_inverted_index",
+    "timeseries_anomaly_rolling_z", "timeseries_anomaly_seasonal_z",
+    "timeseries_decompose_seasonal", "udf_nfc_normalize",
 }
 
 
