@@ -155,13 +155,42 @@ def drift_ks(df_a: DataFrame, df_b: DataFrame, value_col: str,
                         bucket.alias("__bucket"),
                         F.lit(a).alias("__a"), F.lit(b).alias("__b"))
 
-    # pts feeds the scored branch and the bucket-totals branch; Catalyst
-    # plans the subtree per consumer but AQE's exchange reuse collapses
-    # the identical agg exchanges at runtime. (A persist() here was
-    # measured SLOWER at sf0.1 — cache materialization of the
-    # distinct-value table costs more than the re-scan; revisit only if
-    # profiling at target scale shows the scans dominating.)
-    pts = (tag(df_a, 1, 0).unionByName(tag(df_b, 0, 1))
+    tagged = tag(df_a, 1, 0).unionByName(tag(df_b, 0, 1))
+    return _ks_from_tagged(tagged)
+
+
+def drift_ks_split(df: DataFrame, is_a: Column, value_col: str,
+                   lo: float, hi: float, nbins: int = 256) -> DataFrame:
+    """:func:`drift_ks` when both samples live in ONE table split by a
+    predicate (the time-cut drift case): tag each row a/b from
+    ``is_a`` in a single pass instead of unioning two filtered scans
+    of the same source. Identical math and output; at scale the source
+    is read ONCE — the r8 b14 plan fix (two complementary filters over
+    one parquet table cost two full scans; the scan dominates KS)."""
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bucket = (F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+              .cast("long"))
+    a = is_a.cast("long")
+    tagged = df.select(F.col(value_col).alias("v"),
+                       bucket.alias("__bucket"),
+                       a.alias("__a"), (1 - a).alias("__b"))
+    return _ks_from_tagged(tagged)
+
+
+def _ks_from_tagged(tagged: DataFrame) -> DataFrame:
+    """Shared bucketed-prefix-sum ECDF core of drift_ks/drift_ks_split:
+    (v, __bucket, __a, __b) rows in, 1-row (ks, at_value, n_a, n_b)
+    out.
+
+    pts feeds the scored branch and the bucket-totals branch; Catalyst
+    plans the subtree per consumer but AQE's exchange reuse collapses
+    the identical agg exchanges at runtime. (A persist() here was
+    measured SLOWER at sf0.1 — cache materialization of the
+    distinct-value table costs more than the re-scan; revisit only if
+    profiling at target scale shows the scans dominating.)
+    """
+    pts = (tagged
            .groupBy("__bucket", "v")
            .agg(F.sum("__a").alias("n_a"), F.sum("__b").alias("n_b")))
     totals = pts.groupBy("__bucket").agg(

@@ -812,22 +812,24 @@ FROM c ORDER BY ks DESC, at_value LIMIT 1
 """,
     tags=("analytics", "profile"),
     doc="EXACT two-sample KS drift statistic between event-time "
-        "snapshots (operators/profile.py:drift_ks) — max ECDF gap over "
-        "every distinct value WITHOUT a global single-task sort: values "
-        "range-bucket onto a fixed grid, per-bucket cumulative windows "
-        "parallelize, only the nbins-row totals table crosses one "
-        "single-task window (pack_to_token_budget's prefix-sum shape). "
-        "The oracle recomputes with a plain global-sort ECDF, proving "
-        "the bucketed decomposition is exactly equivalent.",
+        "snapshots (operators/profile.py:drift_ks_split) — max ECDF "
+        "gap over every distinct value WITHOUT a global single-task "
+        "sort: values range-bucket onto a fixed grid, per-bucket "
+        "cumulative windows parallelize, only the nbins-row totals "
+        "table crosses one single-task window (pack_to_token_budget's "
+        "prefix-sum shape). r8: the time-cut split tags rows in ONE "
+        "scan of events instead of unioning two complementary filtered "
+        "scans — the scan dominates KS at scale (b14 plan fix). The "
+        "oracle recomputes with a plain global-sort ECDF, proving the "
+        "bucketed single-scan decomposition is exactly equivalent.",
 )
 def drift_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.profile import drift_ks
+    from ..operators.profile import drift_ks_split
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull()))
     cut = "2024-01-16"
-    a = ev.filter(F.col("ts") < cut)
-    b = ev.filter(F.col("ts") >= cut)
-    return drift_ks(a, b, "value", lo=0.0, hi=500.0, nbins=64)
+    return drift_ks_split(ev, F.col("ts") < cut, "value",
+                          lo=0.0, hi=500.0, nbins=64)
 
 
 @query(

@@ -292,6 +292,23 @@ class TestDriftKs:
         r = drift_ks(ev, shifted, "value", 0.0, 600.0, 32).collect()[0]
         assert r["ks"] > 0.2
 
+    def test_split_variant_equals_two_frame_form(self, spark, sf_dir):
+        """drift_ks_split (single-scan predicate tagging — the r8 b14
+        plan fix) must produce the identical 1-row result as drift_ks
+        over the two filtered frames, for cuts that land mid-data and
+        at the edges."""
+        from data_and_analytics_etl_spark.operators.profile import (
+            drift_ks, drift_ks_split)
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("value").isNotNull())
+        for cond in (F.col("ts") < "2024-01-16",
+                     F.col("user_id") % 3 == 0):
+            two = drift_ks(ev.filter(cond), ev.filter(~cond), "value",
+                           0.0, 500.0, 16).collect()
+            one = drift_ks_split(ev, cond, "value",
+                                 0.0, 500.0, 16).collect()
+            assert [tuple(r) for r in one] == [tuple(r) for r in two]
+
 
 class TestTemperatureMixture:
     def test_flattens_toward_sqrt_proportions(self, spark, sf_dir):
