@@ -354,11 +354,52 @@ def _decode_avi(payload: bytes) -> dict:
             "signal_mean": mean}
 
 
+def _decode_av(payload: bytes) -> dict:
+    """Codec-bearing video (mp4/mov/h264 …) via optional PyAV: demux
+    the container, decode the FIRST video frame into the image
+    pipeline's statistics (the r7 verdict's task — real decode when
+    ``av`` is importable, the quarantine fence otherwise; this sandbox
+    has no ``av``, so the gated pytest is skipif-guarded and the
+    quarantine test is the one that runs here).
+
+    Stream-count/duration come from the container header; signal_mean
+    is the first frame's luma mean (BT.601, matching _avi_frame_luma's
+    coefficients) computed on the decoded plane — so a same-content
+    rawvideo AVI and its h264 encode land near-identical statistics.
+    """
+    import io
+
+    import av  # noqa: F401 — the gate: ImportError -> quarantine
+
+    with av.open(io.BytesIO(payload)) as container:
+        vstreams = [s for s in container.streams if s.type == "video"]
+        if not vstreams:
+            raise NotImplementedError("av container has no video stream")
+        vs = vstreams[0]
+        n_frames = int(vs.frames or 0)
+        duration = float((vs.duration or 0) * vs.time_base) \
+            if vs.duration else (
+                float(container.duration / 1e6)
+                if container.duration else None)
+        mean = None
+        width = int(vs.codec_context.width or 0)
+        height = int(vs.codec_context.height or 0)
+        for frame in container.decode(vs):
+            arr = frame.to_ndarray(format="gray")
+            # gray8 ~ BT.601 luma — same coefficients as _avi_frame_luma
+            mean = float(arr.mean())
+            width, height = int(frame.width), int(frame.height)
+            break
+    return {"codec": f"av:{vs.codec_context.name}", "width": width,
+            "height": height, "n_frames": n_frames,
+            "duration_s": duration, "signal_mean": mean}
+
+
 def _decode_payload(payload: bytes, modality: str) -> dict:
     """Codec boundary: stdlib decoders for WAV, BMP, PNG, and rawvideo
     AVI; JPEG (and any other PIL-supported format) via optional Pillow;
-    codec-bearing video (mp4/h264 etc.) needs av (absent in this
-    container) and quarantines.
+    codec-bearing video (mp4/mov via the ftyp box) via optional PyAV
+    (absent in this container -> quarantines).
 
     The working branches make the decode path REAL — header parse, PCM /
     pixel extraction, zlib inflate + unfilter, signal statistics — while
@@ -374,6 +415,13 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
         return _decode_avi(payload)
     if payload[:3] == b"\xff\xd8\xff":  # JPEG SOI marker
         return _decode_pil(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":  # mp4/mov family
+        try:
+            return _decode_av(payload)
+        except ImportError:
+            raise NotImplementedError(
+                "mp4/mov decode needs the optional av (PyAV) package, "
+                "absent in this environment — payload quarantined")
     try:
         if modality == "image":
             import PIL.Image  # noqa: F401

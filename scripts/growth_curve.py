@@ -1,0 +1,94 @@
+"""Growth-curve validation for the fan-out-shaped probes (r7 verdict
+task 2): run each at sf0.001 / sf0.01 / sf0.1, record wall time and
+OUTPUT ROW growth, and flag any shape whose candidate/output volume
+grows super-linearly in the input — the 100x-scale killer a fixed-SF
+hash check cannot see (LSH band collisions, closure fan-out,
+item-neighbor pair counts).
+
+Usage: python scripts/growth_curve.py [probe ...]
+Prints a markdown table (paste into SCALE.md) plus a per-shape
+linearity verdict: output-rows growth ratio vs input-rows growth ratio
+between consecutive SFs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+       "/root/testdata/sf0.1"]
+
+#: shape -> (probe, driver table whose row count anchors "input size")
+SHAPES = {
+    "dedup_minhash_lsh_md5": "documents",
+    "dedup_clusters": "documents",
+    "corpus_span_duplication": "documents",
+    "corpus_curation_pipeline": "documents",
+    "graph_transitive_closure": "events",
+    "corpus_segment_dedup": "documents",
+    "analytics_item_neighbors": "lineitem",
+    "neardup_setsim_prefix": "documents",
+    "corpus_decontaminate": "documents",
+    "neardup_semantic_dedup": "embeddings",
+}
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+
+    names = sys.argv[1:] or list(SHAPES)
+    spark = (SparkSession.builder.master("local[16]")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", "16")
+             .getOrCreate())
+    qs = e.queries()
+    inputs = {sf: {} for sf in SFS}
+    rows_hdr = " | ".join(f"rows sf{sf.rsplit('sf', 1)[1]}" for sf in SFS)
+    time_hdr = " | ".join(f"sec sf{sf.rsplit('sf', 1)[1]}" for sf in SFS)
+    print(f"| shape | {rows_hdr} | {time_hdr} | rows-growth vs "
+          f"input-growth (0.01->0.1) | verdict |")
+    print("|---" * 9 + "|")
+    failures = []
+    for name in names:
+        anchor = SHAPES[name]
+        rows, secs = [], []
+        for sf in SFS:
+            if anchor not in inputs[sf]:
+                inputs[sf][anchor] = (
+                    spark.read.parquet(f"{sf}/{anchor}.parquet").count())
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf).count()
+            secs.append(time.perf_counter() - t0)
+            rows.append(n)
+        in01 = inputs[SFS[1]][anchor]
+        in1 = inputs[SFS[2]][anchor]
+        in_growth = in1 / max(in01, 1)
+        out_growth = rows[2] / max(rows[1], 1)
+        # super-linear = output grows more than ~1.5x faster than input
+        # (ratio slack absorbs small-count noise); zero/tiny outputs at
+        # sf0.01 are judged on absolute size instead
+        superlinear = (rows[1] >= 20 and out_growth > 1.5 * in_growth)
+        verdict = "SUPER-LINEAR" if superlinear else "ok"
+        if superlinear:
+            failures.append(name)
+        r = " | ".join(str(x) for x in rows)
+        s = " | ".join(f"{x:.2f}" for x in secs)
+        print(f"| {name} | {r} | {s} | {out_growth:.1f}x vs "
+              f"{in_growth:.1f}x | {verdict} |")
+    if failures:
+        print(f"\nSUPER-LINEAR shapes: {failures}")
+        return 1
+    print("\nall shapes within the linearity envelope")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -986,6 +986,66 @@ class TestAviDecode:
         assert r.error is not None
 
 
+class TestMp4Gate:
+    """Codec-bearing video: real first-frame decode when the optional
+    ``av`` (PyAV) package is importable, the quarantine contract when
+    it is not (r7 verdict task 7). This sandbox has no ``av``, so the
+    quarantine test is the one that executes here; the decode test is
+    skipif-gated and runs wherever av exists."""
+
+    @staticmethod
+    def _mp4_bytes():
+        # a minimal-but-honest mp4 prefix: size + 'ftyp' box with the
+        # isom major brand — exactly what the sniffer keys on
+        return (b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00isomiso2"
+                + b"\x00" * 64)
+
+    def test_mp4_without_av_lands_in_quarantine_column(self, spark):
+        import importlib.util
+        import pytest
+        if importlib.util.find_spec("av") is not None:
+            pytest.skip("av present: the decode test covers this env")
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            decode_assets)
+        df = spark.createDataFrame(
+            [(1, "video", self._mp4_bytes())],
+            ["asset_id", "modality", "payload"])
+        r = decode_assets(df).collect()[0]
+        assert r.error is not None and "NotImplementedError" in r.error
+        assert "av (PyAV)" in r.error
+        assert r.codec is None and r.signal_mean is None
+
+    def test_mp4_first_frame_decode_with_av(self, spark):
+        import pytest
+        av = pytest.importorskip("av")
+        import io
+
+        import numpy as np
+
+        from data_and_analytics_etl_spark.operators.multimodal import (
+            decode_assets)
+        # encode a flat-gray 16x16 single-frame mp4 in memory
+        buf = io.BytesIO()
+        with av.open(buf, "w", format="mp4") as out:
+            vs = out.add_stream("h264", rate=25)
+            vs.width, vs.height, vs.pix_fmt = 16, 16, "yuv420p"
+            frame = av.VideoFrame.from_ndarray(
+                np.full((16, 16, 3), 100, dtype=np.uint8), format="rgb24")
+            for pkt in vs.encode(frame):
+                out.mux(pkt)
+            for pkt in vs.encode():
+                out.mux(pkt)
+        df = spark.createDataFrame(
+            [(1, "video", buf.getvalue())],
+            ["asset_id", "modality", "payload"])
+        r = decode_assets(df).collect()[0]
+        assert r.error is None
+        assert r.codec.startswith("av:")
+        assert (r.width, r.height) == (16, 16)
+        assert r.signal_mean is not None
+        assert abs(r.signal_mean - 100.0) < 8.0  # lossy codec tolerance
+
+
 class TestBpe:
     """BPE learning/encoding vs a from-scratch reference implementation
     (Sennrich et al. 2016 greedy merge loop) — exact equality."""
