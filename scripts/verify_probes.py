@@ -50,7 +50,14 @@ def main() -> int:
 
     import __spark_entry__ as e
 
-    names = sys.argv[1:]
+    from data_and_analytics_etl_spark.queries import REGISTRY
+    from data_and_analytics_etl_spark.queries.fingerprint import (
+        cached_green, load_cache, probe_fingerprint, record_green,
+        write_cache)
+
+    names = [n for n in sys.argv[1:] if n != "--changed"]
+    changed_only = ("--changed" in sys.argv[1:]
+                    or os.environ.get("VERIFY_CHANGED_ONLY") == "1")
     sf = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.ui.enabled", "false").getOrCreate())
@@ -63,10 +70,16 @@ def main() -> int:
     if unknown:
         print(f"unknown probes: {unknown}")
         return 2
+    cache = load_cache()
+    fps = {n: probe_fingerprint(REGISTRY[n]) for n in qs}
+    skipped_cached = 0
     bad = []
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         if names and name not in names:
+            continue
+        if changed_only and cached_green(cache, sf, name, fps[name]):
+            skipped_cached += 1
             continue
         try:
             df = fn(spark, sf)
@@ -94,8 +107,14 @@ def main() -> int:
             ok = False
         if results[name]["status"] in ("red", "error"):
             bad.append(name)
+        elif results[name]["status"] == "green":
+            record_green(cache, sf, name, fps[name])
         print(name, results[name]["status"].upper(),
               results[name].get("rows", ""), results[name].get("err", ""))
+    if skipped_cached:
+        print(f"skipped {skipped_cached} cached-green unchanged probes "
+              f"(--changed; fingerprints in VERIFY_CACHE.json)")
+    write_cache(cache)
     # r8 (verdict task 6): the bench-family probes re-verify at sf0.1 —
     # the bench's own scale — to catch scale-dependent hash divergence
     # (double accumulation order, window ties) the 20k-row sweep can't

@@ -1,16 +1,38 @@
-"""Oracle equivalence for every registered probe query (the t2 mirror)."""
+"""Oracle equivalence for every registered probe query (the t2 mirror).
+
+Fast lane (r7 verdict task 8): a probe whose content FINGERPRINT
+(defining module + package-internal import closure + oracle text —
+queries/fingerprint.py) matches the committed green record in
+VERIFY_CACHE.json for this sf_dir is textually identical to the
+version that earned the record, so it skips with an explicit marker.
+Any edit to any file the probe can reach re-runs it. FULL_ORACLE_SWEEP=1
+disables the cache (the round-close invocation re-earns every record);
+cache records are written only by scripts/verify_probes.py after a
+green driver-mimic comparison, never by this suite.
+"""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
 from data_and_analytics_etl_spark.queries import REGISTRY
+from data_and_analytics_etl_spark.queries.fingerprint import (
+    cached_green, load_cache, probe_fingerprint)
 
 from .oracle import compare
+
+_CACHE = load_cache()
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, sf_dir, name):
+    if os.environ.get("FULL_ORACLE_SWEEP") != "1":
+        fp = probe_fingerprint(REGISTRY[name])
+        if cached_green(_CACHE, sf_dir, name, fp):
+            pytest.skip(f"cached green at {sf_dir} (fingerprint {fp}); "
+                        "FULL_ORACLE_SWEEP=1 to force")
     compare(spark, REGISTRY[name], sf_dir)
 
 
