@@ -293,6 +293,54 @@ def kaplan_meier(df: DataFrame, duration: Column,
                       "survival").orderBy("t")
 
 
+def nelson_aalen(df: DataFrame, duration: Column,
+                 observed: Column) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over (duration,
+    observed-event) data — :func:`kaplan_meier`'s additive sibling
+    (KM estimates survival S(t) by a product; NA estimates the
+    cumulative hazard H(t) = Σ_{t_i ≤ t} d_i/n_i by a sum; for small
+    per-step hazards S ≈ exp(−H), and NA is the standard input to
+    hazard-ratio eyeballing and piecewise-exponential fits).
+
+    Exactness: n_i and d_i are exact longs (the KM risk-set prefix
+    window over the DISTINCT-duration table); each increment is one
+    double division of exact longs; the running SUM is a left fold
+    (F.aggregate, init 0.0) over the ordered increment prefix — the
+    same ordered-fold trick that makes KM's product bit-identical
+    cross-engine (DuckDB list_reduce folds in list order, and
+    0.0 + x1 == x1 exactly, so the chains coincide term for term).
+
+    Scale: identical shape to kaplan_meier — every window runs over
+    the distinct-duration table; bucket continuous durations first.
+    """
+    d = (df.select(duration.alias("t"),
+                   observed.cast("int").alias("e"))
+         .filter(F.col("t").isNotNull()))
+    per_t = d.groupBy("t").agg(F.count(F.lit(1)).alias("c"),
+                               F.sum("e").cast("long").alias("d"))
+    tot = per_t.agg(F.sum("c").cast("long").alias("__n"))
+    w_before = (Window.orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    w_cum = (Window.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cur = (per_t.crossJoin(F.broadcast(tot))
+           .withColumn("n_risk",
+                       (F.col("__n")
+                        - F.coalesce(F.sum("c").over(w_before),
+                                     F.lit(0))).cast("long"))
+           .withColumn("__h",
+                       F.col("d").cast("double")
+                       / F.col("n_risk").cast("double"))
+           .withColumn("cum_hazard",
+                       F.aggregate(F.collect_list("__h").over(w_cum),
+                                   F.lit(0.0),
+                                   lambda acc, x: acc + x)))
+    return cur.select("t", "n_risk",
+                      F.col("d").alias("events"),
+                      F.col("__h").alias("hazard_step"),
+                      "cum_hazard").orderBy("t")
+
+
 def calibration_lift(df: DataFrame, label: Column, score: Column,
                      n_buckets: int = 10, lo: float = 0.0,
                      hi: float = 1.0) -> DataFrame:

@@ -215,3 +215,53 @@ def mutual_info_cells(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             .select("x", "y", "n_xy", "n_x", "n_y", "n_total",
                     F.round((nxy / nn) * F.log((nxy * nn) / (nx * ny)), 6)
                      .alias("mi_contrib")))
+
+
+def woe_iv(df: DataFrame, cat: "Column", label: "Column") -> DataFrame:
+    """Weight-of-evidence encoding + information value per category —
+    the credit-scoring/feature-screening transform (Siddiqi 2006): for
+    category i with positive/negative counts over a binary label,
+
+        WOE_i = ln(p_i / q_i),   IV_i = (p_i - q_i) · WOE_i
+
+    with p_i/q_i the smoothed class shares (0.5 added to every cell,
+    totals adjusted by 0.5·n_categories — the add-half rule that keeps
+    empty cells finite without dropping them). Σ IV_i is the feature's
+    screening score; the per-category WOE column is the monotone
+    encoding fed to scorecards.
+
+    Engine-exactness: counts are exact longs from ONE hash aggregate;
+    WOE passes through an engine-side ln, so it is emitted on the
+    integer 10^-6 grid (floor(1e6·ln) — the bm25/vocab_logrank rule:
+    never hash a raw post-log double) and IV_i is one fixed chain
+    ((p - q) · grid/1e6) of double ops over exact ingredients. The
+    totals window runs over the category-count table, bounded by the
+    column's cardinality by definition of categorical.
+    """
+    d = df.select(cat.alias("category"),
+                  label.cast("int").alias("__y")) \
+          .filter(F.col("__y").isNotNull())
+    counts = (d.groupBy("category")
+              .agg(F.count(F.lit(1)).alias("__n"),
+                   F.sum("__y").cast("long").alias("n_pos"))
+              .withColumn("n_neg", (F.col("__n") - F.col("n_pos"))
+                          .cast("long")))
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    g = (counts
+         .withColumn("__tp", F.sum("n_pos").over(wall))
+         .withColumn("__tn", F.sum("n_neg").over(wall))
+         .withColumn("__k", F.count(F.lit(1)).over(wall)))
+    p = ((F.col("n_pos").cast("double") + F.lit(0.5))
+         / (F.col("__tp").cast("double")
+            + F.lit(0.5) * F.col("__k").cast("double")))
+    q = ((F.col("n_neg").cast("double") + F.lit(0.5))
+         / (F.col("__tn").cast("double")
+            + F.lit(0.5) * F.col("__k").cast("double")))
+    woe_q6 = F.floor(F.lit(1e6) * F.log(p / q)).cast("long")
+    return (g.select("category", "n_pos", "n_neg",
+                     woe_q6.alias("woe_q6"),
+                     F.round((p - q) * (woe_q6.cast("double")
+                                        / F.lit(1e6)), 9)
+                     .alias("iv_contrib"))
+            .orderBy("category"))

@@ -223,6 +223,90 @@ def _ks_from_tagged(tagged: DataFrame) -> DataFrame:
             .orderBy(F.desc("ks"), F.asc("at_value")).limit(1))
 
 
+def mann_whitney_u(df: DataFrame, is_a: Column, value_col: str,
+                   lo: float, hi: float, nbins: int = 256) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between the two halves
+    of one table split by a predicate — the NONPARAMETRIC complement of
+    :func:`~.queries.analytics.ab_welch_ttest` (no normality
+    assumption; reads stochastic dominance, not mean shift) and the
+    hypothesis-test sibling of :func:`drift_ks_split` (KS finds the
+    worst CDF gap; U summarizes rank displacement into one test).
+
+    Exact integer core: ranks use the midrank convention, and to keep
+    ties exact every rank is carried DOUBLED (midrank2 of a tie group
+    = 2·(# values strictly below) + group_size + 1 — an integer), so
+    the rank-sum R_a2 = Σ n_a(v)·midrank2(v) accumulates in
+    DECIMAL(38,0) with operands cast before multiplying.
+    U_a = (R_a2 − n_a(n_a+1)) / 2 is emitted as a DOUBLE: with
+    midranks U can legitimately end in .5 (a tie group straddling the
+    samples), and a half-integer is exact in binary while an integer
+    truncation is engine-dependent. The normal
+    approximation uses the tie-corrected variance
+    n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))) — every ingredient an
+    exact decimal sum, the z statistic ONE fixed chain of double ops
+    (sqrt is IEEE-correctly-rounded, unlike log, so it may appear in a
+    hashed value).
+
+    Scale: the "values strictly below v" prefix uses drift_ks's
+    bucketed decomposition — per-bucket cumulative windows plus an
+    nbins-row bucket-offset table — so no data-sized single-task
+    window exists; the rank-sum itself is an order-free exact-integer
+    aggregate. One row out: (n_a, n_b, u_a, u_b, z).
+    """
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bucket = (F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+              .cast("long"))
+    a = is_a.cast("long")
+    pts = (df.select(F.col(value_col).alias("v"),
+                     bucket.alias("__bucket"),
+                     a.alias("__a"), (1 - a).alias("__b"))
+           .groupBy("__bucket", "v")
+           .agg(F.sum("__a").alias("n_a"), F.sum("__b").alias("n_b")))
+    totals = pts.groupBy("__bucket").agg(
+        (F.sum("n_a") + F.sum("n_b")).alias("__bc"))
+    wb = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1)  # nbins rows: bounded by design
+    base = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__bc").over(wb), F.lit(0)).alias("__base"))
+    wv = (Window.partitionBy("__bucket").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    dec = "decimal(38,0)"
+    ranked = (pts.join(F.broadcast(base), "__bucket")
+              .withColumn("__cnt", F.col("n_a") + F.col("n_b"))
+              .withColumn("__below",
+                          F.col("__base")
+                          + F.coalesce(F.sum("__cnt").over(wv),
+                                       F.lit(0)))
+              .withColumn("__mr2",
+                          2 * F.col("__below") + F.col("__cnt") + 1))
+    agg = ranked.agg(
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
+        F.sum(F.col("n_a").cast(dec) * F.col("__mr2").cast(dec))
+        .cast(dec).alias("__ra2"),
+        F.sum(F.col("__cnt").cast(dec) * F.col("__cnt").cast(dec)
+              * F.col("__cnt").cast(dec) - F.col("__cnt").cast(dec))
+        .cast(dec).alias("__ties"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    u_a = ((F.col("__ra2") - (na.cast(dec) * (na + 1).cast(dec)))
+           .cast("double") / F.lit(2.0))
+    out = agg.select(
+        "n_a", "n_b", u_a.alias("u_a"),
+        (na.cast("double") * nb.cast("double") - u_a).alias("u_b"),
+        F.col("__ties").cast("double").alias("__td"))
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    nad, nbd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    var = (nad * nbd / F.lit(12.0)
+           * ((n + F.lit(1.0))
+              - F.col("__td") / (n * (n - F.lit(1.0)))))
+    z = ((F.col("u_a").cast("double") - nad * nbd / F.lit(2.0))
+         / F.sqrt(var))
+    return out.select("n_a", "n_b", "u_a", "u_b",
+                      F.round(z, 6).alias("z"))
+
+
 def drift_chisq(df_a: DataFrame, df_b: DataFrame, cat_col: str) -> DataFrame:
     """Chi-square homogeneity test between two snapshots of a CATEGORICAL
     column — the categorical complement of :func:`drift_ks` (numeric) and

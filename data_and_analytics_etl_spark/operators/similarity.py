@@ -719,3 +719,41 @@ def semantic_dedup(df: DataFrame, threshold: float,
              .select(F.col("__id_a").alias(id_col))
              .distinct())
     return df.join(drops, id_col, "left_anti")
+
+
+def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining: for each labeled anchor, the k most
+    cosine-similar corpus rows carrying a DIFFERENT label — the
+    contrastive-training data miner (triplet/InfoNCE pipelines want
+    negatives that are near-misses, not random draws; those are
+    exactly the top-similarity cross-label neighbors).
+
+    Same scale shape as :func:`cosine_topk` — anchors broadcast, one
+    corpus pass, per-row prenormed norms (one fold per ROW, not per
+    pair), bounded top-k window on anchor id — plus the cross-label
+    predicate riding the broadcast join, so mismatched pairs are
+    dropped BEFORE scoring instead of filtered after. Output:
+    (anchor_id, anchor_label, vec_id, neg_label, cosine, rank).
+    """
+    a = anchors.select(F.col(id_col).alias("anchor_id"),
+                       F.col(label_col).alias("anchor_label"),
+                       as_double(F.col(vec_col)).alias("__avec"))
+    a = a.withColumn("__anorm", l2_norm(F.col("__avec")))
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(label_col).alias("neg_label"),
+                      as_double(F.col(vec_col)).alias("__cvec"))
+    c = c.withColumn("__cnorm", l2_norm(F.col("__cvec")))
+    scored = (c.join(F.broadcast(a),
+                     F.col("neg_label") != F.col("anchor_label"))
+              .withColumn("cosine",
+                          F.round(cosine_prenormed(
+                              F.col("__avec"), F.col("__cvec"),
+                              F.col("__anorm"), F.col("__cnorm")), 6)))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"),
+                                                F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("anchor_id", "anchor_label", "vec_id", "neg_label",
+                    "cosine", F.col("rank").cast("int").alias("rank")))

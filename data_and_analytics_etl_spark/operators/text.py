@@ -726,3 +726,68 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id",
                              F.struct(F.col(id_col), F.col("pos")))),
                          lambda s: F.concat_ws(":", s[id_col], s["pos"])),
                      " ").alias("postings")))
+
+
+def bigram_lm_score(docs: DataFrame, ref: DataFrame,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document fluency score under an add-one-smoothed bigram
+    language model trained on a reference corpus — the KenLM-style
+    perplexity filter every web-scale curation pipeline runs (CCNet/
+    RefinedWeb keep documents whose LM score is near the reference
+    distribution; gibberish and boilerplate land in the tails):
+
+        score(doc) = (1/|bigrams|) · Σ ln P(w2 | w1),
+        P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)
+
+    with counts from ``ref`` and V its unigram vocabulary size (OOV
+    history tokens get c(w1) = 0, so unseen contexts fall back to the
+    uniform 1/V floor — the standard add-one backstop).
+
+    Engine-exactness: every per-bigram contribution passes through an
+    engine-side ln, so it is quantized to the integer 10^-6 grid
+    (floor(1e6·ln p) — the bm25 rule) and the document total is an
+    exact long sum; the mean is ONE double division (round 6).
+
+    Scale shape: the count tables are VOCABULARY-bounded (Heaps-law
+    sublinear — the BPE/vocab_build argument), so the two enrichment
+    joins broadcast at any corpus size; the doc-bigram explode is
+    map-side and pre-repartitioned by ensure_fanout_parallelism's
+    contract upstream. One hash agg per count table, one per document.
+    """
+    def bigrams(d: DataFrame) -> DataFrame:
+        toks = F.filter(tokens_of(F.col(text_col)), lambda w: w != "")
+        idx = F.when(F.size(toks) >= 2,
+                     F.sequence(F.lit(1), F.size(toks) - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+        pairs = F.transform(idx, lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2")))
+        return d.select(F.col(id_col), F.explode(pairs).alias("p")) \
+                .select(id_col, "p.w1", "p.w2")
+
+    ref_bi = (bigrams(ref).groupBy("w1", "w2")
+              .agg(F.count(F.lit(1)).alias("c12")))
+    ref_uni = (ref.select(F.explode(F.filter(
+                   tokens_of(F.col(text_col)), lambda w: w != ""))
+                   .alias("w1"))
+               .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    vocab = ref_uni.agg(F.count(F.lit(1)).cast("long").alias("__v"))
+    scored = (bigrams(docs)
+              .join(F.broadcast(ref_bi), ["w1", "w2"], "left")
+              .join(F.broadcast(ref_uni), ["w1"], "left")
+              .crossJoin(F.broadcast(vocab))
+              .withColumn("__q", F.floor(F.lit(1e6) * F.log(
+                  (F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+                   + F.lit(1.0))
+                  / (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                     + F.col("__v").cast("double")))).cast("long")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("__q").cast("long").alias("logprob_q6"))
+            .select(id_col, "n_bigrams", "logprob_q6",
+                    F.round(F.col("logprob_q6").cast("double")
+                            / F.lit(1e6)
+                            / F.col("n_bigrams").cast("double"), 6)
+                    .alias("avg_logprob"))
+            .orderBy(id_col))

@@ -609,3 +609,46 @@ def interarrival_stats(df: DataFrame, key: str, ts_col: str,
         sigma.alias("sigma_gap_us"),
         F.when(sigma + mean > 0.0,
                (sigma - mean) / (sigma + mean)).alias("burstiness"))
+
+
+def ohlc_bars(df: DataFrame, bucket: "Column", price: "Column",
+              volume: "Column", order_key: "Column") -> DataFrame:
+    """OHLC + VWAP bars: per time bucket, the first (open) and last
+    (close) price in event order, the high/low extremes, and the
+    volume-weighted average price — the candlestick downsampling every
+    market-data / metering pipeline runs, expressed as ONE hash
+    aggregate (no per-bucket sort window: open/close use
+    min_by/max_by over a caller-supplied TOTAL order key, so the
+    whole bar is a map-side-combinable aggregate — the shape that
+    survives 100 TB, unlike a row_number window per bucket).
+
+    Contract: ``order_key`` must be a total order within each bucket
+    (pack timestamp + arrival tiebreaks into one long); min_by/max_by
+    determinism rides on that (both engines: arg_min/arg_max).
+    Exactness: open/high/low/close are STORED point values (no
+    accumulation — hash-safe raw doubles); VWAP quantizes price to
+    integer cents and volume to an integer grid, accumulates
+    Σ(cents·vol) and Σvol in DECIMAL(38,0) (operands cast before
+    multiplying), and divides once into a double.
+    """
+    dec = "decimal(38,0)"
+    cents = F.round(price * 100).cast("long")
+    vol = F.round(volume).cast("long")
+    return (df.select(bucket.alias("bucket"), price.alias("__p"),
+                      cents.alias("__c"), vol.alias("__v"),
+                      order_key.alias("__k"))
+            .groupBy("bucket")
+            .agg(F.min_by("__p", "__k").alias("open"),
+                 F.max("__p").alias("high"),
+                 F.min("__p").alias("low"),
+                 F.max_by("__p", "__k").alias("close"),
+                 F.count(F.lit(1)).alias("n_trades"),
+                 F.sum(F.col("__v").cast(dec)).cast(dec).alias("__sv"),
+                 F.sum(F.col("__c").cast(dec) * F.col("__v").cast(dec))
+                 .cast(dec).alias("__spv"))
+            .select("bucket", "open", "high", "low", "close",
+                    "n_trades",
+                    F.col("__sv").cast("long").alias("volume"),
+                    F.round(F.col("__spv").cast("double")
+                            / F.col("__sv").cast("double") / 100.0, 6)
+                    .alias("vwap")))

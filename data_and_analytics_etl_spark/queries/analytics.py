@@ -3902,3 +3902,263 @@ def eval_cost_sensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cost_sensitive_report(ev, F.col("event_type"), pred,
                                   _cost_matrix())
             .orderBy("truth"))
+
+
+@query(
+    "survival_nelson_aalen",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) // 21600000000 AS t,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+  FROM events GROUP BY 1
+), p AS (
+  SELECT t, count(*) AS c, CAST(sum(e) AS BIGINT) AS d
+  FROM u GROUP BY 1
+), tt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM p),
+w AS (
+  SELECT t, c, d,
+         CAST(tt.n - coalesce(sum(c) OVER (ORDER BY t ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM p, tt
+), f AS (
+  SELECT t, n_risk, d,
+         CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h
+  FROM w
+)
+SELECT t, n_risk, d AS events, h AS hazard_step,
+       list_reduce(list_prepend(0.0, list(h) OVER (ORDER BY t ROWS
+         BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         (a, b) -> a + b) AS cum_hazard
+FROM f ORDER BY t
+""",
+    tags=("analytics", "survival"),
+    doc="Nelson-Aalen cumulative hazard (operators/evaluation.py:"
+        "nelson_aalen) over the same per-user engagement lifetimes as "
+        "survival_kaplan_meier — the additive estimator H(t) = "
+        "sum d_i/n_i (KM's product-limit sibling; S ~ exp(-H)). Same "
+        "exactness stack: exact-long risk sets from one hash agg + a "
+        "prefix window over the distinct-duration table, one double "
+        "division per step, and the running SUM as an ascending-"
+        "duration left fold (F.aggregate init 0.0 = DuckDB "
+        "list_reduce over a 0.0-prepended list) so the float chain is "
+        "bit-identical cross-engine.",
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import nelson_aalen
+    ev = load_table(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.max(F.unix_micros("ts")).alias("__mx"),
+              F.min(F.unix_micros("ts")).alias("__mn"),
+              F.max(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("e"))
+         .withColumn("t", F.expr("(__mx - __mn) div 21600000000")))
+    return nelson_aalen(u, F.col("t"), F.col("e"))
+
+
+@query(
+    "stats_mann_whitney",
+    oracle="""
+WITH t AS (
+  SELECT value AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS a
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT v, CAST(sum(a) AS BIGINT) AS n_a,
+         CAST(count(*) - sum(a) AS BIGINT) AS n_b
+  FROM t GROUP BY v
+), c AS (
+  SELECT v, n_a, n_b, n_a + n_b AS cnt,
+         CAST(coalesce(sum(n_a + n_b) OVER (ORDER BY v ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS below
+  FROM g
+), s AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS n_a,
+         CAST(sum(n_b) AS BIGINT) AS n_b,
+         sum(CAST(n_a AS DECIMAL(38,0))
+             * CAST(2 * below + cnt + 1 AS DECIMAL(38,0))) AS ra2,
+         sum(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))
+             * CAST(cnt AS DECIMAL(38,0))
+             - CAST(cnt AS DECIMAL(38,0))) AS ties
+  FROM c
+), uu AS (
+  SELECT n_a, n_b,
+         CAST(ra2 - CAST(n_a AS DECIMAL(38,0))
+                    * CAST(n_a + 1 AS DECIMAL(38,0)) AS DOUBLE) / 2.0
+           AS u_a,
+         CAST(ties AS DOUBLE) AS td
+  FROM s
+)
+SELECT n_a, n_b, u_a,
+       CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - u_a AS u_b,
+       round((CAST(u_a AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+             / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                    * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                       - td / (CAST(n_a + n_b AS DOUBLE)
+                               * (CAST(n_a + n_b AS DOUBLE) - 1.0)))),
+             6) AS z
+FROM uu
+""",
+    tags=("analytics", "stats"),
+    doc="Mann-Whitney U / Wilcoxon rank-sum test between event-time "
+        "snapshots (operators/profile.py:mann_whitney_u) — the "
+        "nonparametric complement of ab_welch_ttest and the hypothesis-"
+        "test sibling of drift_ks_split. Midranks carried DOUBLED so "
+        "tie handling is exact integer arithmetic; rank sums and the "
+        "tie-correction sum(t^3-t) accumulate in DECIMAL(38,0); U is "
+        "an exact half-integer emitted as DOUBLE (x.5 is exact in "
+        "binary; integer truncation is engine-dependent); z is one "
+        "fixed double chain (sqrt is IEEE-"
+        "correctly-rounded, so it may be hashed). The strictly-below "
+        "prefix uses drift_ks's bucketed decomposition — no data-sized "
+        "single-task window; the oracle recomputes with a plain global "
+        "rank window, proving the bucketed form exactly equivalent.",
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import mann_whitney_u
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    return mann_whitney_u(ev, F.col("ts") < "2024-01-16", "value",
+                          lo=0.0, hi=500.0, nbins=64)
+
+
+@query(
+    "timeseries_ohlc_bars",
+    oracle="""
+WITH t AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+           AS bucket,
+         l_extendedprice AS p,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(round(l_quantity) AS BIGINT) AS v,
+         (epoch_us(l_shipdate) // 86400000000) * 10000000000
+           + l_orderkey * 10 + l_linenumber AS k
+  FROM lineitem
+)
+SELECT bucket,
+       arg_min(p, k) AS open, max(p) AS high, min(p) AS low,
+       arg_max(p, k) AS close,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(sum(CAST(v AS DECIMAL(38,0))) AS BIGINT) AS volume,
+       round(CAST(sum(CAST(c AS DECIMAL(38,0))
+                      * CAST(v AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(sum(CAST(v AS DECIMAL(38,0))) AS DOUBLE) / 100.0,
+             6) AS vwap
+FROM t GROUP BY bucket ORDER BY bucket
+""",
+    tags=("analytics", "timeseries"),
+    doc="Monthly OHLC + VWAP bars over lineitem prices (operators/"
+        "timeseries.py:ohlc_bars) — candlestick downsampling as ONE "
+        "map-side-combinable hash aggregate: open/close via "
+        "min_by/max_by over a packed total order key (ship-day, "
+        "orderkey, linenumber — no per-bucket sort window anywhere), "
+        "high/low as plain extremes, VWAP from DECIMAL(38,0) "
+        "cents-times-quantity sums with one closing double division. "
+        "Point prices are stored values, hash-safe raw.",
+)
+def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ohlc_bars
+    li = load_table(spark, sf_dir, "lineitem")
+    # l_shipdate is TIMESTAMP_NTZ in the driver parquet; unix_micros
+    # needs TIMESTAMP — datediff on the date is encoding-agnostic
+    day = F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+    pack = (day.cast("long") * F.lit(10000000000)
+            + F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    bucket = (F.year("l_shipdate") * 100
+              + F.month("l_shipdate")).cast("long")
+    return (ohlc_bars(li, bucket, F.col("l_extendedprice"),
+                      F.col("l_quantity"), pack)
+            .orderBy("bucket"))
+
+
+@query(
+    "feature_woe_iv",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS category,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT category, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+         CAST(sum(n_pos) OVER () AS BIGINT) AS tp,
+         CAST(sum(n - n_pos) OVER () AS BIGINT) AS tn,
+         count(*) OVER () AS k
+  FROM c
+), w AS (
+  SELECT category, n_pos, n_neg,
+         (CAST(n_pos AS DOUBLE) + 0.5)
+           / (CAST(tp AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)) AS p,
+         (CAST(n_neg AS DOUBLE) + 0.5)
+           / (CAST(tn AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)) AS q
+  FROM g
+)
+SELECT category, n_pos, n_neg,
+       CAST(floor(1e6 * ln(p / q)) AS BIGINT) AS woe_q6,
+       round((p - q) * (CAST(floor(1e6 * ln(p / q)) AS DOUBLE) / 1e6),
+             9) AS iv_contrib
+FROM w ORDER BY category
+""",
+    tags=("analytics", "feature"),
+    doc="Weight-of-evidence + information value per order priority "
+        "against the order-fulfilled label (operators/features.py:"
+        "woe_iv) — the credit-scoring categorical encoding and "
+        "feature-screening score. Exact-long cell counts from one hash "
+        "aggregate; add-0.5 smoothing keeps empty cells finite; WOE on "
+        "the integer 1e-6 grid (floor(1e6*ln) — never hash a raw "
+        "post-log double) and IV as one fixed double chain. Totals "
+        "window bounded by the category cardinality.",
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import woe_iv
+    o = load_table(spark, sf_dir, "orders")
+    return woe_iv(o, F.col("o_orderpriority"),
+                  F.col("o_orderstatus") == "F")
+
+
+@query(
+    "geo_grid_proximity",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST(round(c_acctbal * 1e6) AS BIGINT) AS xq,
+         CAST(round(((c_custkey * 7919) % 20000) / 10.0 * 1e6)
+              AS BIGINT) AS yq
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(CAST(a.xq - b.xq AS DECIMAL(38,0))
+            * CAST(a.xq - b.xq AS DECIMAL(38,0))
+            + CAST(a.yq - b.yq AS DECIMAL(38,0))
+            * CAST(a.yq - b.yq AS DECIMAL(38,0)) AS BIGINT)
+         AS dist_sq_q12
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE CAST(a.xq - b.xq AS DECIMAL(38,0))
+      * CAST(a.xq - b.xq AS DECIMAL(38,0))
+      + CAST(a.yq - b.yq AS DECIMAL(38,0))
+      * CAST(a.yq - b.yq AS DECIMAL(38,0))
+      <= CAST(20000000 AS DECIMAL(38,0)) * CAST(20000000 AS DECIMAL(38,0))
+ORDER BY id_a, id_b
+""",
+    tags=("analytics", "spatial"),
+    doc="Radius self-join over derived customer coordinates (operators/"
+        "geo.py:grid_proximity_join): every pair within r=20 units, "
+        "found by cell bucketing (cell side = r, 3x3 neighbor probe "
+        "covers the radius COMPLETELY) + exact integer distance verify "
+        "on the 1e-6 quantization grid — the spatial member of the "
+        "banded-candidate-join family (minhash/simhash/sign-cell). "
+        "Candidate volume is bounded by local density, never n^2; the "
+        "oracle recomputes with a plain O(n^2) theta join, proving the "
+        "grid decomposition exact. Output distance is the exact "
+        "integer squared distance in grid^2 units.",
+)
+def geo_grid_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geo import grid_proximity_join
+    c = load_table(spark, sf_dir, "customer")
+    y = ((F.col("c_custkey") * 7919) % 20000) / 10.0
+    return grid_proximity_join(c, "c_custkey", F.col("c_acctbal"), y,
+                               radius=20.0)

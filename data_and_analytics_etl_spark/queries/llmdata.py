@@ -2971,3 +2971,107 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (survivorship(clusters, d, "n_chars")
             .select("doc_id", "cluster_rep", "is_survivor")
             .orderBy("doc_id"))
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws), 1)),
+                               i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, greatest(len(ws), 1)),
+                               i -> ws[i + 1])) AS w2
+  FROM tok
+), ref_bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bi WHERE doc_id < 250 GROUP BY 1, 2
+), ref_uni AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (
+    SELECT doc_id, unnest(ws) AS w1 FROM tok WHERE doc_id < 250)
+  GROUP BY 1
+), v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ref_uni),
+q AS (
+  SELECT b.doc_id,
+         CAST(floor(1e6 * ln(
+           (CAST(coalesce(rb.c12, 0) AS DOUBLE) + 1.0)
+           / (CAST(coalesce(ru.c1, 0) AS DOUBLE) + CAST(v AS DOUBLE))))
+           AS BIGINT) AS q
+  FROM bi b
+  LEFT JOIN ref_bi rb ON b.w1 = rb.w1 AND b.w2 = rb.w2
+  LEFT JOIN ref_uni ru ON b.w1 = ru.w1
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(q) AS BIGINT) AS logprob_q6,
+       round(CAST(sum(q) AS DOUBLE) / 1e6
+             / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+FROM q GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("llm", "text", "quality"),
+    doc="KenLM-style bigram language-model fluency score (operators/"
+        "text.py:bigram_lm_score): an add-one-smoothed bigram LM "
+        "trained on the historical slice (doc_id < 250) scores every "
+        "document's mean token log-probability — the CCNet/RefinedWeb "
+        "perplexity filter whose tails are gibberish and boilerplate. "
+        "Count tables are vocabulary-bounded (Heaps) so both "
+        "enrichment joins broadcast at any corpus size; every ln "
+        "contribution quantizes to the integer 1e-6 grid before the "
+        "exact long document sum (the bm25 rule); the mean is one "
+        "double division.",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bigram_lm_score
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(d, d.filter(F.col("doc_id") < 250))
+
+
+@query(
+    "ann_hard_negatives",
+    oracle="""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS av
+  FROM embeddings WHERE label IS NOT NULL AND vec_id < 20
+), c AS (
+  SELECT vec_id, label AS neg_label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE label IS NOT NULL
+), scored AS (
+  SELECT anchor_id, anchor_label, vec_id, neg_label,
+         round(list_dot_product(av, cv)
+               / (sqrt(list_dot_product(av, av))
+                  * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM c, a WHERE neg_label <> anchor_label
+), ranked AS (
+  SELECT anchor_id, anchor_label, vec_id, neg_label, cosine,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, anchor_label, vec_id, neg_label, cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY anchor_id, rank
+""",
+    tags=("llm", "similarity"),
+    doc="Hard-negative mining for contrastive training (operators/"
+        "similarity.py:hard_negatives): per labeled anchor, the top-5 "
+        "most-similar embeddings with a DIFFERENT label — near-miss "
+        "negatives, the triplet/InfoNCE miner. cosine_topk's scale "
+        "shape (broadcast anchors, one corpus pass, per-row prenormed "
+        "norms, bounded top-k window) with the cross-label predicate "
+        "riding the broadcast join so mismatches drop before scoring.",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negatives
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("label").isNotNull()))
+    anchors = e.filter(F.col("vec_id") < 20)
+    return (hard_negatives(e, anchors, k=5)
+            .orderBy("anchor_id", "rank"))

@@ -1029,3 +1029,150 @@ class TestThirdSessionEdges:
                      .collect(), key=lambda r: r.curriculum_pos)
         stages = [r.stage for r in out]
         assert stages == [1, 2] * 10  # perfect easy/hard interleave
+
+
+class TestMannWhitney:
+    def test_hand_computed_with_ties(self, spark):
+        """a = [1, 2, 2], b = [2, 3]: midranks 1, 3, 3, 3, 5 ->
+        R_a = 7, U_a = 7 - 6 = 1 (an integer here), U_b = 5."""
+        from data_and_analytics_etl_spark.operators.profile import \
+            mann_whitney_u
+        rows = [(1.0, 1), (2.0, 1), (2.0, 1), (2.0, 0), (3.0, 0)]
+        df = spark.createDataFrame(rows, "v double, a int")
+        r = mann_whitney_u(df, F.col("a") == 1, "v",
+                           lo=0.0, hi=4.0, nbins=4).collect()[0]
+        assert (r["n_a"], r["n_b"]) == (3, 2)
+        assert r["u_a"] == 1.0 and r["u_b"] == 5.0
+
+    def test_u_sum_identity_and_half_integer(self, spark):
+        """U_a + U_b == n_a * n_b always; a tie group straddling the
+        samples legitimately yields half-integer U."""
+        from data_and_analytics_etl_spark.operators.profile import \
+            mann_whitney_u
+        rows = [(1.0, 1), (2.0, 1), (2.0, 0)]
+        df = spark.createDataFrame(rows, "v double, a int")
+        r = mann_whitney_u(df, F.col("a") == 1, "v",
+                           lo=0.0, hi=4.0, nbins=2).collect()[0]
+        assert r["u_a"] + r["u_b"] == r["n_a"] * r["n_b"]
+        assert r["u_a"] == 0.5
+
+    def test_symmetric_split_z_is_zero_ish(self, spark, sf_dir):
+        """Splitting one sample by a hash unrelated to value must give
+        |z| far from significance."""
+        from data_and_analytics_etl_spark.operators.profile import \
+            mann_whitney_u
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("value").isNotNull())
+        r = mann_whitney_u(ev, F.col("event_id") % 2 == 0, "value",
+                           lo=0.0, hi=500.0, nbins=32).collect()[0]
+        assert abs(r["z"]) < 3.0
+
+    def test_shifted_sample_detected(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.profile import \
+            mann_whitney_u
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("value").isNotNull()).select("event_id", "value")
+        shifted = ev.withColumn("value", F.col("value") + 50.0) \
+                    .withColumn("__s", F.lit(0))
+        base = ev.withColumn("__s", F.lit(1))
+        r = mann_whitney_u(base.unionByName(shifted),
+                           F.col("__s") == 1, "value",
+                           lo=0.0, hi=600.0, nbins=32).collect()[0]
+        assert r["z"] < -5.0  # base ranks far below shifted
+
+
+class TestNelsonAalen:
+    def test_hand_computed_and_km_inequality(self, spark):
+        """durations (1,e) (2,e) (2,c) (3,e): H(1)=1/4, H(2)=1/4+1/3,
+        H(3)=...+1/1; and S_KM(t) <= exp(-H(t)) (1-x <= e^-x)."""
+        import math
+
+        from data_and_analytics_etl_spark.operators.evaluation import (
+            kaplan_meier, nelson_aalen)
+        rows = [(1, 1), (2, 1), (2, 0), (3, 1)]
+        df = spark.createDataFrame(rows, "t int, e int")
+        na = {r["t"]: r for r in
+              nelson_aalen(df, F.col("t"), F.col("e")).collect()}
+        assert na[1]["n_risk"] == 4 and na[1]["cum_hazard"] == 0.25
+        assert abs(na[2]["cum_hazard"] - (0.25 + 1 / 3)) < 1e-15
+        assert abs(na[3]["cum_hazard"] - (0.25 + 1 / 3 + 1.0)) < 1e-15
+        km = {r["t"]: r["survival"] for r in
+              kaplan_meier(df, F.col("t"), F.col("e")).collect()}
+        for t, row in na.items():
+            assert km[t] <= math.exp(-row["cum_hazard"]) + 1e-12
+
+
+class TestOhlcBars:
+    def test_open_close_follow_order_key(self, spark):
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            ohlc_bars
+        rows = [(1, 10, 5.0, 2.0), (1, 30, 1.0, 1.0), (1, 20, 9.0, 3.0),
+                (2, 5, 4.0, 1.0)]
+        df = spark.createDataFrame(rows, "b long, k long, p double, "
+                                         "v double")
+        out = {r["bucket"]: r for r in ohlc_bars(
+            df, F.col("b"), F.col("p"), F.col("v"),
+            F.col("k")).collect()}
+        r = out[1]
+        assert (r["open"], r["close"]) == (5.0, 1.0)  # by k, not row order
+        assert (r["high"], r["low"]) == (9.0, 1.0)
+        assert r["volume"] == 6 and r["n_trades"] == 3
+        # vwap = (500*2 + 900*3 + 100*1)/6/100, emitted rounded to 6dp
+        assert r["vwap"] == round((1000 + 2700 + 100) / 6 / 100, 6)
+        assert out[2]["open"] == out[2]["close"] == 4.0
+
+
+class TestWoeIv:
+    def test_sign_and_smoothing(self, spark):
+        from data_and_analytics_etl_spark.operators.features import \
+            woe_iv
+        rows = ([("a", 1)] * 8 + [("a", 0)] * 2
+                + [("b", 1)] * 2 + [("b", 0)] * 8
+                + [("c", 1)] * 5 + [("c", 0)] * 5)
+        df = spark.createDataFrame(rows, "cat string, y int")
+        out = {r["category"]: r for r in woe_iv(
+            df, F.col("cat"), F.col("y") == 1).collect()}
+        assert out["a"]["woe_q6"] > 0      # positive-heavy
+        assert out["b"]["woe_q6"] < 0      # negative-heavy
+        assert abs(out["c"]["woe_q6"]) < 1000  # balanced ~ 0
+        # IV contributions are non-negative by construction
+        assert all(r["iv_contrib"] >= 0 for r in out.values())
+
+    def test_empty_cell_stays_finite(self, spark):
+        from data_and_analytics_etl_spark.operators.features import \
+            woe_iv
+        rows = [("a", 1)] * 5 + [("b", 0)] * 5
+        df = spark.createDataFrame(rows, "cat string, y int")
+        out = woe_iv(df, F.col("cat"), F.col("y") == 1).collect()
+        assert all(r["woe_q6"] is not None for r in out)
+
+
+class TestGridProximity:
+    def test_equals_brute_force_including_boundary(self, spark):
+        """Grid decomposition == O(n^2) cross join, with points at
+        EXACTLY radius distance included (integer compare, no float
+        boundary)."""
+        import itertools
+        import random
+
+        from data_and_analytics_etl_spark.operators.geo import \
+            grid_proximity_join
+        rng = random.Random(11)
+        pts = [(i, round(rng.uniform(0, 100), 3),
+                round(rng.uniform(0, 100), 3)) for i in range(120)]
+        pts.append((900, 10.0, 10.0))
+        pts.append((901, 13.0, 14.0))  # exactly 5.0 away
+        df = spark.createDataFrame(pts, "id long, x double, y double")
+        got = {(r["id_a"], r["id_b"]): r["dist_sq_q12"]
+               for r in grid_proximity_join(
+                   df, "id", F.col("x"), F.col("y"), 5.0).collect()}
+        want = {}
+        for (i, xi, yi), (j, xj, yj) in itertools.combinations(pts, 2):
+            a, b = (i, j) if i < j else (j, i)
+            dx = round(xi * 1e6) - round(xj * 1e6)
+            dy = round(yi * 1e6) - round(yj * 1e6)
+            d2 = dx * dx + dy * dy
+            if d2 <= 5_000_000 ** 2:
+                want[(a, b)] = d2
+        assert got == want
+        assert (900, 901) in got  # the exact-boundary pair
