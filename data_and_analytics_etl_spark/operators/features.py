@@ -265,3 +265,44 @@ def woe_iv(df: DataFrame, cat: "Column", label: "Column") -> DataFrame:
                                         / F.lit(1e6)), 9)
                      .alias("iv_contrib"))
             .orderBy("category"))
+
+
+def uplift_two_model(df: DataFrame, segment: "Column", treated: "Column",
+                     converted: "Column") -> DataFrame:
+    """Per-segment uplift (incrementality) by the two-model difference:
+    uplift = P(convert | treated) − P(convert | control) — the
+    campaign-measurement readout behind every "did the ad DO anything"
+    dashboard, and the label a T-learner trains toward.
+
+    Exact-long cell counts from ONE hash aggregate over
+    (segment, treated); each rate is a single double division; uplift
+    and its pooled-variance normal score are fixed chains (sqrt is
+    IEEE-exact). Segments missing a side emit NULL uplift rather than
+    a silent zero.
+    """
+    d = df.select(segment.alias("segment"),
+                  treated.cast("int").alias("__t"),
+                  converted.cast("int").alias("__y"))
+    agg = (d.groupBy("segment", "__t")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("__y").cast("long").alias("k")))
+
+    def side(tag: int, name: str) -> DataFrame:
+        return (agg.filter(F.col("__t") == tag)
+                .select("segment", F.col("n").alias(f"n_{name}"),
+                        F.col("k").alias(f"k_{name}")))
+
+    j = side(1, "t").join(side(0, "c"), "segment", "full_outer")
+    pt = F.col("k_t").cast("double") / F.col("n_t").cast("double")
+    pc = F.col("k_c").cast("double") / F.col("n_c").cast("double")
+    pool = ((F.col("k_t") + F.col("k_c")).cast("double")
+            / (F.col("n_t") + F.col("n_c")).cast("double"))
+    se = F.sqrt(pool * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / F.col("n_t").cast("double")
+                   + F.lit(1.0) / F.col("n_c").cast("double")))
+    return (j.select("segment", "n_t", "k_t", "n_c", "k_c",
+                     F.round(pt, 6).alias("rate_treated"),
+                     F.round(pc, 6).alias("rate_control"),
+                     F.round(pt - pc, 6).alias("uplift"),
+                     F.round((pt - pc) / se, 6).alias("z"))
+            .orderBy("segment"))

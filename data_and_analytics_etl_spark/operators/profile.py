@@ -1050,3 +1050,108 @@ def mondrian_class_ranges(anon: DataFrame,
         *[f for c in quasi_cols
           for f in (F.min(c).alias(f"lo_{c}"),
                     F.max(c).alias(f"hi_{c}"))])
+
+
+#: Standard-normal quantiles as PYTHON literals (the NDCG literal-table
+#: rule: transcendental CONSTANTS are computed once here and the repr
+#: feeds both engines — never an engine-side erf/quantile call).
+Z_975 = 1.959963984540054    # two-sided alpha = 0.05
+Z_80 = 0.8416212335729143    # power = 0.80
+
+
+def ab_power_mde(df: DataFrame, is_a: Column, group_col: str,
+                 value_col: str, z_alpha: float = Z_975,
+                 z_power: float = Z_80) -> DataFrame:
+    """Minimum detectable effect of a two-sample mean test at the
+    CURRENT sample sizes and variances — the experiment-sizing readout
+    every A/B platform shows next to a not-significant result ("you
+    could only have seen effects larger than X"):
+
+        MDE = (z_{1-α/2} + z_{power}) · sqrt(s²_a/n_a + s²_b/n_b)
+
+    per group, with the z quantiles as caller-supplied Python literals
+    (never engine-side inverse-CDF). Variances come from the
+    welch_ttest exactness stack: values quantize to integer cents,
+    Σx and Σx² accumulate in DECIMAL(38,0) (operands cast before
+    squaring), sample variance is ONE fixed double chain
+    (n·Σx² − (Σx)²) / (n·(n−1)) / 100², and sqrt is IEEE-correctly-
+    rounded. One hash aggregate per (group, side); everything after is
+    arithmetic on the group-bounded table.
+    """
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    d = (df.select(F.col(group_col).alias("grp"),
+                   is_a.cast("int").alias("__a"),
+                   cents.alias("__c"))
+         .filter(F.col("__c").isNotNull()))
+    agg = (d.groupBy("grp", "__a")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("__c").cast(dec)).cast(dec).alias("s1"),
+                F.sum(F.col("__c").cast(dec) * F.col("__c").cast(dec))
+                .cast(dec).alias("s2")))
+
+    def side(tag: int, name: str) -> DataFrame:
+        return (agg.filter(F.col("__a") == tag)
+                .select("grp", F.col("n").alias(f"n_{name}"),
+                        F.col("s1").cast("double").alias(f"s1{name}"),
+                        F.col("s2").cast("double").alias(f"s2{name}")))
+
+    j = side(1, "a").join(side(0, "b"), "grp")
+
+    def var(n: Column, s1: Column, s2: Column) -> Column:
+        nd = n.cast("double")
+        return ((nd * s2 - s1 * s1) / (nd * (nd - F.lit(1.0)))
+                / F.lit(10000.0))
+
+    va = var(F.col("n_a"), F.col("s1a"), F.col("s2a"))
+    vb = var(F.col("n_b"), F.col("s1b"), F.col("s2b"))
+    mde = (F.lit(z_alpha + z_power)
+           * F.sqrt(va / F.col("n_a").cast("double")
+                    + vb / F.col("n_b").cast("double")))
+    return (j.select("grp", "n_a", "n_b",
+                     F.round(va, 6).alias("var_a"),
+                     F.round(vb, 6).alias("var_b"),
+                     F.round(mde, 6).alias("mde_abs"))
+            .orderBy("grp"))
+
+
+def bh_fdr(df: DataFrame, key_col: str, p_q6_col: str,
+           alpha_num: int = 1, alpha_den: int = 10) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a table of hypotheses — the
+    multiple-comparisons gate every metrics platform needs the moment
+    it tests more than one segment (uncorrected per-segment α=0.05
+    across 100 segments ships ~5 false discoveries per experiment).
+
+    Contract: p-values arrive already on the integer 10⁻⁶ grid
+    (``p_q6`` ∈ [0, 1e6] — quantization is the caller's policy, the
+    engine-side-transcendental rule). BH then needs NO floats at all:
+    with ranks i over ascending p and m hypotheses, the step-up
+    condition p_(i) ≤ α·i/m becomes
+
+        p_q6 · α_den · m  ≤  1e6 · α_num · i
+
+    — exact DECIMAL(38,0) integer comparison (α as a rational literal,
+    never a double); k = max qualifying rank via a 1-row broadcast
+    rollup; reject ranks ≤ k. The ranking window runs over the
+    hypothesis table, bounded by the number of hypotheses by
+    construction (the drift_chisq cardinality argument).
+    """
+    dec = "decimal(38,0)"
+    w = Window.orderBy(F.asc("p_q6"), F.asc("key"))
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (df.select(F.col(key_col).alias("key"),
+                        F.col(p_q6_col).cast("long").alias("p_q6"))
+              .withColumn("rank", F.row_number().over(w))
+              .withColumn("__m", F.count(F.lit(1)).over(wall)))
+    qualifies = (F.col("p_q6").cast(dec) * F.lit(alpha_den).cast(dec)
+                 * F.col("__m").cast(dec)
+                 <= F.lit(1_000_000).cast(dec)
+                 * F.lit(alpha_num).cast(dec) * F.col("rank").cast(dec))
+    q = ranked.withColumn("__q", qualifies)
+    kmax = q.agg(F.coalesce(F.max(F.when(F.col("__q"), F.col("rank"))),
+                            F.lit(0)).alias("__k"))
+    return (q.crossJoin(F.broadcast(kmax))
+            .select("key", "p_q6", F.col("rank").cast("int").alias("rank"),
+                    (F.col("rank") <= F.col("__k")).alias("rejected"))
+            .orderBy("rank"))

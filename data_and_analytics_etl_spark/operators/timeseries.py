@@ -652,3 +652,51 @@ def ohlc_bars(df: DataFrame, bucket: "Column", price: "Column",
                     F.round(F.col("__spv").cast("double")
                             / F.col("__sv").cast("double") / 100.0, 6)
                     .alias("vwap")))
+
+
+def interval_concurrency(df: DataFrame, start: "Column", end: "Column",
+                         lo_us: int, hi_us: int,
+                         nbins: int = 256) -> DataFrame:
+    """Sweep-line concurrency: for every boundary instant, how many
+    intervals [s, e) are open right after it — the stabbing-count dual
+    of :func:`interval_union_length` (coverage asks "how much time is
+    covered"; concurrency asks "how many at once", the capacity-
+    planning / max-sessions / peak-connections question).
+
+    Half-open semantics: an interval ending at t releases BEFORE one
+    starting at t claims — expressed by aggregating the +1/−1 deltas
+    per distinct instant first (one hash agg), so ties net out and no
+    per-row ordering inside an instant exists to disagree about.
+
+    The running sum over all instants is a GLOBAL cumulative — the
+    classic single-task trap — so it uses drift_ks's bucketed
+    decomposition: instants range-bucket onto a fixed epoch-µs grid,
+    per-bucket cumulative windows parallelize, and only the nbins-row
+    bucket-totals table crosses a single-task window. All integer
+    arithmetic; exact at any scale.
+    """
+    width = max((hi_us - lo_us) // nbins, 1)
+
+    def tag(col: "Column", delta: int) -> DataFrame:
+        us = F.unix_micros(col.cast("timestamp"))
+        raw = F.floor((us - F.lit(lo_us)) / F.lit(width))
+        bucket = (F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+                  .cast("long"))
+        return df.select(us.alias("us"), bucket.alias("__bucket"),
+                         F.lit(delta).alias("__d"))
+
+    pts = (tag(start, 1).unionByName(tag(end, -1))
+           .groupBy("__bucket", "us")
+           .agg(F.sum("__d").alias("__net")))
+    totals = pts.groupBy("__bucket").agg(F.sum("__net").alias("__bn"))
+    wb = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1)  # nbins rows: bounded by design
+    base = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__base"))
+    wv = (Window.partitionBy("__bucket").orderBy("us")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (pts.join(F.broadcast(base), "__bucket")
+            .select(F.col("us"),
+                    (F.col("__base") + F.sum("__net").over(wv))
+                    .cast("long").alias("concurrency")))

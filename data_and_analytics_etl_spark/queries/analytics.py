@@ -4162,3 +4162,229 @@ def geo_grid_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = ((F.col("c_custkey") * 7919) % 20000) / 10.0
     return grid_proximity_join(c, "c_custkey", F.col("c_acctbal"), y,
                                radius=20.0)
+
+
+@query(
+    "interval_concurrency_peak",
+    oracle="""
+WITH iv AS (
+  SELECT epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+  FROM events
+), b AS (
+  SELECT s AS us, 1 AS d FROM iv
+  UNION ALL SELECT e AS us, -1 AS d FROM iv
+), net AS (
+  SELECT us, CAST(sum(d) AS BIGINT) AS net FROM b GROUP BY us
+), c AS (
+  SELECT us, CAST(sum(net) OVER (ORDER BY us ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrency
+  FROM net
+)
+SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+       CAST(max(concurrency) AS BIGINT) AS peak_concurrency
+FROM c GROUP BY 1 ORDER BY 1
+""",
+    tags=("analytics", "timeseries"),
+    doc="Daily peak concurrency of open activity intervals (operators/"
+        "timeseries.py:interval_concurrency) — the sweep-line stabbing "
+        "count behind max-sessions/peak-connections capacity planning, "
+        "with interval_coverage's interval model (each event opens "
+        "[ts, ts+(id%7+1)min)). Half-open tie rule: deltas net out per "
+        "distinct instant in one hash agg before any cumulative. The "
+        "global running sum uses drift_ks's bucketed prefix "
+        "decomposition (per-bucket windows + an nbins-row offsets "
+        "table) — no data-sized single-task window; all integers. The "
+        "oracle recomputes with a plain global window.",
+)
+def interval_concurrency_peak(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import interval_concurrency
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(F.col("ts").alias("s"),
+                   (F.col("ts") + F.make_interval(
+                       secs=(F.col("event_id") % 7 + 1) * 60))
+                   .alias("e"))
+    lo = 1704067200 * 1_000_000   # 2024-01-01 UTC
+    hi = 1706745600 * 1_000_000   # 2024-02-01 UTC
+    cc = interval_concurrency(iv, F.col("s"), F.col("e"),
+                              lo_us=lo, hi_us=hi, nbins=128)
+    return (cc.groupBy(F.date_format((F.col("us") / 1e6)
+                                     .cast("timestamp"),
+                                     "yyyy-MM-dd").alias("day"))
+            .agg(F.max("concurrency").alias("peak_concurrency"))
+            .orderBy("day"))
+
+
+@query(
+    "ab_power_mde",
+    oracle="""
+WITH t AS (
+  SELECT event_type AS grp,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS a,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), agg AS (
+  SELECT grp, a, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+              AS DOUBLE) AS s2
+  FROM t GROUP BY 1, 2
+), j AS (
+  SELECT x.grp, x.n AS n_a, y.n AS n_b,
+         (CAST(x.n AS DOUBLE) * x.s2 - x.s1 * x.s1)
+           / (CAST(x.n AS DOUBLE) * (CAST(x.n AS DOUBLE) - 1.0))
+           / 10000.0 AS va,
+         (CAST(y.n AS DOUBLE) * y.s2 - y.s1 * y.s1)
+           / (CAST(y.n AS DOUBLE) * (CAST(y.n AS DOUBLE) - 1.0))
+           / 10000.0 AS vb
+  FROM agg x JOIN agg y ON x.grp = y.grp AND x.a = 1 AND y.a = 0
+)
+SELECT grp, n_a, n_b, round(va, 6) AS var_a, round(vb, 6) AS var_b,
+       round(CAST('2.8015852181129683' AS DOUBLE)
+             * sqrt(va / CAST(n_a AS DOUBLE)
+                    + vb / CAST(n_b AS DOUBLE)), 6) AS mde_abs
+FROM j ORDER BY grp
+""",
+    tags=("analytics", "stats"),
+    doc="Minimum detectable effect per event type at the current "
+        "sample sizes (operators/profile.py:ab_power_mde) — the "
+        "experiment-sizing readout (alpha=0.05 two-sided, power=0.80): "
+        "MDE = (z_.975 + z_.80) * sqrt(s2_a/n_a + s2_b/n_b). z "
+        "quantiles are Python literals feeding both engines (the NDCG "
+        "literal rule — no engine-side inverse CDF); variances from "
+        "the welch exactness stack (integer cents, DECIMAL(38,0) "
+        "sums, one fixed double chain, IEEE sqrt).",
+)
+def ab_power_mde_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import ab_power_mde
+    ev = load_table(spark, sf_dir, "events")
+    return ab_power_mde(ev, F.col("ts") < "2024-01-16",
+                        "event_type", "value")
+
+
+@query(
+    "analytics_uplift_two_model",
+    oracle="""
+WITH d AS (
+  SELECT c_mktsegment AS segment,
+         CAST(c_custkey % 2 = 1 AS INTEGER) AS t,
+         CAST(c_acctbal > 5000 AS INTEGER) AS y
+  FROM customer
+), agg AS (
+  SELECT segment, t, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS k
+  FROM d GROUP BY 1, 2
+), j AS (
+  SELECT x.segment, x.n AS n_t, x.k AS k_t, y.n AS n_c, y.k AS k_c
+  FROM agg x JOIN agg y ON x.segment = y.segment
+  WHERE x.t = 1 AND y.t = 0
+)
+SELECT segment, n_t, k_t, n_c, k_c,
+       round(CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6)
+         AS rate_treated,
+       round(CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+         AS rate_control,
+       round(CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+             - CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS uplift,
+       round((CAST(k_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+              - CAST(k_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+             / sqrt((CAST(k_t + k_c AS DOUBLE)
+                     / CAST(n_t + n_c AS DOUBLE))
+                    * (1.0 - CAST(k_t + k_c AS DOUBLE)
+                             / CAST(n_t + n_c AS DOUBLE))
+                    * (1.0 / CAST(n_t AS DOUBLE)
+                       + 1.0 / CAST(n_c AS DOUBLE))), 6) AS z
+FROM j ORDER BY segment
+""",
+    tags=("analytics", "stats"),
+    doc="Per-segment incrementality by the two-model difference "
+        "(operators/features.py:uplift_two_model): "
+        "P(convert|treated) - P(convert|control) with a pooled-"
+        "variance normal score, over a deterministic custkey-parity "
+        "treatment assignment and an acctbal conversion label. "
+        "Exact-long cells from one hash aggregate; rates/uplift/z are "
+        "fixed double chains.",
+)
+def analytics_uplift_two_model(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.features import uplift_two_model
+    c = load_table(spark, sf_dir, "customer")
+    return uplift_two_model(c, F.col("c_mktsegment"),
+                            F.col("c_custkey") % 2 == 1,
+                            F.col("c_acctbal") > 5000)
+
+
+@query(
+    "stats_bh_fdr",
+    oracle="""
+WITH d AS (
+  SELECT c_mktsegment AS segment,
+         CAST(c_custkey % 2 = 1 AS INTEGER) AS t,
+         CAST(c_acctbal > 5000 AS INTEGER) AS y
+  FROM customer
+), agg AS (
+  SELECT segment, t, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS k
+  FROM d GROUP BY 1, 2
+), j AS (
+  SELECT x.segment AS key,
+         (CAST(x.k AS DOUBLE) / CAST(x.n AS DOUBLE)
+          - CAST(y.k AS DOUBLE) / CAST(y.n AS DOUBLE))
+         / sqrt((CAST(x.k + y.k AS DOUBLE) / CAST(x.n + y.n AS DOUBLE))
+                * (1.0 - CAST(x.k + y.k AS DOUBLE)
+                         / CAST(x.n + y.n AS DOUBLE))
+                * (1.0 / CAST(x.n AS DOUBLE)
+                   + 1.0 / CAST(y.n AS DOUBLE))) AS z
+  FROM agg x JOIN agg y ON x.segment = y.segment
+  WHERE x.t = 1 AND y.t = 0
+), p AS (
+  SELECT key, CAST(floor(1e6 * exp(-(z * z) / 2.0)) AS BIGINT) AS p_q6
+  FROM j
+), r AS (
+  SELECT key, p_q6,
+         row_number() OVER (ORDER BY p_q6, key) AS rank,
+         count(*) OVER () AS m
+  FROM p
+), kmax AS (
+  SELECT coalesce(max(CASE WHEN CAST(p_q6 AS DECIMAL(38,0)) * 10 * m
+                            <= CAST(1000000 AS DECIMAL(38,0)) * 1 * rank
+                           THEN rank END), 0) AS k
+  FROM r
+)
+SELECT key, p_q6, CAST(rank AS INTEGER) AS rank,
+       rank <= k AS rejected
+FROM r, kmax ORDER BY rank
+""",
+    tags=("analytics", "stats"),
+    doc="Benjamini-Hochberg FDR gate over the per-segment uplift tests "
+        "(operators/profile.py:bh_fdr) — the multiple-comparisons "
+        "correction a segment-sliced experiment needs. Inputs are "
+        "integer-grid scores (floor(1e6*exp(-z^2/2)), a monotone "
+        "Mills-style p proxy quantized per the engine-transcendental "
+        "rule); BH itself is then PURE integer arithmetic — the "
+        "step-up p <= alpha*i/m comparison cleared of denominators in "
+        "DECIMAL(38,0), alpha the rational 1/10, max-rank via a 1-row "
+        "broadcast rollup. Window bounded by the hypothesis count.",
+)
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import uplift_two_model
+    from ..operators.profile import bh_fdr
+    c = load_table(spark, sf_dir, "customer")
+    up = uplift_two_model(c, F.col("c_mktsegment"),
+                          F.col("c_custkey") % 2 == 1,
+                          F.col("c_acctbal") > 5000)
+    # re-derive the UNROUNDED z for the proxy p (the uplift probe
+    # rounds its display z; the gate wants full precision)
+    pt = F.col("k_t").cast("double") / F.col("n_t").cast("double")
+    pc = F.col("k_c").cast("double") / F.col("n_c").cast("double")
+    pool = ((F.col("k_t") + F.col("k_c")).cast("double")
+            / (F.col("n_t") + F.col("n_c")).cast("double"))
+    se = F.sqrt(pool * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / F.col("n_t").cast("double")
+                   + F.lit(1.0) / F.col("n_c").cast("double")))
+    z = (pt - pc) / se
+    p = up.select(F.col("segment"),
+                  F.floor(F.lit(1e6) * F.exp(-(z * z) / F.lit(2.0)))
+                  .cast("long").alias("p_q6"))
+    return bh_fdr(p, "segment", "p_q6", alpha_num=1, alpha_den=10)

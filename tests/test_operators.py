@@ -1176,3 +1176,124 @@ class TestGridProximity:
                 want[(a, b)] = d2
         assert got == want
         assert (900, 901) in got  # the exact-boundary pair
+
+
+class TestIntervalConcurrency:
+    def test_half_open_semantics_and_peak(self, spark):
+        """[0,10), [5,15), [10,20): at t=10 the first has RELEASED
+        before the third claims -> peak is 2, never 3."""
+        import datetime as dt
+
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            interval_concurrency
+        base = dt.datetime(2024, 1, 1)
+        mk = lambda s, e: (base + dt.timedelta(minutes=s),  # noqa: E731
+                           base + dt.timedelta(minutes=e))
+        rows = [mk(0, 10), mk(5, 15), mk(10, 20)]
+        df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+        lo = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        out = {r["us"]: r["concurrency"] for r in interval_concurrency(
+            df, F.col("s"), F.col("e"), lo, lo + 3_600_000_000,
+            nbins=8).collect()}
+        assert max(out.values()) == 2
+        # after the last end, concurrency returns to zero
+        assert out[max(out)] == 0
+
+    def test_matches_global_window_on_events(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            interval_concurrency
+        ev = load_table(spark, sf_dir, "events")
+        iv = ev.select(F.col("ts").alias("s"),
+                       (F.col("ts") + F.make_interval(secs=F.lit(120)))
+                       .alias("e"))
+        lo, hi = 1704067200 * 10**6, 1706745600 * 10**6
+        got = interval_concurrency(iv, F.col("s"), F.col("e"),
+                                   lo, hi, nbins=16)
+        # reference: plain global cumulative over netted deltas
+        us = F.unix_micros(F.col("s").cast("timestamp"))
+        ue = F.unix_micros(F.col("e").cast("timestamp"))
+        d = (iv.select(us.alias("us"), F.lit(1).alias("d"))
+             .unionByName(iv.select(ue.alias("us"),
+                                    F.lit(-1).alias("d")))
+             .groupBy("us").agg(F.sum("d").alias("net")))
+        from pyspark.sql import Window as W
+        ref = d.withColumn(
+            "concurrency",
+            F.sum("net").over(W.orderBy("us").rowsBetween(
+                W.unboundedPreceding, 0)).cast("long")).drop("net")
+        assert (sorted(map(tuple, got.collect()))
+                == sorted(map(tuple, ref.collect())))
+
+
+class TestPowerMde:
+    def test_mde_shrinks_with_sample_size(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import \
+            ab_power_mde
+        rows = []
+        for g, n in (("small", 20), ("large", 2000)):
+            for i in range(n):
+                rows.append((g, i % 2 == 0, float(10 + i % 7)))
+        df = spark.createDataFrame(rows, "g string, a boolean, v double")
+        out = {r["grp"]: r["mde_abs"] for r in ab_power_mde(
+            df, F.col("a"), "g", "v").collect()}
+        assert out["large"] < out["small"] / 5
+
+    def test_hand_formula(self, spark):
+        import math
+
+        from data_and_analytics_etl_spark.operators.profile import (
+            Z_80, Z_975, ab_power_mde)
+        rows = [("g", True, 1.0), ("g", True, 3.0),
+                ("g", False, 2.0), ("g", False, 6.0)]
+        df = spark.createDataFrame(rows, "g string, a boolean, v double")
+        r = ab_power_mde(df, F.col("a"), "g", "v").collect()[0]
+        # var_a = var([1,3]) = 2, var_b = var([2,6]) = 8
+        assert (r["var_a"], r["var_b"]) == (2.0, 8.0)
+        want = (Z_975 + Z_80) * math.sqrt(2 / 2 + 8 / 2)
+        assert r["mde_abs"] == round(want, 6)
+
+
+class TestUpliftTwoModel:
+    def test_hand_counts(self, spark):
+        from data_and_analytics_etl_spark.operators.features import \
+            uplift_two_model
+        rows = ([("s", 1, 1)] * 6 + [("s", 1, 0)] * 4    # treated: 60%
+                + [("s", 0, 1)] * 2 + [("s", 0, 0)] * 8)  # control: 20%
+        df = spark.createDataFrame(rows, "seg string, t int, y int")
+        r = uplift_two_model(df, F.col("seg"), F.col("t") == 1,
+                             F.col("y") == 1).collect()[0]
+        assert (r["n_t"], r["k_t"], r["n_c"], r["k_c"]) == (10, 6, 10, 2)
+        assert r["uplift"] == 0.4 and r["z"] > 1.5
+
+
+class TestBhFdr:
+    def test_step_up_rejects_through_later_qualifier(self, spark):
+        """BH is STEP-UP: if rank 3 qualifies, ranks 1-2 are rejected
+        even when rank 2 itself fails p <= alpha*i/m."""
+        from data_and_analytics_etl_spark.operators.profile import bh_fdr
+        # m = 4, alpha = 0.5: thresholds 0.125, 0.25, 0.375, 0.5
+        rows = [("a", 100_000),   # 0.100 <= 0.125  qualifies
+                ("b", 300_000),   # 0.300 >  0.250  fails
+                ("c", 370_000),   # 0.370 <= 0.375  qualifies -> k = 3
+                ("d", 900_000)]   # 0.900 >  0.500  fails
+        df = spark.createDataFrame(rows, "k string, p long")
+        out = {r["key"]: r["rejected"] for r in bh_fdr(
+            df, "k", "p", alpha_num=1, alpha_den=2).collect()}
+        assert out == {"a": True, "b": True, "c": True, "d": False}
+
+    def test_nothing_qualifies_nothing_rejected(self, spark):
+        from data_and_analytics_etl_spark.operators.profile import bh_fdr
+        df = spark.createDataFrame([("a", 999_999), ("b", 999_998)],
+                                   "k string, p long")
+        out = bh_fdr(df, "k", "p", alpha_num=1, alpha_den=100).collect()
+        assert all(not r["rejected"] for r in out)
+
+    def test_exact_boundary_qualifies(self, spark):
+        """p == alpha*i/m exactly must qualify (integer compare, no
+        float boundary): m=2, alpha=1/2 -> threshold_1 = 0.25."""
+        from data_and_analytics_etl_spark.operators.profile import bh_fdr
+        df = spark.createDataFrame([("a", 250_000), ("b", 999_999)],
+                                   "k string, p long")
+        out = {r["key"]: r["rejected"] for r in bh_fdr(
+            df, "k", "p", alpha_num=1, alpha_den=2).collect()}
+        assert out["a"] is True and out["b"] is False
