@@ -61,6 +61,14 @@ BENCH_QUERIES: dict[str, str] = {
     # ordered-reassembly shape (CCNet line dedup), the one bench entry
     # whose dominant cost is a collect_list regroup after a fan-out.
     "b17_segment_dedup": "corpus_segment_dedup",
+    # r8 additions: two plan families not yet timed round-over-round —
+    # LM scoring (token explode -> two vocabulary-bounded broadcast
+    # enrichment joins -> per-doc rollup, the KenLM quality-filter
+    # shape every curation pipeline runs over the full corpus) and the
+    # banded spatial self-join (cell bucket + 3x3 neighbor probe +
+    # exact verify — the geometry member of the candidate-join family).
+    "b18_bigram_lm": "text_bigram_lm_score",
+    "b19_geo_proximity": "geo_grid_proximity",
 }
 
 #: Queries whose probe fn executes work eagerly during construction

@@ -751,10 +751,15 @@ def bigram_lm_score(docs: DataFrame, ref: DataFrame,
 
     Scale shape: the count tables are VOCABULARY-bounded (Heaps-law
     sublinear — the BPE/vocab_build argument), so the two enrichment
-    joins broadcast at any corpus size; the doc-bigram explode is
-    map-side and pre-repartitioned by ensure_fanout_parallelism's
-    contract upstream. One hash agg per count table, one per document.
+    joins broadcast at any corpus size; the doc-bigram explode guards
+    itself with ensure_fanout_parallelism (a single-partition document
+    scan would serialize the whole explode+join on one core — the
+    span_duplication lesson). One hash agg per count table, one per
+    document.
     """
+    docs = ensure_fanout_parallelism(docs)
+    ref = ensure_fanout_parallelism(ref)
+
     def bigrams(d: DataFrame) -> DataFrame:
         toks = F.filter(tokens_of(F.col(text_col)), lambda w: w != "")
         idx = F.when(F.size(toks) >= 2,

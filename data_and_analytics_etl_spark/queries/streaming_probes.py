@@ -518,3 +518,54 @@ def stream_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = table_stream(spark, sf_dir, "documents")
     novel = novelty_filter(stream, hist).select("doc_id", "fingerprint")
     return run_stream_to_table(novel).orderBy("doc_id")
+
+
+@query(
+    "stream_hourly_topk_trending",
+    oracle="""
+WITH w AS (
+  SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT window_start, event_type, n,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, event_type) AS rank
+  FROM w
+)
+SELECT window_start, event_type, CAST(n AS BIGINT) AS n,
+       CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3
+ORDER BY window_start, rank
+""",
+    tags=("streaming", "analytics"),
+    doc="Hourly trending top-3 event types from the stream — the "
+        "'what's hot right now' dashboard feed. Ranking is not an "
+        "incremental streaming operator (a rank can demote on any "
+        "arrival), so the probe runs the STREAMABLE half as a real "
+        "streaming query (hourly tumbling counts, complete mode — one "
+        "stateful agg) and applies the rank as a bounded batch window "
+        "over the materialized per-window counts (rows = windows x "
+        "event types, never raw events). The oracle recomputes both "
+        "halves relationally — the stream-batch equivalence contract.",
+)
+def stream_hourly_topk_trending(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    counts = (events_stream(spark, sf_dir)
+              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    out = run_stream_to_table(
+        counts.select(F.col("w.start").alias("window_start"),
+                      "event_type", "n"),
+        output_mode="complete")
+    rk = Window.partitionBy("window_start").orderBy(F.desc("n"),
+                                                    F.asc("event_type"))
+    return (out.withColumn("rank", F.row_number().over(rk))
+            .filter(F.col("rank") <= 3)
+            .select(F.date_format("window_start", _TS_FMT)
+                    .alias("window_start"),
+                    "event_type", F.col("n").cast("long").alias("n"),
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("window_start", "rank"))
