@@ -146,6 +146,16 @@ ROUND_TIERS: dict[str, int] = {
     "udf_nfc_normalize": 30,
 }
 
+#: At r9 start, pin (in this order of priority): (1) the bench tier
+#: (back in-window after its one-round FULLVERIFY-sf0.1 vacation),
+#: (2) DEFERRED_BACKLOG below (test_backlog_ledger enforces), (3) the
+#: probes REGISTERED in r8 — never driver-verified: survival_nelson_
+#: aalen, stats_mann_whitney, timeseries_ohlc_bars, feature_woe_iv,
+#: text_bigram_lm_score, ann_hard_negatives, geo_grid_proximity,
+#: interval_concurrency_peak, ab_power_mde, analytics_uplift_two_
+#: model, stats_bh_fdr, stream_hourly_topk_trending — plus anything
+#: whose code changes in r9.
+#:
 #: The 10 backlog probes that did NOT fit the r8 window (50 slots,
 #: 60 candidates). Chosen for lowest regression risk — single-shape
 #: SQL-mechanical probes whose operators share code paths with
