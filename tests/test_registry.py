@@ -259,3 +259,42 @@ def test_oracle_float_literals_parse_exactly():
         f"oracle float literals that mis-parse via DECIMAL: {bad} — "
         "quote them (CAST('<repr>' AS DOUBLE)) so DuckDB uses the "
         "correctly-rounded string->double parse")
+
+
+def test_bench_probes_have_same_round_correctness_evidence():
+    """A bench number never ships without same-round correctness
+    evidence. Two accepted forms: the probe is pinned in this round's
+    driver window (ROUND_TIERS), OR the round's FULLVERIFY artifact
+    carries a green sf0.1 bench-section row (the r8 rule — the oracle
+    at the bench's own scale, a stronger check than the driver's
+    sf0.01 rows). Rows-only bench paths (b8's xxhash twin) are covered
+    by their oracle-backed _md5 sibling, mirroring the bench-tier
+    convention."""
+    import json
+    import os
+    import sys
+
+    from data_and_analytics_etl_spark.queries.registry import (
+        ROUND_TIERS, VERIFY_ROUND)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from bench import BENCH_QUERIES
+    oracle_names = {spec.name for spec in REGISTRY.values()
+                    if spec.oracle is not None}
+    bench_probes = {(p if p in oracle_names else p + "_md5")
+                    for p in BENCH_QUERIES.values()} & oracle_names
+    path = os.path.join(repo, f"FULLVERIFY_r{VERIFY_ROUND:02d}.json")
+    if not os.path.exists(path):
+        return  # the unswept-probes test already fails loudly pre-sweep
+    with open(path) as f:
+        art = json.load(f)
+    sf01 = art.get("bench_sf0_1", {}).get("probes", {})
+    missing = sorted(
+        p for p in bench_probes
+        if p not in ROUND_TIERS
+        and sf01.get(p, {}).get("status") != "green")
+    assert not missing, (
+        f"bench probes with NO same-round correctness evidence (not "
+        f"window-pinned, not green in the FULLVERIFY sf0.1 bench "
+        f"section): {missing}")
