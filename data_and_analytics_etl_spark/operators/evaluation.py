@@ -562,3 +562,55 @@ def cost_sensitive_report(df: DataFrame, truth: Column, pred: Column,
             .withColumn("mean_cost",
                         F.col("total_cost").cast("double")
                         / F.col("n").cast("double")))
+
+
+def brier_decomposition(df: DataFrame, label: Column, score: Column,
+                        n_buckets: int = 10) -> DataFrame:
+    """Murphy decomposition of the Brier score over fixed-width score
+    bins — Brier = reliability − resolution + uncertainty: reliability
+    reads miscalibration (bin's observed rate vs its mean forecast),
+    resolution reads discrimination (bin rates vs the base rate), and
+    uncertainty is the label's intrinsic variance. The diagnostic
+    :func:`calibration_lift` eyeballs, made additive.
+
+    Per bin k: rel_contrib = n_k·(ō_k − s̄_k)²/N and
+    res_contrib = n_k·(ō_k − ō)²/N; the caller sums the (bounded)
+    bin rows; every row also carries the shared ``uncertainty``
+    ō·(1−ō). Exactness: scores quantize to the integer 10⁻⁶ grid
+    BEFORE summation (a raw double mean is fold-order-dependent), so
+    s̄_k is an exact-integer sum with one closing division, and every
+    contribution is a fixed chain over exact longs. Fixed-width
+    bucketing keeps the bin id a codegen expression; out-of-range
+    scores clamp (the calibration_lift contract).
+    """
+    d = df.select(label.cast("long").alias("y"),
+                  F.floor(score * 1_000_000).cast("long").alias("sq")) \
+          .filter(F.col("y").isNotNull() & F.col("sq").isNotNull())
+    width = 1_000_000 // n_buckets
+    raw = F.floor(F.col("sq") / F.lit(width)).cast("int")
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+    dec = "decimal(38,0)"
+    agg = (d.withColumn("__b", bucket)
+           .groupBy("__b")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("y").cast("long").alias("n_pos"),
+                F.sum(F.col("sq").cast(dec)).cast(dec).alias("__ssq")))
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    g = (agg.withColumn("__tn", F.sum("n").over(wall))
+         .withColumn("__tp", F.sum("n_pos").over(wall)))
+    ok = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    sk = (F.col("__ssq").cast("double") / F.lit(1e6)
+          / F.col("n").cast("double"))
+    obar = F.col("__tp").cast("double") / F.col("__tn").cast("double")
+    nn = F.col("n").cast("double") / F.col("__tn").cast("double")
+    return (g.select(F.col("__b").alias("bucket"), "n", "n_pos",
+                     F.round(sk, 6).alias("mean_score"),
+                     F.round(ok, 6).alias("obs_rate"),
+                     F.round(nn * (ok - sk) * (ok - sk), 9)
+                     .alias("rel_contrib"),
+                     F.round(nn * (ok - obar) * (ok - obar), 9)
+                     .alias("res_contrib"),
+                     F.round(obar * (F.lit(1.0) - obar), 9)
+                     .alias("uncertainty"))
+            .orderBy("bucket"))

@@ -57,3 +57,46 @@ def funnel_counts(per_user: DataFrame, n_stages: int) -> DataFrame:
     aggs = [F.sum((F.col("stage") >= k).cast("long")).alias(f"reached_{k}")
             for k in range(1, n_stages + 1)]
     return per_user.agg(*aggs)
+
+
+def time_to_convert(df: DataFrame, user_col: str, ts_col: str,
+                    type_col: str, from_step: str, to_step: str,
+                    percentiles: tuple[float, ...] = (0.5, 0.9),
+                    ) -> DataFrame:
+    """Conversion-latency distribution between two funnel steps: for
+    every user whose FIRST ``from_step`` precedes their FIRST
+    ``to_step`` (the standard strict-funnel rule — conversions that
+    predate exposure don't count), the elapsed time; summarized as
+    exact order statistics — the "median time from signup to first
+    purchase" metric.
+
+    Exactness: durations are integer microseconds (µs min-timestamps
+    per side, one subtraction); percentiles use the engine-portable
+    rank rule (value at rank ceil(p·n), never interpolated — the
+    group_percentiles contract). One hash agg to a row per user, one
+    ranking window over the converted-user table.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = (df.filter(F.col(type_col).isin(from_step, to_step))
+                .groupBy(user_col)
+                .agg(F.min(F.when(F.col(type_col) == from_step, us))
+                     .alias("__a"),
+                     F.min(F.when(F.col(type_col) == to_step, us))
+                     .alias("__b")))
+    conv = (per_user
+            .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull()
+                    & (F.col("__b") > F.col("__a")))
+            .select((F.col("__b") - F.col("__a")).alias("dur_us")))
+    w = Window.orderBy("dur_us")
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    r = (conv.withColumn("__r", F.row_number().over(w))
+         .withColumn("__n", F.count(F.lit(1)).over(wall)))
+    aggs = [F.count(F.lit(1)).alias("n_converted")]
+    for p in percentiles:
+        rank = F.greatest(F.ceil(F.lit(p) * F.col("__n")).cast("long"),
+                          F.lit(1))
+        aggs.append(F.max(F.when(F.col("__r") == rank,
+                                 F.col("dur_us")))
+                    .alias(f"p{int(p * 100)}_us"))
+    return r.agg(*aggs)

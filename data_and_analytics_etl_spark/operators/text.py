@@ -796,3 +796,48 @@ def bigram_lm_score(docs: DataFrame, ref: DataFrame,
                             / F.col("n_bigrams").cast("double"), 6)
                     .alias("avg_logprob"))
             .orderBy(id_col))
+
+
+def keywords_topk(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the keyword
+    extraction every search-indexing / document-tagging pipeline runs
+    (and the human-readable face of :func:`tfidf`'s vectors).
+
+    Score = tf · floor(1e6·ln(N/df)) — term frequency is an exact
+    long, the IDF passes through an engine-side ln so it lands on the
+    integer 10⁻⁶ grid BEFORE the multiplication (the bm25 rule), and
+    the product stays exact in DECIMAL(38,0). Ranking is a per-doc
+    window bounded by the document's own vocabulary; ties break on the
+    term string, so the extracted keywords are deterministic
+    cross-engine.
+
+    Scale: one explode + one (doc, term) hash agg; the df table is
+    vocabulary-bounded (Heaps) and broadcast back; fan-out guarded.
+    """
+    dec = "decimal(38,0)"
+    d = ensure_fanout_parallelism(docs)
+    terms = (d.select(F.col(id_col),
+                      F.explode(F.filter(tokens_of(F.col(text_col)),
+                                         lambda w: w != ""))
+                      .alias("term"))
+             .groupBy(id_col, "term")
+             .agg(F.count(F.lit(1)).alias("tf")))
+    df_tab = (terms.groupBy("term")
+              .agg(F.count(F.lit(1)).alias("df")))
+    n_docs = d.select(id_col).distinct() \
+              .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    idf_q6 = F.floor(F.lit(1e6) * F.log(
+        F.col("__n").cast("double") / F.col("df").cast("double"))) \
+        .cast("long")
+    scored = (terms.join(F.broadcast(df_tab), "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score_q6",
+                          (F.col("tf").cast(dec)
+                           * idf_q6.cast(dec)).cast("long")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_q6"),
+                                           F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term", "tf", "df", "score_q6",
+                    F.col("rank").cast("int").alias("rank")))

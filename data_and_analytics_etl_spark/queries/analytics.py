@@ -4388,3 +4388,108 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.floor(F.lit(1e6) * F.exp(-(z * z) / F.lit(2.0)))
                   .cast("long").alias("p_q6"))
     return bh_fdr(p, "segment", "p_q6", alpha_num=1, alpha_den=10)
+
+
+@query(
+    "eval_brier_decomposition",
+    oracle="""
+WITH d AS (
+  SELECT CAST(value > 250 AS BIGINT) AS y,
+         CAST(floor((event_id % 1000) / 1000.0 * 1000000) AS BIGINT)
+           AS sq
+  FROM events WHERE value IS NOT NULL
+), agg AS (
+  SELECT least(greatest(CAST(floor(sq / 100000) AS INTEGER), 0), 9)
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         sum(CAST(sq AS DECIMAL(38,0))) AS ssq
+  FROM d GROUP BY 1
+), g AS (
+  SELECT bucket, n, n_pos, ssq,
+         CAST(sum(n) OVER () AS BIGINT) AS tn,
+         CAST(sum(n_pos) OVER () AS BIGINT) AS tp
+  FROM agg
+)
+SELECT bucket, n, n_pos,
+       round(CAST(ssq AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
+         AS mean_score,
+       round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_rate,
+       round((CAST(n AS DOUBLE) / CAST(tn AS DOUBLE))
+             * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(ssq AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+             * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(ssq AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)), 9)
+         AS rel_contrib,
+       round((CAST(n AS DOUBLE) / CAST(tn AS DOUBLE))
+             * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+             * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 9)
+         AS res_contrib,
+       round((CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+             * (1.0 - CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 9)
+         AS uncertainty
+FROM g ORDER BY bucket
+""",
+    tags=("analytics", "eval"),
+    doc="Murphy decomposition of the Brier score (operators/"
+        "evaluation.py:brier_decomposition) over a deterministic "
+        "pseudo-forecast (event_id-derived score vs a value-threshold "
+        "label): per-bin reliability and resolution contributions plus "
+        "the shared uncertainty — calibration_lift made additive. "
+        "Scores quantize to the integer 1e-6 grid BEFORE summation so "
+        "bin mean forecasts are exact-integer sums; every contribution "
+        "is a fixed chain over exact longs; bins are fixed-width "
+        "codegen buckets.",
+)
+def eval_brier_decomposition(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import brier_decomposition
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    return brier_decomposition(ev, F.col("value") > 250,
+                               (F.col("event_id") % 1000) / 1000.0,
+                               n_buckets=10)
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+WITH pu AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           AS a,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS b
+  FROM events WHERE event_type IN ('signup', 'purchase')
+  GROUP BY user_id
+), conv AS (
+  SELECT b - a AS dur_us FROM pu
+  WHERE a IS NOT NULL AND b IS NOT NULL AND b > a
+), r AS (
+  SELECT dur_us, row_number() OVER (ORDER BY dur_us) AS r,
+         count(*) OVER () AS n
+  FROM conv
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(max(CASE WHEN r = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                     THEN dur_us END) AS BIGINT) AS p50_us,
+       CAST(max(CASE WHEN r = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+                     THEN dur_us END) AS BIGINT) AS p90_us
+FROM r
+""",
+    tags=("analytics", "funnel"),
+    doc="Signup-to-first-purchase conversion latency (operators/"
+        "funnel.py:time_to_convert): strict-funnel rule (first signup "
+        "must precede first purchase), integer-microsecond durations, "
+        "exact order-statistic p50/p90 (value at rank ceil(p*n) — the "
+        "group_percentiles engine-portable rank rule, no "
+        "interpolation). One per-user hash agg + one ranking window "
+        "over the converted-user table.",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import time_to_convert
+    ev = load_table(spark, sf_dir, "events")
+    return time_to_convert(ev, "user_id", "ts", "event_type",
+                           "signup", "purchase")

@@ -3075,3 +3075,52 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = e.filter(F.col("vec_id") < 20)
     return (hard_negatives(e, anchors, k=5)
             .orderBy("anchor_id", "rank"))
+
+
+@query(
+    "text_keywords_topk",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> w <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+), dfx AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+          FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(CAST(t.tf AS DECIMAL(38,0))
+              * CAST(CAST(floor(1e6 * ln(CAST(n AS DOUBLE)
+                                         / CAST(d.df AS DOUBLE)))
+                          AS BIGINT) AS DECIMAL(38,0)) AS BIGINT)
+           AS score_q6
+  FROM tf t JOIN dfx d USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT doc_id, term, tf, df, score_q6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_q6 DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_q6, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5 AND doc_id < 100
+ORDER BY doc_id, rank
+""",
+    tags=("llm", "text"),
+    doc="Top-5 TF-IDF keywords per document (operators/text.py:"
+        "keywords_topk) — deterministic keyword extraction: exact-long "
+        "tf, IDF on the integer 1e-6 log grid BEFORE the product (the "
+        "bm25 rule), DECIMAL(38,0) score, per-doc ranking window "
+        "bounded by the document's own vocabulary with a term "
+        "tie-break. df table is Heaps-bounded and broadcast.",
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import keywords_topk
+    d = load_table(spark, sf_dir, "documents")
+    return (keywords_topk(d, k=5)
+            .filter(F.col("doc_id") < 100)
+            .orderBy("doc_id", "rank"))

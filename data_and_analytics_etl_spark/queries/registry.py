@@ -153,8 +153,9 @@ ROUND_TIERS: dict[str, int] = {
 #: aalen, stats_mann_whitney, timeseries_ohlc_bars, feature_woe_iv,
 #: text_bigram_lm_score, ann_hard_negatives, geo_grid_proximity,
 #: interval_concurrency_peak, ab_power_mde, analytics_uplift_two_
-#: model, stats_bh_fdr, stream_hourly_topk_trending — plus anything
-#: whose code changes in r9.
+#: model, stats_bh_fdr, stream_hourly_topk_trending,
+#: eval_brier_decomposition, funnel_time_to_convert,
+#: text_keywords_topk — plus anything whose code changes in r9.
 #:
 #: The 10 backlog probes that did NOT fit the r8 window (50 slots,
 #: 60 candidates). Chosen for lowest regression risk — single-shape

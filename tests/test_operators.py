@@ -1297,3 +1297,96 @@ class TestBhFdr:
         out = {r["key"]: r["rejected"] for r in bh_fdr(
             df, "k", "p", alpha_num=1, alpha_den=2).collect()}
         assert out["a"] is True and out["b"] is False
+
+
+class TestBrierDecomposition:
+    def test_identity_brier_equals_rel_minus_res_plus_unc(self, spark):
+        """Murphy identity on a hand corpus: sum(rel) - sum(res) + unc
+        must equal the bin-approximated Brier score computed directly
+        (forecasts constant per bin, so the identity is exact here)."""
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            brier_decomposition
+        rows = [(1, 0.95), (1, 0.95), (0, 0.95),
+                (0, 0.05), (0, 0.05), (1, 0.05),
+                (1, 0.55), (0, 0.55)]
+        df = spark.createDataFrame(rows, "y int, s double")
+        out = brier_decomposition(df, F.col("y") == 1, F.col("s"),
+                                  n_buckets=10).collect()
+        rel = sum(r["rel_contrib"] for r in out)
+        res = sum(r["res_contrib"] for r in out)
+        unc = out[0]["uncertainty"]
+        brier = sum(r["n"] * ((r["mean_score"] - r["obs_rate"]) ** 2
+                    + r["obs_rate"] * (1 - r["obs_rate"]))
+                    for r in out) / sum(r["n"] for r in out)
+        assert abs((rel - res + unc) - brier) < 1e-6
+
+    def test_perfectly_calibrated_has_zero_reliability(self, spark):
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            brier_decomposition
+        # bin [0.3, 0.4): forecasts 0.35, observed rate 0.35 (7/20)
+        rows = [(1, 0.35)] * 7 + [(0, 0.35)] * 13
+        df = spark.createDataFrame(rows, "y int, s double")
+        out = brier_decomposition(df, F.col("y") == 1, F.col("s"),
+                                  n_buckets=10).collect()
+        assert len(out) == 1
+        assert abs(out[0]["rel_contrib"]) < 1e-9
+
+
+class TestTimeToConvert:
+    def test_strict_funnel_and_exact_percentiles(self, spark):
+        import datetime as dt
+
+        from data_and_analytics_etl_spark.operators.funnel import \
+            time_to_convert
+        t0 = dt.datetime(2024, 1, 1)
+        m = lambda mins: t0 + dt.timedelta(minutes=mins)  # noqa: E731
+        rows = [
+            (1, m(0), "signup"), (1, m(10), "purchase"),   # 10 min
+            (2, m(0), "signup"), (2, m(30), "purchase"),   # 30 min
+            (3, m(0), "signup"), (3, m(20), "purchase"),   # 20 min
+            (4, m(5), "purchase"), (4, m(9), "signup"),    # reversed: out
+            (5, m(0), "signup"),                           # no purchase
+            (6, m(1), "purchase"),                         # no signup
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                         "event_type string")
+        r = time_to_convert(df, "user_id", "ts", "event_type",
+                            "signup", "purchase").collect()[0]
+        assert r["n_converted"] == 3
+        # durations sorted: 10, 20, 30 min -> p50 = rank ceil(1.5)=2
+        assert r["p50_us"] == 20 * 60 * 1_000_000
+        assert r["p90_us"] == 30 * 60 * 1_000_000
+
+
+class TestKeywordsTopk:
+    def test_rare_term_outranks_common_term(self, spark):
+        from data_and_analytics_etl_spark.operators.text import \
+            keywords_topk
+        docs = [(1, "zebra common common common"),
+                (2, "common common apple apple apple"),
+                (3, "common filler filler")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = keywords_topk(df, k=2).collect()
+        top = {r["doc_id"]: [x["term"] for x in
+                             sorted(out, key=lambda y: y["rank"])
+                             if x["doc_id"] == r["doc_id"]]
+               for r in out}
+        # 'common' appears in every doc -> idf = ln(1) = 0 -> score 0;
+        # the doc-unique terms win rank 1
+        assert top[1][0] == "zebra"
+        assert top[2][0] == "apple"
+        assert top[3][0] == "filler"
+
+    def test_ranks_bounded_and_deterministic_ties(self, spark):
+        from data_and_analytics_etl_spark.operators.text import \
+            keywords_topk
+        df = spark.createDataFrame(
+            [(1, "b a c"), (2, "x y z")], "doc_id long, text string")
+        out = keywords_topk(df, k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append((r["rank"],
+                                                       r["term"]))
+        # equal scores -> alphabetical term order decides ranks
+        assert sorted(by_doc[1]) == [(1, "a"), (2, "b")]
+        assert sorted(by_doc[2]) == [(1, "x"), (2, "y")]
