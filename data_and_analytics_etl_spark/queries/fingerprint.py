@@ -43,7 +43,7 @@ ALWAYS = ("catalog.py", "session.py", os.path.join("queries",
 
 _IMPORT_PAT = re.compile(
     r"^\s*from\s+(\.{1,2}[\w\.]*|data_and_analytics_etl_spark[\w\.]*)"
-    r"\s+import", re.MULTILINE)
+    r"\s+import\s+([\w\s,()]*)", re.MULTILINE)
 
 _file_sha_cache: dict[str, str] = {}
 _closure_cache: dict[str, frozenset[str]] = {}
@@ -92,9 +92,22 @@ def _closure(path: str) -> frozenset[str]:
         with open(p, encoding="utf-8") as f:
             text = f.read()
         for m in _IMPORT_PAT.finditer(text):
-            dep = _resolve(m.group(1), os.path.dirname(p))
+            ref, names = m.group(1), m.group(2)
+            dep = _resolve(ref, os.path.dirname(p))
             if dep and dep not in seen:
                 frontier.append(dep)
+            # `from . import checkpoint` / `from ..etl import
+            # rest_datasource`: the imported NAMES may themselves be
+            # module files under the referenced package — resolving
+            # only the package's __init__.py would silently drop the
+            # real dependency from the closure (under-invalidation,
+            # the one failure mode the cache must never have)
+            for name in re.findall(r"\w+", names):
+                sub = _resolve(ref.rstrip(".") + "." + name
+                               if not ref.endswith(".")
+                               else ref + name, os.path.dirname(p))
+                if sub and sub not in seen:
+                    frontier.append(sub)
     out = frozenset(seen)
     _closure_cache[path] = out
     return out

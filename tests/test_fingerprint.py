@@ -88,3 +88,16 @@ def test_cache_roundtrip(tmp_path, monkeypatch):
     assert fp.cached_green(again, "/sf/0.01", "p1", "abcd")
     assert not fp.cached_green(again, "/sf/0.001", "p1", "abcd")
     assert not fp.cached_green(again, "/sf/0.01", "p1", "ffff")
+
+
+def test_module_object_imports_are_reached():
+    """`from . import checkpoint` / `from ..etl import rest_datasource`
+    import MODULE OBJECTS: resolving only the package __init__ would
+    silently drop the real file from the closure. The imported names
+    must resolve as module files too."""
+    pkg = "data_and_analytics_etl_spark"
+    cl = _closure_of("rest_datasource_scan")
+    assert f"{pkg}/etl/rest_datasource.py" in cl
+    # ingest.py does `from . import checkpoint, http_transport`
+    assert f"{pkg}/etl/checkpoint.py" in cl or \
+        f"{pkg}/etl/http_transport.py" in cl
