@@ -673,19 +673,22 @@ def interval_concurrency(df: DataFrame, start: "Column", end: "Column",
     decomposition: instants range-bucket onto a fixed epoch-µs grid,
     per-bucket cumulative windows parallelize, and only the nbins-row
     bucket-totals table crosses a single-task window. All integer
-    arithmetic; exact at any scale.
+    arithmetic; exact at any scale. Both boundaries of an interval
+    emit from ONE pass over the source (a 2-element array explode —
+    the drift_ks_split single-scan rule: unioning two projections of
+    the same frame scans it twice).
     """
     width = max((hi_us - lo_us) // nbins, 1)
-
-    def tag(col: "Column", delta: int) -> DataFrame:
-        us = F.unix_micros(col.cast("timestamp"))
-        raw = F.floor((us - F.lit(lo_us)) / F.lit(width))
-        bucket = (F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
-                  .cast("long"))
-        return df.select(us.alias("us"), bucket.alias("__bucket"),
-                         F.lit(delta).alias("__d"))
-
-    pts = (tag(start, 1).unionByName(tag(end, -1))
+    s_us = F.unix_micros(start.cast("timestamp"))
+    e_us = F.unix_micros(end.cast("timestamp"))
+    deltas = F.explode(F.array(
+        F.struct(s_us.alias("us"), F.lit(1).alias("__d")),
+        F.struct(e_us.alias("us"), F.lit(-1).alias("__d"))))
+    raw = F.floor((F.col("us") - F.lit(lo_us)) / F.lit(width))
+    bucket = (F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+              .cast("long"))
+    pts = (df.select(deltas.alias("b")).select("b.us", "b.__d")
+           .select("us", "__d", bucket.alias("__bucket"))
            .groupBy("__bucket", "us")
            .agg(F.sum("__d").alias("__net")))
     totals = pts.groupBy("__bucket").agg(F.sum("__net").alias("__bn"))
