@@ -614,3 +614,50 @@ def brier_decomposition(df: DataFrame, label: Column, score: Column,
                      F.round(obar * (F.lit(1.0) - obar), 9)
                      .alias("uncertainty"))
             .orderBy("bucket"))
+
+
+def pr_curve(df: DataFrame, label: Column, score_bucket: Column) -> DataFrame:
+    """Exact precision-recall curve over a QUANTIZED score grid — the
+    ranking-eval complement of :func:`binary_auc` (ROC ranks all pairs;
+    PR is the imbalanced-data view, and its area is average precision).
+
+    One row per distinct score bucket, descending (threshold = "predict
+    positive at or above this bucket"): exact cumulative tp/fp/fn as
+    BIGINTs, precision/recall as one-chain doubles, and the bucket's
+    average-precision contribution ΔR·P = n_pos_at_bucket·P/n_pos — so
+    scalar AP is a caller-side sum over the bounded curve rows (the
+    categorical_profile per-row-contribution contract; a cross-engine
+    double sum over the curve would be order-sensitive).
+
+    The score is bucketed by the CALLER (an integer column, e.g.
+    floor(score·500)) so the curve length — and the single ordered
+    cumulative window — is bounded by the quantization grid, not the
+    data: the drift_ks bucketed-prefix rule with the bucket width
+    playing the band role. One hash aggregate + one grid-bounded
+    window + a 1-row broadcast total.
+    """
+    y = label.cast("long")
+    per = (df.select(score_bucket.cast("long").alias("bucket"),
+                     y.alias("__y"))
+           .filter(F.col("bucket").isNotNull() & F.col("__y").isNotNull())
+           .groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("__c"), F.sum("__y").alias("__p")))
+    w = (Window.orderBy(F.desc("bucket"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = per.agg(F.sum("__p").alias("__np"))
+    cum = (per.withColumn("tp", F.sum("__p").over(w))
+           .withColumn("fp", F.sum(F.col("__c") - F.col("__p")).over(w)))
+    prec = F.col("tp").cast("double") / (F.col("tp")
+                                         + F.col("fp")).cast("double")
+    rec = F.col("tp").cast("double") / F.col("__np").cast("double")
+    ap = (F.col("__p").cast("double") * prec
+          / F.col("__np").cast("double"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .select(F.col("bucket").alias("threshold_bucket"),
+                    F.col("tp").cast("long").alias("tp"),
+                    F.col("fp").cast("long").alias("fp"),
+                    (F.col("__np") - F.col("tp")).cast("long").alias("fn"),
+                    F.round(prec, 6).alias("precision"),
+                    F.round(rec, 6).alias("recall"),
+                    F.round(ap, 6).alias("ap_contrib"))
+            .orderBy(F.desc("threshold_bucket")))

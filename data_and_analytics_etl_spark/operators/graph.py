@@ -281,3 +281,54 @@ def sssp_hops(edges: DataFrame, source, src: str = "src",
         dist = (dist.unionByName(step)
                 .groupBy("node").agg(F.min("depth").alias("depth")))
     return dist
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Synchronous label propagation (community detection), a FIXED
+    number of rounds.
+
+    Classic semi-supervised community detection (Raghavan et al. 2007)
+    made deterministic: labels start as node ids; each synchronous
+    round every node adopts the MODE of its neighbors' previous-round
+    labels, ties broken by the smallest label, isolated nodes keeping
+    their own. Unlike the min-label propagation in dedup_clusters
+    (which converges to connected components), the mode update detects
+    denser-than-neighborhood structure and is the standard cheap
+    community pass over mutual-kNN / interaction graphs.
+
+    Deterministic by construction — mode + smallest-label tiebreak has
+    no randomness — so a fixed round count is oracle-checkable as
+    chained SQL CTEs (the recursive form would not be: LPA oscillates
+    on bipartite structures, which is why the round count is a
+    parameter, not a convergence test).
+
+    Scale: per round ONE equi-join (edges ⨝ labels, on node id) and
+    TWO hash aggregates (count per (node, label), then arg-max per
+    node via a single max(struct) — no window, no sort). The
+    symmetrized edge frame is persisted once (lazy) and reused every
+    round; the loop is bounded by ``rounds`` by construction.
+    """
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = und.select(F.col("a").alias("node")).distinct() \
+                .withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        nbr = (und.join(labels.withColumnRenamed("node", "b"), "b")
+               .groupBy(F.col("a").alias("node"), "label")
+               .agg(F.count(F.lit(1)).alias("__c")))
+        # arg-max by (count, −label): max count, ties → smallest label
+        picked = (nbr.groupBy("node")
+                  .agg(F.max(F.struct(F.col("__c"),
+                                      (-F.col("label")).alias("__nl")))
+                       .alias("__m"))
+                  .select("node", (-F.col("__m.__nl")).alias("label")))
+        # isolated nodes (none here after symmetrize+distinct, but the
+        # contract holds for degree-0 inputs): keep the previous label
+        labels = (labels.select("node").join(picked, "node", "left")
+                  .withColumn("label", F.coalesce(F.col("label"),
+                                                  F.col("node"))))
+    return labels.orderBy("node")

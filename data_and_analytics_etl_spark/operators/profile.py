@@ -1155,3 +1155,163 @@ def bh_fdr(df: DataFrame, key_col: str, p_q6_col: str,
             .select("key", "p_q6", F.col("rank").cast("int").alias("rank"),
                     (F.col("rank") <= F.col("__k")).alias("rejected"))
             .orderBy("rank"))
+
+
+def theil_between(df: DataFrame, group_col: str,
+                  value_cents: Column) -> DataFrame:
+    """Between-group Theil T inequality decomposition.
+
+    Theil's T splits additively into within- and between-group terms;
+    the BETWEEN term — Σ_g s_g · ln(s_g / p_g) with s_g the group's
+    value share and p_g its population share — is the part computable
+    from exact integer aggregates alone (the within term needs
+    Σ x·ln x, an order-sensitive double accumulation the determinism
+    contract forbids in hashed output). Emitted per group, one row per
+    group, each value ONE double chain from exact integers (the
+    categorical_profile per-row-contribution contract: the scalar
+    between-Theil is a caller-side sum over the bounded group rows).
+
+    Plan: one map-side-combinable hash aggregate on the group key;
+    the grand totals are a 1-row broadcast rollup over the group rows
+    (order-free BIGINT sums), never a second scan of the input.
+    """
+    g = (df.select(F.col(group_col).alias("category"),
+                   value_cents.cast("long").alias("__c"))
+         .groupBy("category")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("__c").alias("sum_cents")))
+    tot = g.agg(F.sum("n").alias("__tn"),
+                F.sum("sum_cents").alias("__ts"))
+    share = (F.col("sum_cents").cast("double")
+             / F.col("__ts").cast("double"))
+    pop = F.col("n").cast("double") / F.col("__tn").cast("double")
+    return (g.crossJoin(F.broadcast(tot))
+            .select("category", F.col("n").cast("long").alias("n"),
+                    F.col("sum_cents").cast("long").alias("sum_cents"),
+                    F.round(share, 6).alias("value_share"),
+                    F.round(share * F.log(share / pop), 6)
+                    .alias("theil_contrib"))
+            .orderBy("category"))
+
+
+def anova_oneway(df: DataFrame, group_col: str,
+                 value_cents: Column) -> DataFrame:
+    """One-way ANOVA sum-of-squares decomposition, per-group rows.
+
+    All moments accumulate EXACTLY: counts and Σcents as BIGINT,
+    Σcents² in DECIMAL(38,0) with operands cast before multiplying.
+    Per group the emitted columns are each ONE double chain from those
+    exact integers — mean, the within-group sum of squares
+    SSW_g = (n_g·Σx² − (Σx)²)/n_g, and the between-group contribution
+    SSB_g = n_g·(μ_g − μ)² — in dollars² (÷10⁴ from cents²). The F
+    statistic assembles caller-side from the bounded group rows
+    (Σ SSB_g/(k−1)) / (Σ SSW_g/(N−k)) — the categorical_profile
+    per-row-contribution contract keeps order-sensitive double sums
+    out of hashed output.
+
+    Plan: one hash aggregate on the group key + a 1-row broadcast
+    grand-total rollup; no second scan, no window.
+    """
+    dec = "decimal(38,0)"
+    c = value_cents.cast("long")
+    g = (df.select(F.col(group_col).alias("category"), c.alias("__c"))
+         .groupBy("category")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("__c").alias("s1"),
+              F.sum(F.col("__c").cast(dec) * F.col("__c").cast(dec))
+              .cast(dec).alias("__s2")))
+    tot = g.agg(F.sum("n").alias("__tn"), F.sum("s1").alias("__ts"))
+    nd = F.col("n").cast("double")
+    mean_c = F.col("s1").cast("double") / nd
+    gmean_c = F.col("__ts").cast("double") / F.col("__tn").cast("double")
+    ssw = ((F.col("n").cast(dec) * F.col("__s2")
+            - F.col("s1").cast(dec) * F.col("s1").cast(dec))
+           .cast("double") / nd / F.lit(1e4))
+    ssb = nd * (mean_c - gmean_c) * (mean_c - gmean_c) / F.lit(1e4)
+    return (g.crossJoin(F.broadcast(tot))
+            .select("category", F.col("n").cast("long").alias("n"),
+                    F.col("s1").cast("long").alias("sum_cents"),
+                    F.round(mean_c / F.lit(100.0), 6).alias("mean"),
+                    F.round(ssw, 6).alias("ss_within"),
+                    F.round(ssb, 6).alias("ss_between_contrib"))
+            .orderBy("category"))
+
+
+def _midrank2_by_group(df: DataFrame, group_col: str, value_col: str,
+                       lo: float, hi: float, nbins: int) -> DataFrame:
+    """Per-(group, value) DOUBLED midrank within the group — the
+    mann_whitney_u rank core generalized to a grouping key. Returns
+    (group, value, mr2) with mr2 = 2·(# strictly below) + ties + 1, an
+    exact integer. The strictly-below prefix uses the same bucketed
+    decomposition (per-(group,bucket) cumulative window + an
+    nbins-row-per-group offset table), so no data-sized single-task
+    window exists at any group cardinality.
+    """
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bucket = (F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+              .cast("long"))
+    pts = (df.select(F.col(group_col).alias("__g"),
+                     F.col(value_col).alias("__v"),
+                     bucket.alias("__bucket"))
+           .groupBy("__g", "__bucket", "__v")
+           .agg(F.count(F.lit(1)).alias("__cnt")))
+    totals = pts.groupBy("__g", "__bucket").agg(
+        F.sum("__cnt").alias("__bc"))
+    wb = (Window.partitionBy("__g").orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    base = totals.select(
+        "__g", "__bucket",
+        F.coalesce(F.sum("__bc").over(wb), F.lit(0)).alias("__base"))
+    wv = (Window.partitionBy("__g", "__bucket").orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    return (pts.join(base, ["__g", "__bucket"])
+            .select("__g", "__v",
+                    (2 * (F.col("__base")
+                          + F.coalesce(F.sum("__cnt").over(wv), F.lit(0)))
+                     + F.col("__cnt") + 1).alias("__mr2")))
+
+
+def spearman_corr(df: DataFrame, group_col: str, x_col: str, y_col: str,
+                  x_range: tuple[float, float], y_range: tuple[float, float],
+                  nbins: int = 256) -> DataFrame:
+    """Per-group Spearman rank correlation with exact tie handling.
+
+    ρ = Pearson on midranks; midranks are carried DOUBLED (integers —
+    the mann_whitney_u convention) and ρ is scale-invariant, so every
+    sum — Σr², Σs², Σr·s — accumulates exactly in DECIMAL(38,0). The
+    rank totals Σr2 = Σs2 = n(n+1) are an identity, not a measurement,
+    so the final ρ = (n·Srs − (n(n+1)/2)²·4) / √((n·Srr − …)(n·Sss − …))
+    is ONE double chain per group from exact integers (√ is IEEE-
+    correctly-rounded and may be hashed; round(·,6) emitted).
+
+    Plan: two bucketed rank tables (one per variable, each one shuffle
+    on (group, value)), two equi-joins back to the rows on
+    (group, value), one exact-DECIMAL hash aggregate per group.
+    """
+    dec = "decimal(38,0)"
+    rows = df.select(F.col(group_col).alias("__g"),
+                     F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    rx = (_midrank2_by_group(df, group_col, x_col, *x_range, nbins=nbins)
+          .withColumnsRenamed({"__v": "__x", "__mr2": "__rx2"}))
+    ry = (_midrank2_by_group(df, group_col, y_col, *y_range, nbins=nbins)
+          .withColumnsRenamed({"__v": "__y", "__mr2": "__ry2"}))
+    ranked = (rows.join(rx, ["__g", "__x"]).join(ry, ["__g", "__y"]))
+    a = (ranked.groupBy("__g")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("__rx2").cast(dec) * F.col("__ry2").cast(dec))
+              .cast(dec).alias("__sxy"),
+              F.sum(F.col("__rx2").cast(dec) * F.col("__rx2").cast(dec))
+              .cast(dec).alias("__sxx"),
+              F.sum(F.col("__ry2").cast(dec) * F.col("__ry2").cast(dec))
+              .cast(dec).alias("__syy")))
+    n = F.col("n").cast(dec)
+    # Σ(2r) = n(n+1) exactly, for both variables
+    s = n * (n + 1).cast(dec)
+    numer = (n * F.col("__sxy") - s * s).cast("double")
+    dxx = (n * F.col("__sxx") - s * s).cast("double")
+    dyy = (n * F.col("__syy") - s * s).cast("double")
+    return (a.select(F.col("__g").alias("category"),
+                     F.col("n").cast("long").alias("n"),
+                     F.round(numer / F.sqrt(dxx * dyy), 6).alias("rho"))
+            .orderBy("category"))

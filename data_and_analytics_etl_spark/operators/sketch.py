@@ -174,3 +174,63 @@ def hll_rollup(sketches: DataFrame,
             .withColumn("distinct_est",
                         F.hll_sketch_estimate(F.col("hll_sketch"))
                         .cast("long")))
+
+
+def heavy_hitters(df: DataFrame, key_col: str, phi_num: int = 1,
+                  phi_den: int = 200) -> DataFrame:
+    """φ-heavy hitters (Misra-Gries candidates + one exact verify
+    pass): every key whose frequency strictly exceeds φ·N, with its
+    EXACT count — φ given as the rational phi_num/phi_den so the
+    final threshold test is integer arithmetic, never a double.
+
+    Two-pass sketch-then-verify, the scale shape FAISS-style pipelines
+    use for frequency cutoffs: pass 1 streams each partition through a
+    k-counter Misra-Gries summary (k = ⌈1/φ⌉; mapInPandas, O(k)
+    state, Arrow-batched — the declared Python-sketch path, off the
+    per-row-UDF hot path). Pigeonhole guarantees the union of
+    per-partition candidates is a SUPERSET of the global heavy
+    hitters: a key with global count > N/(k+1) must exceed
+    N_p/(k+1) in at least one partition, and MG with k counters never
+    evicts such a key to zero. Pass 2 broadcast-semi-joins the (≤ k ×
+    partitions, tiny) candidate set against the data and keeps exact
+    counts > φ·N — so the OUTPUT is exact and partitioning-invariant
+    even though the intermediate sketch is not, which is what makes a
+    sketch operator oracle-checkable at all.
+    """
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    k = -(-phi_den // phi_num)  # ceil(1/φ) counters
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key in pdf["__k"]:
+                if key is None:
+                    continue
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:
+                    dead = [c for c in counters
+                            if counters[c] == 1]
+                    for c in dead:
+                        del counters[c]
+                    for c in counters:
+                        counters[c] -= 1
+        yield pd.DataFrame({"__k": list(counters.keys())})
+
+    keyed = df.select(F.col(key_col).alias("__k")).filter(
+        F.col("__k").isNotNull())
+    cands = (keyed.mapInPandas(mg_partition, schema="__k string")
+             .distinct())
+    total = keyed.agg(F.count(F.lit(1)).alias("__n"))
+    exact = (keyed.join(F.broadcast(cands), "__k", "left_semi")
+             .groupBy("__k")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    return (exact.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * F.lit(phi_den)
+                    > F.col("__n") * F.lit(phi_num))
+            .select(F.col("__k").alias("key"),
+                    F.col("cnt").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "key"))

@@ -703,3 +703,50 @@ def interval_concurrency(df: DataFrame, start: "Column", end: "Column",
             .select(F.col("us"),
                     (F.col("__base") + F.sum("__net").over(wv))
                     .cast("long").alias("concurrency")))
+
+
+def sax_encode(df: DataFrame, series_col: str, day: Column,
+               value_cents: Column, word_days: int = 7,
+               breakpoints_cents: tuple[int, ...] = (2500, 5000, 10000),
+               ) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) words per series — the
+    standard symbolic downsampling for time-series indexing/motif
+    mining (Lin et al. 2003): piecewise-aggregate means per day, each
+    mean mapped to a letter by fixed breakpoints, letters concatenated
+    in day order into one word per ``word_days`` window.
+
+    Determinism: the caller supplies values PRE-QUANTIZED to integer
+    cents (floor(v·100) — floor, not round: no rounding-mode boundary
+    can differ cross-engine), daily sums accumulate as BIGINT, each
+    PAA mean is ONE double division, and the breakpoint CASE compares
+    that one-chain double against integer literals. The word assembles
+    with an explicit in-window day ordering (array_sort over (day,
+    letter) structs — collect_list order is partitioning-dependent, so
+    it is never concatenated raw).
+
+    Plan: one hash aggregate on (series, day) — map-side combinable —
+    then one on (series, word_window); no window function at all.
+    """
+    daily = (df.select(F.col(series_col).alias("series"),
+                       day.cast("long").alias("__day"),
+                       value_cents.cast("long").alias("__c"))
+             .groupBy("series", "__day")
+             .agg(F.count(F.lit(1)).alias("__n"), F.sum("__c").alias("__s")))
+    mean = F.col("__s").cast("double") / F.col("__n").cast("double")
+    letters = "abcdefghijklmnop"
+    sym = F.when(mean < F.lit(breakpoints_cents[0]), F.lit(letters[0]))
+    for i, b in enumerate(breakpoints_cents[1:], start=1):
+        sym = sym.when(mean < F.lit(b), F.lit(letters[i]))
+    sym = sym.otherwise(F.lit(letters[len(breakpoints_cents)]))
+    paa = daily.select(
+        "series", "__day",
+        F.floor(F.col("__day") / F.lit(word_days)).alias("word_window"),
+        sym.alias("__sym"))
+    return (paa.groupBy("series", "word_window")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("__day"), F.col("__sym")))),
+                         lambda s: s["__sym"]), "").alias("word"))
+            .orderBy("series", "word_window"))

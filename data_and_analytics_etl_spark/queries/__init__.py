@@ -4,6 +4,6 @@ from .registry import REGISTRY, QuerySpec, oracle_sql, queries, query  # noqa: F
 
 from . import (aggregates, analytics, etl_probes, gaps,  # noqa: F401,E402
                llmdata, relational, scalar_funcs, scale_probes,
-               streaming_probes, tpch, udf_probes, windows)
+               stats_probes, streaming_probes, tpch, udf_probes, windows)
 
 __all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql", "query"]

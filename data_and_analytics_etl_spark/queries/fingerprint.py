@@ -41,9 +41,23 @@ CACHE_PATH = os.path.join(REPO_ROOT, "VERIFY_CACHE.json")
 ALWAYS = ("catalog.py", "session.py", os.path.join("queries",
                                                    "registry.py"))
 
+#: the VERIFIER itself (comparison logic, canonical value hash) — a
+#: cached green is a claim about a specific comparator, so changing
+#: the comparator must invalidate every record and force a re-judge
+#: under the new standard (r8 advice #1). Repo-root-relative.
+ALWAYS_REPO = (os.path.join("scripts", "verify_probes.py"),
+               os.path.join("tests", "oracle.py"))
+
+#: Internal imports must match one of these two shapes; a third shape
+#: (importlib strings, __import__) would escape the closure scan —
+#: tests/test_fingerprint.py lints the package for strays (r8 advice
+#: #2: under-invalidation is the one failure mode this cache must
+#: never have).
 _IMPORT_PAT = re.compile(
     r"^\s*from\s+(\.{1,2}[\w\.]*|data_and_analytics_etl_spark[\w\.]*)"
     r"\s+import\s+([\w\s,()]*)", re.MULTILINE)
+_PLAIN_IMPORT_PAT = re.compile(
+    r"^\s*import\s+(data_and_analytics_etl_spark[\w\.]*)", re.MULTILINE)
 
 _file_sha_cache: dict[str, str] = {}
 _closure_cache: dict[str, frozenset[str]] = {}
@@ -91,6 +105,10 @@ def _closure(path: str) -> frozenset[str]:
         seen.add(p)
         with open(p, encoding="utf-8") as f:
             text = f.read()
+        for m in _PLAIN_IMPORT_PAT.finditer(text):
+            dep = _resolve(m.group(1), os.path.dirname(p))
+            if dep and dep not in seen:
+                frontier.append(dep)
         for m in _IMPORT_PAT.finditer(text):
             ref, names = m.group(1), m.group(2)
             dep = _resolve(ref, os.path.dirname(p))
@@ -125,6 +143,10 @@ def probe_fingerprint(spec) -> str:
         files |= _closure(os.path.abspath(mod_file))
     for rel in ALWAYS:
         p = os.path.join(PKG_ROOT, rel)
+        if os.path.isfile(p):
+            files.add(p)
+    for rel in ALWAYS_REPO:
+        p = os.path.join(REPO_ROOT, rel)
         if os.path.isfile(p):
             files.add(p)
     h = hashlib.sha256()

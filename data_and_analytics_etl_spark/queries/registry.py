@@ -46,7 +46,7 @@ DRIVER_WINDOW = 50
 #: Current verification round. Bump once per driver round: the rotation
 #: offset below advances with it, so stale green probes cycle back
 #: through the window a slice at a time.
-VERIFY_ROUND = 8
+VERIFY_ROUND = 9
 
 #: Priority bands (lower sorts earlier in the export):
 #:   < POOL_PRIORITY   fixed placement — bench-critical (10), probes whose
@@ -73,102 +73,85 @@ POOL_PRIORITY = 100
 #: never driver-verified. Keep tests/test_registry.py MUST_BE_IN_WINDOW in
 #: sync with the <100 entries here.
 ROUND_TIERS: dict[str, int] = {
-    # --- round 8: the backlog-drain round (r7 verdict task 1). ---
-    # 55 oracle-backed probes had never appeared in ANY driver
-    # CORRECTNESS artifact (union r01..r07). The verdict's #1 task is
-    # to pin ~50 of them; with 5 changed-this-round slots that leaves
-    # 45 backlog pins + 10 deferred to r9 (DEFERRED_BACKLOG below).
-    # The bench tier vacates the window FOR THIS ROUND ONLY: its
-    # same-round correctness evidence comes from FULLVERIFY_r08's
-    # sf0.1 bench section (verdict task 6 — the same DuckDB oracle at
-    # the bench's own scale, a STRONGER check than the driver's
-    # sf0.01 rows), so no bench number ships without same-round
-    # correctness evidence. At r9: re-pin the bench tier, pin
-    # DEFERRED_BACKLOG, and pin everything registered in r8.
+    # --- round 9: bench tier re-pinned + backlog drained to zero
+    # (r8 verdict task 1). Window composition, in order:
+    #   tier 10 — the 19 oracle-backed bench-family probes (back
+    #             in-window after their one-round FULLVERIFY-sf0.1
+    #             vacation; registry.py:149 committed to this).
+    #   tier 30 — every oracle-backed probe never seen in ANY
+    #             CORRECTNESS_r01..r08 artifact: the 10-item
+    #             DEFERRED_BACKLOG (test_backlog_ledger enforces) +
+    #             the 13 non-bench r8-registered probes (2 of the 15,
+    #             text_bigram_lm_score and geo_grid_proximity, are
+    #             bench-tier and already pinned at 10) + the probes
+    #             registered in r9.
+    # 19 + 23 fixed = 42; r9 registrations fill the remaining slots.
     #
-    # changed in r8 (tier 20): the r7-advice fixes all touch probed
-    # plans — CDC seq persistence/tombstones (stream_cdc_apply_sink is
-    # ALSO backlog; one slot covers both), the op-literal-independent
-    # changelog tie rule, the cents>=1 Benford filter, the
-    # mixture_plan empty-capacity refusal, the AP@k NULL-score R fix
-    # (eval_map_at_k also backlog), and the merge_upsert
-    # order_dominates plumbing.
-    "etl_cdc_apply": 20,                # changelog tie-rule fix
-    "profile_benford_digits": 20,       # cents>=1 exclusion fix
-    "corpus_mixture_plan": 20,          # empty-capacity refusal
-    "etl_merge_partitioned": 20,        # order_dominates plumbing
-    "etl_merge_upsert": 20,             # order_dominates plumbing
-    # backlog (tier 30): never in any CORRECTNESS_r01..r07 artifact.
-    "analytics_capstone_funnel_retention": 30,
-    "corpus_curriculum_order": 30,
-    "corpus_nutrition_label": 30,
-    "corpus_shard_assign": 30,
-    "dedup_survivorship": 30,
-    "etl_compact_partitions": 30,
-    "etl_merge_schema_evolution": 30,
-    "etl_partition_checksums": 30,
-    "etl_version_travel": 30,
-    "etl_write_audit_publish": 30,
-    "eval_accuracy_overall": 30,
-    "eval_binary_auc": 30,
-    "eval_calibration_lift": 30,
-    "eval_classification_report": 30,
-    "eval_cohen_kappa": 30,
-    "eval_cost_sensitive": 30,
-    "eval_map_at_k": 30,                # + r8 NULL-score R fix
-    "eval_matryoshka_truncation": 30,
-    "eval_ranking_ndcg": 30,
-    "graph_hierarchy_rollup": 30,
-    "graph_sssp_hops": 30,
-    "graph_triangle_count": 30,
-    "incremental_quantile_merge": 30,
-    "join_asof_tolerance": 30,
-    "layout_bloom_prune": 30,
-    "layout_zonemap_prune": 30,
-    "neardup_containment": 30,
-    "privacy_dp_counts": 30,
-    "privacy_l_diversity": 30,
-    "profile_interarrival_burstiness": 30,
-    "sample_quota_allocation": 30,
-    "sketch_join_cardinality": 30,
-    "stream_cdc_apply_sink": 30,        # + r8 seq/tombstone fix
-    "stream_novelty_filter": 30,
-    "stream_static_join": 30,
-    "stream_stream_left_outer": 30,
-    "stream_versioned_sink": 30,
-    "stream_windowed_distinct_users": 30,
-    "survival_kaplan_meier": 30,
-    "text_bm25_scores": 30,
-    "text_inverted_index": 30,
-    "timeseries_anomaly_rolling_z": 30,
-    "timeseries_anomaly_seasonal_z": 30,
-    "timeseries_decompose_seasonal": 30,
-    "udf_nfc_normalize": 30,
+    # bench tier (10): every BENCH_QUERIES probe with an oracle
+    # (dedup_minhash_lsh's oracle twin is dedup_minhash_lsh_md5).
+    "q1_pricing_summary": 10,
+    "q3_shipping_priority": 10,
+    "q5_star_join": 10,
+    "q7_nation_volume": 10,
+    "q10_returned_revenue": 10,
+    "topk_per_group": 10,
+    "window_running_agg": 10,
+    "cosine_topk": 10,
+    "dedup_exact": 10,
+    "dedup_minhash_lsh_md5": 10,
+    "dedup_clusters": 10,
+    "sessionization": 10,
+    "corpus_span_duplication": 10,
+    "drift_ks_exact": 10,
+    "corpus_curation_pipeline": 10,
+    "graph_transitive_closure": 10,     # + r9 output-budget guard param
+    "corpus_segment_dedup": 10,
+    "text_bigram_lm_score": 10,         # r8-registered, also bench
+    "geo_grid_proximity": 10,           # r8-registered, also bench
+    # deferred r7 backlog (tier 30): the 10 probes deferred from the
+    # r8 drain — test_backlog_ledger.py fails the round otherwise.
+    "agg_boolean_family": 30,
+    "agg_mode_per_group": 30,
+    "etl_schema_drift": 30,
+    "feature_impute_median": 30,
+    "feature_quantile_rank": 30,
+    "feature_scale_minmax": 30,
+    "interval_coverage": 30,
+    "scan_parquet_merge_schema": 30,
+    "timeseries_pct_change": 30,
+    "window_ratio_to_report": 30,
+    # r8-registered cohort (tier 30): never driver-verified.
+    "ab_power_mde": 30,
+    "analytics_uplift_two_model": 30,
+    "ann_hard_negatives": 30,
+    "eval_brier_decomposition": 30,
+    "feature_woe_iv": 30,
+    "funnel_time_to_convert": 30,
+    "interval_concurrency_peak": 30,
+    "stats_bh_fdr": 30,
+    "stats_mann_whitney": 30,
+    "stream_hourly_topk_trending": 30,
+    "survival_nelson_aalen": 30,
+    "text_keywords_topk": 30,
+    "timeseries_ohlc_bars": 30,
+    # r9-registered cohort (tier 30): pinned at registration so the
+    # never-driver-verified set can't re-grow past one round.
+    "agg_theil_index": 30,
+    "stats_spearman_corr": 30,
+    "stats_anova_oneway": 30,
+    "graph_label_propagation_sync": 30,
+    "geo_dbscan_core_points": 30,
+    "sketch_freq_heavy_hitters": 30,
+    "eval_pr_auc": 30,
+    "timeseries_sax_symbols": 30,
 }
 
-#: At r9 start, pin (in this order of priority): (1) the bench tier
-#: (back in-window after its one-round FULLVERIFY-sf0.1 vacation),
-#: (2) DEFERRED_BACKLOG below (test_backlog_ledger enforces), (3) the
-#: probes REGISTERED in r8 — never driver-verified: survival_nelson_
-#: aalen, stats_mann_whitney, timeseries_ohlc_bars, feature_woe_iv,
-#: text_bigram_lm_score, ann_hard_negatives, geo_grid_proximity,
-#: interval_concurrency_peak, ab_power_mde, analytics_uplift_two_
-#: model, stats_bh_fdr, stream_hourly_topk_trending,
-#: eval_brier_decomposition, funnel_time_to_convert,
-#: text_keywords_topk — plus anything whose code changes in r9.
-#:
-#: The 10 backlog probes that did NOT fit the r8 window (50 slots,
-#: 60 candidates). Chosen for lowest regression risk — single-shape
-#: SQL-mechanical probes whose operators share code paths with
-#: driver-green siblings. FULLVERIFY_r08 carries their oracle rows;
-#: tests/test_backlog_ledger.py enforces they are pinned at r9.
-DEFERRED_BACKLOG: frozenset[str] = frozenset({
-    "agg_boolean_family", "agg_mode_per_group", "etl_schema_drift",
-    "feature_impute_median", "feature_quantile_rank",
-    "feature_scale_minmax", "interval_coverage",
-    "scan_parquet_merge_schema", "timeseries_pct_change",
-    "window_ratio_to_report",
-})
+#: r7-backlog drain complete as of this round's pinning: the 10
+#: deferred probes are tier-30 above; after CORRECTNESS_r09 the
+#: never-driver-verified set is exactly the r9-registered cohort.
+#: Kept (empty) because tests/test_backlog_ledger.py imports it to
+#: assert the drain's terminal state.
+DEFERRED_BACKLOG: frozenset[str] = frozenset()
 
 
 def rotation_selected() -> set[str]:

@@ -1,0 +1,404 @@
+"""Round-9 probe cohort: inequality/variance decomposition, rank
+correlation, community detection, density clustering, frequency
+sketching, PR curves, and symbolic time-series encoding.
+
+Every probe follows the determinism contract (registry module doc):
+exact integer/DECIMAL accumulation, ONE double chain per emitted
+value, identical aliases on both sides, a pinned total ORDER BY.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from .registry import query
+
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+@query(
+    "agg_theil_index",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority AS category, count(*) AS n,
+         CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn,
+         CAST(sum(sum_cents) AS BIGINT) AS ts
+  FROM g
+)
+SELECT category, CAST(n AS BIGINT) AS n, sum_cents,
+       round(CAST(sum_cents AS DOUBLE) / CAST(ts AS DOUBLE), 6)
+         AS value_share,
+       round((CAST(sum_cents AS DOUBLE) / CAST(ts AS DOUBLE))
+             * ln((CAST(sum_cents AS DOUBLE) / CAST(ts AS DOUBLE))
+                  / (CAST(n AS DOUBLE) / CAST(tn AS DOUBLE))), 6)
+         AS theil_contrib
+FROM g, t ORDER BY category
+""",
+    tags=("analytics", "stats"),
+    doc="Between-group Theil T inequality decomposition of order value "
+        "across priorities (operators/profile.py:theil_between) — the "
+        "additive complement of analytics_gini_concentration "
+        "(Theil decomposes across subgroups; Gini does not). One hash "
+        "aggregate on the group key + a 1-row broadcast grand-total "
+        "rollup; shares from exact BIGINT cents sums, each emitted "
+        "value one double chain (ln over exact-ratio operands, the "
+        "categorical_entropy precedent); the scalar between-Theil is "
+        "a caller-side sum over the bounded group rows.",
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import theil_between
+    o = load_table(spark, sf_dir, "orders")
+    return theil_between(o, "o_orderpriority",
+                         F.round(F.col("o_totalprice") * 100))
+
+
+@query(
+    "stats_anova_oneway",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority AS category, count(*) AS n,
+         CAST(sum({_CENTS}) AS BIGINT) AS s1,
+         sum(CAST({_CENTS} AS DECIMAL(38,0))
+             * CAST({_CENTS} AS DECIMAL(38,0))) AS s2
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s1) AS BIGINT) AS ts
+  FROM g
+)
+SELECT category, CAST(n AS BIGINT) AS n, s1 AS sum_cents,
+       round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean,
+       round(CAST(CAST(n AS DECIMAL(38,0)) * CAST(s2 AS DECIMAL(38,0))
+                  - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))
+                  AS DOUBLE)
+             / CAST(n AS DOUBLE) / 1e4, 6) AS ss_within,
+       round(CAST(n AS DOUBLE)
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)) / 1e4, 6)
+         AS ss_between_contrib
+FROM g, t ORDER BY category
+""",
+    tags=("analytics", "stats"),
+    doc="One-way ANOVA sum-of-squares decomposition of order value by "
+        "priority (operators/profile.py:anova_oneway) — the parametric "
+        "k-group generalization of ab_welch_ttest. Counts/Σcents as "
+        "BIGINT and Σcents² in DECIMAL(38,0) keep every moment exact; "
+        "per-group mean, SSW_g and SSB_g are each ONE double chain; "
+        "the F statistic assembles caller-side from the bounded group "
+        "rows. One hash aggregate + a 1-row broadcast total — no "
+        "window, no second scan.",
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import anova_oneway
+    o = load_table(spark, sf_dir, "orders")
+    return anova_oneway(o, "o_orderpriority",
+                        F.round(F.col("o_totalprice") * 100))
+
+
+def _mr2_sql(var: str) -> str:
+    # per-(group, value) DOUBLED midrank via a plain prefix window —
+    # the oracle recomputes what Spark does with the bucketed form
+    return f"""
+  SELECT g, {var} AS v,
+         2 * CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY {var}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + c + 1 AS mr2
+  FROM (SELECT g, {var}, count(*) AS c FROM rows_ GROUP BY 1, 2)
+"""
+
+
+@query(
+    "stats_spearman_corr",
+    oracle=f"""
+WITH rows_ AS (
+  SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+  FROM lineitem
+), rx AS ({_mr2_sql("x")}), ry AS ({_mr2_sql("y")}),
+j AS (
+  SELECT r.g, rx.mr2 AS rx2, ry.mr2 AS ry2
+  FROM rows_ r
+  JOIN rx ON r.g = rx.g AND r.x = rx.v
+  JOIN ry ON r.g = ry.g AND r.y = ry.v
+), a AS (
+  SELECT g, count(*) AS n,
+         sum(CAST(rx2 AS DECIMAL(38,0)) * CAST(ry2 AS DECIMAL(38,0)))
+           AS sxy,
+         sum(CAST(rx2 AS DECIMAL(38,0)) * CAST(rx2 AS DECIMAL(38,0)))
+           AS sxx,
+         sum(CAST(ry2 AS DECIMAL(38,0)) * CAST(ry2 AS DECIMAL(38,0)))
+           AS syy
+  FROM j GROUP BY g
+)
+SELECT g AS category, CAST(n AS BIGINT) AS n,
+       round(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                  - CAST(n * (n + 1) AS DECIMAL(38,0))
+                    * CAST(n * (n + 1) AS DECIMAL(38,0)) AS DOUBLE)
+             / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                         - CAST(n * (n + 1) AS DECIMAL(38,0))
+                           * CAST(n * (n + 1) AS DECIMAL(38,0))
+                         AS DOUBLE)
+                    * CAST(CAST(n AS DECIMAL(38,0)) * syy
+                           - CAST(n * (n + 1) AS DECIMAL(38,0))
+                             * CAST(n * (n + 1) AS DECIMAL(38,0))
+                           AS DOUBLE)), 6) AS rho
+FROM a ORDER BY category
+""",
+    tags=("analytics", "stats"),
+    doc="Per-returnflag Spearman rank correlation between quantity and "
+        "extended price (operators/profile.py:spearman_corr) — the "
+        "nonparametric sibling of agg_stats' Pearson corr. Midranks "
+        "carried DOUBLED (the mann_whitney convention) so heavy "
+        "quantity ties stay exact; all rank moments accumulate in "
+        "DECIMAL(38,0); rho is ONE double chain per group (sqrt is "
+        "IEEE-correctly-rounded). The strictly-below prefix uses the "
+        "bucketed decomposition (per-(group,bucket) windows + an "
+        "nbins-row offset table); the oracle recomputes with plain "
+        "per-group rank windows, proving the bucketed form exact.",
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import spearman_corr
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_returnflag", "l_quantity",
+                         "l_extendedprice", (0.0, 51.0), (0.0, 120000.0))
+
+
+def _lpa_round(prev: str, out: str) -> str:
+    return f"""
+{out}_c AS (
+  SELECT e.a AS node, l.label, count(*) AS c
+  FROM e JOIN {prev} l ON e.b = l.node GROUP BY 1, 2
+), {out} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM {out}_c) WHERE rn = 1
+)"""
+
+
+@query(
+    "graph_label_propagation_sync",
+    oracle=f"""
+WITH e0 AS (
+  SELECT c_custkey // 10 AS src, c_custkey AS dst
+  FROM customer WHERE c_custkey > 0
+), e AS (
+  SELECT src AS a, dst AS b FROM e0
+  UNION
+  SELECT dst AS a, src AS b FROM e0
+), n0 AS (SELECT DISTINCT a AS node FROM e),
+l0 AS (SELECT node, node AS label FROM n0),
+{_lpa_round("l0", "l1")},
+{_lpa_round("l1", "l2")},
+{_lpa_round("l2", "l3")}
+SELECT n0.node AS node, CAST(coalesce(l3.label, n0.node) AS BIGINT) AS label
+FROM n0 LEFT JOIN l3 ON n0.node = l3.node
+ORDER BY node
+""",
+    tags=("analytics", "graph"),
+    doc="Three synchronous rounds of mode-label propagation over the "
+        "customer digit-hierarchy graph (operators/graph.py:"
+        "label_propagation) — deterministic community detection "
+        "(Raghavan et al. 2007: mode of neighbor labels, ties to the "
+        "smallest), vs dedup_clusters' min-label which converges to "
+        "components. Per round ONE equi-join + TWO hash aggregates "
+        "(mode via a single max(struct), no window); the round count "
+        "is fixed so the whole closure is oracle-checkable as chained "
+        "CTEs. The oracle picks the mode with a per-node rank window — "
+        "bounded by each node's distinct neighbor labels.",
+)
+def graph_label_propagation_sync(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+    c = load_table(spark, sf_dir, "customer")
+    edges = (c.filter(F.col("c_custkey") > 0)
+             .select((F.col("c_custkey") / 10).cast("long").alias("src"),
+                     F.col("c_custkey").alias("dst")))
+    return (label_propagation(edges, rounds=3)
+            .select("node", F.col("label").cast("long").alias("label"))
+            .orderBy("node"))
+
+
+@query(
+    "geo_dbscan_core_points",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST(round(c_acctbal * 1e6) AS BIGINT) AS xq,
+         CAST(round(((c_custkey * 7919) % 20000) / 10.0 * 1e6)
+              AS BIGINT) AS yq
+  FROM customer
+), cnt AS (
+  SELECT a.id, count(*) AS n_neighbors
+  FROM pts a JOIN pts b ON a.id <> b.id
+  WHERE CAST(a.xq - b.xq AS DECIMAL(38,0))
+        * CAST(a.xq - b.xq AS DECIMAL(38,0))
+        + CAST(a.yq - b.yq AS DECIMAL(38,0))
+        * CAST(a.yq - b.yq AS DECIMAL(38,0))
+        <= CAST(20000000 AS DECIMAL(38,0))
+           * CAST(20000000 AS DECIMAL(38,0))
+  GROUP BY 1
+)
+SELECT p.id AS id, CAST(coalesce(c.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       coalesce(c.n_neighbors, 0) >= 2 AS is_core
+FROM pts p LEFT JOIN cnt c ON p.id = c.id
+ORDER BY id
+""",
+    tags=("analytics", "spatial"),
+    doc="DBSCAN core-point detection over the geo_grid_proximity "
+        "coordinates (operators/geo.py:grid_core_points): per-point "
+        "radius-neighbor counts via the same COMPLETE 3x3 grid "
+        "decomposition + exact integer distance verify, aggregated to "
+        "counts and the min_pts density test (core points seed the "
+        "clusters; expansion is dedup_clusters' connected components "
+        "over core-core edges). One candidate-join shuffle on the cell "
+        "key + one hash aggregate; zero-neighbor points kept by a "
+        "left join back onto the point set. The oracle recomputes "
+        "with the plain O(n^2) theta join, proving the grid exact.",
+)
+def geo_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geo import grid_core_points
+    c = load_table(spark, sf_dir, "customer")
+    y = ((F.col("c_custkey") * 7919) % 20000) / 10.0
+    return grid_core_points(c, "c_custkey", F.col("c_acctbal"), y,
+                            radius=20.0, min_pts=2)
+
+
+@query(
+    "sketch_freq_heavy_hitters",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+|[^\w\s]')) AS t
+  FROM documents WHERE text IS NOT NULL
+), tt AS (SELECT count(*) AS n FROM tok),
+g AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1)
+SELECT t AS key, cnt
+FROM g, tt WHERE cnt * 30 > n * 1
+ORDER BY cnt DESC, key
+""",
+    tags=("llm", "sketch"),
+    doc="phi-heavy-hitter tokens over the document corpus "
+        "(operators/sketch.py:heavy_hitters, phi = 1/30): per-"
+        "partition Misra-Gries summaries (O(1/phi) state, Arrow-"
+        "batched mapInPandas — the declared Python-sketch path) whose "
+        "union is a pigeonhole-guaranteed SUPERSET of the global "
+        "heavy hitters, then one exact broadcast-semi-join verify "
+        "pass, so the output is exact and partitioning-invariant — "
+        "what makes a sketch oracle-checkable (cms_topk's estimate-"
+        "only cousin). Threshold is integer arithmetic (cnt·den > "
+        "N·num), never a double. The oracle recomputes with a plain "
+        "exact GROUP BY + HAVING.",
+)
+def sketch_freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import heavy_hitters
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.filter(F.col("text").isNotNull())
+            .select(F.explode(
+                F.regexp_extract_all(F.lower("text"),
+                                     F.lit(r"\w+|[^\w\s]"), 0))
+                .alias("token")))
+    return heavy_hitters(toks, "token", phi_num=1, phi_den=30)
+
+
+@query(
+    "eval_pr_auc",
+    oracle="""
+WITH d AS (
+  SELECT CAST(label % 2 AS BIGINT) AS y,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 500) AS BIGINT)
+           AS bucket
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding[1] IS NOT NULL
+), per AS (
+  SELECT bucket, count(*) AS c, CAST(sum(y) AS BIGINT) AS p
+  FROM d GROUP BY 1
+), t AS (SELECT CAST(sum(p) AS BIGINT) AS np FROM per),
+cum AS (
+  SELECT bucket, p, c,
+         CAST(sum(p) OVER (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         CAST(sum(c - p) OVER (ORDER BY bucket DESC ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+  FROM per
+)
+SELECT bucket AS threshold_bucket, tp, fp,
+       CAST(np - tp AS BIGINT) AS fn,
+       round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+         AS "precision",
+       round(CAST(tp AS DOUBLE) / CAST(np AS DOUBLE), 6) AS recall,
+       round(CAST(p AS DOUBLE)
+             * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+             / CAST(np AS DOUBLE), 6) AS ap_contrib
+FROM cum, t ORDER BY threshold_bucket DESC
+""",
+    tags=("llm", "eval"),
+    doc="Exact precision-recall curve of the first embedding component "
+        "scoring the odd-label class (operators/evaluation.py:"
+        "pr_curve) — the imbalanced-data complement of "
+        "eval_binary_auc; average precision = the caller-side sum of "
+        "the emitted per-bucket ap_contrib (the per-row-contribution "
+        "contract). The score is quantized to an integer grid "
+        "(floor(s*500) — floor, no rounding-mode boundary) so the "
+        "single ordered cumulative window runs over the bounded "
+        "bucket table, never raw rows (the drift_ks bucketed-prefix "
+        "rule). Exact BIGINT tp/fp/fn; precision/recall one-chain.",
+)
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import pr_curve
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("label").isNotNull()
+                 & F.element_at("embedding", 1).isNotNull()))
+    return pr_curve(
+        e, F.col("label") % 2,
+        F.floor(F.element_at("embedding", 1).cast("double") * 500))
+
+
+@query(
+    "timeseries_sax_symbols",
+    oracle="""
+WITH d AS (
+  SELECT event_type AS series,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), daily AS (
+  SELECT series, day, count(*) AS n, CAST(sum(c) AS BIGINT) AS s
+  FROM d GROUP BY 1, 2
+), sym AS (
+  SELECT series, day, day // 7 AS word_window,
+         CASE WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) < 4600 THEN 'a'
+              WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) < 4950 THEN 'b'
+              WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) < 5300 THEN 'c'
+              ELSE 'd' END AS sy
+  FROM daily
+)
+SELECT series, word_window, CAST(count(*) AS BIGINT) AS n_days,
+       string_agg(sy, '' ORDER BY day) AS word
+FROM sym GROUP BY 1, 2 ORDER BY series, word_window
+""",
+    tags=("analytics", "timeseries"),
+    doc="Weekly SAX words over per-type daily event-value means "
+        "(operators/timeseries.py:sax_encode) — symbolic aggregate "
+        "approximation (Lin et al. 2003), the indexing/motif encoding "
+        "for time-series similarity at scale. Values pre-quantized "
+        "floor(v*100) to integer cents (floor: no rounding-mode "
+        "boundary), daily sums exact BIGINT, each PAA mean ONE double "
+        "division compared against integer breakpoints; letters "
+        "concatenate under an explicit in-group day ordering "
+        "(array_sort struct — never raw collect_list order). Two "
+        "map-side-combinable hash aggregates, no window function.",
+)
+def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import sax_encode
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+    return sax_encode(ev, "event_type", day,
+                      F.floor(F.col("value") * 100), word_days=7,
+                      breakpoints_cents=(4600, 4950, 5300))

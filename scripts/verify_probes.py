@@ -58,6 +58,15 @@ def main() -> int:
     names = [n for n in sys.argv[1:] if n != "--changed"]
     changed_only = ("--changed" in sys.argv[1:]
                     or os.environ.get("VERIFY_CHANGED_ONLY") == "1")
+    if changed_only and os.environ.get("FULLVERIFY_OUT"):
+        # r8 advice #4: a round-close artifact must re-earn EVERY
+        # record live — a cache-skipping sweep whose n_probes/n_green
+        # silently exclude skipped probes would make a partial sweep
+        # look like a full one.
+        print("refusing --changed/VERIFY_CHANGED_ONLY with "
+              "FULLVERIFY_OUT set: the round-close artifact must be "
+              "a 100% live sweep")
+        return 2
     sf = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.ui.enabled", "false").getOrCreate())
@@ -86,7 +95,8 @@ def main() -> int:
             s = [tuple(r) for r in df.collect()]
             if name not in osql:
                 print(f"{name}: rows-only {len(s)}")
-                results[name] = {"status": "rows_only", "rows": len(s)}
+                results[name] = {"status": "rows_only", "rows": len(s),
+                                 "cached": False}
                 continue
             # Fetch the oracle via Arrow, NOT fetchall(): duckdb's native
             # fetchall converts HUGEINT to Python int, silently matching
@@ -97,13 +107,19 @@ def main() -> int:
             orows = [tuple(d[c] for c in oc) for d in otab.to_pylist()]
             ok = (vhash(s, df.columns) == vhash(orows, oc)
                   and len(s) == len(orows))
+            # cached: False — every record in this dict was EXECUTED
+            # live this run (cache hits `continue` above and never
+            # reach the artifact); the field is the r8-verdict task-5
+            # provenance marker the all-live assertion below checks.
             results[name] = {"status": "green" if ok else "red",
-                             "rows": len(s), "oracle_rows": len(orows)}
+                             "rows": len(s), "oracle_rows": len(orows),
+                             "cached": False}
         except Exception as exc:  # noqa: BLE001 — record, keep sweeping
             # final exception line, not a mid-traceback fragment — the
             # artifact must identify the root cause on its own
             last = traceback.format_exception_only(type(exc), exc)[-1].strip()
-            results[name] = {"status": "error", "err": last[:500]}
+            results[name] = {"status": "error", "err": last[:500],
+                             "cached": False}
             ok = False
         if results[name]["status"] in ("red", "error"):
             bad.append(name)
@@ -115,10 +131,15 @@ def main() -> int:
         print(f"skipped {skipped_cached} cached-green unchanged probes "
               f"(--changed; fingerprints in VERIFY_CACHE.json)")
     write_cache(cache)
-    # r8 (verdict task 6): the bench-family probes re-verify at sf0.1 —
-    # the bench's own scale — to catch scale-dependent hash divergence
-    # (double accumulation order, window ties) the 20k-row sweep can't
-    # see. Runs only on full sweeps that write an artifact.
+    # r8 (verdict task 6) widened at r9 (verdict task 6 again): the
+    # bench-family probes AND the largest-output oracle probes
+    # re-verify at sf0.1 — the bench's own scale — to catch
+    # scale-dependent hash divergence (double accumulation order,
+    # window ties) the 20k-row sweep can't see. The extras are the 26
+    # biggest green row-counts from FULLVERIFY_r08, where divergence
+    # is likeliest (rest_* excluded: their live-HTTP fixture belongs
+    # to the pytest suite). Runs only on full sweeps that write an
+    # artifact.
     bench_results: dict[str, dict] = {}
     out_path = os.environ.get("FULLVERIFY_OUT")
     if out_path and not names:
@@ -128,8 +149,24 @@ def main() -> int:
         for t in TABLES:
             bcon.execute(f"CREATE VIEW {t} AS "
                          f"SELECT * FROM read_parquet('{bsf}/{t}.parquet')")
+        extras = {
+            "set_intersect_all", "ids_dense_assignment",
+            "timeseries_interpolate", "timeseries_gap_fill",
+            "etl_snapshot_diff", "text_winnow_fingerprints",
+            "sample_weighted", "stream_session_window",
+            "conditional_expr", "stream_sliding_agg",
+            "analytics_item_neighbors", "unpivot_order_measures",
+            "zorder_key_morton", "etl_merge_upsert",
+            "stream_tumbling_agg", "stream_watermark_tumbling",
+            "timeseries_anomaly_seasonal_z", "timeseries_anomaly_rolling_z",
+            "timeseries_resample", "filter_predicates",
+            "stream_windowed_distinct_users", "set_except_all",
+            "json_extended", "join_theta", "join_left_outer",
+            "subquery_in",
+        }
         bench_probes = sorted(
-            {(p if p in osql else p + "_md5") for p in BENCH_QUERIES.values()}
+            ({(p if p in osql else p + "_md5")
+              for p in BENCH_QUERIES.values()} | extras)
             & set(osql))
         for name in bench_probes:
             try:
@@ -153,13 +190,23 @@ def main() -> int:
                   bench_results[name].get("rows", ""),
                   bench_results[name].get("err", ""))
     if out_path:
+        # r8 advice #4: the top-level counts cover the sf0.01 sweep
+        # ONLY; sf0.1 failures live in their own section's n_bad (they
+        # are still in `bad`, so the exit code catches them) — the
+        # artifact never conflates the two scales' bookkeeping.
+        sf001_bad = [n for n in bad if not n.startswith("sf0.1:")]
         n_green = sum(1 for r in results.values() if r["status"] == "green")
+        assert all(r.get("cached") is False for r in results.values()), (
+            "FULLVERIFY artifact must be 100% live-executed")
         art = {"sf_dir": sf, "n_probes": len(results),
-               "n_green": n_green, "n_bad": len(bad), "probes": results}
+               "n_green": n_green, "n_bad": len(sf001_bad),
+               "all_live": True, "probes": results}
         if bench_results:
             art["bench_sf0_1"] = {
                 "sf_dir": os.environ.get("BENCH_VERIFY_SF_DIR",
                                          "/root/testdata/sf0.1"),
+                "n_probes": len(bench_results),
+                "n_bad": sum(1 for n in bad if n.startswith("sf0.1:")),
                 "probes": bench_results}
         with open(out_path, "w") as f:
             json.dump(art, f, indent=1)

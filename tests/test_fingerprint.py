@@ -101,3 +101,60 @@ def test_module_object_imports_are_reached():
     # ingest.py does `from . import checkpoint, http_transport`
     assert f"{pkg}/etl/checkpoint.py" in cl or \
         f"{pkg}/etl/http_transport.py" in cl
+
+
+def test_plain_internal_imports_are_reached(tmp_path):
+    """`import data_and_analytics_etl_spark.operators.text` (no `from`)
+    must enter the closure — r8 advice #2: the one import shape the
+    original regex missed would have broken the cache silently the day
+    someone introduced it."""
+    f = tmp_path / "probe_mod.py"
+    f.write_text("import data_and_analytics_etl_spark.operators.text\n")
+    fp._closure_cache.clear()
+    cl = {os.path.relpath(p, fp.REPO_ROOT)
+          for p in fp._closure(str(f))}
+    assert "data_and_analytics_etl_spark/operators/text.py" in cl
+
+
+def test_verifier_is_part_of_every_fingerprint():
+    """The comparator (vhash / canon) lives in scripts/verify_probes.py
+    and tests/oracle.py; a cached green is a claim about THAT
+    comparator, so both files must be in the ALWAYS set — changing the
+    comparison logic re-judges every probe (r8 advice #1)."""
+    spec = next(iter(REGISTRY.values()))
+    before = fp.probe_fingerprint(spec)
+    assert os.path.join("scripts", "verify_probes.py") in fp.ALWAYS_REPO
+    assert os.path.join("tests", "oracle.py") in fp.ALWAYS_REPO
+    # and they actually reach the hash: flip content via the sha cache
+    target = os.path.join(fp.REPO_ROOT, "tests", "oracle.py")
+    fp._file_sha_cache[target] = "0" * 64
+    try:
+        assert fp.probe_fingerprint(spec) != before
+    finally:
+        fp._file_sha_cache.pop(target, None)
+
+
+def test_no_dynamic_internal_imports_in_package():
+    """The closure scan sees `from X import Y` and `import X` only; a
+    dynamic importlib/__import__ load of a package-internal module
+    would escape it (under-invalidation). Lint: no package file may
+    dynamically import by a package-internal literal — external
+    transports (etl/rest_datasource.py module:attr strings) stay
+    allowed because they name THIRD-PARTY modules."""
+    bad = []
+    for root, _dirs, files in os.walk(fp.PKG_ROOT):
+        for name in files:
+            if not name.endswith(".py"):
+                continue
+            path = os.path.join(root, name)
+            with open(path, encoding="utf-8") as f:
+                text = f.read()
+            for pat in ('import_module("data_and_analytics_etl_spark',
+                        "import_module('data_and_analytics_etl_spark",
+                        '__import__("data_and_analytics_etl_spark',
+                        "__import__('data_and_analytics_etl_spark"):
+                if pat in text:
+                    bad.append(os.path.relpath(path, fp.REPO_ROOT))
+    assert not bad, (
+        f"dynamic package-internal imports escape the fingerprint "
+        f"closure: {bad} — use a static import instead")

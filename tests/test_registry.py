@@ -16,41 +16,36 @@ from data_and_analytics_etl_spark.queries.registry import (DRIVER_WINDOW,
 
 #: Probes that MUST hold a fresh driver-verified row this round.
 #: Source of truth: registry.ROUND_TIERS (this set mirrors its <100 keys).
-#: Round 8 is the backlog-drain round (r7 verdict task 1): 45 of the
-#: 55 never-driver-verified probes + 5 changed-this-round = 50, the
-#: whole window. The bench tier vacates the window for THIS round only
-#: — FULLVERIFY_r08's sf0.1 bench section carries the bench probes'
-#: same-round correctness evidence (verdict task 6); they re-pin at r9.
+#: Round 9 re-pins the bench tier (back from its one-round
+#: FULLVERIFY-sf0.1 vacation, r8 verdict task 1) and drains the
+#: never-driver-verified set: the 10 deferred r7-backlog probes, the
+#: 13 non-bench r8-registered probes, and the 8 r9-registered probes.
+#: 19 + 10 + 13 + 8 = 50 — the whole window.
 MUST_BE_IN_WINDOW = {
-    # changed in r8 (tier B, priority 20): the r7-advice fixes — CDC
-    # seq/tombstone persistence, op-literal-independent changelog tie,
-    # Benford cents>=1, mixture_plan empty-capacity refusal, AP@k
-    # NULL-score R, merge_upsert order_dominates plumbing.
-    "etl_cdc_apply", "profile_benford_digits", "corpus_mixture_plan",
-    "etl_merge_partitioned", "etl_merge_upsert",
-    # backlog (tier C, priority 30): never in any CORRECTNESS_r01..r07
-    # artifact (tests/test_backlog_ledger.py owns the full accounting).
-    "analytics_capstone_funnel_retention", "corpus_curriculum_order",
-    "corpus_nutrition_label", "corpus_shard_assign",
-    "dedup_survivorship", "etl_compact_partitions",
-    "etl_merge_schema_evolution", "etl_partition_checksums",
-    "etl_version_travel", "etl_write_audit_publish",
-    "eval_accuracy_overall", "eval_binary_auc", "eval_calibration_lift",
-    "eval_classification_report", "eval_cohen_kappa",
-    "eval_cost_sensitive", "eval_map_at_k",
-    "eval_matryoshka_truncation", "eval_ranking_ndcg",
-    "graph_hierarchy_rollup", "graph_sssp_hops", "graph_triangle_count",
-    "incremental_quantile_merge", "join_asof_tolerance",
-    "layout_bloom_prune", "layout_zonemap_prune", "neardup_containment",
-    "privacy_dp_counts", "privacy_l_diversity",
-    "profile_interarrival_burstiness", "sample_quota_allocation",
-    "sketch_join_cardinality", "stream_cdc_apply_sink",
-    "stream_novelty_filter", "stream_static_join",
-    "stream_stream_left_outer", "stream_versioned_sink",
-    "stream_windowed_distinct_users", "survival_kaplan_meier",
-    "text_bm25_scores", "text_inverted_index",
-    "timeseries_anomaly_rolling_z", "timeseries_anomaly_seasonal_z",
-    "timeseries_decompose_seasonal", "udf_nfc_normalize",
+    # bench tier (priority 10): every BENCH_QUERIES probe with an oracle.
+    "q1_pricing_summary", "q3_shipping_priority", "q5_star_join",
+    "q7_nation_volume", "q10_returned_revenue", "topk_per_group",
+    "window_running_agg", "cosine_topk", "dedup_exact",
+    "dedup_minhash_lsh_md5", "dedup_clusters", "sessionization",
+    "corpus_span_duplication", "drift_ks_exact",
+    "corpus_curation_pipeline", "graph_transitive_closure",
+    "corpus_segment_dedup", "text_bigram_lm_score", "geo_grid_proximity",
+    # deferred r7 backlog (priority 30): the drain's last 10 members.
+    "agg_boolean_family", "agg_mode_per_group", "etl_schema_drift",
+    "feature_impute_median", "feature_quantile_rank",
+    "feature_scale_minmax", "interval_coverage",
+    "scan_parquet_merge_schema", "timeseries_pct_change",
+    "window_ratio_to_report",
+    # r8-registered cohort (priority 30): never driver-verified.
+    "ab_power_mde", "analytics_uplift_two_model", "ann_hard_negatives",
+    "eval_brier_decomposition", "feature_woe_iv",
+    "funnel_time_to_convert", "interval_concurrency_peak",
+    "stats_bh_fdr", "stats_mann_whitney", "stream_hourly_topk_trending",
+    "survival_nelson_aalen", "text_keywords_topk", "timeseries_ohlc_bars",
+    # r9-registered cohort (priority 30): pinned at registration.
+    "agg_theil_index", "stats_spearman_corr", "stats_anova_oneway",
+    "graph_label_propagation_sync", "geo_dbscan_core_points",
+    "sketch_freq_heavy_hitters", "eval_pr_auc", "timeseries_sax_symbols",
 }
 
 
