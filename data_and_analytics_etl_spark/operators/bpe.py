@@ -90,7 +90,9 @@ def _merge_once(sym: Column, left: str, right: str) -> Column:
 
 
 def _select_exact_batch(ranked: list, min_pair_count: int, limit: int,
-                        exhausted: bool) -> list[tuple[str, str, int]]:
+                        exhausted: bool,
+                        existing_symbols: frozenset[str] | set[str]
+                        = frozenset()) -> list[tuple[str, str, int]]:
     """Longest ranked prefix of pairs provably equal to the sequential
     argmax loop — the exactness core of batched merge learning.
 
@@ -108,6 +110,15 @@ def _select_exact_batch(ranked: list, min_pair_count: int, limit: int,
        the same new symbol (('a','bc') and ('ab','c') -> 'abc') would
        let created-pair counts stack beyond any single old pair's
        bound;
+    3b. CONCATENATION NOT ALREADY A TABLE SYMBOL — if the accepted
+       merge spells a symbol that ALREADY occurs in the current table
+       (``existing_symbols``, supplied by the caller from the live
+       symbol frame), a PRE-EXISTING pair like (g, a+b) would GAIN
+       count mid-batch as new a+b instances appear next to g — the
+       one way a non-accepted old pair can rise rather than fall,
+       breaking rule 4's bound (r8 advice #3: rule 3 only checked
+       concats WITHIN the batch). Reachable only from round 2 on
+       (round-1 symbols are single characters, concats never are);
     4. STRICT COUNT DROP at the boundary — a non-accepted pair tying
        the prefix tail could, after the earlier accepted merges, spawn
        a created pair with an earlier tie-break key than the tail
@@ -128,18 +139,26 @@ def _select_exact_batch(ranked: list, min_pair_count: int, limit: int,
     used: set[str] = set()
     concats: set[str] = set()
     stop_n: int | None = None  # count at the first non-accepted rank
+    tainted = False  # an accepted concat already exists in the table
     for r in ranked:
         a, b, n = r["a"], r["b"], int(r["n"])
         if n < min_pair_count:
             # accepted all >= min_pair_count > n: strict drop holds
             return batch
         if len(batch) >= limit or a in used or b in used \
-                or (a + b) in concats:
+                or (a + b) in concats or tainted:
             stop_n = n
             break
         batch.append((a, b, n))
         used.update((a, b))
         concats.add(a + b)
+        if (a + b) in existing_symbols:
+            # rule 3b: this merge mints instances of a symbol the
+            # table already contains, so pre-existing pairs touching
+            # it can GAIN count — every LATER rank's bound is void.
+            # The pair itself is safe (its own bound was judged before
+            # the merge; a singleton batch is the sequential pick).
+            tainted = True
     else:
         if not exhausted:
             # the slice ended exactly at the prefix: the true boundary
@@ -310,8 +329,18 @@ def learn_bpe_merges_distributed(
                .agg(F.sum("freq").alias("n"))
                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
                .limit(k + 1).collect())
+        # rule 3b inputs: which candidate concats are ALREADY symbols
+        # in the live table (≤ k+1 membership probes against the
+        # checkpointed frame — one cheap extra job per batch round)
+        cand = sorted({r["a"] + r["b"] for r in top})
+        present = frozenset(
+            row["s"] for row in
+            words.select(F.explode("sym").alias("s"))
+                 .filter(F.col("s").isin(cand))
+                 .distinct().collect()) if cand else frozenset()
         batch = _select_exact_batch(top, min_pair_count, k,
-                                    exhausted=len(top) < k + 1)
+                                    exhausted=len(top) < k + 1,
+                                    existing_symbols=present)
         if not batch:
             break
         merges.extend(batch)

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -145,7 +145,8 @@ def triangle_count(edges: DataFrame, src: str = "src",
 
 def transitive_closure(edges: DataFrame, src: str = "src",
                        dst: str = "dst",
-                       max_depth: int = 16) -> DataFrame:
+                       max_depth: int = 16,
+                       max_pairs_per_node: int | None = None) -> DataFrame:
     """Reachability with shortest hop-distance — the WITH RECURSIVE
     ancestor query Spark SQL lacks, as a LAZY min-plus pointer-doubling
     plan.
@@ -172,12 +173,36 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     multiple paths; cyclic inputs are capped at 2^rounds hops by
     construction (no infinite recursion, unlike an unguarded recursive
     CTE).
+
+    ``max_pairs_per_node`` (r8 verdict task 4 — the fan-out contract):
+    the closure's output is O(reachable pairs), which a denser-than-
+    modeled graph can blow up 10-100× past the input (the sf0.1 growth
+    curve measured 13.1× pairs on 10× edges). With a budget set, each
+    round keeps only the N NEAREST ancestors per node (depth ASC, anc
+    ASC — deterministic), so the frame entering every self-join — and
+    the output — is bounded by budget·nodes by construction. The
+    budgeted result is a documented DEGRADATION, not the exact
+    closure: a truncated ancestor cannot relay paths through itself,
+    so distant reachability may be lost (exactly the top-N contract
+    ANN and keywords_topk use). Default None = exact closure, zero
+    added cost (no window in the plan); the probe/oracle pair runs the
+    default.
     """
     import math
     rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
-    closure = edges.select(F.col(src).alias("node"),
-                           F.col(dst).alias("anc"),
-                           F.lit(1).alias("depth"))
+
+    def budget(frame: DataFrame) -> DataFrame:
+        if max_pairs_per_node is None:
+            return frame
+        w = Window.partitionBy("node").orderBy(F.asc("depth"),
+                                               F.asc("anc"))
+        return (frame.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= max_pairs_per_node)
+                .drop("__rk"))
+
+    closure = budget(edges.select(F.col(src).alias("node"),
+                                  F.col(dst).alias("anc"),
+                                  F.lit(1).alias("depth")))
     for _ in range(rounds):
         # persist (lazy — construction stays action-free): the
         # self-join references this round's frame TWICE; without a
@@ -193,9 +218,9 @@ def transitive_closure(edges: DataFrame, src: str = "src",
                        F.col("r.anc").alias("anc"),
                        (F.col("l.depth") + F.col("r.depth"))
                        .alias("depth")))
-        closure = (closure.unionByName(hop)
-                   .groupBy("node", "anc")
-                   .agg(F.min("depth").alias("depth")))
+        closure = budget(closure.unionByName(hop)
+                         .groupBy("node", "anc")
+                         .agg(F.min("depth").alias("depth")))
     return closure.filter(F.col("depth") <= max_depth)
 
 

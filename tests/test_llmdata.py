@@ -1218,6 +1218,19 @@ class TestBpe:
         got = _select_exact_batch(
             rows(("a", "b", 10), ("c", "d", 1)), 2, 10, exhausted=True)
         assert got == [("a", "b", 10)]
+        # rule 3b (r8 advice): an accepted concat that ALREADY exists
+        # as a table symbol taints everything after it — pre-existing
+        # pairs touching that symbol can GAIN count mid-batch
+        got = _select_exact_batch(
+            rows(("a", "b", 10), ("c", "d", 8), ("e", "f", 6)),
+            1, 10, exhausted=True, existing_symbols={"ab"})
+        assert got == [("a", "b", 10)]
+        # ...but never blocks rank 1 itself (singleton batch is the
+        # sequential pick), and a LATER minting pair cuts from there
+        got = _select_exact_batch(
+            rows(("a", "b", 10), ("c", "d", 8), ("e", "f", 6)),
+            1, 10, exhausted=True, existing_symbols={"cd"})
+        assert got == [("a", "b", 10), ("c", "d", 8)]
 
     def test_greedy_single_pass_semantics(self, spark):
         """'aaa' under merge (a,a) -> ['aa','a','</w>'] (non-overlapping

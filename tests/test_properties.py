@@ -512,3 +512,43 @@ class TestMergedQuantileBound:
         import math
         exact = xs[math.ceil(0.5 * len(xs)) - 1]  # order statistic
         assert abs(est[0.5] - exact) <= 100.0 / 50 + 1e-9
+
+
+class TestTransitiveClosureBudget:
+    """max_pairs_per_node (the r8-verdict fan-out contract): bounded
+    output per node, deterministic nearest-first truncation, and
+    exactness whenever the budget is not binding."""
+
+    def _spark(self):
+        from data_and_analytics_etl_spark.session import get_spark
+        return get_spark("prop-closure-budget")
+
+    def test_budget_bounds_output_and_keeps_nearest(self):
+        from data_and_analytics_etl_spark.operators.graph import \
+            transitive_closure
+        spark = self._spark()
+        # a 9-deep chain: node 1's closure has 9 ancestors
+        edges = [(i, i + 1) for i in range(1, 10)]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        out = transitive_closure(df, max_depth=16,
+                                 max_pairs_per_node=3).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["node"], []).append((r["depth"], r["anc"]))
+        assert all(len(v) <= 3 for v in per.values())
+        # nearest-first: node 1 keeps exactly depths 1..3
+        assert sorted(per[1]) == [(1, 2), (2, 3), (3, 4)]
+
+    def test_non_binding_budget_is_exact(self):
+        from data_and_analytics_etl_spark.operators.graph import \
+            transitive_closure
+        spark = self._spark()
+        edges = [(n, n // 3) for n in range(2, 40) if n // 3 >= 1]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        exact = {(r["node"], r["anc"], r["depth"])
+                 for r in transitive_closure(df, max_depth=16).collect()}
+        budgeted = {(r["node"], r["anc"], r["depth"])
+                    for r in transitive_closure(
+                        df, max_depth=16,
+                        max_pairs_per_node=1000).collect()}
+        assert budgeted == exact
