@@ -23,6 +23,15 @@ sys.path.insert(0, REPO)
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
        "/root/testdata/sf0.1"]
 
+#: the synthetic sf1 decade (r8 verdict task 3): ten key-remapped
+#: isomorphic copies of sf0.1 (scripts/make_sf1_synthetic.py) — joins
+#: the curve automatically once generated. The linearity verdict is
+#: computed on the LAST consecutive pair, so with sf1 present the
+#: judged decade is 0.1 -> 1.
+_SF1 = os.path.join(REPO, "spark-warehouse", "sf1-synthetic")
+if os.path.isdir(_SF1):
+    SFS.append(_SF1)
+
 #: shape -> (probe, driver table whose row count anchors "input size")
 SHAPES = {
     "dedup_minhash_lsh_md5": "documents",
@@ -50,11 +59,14 @@ def main() -> int:
              .getOrCreate())
     qs = e.queries()
     inputs = {sf: {} for sf in SFS}
-    rows_hdr = " | ".join(f"rows sf{sf.rsplit('sf', 1)[1]}" for sf in SFS)
-    time_hdr = " | ".join(f"sec sf{sf.rsplit('sf', 1)[1]}" for sf in SFS)
+    def sf_tag(sf):
+        return sf.rsplit("sf", 1)[1].split("-")[0]
+    rows_hdr = " | ".join(f"rows sf{sf_tag(sf)}" for sf in SFS)
+    time_hdr = " | ".join(f"sec sf{sf_tag(sf)}" for sf in SFS)
+    decade = f"{sf_tag(SFS[-2])}->{sf_tag(SFS[-1])}"
     print(f"| shape | {rows_hdr} | {time_hdr} | rows-growth vs "
-          f"input-growth (0.01->0.1) | verdict |")
-    print("|---" * 9 + "|")
+          f"input-growth ({decade}) | verdict |")
+    print("|---" * (2 * len(SFS) + 3) + "|")
     failures = []
     for name in names:
         anchor = SHAPES[name]
@@ -68,14 +80,14 @@ def main() -> int:
             n = qs[name](spark, sf).count()
             secs.append(time.perf_counter() - t0)
             rows.append(n)
-        in01 = inputs[SFS[1]][anchor]
-        in1 = inputs[SFS[2]][anchor]
+        in01 = inputs[SFS[-2]][anchor]
+        in1 = inputs[SFS[-1]][anchor]
         in_growth = in1 / max(in01, 1)
-        out_growth = rows[2] / max(rows[1], 1)
+        out_growth = rows[-1] / max(rows[-2], 1)
         # super-linear = output grows more than ~1.5x faster than input
         # (ratio slack absorbs small-count noise); zero/tiny outputs at
         # sf0.01 are judged on absolute size instead
-        superlinear = (rows[1] >= 20 and out_growth > 1.5 * in_growth)
+        superlinear = (rows[-2] >= 20 and out_growth > 1.5 * in_growth)
         verdict = "SUPER-LINEAR" if superlinear else "ok"
         if superlinear:
             failures.append(name)

@@ -804,3 +804,69 @@ class TestNoveltyFilter:
             "doc_id long, text string")
         got = [r.doc_id for r in novelty_filter(new, hist).collect()]
         assert got == [11]
+
+
+def test_trending_topk_multibatch_late_data_sf01(spark, tmp_path):
+    """r8 verdict task 7: the trending-top-k execution twin at sf0.1 —
+    the streamable half (hourly tumbling counts, complete mode) run
+    over >=2 micro-batches with genuinely LATE arrivals (the earliest
+    half of the corpus lands in the SECOND batch), then the bounded
+    batch rank window — must equal the all-at-once batch computation.
+    Complete-mode counts hold all window state, so out-of-order
+    arrival must not change a single rank."""
+    import uuid
+
+    sf01 = "/root/testdata/sf0.1"
+    ev = (load_table(spark, sf01, "events")
+          .select("event_id", "ts", "event_type"))
+    median_ts = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("m")).collect()[0]["m"]
+    stream_dir = tmp_path / "stream"
+    os.makedirs(stream_dir)
+
+    def land(name, frame):
+        stage = tmp_path / "stage" / name
+        frame.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+        os.rename(stage / part, stream_dir / f"{name}.parquet")
+        time.sleep(1.1)  # distinct mtimes: deterministic file order
+
+    # batch 1 = the LATER half; batch 2 = the earlier half arriving
+    # late; batch 3 = a replay-tail slice (also late)
+    land("b1", ev.filter(F.col("ts") >= median_ts))
+    land("b2", ev.filter((F.col("ts") < median_ts)
+                         & (F.col("event_id") % 7 != 0)))
+    land("b3", ev.filter((F.col("ts") < median_ts)
+                         & (F.col("event_id") % 7 == 0)))
+
+    st = (spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(stream_dir)))
+    counts = (st.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("window_start"),
+                      "event_type", "n"))
+    name = f"trend_{uuid.uuid4().hex[:8]}"
+    q = (counts.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_batches >= 2, f"expected >=2 micro-batches, got {n_batches}"
+
+    from pyspark.sql import Window
+    rk = Window.partitionBy("window_start").orderBy(F.desc("n"),
+                                                    F.asc("event_type"))
+
+    def topk(frame):
+        return _rows(frame.withColumn("rank", F.row_number().over(rk))
+                     .filter(F.col("rank") <= 3),
+                     "window_start", "rank", "event_type", "n")
+
+    got = topk(spark.table(name))
+    want = topk(ev.groupBy(F.window("ts", "1 hour").alias("w"),
+                           "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("w.start").alias("window_start"),
+                        "event_type", "n"))
+    assert got == want and len(got) > 0
