@@ -56,6 +56,8 @@ def main() -> int:
     spark = (SparkSession.builder.master("local[16]")
              .config("spark.ui.enabled", "false")
              .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.driver.memory", "24g")
+             .config("spark.driver.maxResultSize", "4g")
              .getOrCreate())
     qs = e.queries()
     inputs = {sf: {} for sf in SFS}
@@ -95,6 +97,37 @@ def main() -> int:
         s = " | ".join(f"{x:.2f}" for x in secs)
         print(f"| {name} | {r} | {s} | {out_growth:.1f}x vs "
               f"{in_growth:.1f}x | {verdict} |")
+    # The closure watch item needs a dedicated sf1 check: the probe's
+    # digit-hierarchy (u -> u//10) is NOT isomorphic under the
+    # synthetic key offsets (copy-k parents u//10 + k*1e6 are not
+    # customers, so copy-k chains stop at one hop — structurally
+    # trivial). Build an explicitly ISOMORPHIC 10x hierarchy (per-copy
+    # local digit chains) and demand exactly-linear pair growth.
+    if not sys.argv[1:] and len(SFS) == 4:
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.operators.graph import \
+            transitive_closure
+
+        def pairs(sf, local_key):
+            c = (spark.read.parquet(f"{sf}/customer.parquet")
+                 .filter(F.col("c_custkey") % 10_000_000 > 0))
+            copy = (F.col("c_custkey") / 10_000_000).cast("long")
+            u = F.col("c_custkey") % 10_000_000
+            dst = ((u / 10).cast("long")
+                   + copy * 10_000_000) if local_key else \
+                (F.col("c_custkey") / 10).cast("long")
+            e = c.select(F.col("c_custkey").alias("src"),
+                         dst.alias("dst"))
+            return transitive_closure(e, max_depth=16).count()
+
+        p01 = pairs(SFS[2], local_key=False)
+        p1 = pairs(SFS[3], local_key=True)
+        iso = p1 / max(p01, 1)
+        verdict = "ok" if iso <= 15.0 else "SUPER-LINEAR"
+        print(f"\nclosure isomorphic-10x check: {p01} -> {p1} pairs "
+              f"({iso:.1f}x on 10.0x input) {verdict}")
+        if verdict != "ok":
+            failures.append("graph_transitive_closure(iso-sf1)")
     if failures:
         print(f"\nSUPER-LINEAR shapes: {failures}")
         return 1
