@@ -69,6 +69,15 @@ BENCH_QUERIES: dict[str, str] = {
     # exact verify — the geometry member of the candidate-join family).
     "b18_bigram_lm": "text_bigram_lm_score",
     "b19_geo_proximity": "geo_grid_proximity",
+    # r9 additions: the two plan families still untimed round-over-
+    # round — double rank-table construction (two bucketed midrank
+    # builds + two joins back + exact-decimal moments: the heaviest
+    # multi-join shuffle chain per input row in the engine) and the
+    # Arrow-batched Python sketch path (per-partition Misra-Gries +
+    # exact verify — the one mapInPandas in the bench, so a Python-
+    # worker regression shows up as a number, not a surprise).
+    "b20_spearman": "stats_spearman_corr",
+    "b21_heavy_hitters": "sketch_freq_heavy_hitters",
 }
 
 #: Queries whose probe fn executes work eagerly during construction

@@ -1242,12 +1242,17 @@ def anova_oneway(df: DataFrame, group_col: str,
             - F.col("s1").cast(dec) * F.col("s1").cast(dec))
            .cast("double") / nd / F.lit(1e4))
     ssb = nd * (mean_c - gmean_c) * (mean_c - gmean_c) / F.lit(1e4)
+    # emitted RAW, not round(x, 6): every value is a FIXED chain of
+    # IEEE ops over exact integers (bit-identical cross-engine), while
+    # round-to-6 of a ~1e13 double sits BELOW one ulp and the two
+    # engines' rounding modes diverge there (the round-6 lesson;
+    # levene's ss_within hit ....95 vs ....96 exactly this way)
     return (g.crossJoin(F.broadcast(tot))
             .select("category", F.col("n").cast("long").alias("n"),
                     F.col("s1").cast("long").alias("sum_cents"),
-                    F.round(mean_c / F.lit(100.0), 6).alias("mean"),
-                    F.round(ssw, 6).alias("ss_within"),
-                    F.round(ssb, 6).alias("ss_between_contrib"))
+                    (mean_c / F.lit(100.0)).alias("mean"),
+                    ssw.alias("ss_within"),
+                    ssb.alias("ss_between_contrib"))
             .orderBy("category"))
 
 
@@ -1329,3 +1334,34 @@ def spearman_corr(df: DataFrame, group_col: str, x_col: str, y_col: str,
                      F.col("n").cast("long").alias("n"),
                      F.round(numer / F.sqrt(dxx * dyy), 6).alias("rho"))
             .orderBy("category"))
+
+
+def brown_forsythe(df: DataFrame, group_col: str,
+                   value_cents: Column) -> DataFrame:
+    """Brown-Forsythe robust equal-variance test core: the one-way
+    ANOVA sum-of-squares decomposition applied to absolute deviations
+    from each group's MEDIAN (Levene's test with the median center —
+    the heteroskedasticity check that doesn't assume normality, the
+    standard pre-flight before trusting :func:`anova_oneway`'s F).
+
+    Exactness: deviations are carried DOUBLED — 2·median of integer
+    cents is itself an exact integer (the sum of the two middle order
+    statistics), so z2 = |2·x − 2·median| is exact integer arithmetic
+    with no half-cent float anywhere. The emitted decomposition is
+    :func:`anova_oneway` verbatim on the z2 grid (sum_cents/mean/SS in
+    doubled-cent units — the F ratio is scale-invariant, so the
+    caller-side F needs no unit correction).
+
+    Plan: one exact-median aggregate per group (5-ish rows) broadcast
+    back onto the rows, then the anova hash aggregate — two passes
+    over the input, no window.
+    """
+    tagged = df.select(F.col(group_col).alias("category"),
+                       value_cents.cast("long").alias("__c"))
+    med2 = (tagged.groupBy("category")
+            .agg(F.expr("percentile(__c, 0.5) * 2").cast("long")
+                 .alias("__m2")))
+    z2 = (tagged.join(F.broadcast(med2), "category")
+          .select("category",
+                  F.abs(2 * F.col("__c") - F.col("__m2")).alias("__z2")))
+    return anova_oneway(z2, "category", F.col("__z2"))

@@ -373,3 +373,25 @@ def quota_allocate(df: DataFrame, stratum_col: str,
                     (F.col("__base")
                      + (F.col("__rk") <= F.col("__L")).cast("long"))
                     .alias("quota")))
+
+
+def systematic_sample(df: DataFrame, key_col: str, every_k: int,
+                      offset: int = 0) -> DataFrame:
+    """Systematic (every k-th) sample over the md5 order of the key —
+    the evenly-spaced design whose sample size is EXACTLY ⌈(n−offset)
+    /k⌉ (hash-threshold sampling only hits the target fraction in
+    expectation; quota sampling needs a ranking pass per cell).
+
+    Ordering by md5(key) de-correlates the walk from any storage or
+    business order (the classic systematic-sampling periodicity trap),
+    stays deterministic cross-engine, and makes the selection a pure
+    function of the key set. The global position comes from
+    ids.assign_dense_ids — bucketed renumbering, never a single-task
+    row_number window — then `position % k == offset` selects. One
+    data shuffle (the dense-id renumber).
+    """
+    from .ids import assign_dense_ids
+    keyed = df.withColumn("__ord", F.md5(F.col(key_col).cast("string")))
+    ranked = assign_dense_ids(keyed, "__ord", out_col="__pos")
+    return (ranked.filter(F.col("__pos") % every_k == offset)
+            .drop("__ord", "__pos"))

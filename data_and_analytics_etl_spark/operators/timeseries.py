@@ -750,3 +750,44 @@ def sax_encode(df: DataFrame, series_col: str, day: Column,
                              F.struct(F.col("__day"), F.col("__sym")))),
                          lambda s: s["__sym"]), "").alias("word"))
             .orderBy("series", "word_window"))
+
+
+def bollinger_bands(df: DataFrame, series_col: str, day: Column,
+                    value_cents: Column, window_days: int = 7,
+                    k_sigma: int = 2) -> DataFrame:
+    """Rolling mean ± k·σ envelope over per-series daily means — the
+    volatility band every monitoring dashboard draws, as one
+    partitioned ROWS window over the daily rollup (never raw rows).
+
+    Engine-exact: daily sums accumulate as BIGINT cents; the rolling
+    window carries Σc and Σc² in DECIMAL(38,0) (operands cast before
+    multiplying), so mid = Σc/n and σ = √(n·Σc² − (Σc)²)/n are each
+    ONE double chain per row (√ is IEEE-correctly-rounded). Population
+    σ by convention. One shuffle on (series, day) for the rollup; the
+    per-series window reuses it.
+    """
+    dec = "decimal(38,0)"
+    daily = (df.select(F.col(series_col).alias("series"),
+                       day.cast("long").alias("day"),
+                       value_cents.cast("long").alias("__c"))
+             .groupBy("series", "day")
+             .agg(F.count(F.lit(1)).alias("__dn"),
+                  F.sum("__c").alias("__ds")))
+    mean_day = F.col("__ds").cast("double") / F.col("__dn").cast("double")
+    cents = F.round(mean_day).cast("long")
+    d = daily.select("series", "day", cents.alias("__v"))
+    w = (Window.partitionBy("series").orderBy("day")
+         .rowsBetween(-(window_days - 1), 0))
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(F.col("__v").cast(dec)).over(w).cast(dec)
+    s2 = F.sum(F.col("__v").cast(dec) * F.col("__v").cast(dec)) \
+          .over(w).cast(dec)
+    nd = n.cast("double")
+    mid = s1.cast("double") / nd
+    sigma = F.sqrt((n.cast(dec) * s2 - s1 * s1).cast("double")) / nd
+    return (d.select(
+        "series", "day", n.cast("long").alias("n_days"),
+        F.round(mid / 100.0, 6).alias("mid"),
+        F.round((mid + k_sigma * sigma) / 100.0, 6).alias("upper"),
+        F.round((mid - k_sigma * sigma) / 100.0, 6).alias("lower"))
+        .orderBy("series", "day"))

@@ -71,16 +71,16 @@ WITH g AS (
   FROM g
 )
 SELECT category, CAST(n AS BIGINT) AS n, s1 AS sum_cents,
-       round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean,
-       round(CAST(CAST(n AS DECIMAL(38,0)) * CAST(s2 AS DECIMAL(38,0))
-                  - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))
-                  AS DOUBLE)
-             / CAST(n AS DOUBLE) / 1e4, 6) AS ss_within,
-       round(CAST(n AS DOUBLE)
-             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
-                - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
-             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
-                - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)) / 1e4, 6)
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+       CAST(CAST(n AS DECIMAL(38,0)) * CAST(s2 AS DECIMAL(38,0))
+            - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))
+            AS DOUBLE)
+         / CAST(n AS DOUBLE) / 1e4 AS ss_within,
+       CAST(n AS DOUBLE)
+         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)) / 1e4
          AS ss_between_contrib
 FROM g, t ORDER BY category
 """,
@@ -402,3 +402,200 @@ def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sax_encode(ev, "event_type", day,
                       F.floor(F.col("value") * 100), word_days=7,
                       breakpoints_cents=(4600, 4950, 5300))
+
+
+# --- r9 second cohort: registered after the 50-slot window filled; ---
+# --- FULLVERIFY carries their rows this round, r10 pins them.      ---
+
+
+@query(
+    "stats_levene_bf",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderpriority AS category, {_CENTS} AS c FROM orders
+), m AS (
+  SELECT category, CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS m2
+  FROM t GROUP BY 1
+), z AS (
+  SELECT t.category AS category, abs(2 * c - m2) AS z2
+  FROM t JOIN m ON t.category = m.category
+), g AS (
+  SELECT category, count(*) AS n,
+         CAST(sum(z2) AS BIGINT) AS s1,
+         sum(CAST(z2 AS DECIMAL(38,0)) * CAST(z2 AS DECIMAL(38,0)))
+           AS s2
+  FROM z GROUP BY 1
+), tt AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s1) AS BIGINT) AS ts
+  FROM g
+)
+SELECT category, CAST(n AS BIGINT) AS n, s1 AS sum_cents,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+       CAST(CAST(n AS DECIMAL(38,0)) * CAST(s2 AS DECIMAL(38,0))
+            - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))
+            AS DOUBLE)
+         / CAST(n AS DOUBLE) / 1e4 AS ss_within,
+       CAST(n AS DOUBLE)
+         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)) / 1e4
+         AS ss_between_contrib
+FROM g, tt ORDER BY category
+""",
+    tags=("analytics", "stats"),
+    doc="Brown-Forsythe robust equal-variance test core (operators/"
+        "profile.py:brown_forsythe): the anova_oneway decomposition on "
+        "absolute deviations from each group's exact MEDIAN — the "
+        "pre-flight heteroskedasticity check for stats_anova_oneway. "
+        "Deviations carried DOUBLED (2*median of integer cents is an "
+        "exact integer), so no half-cent float exists anywhere; the "
+        "emitted columns are in doubled-cent units and the F ratio is "
+        "scale-invariant. One bounded median aggregate broadcast back "
+        "+ one hash aggregate + a 1-row broadcast total.",
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import brown_forsythe
+    o = load_table(spark, sf_dir, "orders")
+    return brown_forsythe(o, "o_orderpriority",
+                          F.round(F.col("o_totalprice") * 100))
+
+
+@query(
+    "timeseries_bollinger",
+    oracle="""
+WITH d AS (
+  SELECT event_type AS series,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), daily AS (
+  SELECT series, day,
+         CAST(round(CAST(sum(c) AS DOUBLE) / count(*)) AS BIGINT) AS v
+  FROM d GROUP BY 1, 2
+), w AS (
+  SELECT series, day,
+         CAST(count(*) OVER win AS BIGINT) AS n,
+         sum(CAST(v AS DECIMAL(38,0))) OVER win AS s1,
+         sum(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)))
+           OVER win AS s2
+  FROM daily
+  WINDOW win AS (PARTITION BY series ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT series, day, n AS n_days,
+       round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mid,
+       round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+              + 2 * (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1
+                               AS DOUBLE)) / CAST(n AS DOUBLE)))
+             / 100.0, 6) AS upper,
+       round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 2 * (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1
+                               AS DOUBLE)) / CAST(n AS DOUBLE)))
+             / 100.0, 6) AS lower
+FROM w ORDER BY series, day
+""",
+    tags=("analytics", "timeseries"),
+    doc="7-day Bollinger envelope (rolling mean ± 2σ) over per-type "
+        "daily event-value means (operators/timeseries.py:"
+        "bollinger_bands). The ROWS window runs over the DAILY rollup "
+        "— bounded by (series × days), never raw rows — partitioned "
+        "by series; Σc and Σc² ride the frame in DECIMAL(38,0), so "
+        "mid and σ are each one double chain (√ correctly rounded). "
+        "One rollup shuffle reused by the window.",
+)
+def timeseries_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import bollinger_bands
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+    return bollinger_bands(ev, "event_type", day,
+                           F.floor(F.col("value") * 100),
+                           window_days=7, k_sigma=2)
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+b AS (
+  SELECT p.event_id AS event_id, c.event_id AS bid, c.ts AS bts
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+), f AS (
+  SELECT p.event_id AS event_id, c.event_id AS fid, c.ts AS fts
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.ts < c.ts
+)
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       CASE WHEN bts IS NOT NULL AND (fts IS NULL
+                 OR epoch_us(p.ts) - epoch_us(bts)
+                    <= epoch_us(fts) - epoch_us(p.ts))
+            THEN bid ELSE fid END AS click_event_id,
+       strftime(CASE WHEN bts IS NOT NULL AND (fts IS NULL
+                     OR epoch_us(p.ts) - epoch_us(bts)
+                        <= epoch_us(fts) - epoch_us(p.ts))
+                THEN bts ELSE fts END,
+                '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+FROM p LEFT JOIN b ON p.event_id = b.event_id
+       LEFT JOIN f ON p.event_id = f.event_id
+ORDER BY event_id
+""",
+    tags=("join", "ext"),
+    doc="As-of join, direction='nearest' (operators/asof.py:"
+        "_asof_nearest — pandas merge_asof parity): the closer of the "
+        "backward and forward matches, ties to backward, gaps compared "
+        "in exact integer microseconds. ONE union-and-carry pass — "
+        "both directional carries evaluate over the same (key, ts) "
+        "sort, so the plan costs exactly what join_asof costs (one "
+        "shuffle), not two joins. The oracle recomputes with TWO "
+        "native DuckDB ASOF joins + a CASE pick — a structurally "
+        "different formulation proving the single-pass form.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = asof_join(purchases, clicks, on="user_id", left_ts="ts",
+                       right_ts="ts", right_values=["event_id"],
+                       how="left", direction="nearest")
+    return (joined.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("purchase_ts"),
+        F.col("event_id_right").alias("click_event_id"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("click_ts"))
+        .orderBy("event_id"))
+
+
+@query(
+    "sample_systematic",
+    oracle="""
+WITH r AS (
+  SELECT o_orderkey,
+         row_number() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)))
+           - 1 AS pos
+  FROM orders
+)
+SELECT o_orderkey FROM r WHERE pos % 10 = 0 ORDER BY o_orderkey
+""",
+    tags=("sampling",),
+    doc="Systematic every-10th sample over the md5 order of the order "
+        "key (operators/sampling.py:systematic_sample) — exact sample "
+        "size ceil(n/10) where hash-threshold sampling only hits the "
+        "fraction in expectation. Global positions come from "
+        "ids.assign_dense_ids (bucketed renumbering: sketch cutpoints "
+        "+ per-bucket offsets — never a single-task row_number "
+        "window); the md5 walk de-correlates the stride from storage "
+        "order. The oracle recomputes with the plain global "
+        "row_number window.",
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import systematic_sample
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return (systematic_sample(o, "o_orderkey", every_k=10)
+            .orderBy("o_orderkey"))

@@ -40,12 +40,24 @@ EXCHANGE_BUDGETS = {
     "drift_ks_exact": 10,
     "corpus_curation_pipeline": 19,
     "corpus_segment_dedup": 3,
+    # r9 cohort (measured at registration; bench-mapped: spearman b20,
+    # heavy hitters b21)
+    "agg_theil_index": 5,
+    "stats_anova_oneway": 5,
+    "stats_spearman_corr": 16,
+    "geo_dbscan_core_points": 4,
+    "sketch_freq_heavy_hitters": 6,
+    "eval_pr_auc": 5,
+    "timeseries_sax_symbols": 3,
 }
 
 #: iterative plans: rounds x per-round joins; bound loosely so a round
 #: -count change doesn't false-alarm but a per-round blowup still does
 LOOSE_BUDGETS = {
     "graph_transitive_closure": 120,
+    # 3 synchronous LPA rounds x (join + two aggs + isolated-node
+    # left join) over an accumulating lazy plan
+    "graph_label_propagation_sync": 30,
 }
 
 
