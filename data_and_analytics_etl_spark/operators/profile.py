@@ -1284,7 +1284,8 @@ def _midrank2_by_group(df: DataFrame, group_col: str, value_col: str,
         F.coalesce(F.sum("__bc").over(wb), F.lit(0)).alias("__base"))
     wv = (Window.partitionBy("__g", "__bucket").orderBy("__v")
           .rowsBetween(Window.unboundedPreceding, -1))
-    return (pts.join(base, ["__g", "__bucket"])
+    # base is (groups x nbins) rows — broadcast, as in mann_whitney_u
+    return (pts.join(F.broadcast(base), ["__g", "__bucket"])
             .select("__g", "__v",
                     (2 * (F.col("__base")
                           + F.coalesce(F.sum("__cnt").over(wv), F.lit(0)))
