@@ -1314,16 +1314,46 @@ def spearman_corr(df: DataFrame, group_col: str, x_col: str, y_col: str,
                      F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
     rx = (_midrank2_by_group(df, group_col, x_col, *x_range, nbins=nbins)
           .withColumnsRenamed({"__v": "__x", "__mr2": "__rx2"}))
-    ry = (_midrank2_by_group(df, group_col, y_col, *y_range, nbins=nbins)
-          .withColumnsRenamed({"__v": "__y", "__mr2": "__ry2"}))
-    ranked = (rows.join(rx, ["__g", "__x"]).join(ry, ["__g", "__y"]))
+    # ONE join back (the x ranks), then collapse to the distinct-y
+    # grain carrying the x-rank partial moments — the y ranks then
+    # derive on THIS table via the same bucketed prefix, so the
+    # y-side needs neither a second rank-table scan nor a second
+    # row-cardinality join (y is near-unique; that join was the
+    # dominant cost: 3.4 s -> 2.0 s at sf0.1).
+    lo_y, hi_y = y_range
+    width_y = (hi_y - lo_y) / nbins
+    raw_y = F.floor((F.col("__y") - F.lit(lo_y)) / F.lit(width_y))
+    bucket_y = (F.least(F.greatest(raw_y, F.lit(0)), F.lit(nbins - 1))
+                .cast("long"))
+    t1 = (rows.join(rx, ["__g", "__x"])
+          .select("__g", bucket_y.alias("__bucket"), "__y", "__rx2")
+          .groupBy("__g", "__bucket", "__y")
+          .agg(F.count(F.lit(1)).alias("__cnt"),
+               F.sum(F.col("__rx2")).alias("__sx"),
+               F.sum(F.col("__rx2").cast(dec) * F.col("__rx2").cast(dec))
+               .cast(dec).alias("__sxx_p")))
+    totals = t1.groupBy("__g", "__bucket").agg(
+        F.sum("__cnt").alias("__bc"))
+    wb = (Window.partitionBy("__g").orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    base = totals.select(
+        "__g", "__bucket",
+        F.coalesce(F.sum("__bc").over(wb), F.lit(0)).alias("__base"))
+    wv = (Window.partitionBy("__g", "__bucket").orderBy("__y")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = (t1.join(F.broadcast(base), ["__g", "__bucket"])
+              .withColumn("__ry2",
+                          2 * (F.col("__base")
+                               + F.coalesce(F.sum("__cnt").over(wv),
+                                            F.lit(0)))
+                          + F.col("__cnt") + 1))
     a = (ranked.groupBy("__g")
-         .agg(F.count(F.lit(1)).alias("n"),
-              F.sum(F.col("__rx2").cast(dec) * F.col("__ry2").cast(dec))
+         .agg(F.sum("__cnt").alias("n"),
+              F.sum(F.col("__ry2").cast(dec) * F.col("__sx").cast(dec))
               .cast(dec).alias("__sxy"),
-              F.sum(F.col("__rx2").cast(dec) * F.col("__rx2").cast(dec))
-              .cast(dec).alias("__sxx"),
-              F.sum(F.col("__ry2").cast(dec) * F.col("__ry2").cast(dec))
+              F.sum("__sxx_p").cast(dec).alias("__sxx"),
+              F.sum(F.col("__ry2").cast(dec) * F.col("__ry2").cast(dec)
+                    * F.col("__cnt").cast(dec))
               .cast(dec).alias("__syy")))
     n = F.col("n").cast(dec)
     # Σ(2r) = n(n+1) exactly, for both variables

@@ -44,7 +44,12 @@ EXCHANGE_BUDGETS = {
     # heavy hitters b21)
     "agg_theil_index": 5,
     "stats_anova_oneway": 5,
-    "stats_spearman_corr": 16,
+    # 19 static: the fused plan derives the y-rank offsets from the
+    # post-join distinct-y table, whose subtree Catalyst copies per
+    # consumer (AQE ReuseExchange collapses the identical copies at
+    # runtime; a persist() was measured SLOWER, the drift_ks lesson).
+    # The fusion removed the second row-cardinality join outright.
+    "stats_spearman_corr": 19,
     "geo_dbscan_core_points": 4,
     "sketch_freq_heavy_hitters": 6,
     "eval_pr_auc": 5,
