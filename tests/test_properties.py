@@ -552,3 +552,125 @@ class TestTransitiveClosureBudget:
                         df, max_depth=16,
                         max_pairs_per_node=1000).collect()}
         assert budgeted == exact
+
+
+class TestRoundNineOperators:
+    """Independent references for the r9 cohort: the sketch's
+    partitioning-invariance claim, Spearman vs a pure-Python midrank
+    Pearson, and nearest as-of vs pandas.merge_asof itself."""
+
+    def _spark(self):
+        from data_and_analytics_etl_spark.session import get_spark
+        return get_spark("prop-r9")
+
+    def test_heavy_hitters_partitioning_invariant(self):
+        """The Misra-Gries candidate set varies with partitioning; the
+        OUTPUT must not (exact verify pass) — the property that makes
+        the sketch oracle-checkable."""
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.operators.sketch import \
+            heavy_hitters
+        spark = self._spark()
+        # zipf-ish: key k appears ~ 2000/k times
+        rows = [(f"k{k}",) for k in range(1, 60) for _ in range(2000 // k)]
+        df = spark.createDataFrame(rows, "token: string")
+        outs = []
+        for parts in (1, 7, 32):
+            got = heavy_hitters(df.repartition(parts), "token",
+                                phi_num=1, phi_den=20).collect()
+            outs.append([(r["key"], r["cnt"]) for r in got])
+        assert outs[0] == outs[1] == outs[2]
+        # exactness: matches the plain groupBy-having computation
+        n = len(rows)
+        exact = sorted(
+            ((k, c) for k, c in
+             df.groupBy("token").count().rdd
+               .map(lambda r: (r["token"], r["count"])).collect()
+             if c * 20 > n), key=lambda t: (-t[1], t[0]))
+        assert outs[0] == exact
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 8),
+                              st.integers(0, 8)),
+                    min_size=8, max_size=60))
+    def test_spearman_matches_python_reference(self, rows):
+        import math
+
+        import pyspark.sql.functions as F  # noqa: F401
+        from data_and_analytics_etl_spark.operators.profile import \
+            spearman_corr
+        spark = self._spark()
+        data = [(g, float(x), float(y)) for g, x, y in rows]
+        df = spark.createDataFrame(data, "g: int, x: double, y: double")
+        got = {r["category"]: r["rho"]
+               for r in spearman_corr(df, "g", "x", "y",
+                                      (0.0, 9.0), (0.0, 9.0),
+                                      nbins=4).collect()}
+
+        def midranks(vals):
+            return {v: (sum(1 for w in vals if w < v) * 2
+                        + sum(1 for w in vals if w == v) + 1)
+                    for v in set(vals)}
+
+        from collections import defaultdict
+        by_g = defaultdict(list)
+        for g, x, y in rows:
+            by_g[g].append((x, y))
+        for g, pts in by_g.items():
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            rx = midranks(xs)
+            ry = midranks(ys)
+            r = [rx[x] for x in xs]
+            s = [ry[y] for y in ys]
+            n = len(pts)
+            sxy = sum(a * b for a, b in zip(r, s))
+            sxx = sum(a * a for a in r)
+            syy = sum(b * b for b in s)
+            t = n * (n + 1)
+            dxx = n * sxx - t * t
+            dyy = n * syy - t * t
+            if dxx == 0 or dyy == 0:
+                # constant variable: rho undefined (NULL/NaN engine-side)
+                assert got[g] is None or math.isnan(got[g])
+                continue
+            want = (n * sxy - t * t) / math.sqrt(dxx * dyy)
+            assert got[g] is not None and abs(got[g] - want) < 1e-6
+
+    def test_asof_nearest_matches_pandas(self):
+        import datetime as dt
+
+        import pandas as pd
+        from data_and_analytics_etl_spark.operators.asof import asof_join
+        spark = self._spark()
+        t0 = dt.datetime(2024, 1, 1)
+        left = [(k, t0 + dt.timedelta(seconds=s), i)
+                for i, (k, s) in enumerate(
+                    [(1, 5), (1, 12), (1, 40), (2, 3), (2, 100), (3, 7)])]
+        right = [(k, t0 + dt.timedelta(seconds=s), 100 + i)
+                 for i, (k, s) in enumerate(
+                     [(1, 0), (1, 11), (1, 13), (2, 50), (4, 1)])]
+        ldf = spark.createDataFrame(left, "k: long, ts: timestamp, lid: long")
+        rdf = spark.createDataFrame(right, "k: long, ts: timestamp, rid: long")
+        got = {r["lid"]: r["rid_right"]
+               for r in asof_join(ldf, rdf, on="k", left_ts="ts",
+                                  right_ts="ts", right_values=["rid"],
+                                  direction="nearest").collect()}
+        lp = pd.DataFrame(left, columns=["k", "ts", "lid"]).sort_values("ts")
+        rp = pd.DataFrame(right, columns=["k", "ts", "rid"]).sort_values("ts")
+        want = pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest")
+        for _, row in want.iterrows():
+            w = None if pd.isna(row["rid"]) else int(row["rid"])
+            assert got[int(row["lid"])] == w, (row["lid"], got, want)
+        # tolerance disqualifies each side independently
+        got_tol = {r["lid"]: r["rid_right"]
+                   for r in asof_join(ldf, rdf, on="k", left_ts="ts",
+                                      right_ts="ts", right_values=["rid"],
+                                      direction="nearest",
+                                      tolerance_s=6).collect()}
+        want_tol = pd.merge_asof(lp, rp, on="ts", by="k",
+                                 direction="nearest",
+                                 tolerance=pd.Timedelta(seconds=6))
+        for _, row in want_tol.iterrows():
+            w = None if pd.isna(row["rid"]) else int(row["rid"])
+            assert got_tol[int(row["lid"])] == w
