@@ -101,3 +101,49 @@ def rfm_scores(orders: DataFrame, customer_col: str, ts_col: str,
                   .withColumn(out, score)
                   .drop(*(f"__{metric}_p{q}" for q in (20, 40, 60, 80))))
     return scored
+
+
+def cohort_ltv(df: DataFrame, user_col: str, ts_col: str,
+               amount_cents: Column) -> DataFrame:
+    """Cohort lifetime-value curves: users cohort by their FIRST
+    activity month; each (cohort, age-in-months) cell carries that
+    month's revenue and the running cumulative — the monetary
+    completion of :func:`cohort_retention` (retention counts who came
+    back; LTV integrates what they spent).
+
+    Exactness: revenue accumulates as BIGINT cents; the cumulative is
+    an integer window sum over the bounded (cohorts × ages) table;
+    the per-user average is the single closing double chain. Plan:
+    one first-activity aggregate joined back (broadcast — cohort table
+    is user-bounded but the JOIN result regroups immediately), one
+    hash agg on (cohort, age), one bounded cumulative window.
+    """
+    m = (F.year(ts_col) * 12 + F.month(ts_col) - 1).cast("long")
+    rows = df.select(F.col(user_col).alias("__u"), m.alias("__m"),
+                     amount_cents.cast("long").alias("__c"))
+    first = (rows.groupBy("__u")
+             .agg(F.min("__m").alias("__m0"),
+                  F.count(F.lit(1)).alias("__dummy"))
+             .select("__u", "__m0"))
+    cell = (rows.join(first, "__u")
+            .groupBy(F.col("__m0").alias("cohort_month"),
+                     (F.col("__m") - F.col("__m0")).alias("age_months"))
+            .agg(F.countDistinct("__u").alias("n_users"),
+                 F.sum("__c").alias("revenue_cents")))
+    size = (first.groupBy(F.col("__m0").alias("cohort_month"))
+            .agg(F.count(F.lit(1)).alias("cohort_size")))
+    w = (Window.partitionBy("cohort_month").orderBy("age_months")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (cell.join(F.broadcast(size), "cohort_month")
+            .withColumn("cum_revenue_cents",
+                        F.sum("revenue_cents").over(w).cast("long"))
+            .select("cohort_month", "age_months",
+                    F.col("n_users").cast("long").alias("n_users"),
+                    F.col("cohort_size").cast("long").alias("cohort_size"),
+                    F.col("revenue_cents").cast("long")
+                    .alias("revenue_cents"),
+                    "cum_revenue_cents",
+                    F.round(F.col("cum_revenue_cents").cast("double")
+                            / F.col("cohort_size").cast("double")
+                            / 100.0, 6).alias("ltv_per_user"))
+            .orderBy("cohort_month", "age_months"))

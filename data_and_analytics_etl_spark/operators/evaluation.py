@@ -661,3 +661,89 @@ def pr_curve(df: DataFrame, label: Column, score_bucket: Column) -> DataFrame:
                     F.round(rec, 6).alias("recall"),
                     F.round(ap, 6).alias("ap_contrib"))
             .orderBy(F.desc("threshold_bucket")))
+
+
+def logrank_split(df: DataFrame, is_a: Column, duration: Column,
+                  observed: Column) -> DataFrame:
+    """Log-rank (Mantel-Cox) test core between the two survival curves
+    of one table split by a predicate — the hypothesis-test completion
+    of :func:`kaplan_meier`/:func:`nelson_aalen` (KM draws the curves;
+    log-rank says whether they differ).
+
+    Emits one row per distinct EVENT time (d_t > 0): exact-long risk
+    sets and event counts per arm, plus arm A's expected-event and
+    variance contributions — each ONE double chain from exact longs
+    (O_A − ΣE_A)/√ΣV is the caller-side statistic over the bounded
+    event-time rows (the categorical_profile per-row-contribution
+    contract; a cross-engine double sum over times would be
+    order-sensitive).
+
+    Scale: risk sets come from per-arm prefix sums over the
+    DISTINCT-duration table (callers bucket continuous durations
+    first — the kaplan_meier rule), one hash agg + one bounded window.
+    """
+    a = is_a.cast("long")
+    d = (df.select(duration.alias("t"),
+                   observed.cast("long").alias("e"),
+                   a.alias("__a"))
+         .filter(F.col("t").isNotNull()))
+    per_t = (d.groupBy("t")
+             .agg(F.sum("__a").alias("c_a"),
+                  F.sum(1 - F.col("__a")).alias("c_b"),
+                  F.sum(F.col("e") * F.col("__a")).alias("d_a"),
+                  F.sum(F.col("e") * (1 - F.col("__a"))).alias("d_b")))
+    tot = per_t.agg(F.sum("c_a").cast("long").alias("__na"),
+                    F.sum("c_b").cast("long").alias("__nb"))
+    wb = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    cur = (per_t.crossJoin(F.broadcast(tot))
+           .withColumn("n_risk_a",
+                       (F.col("__na")
+                        - F.coalesce(F.sum("c_a").over(wb), F.lit(0)))
+                       .cast("long"))
+           .withColumn("n_risk_b",
+                       (F.col("__nb")
+                        - F.coalesce(F.sum("c_b").over(wb), F.lit(0)))
+                       .cast("long"))
+           .filter(F.col("d_a") + F.col("d_b") > 0))
+    na, nb = F.col("n_risk_a").cast("double"), \
+        F.col("n_risk_b").cast("double")
+    nt = na + nb
+    dt = (F.col("d_a") + F.col("d_b")).cast("double")
+    e_a = dt * na / nt
+    var = F.when(
+        nt > F.lit(1.0),
+        dt * na * nb * (nt - dt) / (nt * nt * (nt - F.lit(1.0)))
+    ).otherwise(F.lit(0.0))
+    return (cur.select("t", "n_risk_a", "n_risk_b",
+                       F.col("d_a").cast("long").alias("d_a"),
+                       F.col("d_b").cast("long").alias("d_b"),
+                       F.round(e_a, 6).alias("e_a_contrib"),
+                       F.round(var, 6).alias("var_contrib"))
+            .orderBy("t"))
+
+
+def mcnemar(df: DataFrame, truth: Column, pred_a: Column,
+            pred_b: Column) -> DataFrame:
+    """McNemar's paired-classifier test: of the rows where the two
+    predictors DISAGREE in correctness, is the split symmetric?
+    b = A-right/B-wrong, c = A-wrong/B-right, χ² = (b−c)²/(b+c) with
+    1 df — the right test when both models predict the SAME examples
+    (accuracy deltas ignore the pairing).
+
+    One map-side-combinable aggregate over boolean indicator sums;
+    exact longs until the single closing double chain. One row out:
+    (n, both_right, both_wrong, b, c, chi2).
+    """
+    ra = (truth == pred_a).cast("long")
+    rb = (truth == pred_b).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ra * rb).cast("long").alias("both_right"),
+        F.sum((1 - ra) * (1 - rb)).cast("long").alias("both_wrong"),
+        F.sum(ra * (1 - rb)).cast("long").alias("b"),
+        F.sum((1 - ra) * rb).cast("long").alias("c"))
+    diff = (F.col("b") - F.col("c")).cast("double")
+    tot = (F.col("b") + F.col("c")).cast("double")
+    chi2 = F.when(tot > 0, diff * diff / tot).otherwise(F.lit(0.0))
+    return agg.select("n", "both_right", "both_wrong", "b", "c",
+                      F.round(chi2, 6).alias("chi2"))

@@ -306,3 +306,44 @@ def uplift_two_model(df: DataFrame, segment: "Column", treated: "Column",
                      F.round(pt - pc, 6).alias("uplift"),
                      F.round((pt - pc) / se, 6).alias("z"))
             .orderBy("segment"))
+
+
+def chi2_cells(df: DataFrame, feature_cols: list[str],
+               label: "Column") -> DataFrame:
+    """χ²-of-independence feature screening: per (feature, value,
+    label) cell, the observed count, the independence-expected count
+    and the cell's χ² contribution — the standard categorical
+    feature-selection filter (sklearn's chi2 / SelectKBest shape).
+
+    One unpivot (stack — map-side, no shuffle) + ONE hash aggregate on
+    (feature, value, label); marginals come from windows PARTITIONED
+    BY FEATURE over the bounded cells table (≤ Σ|domain|·|labels|
+    rows), so nothing global exists. Expected = row·col/n is one
+    double chain from exact longs; contrib = (obs−exp)²/exp another;
+    the per-feature χ² (and its dof) assemble caller-side over the
+    bounded cell rows — the categorical_profile per-row-contribution
+    contract.
+    """
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)"
+                      for c in feature_cols)
+    cells = (df.select(F.expr(f"stack({len(feature_cols)}, {pairs})")
+                       .alias("feature", "value"),
+                       label.cast("long").alias("label"))
+             .groupBy("feature", "value", "label")
+             .agg(F.count(F.lit(1)).alias("obs")))
+    wf = Window.partitionBy("feature")
+    wv = Window.partitionBy("feature", "value")
+    wl = Window.partitionBy("feature", "label")
+    n = F.sum("obs").over(wf)
+    row = F.sum("obs").over(wv)
+    col = F.sum("obs").over(wl)
+    exp = (row.cast("double") * col.cast("double") / n.cast("double"))
+    obs = F.col("obs").cast("double")
+    return (cells
+            .withColumn("expected", F.round(exp, 6))
+            .withColumn("chi2_contrib",
+                        F.round((obs - exp) * (obs - exp) / exp, 6))
+            .select("feature", "value", "label",
+                    F.col("obs").cast("long").alias("obs"),
+                    "expected", "chi2_contrib")
+            .orderBy("feature", "value", "label"))

@@ -791,3 +791,46 @@ def bollinger_bands(df: DataFrame, series_col: str, day: Column,
         F.round((mid + k_sigma * sigma) / 100.0, 6).alias("upper"),
         F.round((mid - k_sigma * sigma) / 100.0, 6).alias("lower"))
         .orderBy("series", "day"))
+
+
+def cross_correlation(a: DataFrame, b: DataFrame, day_col: str,
+                      value_col: str, max_lag: int = 5) -> DataFrame:
+    """Lagged Pearson cross-correlation between two integer-valued
+    daily series — the lead/lag detector ("do clicks predict purchases
+    k days later?"). r(ℓ) correlates a(day) with b(day + ℓ) over the
+    days where both exist.
+
+    One map-side lag explode on the (tiny) A series + ONE equi-join on
+    the shifted day key + one hash aggregate per lag — never a
+    per-lag job loop. Values are exact integers (counts/cents), so all
+    five moments accumulate in DECIMAL(38,0) and each r(ℓ) is ONE
+    double chain (√ correctly rounded).
+    """
+    dec = "decimal(38,0)"
+    lags = F.sequence(F.lit(-max_lag), F.lit(max_lag))
+    ae = (a.select(F.col(day_col).alias("__d"),
+                   F.col(value_col).cast("long").alias("__va"))
+          .select("__va", F.explode(lags).alias("lag"),
+                  (F.col("__d") + F.col("lag")).alias("__dj")))
+    be = b.select(F.col(day_col).alias("__dj"),
+                  F.col(value_col).cast("long").alias("__vb"))
+    j = ae.join(be, "__dj")
+    va, vb = F.col("__va").cast(dec), F.col("__vb").cast(dec)
+    g = (j.groupBy("lag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(va).cast(dec).alias("__sa"),
+              F.sum(vb).cast(dec).alias("__sb"),
+              F.sum(va * va).cast(dec).alias("__saa"),
+              F.sum(vb * vb).cast(dec).alias("__sbb"),
+              F.sum(va * vb).cast(dec).alias("__sab")))
+    n = F.col("n").cast(dec)
+    num = (n * F.col("__sab") - F.col("__sa") * F.col("__sb")) \
+        .cast("double")
+    da = (n * F.col("__saa") - F.col("__sa") * F.col("__sa")) \
+        .cast("double")
+    db = (n * F.col("__sbb") - F.col("__sb") * F.col("__sb")) \
+        .cast("double")
+    return (g.select(F.col("lag").cast("int").alias("lag"),
+                     F.col("n").cast("long").alias("n_days"),
+                     F.round(num / F.sqrt(da * db), 6).alias("r"))
+            .orderBy("lag"))

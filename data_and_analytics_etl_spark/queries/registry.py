@@ -148,7 +148,13 @@ ROUND_TIERS: dict[str, int] = {
 
 #: r7-backlog drain complete as of this round's pinning: the 10
 #: deferred probes are tier-30 above; after CORRECTNESS_r09 the
-#: never-driver-verified set is exactly the r9-registered cohort.
+#: never-driver-verified set is exactly the probes registered in r9
+#: AFTER the 50-slot window filled (the bounded r10 backlog, 9 names,
+#: all FULLVERIFY_r09-green): stats_levene_bf, timeseries_bollinger,
+#: join_asof_nearest, sample_systematic, stats_logrank_split,
+#: eval_mcnemar_paired, timeseries_cross_correlation,
+#: analytics_cohort_ltv, feature_chi2_ranking. At r10: pin the bench
+#: tier + these 9 + anything registered in r10.
 #: Kept (empty) because tests/test_backlog_ledger.py imports it to
 #: assert the drain's terminal state.
 DEFERRED_BACKLOG: frozenset[str] = frozenset()

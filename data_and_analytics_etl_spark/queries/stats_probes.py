@@ -599,3 +599,294 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     return (systematic_sample(o, "o_orderkey", every_k=10)
             .orderBy("o_orderkey"))
+
+
+@query(
+    "stats_logrank_split",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) // 21600000000 AS t,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+         CAST(max(user_id) % 2 = 0 AS BIGINT) AS a
+  FROM events GROUP BY 1
+), p AS (
+  SELECT t,
+         CAST(sum(a) AS BIGINT) AS c_a,
+         CAST(count(*) - sum(a) AS BIGINT) AS c_b,
+         CAST(sum(e * a) AS BIGINT) AS d_a,
+         CAST(sum(e * (1 - a)) AS BIGINT) AS d_b
+  FROM u GROUP BY 1
+), tt AS (
+  SELECT CAST(sum(c_a) AS BIGINT) AS na, CAST(sum(c_b) AS BIGINT) AS nb
+  FROM p
+), w AS (
+  SELECT t, d_a, d_b,
+         CAST(tt.na - coalesce(sum(c_a) OVER (ORDER BY t ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk_a,
+         CAST(tt.nb - coalesce(sum(c_b) OVER (ORDER BY t ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk_b
+  FROM p, tt
+), f AS (
+  SELECT t, n_risk_a, n_risk_b, d_a, d_b,
+         CAST(n_risk_a AS DOUBLE) AS na, CAST(n_risk_b AS DOUBLE) AS nb,
+         CAST(d_a + d_b AS DOUBLE) AS dt
+  FROM w WHERE d_a + d_b > 0
+)
+SELECT t, n_risk_a, n_risk_b, d_a, d_b,
+       round(dt * na / (na + nb), 6) AS e_a_contrib,
+       round(CASE WHEN na + nb > 1
+             THEN dt * na * nb * ((na + nb) - dt)
+                  / ((na + nb) * (na + nb) * ((na + nb) - 1))
+             ELSE 0 END, 6) AS var_contrib
+FROM f ORDER BY t
+""",
+    tags=("analytics", "survival"),
+    doc="Log-rank (Mantel-Cox) test core between the survival curves "
+        "of even- vs odd-id users (operators/evaluation.py:"
+        "logrank_split) — the hypothesis-test completion of "
+        "kaplan_meier/nelson_aalen. One row per distinct EVENT time "
+        "with exact-long per-arm risk sets (per-arm prefix sums over "
+        "the bounded distinct-duration table, the kaplan_meier "
+        "bucketing rule) and one-chain expected/variance "
+        "contributions; the z statistic assembles caller-side over "
+        "the bounded event-time rows.",
+)
+def stats_logrank_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import logrank_split
+    ev = load_table(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.max(F.unix_micros("ts")).alias("__mx"),
+              F.min(F.unix_micros("ts")).alias("__mn"),
+              F.max(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("e"))
+         .withColumn("t", F.expr("(__mx - __mn) div 21600000000")))
+    return logrank_split(u, F.col("user_id") % 2 == 0,
+                         F.col("t"), F.col("e"))
+
+
+_ETYPES_SQL = "['click', 'error', 'purchase', 'signup', 'view']"
+
+
+@query(
+    "eval_mcnemar_paired",
+    oracle=f"""
+WITH p AS (
+  SELECT event_type AS truth,
+         CASE WHEN event_id % 7 < 5 THEN event_type
+              ELSE ({_ETYPES_SQL})[CAST(event_id % 5 AS INTEGER) + 1]
+         END AS pred_a,
+         CASE WHEN event_id % 3 < 2 THEN event_type
+              ELSE ({_ETYPES_SQL})[CAST((event_id + 1) % 5 AS INTEGER) + 1]
+         END AS pred_b
+  FROM events
+), i AS (
+  SELECT CAST(truth = pred_a AS BIGINT) AS ra,
+         CAST(truth = pred_b AS BIGINT) AS rb
+  FROM p
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ra * rb) AS BIGINT) AS both_right,
+         CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS both_wrong,
+         CAST(sum(ra * (1 - rb)) AS BIGINT) AS b,
+         CAST(sum((1 - ra) * rb) AS BIGINT) AS c
+  FROM i
+)
+SELECT n, both_right, both_wrong, b, c,
+       round(CASE WHEN b + c > 0
+             THEN CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+                  / CAST(b + c AS DOUBLE)
+             ELSE 0 END, 6) AS chi2
+FROM agg
+""",
+    tags=("llm", "eval"),
+    doc="McNemar's paired test between two deterministic synthetic "
+        "classifiers over the same events (operators/evaluation.py:"
+        "mcnemar) — the paired complement of eval_accuracy_overall "
+        "(accuracy deltas ignore that both models score the SAME "
+        "rows; only the discordant b/c cells carry signal). One "
+        "map-side-combinable aggregate, exact longs, a single closing "
+        "double chain.",
+)
+def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import mcnemar
+    types = ["click", "error", "purchase", "signup", "view"]
+    arr = F.array(*[F.lit(t) for t in types])
+    ev = load_table(spark, sf_dir, "events")
+    pred_a = (F.when(F.col("event_id") % 7 < 5, F.col("event_type"))
+              .otherwise(F.element_at(arr, (F.col("event_id") % 5 + 1)
+                                      .cast("int"))))
+    pred_b = (F.when(F.col("event_id") % 3 < 2, F.col("event_type"))
+              .otherwise(F.element_at(arr,
+                                      ((F.col("event_id") + 1) % 5 + 1)
+                                      .cast("int"))))
+    return mcnemar(ev, F.col("event_type"), pred_a, pred_b)
+
+
+@query(
+    "timeseries_cross_correlation",
+    oracle="""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         event_type
+  FROM events
+), a AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS v FROM d
+  WHERE event_type = 'click' GROUP BY 1
+), b AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS v FROM d
+  WHERE event_type = 'purchase' GROUP BY 1
+), lags AS (SELECT unnest(generate_series(-5, 5)) AS lag),
+j AS (
+  SELECT l.lag AS lag, a.v AS va, b.v AS vb
+  FROM lags l, a JOIN b ON TRUE
+  WHERE b.day = a.day + l.lag
+), g AS (
+  SELECT lag, count(*) AS n,
+         sum(CAST(va AS DECIMAL(38,0))) AS sa,
+         sum(CAST(vb AS DECIMAL(38,0))) AS sb,
+         sum(CAST(va AS DECIMAL(38,0)) * CAST(va AS DECIMAL(38,0)))
+           AS saa,
+         sum(CAST(vb AS DECIMAL(38,0)) * CAST(vb AS DECIMAL(38,0)))
+           AS sbb,
+         sum(CAST(va AS DECIMAL(38,0)) * CAST(vb AS DECIMAL(38,0)))
+           AS sab
+  FROM j GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_days,
+       round(CAST(CAST(n AS DECIMAL(38,0)) * sab - sa * sb AS DOUBLE)
+             / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * saa - sa * sa
+                         AS DOUBLE)
+                    * CAST(CAST(n AS DECIMAL(38,0)) * sbb - sb * sb
+                           AS DOUBLE)), 6) AS r
+FROM g ORDER BY lag
+""",
+    tags=("analytics", "timeseries"),
+    doc="Lagged cross-correlation between daily click and purchase "
+        "counts, lags -5..+5 (operators/timeseries.py:"
+        "cross_correlation) — the lead/lag detector. One map-side lag "
+        "explode + ONE equi-join on the shifted day key + one hash "
+        "aggregate per lag (never a per-lag job loop); counts are "
+        "exact integers so all five moments ride DECIMAL(38,0) and "
+        "each r is one double chain over the bounded lag rows.",
+)
+def timeseries_cross_correlation(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import cross_correlation
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+    daily = (ev.select(day.alias("day"), "event_type")
+             .groupBy("day", "event_type")
+             .agg(F.count(F.lit(1)).alias("v")))
+    a = daily.filter(F.col("event_type") == "click").select("day", "v")
+    b = daily.filter(F.col("event_type") == "purchase") \
+             .select("day", "v")
+    return cross_correlation(a, b, "day", "v", max_lag=5)
+
+
+@query(
+    "analytics_cohort_ltv",
+    oracle="""
+WITH rows_ AS (
+  SELECT o_custkey AS u,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), first_ AS (
+  SELECT u, min(m) AS m0 FROM rows_ GROUP BY 1
+), cell AS (
+  SELECT f.m0 AS cohort_month, r.m - f.m0 AS age_months,
+         CAST(count(DISTINCT r.u) AS BIGINT) AS n_users,
+         CAST(sum(c) AS BIGINT) AS revenue_cents
+  FROM rows_ r JOIN first_ f ON r.u = f.u
+  GROUP BY 1, 2
+), size_ AS (
+  SELECT m0 AS cohort_month, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first_ GROUP BY 1
+)
+SELECT c.cohort_month AS cohort_month, c.age_months AS age_months,
+       n_users, cohort_size, revenue_cents,
+       CAST(sum(revenue_cents) OVER (PARTITION BY c.cohort_month
+            ORDER BY c.age_months ROWS BETWEEN UNBOUNDED PRECEDING AND
+            CURRENT ROW) AS BIGINT) AS cum_revenue_cents,
+       round(CAST(CAST(sum(revenue_cents) OVER (PARTITION BY
+                  c.cohort_month ORDER BY c.age_months ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS DOUBLE)
+             / CAST(cohort_size AS DOUBLE) / 100.0, 6) AS ltv_per_user
+FROM cell c JOIN size_ s ON c.cohort_month = s.cohort_month
+ORDER BY cohort_month, age_months
+""",
+    tags=("analytics", "cohort"),
+    doc="Cohort lifetime-value curves over orders (operators/"
+        "cohort.py:cohort_ltv) — the monetary completion of "
+        "cohort_retention: customers cohort by first-order month, "
+        "each (cohort, age) cell carries exact BIGINT-cents revenue "
+        "and a bounded cumulative window (cohorts × months rows); "
+        "ltv_per_user is the single closing double chain.",
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cohort import cohort_ltv
+    o = load_table(spark, sf_dir, "orders")
+    return cohort_ltv(o, "o_custkey", "o_orderdate",
+                      F.round(F.col("o_totalprice") * 100))
+
+
+@query(
+    "feature_chi2_ranking",
+    oracle="""
+WITH src AS (
+  SELECT CAST(event_id % 2 AS BIGINT) AS label,
+         event_type,
+         CAST((epoch_us(ts) // 86400000000) % 7 AS VARCHAR) AS dow7
+  FROM events
+), unp AS (
+  SELECT 'event_type' AS feature, event_type AS value, label FROM src
+  UNION ALL
+  SELECT 'dow7', dow7, label FROM src
+), cells AS (
+  SELECT feature, value, label, CAST(count(*) AS BIGINT) AS obs
+  FROM unp GROUP BY 1, 2, 3
+), m AS (
+  SELECT feature, value, label, obs,
+         CAST(sum(obs) OVER (PARTITION BY feature) AS BIGINT) AS n,
+         CAST(sum(obs) OVER (PARTITION BY feature, value) AS BIGINT)
+           AS row_t,
+         CAST(sum(obs) OVER (PARTITION BY feature, label) AS BIGINT)
+           AS col_t
+  FROM cells
+)
+SELECT feature, value, label, obs,
+       round(CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS expected,
+       round((CAST(obs AS DOUBLE) - CAST(row_t AS DOUBLE)
+              * CAST(col_t AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(obs AS DOUBLE) - CAST(row_t AS DOUBLE)
+                * CAST(col_t AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+                / CAST(n AS DOUBLE)), 6) AS chi2_contrib
+FROM m ORDER BY feature, value, label
+""",
+    tags=("analytics", "feature"),
+    doc="Chi-squared-of-independence feature screening over event "
+        "features vs a synthetic parity label (operators/features.py:"
+        "chi2_cells) — the sklearn-SelectKBest shape. One stack "
+        "unpivot (map-side) + one hash aggregate on (feature, value, "
+        "label); marginals via windows PARTITIONED BY FEATURE over "
+        "the bounded cells table; expected and contribution each one "
+        "double chain from exact longs; per-feature chi2/dof assemble "
+        "caller-side over the bounded cell rows. The day-of-week "
+        "feature uses integer day-number mod 7 — no locale-dependent "
+        "weekday function on either engine.",
+)
+def feature_chi2_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import chi2_cells
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+    src = ev.select("event_type",
+                    (day % 7).cast("string").alias("dow7"),
+                    (F.col("event_id") % 2).alias("__label"))
+    return chi2_cells(src, ["event_type", "dow7"], F.col("__label"))

@@ -54,6 +54,16 @@ EXCHANGE_BUDGETS = {
     "sketch_freq_heavy_hitters": 6,
     "eval_pr_auc": 5,
     "timeseries_sax_symbols": 3,
+    # r9 second/third cohorts (measured at registration)
+    "stats_levene_bf": 9,
+    "timeseries_bollinger": 3,
+    "join_asof_nearest": 2,
+    "sample_systematic": 9,
+    "stats_logrank_split": 7,
+    "eval_mcnemar_paired": 1,
+    "timeseries_cross_correlation": 5,
+    "analytics_cohort_ltv": 9,
+    "feature_chi2_ranking": 3,
 }
 
 #: iterative plans: rounds x per-round joins; bound loosely so a round
