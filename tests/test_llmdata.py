@@ -1898,3 +1898,35 @@ class TestHardNegatives:
                            anchors, k=1).collect()[0]
         assert (hn["vec_id"], hn["cosine"]) == (full["vec_id"],
                                                 full["cosine"])
+
+
+class TestBpeBatchRule3b:
+    """Adversarial fuzz for the r8-advice proof gap: corpora over a
+    tiny alphabet maximize merge-concat collisions with live table
+    symbols ('ab' minted while 'ab'-spelling pairs still exist), the
+    exact condition rule 3b guards. Distributed batched learning must
+    stay bit-equal to the in-memory heap learner on every one."""
+
+    def test_collision_prone_corpora_stay_sequential_equal(self, spark):
+        import itertools
+        import random
+
+        from data_and_analytics_etl_spark.operators.bpe import (
+            _learn_from_word_freqs, learn_bpe_merges_distributed)
+
+        rng = random.Random(90210)
+        for trial in range(4):
+            words = ["".join(rng.choice("ab") for _ in range(
+                rng.randint(2, 7))) for _ in range(60)]
+            # force heavy repetition so counts tie and collide
+            corpus = [w for w in words for _ in range(rng.randint(1, 4))]
+            df = spark.createDataFrame([(w,) for w in corpus],
+                                       "text: string")
+            got = learn_bpe_merges_distributed(
+                df, "text", num_merges=12, min_pair_count=2,
+                max_batch=6)
+            from collections import Counter
+            freqs = sorted(Counter(corpus).items())
+            want = _learn_from_word_freqs(freqs, 12, 2)
+            assert got == want, f"trial {trial} diverged: " \
+                                f"{got} vs {want}"

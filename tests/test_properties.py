@@ -674,3 +674,159 @@ class TestRoundNineOperators:
         for _, row in want_tol.iterrows():
             w = None if pd.isna(row["rid"]) else int(row["rid"])
             assert got_tol[int(row["lid"])] == w
+
+
+class TestRoundNineThirdCohort:
+    """Pure-Python references for the r9 third cohort (no scipy in the
+    sandbox; the formulas are small enough to restate exactly)."""
+
+    def _spark(self):
+        from data_and_analytics_etl_spark.session import get_spark
+        return get_spark("prop-r9c")
+
+    def test_logrank_matches_python_reference(self):
+        import math
+
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            logrank_split
+        spark = self._spark()
+        # arm A systematically longer-lived: curves must differ
+        data = [(t, e, a)
+                for a in (0, 1)
+                for i, (t, e) in enumerate(
+                    [(2 + 3 * a, 1), (4 + 2 * a, 1), (5, 0),
+                     (6 + 4 * a, 1), (8, 1), (9 + a, 0), (11, 1)])]
+        df = spark.createDataFrame(data, "t: long, e: int, a: int")
+        rows = logrank_split(df, F.col("a") == 1, F.col("t"),
+                             F.col("e")).collect()
+        # python reference
+        from collections import defaultdict
+        per = defaultdict(lambda: [0, 0, 0, 0])  # c_a c_b d_a d_b
+        for t, e, a in data:
+            per[t][0 if a else 1] += 1
+            per[t][2 if a else 3] += e
+        na = sum(1 for _, _, a in data if a)
+        nb = len(data) - na
+        want = []
+        for t in sorted(per):
+            c_a, c_b, d_a, d_b = per[t]
+            if d_a + d_b > 0:
+                dt, n_t = d_a + d_b, na + nb
+                e_a = dt * na / n_t
+                v = (dt * na * nb * (n_t - dt)
+                     / (n_t * n_t * (n_t - 1))) if n_t > 1 else 0.0
+                want.append((t, na, nb, d_a, d_b, e_a, v))
+            na -= c_a
+            nb -= c_b
+        assert len(rows) == len(want)
+        o_minus_e, var = 0.0, 0.0
+        for r, w in zip(rows, want):
+            assert (r["t"], r["n_risk_a"], r["n_risk_b"],
+                    r["d_a"], r["d_b"]) == w[:5]
+            assert abs(r["e_a_contrib"] - w[5]) < 1e-6
+            assert abs(r["var_contrib"] - w[6]) < 1e-6
+            o_minus_e += r["d_a"] - r["e_a_contrib"]
+            var += r["var_contrib"]
+        # separated curves: a nonzero caller-side statistic (tiny
+        # 14-subject sample — the per-time equality above is the test)
+        assert abs(o_minus_e / math.sqrt(var)) > 0.3
+
+    def test_logrank_identical_arms_zero_expectation_gap(self):
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            logrank_split
+        spark = self._spark()
+        # both arms are the SAME sample: O_a - E_a must be exactly 0
+        base = [(2, 1), (4, 1), (5, 0), (8, 1), (11, 1)]
+        data = [(t, e, a) for a in (0, 1) for t, e in base]
+        df = spark.createDataFrame(data, "t: long, e: int, a: int")
+        rows = logrank_split(df, F.col("a") == 1, F.col("t"),
+                             F.col("e")).collect()
+        gap = sum(r["d_a"] - r["e_a_contrib"] for r in rows)
+        assert abs(gap) < 1e-9
+
+    def test_cross_correlation_matches_python(self):
+        import math
+
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            cross_correlation
+        spark = self._spark()
+        a = [(d, (d * 7) % 13 + 1) for d in range(30)]
+        # b = a shifted by 2 days plus deterministic jitter: r peaks
+        # at lag +2
+        b = [(d + 2, v + (d % 3)) for d, v in a]
+        adf = spark.createDataFrame(a, "day: long, v: long")
+        bdf = spark.createDataFrame(b, "day: long, v: long")
+        got = {r["lag"]: r["r"]
+               for r in cross_correlation(adf, bdf, "day", "v",
+                                          max_lag=3).collect()}
+
+        def pearson(pairs):
+            n = len(pairs)
+            sa = sum(p[0] for p in pairs)
+            sb = sum(p[1] for p in pairs)
+            saa = sum(p[0] * p[0] for p in pairs)
+            sbb = sum(p[1] * p[1] for p in pairs)
+            sab = sum(p[0] * p[1] for p in pairs)
+            return ((n * sab - sa * sb)
+                    / math.sqrt((n * saa - sa * sa)
+                                * (n * sbb - sb * sb)))
+
+        bmap = dict(b)
+        for lag in range(-3, 4):
+            pairs = [(v, bmap[d + lag]) for d, v in a if d + lag in bmap]
+            assert abs(got[lag] - pearson(pairs)) < 1e-6
+        assert got[2] == max(got.values())  # the planted shift wins
+
+    def test_chi2_cells_matches_python(self):
+        import pyspark.sql.functions as F
+        from collections import Counter
+
+        from data_and_analytics_etl_spark.operators.features import \
+            chi2_cells
+        spark = self._spark()
+        data = [(["x", "y", "z"][i % 3], ["p", "q"][(i * i) % 2], i % 2)
+                for i in range(200)]
+        df = spark.createDataFrame(data, "f1: string, f2: string, "
+                                         "lbl: int")
+        rows = chi2_cells(df, ["f1", "f2"], F.col("lbl")).collect()
+        for feat, col in (("f1", 0), ("f2", 1)):
+            obs = Counter((r[col], r[2]) for r in data)
+            n = len(data)
+            rt = Counter(r[col] for r in data)
+            ct = Counter(r[2] for r in data)
+            for r in rows:
+                if r["feature"] != feat:
+                    continue
+                v, lbl = r["value"], r["label"]
+                exp = rt[v] * ct[lbl] / n
+                assert r["obs"] == obs[(v, lbl)]
+                assert abs(r["expected"] - exp) < 1e-6
+                assert abs(r["chi2_contrib"]
+                           - (obs[(v, lbl)] - exp) ** 2 / exp) < 1e-6
+
+    def test_cohort_ltv_invariants(self):
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.operators.cohort import \
+            cohort_ltv
+        spark = self._spark()
+        import datetime as dt
+        rows = [(u, dt.datetime(2024, 1 + (u + k) % 4, 3), 1000 + u)
+                for u in range(1, 15) for k in range(3)]
+        df = spark.createDataFrame(rows, "u: long, ts: timestamp, "
+                                         "cents: long")
+        out = cohort_ltv(df, "u", "ts", F.col("cents")).collect()
+        by_cohort = {}
+        for r in out:
+            by_cohort.setdefault(r["cohort_month"], []).append(r)
+        total = sum(r["revenue_cents"] for r in out)
+        assert total == sum(c for _, _, c in rows)  # nothing lost
+        for rows_c in by_cohort.values():
+            rows_c.sort(key=lambda r: r["age_months"])
+            assert rows_c[0]["age_months"] == 0  # cohort defined by 1st
+            cum = 0
+            for r in rows_c:
+                cum += r["revenue_cents"]
+                assert r["cum_revenue_cents"] == cum
+                assert r["n_users"] <= r["cohort_size"]
