@@ -110,6 +110,13 @@ def run_once(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+    # Ambient-load provenance (r9 verdict task 2): BENCH_r09's unchanged
+    # queries drifted +13-55% under concurrent sweeps while same-round
+    # quiet-host runs sat at r8 parity. Recording 1/5/15-min loadavg at
+    # start AND end makes that adjudication mechanical instead of
+    # forensic: a contended record shows loadavg >> bench's own ~32
+    # worker threads.
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("daa-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warm-up outside the measurement window
@@ -146,6 +153,8 @@ def main() -> None:
         "queries": times,
         "n_errors": len(times) - len(ok),
         "sf": sf,
+        "loadavg_start": load_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }))
 
 

@@ -324,8 +324,12 @@ def chi2_cells(df: DataFrame, feature_cols: list[str],
     bounded cell rows — the categorical_profile per-row-contribution
     contract.
     """
-    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)"
-                      for c in feature_cols)
+    # Backtick-quote the identifier (and escape quotes in the name
+    # literal) so feature names with spaces/hyphens/keywords survive
+    # the stack() expression (r9 advice #4).
+    pairs = ", ".join(
+        f"""'{c.replace("'", "''")}', CAST(`{c.replace('`', '``')}` AS STRING)"""
+        for c in feature_cols)
     cells = (df.select(F.expr(f"stack({len(feature_cols)}, {pairs})")
                        .alias("feature", "value"),
                        label.cast("long").alias("label"))

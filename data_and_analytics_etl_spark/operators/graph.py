@@ -351,9 +351,13 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
                                       (-F.col("label")).alias("__nl")))
                        .alias("__m"))
                   .select("node", (-F.col("__m.__nl")).alias("label")))
-        # isolated nodes (none here after symmetrize+distinct, but the
-        # contract holds for degree-0 inputs): keep the previous label
-        labels = (labels.select("node").join(picked, "node", "left")
-                  .withColumn("label", F.coalesce(F.col("label"),
-                                                  F.col("node"))))
+        # Degree-0 nodes cannot exist in this loop: the label frame's
+        # node set IS the symmetrized edge frame's node set, so every
+        # node has >= 1 neighbor and `picked` covers all of them. A
+        # defensive left-join fallback here previously coalesced to
+        # the node ID while claiming to keep the previous label (r9
+        # advice #3) — both the wrong-label bug and the dead join are
+        # gone; if external label seeds ever become an input, carry
+        # the previous round's label, NOT the node id.
+        labels = picked
     return labels.orderBy("node")

@@ -391,7 +391,16 @@ def systematic_sample(df: DataFrame, key_col: str, every_k: int,
     data shuffle (the dense-id renumber).
     """
     from .ids import assign_dense_ids
-    keyed = df.withColumn("__ord", F.md5(F.col(key_col).cast("string")))
+    # md5 collisions between DISTINCT keys are negligible, but
+    # duplicate key VALUES share an md5 exactly — append the key
+    # itself as a tie-break (the weighted/quota samplers' pattern) so
+    # positions are a pure function of the key set. Like
+    # ids.assign_dense_ids, the contract requires key_col unique per
+    # row: rows sharing a key would still tie-break arbitrarily
+    # (r9 advice #2).
+    keyed = df.withColumn(
+        "__ord", F.concat(F.md5(F.col(key_col).cast("string")),
+                          F.col(key_col).cast("string")))
     ranked = assign_dense_ids(keyed, "__ord", out_col="__pos")
     return (ranked.filter(F.col("__pos") % every_k == offset)
             .drop("__ord", "__pos"))

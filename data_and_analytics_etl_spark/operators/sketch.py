@@ -220,7 +220,12 @@ def heavy_hitters(df: DataFrame, key_col: str, phi_num: int = 1,
                         counters[c] -= 1
         yield pd.DataFrame({"__k": list(counters.keys())})
 
-    keyed = df.select(F.col(key_col).alias("__k")).filter(
+    # Cast the key to string ONCE here: the mapInPandas candidate
+    # schema below is '__k string', so a natively-typed key would
+    # either crash the Arrow pass or mis-join the candidate set
+    # against a typed keyed frame (r9 advice #1). Output keys are
+    # therefore string-typed for every input key type.
+    keyed = df.select(F.col(key_col).cast("string").alias("__k")).filter(
         F.col("__k").isNotNull())
     cands = (keyed.mapInPandas(mg_partition, schema="__k string")
              .distinct())

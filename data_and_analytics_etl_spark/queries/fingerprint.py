@@ -56,8 +56,13 @@ ALWAYS_REPO = (os.path.join("scripts", "verify_probes.py"),
 _IMPORT_PAT = re.compile(
     r"^\s*from\s+(\.{1,2}[\w\.]*|data_and_analytics_etl_spark[\w\.]*)"
     r"\s+import\s+([\w\s,()]*)", re.MULTILINE)
+#: Captures the FULL module list of a plain-import line so comma forms
+#: (`import os, data_and_analytics_etl_spark.operators.text`) can't
+#: escape the closure scan (r9 advice #5) — the consumer greps the
+#: captured tail for package modules.
 _PLAIN_IMPORT_PAT = re.compile(
-    r"^\s*import\s+(data_and_analytics_etl_spark[\w\.]*)", re.MULTILINE)
+    r"^\s*import\s+([\w\.\s,]+)", re.MULTILINE)
+_PKG_MODULE_PAT = re.compile(r"data_and_analytics_etl_spark[\w\.]*")
 
 _file_sha_cache: dict[str, str] = {}
 _closure_cache: dict[str, frozenset[str]] = {}
@@ -106,9 +111,10 @@ def _closure(path: str) -> frozenset[str]:
         with open(p, encoding="utf-8") as f:
             text = f.read()
         for m in _PLAIN_IMPORT_PAT.finditer(text):
-            dep = _resolve(m.group(1), os.path.dirname(p))
-            if dep and dep not in seen:
-                frontier.append(dep)
+            for mod in _PKG_MODULE_PAT.findall(m.group(1)):
+                dep = _resolve(mod, os.path.dirname(p))
+                if dep and dep not in seen:
+                    frontier.append(dep)
         for m in _IMPORT_PAT.finditer(text):
             ref, names = m.group(1), m.group(2)
             dep = _resolve(ref, os.path.dirname(p))
