@@ -494,3 +494,123 @@ def shard_by_weight(df: DataFrame, weight_col: str, target_weight: int,
                         F.expr(f"CAST(__cum_before DIV {int(target_weight)}"
                                " AS INT)"))
             .drop("__bucket", "__bbase", "__cum_before"))
+
+
+def span_removal(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exact duplicated-span REMOVAL with in-order reassembly — the
+    completion of :func:`span_duplication`'s profile into the actual
+    Lee et al. '22 dedup step ("Deduplicating Training Data Makes
+    Language Models Better", ExactSubstr): every occurrence of a
+    duplicated ``n``-word span EXCEPT the corpus-first one (in
+    (id, start) order) has its covered words dropped, and each
+    document's surviving words are stitched back together in original
+    order. :func:`segment_dedup` generalized from disjoint fixed
+    blocks to OVERLAPPING sliding spans: a word is removed when ANY
+    removed span occurrence covers it, so removals merge into maximal
+    duplicated regions exactly like suffix-array substring dedup.
+
+    Output per document: ``n_words``, ``n_removed`` (words dropped)
+    and ``text_kept`` (surviving words joined in order; empty string
+    when the whole document was duplicated).
+
+    Scale shape: posexplode to (doc, start, span) occurrence rows —
+    every occurrence, NOT array_distinct (within-doc repeats beyond
+    the first must also be removed); ONE window keyed by the span
+    string picks the (id, start)-min first owner (at 100 TB key by a
+    span hash so only digests cross the wire); removed occurrences
+    fan out n positions each, collapse via collect_set into ONE
+    per-doc sorted removal array (bounded by document length); one
+    doc-keyed join back rebuilds the text with a pure-codegen indexed
+    filter over the let-bound word array. Two data shuffles (span
+    window, doc rollup) + one doc-keyed join — no doc x doc product,
+    no UDF.
+    """
+    def _spans(t):
+        npos = F.size(t) - (n - 1)
+        # sequence(1, 0) would DESCEND on a short document; emit no
+        # spans instead (the segment_dedup lesson)
+        return F.when(npos > 0, F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: F.array_join(F.slice(t, i, n), " "))
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _words(c):
+        return F.filter(F.split(c, r"\s+"), lambda w: w != "")
+
+    base = docs.select(id_col, text_col)
+    # let-bind the token array (single-element transform) so
+    # CollapseProject can't re-run split() per reference site
+    spans = base.select(
+        id_col,
+        F.posexplode(F.element_at(
+            F.transform(F.array(_words(F.col(text_col))), _spans), 1))
+        .alias("start", "__span"))
+    wfirst = Window.partitionBy("__span").orderBy(id_col, "start")
+    removed_occ = (spans
+                   .withColumn("__rn", F.row_number().over(wfirst))
+                   .filter(F.col("__rn") > 1))
+    removed = (removed_occ
+               .select(id_col,
+                       F.explode(F.sequence(
+                           F.col("start"),
+                           F.col("start") + F.lit(n - 1))).alias("__pos"))
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_set("__pos")).alias("__rm")))
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+
+    def _rebuild(t):
+        # indexed filter: keep word i unless its 0-based position is
+        # in the removal set (removal arrays are bounded by doc
+        # length, so the contains scan is per-doc quadratic only in
+        # the worst all-duplicated case — never corpus-sized)
+        return F.array_join(
+            F.filter(t, lambda w, i: ~F.array_contains(rm, i)), " ")
+
+    words_bound = F.element_at(
+        F.transform(F.array(_words(F.col(text_col))),
+                    lambda t: F.struct(
+                        F.size(t).alias("n"),
+                        _rebuild(t).alias("kept"))), 1)
+    return (base.join(removed, id_col, "left")
+            .withColumn("__wb", words_bound)
+            .select(id_col,
+                    F.col("__wb.n").cast("long").alias("n_words"),
+                    F.size(rm).cast("long").alias("n_removed"),
+                    F.col("__wb.kept").alias("text_kept")))
+
+
+def ngram_novelty(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document novelty score: the fraction of the document's
+    DISTINCT n-gram spans never seen in any earlier document (by
+    ``id_col`` order) — the streaming-ingest curation signal for "how
+    much does this document add over what the corpus already has"
+    (the complement of span_duplication's corpus-wide dup profile;
+    RETSim/Gopher-style pipelines use it to rank crawl increments).
+
+    First ownership = min(id) per span, so the score is a pure
+    function of the corpus and the id order: doc d's span is novel
+    iff no doc with smaller id carries it. Documents shorter than
+    ``n`` words carry no spans and are absent from the output (the
+    span_duplication contract).
+
+    Scale shape: array_distinct BEFORE the explode (within-doc dups
+    can only arise inside one row), one span-keyed window for the
+    min-owner, one doc-keyed rollup — exactly span_duplication's two
+    shuffles; the ratio is exact-integer counts -> ONE double
+    division.
+    """
+    pairs = (with_word_shingles(
+        docs.select(id_col, text_col), text_col, n=n, out="__grams")
+        .select(id_col,
+                F.explode(F.array_distinct("__grams")).alias("__g")))
+    w = Window.partitionBy("__g")
+    flagged = pairs.withColumn("__first", F.min(id_col).over(w))
+    return (flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum((F.col("__first") == F.col(id_col)).cast("long"))
+         .alias("n_novel"))
+        .withColumn("novelty_ratio",
+                    F.round(F.col("n_novel") / F.col("n_grams"), 4)
+                    + F.lit(0.0)))

@@ -747,3 +747,47 @@ def mcnemar(df: DataFrame, truth: Column, pred_a: Column,
     chi2 = F.when(tot > 0, diff * diff / tot).otherwise(F.lit(0.0))
     return agg.select("n", "both_right", "both_wrong", "b", "c",
                       F.round(chi2, 6).alias("chi2"))
+
+
+def calibration_bins(df: DataFrame, score_pct: Column, label: Column,
+                     nbins: int = 10) -> DataFrame:
+    """Reliability-diagram bins + per-bin ECE contributions: the
+    model-calibration readout (Guo et al. '17) that
+    eval_calibration_lift's decile-lift view doesn't give — "when the
+    model says 70%, does it happen 70% of the time?".
+
+    ``score_pct`` is the prediction as an INTEGER per-cent score in
+    [0, 100] (the caller quantizes; integer scores make the bin edge
+    exact — a double score at a boundary is engine-ambiguous). Bin
+    assignment is pure integer arithmetic: bin = min(score·nbins DIV
+    100, nbins−1). Per bin: n, n_pos, Σscore (exact integers), then
+    mean_score = Σscore/(100·n), frac_pos = n_pos/n and the weighted
+    calibration gap |frac − mean|·n/N (whose sum over the ≤nbins
+    bounded rows is the ECE) — each ONE double chain.
+
+    Plan: one codegen bin expression + ONE hash aggregate on the bin
+    id (≤ nbins rows) + a 1-row broadcast total. No window, no join.
+    """
+    s = score_pct.cast("long")
+    g = (df.select((s * F.lit(nbins)).alias("__sn"), s.alias("__s"),
+                   label.cast("long").alias("__y"))
+         # integer DIV (never a double division at a bin edge)
+         .select(F.least(F.expr("__sn DIV 100"), F.lit(nbins - 1))
+                 .cast("long").alias("bin"), "__s", "__y")
+         .groupBy("bin")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("__y").alias("n_pos"),
+              F.sum("__s").alias("sum_score")))
+    tot = g.agg(F.sum("n").alias("__N"))
+    mean_score = F.col("sum_score").cast("double") \
+        / (F.lit(100.0) * F.col("n").cast("double"))
+    frac_pos = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    ece_w = (F.abs(frac_pos - mean_score) * F.col("n").cast("double")
+             / F.col("__N").cast("double"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("bin", F.col("n").cast("long").alias("n"),
+                    F.col("n_pos").cast("long").alias("n_pos"),
+                    F.round(mean_score, 6).alias("mean_score"),
+                    F.round(frac_pos, 6).alias("frac_pos"),
+                    F.round(ece_w, 6).alias("ece_contrib"))
+            .orderBy("bin"))

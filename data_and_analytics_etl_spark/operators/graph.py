@@ -361,3 +361,128 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
         # the previous round's label, NOT the node id.
         labels = picked
     return labels.orderBy("node")
+
+
+def pagerank_integer(edges: DataFrame, src: str = "src",
+                     dst: str = "dst", iters: int = 3,
+                     damp_num: int = 85, damp_den: int = 100,
+                     scale: int = 10**12) -> DataFrame:
+    """PageRank in EXACT integer arithmetic — the oracle-checkable
+    twin of :func:`pagerank` (whose double contributions sum in
+    partition order and therefore can't be value-hashed across
+    engines; the md5-twin move applied to an iterative algorithm).
+
+    Ranks are integers on a ``scale`` grid; each round is pure
+    integer arithmetic with floor division (every quantity is
+    nonnegative, so trunc == floor on both engines):
+
+        share(u)   = (damp_num·rank(u)) DIV (damp_den·outdeg(u))
+        dangling   = (damp_num·Σ_{outdeg=0} rank) DIV (damp_den·n)
+        teleport   = ((damp_den−damp_num)·scale) DIV (damp_den·n)
+        rank'(v)   = teleport + dangling + Σ_{u→v} share(u)
+
+    Integer sums are order-insensitive, so the result is a pure
+    function of the graph — bit-identical on any engine, unrolled as
+    chained SQL CTEs in the DuckDB oracle. Total mass leaks a few
+    units per round to the floors (bounded by n per round) — this is
+    a deterministic VARIANT with the same fixed point up to grid
+    resolution, not a float-PageRank replacement; :func:`pagerank`
+    stays the production path.
+
+    Scale shape per round: one equi-join (ranks ⨝ edges on the
+    source) + one hash aggregate, a 1-row dangling aggregate
+    broadcast into the update — the :func:`pagerank` plan with the
+    doubles swapped for longs. rank·damp_num ≤ scale·damp_num keeps
+    everything far from the 2^63 cliff.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = (nodes.join(outdeg, nodes.node == outdeg.src, "left")
+            .select("node",
+                    F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    n = base.count()  # one bounded action to size the teleport term
+    teleport = ((damp_den - damp_num) * scale) // (damp_den * n)
+    ranks = base.select(
+        "node", "outdeg",
+        F.lit(int(scale // n)).cast("long").alias("rank"))
+
+    for _ in range(int(iters)):
+        dang = (ranks.filter(F.col("outdeg") == 0)
+                .agg(F.coalesce(F.sum("rank"), F.lit(0))
+                     .cast("long").alias("__dang")))
+        contrib = (ranks.filter(F.col("outdeg") > 0)
+                   .join(e, ranks.node == e.src)
+                   .select(F.col("dst").alias("node"),
+                           F.expr(f"({damp_num}L * rank) DIV "
+                                  f"({damp_den}L * outdeg)")
+                           .alias("__share"))
+                   .groupBy("node")
+                   .agg(F.sum("__share").alias("__c")))
+        ranks = (base.join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("node", "outdeg",
+                         (F.lit(int(teleport))
+                          + F.expr(f"({damp_num}L * __dang) DIV "
+                                   f"({damp_den}L * {n}L)")
+                          + F.coalesce(F.col("__c"), F.lit(0)))
+                         .cast("long").alias("rank"))
+                 .localCheckpoint(eager=False))
+    return ranks.select("node", "rank").orderBy("node")
+
+
+def jaccard_link_scores(edges: DataFrame, src: str = "src",
+                        dst: str = "dst",
+                        min_common: int = 1) -> DataFrame:
+    """Jaccard-coefficient link prediction over an undirected graph:
+    for every NON-adjacent node pair sharing at least ``min_common``
+    neighbors, J(u,v) = |Γ(u) ∩ Γ(v)| / |Γ(u) ∪ Γ(v)| — the classic
+    common-neighbors baseline (Liben-Nowell & Kleinberg '03) behind
+    people-you-may-know / related-item candidates.
+
+    Counts are all exact integers: shared neighbors from the wedge
+    join, |Γ(u) ∪ Γ(v)| = deg(u) + deg(v) − common; J is ONE double
+    division. Existing edges are removed with an anti-join (link
+    PREDICTION scores absent links only).
+
+    Plan: symmetrize + distinct (one shuffle), the wedge self-join on
+    the shared-neighbor center (fan-out Σ deg² — the triangle_count
+    family; on power-law graphs orient or cap hub degrees first, same
+    mitigation as that operator), one hash aggregate to (u,v), two
+    degree equi-joins, one anti-join. No cartesian anywhere.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("a"),
+                        F.greatest(a, b).alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    adj = und.unionByName(und.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # wedges: two distinct neighbors u < v of the same center
+    l = adj.select(F.col("a").alias("__ctr"), F.col("b").alias("u"))
+    r = adj.select(F.col("a").alias("__ctr"), F.col("b").alias("v"))
+    common = (l.join(r, "__ctr")
+              .filter(F.col("u") < F.col("v"))
+              .groupBy("u", "v")
+              .agg(F.count(F.lit(1)).alias("common"))
+              .filter(F.col("common") >= int(min_common)))
+    new_pairs = common.join(
+        und, (common.u == und.a) & (common.v == und.b), "left_anti")
+    du = deg.select(F.col("a").alias("u"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("a").alias("v"), F.col("deg").alias("__dv"))
+    return (new_pairs.join(du, "u").join(dv, "v")
+            .select("u", "v", "common",
+                    (F.col("__du") + F.col("__dv") - F.col("common"))
+                    .cast("long").alias("union_size"),
+                    (F.round(F.col("common")
+                             / (F.col("__du") + F.col("__dv")
+                                - F.col("common")), 6) + F.lit(0.0))
+                    .alias("jaccard"))
+            .orderBy("u", "v"))

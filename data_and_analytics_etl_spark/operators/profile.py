@@ -1396,3 +1396,271 @@ def brown_forsythe(df: DataFrame, group_col: str,
           .select("category",
                   F.abs(2 * F.col("__c") - F.col("__m2")).alias("__z2")))
     return anova_oneway(z2, "category", F.col("__z2"))
+
+
+def kendall_tau_b(df: DataFrame, group_col: str, x_col: str,
+                  y_col: str) -> DataFrame:
+    """Per-group Kendall τ-b rank correlation for BOUNDED-DOMAIN
+    variables — the tie-robust rank association measure (τ-b is what
+    scipy.stats.kendalltau computes; Spearman's ρ weights by rank
+    distance, τ by pair orientation only).
+
+    Contingency decomposition: collapse the rows to per-(group, x, y)
+    cell counts — bounded by |X|·|Y| per group, the caller's contract
+    (quantity×discount here is 50×11) — then every pairwise quantity
+    is an exact integer from the CELL table, never the rows:
+
+        C  = Σ_{x<x', y<y'} n·n'      (concordant pairs)
+        D  = Σ_{x<x', y>y'} n·n'      (discordant)
+        n1 = Σ_x t_x(t_x−1)/2         (pairs tied on x)
+        n2 = Σ_y t_y(t_y−1)/2, n0 = n(n−1)/2
+        τb = (C − D) / √((n0−n1)(n0−n2))   — ONE double chain.
+
+    Plan: one hash aggregate to cells, one within-group cell
+    self-join under x<x' (bounded × bounded — broadcast the right
+    side), two marginal rollups; DECIMAL(38,0) products keep the pair
+    counts exact at any n.
+    """
+    dec = "decimal(38,0)"
+    cells = (df.select(F.col(group_col).alias("__g"),
+                       F.col(x_col).alias("__x"),
+                       F.col(y_col).alias("__y"))
+             .groupBy("__g", "__x", "__y")
+             .agg(F.count(F.lit(1)).alias("__n")))
+    lhs = cells.select("__g", F.col("__x").alias("__x1"),
+                       F.col("__y").alias("__y1"),
+                       F.col("__n").alias("__n1"))
+    rhs = cells.select("__g", F.col("__x").alias("__x2"),
+                       F.col("__y").alias("__y2"),
+                       F.col("__n").alias("__n2"))
+    prod = F.col("__n1").cast(dec) * F.col("__n2").cast(dec)
+    cd = (lhs.join(F.broadcast(rhs), "__g")
+          .filter(F.col("__x1") < F.col("__x2"))
+          .groupBy("__g")
+          .agg(F.sum(F.when(F.col("__y1") < F.col("__y2"), prod)
+                     .otherwise(F.lit(0).cast(dec))).cast(dec)
+               .alias("__conc"),
+               F.sum(F.when(F.col("__y1") > F.col("__y2"), prod)
+                     .otherwise(F.lit(0).cast(dec))).cast(dec)
+               .alias("__disc")))
+    tx = (cells.groupBy("__g", "__x").agg(F.sum("__n").alias("__t"))
+          .groupBy("__g")
+          .agg((F.sum(F.col("__t").cast(dec)
+                      * (F.col("__t") - 1).cast(dec)) / 2).cast(dec)
+               .alias("__n1t")))
+    ty = (cells.groupBy("__g", "__y").agg(F.sum("__n").alias("__t"))
+          .groupBy("__g")
+          .agg((F.sum(F.col("__t").cast(dec)
+                      * (F.col("__t") - 1).cast(dec)) / 2).cast(dec)
+               .alias("__n2t")))
+    tot = cells.groupBy("__g").agg(F.sum("__n").alias("n"))
+    n0 = (F.col("n").cast(dec) * (F.col("n") - 1).cast(dec) / 2).cast(dec)
+    denom = ((n0 - F.col("__n1t")) * (n0 - F.col("__n2t"))).cast("double")
+    return (tot.join(cd, "__g").join(tx, "__g").join(ty, "__g")
+            .select(F.col("__g").alias("category"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("__conc").cast("long").alias("concordant"),
+                    F.col("__disc").cast("long").alias("discordant"),
+                    F.round((F.col("__conc") - F.col("__disc"))
+                            .cast("double") / F.sqrt(denom), 6)
+                    .alias("tau_b"))
+            .orderBy("category"))
+
+
+def kruskal_wallis(df: DataFrame, group_col: str, value_col: str,
+                   lo: float, hi: float, nbins: int = 256) -> DataFrame:
+    """Kruskal-Wallis rank-sum decomposition, per-group rows — the
+    nonparametric one-way ANOVA (H test) on POOLED midranks, the
+    k-sample generalization of :func:`mann_whitney_u`.
+
+    Midranks are pooled over ALL groups (one constant-group call into
+    the bucketed ``_midrank2_by_group`` core — no data-sized
+    single-task window) and carried DOUBLED, so the per-group rank
+    sum ``rank_sum2`` = 2·R_g is an exact BIGINT. Emitted per group:
+    n, rank_sum2, and ``h_contrib`` = R_g²/n_g = rank_sum2²/(4·n_g)
+    as ONE double chain from the exact integers. The caller assembles
+    H = 12/(N(N+1))·Σ h_contrib − 3(N+1) and the tie correction
+    1 − Σ(t³−t)/(N³−N) over the bounded group rows (the anova_oneway
+    per-row-contribution contract; the tie sum ``tie3`` is exact and
+    emitted on every row for that assembly).
+
+    Plan: one bucketed rank build (shuffle on value), one value-keyed
+    join back, one hash aggregate per group + a 1-row broadcast tie
+    rollup.
+    """
+    dec = "decimal(38,0)"
+    pooled = df.select(F.lit(0).alias("__all"),
+                       F.col(group_col).alias("category"),
+                       F.col(value_col).alias("__v"))
+    mr = _midrank2_by_group(pooled, "__all", "__v", lo, hi, nbins)
+    joined = pooled.join(mr.select(F.col("__v"), F.col("__mr2")), "__v")
+    g = (joined.groupBy("category")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("__mr2").alias("rank_sum2")))
+    ties = (pooled.groupBy("__v").agg(F.count(F.lit(1)).alias("__t"))
+            .agg(F.sum(F.col("__t").cast(dec) * F.col("__t").cast(dec)
+                       * F.col("__t").cast(dec)
+                       - F.col("__t").cast(dec)).cast(dec)
+                 .alias("__tie3")))
+    h_contrib = (F.col("rank_sum2").cast(dec)
+                 * F.col("rank_sum2").cast(dec)).cast("double") \
+        / (F.lit(4.0) * F.col("n").cast("double"))
+    return (g.crossJoin(F.broadcast(ties))
+            .select("category", F.col("n").cast("long").alias("n"),
+                    F.col("rank_sum2").cast("long").alias("rank_sum2"),
+                    h_contrib.alias("h_contrib"),
+                    F.col("__tie3").cast("long").alias("tie3"))
+            .orderBy("category"))
+
+
+def paired_ttest(df: DataFrame, group_col: str, x_cents: Column,
+                 y_cents: Column) -> DataFrame:
+    """Paired-sample t statistic per group: the within-unit
+    differences d = x − y (exact integer cents) feed exact moments
+    (n, Σd as BIGINT, Σd² as DECIMAL(38,0)); the t statistic is ONE
+    double chain:
+
+        t = Σd·√(n−1) / √(n·Σd² − (Σd)²)
+
+    (algebraically mean_d / (sd/√n) with every cancellation done in
+    exact arithmetic first — the welch_ttest discipline applied to
+    the paired design, which ab_welch_ttest's independent-samples
+    form cannot express).
+
+    Plan: ONE hash aggregate on the group key; no join, no window.
+    """
+    dec = "decimal(38,0)"
+    d = (x_cents.cast("long") - y_cents.cast("long"))
+    g = (df.select(F.col(group_col).alias("category"), d.alias("__d"))
+         .groupBy("category")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("__d").alias("sum_d_cents"),
+              F.sum(F.col("__d").cast(dec) * F.col("__d").cast(dec))
+              .cast(dec).alias("__s2")))
+    nd = F.col("n").cast("double")
+    denom = (F.col("n").cast(dec) * F.col("__s2")
+             - F.col("sum_d_cents").cast(dec)
+             * F.col("sum_d_cents").cast(dec)).cast("double")
+    t = (F.col("sum_d_cents").cast("double") * F.sqrt(nd - F.lit(1.0))
+         / F.sqrt(denom))
+    return (g.select("category", F.col("n").cast("long").alias("n"),
+                     F.col("sum_d_cents").cast("long")
+                     .alias("sum_d_cents"),
+                     F.round(t, 6).alias("t_stat"))
+            .orderBy("category"))
+
+
+def ols_two_factor(df: DataFrame, group_col: str, x1: Column,
+                   x2: Column, y_cents: Column) -> DataFrame:
+    """Two-predictor ordinary least squares per group, closed form —
+    group_linear_regression generalized to ŷ = a + b1·x1 + b2·x2 via
+    the 2×2 centered normal equations (Cramer's rule):
+
+        S11 = n·Σx1² − (Σx1)²   S12 = n·Σx1x2 − Σx1·Σx2   (…S22, S1y,
+        S2y analogous)          det = S11·S22 − S12²
+        b1 = (S1y·S22 − S2y·S12)/det   b2 = (S2y·S11 − S1y·S12)/det
+        a  = (Σy − b1·Σx1 − b2·Σx2)/n
+
+    Every moment accumulates EXACTLY (BIGINT / DECIMAL(38,0), operands
+    cast before multiplying); each coefficient is ONE double chain
+    from exact decimals. Predictors must be integer-valued by
+    contract (cents/counts — cast upstream); DECIMAL(38,0) holds the
+    cross products to ~sf1 scale for cent-ranged inputs (beyond that,
+    rescale units upstream; the moments themselves never overflow
+    first — they're the smaller terms).
+
+    Plan: ONE hash aggregate on the group key; coefficient assembly
+    is per-row arithmetic on the bounded group table. The standard
+    "elasticity with a control variable" shape (price ~ quantity +
+    discount here).
+    """
+    dec = "decimal(38,0)"
+    rows = df.select(F.col(group_col).alias("category"),
+                     x1.cast("long").alias("__x1"),
+                     x2.cast("long").alias("__x2"),
+                     y_cents.cast("long").alias("__y"))
+
+    def dd(a, b):
+        return F.sum(F.col(a).cast(dec) * F.col(b).cast(dec)).cast(dec)
+
+    g = (rows.groupBy("category")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("__x1").alias("s1"), F.sum("__x2").alias("s2"),
+              F.sum("__y").alias("sy"),
+              dd("__x1", "__x1").alias("s11"),
+              dd("__x2", "__x2").alias("s22"),
+              dd("__x1", "__x2").alias("s12"),
+              dd("__x1", "__y").alias("s1y"),
+              dd("__x2", "__y").alias("s2y")))
+    n = F.col("n").cast(dec)
+    c11 = (n * F.col("s11") - F.col("s1").cast(dec)
+           * F.col("s1").cast(dec)).cast(dec)
+    c22 = (n * F.col("s22") - F.col("s2").cast(dec)
+           * F.col("s2").cast(dec)).cast(dec)
+    c12 = (n * F.col("s12") - F.col("s1").cast(dec)
+           * F.col("s2").cast(dec)).cast(dec)
+    c1y = (n * F.col("s1y") - F.col("s1").cast(dec)
+           * F.col("sy").cast(dec)).cast(dec)
+    c2y = (n * F.col("s2y") - F.col("s2").cast(dec)
+           * F.col("sy").cast(dec)).cast(dec)
+    # determinant and numerators as DOUBLES: the decimal products
+    # c1y·c22 would overflow 38 digits at large n; each factor is an
+    # exact decimal -> correctly-rounded double cast -> one fixed
+    # IEEE chain per coefficient (the anova emission rule)
+    det = (c11.cast("double") * c22.cast("double")
+           - c12.cast("double") * c12.cast("double"))
+    b1 = ((c1y.cast("double") * c22.cast("double")
+           - c2y.cast("double") * c12.cast("double")) / det)
+    b2 = ((c2y.cast("double") * c11.cast("double")
+           - c1y.cast("double") * c12.cast("double")) / det)
+    a = ((F.col("sy").cast("double") - b1 * F.col("s1").cast("double")
+          - b2 * F.col("s2").cast("double")) / F.col("n").cast("double"))
+    return (g.select("category", F.col("n").cast("long").alias("n"),
+                     b1.alias("beta1"), b2.alias("beta2"),
+                     a.alias("intercept"))
+            .orderBy("category"))
+
+
+def randomized_response(df: DataFrame, group_col: str,
+                        truth: Column, key: Column,
+                        p256: int = 192) -> DataFrame:
+    """Warner randomized response with a DETERMINISTIC md5 coin —
+    local differential privacy for a sensitive boolean, made
+    oracle-checkable the md5-twin way (a real deployment derives the
+    coin from a secret seed; the mechanism and the debiasing are
+    identical).
+
+    Each row reports its true bit iff its coin (first byte of
+    md5('rr|' || key), uniform on [0,256)) lands below ``p256``,
+    else the INVERTED bit — so p = p256/256 and any single report is
+    (log(p/(1−p)))-LDP deniable. The per-group debiased estimate
+    inverts the expectation exactly:
+
+        E[yes_rate] = p·π + (1−p)(1−π)
+        π̂ = (256·noisy_yes/n − (256−p256)) / (2·p256 − 256)·n⁻¹…
+
+    carried as one double chain from exact integers: est_true_yes =
+    (256·noisy_yes − (256−p256)·n) / (2·p256 − 256).
+
+    Plan: pure codegen per-row coin + ONE hash aggregate; no shuffle
+    beyond the group-by.
+    """
+    if not 128 < p256 <= 256:
+        raise ValueError("p256 must be in (128, 256] (p > 1/2)")
+    coin = F.conv(F.substring(
+        F.md5(F.concat(F.lit("rr|"), key.cast("string"))), 1, 2),
+        16, 10).cast("int")
+    t = truth.cast("boolean")
+    reported = F.when(coin < F.lit(p256), t).otherwise(~t)
+    g = (df.select(F.col(group_col).alias("category"),
+                   reported.cast("long").alias("__r"))
+         .groupBy("category")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("__r").alias("noisy_yes")))
+    est = ((F.lit(256.0) * F.col("noisy_yes").cast("double")
+            - F.lit(float(256 - p256)) * F.col("n").cast("double"))
+           / F.lit(float(2 * p256 - 256)))
+    return (g.select("category", F.col("n").cast("long").alias("n"),
+                     F.col("noisy_yes").cast("long").alias("noisy_yes"),
+                     F.round(est, 6).alias("est_true_yes"))
+            .orderBy("category"))

@@ -404,3 +404,88 @@ def systematic_sample(df: DataFrame, key_col: str, every_k: int,
     ranked = assign_dense_ids(keyed, "__ord", out_col="__pos")
     return (ranked.filter(F.col("__pos") % every_k == offset)
             .drop("__ord", "__pos"))
+
+
+def weighted_systematic_sample(df: DataFrame, key_col: str,
+                               weight: Column, k: int,
+                               buckets: int = 64) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sample of ``k``
+    draws — the exact-arithmetic, oracle-checkable twin of
+    :func:`weighted_reservoir_sample` (A-Res orders by u^(1/w), whose
+    pow/ln chain is engine-specific in the last ulp; this design
+    never leaves integer arithmetic, so selection is bit-identical on
+    any engine with md5).
+
+    Classic PPS-systematic (Madow '49): rows are laid on a line in
+    md5(key)-order, each occupying a segment of its integer weight;
+    k equally-spaced odd-grid points g_j = (2j+1)·W/(2k), j in
+    [0, k), select the rows whose segment they land in. A row with
+    weight > W/k can be hit multiple times — ``n_hits`` carries the
+    multiplicity (the with-replacement view), and Σ n_hits = k
+    exactly. All comparisons are cross-multiplied integers: row i
+    with exclusive prefix c_i and weight w_i is hit by grid j iff
+    2k·c_i <= (2j+1)·W < 2k·(c_i + w_i) — no division, no doubles.
+    (Beyond ~2^63/(2k) total weight, cast the cross products to
+    DECIMAL(38,0); the probe scale stays in long range.)
+
+    Scale shape: the exclusive weight prefix sum uses the
+    assign_dense_ids bucketing pattern — md5-derived hash buckets,
+    per-bucket weight totals (tiny) through a single-task window for
+    exclusive offsets, per-bucket windows for the within-bucket
+    prefix — so no corpus-sized single-task window exists. One data
+    shuffle (the per-bucket prefix), one broadcast of the
+    bucket-offset table. ``key_col`` must be unique per row (the
+    systematic_sample contract).
+    """
+    if 256 % buckets:
+        raise ValueError("buckets must divide 256 (2 hex digits)")
+    ordk = F.concat(F.md5(F.col(key_col).cast("string")),
+                    F.col(key_col).cast("string"))
+    # value-derived ORDERED bucket: first byte of the md5 order key
+    # floor-divided into `buckets` equal hex ranges (hex prefix
+    # ordering == string ordering), so bucket boundaries respect the
+    # order without a quantile sketch pass — md5 bytes are uniform.
+    d = (df.withColumn("__ord", ordk)
+         .withColumn("__w", weight.cast("long"))
+         .withColumn("__b", F.floor(
+             F.conv(F.substring("__ord", 1, 2), 16, 10).cast("int")
+             / F.lit(256 // buckets)).cast("int")))
+    btot = d.groupBy("__b").agg(F.sum("__w").alias("__bw"))
+    wb = (Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    boff = btot.withColumn(
+        "__boff", F.coalesce(F.sum("__bw").over(wb), F.lit(0)))
+    ww = (Window.partitionBy("__b").orderBy("__ord")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    pre = (d.join(F.broadcast(boff.select("__b", "__boff")), "__b")
+           .withColumn("__c", F.col("__boff")
+                       + F.coalesce(F.sum("__w").over(ww), F.lit(0))))
+    total = d.agg(F.sum("__w").alias("__tw"))
+    two_k = F.lit(2 * k)
+
+    def _ceil_div(x, den):
+        # exact ceil(x / den) for x >= 0, den > 0 (numerators are
+        # clamped nonneg below — a negative numerator's true ceil is
+        # <= 0, which the j-clamps absorb; staying nonneg keeps the
+        # identity portable to engines whose integer division
+        # TRUNCATES rather than floors, e.g. DuckDB's //). The
+        # exactly-divisible quotient is taken in DECIMAL(38,0) so the
+        # arithmetic never passes through a double (2^53 cliff).
+        y = x + den - F.lit(1)
+        return ((y - F.pmod(y, den)).cast("decimal(38,0)")
+                / den.cast("decimal(38,0)")).cast("long")
+
+    # grid j hits row (c, w) iff 2k*c <= (2j+1)*W < 2k*(c+w):
+    # j_lo = ceil((2k*c - W) / 2W) clamped to [0, k], j_hi_excl =
+    # ceil((2k*(c+w) - W) / 2W) clamped likewise; hits = j_hi - j_lo
+    num_lo = F.greatest(two_k * F.col("__c") - F.col("__tw"), F.lit(0))
+    num_hi = F.greatest(
+        two_k * (F.col("__c") + F.col("__w")) - F.col("__tw"), F.lit(0))
+    den = F.lit(2) * F.col("__tw")
+    j_lo = F.least(F.lit(k), _ceil_div(num_lo, den))
+    j_hi = F.least(F.lit(k), _ceil_div(num_hi, den))
+    return (pre.crossJoin(F.broadcast(total))
+            .withColumn("n_hits", F.greatest(F.lit(0),
+                                             (j_hi - j_lo).cast("long")))
+            .filter(F.col("n_hits") > 0)
+            .drop("__ord", "__w", "__b", "__boff", "__c", "__tw"))

@@ -841,3 +841,55 @@ def keywords_topk(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
             .filter(F.col("rank") <= k)
             .select(id_col, "term", "tf", "df", "score_q6",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def unigram_kl_by_group(docs: DataFrame, group_col: str,
+                        text_col: str = "text",
+                        quantum: float = 1e6) -> DataFrame:
+    """Per-group unigram-distribution KL divergence from the corpus
+    distribution, KL(P_g ‖ P_corpus) — the domain-drift scan a
+    mixture planner runs before reweighting sources (a source whose
+    token distribution diverges hard from the blend is over- or
+    under-represented; CCNet/DoReMi-style pipelines gate on exactly
+    this).
+
+    Determinism: each (group, token) KL contribution
+    p·ln(p/q) (p = c_gt/N_g, q = c_t/N) passes through an engine-side
+    ln, so it is QUANTIZED to an integer grid — floor(contrib·1e6) —
+    BEFORE the per-group sum (the vocab_logrank/bm25 rule: never hash
+    a raw double that crossed a log; integer sums are
+    order-insensitive). Emitted: n_tokens, the exact quantized sum
+    ``kl_q`` and kl = kl_q/1e6 (one division).
+
+    Plan: one explode + ONE hash aggregate to (group, token) counts;
+    token marginals roll up from THAT bounded table (vocabulary-
+    sized, Heaps-bounded), joined back token-keyed; per-group rollup.
+    Two shuffles over vocabulary-grain tables — the data-sized scan
+    happens once.
+    """
+    toks = (docs.select(F.col(group_col).alias("__grp"),
+                        F.explode(
+                            F.filter(F.split(F.lower(F.col(text_col)),
+                                             r"\s+"),
+                                     lambda w: w != "")).alias("__t")))
+    gt = (toks.groupBy("__grp", "__t")
+          .agg(F.count(F.lit(1)).alias("__cgt")))
+    gtot = gt.groupBy("__grp").agg(F.sum("__cgt").alias("__ng"))
+    tmarg = gt.groupBy("__t").agg(F.sum("__cgt").alias("__ct"))
+    ttot = tmarg.agg(F.sum("__ct").alias("__n"))
+    p = F.col("__cgt").cast("double") / F.col("__ng").cast("double")
+    q = F.col("__ct").cast("double") / F.col("__n").cast("double")
+    contrib_q = F.floor(p * F.log(p / q) * F.lit(quantum)).cast("long")
+    per_tok = (gt.join(gtot, "__grp")
+               .join(tmarg, "__t")
+               .crossJoin(F.broadcast(ttot))
+               .select("__grp", contrib_q.alias("__q"), "__cgt"))
+    return (per_tok.groupBy("__grp")
+            .agg(F.sum("__cgt").alias("n_tokens"),
+                 F.sum("__q").alias("kl_q"))
+            .select(F.col("__grp").alias("category"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("kl_q").cast("long").alias("kl_q"),
+                    (F.col("kl_q").cast("double") / F.lit(quantum))
+                    .alias("kl"))
+            .orderBy("category"))

@@ -834,3 +834,33 @@ def cross_correlation(a: DataFrame, b: DataFrame, day_col: str,
                      F.col("n").cast("long").alias("n_days"),
                      F.round(num / F.sqrt(da * db), 6).alias("r"))
             .orderBy("lag"))
+
+
+def rolling_median(resampled: DataFrame, key: str, order_col: str,
+                   value_cents: Column, window_n: int = 7,
+                   out_col: str = "med_cents2") -> DataFrame:
+    """Trailing ``window_n``-row rolling MEDIAN per series — the
+    robust twin of the rolling mean behind rolling_anomaly_z (one
+    spike corrupts a trailing mean for the whole window; the median
+    shrugs it off, which is why robust monitoring baselines are
+    median-filtered first).
+
+    Exactness: values are integer cents and the median is carried
+    DOUBLED (sum of the two middle order statistics of the sorted
+    window, = 2·middle for odd counts) — ``med_cents2`` is an exact
+    BIGINT, the brown_forsythe doubling trick applied to a sliding
+    frame. No double arithmetic anywhere.
+
+    Plan: ONE window sort per series (collect_list over a ROWS frame,
+    array_sort, middle picks — per-row state bounded by ``window_n``,
+    never series-sized). Ramp-up rows (fewer than ``window_n``
+    trailing rows) compute the median of what exists, pandas
+    ``rolling(min_periods=1)`` semantics.
+    """
+    w = (Window.partitionBy(key).orderBy(order_col)
+         .rowsBetween(-(window_n - 1), Window.currentRow))
+    arr = F.array_sort(F.collect_list(value_cents.cast("long")).over(w))
+    m = F.size(arr)
+    lo = F.element_at(arr, ((m + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (m / 2 + 1).cast("int"))
+    return resampled.withColumn(out_col, (lo + hi).cast("long"))

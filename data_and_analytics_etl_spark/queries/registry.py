@@ -46,7 +46,7 @@ DRIVER_WINDOW = 50
 #: Current verification round. Bump once per driver round: the rotation
 #: offset below advances with it, so stale green probes cycle back
 #: through the window a slice at a time.
-VERIFY_ROUND = 9
+VERIFY_ROUND = 10
 
 #: Priority bands (lower sorts earlier in the export):
 #:   < POOL_PRIORITY   fixed placement — bench-critical (10), probes whose
@@ -73,19 +73,18 @@ POOL_PRIORITY = 100
 #: never driver-verified. Keep tests/test_registry.py MUST_BE_IN_WINDOW in
 #: sync with the <100 entries here.
 ROUND_TIERS: dict[str, int] = {
-    # --- round 9: bench tier re-pinned + backlog drained to zero
-    # (r8 verdict task 1). Window composition, in order:
-    #   tier 10 — the 19 oracle-backed bench-family probes (back
-    #             in-window after their one-round FULLVERIFY-sf0.1
-    #             vacation; registry.py:149 committed to this).
-    #   tier 30 — every oracle-backed probe never seen in ANY
-    #             CORRECTNESS_r01..r08 artifact: the 10-item
-    #             DEFERRED_BACKLOG (test_backlog_ledger enforces) +
-    #             the 13 non-bench r8-registered probes (2 of the 15,
-    #             text_bigram_lm_score and geo_grid_proximity, are
-    #             bench-tier and already pinned at 10) + the probes
-    #             registered in r9.
-    # 19 + 23 fixed = 42; r9 registrations fill the remaining slots.
+    # --- round 10: backlog drain (r9 verdict task 1). Window
+    # composition, in order:
+    #   tier 10 — the 21 oracle-backed bench-family probes (bench is
+    #             b1-b21; b20 stats_spearman_corr and b21
+    #             sketch_freq_heavy_hitters joined the bench in r9 and
+    #             move into the bench tier here).
+    #   tier 30 — the 9-item r10 backlog (the post-window r9
+    #             registrations, named by the r9 verdict task 1) +
+    #             every probe registered in r10, pinned at
+    #             registration so the never-driver-verified set can't
+    #             re-grow past one round.
+    # 21 + 9 = 30 fixed; r10 registrations fill the remaining ~20.
     #
     # bench tier (10): every BENCH_QUERIES probe with an oracle
     # (dedup_minhash_lsh's oracle twin is dedup_minhash_lsh_md5).
@@ -104,46 +103,39 @@ ROUND_TIERS: dict[str, int] = {
     "corpus_span_duplication": 10,
     "drift_ks_exact": 10,
     "corpus_curation_pipeline": 10,
-    "graph_transitive_closure": 10,     # + r9 output-budget guard param
+    "graph_transitive_closure": 10,
     "corpus_segment_dedup": 10,
-    "text_bigram_lm_score": 10,         # r8-registered, also bench
-    "geo_grid_proximity": 10,           # r8-registered, also bench
-    # deferred r7 backlog (tier 30): the 10 probes deferred from the
-    # r8 drain — test_backlog_ledger.py fails the round otherwise.
-    "agg_boolean_family": 30,
-    "agg_mode_per_group": 30,
-    "etl_schema_drift": 30,
-    "feature_impute_median": 30,
-    "feature_quantile_rank": 30,
-    "feature_scale_minmax": 30,
-    "interval_coverage": 30,
-    "scan_parquet_merge_schema": 30,
-    "timeseries_pct_change": 30,
-    "window_ratio_to_report": 30,
-    # r8-registered cohort (tier 30): never driver-verified.
-    "ab_power_mde": 30,
-    "analytics_uplift_two_model": 30,
-    "ann_hard_negatives": 30,
-    "eval_brier_decomposition": 30,
-    "feature_woe_iv": 30,
-    "funnel_time_to_convert": 30,
-    "interval_concurrency_peak": 30,
-    "stats_bh_fdr": 30,
-    "stats_mann_whitney": 30,
-    "stream_hourly_topk_trending": 30,
-    "survival_nelson_aalen": 30,
-    "text_keywords_topk": 30,
-    "timeseries_ohlc_bars": 30,
-    # r9-registered cohort (tier 30): pinned at registration so the
-    # never-driver-verified set can't re-grow past one round.
-    "agg_theil_index": 30,
-    "stats_spearman_corr": 30,
-    "stats_anova_oneway": 30,
-    "graph_label_propagation_sync": 30,
-    "geo_dbscan_core_points": 30,
-    "sketch_freq_heavy_hitters": 30,
-    "eval_pr_auc": 30,
-    "timeseries_sax_symbols": 30,
+    "text_bigram_lm_score": 10,
+    "geo_grid_proximity": 10,
+    "stats_spearman_corr": 10,          # b20 since r9
+    "sketch_freq_heavy_hitters": 10,    # b21 since r9
+    # r10 backlog (tier 30): the 9 post-window r9 registrations —
+    # never driver-verified; tests/test_backlog_ledger.py enforces
+    # the drain.
+    "stats_levene_bf": 30,
+    "timeseries_bollinger": 30,
+    "join_asof_nearest": 30,
+    "sample_systematic": 30,
+    "stats_logrank_split": 30,
+    "eval_mcnemar_paired": 30,
+    "timeseries_cross_correlation": 30,
+    "analytics_cohort_ltv": 30,
+    "feature_chi2_ranking": 30,
+    # r10-registered cohort (tier 30): pinned at registration.
+    "corpus_span_removal": 30,
+    "sketch_cms_topk_md5": 30,
+    "sample_weighted_md5": 30,
+    "graph_pagerank_iter": 30,
+    "stats_kendall_tau": 30,
+    "stats_kruskal_wallis": 30,
+    "eval_calibration_bins": 30,
+    "stats_ttest_paired": 30,
+    "graph_jaccard_link_prediction": 30,
+    "corpus_ngram_novelty": 30,
+    "privacy_randomized_response": 30,
+    "text_unigram_kl_divergence": 30,
+    "stats_ols_two_factor": 30,
+    "timeseries_rolling_median": 30,
 }
 
 #: r7-backlog drain complete as of this round's pinning: the 10

@@ -1,0 +1,761 @@
+"""Round-10 probe cohort: exact substring-span removal (the Lee et
+al. dedup completion), md5-twin oracle upgrades for three formerly
+rows-only families (CMS top-k, weighted sampling, PageRank), rank
+statistics (Kendall τ-b, Kruskal-Wallis), paired t, two-factor OLS,
+calibration bins, link prediction, n-gram novelty, randomized
+response, unigram KL and rolling medians.
+
+Every probe follows the determinism contract (registry module doc):
+exact integer/DECIMAL accumulation, ONE double chain per emitted
+value, identical aliases on both sides, a pinned total ORDER BY.
+ln()-crossing values are integer-quantized BEFORE summation (the
+vocab_logrank rule); integer division is kept to NONNEGATIVE
+operands so Spark's truncating DIV and DuckDB's truncating // agree
+with floor everywhere they're used.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------
+# 1. corpus_span_removal — the Lee et al. exact-substring dedup completion
+# --------------------------------------------------------------------------
+
+@query(
+    "corpus_span_removal",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w != '') AS words
+  FROM documents WHERE text IS NOT NULL
+), sp AS (
+  SELECT doc_id, i - 1 AS start,
+         concat_ws(' ', words[i], words[i+1], words[i+2]) AS span
+  FROM (SELECT doc_id, words,
+               unnest(range(1, greatest(len(words) - 2, 0) + 1)) AS i
+        FROM t)
+), occ AS (
+  SELECT doc_id, start,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, start) AS rn
+  FROM sp
+), rmpos AS (
+  SELECT DISTINCT doc_id, start + o.j AS pos
+  FROM occ, (SELECT unnest(range(3)) AS j) o
+  WHERE rn > 1
+), rml AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS rm FROM rmpos GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.words) AS BIGINT) AS n_words,
+       CAST(coalesce(len(r.rm), 0) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(range(1, len(t.words) + 1),
+                       i -> NOT list_contains(coalesce(r.rm, []), i - 1)),
+           i -> t.words[i]), ' '), '') AS text_kept
+FROM t LEFT JOIN rml r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+""",
+    tags=("llm", "dedup"),
+    doc="Exact duplicated-span REMOVAL with in-order reassembly "
+        "(operators/corpus.py:span_removal, n=3): every occurrence of "
+        "a corpus-duplicated 3-word span except the (id, start)-first "
+        "one has its words dropped; overlapping removals merge into "
+        "maximal regions like suffix-array substring dedup — the step "
+        "that turns span_duplication's profile into the actual Lee et "
+        "al. '22 pipeline. The oracle recomputes occurrence ranking, "
+        "position fan-out and indexed reassembly with plain windows "
+        "and list functions.",
+)
+def corpus_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import span_removal
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    return span_removal(d, "doc_id", "text", n=3).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# 2. sketch_cms_topk_md5 — oracle upgrade of the rows-only sketch_cms_topk
+# --------------------------------------------------------------------------
+
+_CMS_BUCKET = ("CAST(('0x' || substring(md5(CAST({j} AS VARCHAR) || '|' || "
+               "CAST({key} AS VARCHAR)), 30, 3)) AS INTEGER) % 512")
+
+@query(
+    "sketch_cms_topk_md5",
+    oracle=f"""
+WITH g AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS exact_n
+  FROM orders GROUP BY 1
+), top AS (
+  SELECT key, exact_n FROM g ORDER BY exact_n DESC, key LIMIT 20
+), cnt AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT d.j AS j,
+           {_CMS_BUCKET.format(j='d.j', key='o_custkey')} AS bucket
+    FROM orders, (SELECT unnest(range(4)) AS j) d
+  ) GROUP BY 1, 2
+), probe AS (
+  SELECT t.key, t.exact_n, d.j AS j,
+         {_CMS_BUCKET.format(j='d.j', key='t.key')} AS bucket
+  FROM top t, (SELECT unnest(range(4)) AS j) d
+)
+SELECT p.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est, p.exact_n
+FROM probe p LEFT JOIN cnt c ON p.j = c.j AND p.bucket = c.bucket
+GROUP BY p.key, p.exact_n
+ORDER BY p.exact_n DESC, p.key
+""",
+    tags=("analytics", "sketch"),
+    doc="Count-min top-20 estimates with the PORTABLE md5 hash family "
+        "(operators/sketch.py:cms_build/cms_query, depth=4 width=512 — "
+        "the r9-verdict task-5 oracle upgrade of the rows-only "
+        "sketch_cms_topk): CMS counters are an exact deterministic "
+        "function of the key multiset under a fixed hash family, so "
+        "the oracle recomputes buckets, counters and the min-over-rows "
+        "estimate bit-for-bit. The xxhash64 probe stays the throughput "
+        "path; est >= exact_n always (pytest).",
+)
+def sketch_cms_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build, cms_query
+    o = load_table(spark, sf_dir, "orders")
+    counters = cms_build(o, "o_custkey", depth=4, width=512,
+                         hash_family="md5")
+    exact = (o.groupBy(F.col("o_custkey").alias("key"))
+             .agg(F.count(F.lit(1)).alias("exact_n")))
+    top = exact.orderBy(F.desc("exact_n"), "key").limit(20)
+    est = cms_query(counters, top.select(F.col("key").alias("o_custkey")),
+                    "o_custkey", depth=4, width=512, hash_family="md5")
+    return (est.join(top, "key")
+            .select("key", F.col("est").cast("long").alias("est"),
+                    "exact_n")
+            .orderBy(F.desc("exact_n"), "key"))
+
+
+# --------------------------------------------------------------------------
+# 3. sample_weighted_md5 — oracle upgrade of sample_weighted_reservoir
+# --------------------------------------------------------------------------
+
+@query(
+    "sample_weighted_md5",
+    oracle="""
+WITH d AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS w,
+         md5(CAST(o_orderkey AS VARCHAR)) || CAST(o_orderkey AS VARCHAR)
+           AS ord
+  FROM orders
+), p AS (
+  SELECT o_orderkey, w,
+         coalesce(sum(w) OVER (ORDER BY ord ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS c,
+         sum(w) OVER () AS tw
+  FROM d
+), j AS (
+  SELECT o_orderkey,
+         least(50, (greatest(100 * c - tw, 0) + 2 * tw - 1) // (2 * tw))
+           AS jlo,
+         least(50, (greatest(100 * (c + w) - tw, 0) + 2 * tw - 1)
+               // (2 * tw)) AS jhi
+  FROM p
+)
+SELECT o_orderkey, CAST(jhi - jlo AS BIGINT) AS n_hits
+FROM j WHERE jhi - jlo > 0 ORDER BY o_orderkey
+""",
+    tags=("sampling",),
+    doc="PPS-systematic weighted sample, 50 draws by order value "
+        "(operators/sampling.py:weighted_systematic_sample — the "
+        "r9-verdict task-5 oracle upgrade of the rows-only A-Res "
+        "reservoir, whose u^(1/w) pow chain is engine-specific in the "
+        "last ulp): rows lie on the md5(key) line with integer-cent "
+        "segments, 50 odd-grid points select them, multiplicity in "
+        "n_hits — Σ n_hits = 50 exactly (pytest). Every comparison is "
+        "cross-multiplied integers with NONNEGATIVE numerators, so "
+        "truncating and flooring division agree; the oracle replays "
+        "the grid walk with a plain prefix-sum window.",
+)
+def sample_weighted_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_systematic_sample
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    out = weighted_systematic_sample(
+        o, "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long"),
+        k=50)
+    return out.select("o_orderkey", "n_hits").orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# 4. graph_pagerank_iter — integer-arithmetic PageRank, the md5-twin move
+#    applied to an iterative algorithm (oracle upgrade of graph_pagerank)
+# --------------------------------------------------------------------------
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    sql = """
+WITH e AS (SELECT DISTINCT c_custkey // 10 AS src, c_custkey AS dst
+           FROM customer),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+od AS (SELECT n.node AS node, coalesce(o.c, 0) AS outdeg
+       FROM nodes n LEFT JOIN (SELECT src, CAST(count(*) AS BIGINT) AS c
+                               FROM e GROUP BY 1) o ON n.node = o.src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM od),
+r0 AS (SELECT node, outdeg,
+              CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS pr
+       FROM od)"""
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        sql += f""",
+d{i} AS (SELECT coalesce(sum(pr), 0) AS dang FROM {prev}
+         WHERE outdeg = 0),
+c{i} AS (SELECT e.dst AS node,
+                sum((85 * r.pr) // (100 * r.outdeg)) AS s
+         FROM {prev} r JOIN e ON r.node = e.src
+         WHERE r.outdeg > 0 GROUP BY 1),
+r{i} AS (SELECT od.node, od.outdeg,
+                CAST((15 * 1000000000000) // (100 * (SELECT n FROM nn))
+                     + (85 * (SELECT dang FROM d{i}))
+                       // (100 * (SELECT n FROM nn))
+                     + coalesce(c{i}.s, 0) AS BIGINT) AS pr
+         FROM od LEFT JOIN c{i} ON od.node = c{i}.node)"""
+    return sql + f"\nSELECT node, pr FROM r{iters} ORDER BY node"
+
+
+@query(
+    "graph_pagerank_iter",
+    oracle=_pagerank_oracle(3),
+    tags=("graph",),
+    doc="PageRank in EXACT integer arithmetic, 3 rounds over the "
+        "customer digit hierarchy (operators/graph.py:pagerank_integer "
+        "— the r9-verdict task-5 oracle upgrade of the rows-only float "
+        "graph_pagerank, whose per-dst double sums are partition-order "
+        "sensitive): ranks live on a 1e12 integer grid, shares/teleport"
+        "/dangling use floor division of NONNEGATIVE integers, so every "
+        "round is a pure function of the graph and the oracle unrolls "
+        "the 3 rounds as chained CTEs. Same plan family as the float "
+        "path: one equi-join + one aggregate per round, 1-row dangling "
+        "broadcast, lazy localCheckpoint lineage truncation.",
+)
+def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_integer
+    c = load_table(spark, sf_dir, "customer")
+    edges = c.select((F.col("c_custkey") / 10).cast("long").alias("src"),
+                     F.col("c_custkey").alias("dst"))
+    return (pagerank_integer(edges, iters=3)
+            .select("node", F.col("rank").alias("pr"))
+            .orderBy("node"))
+
+
+# --------------------------------------------------------------------------
+# 5. stats_kendall_tau — contingency-table τ-b over bounded domains
+# --------------------------------------------------------------------------
+
+@query(
+    "stats_kendall_tau",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+), cells AS (
+  SELECT g, x, y, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1, 2, 3
+), cd AS (
+  SELECT a.g,
+         CAST(sum(CASE WHEN a.y < b.y
+                  THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(sum(CASE WHEN a.y > b.y
+                  THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS BIGINT)
+           AS discordant
+  FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+  GROUP BY 1
+), tx AS (
+  SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) // 2 AS n1t FROM (
+    SELECT g, x, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1, 2)
+  GROUP BY 1
+), ty AS (
+  SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) // 2 AS n2t FROM (
+    SELECT g, y, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1, 2)
+  GROUP BY 1
+), tot AS (
+  SELECT g, CAST(sum(n) AS BIGINT) AS n FROM cells GROUP BY 1
+)
+SELECT tot.g AS category, tot.n AS n, cd.concordant, cd.discordant,
+       round(CAST(cd.concordant - cd.discordant AS DOUBLE)
+             / sqrt(CAST((CAST(tot.n AS HUGEINT) * (tot.n - 1) // 2 - tx.n1t)
+                         * (CAST(tot.n AS HUGEINT) * (tot.n - 1) // 2
+                            - ty.n2t) AS DOUBLE)), 6) AS tau_b
+FROM tot JOIN cd ON tot.g = cd.g JOIN tx ON tot.g = tx.g
+JOIN ty ON tot.g = ty.g
+ORDER BY category
+""",
+    tags=("stats",),
+    doc="Per-returnflag Kendall tau-b between quantity and discount "
+        "(operators/profile.py:kendall_tau_b): rows collapse to the "
+        "bounded 50x11 contingency cells, every pair count (concordant"
+        "/discordant/tied) is an exact integer from the CELL "
+        "self-join under x<x' — never a row-pair product — and tau_b "
+        "is ONE double chain. The oracle recomputes the same "
+        "decomposition with HUGEINT pair arithmetic.",
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import kendall_tau_b
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d100"))
+    return kendall_tau_b(li, "flag", "q", "d100")
+
+
+# --------------------------------------------------------------------------
+# 6. stats_kruskal_wallis — pooled-midrank H decomposition
+# --------------------------------------------------------------------------
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag AS category,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+), dv AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS t FROM r GROUP BY 1
+), mr AS (
+  SELECT v, 2 * coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             PRECEDING AND 1 PRECEDING), 0) + t + 1 AS mr2
+  FROM dv
+), g AS (
+  SELECT category, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(m.mr2) AS BIGINT) AS rank_sum2
+  FROM r JOIN mr m ON r.v = m.v GROUP BY 1
+), tie AS (
+  SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tie3
+  FROM dv
+)
+SELECT category, n, rank_sum2,
+       CAST(CAST(rank_sum2 AS HUGEINT) * rank_sum2 AS DOUBLE)
+         / (4.0 * CAST(n AS DOUBLE)) AS h_contrib,
+       tie.tie3 AS tie3
+FROM g, tie ORDER BY category
+""",
+    tags=("stats",),
+    doc="Kruskal-Wallis rank-sum decomposition of extended price by "
+        "return flag (operators/profile.py:kruskal_wallis): POOLED "
+        "doubled midranks from the bucketed rank core (no data-sized "
+        "single-task window), exact BIGINT rank sums per group, "
+        "h_contrib = rank_sum2^2/(4n_g) one double chain, exact tie "
+        "cubes for the correction — H assembles caller-side over the "
+        "3 bounded group rows (the anova_oneway contract). The oracle "
+        "pools ranks with a plain cumulative window.",
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import kruskal_wallis
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    return kruskal_wallis(li, "flag", "cents", lo=0.0, hi=12_000_000.0,
+                          nbins=256)
+
+
+# --------------------------------------------------------------------------
+# 7. eval_calibration_bins — reliability diagram + ECE contributions
+# --------------------------------------------------------------------------
+
+@query(
+    "eval_calibration_bins",
+    oracle="""
+WITH r AS (
+  SELECT CAST(o_custkey % 101 AS BIGINT) AS s,
+         CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100
+              < o_custkey % 101 AS BIGINT) AS y
+  FROM orders
+), b AS (
+  SELECT least((s * 10) // 100, 9) AS bin, s, y FROM r
+), g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(s) AS BIGINT) AS sum_score
+  FROM b GROUP BY 1
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM g)
+SELECT bin, n, n_pos,
+  round(CAST(sum_score AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 6)
+    AS mean_score,
+  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+  round(abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(sum_score AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)))
+        * CAST(n AS DOUBLE) / CAST(t.tn AS DOUBLE), 6) AS ece_contrib
+FROM g, t ORDER BY bin
+""",
+    tags=("eval",),
+    doc="Reliability-diagram bins with per-bin ECE contributions "
+        "(operators/evaluation.py:calibration_bins, 10 bins): integer "
+        "per-cent scores (custkey mod 101) against a label calibrated "
+        "by construction (price-cents mod 100 under the score), bin "
+        "edges in integer DIV arithmetic, per-bin mean/frac/gap each "
+        "one double chain from exact counts. ECE = Σ ece_contrib over "
+        "the <= 10 bounded rows, assembled caller-side.",
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evaluation import calibration_bins
+    o = load_table(spark, sf_dir, "orders")
+    prepared = o.select(
+        (F.col("o_custkey") % 101).cast("long").alias("score"),
+        ((F.round(F.col("o_totalprice") * 100).cast("long") % 100)
+         < (F.col("o_custkey") % 101)).alias("label"))
+    return calibration_bins(prepared, F.col("score"), F.col("label"),
+                            nbins=10)
+
+
+# --------------------------------------------------------------------------
+# 8. stats_ttest_paired — within-row paired differences, exact moments
+# --------------------------------------------------------------------------
+
+@query(
+    "stats_ttest_paired",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag AS category,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS d
+  FROM lineitem
+), p AS (
+  SELECT category, x, (x * (100 - d)) // 100 AS y FROM r
+), g AS (
+  SELECT category, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x - y) AS BIGINT) AS sum_d_cents,
+         sum(CAST(x - y AS HUGEINT) * (x - y)) AS s2
+  FROM p GROUP BY 1
+)
+SELECT category, n, sum_d_cents,
+  round(CAST(sum_d_cents AS DOUBLE) * sqrt(CAST(n AS DOUBLE) - 1.0)
+        / sqrt(CAST(CAST(n AS HUGEINT) * s2
+                    - CAST(sum_d_cents AS HUGEINT) * sum_d_cents
+                    AS DOUBLE)), 6) AS t_stat
+FROM g ORDER BY category
+""",
+    tags=("stats",),
+    doc="Paired-sample t statistic per return flag between gross and "
+        "integer-discounted price (operators/profile.py:paired_ttest): "
+        "the pair (x, y) is exact by construction — y = x*(100-d) DIV "
+        "100, all-integer, so d = x-y never passes through a float "
+        "product's half-cent rounding. Moments exact (BIGINT + "
+        "DECIMAL(38,0)); t = sum_d*sqrt(n-1)/sqrt(n*sum_d2 - sum_d^2) "
+        "is ONE double chain. One hash aggregate, no join.",
+)
+def stats_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import paired_ttest
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("__x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("__d"))
+    li = li.withColumn("__y", F.expr("(__x * (100 - __d)) DIV 100"))
+    return paired_ttest(li, "flag", F.col("__x"), F.col("__y"))
+
+
+# --------------------------------------------------------------------------
+# 9. graph_jaccard_link_prediction — common-neighbor candidates
+# --------------------------------------------------------------------------
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT c_custkey // 10 AS a, c_custkey AS b
+  FROM customer WHERE c_custkey < 500 AND c_custkey // 10 <> c_custkey
+), adj AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM adj GROUP BY 1),
+common AS (
+  SELECT l.b AS u, r.b AS v, CAST(count(*) AS BIGINT) AS common
+  FROM adj l JOIN adj r ON l.a = r.a AND l.b < r.b
+  GROUP BY 1, 2
+), newp AS (
+  SELECT c.u, c.v, c.common FROM common c
+  LEFT JOIN e ON c.u = e.a AND c.v = e.b
+  WHERE e.a IS NULL
+)
+SELECT u, v, common,
+       du.deg + dv.deg - common AS union_size,
+       round(CAST(common AS DOUBLE)
+             / CAST(du.deg + dv.deg - common AS DOUBLE), 6) + 0.0
+         AS jaccard
+FROM newp JOIN deg du ON newp.u = du.node JOIN deg dv ON newp.v = dv.node
+ORDER BY u, v
+""",
+    tags=("graph",),
+    doc="Jaccard link prediction over the customer digit hierarchy "
+        "(operators/graph.py:jaccard_link_scores, custkey < 500): "
+        "non-adjacent pairs sharing >= 1 neighbor scored by exact "
+        "integer common/union counts from the wedge self-join (the "
+        "triangle_count fan-out family, never node x node), existing "
+        "edges anti-joined away, J one double division. In the digit "
+        "tree siblings share their parent; the hierarchy edge is "
+        "canonical (parent < child for custkey >= 1), which the "
+        "oracle's e CTE mirrors.",
+)
+def graph_jaccard_link_prediction(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from ..operators.graph import jaccard_link_scores
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 500)
+    edges = c.select((F.col("c_custkey") / 10).cast("long").alias("src"),
+                     F.col("c_custkey").alias("dst"))
+    return jaccard_link_scores(edges, min_common=1)
+
+
+# --------------------------------------------------------------------------
+# 10. corpus_ngram_novelty — first-seen n-gram fraction per document
+# --------------------------------------------------------------------------
+
+@query(
+    "corpus_ngram_novelty",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(text, '\s+')) - 1, 1)),
+           i -> concat_ws(' ',
+                string_split_regex(text, '\s+')[i],
+                string_split_regex(text, '\s+')[i+1],
+                string_split_regex(text, '\s+')[i+2]))) AS sh
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, unnest(sh) AS gram FROM s
+), f AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS first_doc
+  FROM g
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) + 0.0
+         AS novelty_ratio
+FROM f GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("llm", "dedup"),
+    doc="Per-document n-gram novelty against all earlier documents "
+        "(operators/corpus.py:ngram_novelty, n=3): fraction of the "
+        "document's distinct 3-gram spans whose min-owner doc_id is "
+        "itself — the crawl-increment curation signal complementary "
+        "to span_duplication. Same two-shuffle plan (span window + "
+        "doc rollup); the oracle recomputes with the minhash probes' "
+        "shingle SQL and a min window.",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import ngram_novelty
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    return ngram_novelty(d, "doc_id", "text", n=3).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# 11. privacy_randomized_response — md5-coin Warner mechanism
+# --------------------------------------------------------------------------
+
+@query(
+    "privacy_randomized_response",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority AS category,
+         CASE WHEN CAST(('0x' || substring(md5('rr|' ||
+                    CAST(o_orderkey AS VARCHAR)), 1, 2)) AS INTEGER) < 192
+              THEN CAST(o_orderstatus = 'F' AS BIGINT)
+              ELSE CAST(NOT (o_orderstatus = 'F') AS BIGINT) END AS rep
+  FROM orders
+), g AS (
+  SELECT category, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rep) AS BIGINT) AS noisy_yes
+  FROM r GROUP BY 1
+)
+SELECT category, n, noisy_yes,
+       round((256.0 * CAST(noisy_yes AS DOUBLE)
+              - 64.0 * CAST(n AS DOUBLE)) / 128.0, 6) AS est_true_yes
+FROM g ORDER BY category
+""",
+    tags=("privacy",),
+    doc="Warner randomized response with a deterministic md5 coin "
+        "(operators/profile.py:randomized_response, p = 192/256): each "
+        "order reports its true 'F'-status bit iff its coin byte lands "
+        "under 192, else inverted — locally deniable per row — and the "
+        "per-priority debiased estimate inverts the expectation as one "
+        "double chain from exact counts. Pure codegen coin + one hash "
+        "aggregate; the oracle replays coin, inversion and debias.",
+)
+def privacy_randomized_response(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..operators.profile import randomized_response
+    o = load_table(spark, sf_dir, "orders")
+    return randomized_response(
+        o, "o_orderpriority", truth=F.col("o_orderstatus") == "F",
+        key=F.col("o_orderkey"), p256=192)
+
+
+# --------------------------------------------------------------------------
+# 12. text_unigram_kl_divergence — per-source distribution drift
+# --------------------------------------------------------------------------
+
+@query(
+    "text_unigram_kl_divergence",
+    oracle=r"""
+WITH tok AS (
+  SELECT source AS g,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> w != '')) AS t
+  FROM documents WHERE text IS NOT NULL
+), gt AS (
+  SELECT g, t, CAST(count(*) AS BIGINT) AS cgt FROM tok GROUP BY 1, 2
+), gtot AS (SELECT g, CAST(sum(cgt) AS BIGINT) AS ng FROM gt GROUP BY 1),
+tm AS (SELECT t, CAST(sum(cgt) AS BIGINT) AS ct FROM gt GROUP BY 1),
+tt AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM tm),
+c AS (
+  SELECT gt.g,
+         CAST(floor((CAST(cgt AS DOUBLE) / CAST(ng AS DOUBLE))
+              * ln((CAST(cgt AS DOUBLE) / CAST(ng AS DOUBLE))
+                   / (CAST(ct AS DOUBLE) / CAST(tt.n AS DOUBLE)))
+              * 1000000.0) AS BIGINT) AS q,
+         cgt
+  FROM gt JOIN gtot ON gt.g = gtot.g JOIN tm ON gt.t = tm.t, tt
+)
+SELECT g AS category, CAST(sum(cgt) AS BIGINT) AS n_tokens,
+       CAST(sum(q) AS BIGINT) AS kl_q,
+       CAST(sum(q) AS DOUBLE) / 1000000.0 AS kl
+FROM c GROUP BY 1 ORDER BY category
+""",
+    tags=("llm", "text"),
+    doc="Per-source unigram KL divergence from the corpus blend "
+        "(operators/text.py:unigram_kl_by_group): the mixture-planner "
+        "drift gate. Each (source, token) contribution p*ln(p/q) "
+        "crosses an engine-side ln, so it is floor-quantized to the "
+        "1e-6 integer grid BEFORE the per-source sum (the "
+        "vocab_logrank rule); kl_q is an exact integer and kl one "
+        "division. Vocabulary-grain joins only after the single "
+        "data-sized explode+aggregate.",
+)
+def text_unigram_kl_divergence(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.text import unigram_kl_by_group
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    return unigram_kl_by_group(d, "source", "text")
+
+
+# --------------------------------------------------------------------------
+# 13. stats_ols_two_factor — closed-form two-predictor regression
+# --------------------------------------------------------------------------
+
+@query(
+    "stats_ols_two_factor",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag AS category, CAST(l_quantity AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), g AS (
+  SELECT category, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+         sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+         sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+         sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+         sum(CAST(x2 AS HUGEINT) * y) AS s2y
+  FROM r GROUP BY 1
+), m AS (
+  SELECT category, n, s1, s2, sy,
+         CAST(n AS HUGEINT) * s11 - CAST(s1 AS HUGEINT) * s1 AS c11,
+         CAST(n AS HUGEINT) * s22 - CAST(s2 AS HUGEINT) * s2 AS c22,
+         CAST(n AS HUGEINT) * s12 - CAST(s1 AS HUGEINT) * s2 AS c12,
+         CAST(n AS HUGEINT) * s1y - CAST(s1 AS HUGEINT) * sy AS c1y,
+         CAST(n AS HUGEINT) * s2y - CAST(s2 AS HUGEINT) * sy AS c2y
+  FROM g
+), b AS (
+  SELECT category, n, s1, s2, sy,
+         (CAST(c1y AS DOUBLE) * CAST(c22 AS DOUBLE)
+          - CAST(c2y AS DOUBLE) * CAST(c12 AS DOUBLE))
+           / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+              - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE)) AS beta1,
+         (CAST(c2y AS DOUBLE) * CAST(c11 AS DOUBLE)
+          - CAST(c1y AS DOUBLE) * CAST(c12 AS DOUBLE))
+           / (CAST(c11 AS DOUBLE) * CAST(c22 AS DOUBLE)
+              - CAST(c12 AS DOUBLE) * CAST(c12 AS DOUBLE)) AS beta2
+  FROM m
+)
+SELECT category, n, beta1, beta2,
+       (CAST(sy AS DOUBLE) - beta1 * CAST(s1 AS DOUBLE)
+        - beta2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+FROM b ORDER BY category
+""",
+    tags=("stats",),
+    doc="Two-predictor OLS per return flag — price-cents on quantity "
+        "and discount-pct (operators/profile.py:ols_two_factor): "
+        "centered normal equations solved by Cramer's rule with every "
+        "moment exact (BIGINT + DECIMAL(38,0) vs the oracle's "
+        "HUGEINT); each coefficient is one fixed IEEE chain over "
+        "correctly-rounded casts of exact integers, emitted RAW (the "
+        "anova round-6 lesson). One hash aggregate, no join.",
+)
+def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import ols_two_factor
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("__q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("__d"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("__y"))
+    return ols_two_factor(li, "flag", F.col("__q"), F.col("__d"),
+                          F.col("__y"))
+
+
+# --------------------------------------------------------------------------
+# 14. timeseries_rolling_median — exact doubled rolling median
+# --------------------------------------------------------------------------
+
+@query(
+    "timeseries_rolling_median",
+    oracle="""
+WITH d AS (
+  SELECT event_type AS series,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), daily AS (
+  SELECT series, day, CAST(sum(c) AS BIGINT) AS v FROM d GROUP BY 1, 2
+), w AS (
+  SELECT series, day,
+         list_sort(list(v) OVER (PARTITION BY series ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+  FROM daily
+)
+SELECT series, day,
+       CAST(arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS BIGINT)
+         AS med_cents2
+FROM w ORDER BY series, day
+""",
+    tags=("analytics", "timeseries"),
+    doc="Trailing 7-day rolling MEDIAN of daily event-value totals "
+        "(operators/timeseries.py:rolling_median): the robust twin of "
+        "the Bollinger mean. Daily totals are exact integer cents; "
+        "the median is carried DOUBLED (sum of the two middle order "
+        "statistics — brown_forsythe's trick on a sliding frame), so "
+        "med_cents2 is an exact BIGINT with no float anywhere. One "
+        "window per series over the day-grain rollup, bounded state "
+        "of 7; ramp-up rows take the median of what exists.",
+)
+def timeseries_rolling_median(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import rolling_median
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    daily = (ev.select(
+        F.col("event_type").alias("series"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+        .alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"))
+        .groupBy("series", "day").agg(F.sum("c").alias("v")))
+    return (rolling_median(daily, "series", "day", F.col("v"), window_n=7)
+            .select("series", "day", "med_cents2")
+            .orderBy("series", "day"))

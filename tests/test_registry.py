@@ -22,7 +22,9 @@ from data_and_analytics_etl_spark.queries.registry import (DRIVER_WINDOW,
 #: 13 non-bench r8-registered probes, and the 8 r9-registered probes.
 #: 19 + 10 + 13 + 8 = 50 — the whole window.
 MUST_BE_IN_WINDOW = {
-    # bench tier (priority 10): every BENCH_QUERIES probe with an oracle.
+    # bench tier (priority 10): every BENCH_QUERIES probe with an oracle
+    # (bench is b1-b21 since r9 — b20 spearman and b21 heavy hitters
+    # moved from the r9 cohort into the bench tier).
     "q1_pricing_summary", "q3_shipping_priority", "q5_star_join",
     "q7_nation_volume", "q10_returned_revenue", "topk_per_group",
     "window_running_agg", "cosine_topk", "dedup_exact",
@@ -30,22 +32,19 @@ MUST_BE_IN_WINDOW = {
     "corpus_span_duplication", "drift_ks_exact",
     "corpus_curation_pipeline", "graph_transitive_closure",
     "corpus_segment_dedup", "text_bigram_lm_score", "geo_grid_proximity",
-    # deferred r7 backlog (priority 30): the drain's last 10 members.
-    "agg_boolean_family", "agg_mode_per_group", "etl_schema_drift",
-    "feature_impute_median", "feature_quantile_rank",
-    "feature_scale_minmax", "interval_coverage",
-    "scan_parquet_merge_schema", "timeseries_pct_change",
-    "window_ratio_to_report",
-    # r8-registered cohort (priority 30): never driver-verified.
-    "ab_power_mde", "analytics_uplift_two_model", "ann_hard_negatives",
-    "eval_brier_decomposition", "feature_woe_iv",
-    "funnel_time_to_convert", "interval_concurrency_peak",
-    "stats_bh_fdr", "stats_mann_whitney", "stream_hourly_topk_trending",
-    "survival_nelson_aalen", "text_keywords_topk", "timeseries_ohlc_bars",
-    # r9-registered cohort (priority 30): pinned at registration.
-    "agg_theil_index", "stats_spearman_corr", "stats_anova_oneway",
-    "graph_label_propagation_sync", "geo_dbscan_core_points",
-    "sketch_freq_heavy_hitters", "eval_pr_auc", "timeseries_sax_symbols",
+    "stats_spearman_corr", "sketch_freq_heavy_hitters",
+    # r10 backlog (priority 30): the 9 post-window r9 registrations.
+    "stats_levene_bf", "timeseries_bollinger", "join_asof_nearest",
+    "sample_systematic", "stats_logrank_split", "eval_mcnemar_paired",
+    "timeseries_cross_correlation", "analytics_cohort_ltv",
+    "feature_chi2_ranking",
+    # r10-registered cohort (priority 30): pinned at registration.
+    "corpus_span_removal", "sketch_cms_topk_md5", "sample_weighted_md5",
+    "graph_pagerank_iter", "stats_kendall_tau", "stats_kruskal_wallis",
+    "eval_calibration_bins", "stats_ttest_paired",
+    "graph_jaccard_link_prediction", "corpus_ngram_novelty",
+    "privacy_randomized_response", "text_unigram_kl_divergence",
+    "stats_ols_two_factor", "timeseries_rolling_median",
 }
 
 
