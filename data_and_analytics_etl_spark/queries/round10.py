@@ -176,8 +176,11 @@ FROM j WHERE jhi - jlo > 0 ORDER BY o_orderkey
         "segments, 50 odd-grid points select them, multiplicity in "
         "n_hits — Σ n_hits = 50 exactly (pytest). Every comparison is "
         "cross-multiplied integers with NONNEGATIVE numerators, so "
-        "truncating and flooring division agree; the oracle replays "
-        "the grid walk with a plain prefix-sum window.",
+        "truncating and flooring division agree. The only single-task "
+        "window is over the 64-row bucket-offset table (the "
+        "assign_dense_ids bucketed-prefix shape — bounded by the "
+        "bucket count, never data-sized); the oracle replays the grid "
+        "walk with a plain prefix-sum window.",
 )
 def sample_weighted_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import weighted_systematic_sample

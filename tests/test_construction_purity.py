@@ -48,6 +48,12 @@ EXEMPT_PROBES = {
                           # per-round any-split probe is the algorithm
                           # (profile.py:mondrian_anonymize)
     "dedup_survivorship",  # composes dedup_clusters' CC fixpoint loop
+    "graph_pagerank_iter",  # integer-grid power method: the one
+                          # bounded n = base.count() sizes the exact
+                          # teleport term, and the per-round lazy
+                          # localCheckpoint still registers jobs at
+                          # first use (operators/graph.py:
+                          # pagerank_integer — graph_pagerank's twin)
 }
 
 

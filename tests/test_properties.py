@@ -830,3 +830,365 @@ class TestRoundNineThirdCohort:
                 cum += r["revenue_cents"]
                 assert r["cum_revenue_cents"] == cum
                 assert r["n_users"] <= r["cohort_size"]
+
+
+class TestRoundTenOperators:
+    """Independent references for the r10 cohort: span removal vs a
+    pure-Python re-implementation (+ conservation/retention
+    invariants), PPS-systematic sampling's exact-k and partitioning
+    invariance, integer PageRank vs the float power iteration,
+    Kendall/Kruskal-Wallis/paired-t/OLS vs pure-Python formulas,
+    Jaccard link prediction vs brute force, and the md5-coin
+    randomized response's exact debias identity."""
+
+    def _spark(self):
+        from data_and_analytics_etl_spark.session import get_spark
+        return get_spark("prop-r10")
+
+    # --- span removal ---------------------------------------------------
+
+    @staticmethod
+    def _ref_span_removal(docs, n=3):
+        import re
+        words = {i: [w for w in re.split(r"\s+", t) if w != ""]
+                 for i, t in docs}
+        spans: dict = {}
+        for i, _ in sorted(docs):
+            ws = words[i]
+            for s in range(len(ws) - n + 1):
+                spans.setdefault(" ".join(ws[s:s + n]), []).append((i, s))
+        rm: dict = {i: set() for i, _ in docs}
+        for occs in spans.values():
+            for (i, s) in sorted(occs)[1:]:
+                rm[i].update(range(s, s + n))
+        return {i: (len(words[i]), len(rm[i]),
+                    " ".join(w for j, w in enumerate(words[i])
+                             if j not in rm[i]))
+                for i, _ in docs}
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.lists(st.sampled_from(["a", "b", "c"]),
+                             min_size=0, max_size=12),
+                    min_size=1, max_size=12))
+    def test_span_removal_matches_python_reference(self, token_lists):
+        from data_and_analytics_etl_spark.operators.corpus import \
+            span_removal
+        spark = self._spark()
+        docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+        df = spark.createDataFrame(docs, "doc_id: long, text: string")
+        got = {r["doc_id"]: (r["n_words"], r["n_removed"], r["text_kept"])
+               for r in span_removal(df, n=3).collect()}
+        assert got == self._ref_span_removal(docs, n=3)
+
+    def test_span_removal_conservation_and_first_retention(self):
+        from data_and_analytics_etl_spark.operators.corpus import \
+            span_removal
+        spark = self._spark()
+        boiler = "the quick brown fox jumps"
+        docs = [(1, boiler + " alpha beta gamma"),
+                (2, "delta " + boiler + " epsilon"),
+                (3, boiler),
+                (4, "zeta eta theta iota kappa")]
+        df = spark.createDataFrame(docs, "doc_id: long, text: string")
+        rows = {r["doc_id"]: r for r in span_removal(df, n=3).collect()}
+        for i, text in docs:
+            r = rows[i]
+            kept = [w for w in r["text_kept"].split(" ") if w != ""]
+            # conservation: every word is kept or removed, never both
+            assert r["n_words"] == len(kept) + r["n_removed"]
+        # doc 1 owns the boilerplate (smallest id): nothing removed
+        assert rows[1]["n_removed"] == 0
+        # docs 2 and 3's copies are fully removed, their own words kept
+        assert rows[3]["text_kept"] == ""
+        assert rows[2]["text_kept"] == "delta epsilon"
+        # unique doc untouched
+        assert rows[4]["n_removed"] == 0
+
+    # --- PPS-systematic weighted sample ----------------------------------
+
+    def test_weighted_systematic_exact_k_and_invariance(self):
+        from data_and_analytics_etl_spark.operators.sampling import \
+            weighted_systematic_sample
+        spark = self._spark()
+        rows = [(i, (i * 37) % 95 + 1) for i in range(1, 400)]
+        df = spark.createDataFrame(rows, "k: long, w: long")
+        outs = []
+        for parts in (1, 5, 32):
+            got = weighted_systematic_sample(
+                df.repartition(parts), "k", F.col("w"), k=23)
+            outs.append(sorted((r["k"], r["n_hits"]) for r in got.collect()))
+        assert outs[0] == outs[1] == outs[2]
+        assert sum(h for _, h in outs[0]) == 23  # exactly k draws
+        # a row heavier than W/k must be hit at least once
+        big = [(1000, 100000)] + rows
+        df2 = spark.createDataFrame(big, "k: long, w: long")
+        got2 = {r["k"]: r["n_hits"]
+                for r in weighted_systematic_sample(
+                    df2, "k", F.col("w"), k=10).collect()}
+        assert got2.get(1000, 0) >= 1
+
+    # --- integer PageRank -------------------------------------------------
+
+    def test_pagerank_integer_tracks_float_pagerank(self):
+        from data_and_analytics_etl_spark.operators.graph import (
+            pagerank, pagerank_integer)
+        spark = self._spark()
+        edges = [(u, v) for u in range(1, 30)
+                 for v in ((u * 7) % 29 + 1, (u * 3) % 29 + 1) if u != v]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        fi = {r["node"]: r["rank"] for r in
+              pagerank(df, iters=4).collect()}
+        ii = {r["node"]: r["rank"] for r in
+              pagerank_integer(df, iters=4).collect()}
+        scale = 10 ** 12
+        assert set(fi) == set(ii)
+        n = len(fi)
+        for node, r in ii.items():
+            assert abs(r / scale - fi[node]) < 1e-6
+        # floor leakage bound: mass within n*(iters+1) grid units
+        assert scale >= sum(ii.values()) >= scale - n * 5 * 3
+
+    # --- Kendall tau-b ----------------------------------------------------
+
+    @staticmethod
+    def _ref_kendall(xy):
+        import math
+        n = len(xy)
+        conc = disc = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = (xy[i][0] > xy[j][0]) - (xy[i][0] < xy[j][0])
+                dy = (xy[i][1] > xy[j][1]) - (xy[i][1] < xy[j][1])
+                if dx * dy > 0:
+                    conc += 1
+                elif dx * dy < 0:
+                    disc += 1
+        n0 = n * (n - 1) // 2
+        tx: dict = {}
+        ty: dict = {}
+        for x, y in xy:
+            tx[x] = tx.get(x, 0) + 1
+            ty[y] = ty.get(y, 0) + 1
+        n1 = sum(t * (t - 1) // 2 for t in tx.values())
+        n2 = sum(t * (t - 1) // 2 for t in ty.values())
+        den = math.sqrt((n0 - n1) * (n0 - n2))
+        return conc, disc, (conc - disc) / den if den else float("nan")
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 4)),
+                    min_size=8, max_size=50))
+    def test_kendall_matches_python_reference(self, xy):
+        from data_and_analytics_etl_spark.operators.profile import \
+            kendall_tau_b
+        # degenerate all-tied inputs divide by zero — skip like scipy
+        if len({x for x, _ in xy}) < 2 or len({y for _, y in xy}) < 2:
+            return
+        spark = self._spark()
+        df = spark.createDataFrame([("g", x, y) for x, y in xy],
+                                   "g: string, x: long, y: long")
+        r = kendall_tau_b(df, "g", "x", "y").collect()[0]
+        conc, disc, tau = self._ref_kendall(xy)
+        assert (r["concordant"], r["discordant"]) == (conc, disc)
+        assert abs(r["tau_b"] - tau) < 1e-5
+
+    # --- Kruskal-Wallis ----------------------------------------------------
+
+    def test_kruskal_wallis_matches_python_reference(self):
+        from data_and_analytics_etl_spark.operators.profile import \
+            kruskal_wallis
+        spark = self._spark()
+        data = {"a": [3, 7, 7, 11, 2], "b": [5, 5, 9, 1],
+                "c": [8, 8, 8, 4, 6, 10]}
+        rows = [(g, v) for g, vs in data.items() for v in vs]
+        df = spark.createDataFrame(rows, "g: string, v: long")
+        out = kruskal_wallis(df, "g", "v", lo=0.0, hi=16.0, nbins=8)
+        got = {r["category"]: r for r in out.collect()}
+        # pooled midranks by hand
+        allv = sorted(v for _, v in rows)
+        mid = {}
+        for v in set(allv):
+            below = sum(1 for u in allv if u < v)
+            ties = allv.count(v)
+            mid[v] = below + (ties + 1) / 2.0
+        N = len(allv)
+        H = (12.0 / (N * (N + 1))
+             * sum(sum(mid[v] for v in vs) ** 2 / len(vs)
+                   for vs in data.values())
+             - 3 * (N + 1))
+        H_assembled = (12.0 / (N * (N + 1))
+                       * sum(r["h_contrib"] for r in got.values())
+                       - 3 * (N + 1))
+        assert abs(H_assembled - H) < 1e-9
+        for g, vs in data.items():
+            assert got[g]["rank_sum2"] == int(2 * sum(mid[v] for v in vs))
+        tie3 = sum(t ** 3 - t for t in
+                   (allv.count(v) for v in set(allv)))
+        assert got["a"]["tie3"] == tie3
+
+    # --- paired t / OLS -----------------------------------------------------
+
+    def test_paired_ttest_matches_python_formula(self):
+        import math
+
+        from data_and_analytics_etl_spark.operators.profile import \
+            paired_ttest
+        spark = self._spark()
+        pairs = [(100 + 3 * i, 90 + 2 * i) for i in range(1, 20)]
+        df = spark.createDataFrame([("g", x, y) for x, y in pairs],
+                                   "g: string, x: long, y: long")
+        r = paired_ttest(df, "g", F.col("x"), F.col("y")).collect()[0]
+        d = [x - y for x, y in pairs]
+        n = len(d)
+        mean = sum(d) / n
+        var = sum((v - mean) ** 2 for v in d) / (n - 1)
+        t = mean / math.sqrt(var / n)
+        assert abs(r["t_stat"] - t) < 1e-6
+        assert r["sum_d_cents"] == sum(d)
+
+    def test_ols_two_factor_recovers_planted_coefficients(self):
+        from data_and_analytics_etl_spark.operators.profile import \
+            ols_two_factor
+        spark = self._spark()
+        rows = [("g", x1, x2, 7 + 3 * x1 + 5 * x2)
+                for x1 in range(1, 9) for x2 in range(0, 5)]
+        df = spark.createDataFrame(rows,
+                                   "g: string, x1: long, x2: long, y: long")
+        r = ols_two_factor(df, "g", F.col("x1"), F.col("x2"),
+                           F.col("y")).collect()[0]
+        assert abs(r["beta1"] - 3.0) < 1e-9
+        assert abs(r["beta2"] - 5.0) < 1e-9
+        assert abs(r["intercept"] - 7.0) < 1e-9
+
+    # --- calibration bins ----------------------------------------------------
+
+    def test_calibration_bins_invariants(self):
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            calibration_bins
+        spark = self._spark()
+        rows = [(s, 1 if (s * 13) % 100 < s else 0)
+                for s in range(0, 101) for _ in range(3)]
+        df = spark.createDataFrame(rows, "s: long, y: long")
+        out = calibration_bins(df, F.col("s"), F.col("y"),
+                               nbins=10).collect()
+        assert sum(r["n"] for r in out) == len(rows)
+        assert [r["bin"] for r in out] == sorted(r["bin"] for r in out)
+        ece = sum(r["ece_contrib"] for r in out)
+        assert 0.0 <= ece <= 1.0
+        for r in out:
+            assert 0.0 <= r["frac_pos"] <= 1.0
+            # bin b holds scores [10b, 10b+10) (plus 100 in bin 9)
+            lo, hi = r["bin"] * 10, r["bin"] * 10 + 10
+            assert lo / 100 <= r["mean_score"] <= (hi + 1) / 100
+
+    # --- Jaccard link prediction ---------------------------------------------
+
+    def test_jaccard_links_match_brute_force(self):
+        from data_and_analytics_etl_spark.operators.graph import \
+            jaccard_link_scores
+        spark = self._spark()
+        edges = [(u, (u * 5) % 23 + 1) for u in range(1, 23)] + \
+                [(u, (u * 11) % 23 + 1) for u in range(1, 23)]
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        got = {(r["u"], r["v"]): (r["common"], r["union_size"])
+               for r in jaccard_link_scores(df).collect()}
+        # brute force
+        nbr: dict = {}
+        eset = set()
+        for u, v in edges:
+            a, b = min(u, v), max(u, v)
+            if a == b:
+                continue
+            eset.add((a, b))
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        want = {}
+        nodes = sorted(nbr)
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1:]:
+                if (u, v) in eset:
+                    continue
+                c = len(nbr[u] & nbr[v])
+                if c >= 1:
+                    want[(u, v)] = (c, len(nbr[u] | nbr[v]))
+        assert got == want
+
+    # --- n-gram novelty ---------------------------------------------------
+
+    def test_ngram_novelty_first_doc_and_bounds(self):
+        from data_and_analytics_etl_spark.operators.corpus import \
+            ngram_novelty
+        spark = self._spark()
+        docs = [(1, "a b c d e"), (2, "a b c x y"), (3, "a b c d e")]
+        df = spark.createDataFrame(docs, "doc_id: long, text: string")
+        got = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+        assert got[1]["novelty_ratio"] == 1.0
+        assert got[3]["n_novel"] == 0  # exact copy of doc 1
+        assert got[2]["n_grams"] == 3 and got[2]["n_novel"] == 2
+        for r in got.values():
+            assert 0.0 <= r["novelty_ratio"] <= 1.0
+
+    # --- randomized response -------------------------------------------------
+
+    def test_randomized_response_identity_and_debias(self):
+        from data_and_analytics_etl_spark.operators.profile import \
+            randomized_response
+        spark = self._spark()
+        rows = [(i, "g", i % 3 == 0) for i in range(1, 300)]
+        df = spark.createDataFrame(rows, "k: long, g: string, t: boolean")
+        # p256=256: every coin < 256 -> reports are the truth, debias
+        # is the identity
+        r = randomized_response(df, "g", F.col("t"), F.col("k"),
+                                p256=256).collect()[0]
+        true_yes = sum(1 for _, _, t in rows if t)
+        assert r["noisy_yes"] == true_yes
+        assert abs(r["est_true_yes"] - true_yes) < 1e-9
+        # p256=192: debias inverts the md5 coins exactly (python twin)
+        import hashlib
+        r2 = randomized_response(df, "g", F.col("t"), F.col("k"),
+                                 p256=192).collect()[0]
+        noisy = 0
+        for k, _, t in rows:
+            coin = int(hashlib.md5(f"rr|{k}".encode()).hexdigest()[:2], 16)
+            noisy += int(t if coin < 192 else not t)
+        assert r2["noisy_yes"] == noisy
+        assert abs(r2["est_true_yes"]
+                   - (256.0 * noisy - 64.0 * len(rows)) / 128.0) < 1e-9
+
+    # --- rolling median -------------------------------------------------------
+
+    def test_rolling_median_matches_pandas(self):
+        import pandas as pd
+
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            rolling_median
+        spark = self._spark()
+        vals = [5, 1, 9, 3, 3, 8, 2, 7, 4, 6, 100, 0]
+        rows = [("s", d, v) for d, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k: string, d: long, v: long")
+        got = {r["d"]: r["med_cents2"]
+               for r in rolling_median(df, "k", "d", F.col("v"),
+                                       window_n=7).collect()}
+        ref = (pd.Series(vals).rolling(7, min_periods=1).median() * 2)
+        for d in range(len(vals)):
+            assert got[d] == int(ref[d])
+
+    # --- unigram KL -------------------------------------------------------------
+
+    def test_unigram_kl_single_source_is_zero(self):
+        from data_and_analytics_etl_spark.operators.text import \
+            unigram_kl_by_group
+        spark = self._spark()
+        docs = [(1, "one", "a b c a"), (2, "one", "b c d")]
+        df = spark.createDataFrame(docs,
+                                   "doc_id: long, src: string, text: string")
+        r = unigram_kl_by_group(df, "src").collect()[0]
+        assert r["kl_q"] == 0 and r["kl"] == 0.0
+        # two sources: quantized KL can undershoot true KL by at most
+        # one grid unit per (group, token) term, never exceed it
+        docs2 = docs + [(3, "two", "d d d e")]
+        out = {r["category"]: r for r in
+               unigram_kl_by_group(spark.createDataFrame(
+                   docs2, "doc_id: long, src: string, text: string"),
+                   "src").collect()}
+        assert out["two"]["kl_q"] > 0
