@@ -1325,8 +1325,17 @@ def spearman_corr(df: DataFrame, group_col: str, x_col: str, y_col: str,
     raw_y = F.floor((F.col("__y") - F.lit(lo_y)) / F.lit(width_y))
     bucket_y = (F.least(F.greatest(raw_y, F.lit(0)), F.lit(nbins - 1))
                 .cast("long"))
+    # ONE shared exchange for the whole y-side (the b14 trick): hash
+    # partitioning on (g, bucket) is a SUBSET of the aggregate's
+    # (g, bucket, y) clustering keys, so it satisfies the groupBy's
+    # required distribution AND the rank window's partitioning below —
+    # the planner reuses this repartition for both instead of
+    # shuffling the near-row-cardinality t1 twice (best-of-3 2.855 →
+    # 2.289 s at sf0.1, same-session A/B; variance also collapsed,
+    # 2.86-4.12 → 2.29-2.37).
     t1 = (rows.join(rx, ["__g", "__x"])
           .select("__g", bucket_y.alias("__bucket"), "__y", "__rx2")
+          .repartition("__g", "__bucket")
           .groupBy("__g", "__bucket", "__y")
           .agg(F.count(F.lit(1)).alias("__cnt"),
                F.sum(F.col("__rx2")).alias("__sx"),
