@@ -1,0 +1,96 @@
+"""Wall-clock scaling bench: the heavy bench families at sf0.1 vs the
+synthetic sf1 decade (r9 verdict task 4).
+
+The growth-curve harness (scripts/growth_curve.py) proves OUTPUT
+linearity across 0.1 -> 1; this script records the WALL-CLOCK side:
+each family runs warm (1 untimed + best-of-2 timed) at both scales on
+the same session, and the sf1/sf0.1 ratio is judged against ~12x
+(10x data + scheduling overhead at fixed parallelism). Prints one
+JSON line; paste the table into SCALE.md's round notes.
+
+Run on a QUIET host (this is a timing artifact — the bench.py loadavg
+rule applies): `python scripts/bench_sf1.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+#: bench name -> registry probe (the 6 heaviest plan families per the
+#: r9 verdict: LSH banding, CC fixpoint, span fan-out, the composed
+#: curation plan, pointer-doubling closure, double rank-table build)
+FAMILIES = {
+    "b8_minhash_neardup": "dedup_minhash_lsh",
+    "b12_dedup_clusters": "dedup_clusters",
+    "b13_span_duplication": "corpus_span_duplication",
+    "b15_curation_pipeline": "corpus_curation_pipeline",
+    "b16_transitive_closure": "graph_transitive_closure",
+    "b20_spearman": "stats_spearman_corr",
+}
+
+EAGER = {"b12_dedup_clusters"}
+
+
+def run_once(spark, probe, name: str, sf_dir: str) -> float:
+    spark.catalog.clearCache()
+    if name in EAGER:
+        t0 = time.perf_counter()
+        probe(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    df = probe(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from data_and_analytics_etl_spark.queries.registry import REGISTRY
+    from data_and_analytics_etl_spark.session import get_spark
+    import data_and_analytics_etl_spark.queries  # noqa: F401 — registers
+
+    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf1 = os.path.join(REPO, "spark-warehouse", "sf1-synthetic")
+    if not os.path.isdir(sf1):
+        raise SystemExit("sf1-synthetic missing — run "
+                         "scripts/make_sf1_synthetic.py first")
+    # sf1 shuffles move ~10x the bytes: a 1g default driver heap OOMs
+    # (the sf1-synthetic lesson); widen driver memory explicitly.
+    spark = get_spark("daa-etl-spark-bench-sf1",
+                      extra_conf={"spark.driver.memory": "24g"})
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    out: dict[str, dict] = {}
+    for name, probe_name in FAMILIES.items():
+        probe = REGISTRY[probe_name].fn
+        row: dict[str, object] = {}
+        for tag, d in (("sf0.1", sf01), ("sf1", sf1)):
+            try:
+                run_once(spark, probe, name, d)  # warm-up
+                t = min(run_once(spark, probe, name, d)
+                        for _ in range(2))
+                row[tag] = round(t, 3)
+            except Exception as exc:  # noqa: BLE001 — harness boundary
+                row[tag] = {"err": f"{type(exc).__name__}: "
+                                   f"{str(exc).splitlines()[0][:200]}"}
+        if isinstance(row.get("sf0.1"), float) and isinstance(
+                row.get("sf1"), float) and row["sf0.1"] > 0:
+            row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        out[name] = row
+    print(json.dumps({
+        "metric": "bench_sf1_scaling",
+        "families": out,
+        "loadavg_start": load_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+    }))
+
+
+if __name__ == "__main__":
+    main()
