@@ -164,9 +164,19 @@ def main() -> int:
             "json_extended", "join_theta", "join_left_outer",
             "subquery_in",
         }
+        # r10 (verdict task 6, third widening): EVERY tier-30 probe —
+        # the current round's registered cohort plus its backlog —
+        # joins the sf0.1 section the round it lands, so
+        # scale-dependent divergence (double accumulation order,
+        # window ties, overflow) is caught before the operator's
+        # first driver row, not a round later. Derived from
+        # ROUND_TIERS so the section self-maintains per round.
+        from data_and_analytics_etl_spark.queries.registry import \
+            ROUND_TIERS
+        cohort = {n for n, tier in ROUND_TIERS.items() if tier == 30}
         bench_probes = sorted(
             ({(p if p in osql else p + "_md5")
-              for p in BENCH_QUERIES.values()} | extras)
+              for p in BENCH_QUERIES.values()} | extras | cohort)
             & set(osql))
         for name in bench_probes:
             try:
