@@ -520,8 +520,9 @@ def holt_winters_seasonal(resampled: DataFrame, key: str, order_col: str,
     per-key state is two doubles plus an m-double seasonal array,
     bounded by the resample grid. The fold is a fixed IEEE chain with
     binary-exact default coefficients, pinned bit-identical against a
-    pure-Python replay (tests) — the struct-state fold has no SQL
-    form, so the probe is rows-only by design.
+    pure-Python replay (tests) AND — since r10 — against a DuckDB
+    recursive-CTE replay of the identical chain (the probe's oracle;
+    the seasonal array rides the recursion as a list column).
 
     Output: (key, n_obs, level, trend, seasonal ``array<double>``
     rendered by callers, forecast_1 = level + trend + s_{t+1−m}).

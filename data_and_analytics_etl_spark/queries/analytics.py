@@ -3668,15 +3668,57 @@ def privacy_mondrian_anonymize(spark: SparkSession,
             .orderBy("class_id"))
 
 
+#: r10 oracle upgrade (verdict task 5): the "no SQL form" claim fell —
+#: the Holt-Winters fold replays as a RECURSIVE CTE carrying the
+#: 24-double seasonal LIST column (the holt_linear oracle pattern
+#: extended with list splicing): identical IEEE chain, the same
+#: binary-exact 0.5/0.25/0.75 coefficients, lt repeated textually
+#: where Spark references the lt column (a deterministic expression
+#: evaluates to the same double). NOT list_reduce: DuckDB 1.0.0
+#: corrupts cross-field struct reads there from step 2 on (probed).
+#: Bit-equality of the fold is additionally pinned vs pure Python in
+#: tests/test_operators.py::TestHoltWinters.
+_HOLT_WINTERS_ORACLE = r"""
+WITH RECURSIVE series AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), vs AS (
+  SELECT event_type, list(v ORDER BY bucket) AS vals FROM series
+  GROUP BY 1
+), ini AS (
+  SELECT event_type, vals, CAST(len(vals) AS INTEGER) AS n,
+         list_reduce(vals[1:24], (x, y) -> x + y) / 24.0 AS l0
+  FROM vs
+), r AS (
+  SELECT event_type, vals, n, 0 AS i, l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+         list_transform(vals[1:24], x -> x - l0) AS s
+  FROM ini WHERE n >= 25
+  UNION ALL
+  SELECT event_type, vals, n, i + 1,
+         0.5 * (vals[i + 25] - s[(i % 24) + 1]) + 0.5 * (l + b),
+         0.25 * ((0.5 * (vals[i + 25] - s[(i % 24) + 1]) + 0.5 * (l + b)) - l) + 0.75 * b,
+         s[1:(i % 24)] || [0.5 * (vals[i + 25] - (0.5 * (vals[i + 25] - s[(i % 24) + 1]) + 0.5 * (l + b))) + 0.5 * s[(i % 24) + 1]] || s[(i % 24) + 2:24]
+  FROM r WHERE i < n - 24
+)
+SELECT event_type, n AS n_obs,
+       round(l, 6) AS level,
+       round(b, 6) AS trend,
+       round(l + b + s[(i % 24) + 1], 6) AS forecast_1,
+       array_to_string(list_transform(s,
+         x -> CAST(CAST(round(x, 6) + 0.0 AS DECIMAL(28,6)) AS VARCHAR)),
+         ',') AS seasonal
+FROM r WHERE i = n - 24
+UNION ALL
+SELECT event_type, n, NULL, NULL, NULL, NULL FROM ini WHERE n < 25
+ORDER BY event_type
+"""
+
+
 @query(
     "timeseries_holt_winters",
-    oracle=None,  # struct-state ordered fold has no SQL form; exact
-                  # equality vs a pure-Python replay of the identical
-                  # IEEE chain is pinned in tests/test_operators.py::
-                  # TestHoltWinters, plus determinism and short-series
-                  # NULL contracts
+    oracle=_HOLT_WINTERS_ORACLE,
     tags=("analytics", "timeseries"),
-    priority=150,
     doc="Additive Holt-Winters level+trend+seasonality per event type "
         "over hourly buckets with a daily (period=24) cycle "
         "(operators/timeseries.py:holt_winters_seasonal) — the "
@@ -3702,8 +3744,14 @@ def timeseries_holt_winters(spark: SparkSession,
         F.round("level", 6).alias("level"),
         F.round("trend", 6).alias("trend"),
         F.round("forecast_1", 6).alias("forecast_1"),
-        F.array_join(F.transform("seasonal",
-                                 lambda s: F.round(s, 6).cast("string")),
+        F.array_join(F.transform(
+            "seasonal",
+            # decimal(28,6) render: Java Double.toString switches to
+            # scientific below 1e-3 where DuckDB never does, and -0.0
+            # folds away — the decimal cast makes both engines print
+            # the identical fixed-point form
+            lambda s: (F.round(s, 6) + F.lit(0.0))
+            .cast("decimal(28,6)").cast("string")),
                      ",").alias("seasonal"))
             .orderBy("event_type"))
 

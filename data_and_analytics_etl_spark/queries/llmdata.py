@@ -2236,10 +2236,52 @@ def neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_chunk_sentences",
-    # rows-only: the greedy struct-fold has no SQL-oracle equivalent
-    # (DuckDB's list_reduce can't build lists); exact reference-
-    # equality + text-preservation + over-long-sentence pytests
-    # (TestSentenceChunking).
+    # r10 oracle upgrade (verdict task 5): the greedy packing fold
+    # replays on sentence TOKEN COUNTS (the emitted stats never need
+    # the chunk text, and counts make the fold pure integers) as a
+    # RECURSIVE CTE — the holt_linear oracle pattern. NOT list_reduce:
+    # DuckDB 1.0.0's list_reduce corrupts cross-field struct reads
+    # from the second step on (probed: {'x': a.x+10, 'y': a.x} yields
+    # y == x after 2+ steps), so struct-state folds must recurse.
+    # The sentence split emulates Spark's lookbehind `(?<=[.!?])\s+`
+    # (RE2 has no lookbehind) by rewriting '([.!?])\s+' to a chr(31)
+    # sentinel — the corpus is printable-ASCII.
+    oracle=r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, source,
+         list_transform(
+           list_filter(
+             string_split(regexp_replace(text, '([.!?])\s+',
+                                         '\1' || chr(31), 'g'), chr(31)),
+             s -> s != ''),
+           s -> len(list_filter(string_split_regex(s, '\s+'),
+                                x -> x != ''))) AS cnts
+  FROM documents
+), r AS (
+  SELECT doc_id, source, cnts, 0 AS i, 0 AS chunks, 0 AS cur, 0 AS mx,
+         0 AS tot
+  FROM d WHERE len(cnts) > 0
+  UNION ALL
+  SELECT doc_id, source, cnts, i + 1,
+         CASE WHEN cur + cnts[i+1] <= 64 OR cur = 0
+              THEN chunks ELSE chunks + 1 END,
+         CASE WHEN cur + cnts[i+1] <= 64 OR cur = 0
+              THEN cur + cnts[i+1] ELSE cnts[i+1] END,
+         CASE WHEN cur + cnts[i+1] <= 64 OR cur = 0
+              THEN mx ELSE greatest(mx, cur) END,
+         tot + cnts[i+1]
+  FROM r WHERE i < len(cnts)
+), fin AS (
+  SELECT source,
+         chunks + CASE WHEN cur > 0 THEN 1 ELSE 0 END AS n_chunks,
+         tot, greatest(mx, cur) AS mx
+  FROM r WHERE i = len(cnts)
+)
+SELECT source, CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(tot) AS BIGINT) AS total_tokens,
+       CAST(max(mx) AS INTEGER) AS max_chunk_tokens
+FROM fin GROUP BY 1 ORDER BY source
+""",
     tags=("llm", "corpus"),
     doc="Boundary-respecting chunking (operators/corpus.py:"
         "chunk_sentences): sentences pack greedily into ≤64-token "

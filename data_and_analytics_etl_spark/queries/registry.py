@@ -136,6 +136,10 @@ ROUND_TIERS: dict[str, int] = {
     "text_unigram_kl_divergence": 30,
     "stats_ols_two_factor": 30,
     "timeseries_rolling_median": 30,
+    # r10 oracle upgrades of formerly rows-only probes (task 5,
+    # second wave): first driver-verifiable round for both.
+    "corpus_chunk_sentences": 30,
+    "timeseries_holt_winters": 30,
 }
 
 #: r7-backlog drain complete as of this round's pinning: the 10

@@ -45,6 +45,8 @@ MUST_BE_IN_WINDOW = {
     "graph_jaccard_link_prediction", "corpus_ngram_novelty",
     "privacy_randomized_response", "text_unigram_kl_divergence",
     "stats_ols_two_factor", "timeseries_rolling_median",
+    # r10 oracle upgrades of formerly rows-only probes (2nd wave).
+    "corpus_chunk_sentences", "timeseries_holt_winters",
 }
 
 
