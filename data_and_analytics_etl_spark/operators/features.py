@@ -351,3 +351,56 @@ def chi2_cells(df: DataFrame, feature_cols: list[str],
                     F.col("obs").cast("long").alias("obs"),
                     "expected", "chi2_contrib")
             .orderBy("feature", "value", "label"))
+
+
+def cramers_v(df: DataFrame, feature_cols: list[str],
+              label: "Column", quantum: float = 1e9) -> DataFrame:
+    """Cramér's V effect size per feature — the [0, 1]-normalized
+    strength reading on top of :func:`chi2_cells`' significance
+    screening (χ² grows with n; V = √(χ²/(n·(min(r,c)−1))) is the
+    scale-free ranking feature selectors actually sort by).
+
+    Determinism: each cell's χ² contribution
+    (obs·n − row·col)²/(n·row·col) is an exact-integer numerator over
+    an exact-integer denominator, but the per-feature SUM of those
+    rationals has no common denominator — so each contribution is
+    floor-quantized to the 1e-9 grid BEFORE the sum (the
+    vocab_logrank rule applied to rationals), making ``chi2_q`` an
+    exact order-insensitive BIGINT. V is then ONE double chain.
+
+    Plan: chi2_cells' one unpivot + one hash aggregate; marginals on
+    the bounded cells table; one ≤|features|-row closing aggregate.
+    """
+    dec = "decimal(38,0)"
+    cells = chi2_cells(df, feature_cols, label)
+    # chi2_cells emits obs/expected/contrib; recompute the contribution
+    # in exact-integer form from the marginals it carries
+    wf = Window.partitionBy("feature")
+    wv = Window.partitionBy("feature", "value")
+    wl = Window.partitionBy("feature", "label")
+    n = F.sum("obs").over(wf)
+    row = F.sum("obs").over(wv)
+    col = F.sum("obs").over(wl)
+    q = (cells.select(
+        "feature", "value", "label", "obs",
+        n.alias("__n"), row.alias("__r"), col.alias("__c")))
+    numer = (F.col("obs").cast(dec) * F.col("__n").cast(dec)
+             - F.col("__r").cast(dec) * F.col("__c").cast(dec))
+    denom = (F.col("__n").cast(dec) * F.col("__r").cast(dec)
+             * F.col("__c").cast(dec))
+    contrib_q = F.floor((numer * numer).cast("double")
+                        / denom.cast("double")
+                        * F.lit(quantum)).cast("long")
+    per_f = (q.withColumn("__q", contrib_q)
+             .groupBy("feature")
+             .agg(F.max("__n").alias("n"),
+                  F.count_distinct("value").alias("__nv"),
+                  F.count_distinct("label").alias("__nl"),
+                  F.sum("__q").alias("chi2_q")))
+    k = F.least(F.col("__nv"), F.col("__nl")) - 1
+    v = F.sqrt(F.col("chi2_q").cast("double") / F.lit(quantum)
+               / (F.col("n").cast("double") * k.cast("double")))
+    return (per_f.select("feature", F.col("n").cast("long").alias("n"),
+                         F.col("chi2_q").cast("long").alias("chi2_q"),
+                         F.round(v, 6).alias("cramers_v"))
+            .orderBy("feature"))

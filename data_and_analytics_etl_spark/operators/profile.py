@@ -1673,3 +1673,60 @@ def randomized_response(df: DataFrame, group_col: str,
                      F.col("noisy_yes").cast("long").alias("noisy_yes"),
                      F.round(est, 6).alias("est_true_yes"))
             .orderBy("category"))
+
+
+def wilcoxon_signed_rank(df: DataFrame, group_col: str, x_cents: Column,
+                         y_cents: Column, hi_abs: float,
+                         nbins: int = 256) -> DataFrame:
+    """Wilcoxon signed-rank test core per group — the nonparametric
+    twin of :func:`paired_ttest` (matched pairs, no normality
+    assumption; Mann-Whitney handles independent samples, this is the
+    PAIRED design).
+
+    Zero differences drop (the standard Wilcoxon treatment); |d| gets
+    DOUBLED midranks within the group via the bucketed
+    ``_midrank2_by_group`` core (no data-sized single-task window);
+    ``w2_pos`` = Σ mr2 over positive differences = 2·W⁺ is an exact
+    BIGINT. The normal-approximation z assembles as ONE double chain
+    from exact integers:
+
+        z = (2·W2 − n(n+1)) / √((2n(n+1)(2n+1) − Σ(t³−t)) / 3)
+
+    (the classic (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24 − T/48) with every
+    cancellation done in integer arithmetic first; T = tie cubes over
+    the |d| multiset).
+
+    Plan: one projection, one bucketed rank build (shuffle on
+    (group, |d|)), one join back, one hash aggregate per group.
+    """
+    dec = "decimal(38,0)"
+    d = x_cents.cast("long") - y_cents.cast("long")
+    rows = (df.select(F.col(group_col).alias("__g"), d.alias("__d"))
+            .filter(F.col("__d") != 0)
+            .withColumn("__ad", F.abs(F.col("__d"))))
+    mr = _midrank2_by_group(rows, "__g", "__ad", 0.0, hi_abs, nbins)
+    mr = mr.withColumnsRenamed({"__v": "__ad", "__mr2": "__mr2"})
+    j = rows.join(mr, ["__g", "__ad"])
+    ties = (rows.groupBy("__g", "__ad").agg(F.count(F.lit(1)).alias("__t"))
+            .groupBy("__g")
+            .agg(F.sum(F.col("__t").cast(dec) * F.col("__t").cast(dec)
+                       * F.col("__t").cast(dec) - F.col("__t").cast(dec))
+                 .cast(dec).alias("__t3")))
+    g = (j.groupBy("__g")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when(F.col("__d") > 0, F.col("__mr2"))
+                    .otherwise(F.lit(0))).alias("w2_pos")))
+    n = F.col("n").cast(dec)
+    num = (F.lit(2).cast(dec) * F.col("w2_pos").cast(dec)
+           - n * (n + 1).cast(dec)).cast(dec)
+    a = (F.lit(2).cast(dec) * n * (n + 1).cast(dec)
+         * (F.lit(2).cast(dec) * n + 1).cast(dec)
+         - F.col("__t3")).cast(dec)
+    z = num.cast("double") / F.sqrt(a.cast("double") / F.lit(3.0))
+    return (g.join(ties, "__g")
+            .select(F.col("__g").alias("category"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("w2_pos").cast("long").alias("w2_pos"),
+                    F.col("__t3").cast("long").alias("tie3"),
+                    F.round(z, 6).alias("z_stat"))
+            .orderBy("category"))

@@ -865,3 +865,40 @@ def rolling_median(resampled: DataFrame, key: str, order_col: str,
     lo = F.element_at(arr, ((m + 1) / 2).cast("int"))
     hi = F.element_at(arr, (m / 2 + 1).cast("int"))
     return resampled.withColumn(out_col, (lo + hi).cast("long"))
+
+
+def gaps_and_islands(df: DataFrame, key: str, start_us: Column,
+                     end_us: Column) -> DataFrame:
+    """Merge overlapping/touching intervals per key into maximal
+    "islands" — the classic gaps-and-islands rollup
+    (:func:`interval_union_length` reports only the covered TOTAL;
+    this emits the merged intervals themselves, which is what
+    downtime reports, session stitching and availability SLAs need).
+
+    All arithmetic is exact integer microseconds. One window sort per
+    key: an interval starts a new island iff its start exceeds the
+    running max end of every EARLIER interval (ties/touching merge);
+    the island id is the running sum of those flags — two expressions
+    over ONE (key)-partitioned ordered window, then one hash
+    aggregate to (key, island). Output: (key, island_start_us,
+    island_end_us, n_intervals), one row per island.
+    """
+    rows = df.select(F.col(key).alias("__k"),
+                     start_us.cast("long").alias("__s"),
+                     end_us.cast("long").alias("__e"))
+    w_prev = (Window.partitionBy("__k").orderBy("__s", "__e")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("__k").orderBy("__s", "__e")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    new_island = (F.col("__s")
+                  > F.coalesce(F.max("__e").over(w_prev),
+                               F.lit(-(1 << 62)))).cast("long")
+    flagged = rows.withColumn("__isl", F.sum(new_island).over(w_run))
+    return (flagged.groupBy("__k", "__isl")
+            .agg(F.min("__s").alias("island_start_us"),
+                 F.max("__e").alias("island_end_us"),
+                 F.count(F.lit(1)).alias("n_intervals"))
+            .select(F.col("__k").alias(key),
+                    "island_start_us", "island_end_us",
+                    F.col("n_intervals").cast("long").alias("n_intervals"))
+            .orderBy(key, "island_start_us"))

@@ -140,6 +140,10 @@ ROUND_TIERS: dict[str, int] = {
     # second wave): first driver-verifiable round for both.
     "corpus_chunk_sentences": 30,
     "timeseries_holt_winters": 30,
+    # r10 third mini-cohort (window head-room: 49 fixed + 1 rotation).
+    "stats_wilcoxon_signed_rank": 30,
+    "feature_cramers_v": 30,
+    "interval_gaps_islands": 30,
 }
 
 #: r7-backlog drain complete as of this round's pinning: the 10

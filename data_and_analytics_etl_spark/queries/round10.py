@@ -762,3 +762,198 @@ def timeseries_rolling_median(spark: SparkSession,
     return (rolling_median(daily, "series", "day", F.col("v"), window_n=7)
             .select("series", "day", "med_cents2")
             .orderBy("series", "day"))
+
+
+# --------------------------------------------------------------------------
+# 15. stats_wilcoxon_signed_rank — paired nonparametric day-over-day test
+# --------------------------------------------------------------------------
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS g,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), pairs AS (
+  SELECT g, v AS x,
+         lag(v) OVER (PARTITION BY g ORDER BY day) AS y
+  FROM daily
+), d AS (
+  SELECT g, x - y AS d, abs(x - y) AS ad FROM pairs
+  WHERE y IS NOT NULL AND x - y <> 0
+), dv AS (
+  SELECT g, ad, CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1, 2
+), mr AS (
+  SELECT g, ad,
+         2 * coalesce(sum(t) OVER (PARTITION BY g ORDER BY ad ROWS
+             BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+           AS mr2
+  FROM dv
+), agg AS (
+  SELECT d.g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN d.d > 0 THEN m.mr2 ELSE 0 END) AS BIGINT)
+           AS w2_pos
+  FROM d JOIN mr m ON d.g = m.g AND d.ad = m.ad GROUP BY 1
+), ties AS (
+  SELECT g, CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tie3
+  FROM dv GROUP BY 1
+)
+SELECT a.g AS category, a.n, a.w2_pos, tt.tie3,
+       round(CAST(2 * CAST(a.w2_pos AS HUGEINT)
+                  - CAST(a.n AS HUGEINT) * (a.n + 1) AS DOUBLE)
+             / sqrt(CAST(2 * CAST(a.n AS HUGEINT) * (a.n + 1)
+                         * (2 * a.n + 1) - tt.tie3 AS DOUBLE) / 3.0), 6)
+         AS z_stat
+FROM agg a JOIN ties tt ON a.g = tt.g
+ORDER BY category
+""",
+    tags=("stats",),
+    doc="Wilcoxon signed-rank z on day-over-day per-type revenue "
+        "deltas (operators/profile.py:wilcoxon_signed_rank): the "
+        "paired nonparametric member completing the rank-test family "
+        "(Mann-Whitney = independent, Kruskal-Wallis = k-sample, this "
+        "= matched pairs). Zero deltas drop; |d| midranks come from "
+        "the bucketed rank core; w2_pos = 2*W+ and the tie cubes are "
+        "exact BIGINTs; z is ONE double chain with every cancellation "
+        "done in integer arithmetic first.",
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators.profile import wilcoxon_signed_rank
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    daily = (ev.select(
+        F.col("event_type").alias("series"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+        .alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"))
+        .groupBy("series", "day").agg(F.sum("c").alias("v")))
+    w = Window.partitionBy("series").orderBy("day")
+    pairs = (daily.withColumn("__prev", F.lag("v").over(w))
+             .filter(F.col("__prev").isNotNull()))
+    return wilcoxon_signed_rank(pairs, "series", F.col("v"),
+                                F.col("__prev"), hi_abs=1e7)
+
+
+# --------------------------------------------------------------------------
+# 16. feature_cramers_v — effect-size ranking over categorical features
+# --------------------------------------------------------------------------
+
+@query(
+    "feature_cramers_v",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+         CAST(l_quantity > 25 AS BIGINT) AS y
+  FROM lineitem
+), cells AS (
+  SELECT 'l_returnflag' AS f, CAST(l_returnflag AS VARCHAR) AS v, y,
+         CAST(count(*) AS BIGINT) AS obs FROM r GROUP BY 2, 3
+  UNION ALL
+  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR), y,
+         CAST(count(*) AS BIGINT) FROM r GROUP BY 2, 3
+  UNION ALL
+  SELECT 'ship_month', CAST(ship_month AS VARCHAR), y,
+         CAST(count(*) AS BIGINT) FROM r GROUP BY 2, 3
+), m AS (
+  SELECT f, v, y, obs,
+         sum(obs) OVER (PARTITION BY f) AS n,
+         sum(obs) OVER (PARTITION BY f, v) AS rr,
+         sum(obs) OVER (PARTITION BY f, y) AS cc
+  FROM cells
+), qq AS (
+  SELECT f, CAST(max(n) AS BIGINT) AS n,
+         CAST(count(DISTINCT v) AS BIGINT) AS nv,
+         CAST(count(DISTINCT y) AS BIGINT) AS nl,
+         CAST(sum(CAST(floor(
+           CAST((CAST(obs AS HUGEINT) * n - CAST(rr AS HUGEINT) * cc)
+                * (CAST(obs AS HUGEINT) * n - CAST(rr AS HUGEINT) * cc)
+                AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * rr * cc AS DOUBLE)
+           * 1000000000.0) AS BIGINT)) AS BIGINT) AS chi2_q
+  FROM m GROUP BY 1
+)
+SELECT f AS feature, n, chi2_q,
+       round(sqrt(CAST(chi2_q AS DOUBLE) / 1000000000.0
+                  / (CAST(n AS DOUBLE)
+                     * CAST(least(nv, nl) - 1 AS DOUBLE))), 6)
+         AS cramers_v
+FROM qq ORDER BY feature
+""",
+    tags=("stats", "features"),
+    doc="Cramer's V effect size for three categorical lineitem "
+        "features (return flag, line status, ship month) against a "
+        "quantity label "
+        "(operators/features.py:cramers_v): chi2_cells' unpivot + "
+        "hash aggregate, per-cell chi-square contributions recomputed "
+        "as exact-integer rationals and floor-quantized to the 1e-9 "
+        "grid BEFORE the per-feature sum (the vocab_logrank rule "
+        "applied to rationals), V one double chain. The oracle "
+        "unpivots with UNION ALL and mirrors the quantized sum.",
+)
+def feature_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import cramers_v
+    li = (load_table(spark, sf_dir, "lineitem")
+          .withColumn("ship_month",
+                      F.month("l_shipdate").cast("long")))
+    return cramers_v(li, ["l_returnflag", "l_linestatus", "ship_month"],
+                     (F.col("l_quantity") > 25))
+
+
+# --------------------------------------------------------------------------
+# 17. interval_gaps_islands — merged-interval rollup
+# --------------------------------------------------------------------------
+
+@query(
+    "interval_gaps_islands",
+    oracle="""
+WITH iv AS (
+  SELECT event_type,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + greatest(CAST(floor(value * 100) AS BIGINT), 0)
+           * 1000000 AS e
+  FROM events WHERE value IS NOT NULL
+), f AS (
+  SELECT event_type, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY event_type
+              ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+              PRECEDING), -4611686018427387904) THEN 1 ELSE 0 END AS nf
+  FROM iv
+), g AS (
+  SELECT event_type, s, e,
+         sum(nf) OVER (PARTITION BY event_type ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS isl
+  FROM f
+)
+SELECT event_type, CAST(min(s) AS BIGINT) AS island_start_us,
+       CAST(max(e) AS BIGINT) AS island_end_us,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM g GROUP BY event_type, isl
+ORDER BY event_type, island_start_us
+""",
+    tags=("analytics", "timeseries"),
+    doc="Gaps-and-islands rollup of event intervals per type "
+        "(operators/timeseries.py:gaps_and_islands; duration = "
+        "value*100 seconds, clamped nonnegative, exact integer "
+        "microseconds): overlapping/touching intervals merge into "
+        "maximal islands — the merged-interval complement of "
+        "interval_coverage's total-length view. Two expressions over "
+        "ONE ordered window per key (running max end -> new-island "
+        "flag -> running island id), one hash aggregate.",
+)
+def interval_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gaps_and_islands
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    iv = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("__s"),
+        (F.unix_micros(F.col("ts"))
+         + F.greatest(F.floor(F.col("value") * 100).cast("long"),
+                      F.lit(0)) * F.lit(1000000)).alias("__e"))
+    return gaps_and_islands(iv, "event_type", F.col("__s"), F.col("__e"))

@@ -47,6 +47,9 @@ MUST_BE_IN_WINDOW = {
     "stats_ols_two_factor", "timeseries_rolling_median",
     # r10 oracle upgrades of formerly rows-only probes (2nd wave).
     "corpus_chunk_sentences", "timeseries_holt_winters",
+    # r10 third mini-cohort.
+    "stats_wilcoxon_signed_rank", "feature_cramers_v",
+    "interval_gaps_islands",
 }
 
 
