@@ -1192,3 +1192,94 @@ class TestRoundTenOperators:
                    docs2, "doc_id: long, src: string, text: string"),
                    "src").collect()}
         assert out["two"]["kl_q"] > 0
+
+
+class TestRoundTenThirdCohort:
+    """References for the r10 third mini-cohort: Wilcoxon signed-rank
+    vs a pure-Python midrank replay, Cramér's V vs the textbook χ²
+    formula, gaps-and-islands vs a brute-force interval merge."""
+
+    def _spark(self):
+        from data_and_analytics_etl_spark.session import get_spark
+        return get_spark("prop-r10c")
+
+    def test_wilcoxon_matches_python_reference(self):
+        import math
+
+        from data_and_analytics_etl_spark.operators.profile import \
+            wilcoxon_signed_rank
+        spark = self._spark()
+        pairs = [(103, 100), (98, 100), (110, 100), (100, 100),
+                 (95, 100), (107, 100), (100, 103), (104, 100),
+                 (100, 106), (109, 100), (100, 100), (102, 100)]
+        df = spark.createDataFrame([("g", x, y) for x, y in pairs],
+                                   "g: string, x: long, y: long")
+        r = wilcoxon_signed_rank(df, "g", F.col("x"), F.col("y"),
+                                 hi_abs=32.0, nbins=16).collect()[0]
+        d = [x - y for x, y in pairs if x != y]
+        ad = sorted(abs(v) for v in d)
+        def midrank(a):
+            lo = ad.index(a) + 1
+            hi = len(ad) - ad[::-1].index(a)
+            return (lo + hi) / 2.0
+        wpos = sum(midrank(abs(v)) for v in d if v > 0)
+        n = len(d)
+        assert r["n"] == n
+        assert r["w2_pos"] == int(2 * wpos)
+        t3 = sum(t ** 3 - t for t in
+                 (ad.count(a) for a in set(ad)))
+        assert r["tie3"] == t3
+        var = n * (n + 1) * (2 * n + 1) / 24.0 - t3 / 48.0
+        z = (wpos - n * (n + 1) / 4.0) / math.sqrt(var)
+        assert abs(r["z_stat"] - z) < 1e-6
+
+    def test_cramers_v_matches_formula(self):
+        import math
+
+        from data_and_analytics_etl_spark.operators.features import \
+            cramers_v
+        spark = self._spark()
+        rows = [(["a", "b", "c"][i % 3], i % 2 == 0) for i in range(60)] \
+            + [("a", True)] * 15
+        df = spark.createDataFrame(rows, "f1: string, y: boolean")
+        out = cramers_v(df, ["f1"], F.col("y")).collect()[0]
+        # textbook chi2 over the contingency table
+        from collections import Counter
+        cells = Counter((f, y) for f, y in rows)
+        n = len(rows)
+        rmarg = Counter(f for f, _ in rows)
+        cmarg = Counter(y for _, y in rows)
+        chi2 = sum((c - rmarg[f] * cmarg[y] / n) ** 2
+                   / (rmarg[f] * cmarg[y] / n)
+                   for (f, y), c in cells.items())
+        k = min(len(rmarg), len(cmarg)) - 1
+        assert abs(out["chi2_q"] / 1e9 - chi2) < 1e-6 * len(cells)
+        assert abs(out["cramers_v"] - math.sqrt(chi2 / (n * k))) < 1e-4
+        assert 0.0 <= out["cramers_v"] <= 1.0
+
+    def test_gaps_islands_match_brute_force(self):
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            gaps_and_islands
+        spark = self._spark()
+        iv = [("k", 0, 10), ("k", 5, 12), ("k", 12, 15), ("k", 20, 25),
+              ("k", 24, 30), ("k", 40, 41), ("q", 1, 2), ("q", 2, 3),
+              ("q", 10, 10), ("q", 10, 11)]
+        df = spark.createDataFrame(iv, "k: string, s: long, e: long")
+        got = [(r["k"], r["island_start_us"], r["island_end_us"],
+                r["n_intervals"])
+               for r in gaps_and_islands(df, "k", F.col("s"),
+                                         F.col("e")).collect()]
+        # brute force merge (touching intervals merge)
+        want = []
+        for key in sorted({k for k, _, _ in iv}):
+            items = sorted((s, e) for k, s, e in iv if k == key)
+            cur = None
+            for s, e in items:
+                if cur and s <= cur[1]:
+                    cur = (cur[0], max(cur[1], e), cur[2] + 1)
+                else:
+                    if cur:
+                        want.append((key, *cur))
+                    cur = (s, e, 1)
+            want.append((key, *cur))
+        assert got == want
