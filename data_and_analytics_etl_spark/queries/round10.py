@@ -1,9 +1,12 @@
 """Round-10 probe cohort: exact substring-span removal (the Lee et
 al. dedup completion), md5-twin oracle upgrades for three formerly
 rows-only families (CMS top-k, weighted sampling, PageRank), rank
-statistics (Kendall τ-b, Kruskal-Wallis), paired t, two-factor OLS,
-calibration bins, link prediction, n-gram novelty, randomized
-response, unigram KL and rolling medians.
+statistics (Kendall τ-b, Kruskal-Wallis, Wilcoxon signed-rank),
+paired t, two-factor OLS, calibration bins, Cramér's V, link
+prediction, n-gram novelty, randomized response, unigram KL, rolling
+medians and gaps-and-islands interval merge. (Two further upgrades —
+corpus_chunk_sentences and timeseries_holt_winters — live with their
+original registrations in llmdata.py / analytics.py.)
 
 Every probe follows the determinism contract (registry module doc):
 exact integer/DECIMAL accumulation, ONE double chain per emitted
