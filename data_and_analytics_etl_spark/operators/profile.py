@@ -1730,3 +1730,124 @@ def wilcoxon_signed_rank(df: DataFrame, group_col: str, x_cents: Column,
                     F.col("__t3").cast("long").alias("tie3"),
                     F.round(z, 6).alias("z_stat"))
             .orderBy("category"))
+
+
+def friedman_test(df: DataFrame, block_col: str, treatment_col: str,
+                  value_col: str) -> DataFrame:
+    """Friedman test core — the repeated-measures completion of the
+    rank family (:func:`kruskal_wallis` compares INDEPENDENT groups;
+    Friedman ranks WITHIN each block, so block-level nuisance
+    variation cancels — the nonparametric two-way layout).
+
+    Input grain: one row per (block, treatment) with an integer
+    value (cents/counts — aggregate upstream). Blocks missing any of
+    the k global treatments drop (the complete-block design
+    requirement). Within each complete block the k values get DOUBLED
+    midranks (exact integers, ties averaged), so the per-treatment
+    rank sum ``rank_sum2`` = 2·R_j is an exact BIGINT. Emitted per
+    treatment: n_blocks, k, rank_sum2, ``q_contrib`` = R_j² =
+    rank_sum2²/4 as ONE double chain, and the exact within-block tie
+    cube total ``tie3`` = Σ_blocks Σ_v (t³−t) on every row. The caller
+    assembles Q = [12/(n·k(k+1))]·Σ q_contrib − 3n(k+1) and the tie
+    correction C = 1 − tie3/(n·k(k²−1)) over the k bounded rows (the
+    kruskal_wallis per-row-contribution contract).
+
+    Plan: one hash aggregate to (block, value) cells, one within-block
+    cumulative window (bounded: ≤ k rows per block by the input
+    grain), one join back, one hash aggregate per treatment + a 1-row
+    broadcast k/tie rollup. No data-sized single-task stage.
+    """
+    dec = "decimal(38,0)"
+    rows = df.select(F.col(block_col).alias("__b"),
+                     F.col(treatment_col).alias("__tr"),
+                     F.col(value_col).cast("long").alias("__v"))
+    k_row = rows.agg(
+        F.countDistinct("__tr").cast("long").alias("__k"))
+    complete = (rows.groupBy("__b")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .crossJoin(F.broadcast(k_row))
+                .filter(F.col("__bn") == F.col("__k"))
+                .select("__b", "__k"))
+    rows = rows.join(complete, "__b")
+    tv = (rows.groupBy("__b", "__v").agg(F.count(F.lit(1)).alias("__t")))
+    wb = (Window.partitionBy("__b").orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, -1))  # ≤ k rows/block
+    mr = tv.withColumn(
+        "__mr2",
+        F.lit(2) * F.coalesce(F.sum("__t").over(wb), F.lit(0))
+        + F.col("__t") + 1)
+    ties = tv.agg(F.sum(F.col("__t").cast(dec) * F.col("__t").cast(dec)
+                        * F.col("__t").cast(dec) - F.col("__t").cast(dec))
+                  .cast(dec).alias("__tie3"))
+    j = rows.join(mr.select("__b", "__v", "__mr2"), ["__b", "__v"])
+    g = (j.groupBy("__tr")
+         .agg(F.count(F.lit(1)).alias("n_blocks"),
+              F.sum("__mr2").alias("rank_sum2"),
+              F.max("__k").alias("k")))
+    q_contrib = (F.col("rank_sum2").cast(dec)
+                 * F.col("rank_sum2").cast(dec)).cast("double") / F.lit(4.0)
+    return (g.crossJoin(F.broadcast(ties))
+            .select(F.col("__tr").alias("treatment"),
+                    F.col("n_blocks").cast("long").alias("n_blocks"),
+                    F.col("k").cast("long").alias("k"),
+                    F.col("rank_sum2").cast("long").alias("rank_sum2"),
+                    q_contrib.alias("q_contrib"),
+                    F.col("__tie3").cast("long").alias("tie3"))
+            .orderBy("treatment"))
+
+
+def sprt_boundary(df: DataFrame, group_col: str, order_cols: list[str],
+                  success: Column, llr_pos: float, llr_neg: float,
+                  upper: float, lower: float) -> DataFrame:
+    """Wald's sequential probability ratio test per group — the
+    SEQUENTIAL member of the A/B family (:func:`ab_power_mde` sizes a
+    fixed-horizon test; SPRT decides as the stream arrives, with the
+    expected sample size provably minimal among tests of the same
+    error rates).
+
+    For a Bernoulli stream the cumulative log-likelihood ratio after
+    n observations is linear in the exact counts:
+
+        llr(n) = n₁·ln(p₁/p₀) + n₀·ln((1−p₁)/(1−p₀))
+
+    so the scan carries only two window-cumulative BIGINTs and the
+    llr is ONE double chain per row (the caller passes the two log
+    constants and the ln((1−β)/α) / ln(β/(1−α)) boundaries as
+    LITERAL doubles — never recomputed engine-side, the portability
+    rule for ln-crossing values). Emitted per group: the total stream
+    length, the FIRST boundary crossing (its index, success count,
+    llr, and the H1/H0 decision) or NULLs when the stream never
+    leaves the continuation region.
+
+    Plan: one per-group cumulative window (the stream scan —
+    sequential BY DEFINITION; the per-group partition is the
+    parallelism grain, as for any ordered replay), one filtered
+    min-by, one join back to the per-group totals.
+    """
+    rows = (df.select(F.col(group_col).alias("__g"),
+                      *[F.col(c) for c in order_cols],
+                      success.cast("long").alias("__y")))
+    w = (Window.partitionBy("__g").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (rows.withColumn("__i", F.count(F.lit(1)).over(w))
+           .withColumn("__n1", F.sum("__y").over(w)))
+    llr = (F.col("__n1").cast("double") * F.lit(llr_pos)
+           + (F.col("__i") - F.col("__n1")).cast("double")
+           * F.lit(llr_neg))
+    crossed = (cum.withColumn("__llr", llr)
+               .filter((F.col("__llr") >= F.lit(upper))
+                       | (F.col("__llr") <= F.lit(lower)))
+               .groupBy("__g")
+               .agg(F.min_by(F.struct("__n1", "__llr"), "__i")
+                    .alias("__at"), F.min("__i").alias("cross_n")))
+    totals = rows.groupBy("__g").agg(F.count(F.lit(1)).alias("n_total"))
+    return (totals.join(crossed, "__g", "left")
+            .select(F.col("__g").alias("category"),
+                    F.col("n_total").cast("long").alias("n_total"),
+                    F.col("cross_n").cast("long").alias("cross_n"),
+                    F.col("__at.__n1").cast("long").alias("n1_at_cross"),
+                    F.round(F.col("__at.__llr"), 6).alias("llr_at_cross"),
+                    F.when(F.col("__at.__llr") >= F.lit(upper), "H1")
+                    .when(F.col("__at.__llr") <= F.lit(lower), "H0")
+                    .alias("decision"))
+            .orderBy("category"))

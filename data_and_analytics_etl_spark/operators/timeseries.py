@@ -902,3 +902,78 @@ def gaps_and_islands(df: DataFrame, key: str, start_us: Column,
                     "island_start_us", "island_end_us",
                     F.col("n_intervals").cast("long").alias("n_intervals"))
             .orderBy(key, "island_start_us"))
+
+
+def mann_kendall(series: DataFrame, key: str, t_col: str,
+                 v_col: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test with Sen's slope per series —
+    the TIME-INDEXED member of the Kendall family
+    (profile.kendall_tau_b correlates two variables; here x is the
+    time index itself, so S reduces to pair orientation against time
+    and the companion Theil-Sen estimator gives the robust slope).
+
+    Input grain: one row per (key, t) — a rolled-up series (daily /
+    weekly buckets), so the pair fan-out is bounded by the CALENDAR
+    grain squared, never by raw rows. Exact pieces per series:
+
+        S        = Σ_{t<t'} sign(v'−v)                (exact BIGINT)
+        var_num  = n(n−1)(2n+5) − Σ_v t_v(t_v−1)(2t_v+5)   (exact)
+        z        = (S − sign(S)) / √(var_num/18)   — ONE double chain
+        Sen      = median over pairs of (v'−v)/(t'−t); emitted as the
+                   EXACT integer pair (sen_num, sen_den) of the
+                   lower-median pair under (slope, t, t') ordering,
+                   plus the rounded double.
+
+    Plan: one within-key pair self-join under t<t' (bounded ×
+    bounded), one hash aggregate for S, one bounded per-key window
+    for the median selection (≤ grain²/2 rows per key by contract),
+    one tie rollup.
+    """
+    dec = "decimal(38,0)"
+    rows = series.select(F.col(key).alias("__k"),
+                         F.col(t_col).cast("long").alias("__t"),
+                         F.col(v_col).cast("long").alias("__v"))
+    lhs = rows.select("__k", F.col("__t").alias("__t1"),
+                      F.col("__v").alias("__v1"))
+    rhs = rows.select("__k", F.col("__t").alias("__t2"),
+                      F.col("__v").alias("__v2"))
+    pairs = (lhs.join(rhs, "__k")
+             .filter(F.col("__t1") < F.col("__t2")))
+    s = (pairs.groupBy("__k")
+         .agg(F.sum(F.signum(F.col("__v2") - F.col("__v1"))
+                    .cast("long")).alias("s_stat"),
+              F.count(F.lit(1)).alias("__m")))
+    slope = ((F.col("__v2") - F.col("__v1")).cast("double")
+             / (F.col("__t2") - F.col("__t1")).cast("double"))
+    wm = Window.partitionBy("__k").orderBy(  # ≤ grain²/2 rows per key
+        "__slope", "__t1", "__t2")
+    ranked = (pairs.withColumn("__slope", slope)
+              .withColumn("__rn", F.row_number().over(wm)))
+    med = (ranked.join(s.select("__k", "__m"), "__k")
+           .filter(F.col("__rn") == F.floor((F.col("__m") + 1) / 2))
+           .select("__k",
+                   (F.col("__v2") - F.col("__v1")).alias("sen_num"),
+                   (F.col("__t2") - F.col("__t1")).alias("sen_den"),
+                   F.round(F.col("__slope"), 6).alias("sen_slope")))
+    n_t = rows.groupBy("__k").agg(F.count(F.lit(1)).alias("n"))
+    ties = (rows.groupBy("__k", "__v").agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy("__k")
+            .agg(F.sum(F.col("__c").cast(dec) * (F.col("__c") - 1).cast(dec)
+                       * (F.lit(2).cast(dec) * F.col("__c") + 5).cast(dec))
+                 .cast(dec).alias("__tie_term")))
+    nn = F.col("n").cast(dec)
+    var_num = (nn * (nn - 1).cast(dec)
+               * (F.lit(2).cast(dec) * nn + 5).cast(dec)
+               - F.col("__tie_term")).cast(dec)
+    z = ((F.col("s_stat") - F.signum(F.col("s_stat"))).cast("double")
+         / F.sqrt(var_num.cast("double") / F.lit(18.0)))
+    return (n_t.join(s, "__k").join(ties, "__k").join(med, "__k")
+            .select(F.col("__k").alias(key),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("s_stat").cast("long").alias("s_stat"),
+                    var_num.cast("long").alias("var_num"),
+                    F.round(z, 6).alias("z_stat"),
+                    F.col("sen_num").cast("long").alias("sen_num"),
+                    F.col("sen_den").cast("long").alias("sen_den"),
+                    "sen_slope")
+            .orderBy(key))

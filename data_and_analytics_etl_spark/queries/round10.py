@@ -4,9 +4,12 @@ rows-only families (CMS top-k, weighted sampling, PageRank), rank
 statistics (Kendall τ-b, Kruskal-Wallis, Wilcoxon signed-rank),
 paired t, two-factor OLS, calibration bins, Cramér's V, link
 prediction, n-gram novelty, randomized response, unigram KL, rolling
-medians and gaps-and-islands interval merge. (Two further upgrades —
-corpus_chunk_sentences and timeseries_holt_winters — live with their
-original registrations in llmdata.py / analytics.py.)
+medians and gaps-and-islands interval merge, plus the fourth
+(post-window) mini-cohort: Friedman repeated-measures test,
+Mann-Kendall trend + Sen's slope, degree assortativity and Wald SPRT
+first crossing. (Two further upgrades — corpus_chunk_sentences and
+timeseries_holt_winters — live with their original registrations in
+llmdata.py / analytics.py.)
 
 Every probe follows the determinism contract (registry module doc):
 exact integer/DECIMAL accumulation, ONE double chain per emitted
@@ -960,3 +963,254 @@ def interval_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.greatest(F.floor(F.col("value") * 100).cast("long"),
                       F.lit(0)) * F.lit(1000000)).alias("__e"))
     return gaps_and_islands(iv, "event_type", F.col("__s"), F.col("__e"))
+
+
+# --------------------------------------------------------------------------
+# 18. stats_friedman — repeated-measures rank test over complete blocks
+# --------------------------------------------------------------------------
+
+@query(
+    "stats_friedman",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey % 500 AS b, o_orderpriority AS tr,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1, 2
+), kk AS (SELECT count(DISTINCT tr) AS k FROM r),
+c AS (
+  SELECT b FROM r GROUP BY b HAVING count(*) = (SELECT k FROM kk)
+), rows2 AS (SELECT r.* FROM r JOIN c USING (b)),
+tv AS (SELECT b, v, CAST(count(*) AS BIGINT) AS t FROM rows2 GROUP BY 1, 2),
+mr AS (
+  SELECT b, v, 2 * coalesce(sum(t) OVER (PARTITION BY b ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+           AS mr2
+  FROM tv
+), tie AS (
+  SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS tie3 FROM tv
+), g AS (
+  SELECT tr AS treatment, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(m.mr2) AS BIGINT) AS rank_sum2
+  FROM rows2 JOIN mr m ON rows2.b = m.b AND rows2.v = m.v GROUP BY 1
+)
+SELECT treatment, n_blocks, CAST((SELECT k FROM kk) AS BIGINT) AS k,
+       rank_sum2,
+       CAST(CAST(rank_sum2 AS HUGEINT) * rank_sum2 AS DOUBLE) / 4.0
+         AS q_contrib,
+       tie.tie3 AS tie3
+FROM g, tie ORDER BY treatment
+""",
+    tags=("stats",),
+    doc="Friedman repeated-measures rank test of per-customer-block "
+        "spend across the 5 order priorities "
+        "(operators/profile.py:friedman_test): blocks = custkey % 500, "
+        "value = exact cent totals; incomplete blocks drop (the "
+        "complete-block design), within-block DOUBLED midranks keep "
+        "rank_sum2 an exact BIGINT, q_contrib = R_j^2 is ONE double "
+        "chain and Q assembles caller-side with the exact tie cubes — "
+        "the within-subjects completion of the kruskal_wallis/"
+        "wilcoxon rank family. The oracle replays the same midrank "
+        "windows per block.",
+)
+def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import friedman_test
+    o = load_table(spark, sf_dir, "orders")
+    cells = (o.groupBy((F.col("o_custkey") % 500).alias("block"),
+                       F.col("o_orderpriority").alias("prio"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                  .alias("cents")))
+    return friedman_test(cells, "block", "prio", "cents")
+
+
+# --------------------------------------------------------------------------
+# 19. timeseries_mann_kendall — monotonic trend + Sen's slope per series
+# --------------------------------------------------------------------------
+
+@query(
+    "timeseries_mann_kendall",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS g,
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) // 7
+              AS BIGINT) AS t,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1, 2
+), p AS (
+  SELECT a.g, a.t AS t1, b.t AS t2, a.v AS v1, b.v AS v2,
+         CAST(b.v - a.v AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+  FROM s a JOIN s b ON a.g = b.g AND a.t < b.t
+), st AS (
+  SELECT g, CAST(sum(sign(v2 - v1)) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS m
+  FROM p GROUP BY 1
+), rk AS (
+  SELECT g, v2 - v1 AS sen_num, t2 - t1 AS sen_den, slope,
+         row_number() OVER (PARTITION BY g ORDER BY slope, t1, t2) AS rn
+  FROM p
+), med AS (
+  SELECT rk.g, CAST(sen_num AS BIGINT) AS sen_num,
+         CAST(sen_den AS BIGINT) AS sen_den,
+         round(slope, 6) AS sen_slope
+  FROM rk JOIN st ON rk.g = st.g AND rk.rn = (st.m + 1) // 2
+), nt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+tie AS (
+  SELECT g, CAST(sum(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5))
+                AS HUGEINT) AS tie_term
+  FROM (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2)
+  GROUP BY 1
+), vn AS (
+  SELECT nt.g, nt.n,
+         CAST(CAST(nt.n AS HUGEINT) * (nt.n - 1) * (2 * nt.n + 5)
+              - tie.tie_term AS BIGINT) AS var_num
+  FROM nt JOIN tie ON nt.g = tie.g
+)
+SELECT vn.g AS priority, vn.n, st.s_stat, vn.var_num,
+       round(CAST(st.s_stat - sign(st.s_stat) AS DOUBLE)
+             / sqrt(CAST(vn.var_num AS DOUBLE) / 18.0), 6) AS z_stat,
+       med.sen_num, med.sen_den, med.sen_slope
+FROM vn JOIN st ON vn.g = st.g JOIN med ON vn.g = med.g
+ORDER BY priority
+""",
+    tags=("timeseries", "stats"),
+    doc="Mann-Kendall monotonic-trend test with Theil-Sen slope on "
+        "weekly revenue per order priority "
+        "(operators/timeseries.py:mann_kendall): the series rolls up "
+        "to the calendar-bounded weekly grain first so the pair "
+        "self-join under t<t' is bounded x bounded; S and the "
+        "tie-corrected variance numerator are exact integers, z ONE "
+        "double chain, and Sen's slope is emitted as the EXACT "
+        "(num, den) integer pair of the lower-median element under "
+        "(slope, t1, t2) ordering plus the rounded double. The "
+        "oracle replays the pair join and median pick with plain "
+        "windows.",
+)
+def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import mann_kendall
+    o = load_table(spark, sf_dir, "orders")
+    weekly = (o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) / 7)
+        .cast("long").alias("week"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .alias("cents")))
+    return mann_kendall(weekly, "priority", "week", "cents")
+
+
+# --------------------------------------------------------------------------
+# 20. graph_degree_assortativity — endpoint-degree Pearson over edges
+# --------------------------------------------------------------------------
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT c_custkey // 10 AS a, c_custkey AS b
+  FROM customer WHERE c_custkey // 10 <> c_custkey
+), adj AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM adj GROUP BY 1),
+pts AS (
+  SELECT dx.deg AS x, dy.deg AS y FROM adj
+  JOIN deg dx ON adj.a = dx.node JOIN deg dy ON adj.b = dy.node
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m2,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM pts
+)
+SELECT CAST(m2 AS BIGINT) AS m2, CAST(sx AS BIGINT) AS sum_deg,
+       CAST(sx2 AS BIGINT) AS sum_deg2, CAST(sxy AS BIGINT) AS sum_dxdy,
+       round(CAST(m2 * sxy - sx * sx AS DOUBLE)
+             / CAST(m2 * sx2 - sx * sx AS DOUBLE), 6) AS assortativity
+FROM m
+""",
+    tags=("graph",),
+    doc="Degree assortativity of the customer digit-tree hierarchy "
+        "(operators/graph.py:degree_assortativity): Pearson "
+        "correlation of endpoint degrees over the symmetrized edge "
+        "multiset (Newman '02, full-degree variant) — exact "
+        "DECIMAL(38,0) moments, r ONE double chain; the digit tree is "
+        "strongly disassortative (hubs attach to leaves), a shape "
+        "check the sign makes visible. In the digit tree the parent "
+        "c//10 < child always, which the oracle's e CTE mirrors; "
+        "degrees come from equi-joins on the node-sized degree table, "
+        "never a collect.",
+)
+def graph_degree_assortativity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.graph import degree_assortativity
+    c = load_table(spark, sf_dir, "customer")
+    edges = c.select(
+        F.floor(F.col("c_custkey") / 10).cast("long").alias("src"),
+        F.col("c_custkey").cast("long").alias("dst")).filter(
+        F.col("src") != F.col("dst"))
+    return degree_assortativity(edges)
+
+
+# --------------------------------------------------------------------------
+# 21. analytics_sprt_boundary — Wald sequential test first crossing
+# --------------------------------------------------------------------------
+
+@query(
+    "analytics_sprt_boundary",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority AS g, o_orderdate AS d, o_orderkey AS k,
+         CAST(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                                      1, 6)) AS BIGINT) % 10 < 6
+              AS BIGINT) AS y
+  FROM orders
+), c AS (
+  SELECT g,
+         row_number() OVER (PARTITION BY g ORDER BY d, k) AS i,
+         CAST(sum(y) OVER (PARTITION BY g ORDER BY d, k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n1
+  FROM r
+), l AS (
+  SELECT g, i, n1,
+         CAST(n1 AS DOUBLE) * 0.20067069546215124
+           + CAST(i - n1 AS DOUBLE) * (-0.20067069546215124) AS llr
+  FROM c
+), x AS (
+  SELECT g, CAST(min(i) AS BIGINT) AS cross_n FROM l
+  WHERE llr >= 2.9444389791664403 OR llr <= -2.9444389791664403
+  GROUP BY 1
+), hit AS (
+  SELECT l.g, x.cross_n, l.n1 AS n1_at_cross,
+         round(l.llr, 6) AS llr_at_cross,
+         CASE WHEN l.llr >= 2.9444389791664403
+              THEN 'H1' ELSE 'H0' END AS decision
+  FROM l JOIN x ON l.g = x.g AND l.i = x.cross_n
+), t AS (SELECT g, CAST(count(*) AS BIGINT) AS n_total FROM r GROUP BY 1)
+SELECT t.g AS category, t.n_total, hit.cross_n, hit.n1_at_cross,
+       hit.llr_at_cross, hit.decision
+FROM t LEFT JOIN hit ON t.g = hit.g
+ORDER BY category
+""",
+    tags=("analytics", "stats"),
+    doc="Wald SPRT first boundary crossing per order priority "
+        "(operators/profile.py:sprt_boundary, p0=0.45 vs p1=0.55, "
+        "alpha=beta=0.05): the Bernoulli stream is the portable "
+        "md5-bit of the order key replayed in date-then-key order; "
+        "the cumulative llr carries only two exact window-cumulative "
+        "BIGINTs and crosses ln(19) as ONE double chain per row with "
+        "the log constants as LITERAL doubles on both sides (the "
+        "ln-portability rule) — the sequential member of the "
+        "ab_power_mde/ab_welch_ttest family. Streams that never "
+        "leave the continuation region emit NULLs (exercised at "
+        "sf0.001).",
+)
+def analytics_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import sprt_boundary
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k"))
+    y = (F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 6),
+                16, 10).cast("long") % 10 < 6)
+    return sprt_boundary(o, "g", ["d", "k"], y,
+                         llr_pos=0.20067069546215124,
+                         llr_neg=-0.20067069546215124,
+                         upper=2.9444389791664403,
+                         lower=-2.9444389791664403)

@@ -1283,3 +1283,151 @@ class TestRoundTenThirdCohort:
                     cur = (s, e, 1)
             want.append((key, *cur))
         assert got == want
+
+
+class TestRoundTenFourthCohort:
+    """References for the r10 fourth mini-cohort: Friedman vs a
+    pure-Python within-block rank replay, Mann-Kendall/Sen vs brute
+    force over all pairs, degree assortativity vs a dict-based
+    Pearson, SPRT vs a sequential scan replay."""
+
+    def _spark(self):
+        from data_and_analytics_etl_spark.session import get_spark
+        return get_spark("prop-r10d")
+
+    def test_friedman_matches_python_reference(self):
+        from data_and_analytics_etl_spark.operators.profile import \
+            friedman_test
+        spark = self._spark()
+        # 4 blocks x 3 treatments, one tie inside block 2, plus an
+        # incomplete block (5) that must drop
+        cells = [(1, "a", 10), (1, "b", 20), (1, "c", 30),
+                 (2, "a", 5), (2, "b", 5), (2, "c", 9),
+                 (3, "a", 7), (3, "b", 3), (3, "c", 8),
+                 (4, "a", 1), (4, "b", 2), (4, "c", 0),
+                 (5, "a", 99)]
+        df = spark.createDataFrame(cells,
+                                   "b: long, tr: string, v: long")
+        got = {r["treatment"]: r for r in
+               friedman_test(df, "b", "tr", "v").collect()}
+        complete = [b for b in {c[0] for c in cells}
+                    if sum(1 for c in cells if c[0] == b) == 3]
+        rank_sums = {}
+        tie3 = 0
+        for b in complete:
+            vals = sorted(v for bb, _, v in cells if bb == b)
+            for t in set(vals):
+                c = vals.count(t)
+                tie3 += c ** 3 - c
+            for bb, tr, v in cells:
+                if bb != b:
+                    continue
+                lo = vals.index(v) + 1
+                hi = len(vals) - vals[::-1].index(v)
+                rank_sums[tr] = rank_sums.get(tr, 0.0) + (lo + hi) / 2.0
+        for tr, rs in rank_sums.items():
+            assert got[tr]["n_blocks"] == len(complete)
+            assert got[tr]["k"] == 3
+            assert got[tr]["rank_sum2"] == int(2 * rs)
+            assert abs(got[tr]["q_contrib"] - rs * rs) < 1e-9
+            assert got[tr]["tie3"] == tie3
+        # Q assembly sanity: 12/(nk(k+1)) * sum R_j^2 - 3n(k+1)
+        n, k = len(complete), 3
+        q = (12.0 / (n * k * (k + 1))
+             * sum(r * r for r in rank_sums.values()) - 3 * n * (k + 1))
+        q_spark = (12.0 / (n * k * (k + 1))
+                   * sum(r["q_contrib"] for r in got.values())
+                   - 3 * n * (k + 1))
+        assert abs(q - q_spark) < 1e-9
+
+    def test_mann_kendall_matches_brute_force(self):
+        import math
+
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            mann_kendall
+        spark = self._spark()
+        series = [(0, 3), (1, 5), (2, 4), (3, 5), (4, 9),
+                  (5, 2), (6, 11), (7, 11), (8, 14)]
+        df = spark.createDataFrame([("k", t, v) for t, v in series],
+                                   "g: string, t: long, v: long")
+        r = mann_kendall(df, "g", "t", "v").collect()[0]
+        pairs = [(t1, t2, v1, v2)
+                 for i, (t1, v1) in enumerate(series)
+                 for t2, v2 in series[i + 1:]]
+        s = sum((v2 > v1) - (v2 < v1) for _, _, v1, v2 in pairs)
+        n = len(series)
+        vals = [v for _, v in series]
+        tie = sum(vals.count(v) * (vals.count(v) - 1)
+                  * (2 * vals.count(v) + 5) for v in set(vals))
+        var_num = n * (n - 1) * (2 * n + 5) - tie
+        assert r["n"] == n and r["s_stat"] == s
+        assert r["var_num"] == var_num
+        z = (s - (s > 0) + (s < 0)) / math.sqrt(var_num / 18.0)
+        assert abs(r["z_stat"] - z) < 1e-6
+        slopes = sorted(((v2 - v1) / (t2 - t1), t1, t2, v2 - v1, t2 - t1)
+                        for t1, t2, v1, v2 in pairs)
+        med = slopes[(len(slopes) + 1) // 2 - 1]
+        assert (r["sen_num"], r["sen_den"]) == (med[3], med[4])
+        assert abs(r["sen_slope"] - med[0]) < 1e-6
+
+    def test_assortativity_matches_dict_pearson(self):
+        import math
+
+        from data_and_analytics_etl_spark.operators.graph import \
+            degree_assortativity
+        spark = self._spark()
+        # star (hub 0) + a triangle + a pendant chain
+        edges = [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 12),
+                 (10, 12), (12, 13), (1, 0)]  # dup orientation folds
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        r = degree_assortativity(df).collect()[0]
+        und = {tuple(sorted(e)) for e in edges}
+        deg: dict[int, int] = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        pts = [(deg[a], deg[b]) for a, b in und] \
+            + [(deg[b], deg[a]) for a, b in und]
+        m = len(pts)
+        sx = sum(x for x, _ in pts)
+        sx2 = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        want = (m * sxy - sx * sx) / math.sqrt((m * sx2 - sx * sx) ** 2)
+        assert r["m2"] == m and r["sum_deg"] == sx
+        assert r["sum_deg2"] == sx2 and r["sum_dxdy"] == sxy
+        assert abs(r["assortativity"] - want) < 1e-6
+        assert r["assortativity"] < 0  # star+chain: disassortative
+
+    def test_sprt_matches_sequential_replay(self):
+        import math
+
+        from data_and_analytics_etl_spark.operators.profile import \
+            sprt_boundary
+        spark = self._spark()
+        c1 = math.log(0.55 / 0.45)
+        up, lo = math.log(19.0), -math.log(19.0)
+        # group A drifts to H1, group B to H0, group C never crosses
+        ys = {"A": [1, 1, 1, 0, 1] * 8, "B": [0, 0, 1, 0, 0] * 8,
+              "C": [1, 0] * 4}
+        rows = [(g, i, y) for g, seq in ys.items()
+                for i, y in enumerate(seq)]
+        df = spark.createDataFrame(rows, "g: string, i: long, y: long")
+        got = {r["category"]: r for r in sprt_boundary(
+            df, "g", ["i"], F.col("y") == 1, llr_pos=c1, llr_neg=-c1,
+            upper=up, lower=lo).collect()}
+        for g, seq in ys.items():
+            llr, cross = 0.0, None
+            for i, y in enumerate(seq, start=1):
+                llr += c1 if y else -c1
+                if llr >= up or llr <= lo:
+                    cross = (i, sum(seq[:i]), llr,
+                             "H1" if llr >= up else "H0")
+                    break
+            r = got[g]
+            assert r["n_total"] == len(seq)
+            if cross is None:
+                assert r["cross_n"] is None and r["decision"] is None
+            else:
+                assert (r["cross_n"], r["n1_at_cross"],
+                        r["decision"]) == (cross[0], cross[1], cross[3])
+                assert abs(r["llr_at_cross"] - cross[2]) < 1e-6
