@@ -404,3 +404,60 @@ def cramers_v(df: DataFrame, feature_cols: list[str],
                          F.col("chi2_q").cast("long").alias("chi2_q"),
                          F.round(v, 6).alias("cramers_v"))
             .orderBy("feature"))
+
+
+def quantile_normalize(df: DataFrame, feature_col: str, value_col: str,
+                       tiebreak_cols: list[str], lo: float, hi: float,
+                       nbins: int = 64) -> DataFrame:
+    """Quantile normalization across features (Bolstad '03 — the
+    cross-sample distribution equalizer): sort every feature's values,
+    average across features at each sort position, and that average IS
+    the normalized value for whichever raw value sat at that position.
+    The classic microarray/ML trick for forcing k feature columns onto
+    one common distribution.
+
+    Input grain: long format, one row per (feature, value, tiebreak…)
+    with integer values and a tiebreak that makes (value, tiebreak…)
+    unique per feature — positional ranks must be deterministic, the
+    assign_dense_ids contract. Output: the rank table — rank,
+    n_features at that rank, the EXACT value sum, and the normalized
+    mean (ONE double division). Joining it back onto the ranked rows
+    is a rank-keyed equi-join the caller owns.
+
+    Plan — positional rank WITHOUT a single-task window (the
+    assign_dense_ids bucket trick, per feature): value-derived bucket
+    (pure codegen; boundaries respect the order), per-(feature,
+    bucket) counts → per-feature exclusive prefix offsets (window over
+    ≤ nbins rows per feature — bounded by design), rank = offset +
+    row_number within (feature, bucket). One data shuffle on
+    (feature, bucket), one rank-keyed aggregate.
+    """
+    width = (float(hi) - float(lo)) / int(nbins)
+    rows = df.select(F.col(feature_col).alias("__f"),
+                     F.col(value_col).cast("long").alias("__v"),
+                     *[F.col(c) for c in tiebreak_cols])
+    bucket = F.least(F.greatest(
+        F.floor((F.col("__v").cast("double") - F.lit(float(lo)))
+                / F.lit(width)), F.lit(0)), F.lit(int(nbins) - 1))
+    b = rows.withColumn("__bkt", bucket.cast("int"))
+    counts = b.groupBy("__f", "__bkt").agg(F.count(F.lit(1)).alias("__c"))
+    woff = (Window.partitionBy("__f").orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1))  # ≤ nbins rows
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(woff), F.lit(0)))
+    wrow = Window.partitionBy("__f", "__bkt").orderBy(
+        "__v", *[F.col(c) for c in tiebreak_cols])
+    ranked = (b.join(F.broadcast(offsets.select("__f", "__bkt", "__off")),
+                     ["__f", "__bkt"])
+              .withColumn("__rank",
+                          (F.col("__off") + F.row_number().over(wrow))
+                          .cast("long")))
+    return (ranked.groupBy("__rank")
+            .agg(F.count(F.lit(1)).alias("n_features"),
+                 F.sum("__v").alias("sum_v"))
+            .select(F.col("__rank").alias("rank"),
+                    F.col("n_features").cast("long").alias("n_features"),
+                    F.col("sum_v").cast("long").alias("sum_v"),
+                    (F.col("sum_v").cast("double")
+                     / F.col("n_features").cast("double")).alias("norm"))
+            .orderBy("rank"))

@@ -540,3 +540,68 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
                     F.col("sum_x2").cast("long").alias("sum_deg2"),
                     F.col("sum_xy").cast("long").alias("sum_dxdy"),
                     F.round(r, 6).alias("assortativity"))
+
+
+def hits_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
+                 iters: int = 2, scale: int = 10**12) -> DataFrame:
+    """HITS hubs-and-authorities in EXACT integer arithmetic — the
+    :func:`pagerank_integer` move applied to Kleinberg '99: scores
+    live on a ``scale`` integer grid and each half-step normalizes by
+    the grid total with floor division of NONNEGATIVE integers, so
+    every round is a pure order-insensitive function of the graph
+    (float HITS sums in partition order and can't be value-hashed):
+
+        a_raw(v) = Σ_{u→v} h(u)        a(v) = a_raw·scale DIV Σ a_raw
+        h_raw(u) = Σ_{u→v} a(v)        h(u) = h_raw·scale DIV Σ h_raw
+
+    The ·scale products run in DECIMAL(38,0) (a_raw ≤ n·scale, so the
+    product needs ~2×12+digits(n) digits — DIV returns BIGINT on both
+    engines with identical truncation for nonnegative operands).
+    Normalization floors leak ≤ n grid units per half-step — a
+    deterministic variant with the same fixed point up to grid
+    resolution, the pagerank_integer contract.
+
+    Scale shape per round: two equi-joins (edges ⨝ scores) + two hash
+    aggregates + two 1-row broadcast totals; per-round lazy
+    localCheckpoint lineage truncation. No collect of anything
+    node-sized.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    hub = nodes.select("node", F.lit(int(scale)).cast("long").alias("h"))
+    dec = "DECIMAL(38,0)"
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        tot = raw.agg(F.sum(F.col(col)).cast("long").alias("__tot"))
+        return (raw.crossJoin(F.broadcast(tot))
+                .select("node",
+                        F.expr(f"CAST({col} AS {dec}) * "
+                               f"CAST({int(scale)} AS {dec}) DIV "
+                               f"CAST(__tot AS {dec})")
+                        .cast("long").alias(col)))
+
+    auth = None
+    for _ in range(int(iters)):
+        a_raw = (e.join(hub.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("h").alias("a")))
+        auth = (nodes.join(_norm(a_raw, "a"), "node", "left")
+                .select("node", F.coalesce("a", F.lit(0))
+                        .cast("long").alias("a"))
+                .localCheckpoint(eager=False))
+        h_raw = (e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("a").alias("h")))
+        hub = (nodes.join(_norm(h_raw, "h"), "node", "left")
+               .select("node", F.coalesce("h", F.lit(0))
+                       .cast("long").alias("h"))
+               .localCheckpoint(eager=False))
+    return (nodes.join(auth, "node").join(hub, "node")
+            .select("node", F.col("a").alias("authority"),
+                    F.col("h").alias("hub"))
+            .orderBy("node"))

@@ -893,3 +893,77 @@ def unigram_kl_by_group(docs: DataFrame, group_col: str,
                     (F.col("kl_q").cast("double") / F.lit(quantum))
                     .alias("kl"))
             .orderBy("category"))
+
+
+#: ln 2 as a LITERAL double — never computed engine-side (the
+#: ln-portability rule); the repr round-trips exactly on both engines.
+LN2 = 0.6931471805599453
+
+
+def js_divergence_by_group(docs: DataFrame, group_col: str,
+                           text_col: str = "text",
+                           quantum: float = 1e6) -> DataFrame:
+    """Per-group Jensen-Shannon divergence between the group's unigram
+    distribution and the REST-of-corpus distribution — the symmetric,
+    bounded (≤ ln 2) companion of :func:`unigram_kl_by_group` (KL is
+    one-directional and unbounded; JS is what corpus-drift dashboards
+    threshold on). Requires ≥ 2 groups by contract (the rest-side
+    total must be nonzero).
+
+    JSD(P‖Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),  m = (p+q)/2, with
+    q the rest-of-corpus distribution (ct−cgt)/(N−Ng). Each
+    (group, token) contribution crosses an engine-side ln, so it is
+    floor-quantized to the 1e-6 integer grid BEFORE the per-group sum
+    (the vocab_logrank rule). Tokens the group has never seen
+    contribute ½·q·ln 2 each; their total mass is the CLOSED FORM
+    ½·ln2·(1 − Σ_{t∈support(g)} q_t) from the support table alone —
+    quantized once as a single term, with ln 2 a literal double (never
+    engine-computed). So the vocabulary×groups fan-out never
+    materializes.
+
+    Plan: identical to unigram_kl_by_group — one explode + ONE hash
+    aggregate to (group, token), vocabulary-grain marginal joins, one
+    per-group rollup. Two shuffles over Heaps-bounded tables.
+    """
+    toks = (docs.select(F.col(group_col).alias("__grp"),
+                        F.explode(
+                            F.filter(F.split(F.lower(F.col(text_col)),
+                                             r"\s+"),
+                                     lambda w: w != "")).alias("__t")))
+    gt = (toks.groupBy("__grp", "__t")
+          .agg(F.count(F.lit(1)).alias("__cgt")))
+    gtot = gt.groupBy("__grp").agg(F.sum("__cgt").alias("__ng"))
+    tmarg = gt.groupBy("__t").agg(F.sum("__cgt").alias("__ct"))
+    ttot = tmarg.agg(F.sum("__ct").alias("__n"))
+    crt = F.col("__ct") - F.col("__cgt")
+    nr = F.col("__n") - F.col("__ng")
+    p = F.col("__cgt").cast("double") / F.col("__ng").cast("double")
+    q = crt.cast("double") / nr.cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (F.lit(0.5) * p * F.log(p / m)
+            + F.when(crt > 0, F.lit(0.5) * q * F.log(q / m))
+            .otherwise(F.lit(0.0)))
+    per_tok = (gt.join(gtot, "__grp")
+               .join(tmarg, "__t")
+               .crossJoin(F.broadcast(ttot))
+               .select("__grp", "__cgt", "__ng", "__n",
+                       F.floor(term * F.lit(quantum)).cast("long")
+                       .alias("__q"), crt.alias("__crt")))
+    g = (per_tok.groupBy("__grp")
+         .agg(F.sum("__cgt").alias("n_tokens"),
+              F.sum("__q").alias("__present_q"),
+              F.sum("__crt").alias("__scrt"),
+              F.max("__ng").alias("__ng"),
+              F.max("__n").alias("__n")))
+    nr_g = (F.col("__n") - F.col("__ng")).cast("double")
+    missing_q = F.floor(
+        F.lit(0.5 * LN2)
+        * (nr_g - F.col("__scrt").cast("double")) / nr_g
+        * F.lit(quantum)).cast("long")
+    return (g.select(F.col("__grp").alias("category"),
+                     F.col("n_tokens").cast("long").alias("n_tokens"),
+                     (F.col("__present_q") + missing_q).cast("long")
+                     .alias("js_q"),
+                     ((F.col("__present_q") + missing_q).cast("double")
+                      / F.lit(quantum)).alias("js"))
+            .orderBy("category"))

@@ -1214,3 +1214,187 @@ def analytics_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
                          llr_neg=-0.20067069546215124,
                          upper=2.9444389791664403,
                          lower=-2.9444389791664403)
+
+
+# --------------------------------------------------------------------------
+# 22. feature_quantile_normalize — cross-feature distribution equalizer
+# --------------------------------------------------------------------------
+
+@query(
+    "feature_quantile_normalize",
+    oracle="""
+WITH r AS (
+  SELECT 'qty' AS f, CAST(l_quantity AS BIGINT) AS v,
+         l_orderkey AS k1, l_linenumber AS k2 FROM lineitem
+  UNION ALL
+  SELECT 'disc', CAST(round(l_discount * 100) AS BIGINT),
+         l_orderkey, l_linenumber FROM lineitem
+  UNION ALL
+  SELECT 'tax', CAST(round(l_tax * 100) AS BIGINT),
+         l_orderkey, l_linenumber FROM lineitem
+), rk AS (
+  SELECT f, v,
+         row_number() OVER (PARTITION BY f ORDER BY v, k1, k2) AS rank
+  FROM r
+)
+SELECT CAST(rank AS BIGINT) AS rank,
+       CAST(count(*) AS BIGINT) AS n_features,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS norm
+FROM rk GROUP BY 1 ORDER BY rank
+""",
+    tags=("features", "llm"),
+    doc="Quantile normalization (Bolstad '03) of three lineitem "
+        "measures onto one common distribution "
+        "(operators/features.py:quantile_normalize): per-feature "
+        "POSITIONAL ranks built with the assign_dense_ids bucket "
+        "trick — value-derived buckets, per-feature exclusive prefix "
+        "offsets over <= nbins bounded rows, row_number within "
+        "(feature, bucket) — never a single-task window; the rank "
+        "table carries the exact cross-feature value sum and the "
+        "normalized mean as ONE double division. (orderkey, "
+        "linenumber) is the uniqueness tiebreak. The oracle uses the "
+        "plain per-feature window the bucket plan must equal exactly.",
+)
+def feature_quantile_normalize(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..operators.features import quantile_normalize
+    li = load_table(spark, sf_dir, "lineitem")
+    long_rows = None
+    for name, col in (("qty", F.col("l_quantity").cast("long")),
+                      ("disc", F.round(F.col("l_discount") * 100)
+                       .cast("long")),
+                      ("tax", F.round(F.col("l_tax") * 100).cast("long"))):
+        part = li.select(F.lit(name).alias("feat"), col.alias("v"),
+                         F.col("l_orderkey").alias("k1"),
+                         F.col("l_linenumber").alias("k2"))
+        long_rows = part if long_rows is None \
+            else long_rows.unionByName(part)
+    return quantile_normalize(long_rows, "feat", "v", ["k1", "k2"],
+                              lo=0.0, hi=51.0, nbins=64)
+
+
+# --------------------------------------------------------------------------
+# 23. graph_hits_iter — integer-grid HITS, the pagerank_iter move
+# --------------------------------------------------------------------------
+
+def _hits_oracle(iters: int = 2) -> str:
+    s = 1000000000000
+    sql = f"""
+WITH e AS (SELECT DISTINCT c_custkey // 10 AS src, c_custkey AS dst
+           FROM customer),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+h0 AS (SELECT node, CAST({s} AS HUGEINT) AS h FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+ar{i} AS (SELECT e.dst AS node, sum(h.h) AS a
+          FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1),
+at{i} AS (SELECT sum(a) AS t FROM ar{i}),
+a{i} AS (SELECT n.node,
+                CAST(coalesce((ar.a * {s}) // (SELECT t FROM at{i}), 0)
+                     AS HUGEINT) AS a
+         FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node),
+hr{i} AS (SELECT e.src AS node, sum(a.a) AS hh
+          FROM e JOIN a{i} a ON e.dst = a.node GROUP BY 1),
+ht{i} AS (SELECT sum(hh) AS t FROM hr{i}),
+h{i} AS (SELECT n.node,
+                CAST(coalesce((hr.hh * {s}) // (SELECT t FROM ht{i}), 0)
+                     AS HUGEINT) AS h
+         FROM nodes n LEFT JOIN hr{i} hr ON n.node = hr.node)"""
+    return sql + f"""
+SELECT CAST(n.node AS BIGINT) AS node, CAST(a.a AS BIGINT) AS authority,
+       CAST(h.h AS BIGINT) AS hub
+FROM nodes n JOIN a{iters} a ON n.node = a.node
+JOIN h{iters} h ON n.node = h.node
+ORDER BY node"""
+
+
+@query(
+    "graph_hits_iter",
+    oracle=_hits_oracle(2),
+    tags=("graph",),
+    doc="HITS hubs/authorities in EXACT integer arithmetic, 2 rounds "
+        "over the customer digit hierarchy "
+        "(operators/graph.py:hits_integer — the pagerank_integer "
+        "md5-twin move applied to Kleinberg '99): scores on a 1e12 "
+        "grid, every half-step normalizes by the grid total with "
+        "floor division of NONNEGATIVE integers (the *scale products "
+        "run in DECIMAL(38,0)/HUGEINT), so each round is an "
+        "order-insensitive pure function of the graph and the oracle "
+        "unrolls both rounds as chained CTEs. Two equi-joins + two "
+        "aggregates + two 1-row broadcast totals per round, lazy "
+        "localCheckpoint truncation — no node-sized collect.",
+)
+def graph_hits_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits_integer
+    c = load_table(spark, sf_dir, "customer")
+    edges = c.select(
+        F.floor(F.col("c_custkey") / 10).cast("long").alias("src"),
+        F.col("c_custkey").cast("long").alias("dst"))
+    return hits_integer(edges, iters=2)
+
+
+# --------------------------------------------------------------------------
+# 24. text_js_divergence — symmetric bounded corpus-drift divergence
+# --------------------------------------------------------------------------
+
+@query(
+    "text_js_divergence",
+    oracle=r"""
+WITH tok AS (
+  SELECT source AS g,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> w != '')) AS t
+  FROM documents WHERE text IS NOT NULL
+), gt AS (
+  SELECT g, t, CAST(count(*) AS BIGINT) AS cgt FROM tok GROUP BY 1, 2
+), gtot AS (SELECT g, CAST(sum(cgt) AS BIGINT) AS ng FROM gt GROUP BY 1),
+tm AS (SELECT t, CAST(sum(cgt) AS BIGINT) AS ct FROM gt GROUP BY 1),
+tt AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM tm),
+pq AS (
+  SELECT gt.g, cgt, ng, tt.n, (ct - cgt) AS crt,
+         CAST(cgt AS DOUBLE) / CAST(ng AS DOUBLE) AS p,
+         CAST(ct - cgt AS DOUBLE) / CAST(tt.n - ng AS DOUBLE) AS q
+  FROM gt JOIN gtot ON gt.g = gtot.g JOIN tm ON gt.t = tm.t, tt
+), c AS (
+  SELECT g, cgt, ng, n, crt,
+         CAST(floor(((0.5 * p) * ln(p / ((p + q) / 2.0))
+              + CASE WHEN crt > 0
+                     THEN (0.5 * q) * ln(q / ((p + q) / 2.0))
+                     ELSE 0.0 END) * 1000000.0) AS BIGINT) AS tq
+  FROM pq
+), g2 AS (
+  SELECT g, CAST(sum(cgt) AS BIGINT) AS n_tokens,
+         CAST(sum(tq) AS BIGINT) AS present_q,
+         CAST(sum(crt) AS BIGINT) AS scrt,
+         max(ng) AS ng, max(n) AS n
+  FROM c GROUP BY 1
+), f AS (
+  SELECT g, n_tokens,
+         present_q + CAST(floor(((CAST('0.34657359027997264' AS DOUBLE)
+             * (CAST(n - ng AS DOUBLE) - CAST(scrt AS DOUBLE)))
+             / CAST(n - ng AS DOUBLE)) * 1000000.0) AS BIGINT) AS js_q
+  FROM g2
+)
+SELECT g AS category, n_tokens, js_q,
+       CAST(js_q AS DOUBLE) / 1000000.0 AS js
+FROM f ORDER BY category
+""",
+    tags=("llm", "text"),
+    doc="Per-source Jensen-Shannon divergence vs the REST-of-corpus "
+        "unigram distribution "
+        "(operators/text.py:js_divergence_by_group) — the symmetric, "
+        "ln2-bounded companion of text_unigram_kl_divergence that "
+        "drift dashboards threshold on. Every (source, token) "
+        "contribution is floor-quantized to the 1e-6 grid before "
+        "summation (the vocab_logrank rule); tokens a source never "
+        "saw contribute through ONE closed-form 0.5*ln2*(missing "
+        "q-mass) term with ln2 a QUOTED literal double — the "
+        "vocabulary x groups fan-out never materializes. Same "
+        "two-vocabulary-shuffle plan as the KL probe.",
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import js_divergence_by_group
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    return js_divergence_by_group(d, "source", "text")

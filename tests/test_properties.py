@@ -1431,3 +1431,94 @@ class TestRoundTenFourthCohort:
                 assert (r["cross_n"], r["n1_at_cross"],
                         r["decision"]) == (cross[0], cross[1], cross[3])
                 assert abs(r["llr_at_cross"] - cross[2]) < 1e-6
+
+
+class TestRoundTenFifthCohort:
+    """References for the r10 fifth mini-cohort: integer HITS vs a
+    pure-Python grid replay, quantile normalization vs the textbook
+    sorted-column average, JS divergence vs an exact-math replay."""
+
+    def _spark(self):
+        from data_and_analytics_etl_spark.session import get_spark
+        return get_spark("prop-r10e")
+
+    def test_hits_integer_matches_python_replay(self):
+        from data_and_analytics_etl_spark.operators.graph import \
+            hits_integer
+        spark = self._spark()
+        edges = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 5)]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        got = {r["node"]: (r["authority"], r["hub"])
+               for r in hits_integer(df, iters=2).collect()}
+        s = 10 ** 12
+        nodes = sorted({n for e in edges for n in e})
+        h = {n: s for n in nodes}
+        a = {}
+        for _ in range(2):
+            raw_a = {n: sum(h[u] for u, v in edges if v == n)
+                     for n in nodes}
+            ta = sum(raw_a.values())
+            a = {n: raw_a[n] * s // ta if raw_a[n] else 0 for n in nodes}
+            raw_h = {n: sum(a[v] for u, v in edges if u == n)
+                     for n in nodes}
+            th = sum(raw_h.values())
+            h = {n: raw_h[n] * s // th if raw_h[n] else 0 for n in nodes}
+        assert got == {n: (a[n], h[n]) for n in nodes}
+        # node 3 is the sink everyone cites: top authority
+        assert max(a, key=a.get) == 3
+
+    def test_quantile_normalize_matches_textbook(self):
+        from data_and_analytics_etl_spark.operators.features import \
+            quantile_normalize
+        spark = self._spark()
+        cols = {"f1": [5, 2, 3, 4, 9], "f2": [4, 1, 4, 2, 2],
+                "f3": [3, 4, 6, 8, 8]}
+        rows = [(f, v, i) for f, vs in cols.items()
+                for i, v in enumerate(vs)]
+        df = spark.createDataFrame(rows, "f: string, v: long, tb: long")
+        got = [(r["rank"], r["n_features"], r["sum_v"], r["norm"])
+               for r in quantile_normalize(
+                   df, "f", "v", ["tb"], lo=0.0, hi=10.0,
+                   nbins=4).collect()]
+        ranked = {f: sorted(vs) for f, vs in cols.items()}
+        want = []
+        for i in range(5):
+            vals = [ranked[f][i] for f in cols]
+            want.append((i + 1, 3, sum(vals), sum(vals) / 3))
+        assert got == want
+
+    def test_js_divergence_matches_exact_replay(self):
+        import math
+
+        from data_and_analytics_etl_spark.operators.text import \
+            js_divergence_by_group
+        spark = self._spark()
+        docs = [("a", 1, "x x y z"), ("a", 2, "x w"),
+                ("b", 3, "y y z q q"), ("b", 4, "q")]
+        df = spark.createDataFrame(docs,
+                                   "source: string, doc_id: long, "
+                                   "text: string")
+        got = {r["category"]: r for r in
+               js_divergence_by_group(df, "source").collect()}
+        toks = {g: [t for gg, _, tx in docs if gg == g
+                    for t in tx.split()] for g in ("a", "b")}
+        for g in ("a", "b"):
+            mine, rest = toks[g], toks["b" if g == "a" else "a"]
+            ng, nr = len(mine), len(rest)
+            support = sorted(set(mine))
+            q_sum = 0
+            for t in support:
+                p = mine.count(t) / ng
+                q = rest.count(t) / nr
+                m = (p + q) / 2.0
+                term = (0.5 * p) * math.log(p / m)
+                if rest.count(t) > 0:
+                    term += (0.5 * q) * math.log(q / m)
+                q_sum += math.floor(term * 1e6)
+            miss = sum(rest.count(t) for t in set(rest) - set(mine)) / nr
+            q_sum += math.floor((0.34657359027997264 * miss) * 1e6)
+            r = got[g]
+            assert r["n_tokens"] == ng
+            assert r["js_q"] == q_sum
+            assert abs(r["js"] - q_sum / 1e6) < 1e-12
+            assert -1e-6 <= r["js"] <= math.log(2.0) + 1e-6
