@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql import types as T
 
 
 def assign_dense_ids(df: DataFrame, order_col: str,
@@ -34,7 +35,17 @@ def assign_dense_ids(df: DataFrame, order_col: str,
                      buckets: int = 200,
                      accuracy: int = 10000) -> DataFrame:
     """Add ``out_col`` = dense 0-based rank of ``order_col`` (must be
-    unique for a deterministic assignment)."""
+    unique for a deterministic assignment, and NUMERIC — the
+    percentile_approx cutpoint sketch casts its input to double, so a
+    string order key silently yields garbage bucket boundaries; r10's
+    sf0.1 sweep caught systematic_sample doing exactly that)."""
+    if not isinstance(df.schema[order_col].dataType,
+                      (T.NumericType, T.DateType, T.TimestampType)):
+        raise TypeError(
+            f"assign_dense_ids needs a numeric/temporal order column; "
+            f"got {df.schema[order_col].dataType} for {order_col!r} — "
+            f"derive an ordered numeric bucket instead (the "
+            f"systematic_sample hex-prefix pattern)")
     fracs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
     cuts = df.agg(F.percentile_approx(F.col(order_col), fracs,
                                       F.lit(accuracy)).alias("__cuts"))

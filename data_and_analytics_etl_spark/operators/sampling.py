@@ -385,25 +385,40 @@ def systematic_sample(df: DataFrame, key_col: str, every_k: int,
     Ordering by md5(key) de-correlates the walk from any storage or
     business order (the classic systematic-sampling periodicity trap),
     stays deterministic cross-engine, and makes the selection a pure
-    function of the key set. The global position comes from
-    ids.assign_dense_ids — bucketed renumbering, never a single-task
-    row_number window — then `position % k == offset` selects. One
-    data shuffle (the dense-id renumber).
+    function of the key set. Global positions come from the
+    weighted_systematic_sample bucketing pattern — the first md5 byte
+    is a value-derived ORDERED bucket (hex-prefix ordering == string
+    ordering, md5 bytes are uniform), per-bucket counts feed exclusive
+    offsets through a 256-row window, position = offset + row_number
+    within the bucket — never a single-task global window AND never a
+    quantile sketch (ids.assign_dense_ids' percentile_approx cutpoints
+    require a NUMERIC order column; feeding it the md5 hex string
+    made bucket boundaries garbage — caught by the sf0.1 FULLVERIFY
+    section in r10). One data shuffle (the per-bucket renumber).
     """
-    from .ids import assign_dense_ids
     # md5 collisions between DISTINCT keys are negligible, but
     # duplicate key VALUES share an md5 exactly — append the key
     # itself as a tie-break (the weighted/quota samplers' pattern) so
-    # positions are a pure function of the key set. Like
-    # ids.assign_dense_ids, the contract requires key_col unique per
-    # row: rows sharing a key would still tie-break arbitrarily
-    # (r9 advice #2).
+    # positions are a pure function of the key set. The contract
+    # requires key_col unique per row: rows sharing a key would still
+    # tie-break arbitrarily (r9 advice #2).
     keyed = df.withColumn(
         "__ord", F.concat(F.md5(F.col(key_col).cast("string")),
                           F.col(key_col).cast("string")))
-    ranked = assign_dense_ids(keyed, "__ord", out_col="__pos")
+    b = keyed.withColumn(
+        "__b", F.conv(F.substring("__ord", 1, 2), 16, 10).cast("int"))
+    counts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    wb = (Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1))  # ≤ 256 rows
+    boff = counts.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(wb), F.lit(0)))
+    wrow = Window.partitionBy("__b").orderBy("__ord")
+    ranked = (b.join(F.broadcast(boff.select("__b", "__off")), "__b")
+              .withColumn("__pos",
+                          (F.col("__off") + F.row_number().over(wrow) - 1)
+                          .cast("long")))
     return (ranked.filter(F.col("__pos") % every_k == offset)
-            .drop("__ord", "__pos"))
+            .drop("__ord", "__pos", "__b", "__off"))
 
 
 def weighted_systematic_sample(df: DataFrame, key_col: str,
