@@ -1387,11 +1387,13 @@ FROM f ORDER BY category
         "ln2-bounded companion of text_unigram_kl_divergence that "
         "drift dashboards threshold on. Every (source, token) "
         "contribution is floor-quantized to the 1e-6 grid before "
-        "summation (the vocab_logrank rule); tokens a source never "
-        "saw contribute through ONE closed-form 0.5*ln2*(missing "
-        "q-mass) term with ln2 a QUOTED literal double — the "
-        "vocabulary x groups fan-out never materializes. Same "
-        "two-vocabulary-shuffle plan as the KL probe.",
+        "summation (the vocab_logrank rule: js_q is an exact "
+        "integer); tokens a source never saw contribute through ONE "
+        "closed-form 0.5*ln2*(missing q-mass) term with ln2 a QUOTED "
+        "literal double — the vocabulary x groups fan-out never "
+        "materializes. Same two-vocabulary-shuffle plan as the KL "
+        "probe; the grand-total token count is a 1-row scalar "
+        "broadcast (the declared BNLJ shape).",
 )
 def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import js_divergence_by_group

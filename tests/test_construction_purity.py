@@ -54,6 +54,11 @@ EXEMPT_PROBES = {
                           # localCheckpoint still registers jobs at
                           # first use (operators/graph.py:
                           # pagerank_integer — graph_pagerank's twin)
+    "graph_hits_iter",    # integer-grid HITS: same per-round lazy
+                          # localCheckpoint family — under AQE,
+                          # planning the checkpoint RDD executes the
+                          # round's query stages at construction
+                          # (operators/graph.py:hits_integer)
 }
 
 
