@@ -34,7 +34,25 @@ FAMILIES = {
     "b20_spearman": "stats_spearman_corr",
 }
 
-EAGER = {"b12_dedup_clusters"}
+#: the r10-cohort heavy families (SF1_FAMILIES=r10): span-removal
+#: reassembly (doc fan-out), positional-rank quantile normalization
+#: (row-linear), Mann-Kendall (CALENDAR-bounded pairs — the ratio
+#: should be ~1x, the grain-bounded design made visible), integer
+#: HITS (edge-linear iterations), Friedman (cell-bounded ranks over a
+#: row-linear aggregate), JS divergence (vocabulary-linear).
+R10_FAMILIES = {
+    "r10_span_removal": "corpus_span_removal",
+    "r10_quantile_normalize": "feature_quantile_normalize",
+    "r10_mann_kendall": "timeseries_mann_kendall",
+    "r10_hits_integer": "graph_hits_iter",
+    "r10_friedman": "stats_friedman",
+    "r10_js_divergence": "text_js_divergence",
+}
+
+if os.environ.get("SF1_FAMILIES") == "r10":
+    FAMILIES = R10_FAMILIES
+
+EAGER = {"b12_dedup_clusters", "r10_hits_integer"}
 
 
 def run_once(spark, probe, name: str, sf_dir: str) -> float:
