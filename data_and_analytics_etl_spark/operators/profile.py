@@ -1851,3 +1851,115 @@ def sprt_boundary(df: DataFrame, group_col: str, order_cols: list[str],
                     .when(F.col("__at.__llr") <= F.lit(lower), "H0")
                     .alias("decision"))
             .orderBy("category"))
+
+
+def cochran_q(df: DataFrame, block_col: str, treatment_col: str,
+              success_col: str) -> DataFrame:
+    """Cochran's Q test core — the BINARY-outcome member of the
+    repeated-measures family (:func:`friedman_test` ranks ordinal
+    values within blocks; Cochran's Q is its 0/1 specialization, and
+    McNemar's test is the k=2 case of THIS — the family closes).
+
+    Input grain: one row per (block, treatment) with a 0/1 outcome;
+    blocks missing any of the k global treatments drop (complete-block
+    design). With column totals C_j, row totals R_b and grand total T,
+    multiplying the textbook form through by k leaves every moment an
+    exact integer:
+
+        Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_b²)   — ONE double chain.
+
+    Emitted per treatment: c_j (exact successes), plus the shared
+    n_blocks / k / t_total / sum_rb2 / q_stat on every row (the
+    kruskal_wallis per-row assembly contract; Q is identical on all k
+    rows by construction).
+
+    Plan: the friedman_test shape minus the rank window — two hash
+    aggregates (column totals, row totals), a complete-block
+    semi-join, and two 1-row broadcast rollups. No window at all.
+    """
+    dec = "decimal(38,0)"
+    rows = df.select(F.col(block_col).alias("__b"),
+                     F.col(treatment_col).alias("__tr"),
+                     F.col(success_col).cast("long").alias("__x"))
+    k_row = rows.agg(F.countDistinct("__tr").cast("long").alias("__k"))
+    complete = (rows.groupBy("__b")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .crossJoin(F.broadcast(k_row))
+                .filter(F.col("__bn") == F.col("__k"))
+                .select("__b", "__k"))
+    rows = rows.join(complete.select("__b"), "__b")
+    cj = (rows.groupBy("__tr")
+          .agg(F.count(F.lit(1)).alias("n_blocks"),
+               F.sum("__x").alias("c_j")))
+    rb = (rows.groupBy("__b").agg(F.sum("__x").alias("__r")))
+    tot = rb.agg(F.sum("__r").cast("long").alias("__t"),
+                 F.sum(F.col("__r").cast(dec) * F.col("__r").cast(dec))
+                 .cast(dec).alias("__srb2"))
+    cstats = cj.agg(F.sum(F.col("c_j").cast(dec) * F.col("c_j").cast(dec))
+                    .cast(dec).alias("__scj2"))
+    kk = F.col("__k").cast(dec)
+    q_num = ((kk - 1) * (kk * F.col("__scj2")
+                         - F.col("__t").cast(dec)
+                         * F.col("__t").cast(dec))).cast(dec)
+    q_den = (kk * F.col("__t").cast(dec) - F.col("__srb2")).cast(dec)
+    return (cj.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(cstats))
+            .crossJoin(F.broadcast(k_row))
+            .select(F.col("__tr").alias("treatment"),
+                    F.col("n_blocks").cast("long").alias("n_blocks"),
+                    F.col("__k").cast("long").alias("k"),
+                    F.col("c_j").cast("long").alias("c_j"),
+                    F.col("__t").cast("long").alias("t_total"),
+                    F.col("__srb2").cast("long").alias("sum_rb2"),
+                    F.round(q_num.cast("double")
+                            / q_den.cast("double"), 6).alias("q_stat"))
+            .orderBy("treatment"))
+
+
+def runs_test(df: DataFrame, group_col: str, order_cols: list[str],
+              flag: Column) -> DataFrame:
+    """Wald–Wolfowitz runs test per group — the randomness check for
+    an ordered binary stream (too FEW runs ⇒ clustering/trend, too
+    MANY ⇒ alternation; the sequential companion of
+    :func:`sprt_boundary`, which assumes the very independence this
+    test checks).
+
+    The run count R = 1 + Σ 1[y_i ≠ y_{i−1}] and the 1-counts n₁ are
+    exact window integers; with n₀ = n − n₁ and the classic moments
+    (μ = 2n₁n₀/n + 1, σ² = 2n₁n₀(2n₁n₀−n)/(n²(n−1))) every
+    cancellation is done in DECIMAL(38,0) first and z is ONE double
+    chain:
+
+        z = (R·n − 2n₁n₀ − n) / √(2n₁n₀·(2n₁n₀−n) / (n−1))
+
+    Degenerate streams (all 0s or all 1s ⇒ σ = 0) emit NULL z.
+
+    Plan: one per-group lag window (the ordered scan — sequential by
+    definition, per-group partition parallelism) + one hash aggregate.
+    """
+    dec = "decimal(38,0)"
+    rows = (df.select(F.col(group_col).alias("__g"),
+                      *[F.col(c) for c in order_cols],
+                      flag.cast("long").alias("__y")))
+    w = Window.partitionBy("__g").orderBy(*order_cols)
+    flagged = rows.withColumn(
+        "__chg", (F.col("__y") != F.lag("__y", 1).over(w)).cast("long"))
+    g = (flagged.groupBy("__g")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("__y").alias("n1"),
+              (F.coalesce(F.sum("__chg"), F.lit(0)) + 1).alias("runs")))
+    n = F.col("n").cast(dec)
+    p = (F.lit(2).cast(dec) * F.col("n1").cast(dec)
+         * (F.col("n") - F.col("n1")).cast(dec)).cast(dec)  # 2·n1·n0
+    num = (F.col("runs").cast(dec) * n - p - n).cast(dec)
+    var_num = (p * (p - n)).cast(dec)
+    z = F.when(
+        var_num > 0,
+        num.cast("double") / F.sqrt(var_num.cast("double")
+                                    / (n - 1).cast("double")))
+    return (g.select(F.col("__g").alias("category"),
+                     F.col("n").cast("long").alias("n"),
+                     F.col("n1").cast("long").alias("n1"),
+                     F.col("runs").cast("long").alias("runs"),
+                     F.round(z, 6).alias("z_stat"))
+            .orderBy("category"))

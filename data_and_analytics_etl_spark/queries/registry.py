@@ -144,13 +144,14 @@ ROUND_TIERS: dict[str, int] = {
     "stats_wilcoxon_signed_rank": 30,
     "feature_cramers_v": 30,
     "interval_gaps_islands": 30,
-    # The r10 fourth+fifth mini-cohorts registered AFTER the 50-slot
-    # window filled (stats_friedman, timeseries_mann_kendall,
+    # The r10 fourth/fifth/sixth mini-cohorts registered AFTER the
+    # 50-slot window filled (stats_friedman, timeseries_mann_kendall,
     # graph_degree_assortativity, analytics_sprt_boundary,
-    # feature_quantile_normalize, graph_hits_iter, text_js_divergence)
-    # stay at pool priority: they are the bounded r11 backlog — pin
-    # them tier-30 next round, the r9 pattern. All seven were verified
-    # green at sf0.001/sf0.01/sf0.1 in the r10 session.
+    # feature_quantile_normalize, graph_hits_iter, text_js_divergence,
+    # stats_cochran_q, stats_runs_test) stay at pool priority: they
+    # are the bounded r11 backlog — 9 names, exactly the r9 precedent;
+    # pin them tier-30 next round. All nine were verified green at
+    # sf0.001/sf0.01/sf0.1 in the r10 session.
 }
 
 #: r7-backlog drain complete as of this round's pinning: the 10

@@ -4,10 +4,12 @@ rows-only families (CMS top-k, weighted sampling, PageRank), rank
 statistics (Kendall τ-b, Kruskal-Wallis, Wilcoxon signed-rank),
 paired t, two-factor OLS, calibration bins, Cramér's V, link
 prediction, n-gram novelty, randomized response, unigram KL, rolling
-medians and gaps-and-islands interval merge, plus the fourth
-(post-window) mini-cohort: Friedman repeated-measures test,
-Mann-Kendall trend + Sen's slope, degree assortativity and Wald SPRT
-first crossing. (Two further upgrades — corpus_chunk_sentences and
+medians and gaps-and-islands interval merge, plus the post-window
+fourth/fifth/sixth mini-cohorts: Friedman repeated-measures test,
+Mann-Kendall trend + Sen's slope, degree assortativity, Wald SPRT
+first crossing, quantile normalization, integer-grid HITS,
+Jensen-Shannon divergence, Cochran's Q and the Wald-Wolfowitz runs
+test. (Two further upgrades — corpus_chunk_sentences and
 timeseries_holt_winters — live with their original registrations in
 llmdata.py / analytics.py.)
 
@@ -1400,3 +1402,116 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull())
     return js_divergence_by_group(d, "source", "text")
+
+
+# --------------------------------------------------------------------------
+# 25. stats_cochran_q — binary repeated-measures test (k-sample McNemar)
+# --------------------------------------------------------------------------
+
+@query(
+    "stats_cochran_q",
+    oracle="""
+WITH cell AS (
+  SELECT o_custkey % 200 AS b, o_orderpriority AS tr,
+         CAST(count(*) % 2 AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+), kk AS (SELECT count(DISTINCT tr) AS k FROM cell),
+c AS (
+  SELECT b FROM cell GROUP BY b HAVING count(*) = (SELECT k FROM kk)
+), r2 AS (SELECT cell.* FROM cell JOIN c USING (b)),
+cj AS (
+  SELECT tr, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(x) AS BIGINT) AS c_j
+  FROM r2 GROUP BY 1
+), rb AS (SELECT b, CAST(sum(x) AS BIGINT) AS r FROM r2 GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(r) AS BIGINT) AS t,
+         CAST(sum(CAST(r AS HUGEINT) * r) AS BIGINT) AS srb2
+  FROM rb
+), cs AS (
+  SELECT CAST(sum(CAST(c_j AS HUGEINT) * c_j) AS HUGEINT) AS scj2 FROM cj
+)
+SELECT tr AS treatment, n_blocks,
+       CAST((SELECT k FROM kk) AS BIGINT) AS k, c_j,
+       tot.t AS t_total, tot.srb2 AS sum_rb2,
+       round(CAST(((SELECT k FROM kk) - 1)
+                  * ((SELECT k FROM kk) * cs.scj2
+                     - CAST(tot.t AS HUGEINT) * tot.t) AS DOUBLE)
+             / CAST((SELECT k FROM kk) * CAST(tot.t AS HUGEINT)
+                    - tot.srb2 AS DOUBLE), 6) AS q_stat
+FROM cj, tot, cs ORDER BY treatment
+""",
+    tags=("stats",),
+    doc="Cochran's Q over per-customer-block order-count parities "
+        "across the 5 priorities (operators/profile.py:cochran_q): "
+        "the binary-outcome member closing the repeated-measures "
+        "family — Friedman's 0/1 specialization, McNemar's k-sample "
+        "generalization. Multiplying the textbook form through by k "
+        "leaves every moment an exact integer (column/row totals, "
+        "their squares in DECIMAL(38,0)/HUGEINT) and Q is ONE double "
+        "chain, identical on all k emitted rows; incomplete blocks "
+        "drop. No window anywhere — two hash aggregates and two "
+        "1-row scalar broadcasts.",
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import cochran_q
+    o = load_table(spark, sf_dir, "orders")
+    cells = (o.groupBy((F.col("o_custkey") % 200).alias("block"),
+                       F.col("o_orderpriority").alias("prio"))
+             .agg((F.count(F.lit(1)) % 2).alias("x")))
+    return cochran_q(cells, "block", "prio", "x")
+
+
+# --------------------------------------------------------------------------
+# 26. stats_runs_test — Wald–Wolfowitz randomness check per stream
+# --------------------------------------------------------------------------
+
+@query(
+    "stats_runs_test",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority AS g, o_orderdate AS d, o_orderkey AS k,
+         CAST(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                                      1, 6)) AS BIGINT) % 2
+              AS BIGINT) AS y
+  FROM orders
+), f AS (
+  SELECT g, y,
+         CASE WHEN lag(y) OVER (PARTITION BY g ORDER BY d, k) IS NULL
+              THEN NULL
+              WHEN y <> lag(y) OVER (PARTITION BY g ORDER BY d, k)
+              THEN 1 ELSE 0 END AS chg
+  FROM r
+), gagg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n1,
+         CAST(coalesce(sum(chg), 0) + 1 AS BIGINT) AS runs
+  FROM f GROUP BY 1
+)
+SELECT g AS category, n, n1, runs,
+       round(CAST(runs * CAST(n AS HUGEINT)
+                  - 2 * CAST(n1 AS HUGEINT) * (n - n1) - n AS DOUBLE)
+             / sqrt(CAST((2 * CAST(n1 AS HUGEINT) * (n - n1))
+                         * ((2 * CAST(n1 AS HUGEINT) * (n - n1)) - n)
+                         AS DOUBLE)
+                    / CAST(n - 1 AS DOUBLE)), 6) AS z_stat
+FROM gagg ORDER BY category
+""",
+    tags=("stats",),
+    doc="Wald–Wolfowitz runs test on the portable md5-parity stream "
+        "per order priority in date-then-key order "
+        "(operators/profile.py:runs_test): the randomness check the "
+        "SPRT's independence assumption rests on. Run count and "
+        "1-counts are exact window integers; the classic moments "
+        "cancel in DECIMAL(38,0) first so z = (Rn - 2n1n0 - n) / "
+        "sqrt(2n1n0(2n1n0-n)/(n-1)) is ONE double chain. One "
+        "per-group lag window (the ordered scan, per-group "
+        "parallelism grain) + one hash aggregate.",
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import runs_test
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k"))
+    y = (F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 6),
+                16, 10).cast("long") % 2)
+    return runs_test(o, "g", ["d", "k"], y == 1)

@@ -1522,3 +1522,71 @@ class TestRoundTenFifthCohort:
             assert r["js_q"] == q_sum
             assert abs(r["js"] - q_sum / 1e6) < 1e-12
             assert -1e-6 <= r["js"] <= math.log(2.0) + 1e-6
+
+
+class TestRoundTenSixthCohort:
+    """References for the r10 sixth mini-cohort: Cochran's Q vs the
+    textbook formula, the runs test vs brute-force run counting."""
+
+    def _spark(self):
+        from data_and_analytics_etl_spark.session import get_spark
+        return get_spark("prop-r10f")
+
+    def test_cochran_q_matches_textbook(self):
+        from data_and_analytics_etl_spark.operators.profile import \
+            cochran_q
+        spark = self._spark()
+        # 5 complete blocks x 3 treatments + 1 incomplete block (drops)
+        cells = [(1, "a", 1), (1, "b", 1), (1, "c", 0),
+                 (2, "a", 1), (2, "b", 0), (2, "c", 0),
+                 (3, "a", 1), (3, "b", 1), (3, "c", 1),
+                 (4, "a", 0), (4, "b", 0), (4, "c", 0),
+                 (5, "a", 1), (5, "b", 0), (5, "c", 1),
+                 (6, "a", 1)]
+        df = spark.createDataFrame(cells, "b: long, tr: string, x: long")
+        got = {r["treatment"]: r for r in
+               cochran_q(df, "b", "tr", "x").collect()}
+        keep = [c for c in cells if c[0] != 6]
+        k = 3
+        cj = {tr: sum(x for _, t, x in keep if t == tr)
+              for tr in ("a", "b", "c")}
+        rb = {b: sum(x for bb, _, x in keep if bb == b)
+              for b in range(1, 6)}
+        t = sum(cj.values())
+        q = ((k - 1) * (k * sum(v * v for v in cj.values()) - t * t)
+             / (k * t - sum(v * v for v in rb.values())))
+        for tr in ("a", "b", "c"):
+            r = got[tr]
+            assert r["n_blocks"] == 5 and r["k"] == 3
+            assert r["c_j"] == cj[tr]
+            assert r["t_total"] == t
+            assert r["sum_rb2"] == sum(v * v for v in rb.values())
+            assert abs(r["q_stat"] - q) < 1e-6
+
+    def test_runs_test_matches_brute_force(self):
+        import math
+
+        from data_and_analytics_etl_spark.operators.profile import \
+            runs_test
+        spark = self._spark()
+        seqs = {"A": [1, 1, 0, 1, 0, 0, 0, 1, 1, 0, 1, 0],
+                "B": [1, 0] * 6,           # maximal alternation
+                "C": [1] * 6}              # degenerate: sigma = 0
+        rows = [(g, i, y) for g, s in seqs.items()
+                for i, y in enumerate(s)]
+        df = spark.createDataFrame(rows, "g: string, i: long, y: long")
+        got = {r["category"]: r for r in runs_test(
+            df, "g", ["i"], F.col("y") == 1).collect()}
+        for g, s in seqs.items():
+            n, n1 = len(s), sum(s)
+            runs = 1 + sum(1 for i in range(1, n) if s[i] != s[i - 1])
+            r = got[g]
+            assert (r["n"], r["n1"], r["runs"]) == (n, n1, runs)
+            p = 2 * n1 * (n - n1)
+            if p * (p - n) <= 0:
+                assert r["z_stat"] is None
+            else:
+                z = (runs * n - p - n) / math.sqrt(p * (p - n) / (n - 1))
+                assert abs(r["z_stat"] - z) < 1e-6
+        assert got["B"]["z_stat"] > 0 and got["A"]["z_stat"] < 1
+
