@@ -566,6 +566,10 @@ def hits_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
     localCheckpoint lineage truncation. No collect of anything
     node-sized.
     """
+    if iters < 1:
+        # iters=0 would leave auth undefined and crash the final join
+        # with a confusing NoneType error — refuse at entry instead.
+        raise ValueError(f"hits_integer: iters must be >= 1, got {iters}")
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct()
          .persist(StorageLevel.MEMORY_AND_DISK))

@@ -1763,8 +1763,12 @@ def friedman_test(df: DataFrame, block_col: str, treatment_col: str,
                      F.col(value_col).cast("long").alias("__v"))
     k_row = rows.agg(
         F.countDistinct("__tr").cast("long").alias("__k"))
+    # DISTINCT treatments, not row count: a block with a duplicated
+    # treatment and a missing one has count(1) == k but is NOT a
+    # complete block — countDistinct enforces the one-row-per-
+    # (block, treatment) grain instead of assuming it.
     complete = (rows.groupBy("__b")
-                .agg(F.count(F.lit(1)).alias("__bn"))
+                .agg(F.countDistinct("__tr").alias("__bn"))
                 .crossJoin(F.broadcast(k_row))
                 .filter(F.col("__bn") == F.col("__k"))
                 .select("__b", "__k"))
@@ -1882,8 +1886,11 @@ def cochran_q(df: DataFrame, block_col: str, treatment_col: str,
                      F.col(treatment_col).alias("__tr"),
                      F.col(success_col).cast("long").alias("__x"))
     k_row = rows.agg(F.countDistinct("__tr").cast("long").alias("__k"))
+    # DISTINCT treatments (the friedman_test complete-block rule): a
+    # duplicated-treatment block must not pass as complete on row
+    # count alone.
     complete = (rows.groupBy("__b")
-                .agg(F.count(F.lit(1)).alias("__bn"))
+                .agg(F.countDistinct("__tr").alias("__bn"))
                 .crossJoin(F.broadcast(k_row))
                 .filter(F.col("__bn") == F.col("__k"))
                 .select("__b", "__k"))

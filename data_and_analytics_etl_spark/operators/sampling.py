@@ -460,8 +460,21 @@ def weighted_systematic_sample(df: DataFrame, key_col: str,
     # floor-divided into `buckets` equal hex ranges (hex prefix
     # ordering == string ordering), so bucket boundaries respect the
     # order without a quantile sketch pass — md5 bytes are uniform.
+    # A negative weight silently corrupts the prefix segments and
+    # grid-hit ranges (Σ n_hits ≠ k) — refuse loudly. The guard must
+    # stay LAZY (construction purity: probes launch zero jobs at
+    # build), so it is an execution-time raise_error folded into the
+    # weight expression — value-neutral for valid weights; zero
+    # weights are fine (zero-width segments are never hit).
+    wl = weight.cast("long")
+    guarded_w = F.when(
+        wl < 0,
+        F.raise_error(F.lit(
+            "weighted_systematic_sample: negative weight violates "
+            "the PPS invariant (sum of n_hits == k)")).cast("long")
+    ).otherwise(wl)
     d = (df.withColumn("__ord", ordk)
-         .withColumn("__w", weight.cast("long"))
+         .withColumn("__w", guarded_w)
          .withColumn("__b", F.floor(
              F.conv(F.substring("__ord", 1, 2), 16, 10).cast("int")
              / F.lit(256 // buckets)).cast("int")))

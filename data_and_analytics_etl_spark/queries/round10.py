@@ -980,7 +980,8 @@ WITH r AS (
   FROM orders GROUP BY 1, 2
 ), kk AS (SELECT count(DISTINCT tr) AS k FROM r),
 c AS (
-  SELECT b FROM r GROUP BY b HAVING count(*) = (SELECT k FROM kk)
+  SELECT b FROM r GROUP BY b
+  HAVING count(DISTINCT tr) = (SELECT k FROM kk)
 ), rows2 AS (SELECT r.* FROM r JOIN c USING (b)),
 tv AS (SELECT b, v, CAST(count(*) AS BIGINT) AS t FROM rows2 GROUP BY 1, 2),
 mr AS (
@@ -1417,7 +1418,8 @@ WITH cell AS (
   FROM orders GROUP BY 1, 2
 ), kk AS (SELECT count(DISTINCT tr) AS k FROM cell),
 c AS (
-  SELECT b FROM cell GROUP BY b HAVING count(*) = (SELECT k FROM kk)
+  SELECT b FROM cell GROUP BY b
+  HAVING count(DISTINCT tr) = (SELECT k FROM kk)
 ), r2 AS (SELECT cell.* FROM cell JOIN c USING (b)),
 cj AS (
   SELECT tr, CAST(count(*) AS BIGINT) AS n_blocks,
@@ -1488,12 +1490,15 @@ WITH r AS (
   FROM f GROUP BY 1
 )
 SELECT g AS category, n, n1, runs,
-       round(CAST(runs * CAST(n AS HUGEINT)
+       CASE WHEN (2 * CAST(n1 AS HUGEINT) * (n - n1))
+                 * ((2 * CAST(n1 AS HUGEINT) * (n - n1)) - n) > 0
+            THEN round(CAST(runs * CAST(n AS HUGEINT)
                   - 2 * CAST(n1 AS HUGEINT) * (n - n1) - n AS DOUBLE)
              / sqrt(CAST((2 * CAST(n1 AS HUGEINT) * (n - n1))
                          * ((2 * CAST(n1 AS HUGEINT) * (n - n1)) - n)
                          AS DOUBLE)
-                    / CAST(n - 1 AS DOUBLE)), 6) AS z_stat
+                    / CAST(n - 1 AS DOUBLE)), 6)
+       END AS z_stat
 FROM gagg ORDER BY category
 """,
     tags=("stats",),
