@@ -791,3 +791,45 @@ def calibration_bins(df: DataFrame, score_pct: Column, label: Column,
                     F.round(frac_pos, 6).alias("frac_pos"),
                     F.round(ece_w, 6).alias("ece_contrib"))
             .orderBy("bin"))
+
+
+def matthews_corrcoef(df: DataFrame, group_col: str, label: Column,
+                      pred: Column) -> DataFrame:
+    """Per-group Matthews correlation coefficient (Matthews '75) — the
+    balanced single-number binary-classifier summary that, unlike
+    accuracy or F1, stays honest under class imbalance (it is the
+    Pearson φ of the 2×2 confusion table):
+
+        MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+
+    Confusion cells are exact longs from ONE map-side-combinable
+    aggregate; the numerator and the four margins multiply in
+    DECIMAL(38,0) (margins ~ n each, so the product reaches n⁴ — far
+    past 2⁶³ at corpus scale), and MCC is ONE double chain
+    (cast → sqrt → divide). A zero margin (degenerate truth or
+    prediction column) emits NULL, matching the undefined 0/0 case.
+
+    Emitted per group: (category, tp, fp, fn, tn, mcc), total ORDER BY
+    category. Plan: one hash aggregate; no join, no window.
+    """
+    dec = "decimal(38,0)"
+    y = label.cast("long")
+    p = pred.cast("long")
+    g = (df.groupBy(F.col(group_col).alias("category"))
+         .agg(F.sum(y * p).alias("tp"),
+              F.sum((1 - y) * p).alias("fp"),
+              F.sum(y * (1 - p)).alias("fn"),
+              F.sum((1 - y) * (1 - p)).alias("tn")))
+    tp, fp = F.col("tp").cast(dec), F.col("fp").cast(dec)
+    fn, tn = F.col("fn").cast(dec), F.col("tn").cast(dec)
+    num = (tp * tn - fp * fn).cast(dec)
+    den = ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)).cast(dec)
+    mcc = F.when(den > 0,
+                 num.cast("double") / F.sqrt(den.cast("double")))
+    return (g.select("category",
+                     F.col("tp").cast("long").alias("tp"),
+                     F.col("fp").cast("long").alias("fp"),
+                     F.col("fn").cast("long").alias("fn"),
+                     F.col("tn").cast("long").alias("tn"),
+                     mcc.alias("mcc"))
+            .orderBy("category"))

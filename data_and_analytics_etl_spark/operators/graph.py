@@ -609,3 +609,135 @@ def hits_integer(edges: DataFrame, src: str = "src", dst: str = "dst",
             .select("node", F.col("a").alias("authority"),
                     F.col("h").alias("hub"))
             .orderBy("node"))
+
+
+def adamic_adar_scores(edges: DataFrame, src: str = "src",
+                       dst: str = "dst",
+                       min_common: int = 1,
+                       scale: int = 10**6) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar '03) — the
+    :func:`jaccard_link_scores` wedge machinery with the
+    common-neighbor count replaced by the inverse-log-degree weight
+    that downweights promiscuous hubs:
+
+        AA(u, v) = Σ_{x ∈ Γ(u) ∩ Γ(v)} 1 / ln(deg(x))
+
+    Determinism: ln() is not correctly-rounded libm-to-libm, so each
+    wedge center contributes floor(scale / ln(deg(x))) as an INTEGER
+    and the per-pair sum is exact regardless of fold order (the
+    vocab_logrank quantization rule); aa = aa_grid / scale is the one
+    closing double division. Every wedge center has deg ≥ 2 by
+    construction (it is adjacent to both u and v), so ln(deg) > 0
+    always.
+
+    Emitted: non-adjacent canonical pairs (u < v) with ≥ min_common
+    shared neighbors — (u, v, common, aa_grid, aa), total ORDER BY
+    (u, v). Plan: the triangle_count fan-out family — one degree
+    aggregate joined onto the wedge centers, the wedge self-join
+    (never node × node), one anti-join against existing edges.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("a"),
+                        F.greatest(a, b).alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    adj = und.unionByName(und.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    w = deg.select(
+        F.col("a").alias("__ctr"),
+        F.floor(F.lit(float(scale)) / F.log(F.col("deg").cast("double")))
+        .cast("long").alias("__w"))
+    l = adj.select(F.col("a").alias("__ctr"), F.col("b").alias("u"))
+    r = adj.select(F.col("a").alias("__ctr"), F.col("b").alias("v"))
+    common = (l.join(r, "__ctr")
+              .filter(F.col("u") < F.col("v"))
+              .join(w, "__ctr")
+              .groupBy("u", "v")
+              .agg(F.count(F.lit(1)).alias("common"),
+                   F.sum("__w").alias("aa_grid"))
+              .filter(F.col("common") >= int(min_common)))
+    new_pairs = common.join(
+        und, (common.u == und.a) & (common.v == und.b), "left_anti")
+    return (new_pairs
+            .select("u", "v", F.col("common").cast("long").alias("common"),
+                    F.col("aa_grid").cast("long").alias("aa_grid"),
+                    (F.col("aa_grid").cast("double")
+                     / F.lit(float(scale))).alias("aa"))
+            .orderBy("u", "v"))
+
+
+def local_clustering_by_degree(edges: DataFrame, src: str = "src",
+                               dst: str = "dst") -> DataFrame:
+    """Degree-class local clustering profile (Watts & Strogatz '98
+    C(v), aggregated à la Vázquez '02 C(k)): per-node triangle counts
+    from the degree-ordered orientation of :func:`triangle_count`,
+    rolled up by degree so the output is |degree classes| rows, never
+    node-sized:
+
+        C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),   deg(v) ≥ 2
+        avg_lcc(k) = Σ_{deg(v)=k} C(v) / n_k
+                   = 2·Σ tri(v) / (n_k·k·(k−1))   — EXACT rational,
+    because every node in a degree class shares the denominator; the
+    single closing division is the only double op (no per-node float
+    ever exists, so no quantization is needed).
+
+    Triangle enumeration: orient each undirected edge from its
+    lower-(degree, id) endpoint; wedges = pairs of out-edges sharing a
+    source with (deg, id)-ordered tips, closed by one INNER equi-join
+    against oriented edges (inner, not semi — the corner credit needs
+    the triangle rows); Σ outdeg² = O(m^1.5) candidates, hub-proof.
+    Each triangle surfaces exactly once and credits its three corners
+    via a 3-way posexplode-free union.
+
+    Emitted per degree class: (deg, n_nodes, triangles, avg_lcc),
+    total ORDER BY deg. Nodes with deg ≥ 2 and no triangle count in
+    n_nodes with zero credit (left join, coalesce).
+    """
+    dec = "decimal(38,0)"
+    a, b = F.col(src), F.col(dst)
+    e = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    ed = (e.join(deg.withColumnRenamed("node", "a")
+                 .withColumnRenamed("deg", "da"), "a")
+          .join(deg.withColumnRenamed("node", "b")
+                .withColumnRenamed("deg", "db"), "b"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da"))
+        .alias("dv"))
+    o1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    o2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2"))))
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"])  # inner: keep corner rows
+    corners = (tri.select(F.col("u").alias("node"))
+               .unionAll(tri.select(F.col("v1").alias("node")))
+               .unionAll(tri.select(F.col("v2").alias("node"))))
+    tpn = corners.groupBy("node").agg(F.count(F.lit(1)).alias("__tri"))
+    per_node = (deg.filter(F.col("deg") >= 2)
+                .join(tpn, "node", "left")
+                .select("deg", F.coalesce("__tri", F.lit(0)).alias("__tri")))
+    byk = (per_node.groupBy("deg")
+           .agg(F.count(F.lit(1)).alias("n_nodes"),
+                F.sum("__tri").alias("triangles")))
+    k = F.col("deg").cast(dec)
+    num = (F.lit(2).cast(dec) * F.col("triangles").cast(dec)).cast(dec)
+    den = (F.col("n_nodes").cast(dec) * k * (k - 1)).cast(dec)
+    return (byk.select(F.col("deg").cast("long").alias("deg"),
+                       F.col("n_nodes").cast("long").alias("n_nodes"),
+                       F.col("triangles").cast("long").alias("triangles"),
+                       (num.cast("double") / den.cast("double"))
+                       .alias("avg_lcc"))
+            .orderBy("deg"))

@@ -1970,3 +1970,149 @@ def runs_test(df: DataFrame, group_col: str, order_cols: list[str],
                      F.col("runs").cast("long").alias("runs"),
                      F.round(z, 6).alias("z_stat"))
             .orderBy("category"))
+
+
+def jonckheere_terpstra(df: DataFrame, group_col: str,
+                        value_col: str) -> DataFrame:
+    """Jonckheere–Terpstra trend test for ORDERED alternatives across k
+    groups (Jonckheere '54): J = Σ_{i<j} U_ij where U_ij counts pairs
+    (x ∈ group_i, y ∈ group_j) with x < y, ties at ½ — the test that
+    replaces Kruskal–Wallis when the groups carry a natural order
+    (dose levels, priorities) and power against monotone trend is the
+    point. Groups are ordered by the natural sort of ``group_col``.
+
+    Doubled-count contract (the kendall_tau_b / kruskal_wallis move):
+    u2_pair = 2·U_ij stays integer under half-ties — a strict pair
+    contributes 2, a tied pair 1. The normal approximation uses the
+    classic NO-TIE moments (Hollander & Wolfe eq. 6.19; the tie
+    correction is omitted by declared contract — ties only tighten
+    the true variance, so |z| is conservative):
+
+        E[2J]   = (N² − Σ n_i²) / 2          (exact integer)
+        Var(J)  = [N²(2N+3) − Σ n_i²(2n_i+3)] / 72
+        z       = (2J − E[2J]) / (2·√Var(J))  — ONE double chain.
+
+    Emitted: one row per ordered group pair (group_lo < group_hi) with
+    its exact u2 = 2·U_ij, plus the shared j2 / mu2 / z_stat repeated
+    on every row (the per-row assembly contract). Requires a
+    bounded-cardinality ``value_col`` domain: the pair sums run over a
+    (group, value)-cell contingency self-join — |cells|² candidate
+    pairs, never row × row — so |values| must be small (the kendall
+    cell rule). All moments accumulate in DECIMAL(38,0).
+
+    Plan: one hash aggregate to cells, one broadcast cell self-join,
+    two 1-row broadcast rollups. No window, no data-sized shuffle
+    beyond the cell aggregate.
+    """
+    dec = "decimal(38,0)"
+    cells = (df.select(F.col(group_col).alias("__g"),
+                       F.col(value_col).cast("long").alias("__v"))
+             .groupBy("__g", "__v")
+             .agg(F.count(F.lit(1)).alias("__t")))
+    lhs = cells.select(F.col("__g").alias("__g1"),
+                       F.col("__v").alias("__v1"),
+                       F.col("__t").alias("__t1"))
+    rhs = cells.select(F.col("__g").alias("__g2"),
+                       F.col("__v").alias("__v2"),
+                       F.col("__t").alias("__t2"))
+    prod = F.col("__t1").cast(dec) * F.col("__t2").cast(dec)
+    pair = (lhs.join(F.broadcast(rhs), F.col("__g1") < F.col("__g2"))
+            .groupBy(F.col("__g1").alias("group_lo"),
+                     F.col("__g2").alias("group_hi"))
+            .agg(F.sum(F.when(F.col("__v1") < F.col("__v2"),
+                              F.lit(2).cast(dec) * prod)
+                       .when(F.col("__v1") == F.col("__v2"), prod)
+                       .otherwise(F.lit(0).cast(dec))).cast(dec)
+                 .alias("__u2")))
+    gs = (cells.groupBy("__g").agg(F.sum("__t").alias("__n")))
+    nn = F.col("__n").cast(dec)
+    tot = gs.agg(
+        F.sum("__n").cast(dec).alias("__N"),
+        F.sum(nn * nn).cast(dec).alias("__sn2"),
+        F.sum(nn * nn * (2 * nn + 3)).cast(dec).alias("__sn23"))
+    j_row = pair.agg(F.sum("__u2").cast(dec).alias("__j2"))
+    N = F.col("__N")
+    # all-integer cancellation first (2·mu2 = N² − Σn² is exact and
+    # even), then ONE double chain: z = (2j2 − 2mu2) / (4·√(var/72)).
+    mu2x2 = (N * N - F.col("__sn2")).cast(dec)
+    varnum = (N * N * (2 * N + 3) - F.col("__sn23")).cast(dec)
+    znum = (2 * F.col("__j2") - mu2x2).cast(dec)
+    z = znum.cast("double") / (
+        F.lit(4.0) * F.sqrt(varnum.cast("double") / F.lit(72.0)))
+    return (pair.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(j_row))
+            .select("group_lo", "group_hi",
+                    F.col("__u2").cast("long").alias("u2"),
+                    F.col("__j2").cast("long").alias("j2"),
+                    F.expr("CAST((__N * __N - __sn2) AS DECIMAL(38,0)) "
+                           "DIV 2").cast("long").alias("mu2"),
+                    z.alias("z_stat"))
+            .orderBy("group_lo", "group_hi"))
+
+
+def mood_median_test(df: DataFrame, group_col: str,
+                     value_col: str) -> DataFrame:
+    """Mood's median test across k groups (Mood '50): the grand LOWER
+    median M (order statistic at position (N+1) DIV 2 — never an
+    average, so it stays an exact input value), per-group counts of
+    values strictly above M, and the k×2 chi-square against the
+    pooled above-fraction. The margin-cancelled identity keeps it
+    exact until the last step:
+
+        χ² = Σ_i (a_i·N − n_i·A)² / (n_i·A·B)
+
+    with A = Σ a_i above, B = N − A — per-group terms are ONE double
+    chain each over exact DECIMAL(38,0) cross-products, then
+    integer-quantized to a 10⁻⁶ grid BEFORE the cross-group sum (the
+    vocab_logrank rule: never hash an order-sensitive double sum), so
+    chi2 = Σ floor(term·10⁶) / 10⁶ is order-insensitive.
+
+    Requires a bounded ``value_col`` domain: the grand median comes
+    from a cumulative window over the value histogram (≤ |values|
+    rows — the bounded-global-window class), never a data-sized sort.
+
+    Emitted per group: (category, n, above, median, chi2) with median
+    and chi2 shared across rows; degenerate margins (A = 0 or B = 0)
+    emit NULL chi2 on both engines.
+    """
+    dec = "decimal(38,0)"
+    rows = df.select(F.col(group_col).alias("__g"),
+                     F.col(value_col).cast("long").alias("__v"))
+    hist = rows.groupBy("__v").agg(F.count(F.lit(1)).alias("__t"))
+    wcum = (Window.orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0))  # ≤ |values| rows
+    n_row = rows.agg(F.count(F.lit(1)).alias("__ntot"))
+    med = (hist.withColumn("__cum", F.sum("__t").over(wcum))
+           .crossJoin(F.broadcast(n_row))
+           .filter(F.col("__cum") >= F.expr("(__ntot + 1) DIV 2"))
+           .agg(F.min("__v").alias("__med")))
+    g = (rows.crossJoin(F.broadcast(med))
+         .groupBy("__g")
+         .agg(F.count(F.lit(1)).alias("__n"),
+              F.sum(F.when(F.col("__v") > F.col("__med"), 1)
+                    .otherwise(0)).alias("__a"),
+              F.max("__med").alias("__medv")))
+    tot = g.agg(F.sum("__n").cast(dec).alias("__tn"),
+                F.sum("__a").cast(dec).alias("__ta"))
+    gt = g.crossJoin(F.broadcast(tot)).withColumn(
+        "__tb", (F.col("__tn") - F.col("__ta")).cast(dec))
+    num = (F.col("__a").cast(dec) * F.col("__tn")
+           - F.col("__n").cast(dec) * F.col("__ta"))
+    den = (F.col("__n").cast(dec) * F.col("__ta") * F.col("__tb")).cast(dec)
+    term = (num * num).cast(dec).cast("double") / den.cast("double")
+    gq = gt.withColumn(
+        "__grid",
+        F.when(den > 0, F.floor(term * F.lit(1e6)).cast("long")))
+    chi = gq.agg(F.sum("__grid").alias("__chigrid"),
+                 F.count(F.lit(1)).alias("__k"),
+                 F.sum(F.when(F.col("__grid").isNull(), 1).otherwise(0))
+                 .alias("__ndeg"))
+    chi2 = F.when(F.col("__ndeg") == 0,
+                  F.col("__chigrid").cast("double") / F.lit(1e6))
+    return (gq.crossJoin(F.broadcast(chi))
+            .select(F.col("__g").alias("category"),
+                    F.col("__n").cast("long").alias("n"),
+                    F.col("__a").cast("long").alias("above"),
+                    F.col("__medv").cast("long").alias("median"),
+                    chi2.alias("chi2"))
+            .orderBy("category"))

@@ -967,3 +967,121 @@ def js_divergence_by_group(docs: DataFrame, group_col: str,
                      ((F.col("__present_q") + missing_q).cast("double")
                       / F.lit(quantum)).alias("js"))
             .orderBy("category"))
+
+
+def yule_k_by_group(df: DataFrame, group_col: str,
+                    text_col: str = "text") -> DataFrame:
+    """Yule's characteristic K per corpus slice (Yule '44) — the
+    classic vocabulary-richness / repetitiveness statistic that LLM
+    corpus audits use next to type-token ratio (TTR decays with
+    length; K is length-stable):
+
+        K = 10⁴ · (Σ_t f_t² − N) / N²
+
+    over the slice's token frequency spectrum (f_t = corpus frequency
+    of type t, N = token count). Σ f_t² IS Σ_m m²·V_m of the usual
+    formulation — no spectrum pivot needed, and everything left of
+    the final division is an exact DECIMAL(38,0) integer; K is ONE
+    double chain. High K = repetitive/templated text, low K = rich
+    vocabulary.
+
+    Emitted per slice: (category, n_tokens, n_types, sum_f2, yule_k),
+    total ORDER BY category. Plan: the one data-sized explode feeds a
+    (slice, token) hash aggregate (map-side combinable), then a
+    slice-grain rollup — the unigram_kl shuffle family; no window,
+    no collect.
+    """
+    dec = "decimal(38,0)"
+    toks = (ensure_fanout_parallelism(df.select(group_col, text_col))
+            .select(F.col(group_col).alias("__g"),
+                    F.explode(tokens_of(F.col(text_col))).alias("__tok"))
+            .filter(F.col("__tok") != ""))
+    tf = (toks.groupBy("__g", "__tok")
+          .agg(F.count(F.lit(1)).alias("__f")))
+    f = F.col("__f").cast(dec)
+    g = (tf.groupBy("__g")
+         .agg(F.sum("__f").cast(dec).alias("__N"),
+              F.count(F.lit(1)).alias("__V"),
+              F.sum(f * f).cast(dec).alias("__s2")))
+    N = F.col("__N")
+    yule = F.when(
+        N > 0,
+        F.lit(10000.0) * (F.col("__s2") - N).cast("double")
+        / (N * N).cast("double"))
+    return (g.select(F.col("__g").alias("category"),
+                     N.cast("long").alias("n_tokens"),
+                     F.col("__V").cast("long").alias("n_types"),
+                     F.col("__s2").cast("long").alias("sum_f2"),
+                     yule.alias("yule_k"))
+            .orderBy("category"))
+
+
+def zipf_log_rank_grid(top_r: int, scale: int = 10**6) -> list[int]:
+    """floor(ln(r)·scale) for r = 1..top_r, computed ONCE in Python —
+    the literal-weight-table rule (the NDCG / RBO pattern): rank is a
+    small bounded domain, so its log never runs engine-side and both
+    the Spark plan and the DuckDB oracle consume the identical
+    integer literals."""
+    import math
+    return [int(math.floor(math.log(r) * scale)) for r in
+            range(1, top_r + 1)]
+
+
+def zipf_slope(df: DataFrame, group_col: str, text_col: str = "text",
+               top_r: int = 100, scale: int = 10**6) -> DataFrame:
+    """Zipf's-law slope per corpus slice: OLS slope of ln(frequency)
+    on ln(rank) over the slice's top ``top_r`` token types — natural
+    text sits near −1 (Zipf '49); templated or deduplicated-to-death
+    corpora drift flat. The regression ON the rank-frequency curve
+    that text_vocab_logrank only scores documents against.
+
+    Determinism: x = floor(ln(rank)·10⁶) comes from a PYTHON literal
+    table (:func:`zipf_log_rank_grid` — rank ≤ top_r is a bounded
+    domain); y = floor(ln(f)·10⁶) quantizes the engine-side log to
+    the integer grid BEFORE any moment sum (the vocab_logrank rule).
+    The four OLS moments over ≤ top_r rows then accumulate in
+    DECIMAL(38,0) and the slope is ONE double chain:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    Ranking is (frequency DESC, token) — a total order. The rank
+    window partitions by slice over the Heaps-bounded type table
+    (the build_vocab precedent), never over data-sized rows.
+
+    Emitted per slice: (category, n_ranks, slope); slices with n < 2
+    distinct ranks (degenerate D = 0) emit NULL slope.
+    """
+    dec = "decimal(38,0)"
+    grid = zipf_log_rank_grid(top_r, scale)
+    xarr = F.array(*[F.lit(v) for v in grid])
+    toks = (ensure_fanout_parallelism(df.select(group_col, text_col))
+            .select(F.col(group_col).alias("__g"),
+                    F.explode(tokens_of(F.col(text_col))).alias("__tok"))
+            .filter(F.col("__tok") != ""))
+    tf = (toks.groupBy("__g", "__tok")
+          .agg(F.count(F.lit(1)).alias("__f")))
+    wrank = Window.partitionBy("__g").orderBy(
+        F.col("__f").desc(), F.col("__tok"))  # Heaps-bounded type table
+    ranked = (tf.withColumn("__r", F.row_number().over(wrank))
+              .filter(F.col("__r") <= int(top_r))
+              .withColumn("__x", F.element_at(xarr, F.col("__r")))
+              .withColumn(
+                  "__y",
+                  F.floor(F.log(F.col("__f").cast("double"))
+                          * F.lit(float(scale))).cast("long")))
+    x, y = F.col("__x").cast(dec), F.col("__y").cast(dec)
+    m = (ranked.groupBy("__g")
+         .agg(F.count(F.lit(1)).cast(dec).alias("__n"),
+              F.sum(x).cast(dec).alias("__sx"),
+              F.sum(x * x).cast(dec).alias("__sx2"),
+              F.sum(y).cast(dec).alias("__sy"),
+              F.sum(x * y).cast(dec).alias("__sxy")))
+    n = F.col("__n")
+    dnum = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(dec)
+    dden = (n * F.col("__sx2")
+            - F.col("__sx") * F.col("__sx")).cast(dec)
+    slope = F.when(dden > 0, dnum.cast("double") / dden.cast("double"))
+    return (m.select(F.col("__g").alias("category"),
+                     n.cast("long").alias("n_ranks"),
+                     slope.alias("slope"))
+            .orderBy("category"))

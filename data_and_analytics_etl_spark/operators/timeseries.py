@@ -977,3 +977,106 @@ def mann_kendall(series: DataFrame, key: str, t_col: str,
                     F.col("sen_den").cast("long").alias("sen_den"),
                     "sen_slope")
             .orderBy(key))
+
+
+def max_drawdown(df: DataFrame, group_col: str, order_cols: list[str],
+                 step) -> DataFrame:
+    """Per-series maximum drawdown of the cumulative walk of an exact
+    integer ``step`` column: v_t = Σ_{s≤t} step_s, drawdown_t =
+    max_{s≤t} v_s − v_t, and the series' max drawdown is its running
+    maximum — the canonical peak-to-trough risk statistic (and the
+    shape every "largest regression from a running best" monitoring
+    query reduces to). Entirely integer arithmetic: walk, running
+    max, differences and maxima are all exact longs, so the output
+    value-hashes with no float taming at all.
+
+    Emitted per series: (series, n, final_value, peak, max_drawdown)
+    — peak = max_t v_t, max_drawdown = max_t (runmax_t − v_t) ≥ 0.
+
+    Plan: ONE shuffle on the series key feeding two frame-compatible
+    running windows (cumulative sum and cumulative max share the same
+    partition/order/frame spec, so they evaluate in a single Window
+    node) + one hash aggregate. Series count is the parallelism
+    grain — callers pick a key with enough cardinality to spread
+    (the sessionization contract); no global window exists.
+    """
+    w = (Window.partitionBy("__g").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    rows = (df.select(F.col(group_col).alias("__g"),
+                      *[F.col(c) for c in order_cols],
+                      step.cast("long").alias("__s"))
+            .withColumn("__v", F.sum("__s").over(w))
+            .withColumn("__dd", F.max("__v").over(w) - F.col("__v")))
+    return (rows.groupBy(F.col("__g").alias("series"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("__s").cast("long").alias("final_value"),
+                 F.max("__v").cast("long").alias("peak"),
+                 F.max("__dd").cast("long").alias("max_drawdown"))
+            .orderBy("series"))
+
+
+def durbin_watson(df: DataFrame, group_col: str, t_col: str,
+                  y_col: str) -> DataFrame:
+    """Per-group Durbin–Watson statistic of the OLS-detrended series
+    (Durbin & Watson '50): fit y on t by least squares within each
+    group, then DW = Σ_t (e_t − e_{t−1})² / Σ_t e_t² over the
+    t-ordered residuals — ≈2 means no lag-1 autocorrelation, →0
+    positive, →4 negative. The residual-autocorrelation check that
+    should follow any trend fit (the holt_linear / ols_two_factor
+    family's missing diagnostic).
+
+    Exactness: residuals are scaled by the positive integer n·D
+    (D = n·Σt² − (Σt)², the OLS denominator), which cancels in the
+    DW ratio:
+
+        ẽ_t = D·(n·y_t − Σy) − B·(n·t − Σt),   B = n·Σty − Σt·Σy
+
+    — ẽ_t is an exact DECIMAL(38,0) integer, so both quadratic sums
+    are order-insensitive exact integers and DW is ONE double chain.
+    Callers must keep the per-group series SHORT and the y magnitude
+    moderate (calendar-bounded designs: ≤31 daily points per month;
+    ẽ² reaches (D·n·y)² ≈ 10²⁶ there) — the friedman/bounded-block
+    contract, enforced by magnitude headroom rather than a runtime
+    scan. Groups with D = 0 (constant t, n < 2) or zero residual
+    variance emit NULL.
+
+    Plan: one hash aggregate for the five moments, one broadcast join
+    back, one per-group lag window over the ≤|t-domain| rows, one
+    closing hash aggregate. Group count is the parallelism grain.
+    """
+    dec = "decimal(38,0)"
+    rows = df.select(F.col(group_col).alias("__g"),
+                     F.col(t_col).cast("long").alias("__t"),
+                     F.col(y_col).cast("long").alias("__y"))
+    t, y = F.col("__t").cast(dec), F.col("__y").cast(dec)
+    m = (rows.groupBy("__g")
+         .agg(F.count(F.lit(1)).cast(dec).alias("__n"),
+              F.sum(t).cast(dec).alias("__st"),
+              F.sum(t * t).cast(dec).alias("__st2"),
+              F.sum(y).cast(dec).alias("__sy"),
+              F.sum(t * y).cast(dec).alias("__sty")))
+    m = m.withColumn(
+        "__D", (F.col("__n") * F.col("__st2")
+                - F.col("__st") * F.col("__st")).cast(dec)).withColumn(
+        "__B", (F.col("__n") * F.col("__sty")
+                - F.col("__st") * F.col("__sy")).cast(dec))
+    j = rows.join(F.broadcast(m), "__g")
+    e = (F.col("__D") * (F.col("__n") * y - F.col("__sy"))
+         - F.col("__B") * (F.col("__n") * t - F.col("__st"))).cast(dec)
+    wlag = Window.partitionBy("__g").orderBy("__t")
+    r = (j.withColumn("__e", e)
+         .withColumn("__de", F.col("__e") - F.lag("__e", 1).over(wlag)))
+    agg = (r.groupBy("__g")
+           .agg(F.max("__n").alias("__nn"),
+                F.max("__D").alias("__DD"),
+                F.sum((F.col("__de") * F.col("__de")).cast(dec))
+                .cast(dec).alias("__snum"),
+                F.sum((F.col("__e") * F.col("__e")).cast(dec))
+                .cast(dec).alias("__sden")))
+    dw = F.when((F.col("__DD") > 0) & (F.col("__sden") > 0),
+                F.col("__snum").cast("double")
+                / F.col("__sden").cast("double"))
+    return (agg.select(F.col("__g").alias("series"),
+                       F.col("__nn").cast("long").alias("n"),
+                       dw.alias("dw_stat"))
+            .orderBy("series"))

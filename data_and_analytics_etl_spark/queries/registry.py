@@ -46,7 +46,7 @@ DRIVER_WINDOW = 50
 #: Current verification round. Bump once per driver round: the rotation
 #: offset below advances with it, so stale green probes cycle back
 #: through the window a slice at a time.
-VERIFY_ROUND = 10
+VERIFY_ROUND = 11
 
 #: Priority bands (lower sorts earlier in the export):
 #:   < POOL_PRIORITY   fixed placement — bench-critical (10), probes whose
@@ -73,18 +73,20 @@ POOL_PRIORITY = 100
 #: never driver-verified. Keep tests/test_registry.py MUST_BE_IN_WINDOW in
 #: sync with the <100 entries here.
 ROUND_TIERS: dict[str, int] = {
-    # --- round 10: backlog drain (r9 verdict task 1). Window
-    # composition, in order:
-    #   tier 10 — the 21 oracle-backed bench-family probes (bench is
-    #             b1-b21; b20 stats_spearman_corr and b21
-    #             sketch_freq_heavy_hitters joined the bench in r9 and
-    #             move into the bench tier here).
-    #   tier 30 — the 9-item r10 backlog (the post-window r9
-    #             registrations, named by the r9 verdict task 1) +
-    #             every probe registered in r10, pinned at
-    #             registration so the never-driver-verified set can't
-    #             re-grow past one round.
-    # 21 + 9 = 30 fixed; r10 registrations fill the remaining ~20.
+    # --- round 11: backlog drain (r10 verdict task 1) + rotation
+    # re-feed (task 2). Window composition, in order:
+    #   tier 10 — the 21 oracle-backed bench-family probes (b1-b21).
+    #   tier 20 — probes whose code/oracle changed this round (the
+    #             r10 advice fixes): sample_weighted_md5 (negative-
+    #             weight guard). The other advice-touched probes
+    #             (stats_friedman, stats_cochran_q, stats_runs_test,
+    #             graph_hits_iter) are already tier-30 backlog below.
+    #   tier 30 — the 9-item r11 backlog (the post-window r10
+    #             registrations, named by the r10 verdict task 1) +
+    #             the 9-probe r11 cohort, pinned at registration.
+    # 21 + 1 + 9 + 9 = 40 fixed; the remaining 10 window slots go to
+    # the rotation pool — the r10 verdict's task-2 floor (>=10),
+    # pinned by tests/test_registry.py::test_rotation_slot_floor.
     #
     # bench tier (10): every BENCH_QUERIES probe with an oracle
     # (dedup_minhash_lsh's oracle twin is dedup_minhash_lsh_md5).
@@ -109,60 +111,45 @@ ROUND_TIERS: dict[str, int] = {
     "geo_grid_proximity": 10,
     "stats_spearman_corr": 10,          # b20 since r9
     "sketch_freq_heavy_hitters": 10,    # b21 since r9
-    # r10 backlog (tier 30): the 9 post-window r9 registrations —
+    # changed this round (tier 20): r10 advice fixes not already in
+    # the backlog tier below.
+    "sample_weighted_md5": 20,
+    # r11 backlog (tier 30): the 9 post-window r10 registrations —
     # never driver-verified; tests/test_backlog_ledger.py enforces
     # the drain.
-    "stats_levene_bf": 30,
-    "timeseries_bollinger": 30,
-    "join_asof_nearest": 30,
-    "sample_systematic": 30,
-    "stats_logrank_split": 30,
-    "eval_mcnemar_paired": 30,
-    "timeseries_cross_correlation": 30,
-    "analytics_cohort_ltv": 30,
-    "feature_chi2_ranking": 30,
-    # r10-registered cohort (tier 30): pinned at registration.
-    "corpus_span_removal": 30,
-    "sketch_cms_topk_md5": 30,
-    "sample_weighted_md5": 30,
-    "graph_pagerank_iter": 30,
-    "stats_kendall_tau": 30,
-    "stats_kruskal_wallis": 30,
-    "eval_calibration_bins": 30,
-    "stats_ttest_paired": 30,
-    "graph_jaccard_link_prediction": 30,
-    "corpus_ngram_novelty": 30,
-    "privacy_randomized_response": 30,
-    "text_unigram_kl_divergence": 30,
-    "stats_ols_two_factor": 30,
-    "timeseries_rolling_median": 30,
-    # r10 oracle upgrades of formerly rows-only probes (task 5,
-    # second wave): first driver-verifiable round for both.
-    "corpus_chunk_sentences": 30,
-    "timeseries_holt_winters": 30,
-    # r10 third mini-cohort (window head-room: 49 fixed + 1 rotation).
-    "stats_wilcoxon_signed_rank": 30,
-    "feature_cramers_v": 30,
-    "interval_gaps_islands": 30,
-    # The r10 fourth/fifth/sixth mini-cohorts registered AFTER the
-    # 50-slot window filled (stats_friedman, timeseries_mann_kendall,
-    # graph_degree_assortativity, analytics_sprt_boundary,
-    # feature_quantile_normalize, graph_hits_iter, text_js_divergence,
-    # stats_cochran_q, stats_runs_test) stay at pool priority: they
-    # are the bounded r11 backlog — 9 names, exactly the r9 precedent;
-    # pin them tier-30 next round. All nine were verified green at
-    # sf0.001/sf0.01/sf0.1 in the r10 session.
+    "stats_friedman": 30,
+    "timeseries_mann_kendall": 30,
+    "graph_degree_assortativity": 30,
+    "analytics_sprt_boundary": 30,
+    "feature_quantile_normalize": 30,
+    "graph_hits_iter": 30,
+    "text_js_divergence": 30,
+    "stats_cochran_q": 30,
+    "stats_runs_test": 30,
+    # r11-registered cohort (tier 30): pinned at registration.
+    # Capped at 9 names (r10 verdict task 2) so the rotation pool
+    # keeps >=10 window slots.
+    "stats_jonckheere_terpstra": 30,
+    "stats_mood_median": 30,
+    "eval_matthews_corrcoef": 30,
+    "timeseries_max_drawdown": 30,
+    "timeseries_durbin_watson": 30,
+    "graph_local_clustering": 30,
+    "graph_adamic_adar": 30,
+    "text_yule_k": 30,
+    "text_zipf_slope": 30,
 }
 
-#: r7-backlog drain complete as of this round's pinning: the 10
-#: deferred probes are tier-30 above; after CORRECTNESS_r09 the
-#: never-driver-verified set is exactly the probes registered in r9
-#: AFTER the 50-slot window filled (the bounded r10 backlog, 9 names,
-#: all FULLVERIFY_r09-green): stats_levene_bf, timeseries_bollinger,
-#: join_asof_nearest, sample_systematic, stats_logrank_split,
-#: eval_mcnemar_paired, timeseries_cross_correlation,
-#: analytics_cohort_ltv, feature_chi2_ranking. At r10: pin the bench
-#: tier + these 9 + anything registered in r10.
+#: Backlog ledger as of r11 pinning: after CORRECTNESS_r10 the
+#: never-driver-verified set is exactly the 9 post-window r10
+#: registrations (all FULLVERIFY_r10-green at three scales AND live
+#: re-executed by the r10 judge): stats_friedman,
+#: timeseries_mann_kendall, graph_degree_assortativity,
+#: analytics_sprt_boundary, feature_quantile_normalize,
+#: graph_hits_iter, text_js_divergence, stats_cochran_q,
+#: stats_runs_test — all tier-30 above. The r11 cohort is capped at 9
+#: and pinned at registration, so the window drains it this round and
+#: the never-driver-verified set after CORRECTNESS_r11 is empty.
 #: Kept (empty) because tests/test_backlog_ledger.py imports it to
 #: assert the drain's terminal state.
 DEFERRED_BACKLOG: frozenset[str] = frozenset()

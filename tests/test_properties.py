@@ -1590,3 +1590,315 @@ class TestRoundTenSixthCohort:
                 assert abs(r["z_stat"] - z) < 1e-6
         assert got["B"]["z_stat"] > 0 and got["A"]["z_stat"] < 1
 
+
+
+class TestRoundElevenCohort:
+    """References for the r11 cohort: Jonckheere-Terpstra and Mood's
+    median vs pure-Python pair/median replays, MCC vs the closed form,
+    max drawdown vs a walk replay, Durbin-Watson vs float OLS
+    residuals, local clustering and Adamic-Adar vs dict-based graph
+    brute force, Yule's K and the Zipf slope vs Counter arithmetic —
+    plus the r10-advice guard regressions (complete-block detection,
+    negative PPS weights, hits iters)."""
+
+    def _spark(self):
+        from data_and_analytics_etl_spark.session import get_spark
+        return get_spark("prop-r11")
+
+    def test_jonckheere_matches_pair_brute_force(self):
+        import math
+
+        from data_and_analytics_etl_spark.operators.profile import \
+            jonckheere_terpstra
+        spark = self._spark()
+        data = {"g1": [1, 3, 3, 5], "g2": [2, 3, 6], "g3": [4, 6, 6, 9, 2]}
+        rows = [(g, v) for g, vs in data.items() for v in vs]
+        df = spark.createDataFrame(rows, "g: string, v: long")
+        out = jonckheere_terpstra(df, "g", "v").collect()
+        gs = sorted(data)
+        want_u2 = {}
+        for i, gi in enumerate(gs):
+            for gj in gs[i + 1:]:
+                u2 = sum(2 if x < y else (1 if x == y else 0)
+                         for x in data[gi] for y in data[gj])
+                want_u2[(gi, gj)] = u2
+        assert {(r["group_lo"], r["group_hi"]): r["u2"]
+                for r in out} == want_u2
+        j2 = sum(want_u2.values())
+        ns = [len(v) for v in data.values()]
+        n_tot = sum(ns)
+        mu2 = (n_tot * n_tot - sum(n * n for n in ns)) // 2
+        varnum = (n_tot * n_tot * (2 * n_tot + 3)
+                  - sum(n * n * (2 * n + 3) for n in ns))
+        z = (2 * j2 - 2 * mu2) / (4.0 * math.sqrt(varnum / 72.0))
+        for r in out:
+            assert r["j2"] == j2 and r["mu2"] == mu2
+            assert abs(r["z_stat"] - z) < 1e-9
+
+    def test_mood_median_matches_python_replay(self):
+        from data_and_analytics_etl_spark.operators.profile import \
+            mood_median_test
+        spark = self._spark()
+        data = {"a": [1, 2, 3, 9, 9], "b": [4, 5, 6], "c": [1, 7, 8, 9]}
+        rows = [(g, v) for g, vs in data.items() for v in vs]
+        df = spark.createDataFrame(rows, "g: string, v: long")
+        got = {r["category"]: r for r in
+               mood_median_test(df, "g", "v").collect()}
+        pooled = sorted(v for vs in data.values() for v in vs)
+        med = pooled[(len(pooled) + 1) // 2 - 1]  # lower median
+        n_tot = len(pooled)
+        a_tot = sum(1 for v in pooled if v > med)
+        grid = 0
+        for g, vs in data.items():
+            n, a = len(vs), sum(1 for v in vs if v > med)
+            assert got[g]["n"] == n and got[g]["above"] == a
+            assert got[g]["median"] == med
+            num = (a * n_tot - n * a_tot) ** 2
+            den = n * a_tot * (n_tot - a_tot)
+            grid += int(num / den * 1e6)  # floor of a nonneg double
+        for g in data:
+            assert abs(got[g]["chi2"] - grid / 1e6) < 1e-12
+
+    def test_matthews_corrcoef_matches_closed_form(self):
+        import math
+
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            matthews_corrcoef
+        spark = self._spark()
+        import pyspark.sql.functions as F
+        rows = [("x", i % 3 == 0, (i % 3 == 0) == (i % 5 < 3))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "g: string, y: boolean, p: boolean")
+        r = matthews_corrcoef(df, "g", F.col("y"), F.col("p")).collect()[0]
+        tp = sum(1 for _, y, p in rows if y and p)
+        fp = sum(1 for _, y, p in rows if not y and p)
+        fn = sum(1 for _, y, p in rows if y and not p)
+        tn = sum(1 for _, y, p in rows if not y and not p)
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+        mcc = ((tp * tn - fp * fn)
+               / math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)))
+        assert abs(r["mcc"] - mcc) < 1e-12
+
+    def test_matthews_degenerate_margin_is_null(self):
+        from data_and_analytics_etl_spark.operators.evaluation import \
+            matthews_corrcoef
+        import pyspark.sql.functions as F
+        spark = self._spark()
+        df = spark.createDataFrame([("x", True, True), ("x", False, True)],
+                                   "g: string, y: boolean, p: boolean")
+        r = matthews_corrcoef(df, "g", F.col("y"), F.col("p")).collect()[0]
+        assert r["mcc"] is None  # tn+fn margin is zero
+
+    def test_max_drawdown_matches_walk_replay(self):
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            max_drawdown
+        import pyspark.sql.functions as F
+        spark = self._spark()
+        steps = {"s1": [5, -3, -4, 10, -2, -9, 1],
+                 "s2": [-1, -1, 3, 0],
+                 "s3": [2, 2, 2]}
+        rows = [(g, t, s) for g, ss in steps.items()
+                for t, s in enumerate(ss)]
+        df = spark.createDataFrame(rows, "g: string, t: long, s: long")
+        got = {r["series"]: r for r in
+               max_drawdown(df, "g", ["t"], F.col("s")).collect()}
+        for g, ss in steps.items():
+            walk, run2, dd2 = 0, None, 0
+            peaks = []
+            for s in ss:
+                walk += s
+                peaks.append(walk)
+                run2 = walk if run2 is None else max(run2, walk)
+                dd2 = max(dd2, run2 - walk)
+            r = got[g]
+            assert r["n"] == len(ss)
+            assert r["final_value"] == sum(ss)
+            assert r["peak"] == max(peaks)
+            assert r["max_drawdown"] == dd2
+
+    def test_durbin_watson_matches_float_ols(self):
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            durbin_watson
+        spark = self._spark()
+        series = {"m1": [(1, 4), (2, 7), (3, 6), (4, 10), (5, 9), (6, 13)],
+                  "m2": [(1, 2), (2, 2), (3, 2), (4, 2)]}
+        rows = [(g, t, y) for g, pts in series.items() for t, y in pts]
+        df = spark.createDataFrame(rows, "g: string, t: long, y: long")
+        got = {r["series"]: r for r in
+               durbin_watson(df, "g", "t", "y").collect()}
+        for g, pts in series.items():
+            n = len(pts)
+            st = sum(t for t, _ in pts)
+            sy = sum(y for _, y in pts)
+            sty = sum(t * y for t, y in pts)
+            st2 = sum(t * t for t, _ in pts)
+            d = n * st2 - st * st
+            b = n * sty - st * sy
+            e = [d * (n * y - sy) - b * (n * t - st) for t, y in pts]
+            sden = sum(x * x for x in e)
+            snum = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n))
+            r = got[g]
+            assert r["n"] == n
+            if sden == 0:
+                assert r["dw_stat"] is None  # zero residual variance
+            else:
+                assert abs(r["dw_stat"] - snum / sden) < 1e-12
+
+    def test_local_clustering_matches_brute_force(self):
+        from collections import defaultdict
+        from itertools import combinations
+
+        from data_and_analytics_etl_spark.operators.graph import \
+            local_clustering_by_degree
+        spark = self._spark()
+        # K4 on {1,2,3,4} plus a pendant 5-1 and a disjoint path 6-7-8
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (5, 1), (6, 7), (7, 8)]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        out = {r["deg"]: r for r in
+               local_clustering_by_degree(df).collect()}
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        tri = {v: sum(1 for x, y in combinations(sorted(adj[v]), 2)
+                      if y in adj[x])
+               for v in adj}
+        byk = defaultdict(lambda: [0, 0])
+        for v in adj:
+            k = len(adj[v])
+            if k < 2:
+                continue
+            byk[k][0] += 1
+            byk[k][1] += tri[v]
+        for k, (n_nodes, tsum) in byk.items():
+            r = out[k]
+            assert (r["n_nodes"], r["triangles"]) == (n_nodes, tsum)
+            assert abs(r["avg_lcc"]
+                       - 2.0 * tsum / (n_nodes * k * (k - 1))) < 1e-12
+        assert set(out) == set(byk)
+
+    def test_adamic_adar_matches_brute_force(self):
+        import math
+        from collections import defaultdict
+        from itertools import combinations
+
+        from data_and_analytics_etl_spark.operators.graph import \
+            adamic_adar_scores
+        spark = self._spark()
+        edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (1, 5),
+                 (5, 6)]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        out = {(r["u"], r["v"]): r for r in
+               adamic_adar_scores(df).collect()}
+        adj = defaultdict(set)
+        eset = set()
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+            eset.add((min(a, b), max(a, b)))
+        want = defaultdict(int)
+        for u, v in combinations(sorted(adj), 2):
+            if (u, v) in eset:
+                continue
+            for x in adj[u] & adj[v]:
+                want[(u, v)] += int(math.floor(1e6 / math.log(len(adj[x]))))
+        want = {p: g for p, g in want.items() if g}
+        assert {p: r["aa_grid"] for p, r in out.items()} == dict(want)
+        for p, r in out.items():
+            assert abs(r["aa"] - want[p] / 1e6) < 1e-12
+
+    def test_yule_k_matches_counter(self):
+        from collections import Counter
+
+        from data_and_analytics_etl_spark.operators.text import \
+            yule_k_by_group
+        spark = self._spark()
+        docs = [("a", "the cat sat on the mat the end"),
+                ("a", "the dog"),
+                ("b", "x y z")]
+        df = spark.createDataFrame(docs, "g: string, text: string")
+        got = {r["category"]: r for r in
+               yule_k_by_group(df, "g").collect()}
+        for g in ("a", "b"):
+            c = Counter(w for gg, t in docs if gg == g
+                        for w in t.lower().split())
+            n = sum(c.values())
+            s2 = sum(f * f for f in c.values())
+            r = got[g]
+            assert (r["n_tokens"], r["n_types"], r["sum_f2"]) == \
+                (n, len(c), s2)
+            assert abs(r["yule_k"] - 1e4 * (s2 - n) / (n * n)) < 1e-9
+
+    def test_zipf_slope_matches_python_ols(self):
+        import math
+        from collections import Counter
+
+        from data_and_analytics_etl_spark.operators.text import (
+            zipf_log_rank_grid, zipf_slope)
+        spark = self._spark()
+        # exact 12/r profile over the top-4 ranks so ln f is linear in
+        # ln rank with slope -1 (plus a rank-5 type top_r excludes)
+        text = " ".join(["alpha"] * 12 + ["beta"] * 6 + ["gamma"] * 4
+                        + ["delta"] * 3 + ["eps"])
+        df = spark.createDataFrame([("g", text)], "g: string, text: string")
+        r = zipf_slope(df, "g", top_r=4).collect()[0]
+        c = Counter(text.split())
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        xs = zipf_log_rank_grid(4)
+        ys = [int(math.floor(math.log(f) * 1e6)) for _, f in ranked]
+        n = len(ranked)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sx2 = sum(x * x for x in xs)
+        slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+        assert r["n_ranks"] == n
+        assert abs(r["slope"] - slope) < 1e-9
+        # perfect halving => slope == -1 on the quantized grid (close)
+        assert abs(r["slope"] + 1.0) < 1e-3
+
+    # --- r10-advice guard regressions -------------------------------
+
+    def test_friedman_rejects_duplicated_treatment_block(self):
+        from data_and_analytics_etl_spark.operators.profile import \
+            friedman_test
+        spark = self._spark()
+        # block 2 has k rows but a DUPLICATED treatment and a missing
+        # one — it must now be dropped as incomplete
+        cells = [(1, "a", 1), (1, "b", 2), (1, "c", 3),
+                 (2, "a", 4), (2, "a", 5), (2, "c", 6)]
+        df = spark.createDataFrame(cells, "b: long, tr: string, v: long")
+        got = {r["treatment"]: r for r in
+               friedman_test(df, "b", "tr", "v").collect()}
+        assert all(r["n_blocks"] == 1 for r in got.values())
+
+    def test_cochran_q_rejects_duplicated_treatment_block(self):
+        from data_and_analytics_etl_spark.operators.profile import \
+            cochran_q
+        spark = self._spark()
+        cells = [(1, "a", 1), (1, "b", 0), (1, "c", 1),
+                 (2, "b", 1), (2, "b", 0), (2, "c", 1)]
+        df = spark.createDataFrame(cells, "b: long, tr: string, x: long")
+        got = cochran_q(df, "b", "tr", "x").collect()
+        assert all(r["n_blocks"] == 1 for r in got)
+
+    def test_weighted_sample_rejects_negative_weight(self):
+        import pyspark.sql.functions as F
+        import pytest
+        from data_and_analytics_etl_spark.operators.sampling import \
+            weighted_systematic_sample
+        spark = self._spark()
+        df = spark.createDataFrame([(1, 5), (2, -1), (3, 2)],
+                                   "k: long, w: long")
+        out = weighted_systematic_sample(df, "k", F.col("w"), k=2)
+        with pytest.raises(Exception, match="negative weight"):
+            out.collect()
+
+    def test_hits_rejects_zero_iters(self):
+        import pytest
+        from data_and_analytics_etl_spark.operators.graph import \
+            hits_integer
+        spark = self._spark()
+        df = spark.createDataFrame([(1, 2)], "src: long, dst: long")
+        with pytest.raises(ValueError, match="iters"):
+            hits_integer(df, iters=0)

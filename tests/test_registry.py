@@ -16,15 +16,13 @@ from data_and_analytics_etl_spark.queries.registry import (DRIVER_WINDOW,
 
 #: Probes that MUST hold a fresh driver-verified row this round.
 #: Source of truth: registry.ROUND_TIERS (this set mirrors its <100 keys).
-#: Round 9 re-pins the bench tier (back from its one-round
-#: FULLVERIFY-sf0.1 vacation, r8 verdict task 1) and drains the
-#: never-driver-verified set: the 10 deferred r7-backlog probes, the
-#: 13 non-bench r8-registered probes, and the 8 r9-registered probes.
-#: 19 + 10 + 13 + 8 = 50 — the whole window.
+#: Round 11 drains the 9-item r10 backlog (the post-window r10
+#: registrations) and caps its own cohort at 9 so the rotation pool
+#: keeps >= 10 window slots (r10 verdict tasks 1+2):
+#: 21 bench + 1 changed + 9 backlog + 9 new = 40 fixed, 10 rotation.
 MUST_BE_IN_WINDOW = {
     # bench tier (priority 10): every BENCH_QUERIES probe with an oracle
-    # (bench is b1-b21 since r9 — b20 spearman and b21 heavy hitters
-    # moved from the r9 cohort into the bench tier).
+    # (bench is b1-b21 since r9).
     "q1_pricing_summary", "q3_shipping_priority", "q5_star_join",
     "q7_nation_volume", "q10_returned_revenue", "topk_per_group",
     "window_running_agg", "cosine_topk", "dedup_exact",
@@ -33,23 +31,20 @@ MUST_BE_IN_WINDOW = {
     "corpus_curation_pipeline", "graph_transitive_closure",
     "corpus_segment_dedup", "text_bigram_lm_score", "geo_grid_proximity",
     "stats_spearman_corr", "sketch_freq_heavy_hitters",
-    # r10 backlog (priority 30): the 9 post-window r9 registrations.
-    "stats_levene_bf", "timeseries_bollinger", "join_asof_nearest",
-    "sample_systematic", "stats_logrank_split", "eval_mcnemar_paired",
-    "timeseries_cross_correlation", "analytics_cohort_ltv",
-    "feature_chi2_ranking",
-    # r10-registered cohort (priority 30): pinned at registration.
-    "corpus_span_removal", "sketch_cms_topk_md5", "sample_weighted_md5",
-    "graph_pagerank_iter", "stats_kendall_tau", "stats_kruskal_wallis",
-    "eval_calibration_bins", "stats_ttest_paired",
-    "graph_jaccard_link_prediction", "corpus_ngram_novelty",
-    "privacy_randomized_response", "text_unigram_kl_divergence",
-    "stats_ols_two_factor", "timeseries_rolling_median",
-    # r10 oracle upgrades of formerly rows-only probes (2nd wave).
-    "corpus_chunk_sentences", "timeseries_holt_winters",
-    # r10 third mini-cohort.
-    "stats_wilcoxon_signed_rank", "feature_cramers_v",
-    "interval_gaps_islands",
+    # changed this round (priority 20): r10 advice fixes not already
+    # pinned below.
+    "sample_weighted_md5",
+    # r11 backlog (priority 30): the 9 post-window r10 registrations.
+    "stats_friedman", "timeseries_mann_kendall",
+    "graph_degree_assortativity", "analytics_sprt_boundary",
+    "feature_quantile_normalize", "graph_hits_iter",
+    "text_js_divergence", "stats_cochran_q", "stats_runs_test",
+    # r11-registered cohort (priority 30): pinned at registration,
+    # capped at 9.
+    "stats_jonckheere_terpstra", "stats_mood_median",
+    "eval_matthews_corrcoef", "timeseries_max_drawdown",
+    "timeseries_durbin_watson", "graph_local_clustering",
+    "graph_adamic_adar", "text_yule_k", "text_zipf_slope",
 }
 
 
@@ -297,3 +292,17 @@ def test_bench_probes_have_same_round_correctness_evidence():
         f"bench probes with NO same-round correctness evidence (not "
         f"window-pinned, not green in the FULLVERIFY sf0.1 bench "
         f"section): {missing}")
+
+
+def test_rotation_slot_floor():
+    """r10 verdict task 2: the rotation pool was starved to ONE window
+    slot in r10 (a ~260-probe pool refreshing at <=1 probe/round).
+    From r11 on, the fixed tiers must leave AT LEAST 10 window slots
+    to rotation — new-cohort registrations compete with this floor,
+    which is the point: cap the cohort, feed the pool."""
+    rotated = rotation_selected()
+    assert len(rotated) >= 10, (
+        f"only {len(rotated)} rotation slots this round — the fixed "
+        "tiers (bench + changed + backlog + new cohort) crowd the "
+        "pool below the 10-slot floor; shrink the new-probe cohort "
+        "or defer it to the next round's backlog")
