@@ -116,6 +116,18 @@ def main() -> None:
     # start AND end makes that adjudication mechanical instead of
     # forensic: a contended record shows loadavg >> bench's own ~32
     # worker threads.
+    # Quiet-host gate (r10 verdict task 7): the loadavg field exists so
+    # the bench can be SCHEDULED at load < 1, not merely annotated.
+    # Poll up to BENCH_QUIET_WAIT_SEC (default 180 s, 0 disables) for
+    # the 1-min loadavg to drop below BENCH_QUIET_LOAD (default 1.0);
+    # if the host never quiets, proceed anyway — loadavg_start then
+    # documents the contention instead of silently absorbing it.
+    quiet_load = float(os.environ.get("BENCH_QUIET_LOAD", "1.0"))
+    quiet_wait = float(os.environ.get("BENCH_QUIET_WAIT_SEC", "180"))
+    waited = 0.0
+    while os.getloadavg()[0] >= quiet_load and waited < quiet_wait:
+        time.sleep(5.0)
+        waited += 5.0
     load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("daa-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -155,6 +167,7 @@ def main() -> None:
         "sf": sf,
         "loadavg_start": load_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "quiet_wait_sec": round(waited, 1),
     }))
 
 
