@@ -49,10 +49,18 @@ R10_FAMILIES = {
     "r10_js_divergence": "text_js_divergence",
 }
 
+EAGER_EXTRA: set = set()
 if os.environ.get("SF1_FAMILIES") == "r10":
     FAMILIES = R10_FAMILIES
+elif os.environ.get("SF1_FAMILIES") == "all21":
+    # r10 verdict task 4: the FULL 21-query bench at sf1 — b1-b10 had
+    # never been timed past sf0.1. Reuses bench.py's exact probe map so
+    # the timed plans are byte-identical to the driver bench's.
+    from bench import BENCH_QUERIES, EAGER_QUERIES
+    FAMILIES = dict(BENCH_QUERIES)
+    EAGER_EXTRA = set(EAGER_QUERIES)
 
-EAGER = {"b12_dedup_clusters", "r10_hits_integer"}
+EAGER = {"b12_dedup_clusters", "r10_hits_integer"} | EAGER_EXTRA
 
 
 def run_once(spark, probe, name: str, sf_dir: str) -> float:
