@@ -755,30 +755,36 @@ def bigram_lm_score(docs: DataFrame, ref: DataFrame,
     itself with ensure_fanout_parallelism (a single-partition document
     scan would serialize the whole explode+join on one core — the
     span_duplication lesson). One hash agg per count table, one per
-    document.
+    document. The regex tokenization lands in its OWN projection so it
+    runs once per row — inlining it under size()/sequence()/transform()
+    leaves re-evaluation to common-subexpression elimination, which
+    does not reach inside higher-order-function lambdas (measured ~20%
+    of the plan at sf0.1).
     """
-    docs = ensure_fanout_parallelism(docs)
-    ref = ensure_fanout_parallelism(ref)
+    def with_toks(d: DataFrame) -> DataFrame:
+        return (ensure_fanout_parallelism(d.select(id_col, text_col))
+                .select(id_col,
+                        F.filter(tokens_of(F.col(text_col)),
+                                 lambda w: w != "").alias("__toks")))
 
-    def bigrams(d: DataFrame) -> DataFrame:
-        toks = F.filter(tokens_of(F.col(text_col)), lambda w: w != "")
+    def bigrams(t: DataFrame) -> DataFrame:
+        toks = F.col("__toks")
         idx = F.when(F.size(toks) >= 2,
                      F.sequence(F.lit(1), F.size(toks) - 1)) \
                .otherwise(F.array().cast("array<int>"))
         pairs = F.transform(idx, lambda i: F.struct(
             F.element_at(toks, i).alias("w1"),
             F.element_at(toks, i + 1).alias("w2")))
-        return d.select(F.col(id_col), F.explode(pairs).alias("p")) \
+        return t.select(F.col(id_col), F.explode(pairs).alias("p")) \
                 .select(id_col, "p.w1", "p.w2")
 
-    ref_bi = (bigrams(ref).groupBy("w1", "w2")
+    doc_t, ref_t = with_toks(docs), with_toks(ref)
+    ref_bi = (bigrams(ref_t).groupBy("w1", "w2")
               .agg(F.count(F.lit(1)).alias("c12")))
-    ref_uni = (ref.select(F.explode(F.filter(
-                   tokens_of(F.col(text_col)), lambda w: w != ""))
-                   .alias("w1"))
+    ref_uni = (ref_t.select(F.explode("__toks").alias("w1"))
                .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
     vocab = ref_uni.agg(F.count(F.lit(1)).cast("long").alias("__v"))
-    scored = (bigrams(docs)
+    scored = (bigrams(doc_t)
               .join(F.broadcast(ref_bi), ["w1", "w2"], "left")
               .join(F.broadcast(ref_uni), ["w1"], "left")
               .crossJoin(F.broadcast(vocab))
