@@ -68,8 +68,16 @@ def main() -> int:
               "a 100% live sweep")
         return 2
     sf = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
+    # 8g driver heap (VERIFY_DRIVER_MEM to override): the r11 round-close
+    # sweep OOMed the default ~1g heap ~6,400 stages in, partway through
+    # the widened sf0.1 section — one long-lived JVM accumulates broadcast
+    # / plan-cache residue across 371 probes plus the 10x-data re-runs
+    # (the bench_sf1 24g lesson, sized down for local[8]).
     spark = (SparkSession.builder.master("local[8]")
-             .config("spark.ui.enabled", "false").getOrCreate())
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory",
+                     os.environ.get("VERIFY_DRIVER_MEM", "8g"))
+             .getOrCreate())
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS "
