@@ -49,9 +49,25 @@ R10_FAMILIES = {
     "r10_js_divergence": "text_js_divergence",
 }
 
+#: the r11-cohort heavy families (SF1_FAMILIES=r11): the degree-ordered
+#: wedge join (O(m^1.5) candidates — the only super-linear-candidate
+#: shape in the cohort, twice), the vocabulary explode feeding exact
+#: spectrum moments, the cell-contingency broadcast self-join, and the
+#: per-series frame-sharing running windows.
+R11_FAMILIES = {
+    "r11_local_clustering": "graph_local_clustering",
+    "r11_adamic_adar": "graph_adamic_adar",
+    "r11_yule_k": "text_yule_k",
+    "r11_zipf_slope": "text_zipf_slope",
+    "r11_jonckheere": "stats_jonckheere_terpstra",
+    "r11_max_drawdown": "timeseries_max_drawdown",
+}
+
 EAGER_EXTRA: set = set()
 if os.environ.get("SF1_FAMILIES") == "r10":
     FAMILIES = R10_FAMILIES
+elif os.environ.get("SF1_FAMILIES") == "r11":
+    FAMILIES = R11_FAMILIES
 elif os.environ.get("SF1_FAMILIES") == "all21":
     # r10 verdict task 4: the FULL 21-query bench at sf1 — b1-b10 had
     # never been timed past sf0.1. Reuses bench.py's exact probe map so
