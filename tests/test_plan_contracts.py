@@ -96,3 +96,22 @@ def test_every_unpartitioned_window_is_documented_bounded(plans):
         f"global (SinglePartition) window in {offenders} without a "
         "documented size bound — partition the window or state why "
         "its input is bounded (the drift_ks rule)")
+
+
+def test_triangle_family_closing_join_is_shuffled_hash(plans):
+    """r11 scale catch (SCALE.md Round 11 §5): the triangle-family
+    closing join must NOT sort-merge — SMJ sorts the Σ outdeg² wedge
+    candidate stream (410M rows at sf1 on the co-purchase graph) and
+    spills super-linearly while the candidates themselves scale
+    linearly (exact decade count: 41,087,491 → 410,874,910 = 10.0000×).
+    The SHUFFLE_HASH hint on the O(m) edge side keeps the wedge stream
+    unsorted; per-partition hash size is edges/partitions, the knob
+    that scales with the cluster. Measured 588 → 240 s at sf1 with
+    bit-identical output. This pin fails the moment a refactor drops
+    the hint and the planner reverts to SMJ."""
+    for name in ("graph_triangle_count", "graph_local_clustering"):
+        plan = plans[name]
+        assert "ShuffledHashJoin" in plan, (
+            f"{name}: triangle closing join lost its SHUFFLE_HASH "
+            "hint (plan has no ShuffledHashJoin — the wedge stream "
+            "would be sorted again; see SCALE.md Round 11 §5)")
