@@ -482,8 +482,13 @@ def jaccard_link_scores(edges: DataFrame, src: str = "src",
               .groupBy("u", "v")
               .agg(F.count(F.lit(1)).alias("common"))
               .filter(F.col("common") >= int(min_common)))
+    # SHUFFLE_HASH on the O(m) edge side: SMJ would sort the
+    # candidate-pair stream (wedge-grain) — the r11 triangle-family
+    # spill class (SCALE.md Round 11 §5); hashing the edge side lets
+    # the pair side stream unsorted.
     new_pairs = common.join(
-        und, (common.u == und.a) & (common.v == und.b), "left_anti")
+        und.hint("SHUFFLE_HASH"),
+        (common.u == und.a) & (common.v == und.b), "left_anti")
     du = deg.select(F.col("a").alias("u"), F.col("deg").alias("__du"))
     dv = deg.select(F.col("a").alias("v"), F.col("deg").alias("__dv"))
     return (new_pairs.join(du, "u").join(dv, "v")
@@ -667,8 +672,13 @@ def adamic_adar_scores(edges: DataFrame, src: str = "src",
               .agg(F.count(F.lit(1)).alias("common"),
                    F.sum("__w").alias("aa_grid"))
               .filter(F.col("common") >= int(min_common)))
+    # SHUFFLE_HASH on the O(m) edge side: SMJ would sort the
+    # candidate-pair stream (wedge-grain) — the r11 triangle-family
+    # spill class (SCALE.md Round 11 §5); hashing the edge side lets
+    # the pair side stream unsorted.
     new_pairs = common.join(
-        und, (common.u == und.a) & (common.v == und.b), "left_anti")
+        und.hint("SHUFFLE_HASH"),
+        (common.u == und.a) & (common.v == und.b), "left_anti")
     return (new_pairs
             .select("u", "v", F.col("common").cast("long").alias("common"),
                     F.col("aa_grid").cast("long").alias("aa_grid"),

@@ -109,7 +109,8 @@ def test_triangle_family_closing_join_is_shuffled_hash(plans):
     that scales with the cluster. Measured 588 → 240 s at sf1 with
     bit-identical output. This pin fails the moment a refactor drops
     the hint and the planner reverts to SMJ."""
-    for name in ("graph_triangle_count", "graph_local_clustering"):
+    for name in ("graph_triangle_count", "graph_local_clustering",
+                 "graph_jaccard_link_prediction", "graph_adamic_adar"):
         plan = plans[name]
         assert "ShuffledHashJoin" in plan, (
             f"{name}: triangle closing join lost its SHUFFLE_HASH "
