@@ -108,11 +108,35 @@ def test_triangle_family_closing_join_is_shuffled_hash(plans):
     unsorted; per-partition hash size is edges/partitions, the knob
     that scales with the cluster. Measured 588 → 240 s at sf1 with
     bit-identical output. This pin fails the moment a refactor drops
-    the hint and the planner reverts to SMJ."""
-    for name in ("graph_triangle_count", "graph_local_clustering",
-                 "graph_jaccard_link_prediction", "graph_adamic_adar"):
+    the hint and the planner reverts to SMJ.
+
+    r11 advice hardening: a bare 'ShuffledHashJoin in plan' is weak —
+    these plans have several joins (the O(m) edge-canonicalization
+    SMJs are fine: they sort edge-sized streams, not the wedge
+    stream), so a stray SHJ elsewhere could mask a reverted closing
+    join. Pin the CLOSING join by its keys instead: the wedge probes
+    close on (v1, v2) (wedge endpoints vs canonical edge), the
+    link-prediction probes on the (u, v) LeftAnti existing-edge
+    filter — both joins consume the wedge/candidate stream, the one
+    stream that must never be sorted."""
+    import re
+    closing_keys = {
+        "graph_triangle_count": r"\[v1#\d+L, v2#\d+L\]",
+        "graph_local_clustering": r"\[v1#\d+L, v2#\d+L\]",
+        "graph_jaccard_link_prediction": r"\[u#\d+L, v#\d+L\].*LeftAnti",
+        "graph_adamic_adar": r"\[u#\d+L, v#\d+L\].*LeftAnti",
+    }
+    for name, keys in closing_keys.items():
         plan = plans[name]
-        assert "ShuffledHashJoin" in plan, (
-            f"{name}: triangle closing join lost its SHUFFLE_HASH "
-            "hint (plan has no ShuffledHashJoin — the wedge stream "
-            "would be sorted again; see SCALE.md Round 11 §5)")
+        shj_lines = [ln for ln in plan.splitlines()
+                     if "ShuffledHashJoin" in ln]
+        assert any(re.search(keys, ln) for ln in shj_lines), (
+            f"{name}: no ShuffledHashJoin on the closing keys {keys} "
+            f"(SHJ lines: {shj_lines or 'NONE'}) — the wedge/candidate "
+            "stream would be sorted again; see SCALE.md Round 11 §5")
+        smj_closing = [ln for ln in plan.splitlines()
+                       if "SortMergeJoin" in ln and re.search(keys, ln)]
+        assert not smj_closing, (
+            f"{name}: the closing join reverted to SortMergeJoin: "
+            f"{smj_closing} — re-add the SHUFFLE_HASH hint on the "
+            "O(m) edge side (SCALE.md Round 11 §5)")
