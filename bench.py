@@ -84,6 +84,38 @@ BENCH_QUERIES: dict[str, str] = {
 #: (iterative label propagation); timed with construction included.
 EAGER_QUERIES = {"b12_dedup_clusters"}
 
+#: Per-query all-time records at sf0.1 (BASELINE.md, round-11 records
+#: run) — the noise floor for the mid-run outlier re-run below. These
+#: are NOT acceptance thresholds (BASELINE.md owns those); they only
+#: decide when a timed minimum is so far above any prior observation
+#: (>3x) that the only plausible cause is a co-tenant burst inside the
+#: timing window, which a re-run can bound. Update when BASELINE.md
+#: records a new minimum.
+RECORDS_SF01: dict[str, float] = {
+    "b1_pricing_summary": 0.451, "b2_shipping_priority": 0.377,
+    "b3_star_join": 0.441, "b4_topk_per_group": 0.217,
+    "b5_running_sum": 0.153, "b6_cosine_topk": 0.317,
+    "b7_exact_dedup": 0.158, "b8_minhash_neardup": 0.575,
+    "b9_sessionization": 0.515, "b10_returned_revenue": 0.251,
+    "b11_nation_volume": 0.374, "b12_dedup_clusters": 0.711,
+    "b13_span_duplication": 0.542, "b14_drift_ks": 0.325,
+    "b15_curation_pipeline": 1.183, "b16_transitive_closure": 1.463,
+    "b17_segment_dedup": 0.389, "b18_bigram_lm": 1.013,
+    "b19_geo_proximity": 0.396, "b20_spearman": 1.414,
+    "b21_heavy_hitters": 0.444,
+}
+
+#: Mid-run outlier policy (r11 verdict task 3): the quiet gate bounds
+#: START load only — r11's 28.3 s outlier run was ONE b21 mapInPandas
+#: worker stalled 15.17 s by a co-tenant burst mid-bench. If the
+#: best-of-3 minimum still exceeds OUTLIER_FACTOR x the query's
+#: all-time record, re-run (up to OUTLIER_MAX_RERUNS singles) and keep
+#: the overall minimum; the emitted `reruns` field records how many
+#: extra runs each affected query needed, so a row that STAYS >3x its
+#: record after re-runs is a real regression, not noise.
+OUTLIER_FACTOR = 3.0
+OUTLIER_MAX_RERUNS = 3
+
 
 def run_once(spark, name: str, sf_dir: str) -> float:
     # Operators that persist internally (minhash_lsh_pairs) would feed
@@ -118,12 +150,16 @@ def main() -> None:
     # worker threads.
     # Quiet-host gate (r10 verdict task 7): the loadavg field exists so
     # the bench can be SCHEDULED at load < 1, not merely annotated.
-    # Poll up to BENCH_QUIET_WAIT_SEC (default 180 s, 0 disables) for
+    # Poll up to BENCH_QUIET_WAIT_SEC (default 1800 s, 0 disables) for
     # the 1-min loadavg to drop below BENCH_QUIET_LOAD (default 1.0);
     # if the host never quiets, proceed anyway — loadavg_start then
     # documents the contention instead of silently absorbing it.
+    # Default raised 180 -> 1800 per the r11 verdict (task 1): this
+    # host's co-tenant bursts run multi-minute, and two rounds of
+    # BENCH_rN started at loadavg >4 after the 180 s ceiling expired
+    # while same-session quiet runs set all-time records.
     quiet_load = float(os.environ.get("BENCH_QUIET_LOAD", "1.0"))
-    quiet_wait = float(os.environ.get("BENCH_QUIET_WAIT_SEC", "180"))
+    quiet_wait = float(os.environ.get("BENCH_QUIET_WAIT_SEC", "1800"))
     waited = 0.0
     while os.getloadavg()[0] >= quiet_load and waited < quiet_wait:
         time.sleep(5.0)
@@ -135,6 +171,10 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     times: dict[str, object] = {}
+    reruns: dict[str, int] = {}
+    # Outlier re-runs compare against sf0.1 records only — at any
+    # other scale the records table doesn't apply.
+    use_records = abs(sf - 0.1) < 1e-9
     for name in BENCH_QUERIES:
         # Failure isolation: one broken query must never lose the whole
         # bench record (round 4 lost b1-b12 to a single b9 crash). A
@@ -150,6 +190,17 @@ def main() -> None:
             # best-of-3: single-shot runs on a shared host swing +-20%;
             # the minimum is the stable steady-state estimator
             t = min(run_once(spark, name, sf_dir) for _ in range(3))
+            # Mid-run burst bound (r11 verdict task 3): if even the
+            # minimum exceeds 3x the all-time record, the whole timing
+            # window was contended — re-run singles until one lands
+            # under the bar or the budget runs out, keep the minimum.
+            record = RECORDS_SF01.get(name) if use_records else None
+            if record is not None and t > OUTLIER_FACTOR * record:
+                for _ in range(OUTLIER_MAX_RERUNS):
+                    reruns[name] = reruns.get(name, 0) + 1
+                    t = min(t, run_once(spark, name, sf_dir))
+                    if t <= OUTLIER_FACTOR * record:
+                        break
             times[name] = round(t, 3)
         except Exception as exc:  # noqa: BLE001 — harness boundary
             first = str(exc).strip().splitlines()
@@ -168,6 +219,7 @@ def main() -> None:
         "loadavg_start": load_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "quiet_wait_sec": round(waited, 1),
+        "reruns": reruns,
     }))
 
 
