@@ -312,7 +312,8 @@ def timeseries_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_local_clustering",
     oracle="""
-WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+            WHERE l_orderkey % 8 = 0),
 e AS (
   SELECT DISTINCT x.p AS a, y.p AS b
   FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
@@ -349,6 +350,13 @@ FROM byk ORDER BY deg
     doc="Degree-class local clustering C(k) of the part co-occurrence "
         "graph (parts sharing an order, <= 21 pairs per order; "
         "operators/graph.py:local_clustering_by_degree): per-node "
+        "PROBE GRAIN (r11 verdict task 4): the probe graph is bounded "
+        "to orders with l_orderkey % 8 = 0 — a deterministic ~1/8 "
+        "order sample that cuts wedge volume ~60x (wedges scale with "
+        "sum deg^2), keeping the registry's densest probe inside the "
+        "per-probe time budget at every sweep scale while exercising "
+        "the identical operator and plan shape. The OPERATOR is "
+        "unsampled; sizing is the probe boundary's job. "
         "triangle credits from the degree-ordered wedge join (the "
         "triangle_count O(m^1.5) family, hub-proof), rolled up by "
         "degree so avg_lcc = 2*sum_tri/(n_k*k*(k-1)) is EXACT "
@@ -358,8 +366,10 @@ FROM byk ORDER BY deg
 )
 def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import local_clustering_by_degree
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 8 == 0)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")))
     x = li.select(F.col("o"), F.col("p").alias("p1"))
     yy = li.select(F.col("o"), F.col("p").alias("p2"))
     e = (x.join(yy, "o")
