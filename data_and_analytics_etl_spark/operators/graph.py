@@ -765,3 +765,85 @@ def local_clustering_by_degree(edges: DataFrame, src: str = "src",
                        (num.cast("double") / den.cast("double"))
                        .alias("avg_lcc"))
             .orderBy("deg"))
+
+
+def weighted_shortest_paths(edges: DataFrame, src: str = "src",
+                            dst: str = "dst", weight: str = "w",
+                            max_depth: int = 16) -> DataFrame:
+    """All-pairs reachable shortest-path COST over integer edge
+    weights — :func:`transitive_closure`'s min-plus pointer doubling
+    with the relax step generalized from hop counting (+1 per edge)
+    to weight accumulation (+w per edge), the r11-verdict frontier
+    item.
+
+    Returns (node, anc, cost): for every pair where ``anc`` is
+    reachable from ``node`` by a path of at most ``max_depth`` edges,
+    the MINIMUM total weight over all such paths. Same algebra as the
+    closure: round r holds the min cost over paths of ≤ 2^r edges
+    (min-plus semiring repeated squaring — new = min(old, old ⊗ old)
+    where ⊗ adds costs through a shared midpoint), so
+    ceil(log2(max_depth)) self-join rounds cover the horizon; on a
+    DAG whose depth fits the horizon this IS the exact weighted
+    shortest path. O(log depth) bucketed equi-joins on node id, never
+    node×node; per-round lazy persist collapses the doubled self-join
+    subtree exactly like the closure.
+
+    Weights must be nonnegative integers (min-plus with negative
+    weights would need hop tracking to stay well-defined under the
+    depth cap; integer costs keep every round a pure function of the
+    graph — the oracle is a recursive CTE accumulating the same
+    longs).
+    """
+    import math
+    rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
+    sp = edges.select(F.col(src).alias("node"),
+                      F.col(dst).alias("anc"),
+                      F.col(weight).cast("long").alias("cost"))
+    for _ in range(rounds):
+        sp = sp.persist(StorageLevel.MEMORY_AND_DISK)
+        hop = (sp.alias("l")
+               .join(sp.alias("r"), F.col("l.anc") == F.col("r.node"))
+               .select(F.col("l.node").alias("node"),
+                       F.col("r.anc").alias("anc"),
+                       (F.col("l.cost") + F.col("r.cost")).alias("cost")))
+        sp = (sp.unionByName(hop)
+              .groupBy("node", "anc")
+              .agg(F.min("cost").alias("cost")))
+    return sp
+
+
+def effective_diameter(edges: DataFrame, src: str = "src",
+                       dst: str = "dst", pct: int = 90,
+                       max_depth: int = 16) -> DataFrame:
+    """Effective diameter of the reachability closure: the smallest
+    hop distance d such that at least ``pct`` percent of all
+    reachable (node, anc) pairs lie within d hops — plus the exact
+    diameter (max shortest-path distance) and pair count.
+
+    Built entirely on :func:`transitive_closure`'s min-plus doubling
+    (each pair carries its MINIMUM hop distance), then a bounded
+    rollup: the distance histogram has at most ``max_depth`` rows, so
+    the cumulative window is a ≤max_depth-row single-task sort — the
+    drift_ks bounded-global-window rule. The pct threshold is pure
+    integer arithmetic (100·cum ≥ pct·total), no float percentile
+    ever exists. Output: ONE row
+    (n_pairs, diameter, effective_diameter).
+    """
+    closure = transitive_closure(edges, src=src, dst=dst,
+                                 max_depth=max_depth)
+    hist = (closure.groupBy("depth")
+            .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (hist.withColumn("cum", F.sum("n").over(w))
+           .withColumn("total", F.sum("n").over(
+               Window.partitionBy())))
+    eff = (cum.filter(F.lit(100) * F.col("cum")
+                      >= F.lit(pct) * F.col("total"))
+           .agg(F.min("depth").alias("effective_diameter")))
+    tot = cum.agg(F.max("total").alias("n_pairs"),
+                  F.max("depth").alias("diameter"))
+    return (tot.crossJoin(eff)
+            .select(F.col("n_pairs").cast("long").alias("n_pairs"),
+                    F.col("diameter").cast("long").alias("diameter"),
+                    F.col("effective_diameter").cast("long")
+                    .alias("effective_diameter")))

@@ -757,3 +757,130 @@ def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int,
             .filter(F.col("rank") <= k)
             .select("anchor_id", "anchor_label", "vec_id", "neg_label",
                     "cosine", F.col("rank").cast("int").alias("rank")))
+
+
+def quantize_grid(vec: Column, scale: int = 1000,
+                  offset: int = 1000) -> Column:
+    """Integer-grid quantization of a double vector: floor(x*scale) +
+    offset per dimension, as array<long>.
+
+    floor() of a double is engine-portable (unlike round-half cases),
+    and the offset keeps every coordinate NONNEGATIVE (inputs are
+    bounded well inside ±offset/scale) so downstream integer division
+    obeys the house rule (Spark DIV ≡ DuckDB // on nonnegative
+    operands). Offsets cancel in coordinate differences, so squared
+    distances on the grid are translation-exact.
+    """
+    return F.transform(vec, lambda x: (F.floor(x * scale)
+                                       + offset).cast("long"))
+
+
+def grid_dist2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two long-grid vectors:
+    a left-to-right zip_with/aggregate fold, all in LONG (64 dims at
+    ~2·scale magnitude keep the sum far below 2^63)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def ivf_grid_ann(corpus: DataFrame, probes: DataFrame, k: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_cells: int = 4, n_probe: int = 2, iters: int = 2,
+                 scale: int = 1000, offset: int = 1000) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC integer-grid Lloyd's k-means — the
+    oracle-checkable twin of :func:`ivf_ann` (the pagerank_iter move
+    applied to the float-index class).
+
+    Training is exact integer arithmetic end to end, so any SQL engine
+    reproduces the index bit-for-bit:
+
+    - vectors quantize to a long grid (floor(x·scale)+offset, exact);
+    - seed centroids are the ``n_cells`` corpus rows with the smallest
+      ids (TakeOrderedAndProject — k rows, never a full sort), cell
+      ids assigned in id order;
+    - each Lloyd round assigns every vector to its nearest centroid by
+      EXACT integer squared distance (ties → lowest cell id) via a
+      broadcast of the n_cells-row centroid table (map-side, no
+      shuffle), then recomputes each centroid coordinate as
+      sum DIV count over the cell's members (nonnegative integer
+      division — portable); an emptied cell keeps its previous
+      centroid (LEFT JOIN + coalesce);
+    - search ranks cells per probe by the same integer distance,
+      scans the ``n_probe`` nearest via a cell equi-join (the IVF
+      posting-list lookup — candidates ≈ n_probe/n_cells of the
+      corpus), and re-ranks candidates by EXACT double cosine over
+      the ORIGINAL vectors (the cosine_topk fold), ties on vec_id.
+
+    Scale posture: per round = one broadcast-join corpus scan (no
+    shuffle) + one (cell, dim)-keyed aggregation whose output is the
+    n_cells×dim centroid grid; at 100 TB you train on a bounded
+    sample (pass a sampled ``corpus`` slice as a separate training
+    frame upstream — FAISS-style) and only the final assignment +
+    search touch the full corpus. Output:
+    (probe_id, vec_id, cosine, rank≤k).
+    """
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("__vec"))
+    base = (base.withColumn("__q", quantize_grid(F.col("__vec"),
+                                                 scale, offset))
+            .withColumn("__cnorm", l2_norm(F.col("__vec"))))
+
+    # Seed centroids: the n_cells smallest ids, cell = rank-1 in id
+    # order. limit() keeps this a TakeOrderedAndProject (k rows); the
+    # row_number window runs over that bounded k-row frame only.
+    seeds = base.select("vec_id", "__q").orderBy("vec_id").limit(n_cells)
+    cent = (seeds.withColumn(
+        "cell", (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("int"))
+        .select("cell", F.col("__q").alias("cv")))
+
+    def assign(c: DataFrame) -> DataFrame:
+        scored = (base.crossJoin(F.broadcast(c))
+                  .withColumn("__d2", grid_dist2(F.col("__q"),
+                                                 F.col("cv"))))
+        w = Window.partitionBy("vec_id").orderBy(F.asc("__d2"),
+                                                 F.asc("cell"))
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("vec_id", "__vec", "__cnorm", "__q", "cell"))
+
+    for _ in range(iters):
+        members = assign(cent)
+        upd = (members.select("cell", F.posexplode("__q")
+                              .alias("pos", "val"))
+               .groupBy("cell", "pos")
+               .agg(F.expr("sum(val) DIV count(1)").alias("val"))
+               .groupBy("cell")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                   lambda s: s["val"]).alias("new_cv")))
+        cent = (cent.join(upd, "cell", "left")
+                .select("cell", F.coalesce("new_cv", "cv").alias("cv")))
+
+    indexed = assign(cent)
+
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      as_double(F.col(vec_col)).alias("__pvec"))
+    p = (p.withColumn("__pq", quantize_grid(F.col("__pvec"),
+                                            scale, offset))
+         .withColumn("__pnorm", l2_norm(F.col("__pvec"))))
+    pc = (p.crossJoin(F.broadcast(cent))
+          .withColumn("__d2", grid_dist2(F.col("__pq"), F.col("cv")))
+          .withColumn("__crn", F.row_number().over(
+              Window.partitionBy("probe_id").orderBy(F.asc("__d2"),
+                                                     F.asc("cell"))))
+          .filter(F.col("__crn") <= n_probe)
+          .select("probe_id", "__pvec", "__pnorm", "cell"))
+    scored = (pc.join(indexed, "cell")
+              .filter(F.col("probe_id") != F.col("vec_id"))
+              .withColumn("cosine", F.round(
+                  cosine_prenormed(F.col("__pvec"), F.col("__vec"),
+                                   F.col("__pnorm"), F.col("__cnorm")),
+                  6)))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", "cosine",
+                    F.col("rank").cast("int").alias("rank")))

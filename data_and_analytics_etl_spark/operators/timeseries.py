@@ -1080,3 +1080,53 @@ def durbin_watson(df: DataFrame, group_col: str, t_col: str,
                        F.col("__nn").cast("long").alias("n"),
                        dw.alias("dw_stat"))
             .orderBy("series"))
+
+
+def theil_sen_slope(df: DataFrame, group_col: str, t_col: str,
+                    y_col: str) -> DataFrame:
+    """Theil–Sen robust trend slope per series: the MEDIAN of all
+    pairwise slopes (y_j − y_i)/(t_j − t_i), t_i < t_j — the
+    median-based complement of Mann–Kendall's S (same bounded-series
+    contract: a calendar-bounded series of n ≤ ~31 points yields
+    ≤ n(n−1)/2 ≈ 465 pairs per series, so the self-join is a bounded
+    per-key cell product, never data×data).
+
+    Each slope is ONE double division over exact integer differences
+    (a fixed IEEE chain — bit-identical across engines); the median
+    is order-statistic, not accumulation: row_number over slope
+    within the series, averaging the two middle VALUES for even pair
+    counts ((m+1) DIV 2 and (m+2) DIV 2 — floor division on
+    nonnegative m, the Sen-median rule from mann_kendall). Ties in
+    slope leave the middle values equal, so cross-engine tie order
+    cannot change the result. Output:
+    (group, n_points, n_pairs, sen_slope), raw double (fixed chain —
+    the round-6 rule says don't round what's already bit-stable).
+    """
+    a = df.select(F.col(group_col).alias("g"),
+                  F.col(t_col).cast("long").alias("t1"),
+                  F.col(y_col).cast("long").alias("y1"))
+    b = df.select(F.col(group_col).alias("g"),
+                  F.col(t_col).cast("long").alias("t2"),
+                  F.col(y_col).cast("long").alias("y2"))
+    slopes = (a.join(b, "g")
+              .filter(F.col("t1") < F.col("t2"))
+              .select("g", ((F.col("y2") - F.col("y1")).cast("double")
+                            / (F.col("t2") - F.col("t1")).cast("double"))
+                      .alias("slope")))
+    w = Window.partitionBy("g").orderBy("slope")
+    ranked = (slopes.withColumn("rn", F.row_number().over(w))
+              .withColumn("m", F.count(F.lit(1)).over(
+                  Window.partitionBy("g"))))
+    med = (ranked.filter(
+        (F.col("rn") == F.expr("(m + 1) DIV 2"))
+        | (F.col("rn") == F.expr("(m + 2) DIV 2")))
+        .groupBy("g")
+        .agg(F.avg("slope").alias("sen_slope"),
+             F.max("m").cast("long").alias("n_pairs")))
+    pts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_points"))
+    return (pts.join(med, "g")
+            .select(F.col("g").alias(group_col),
+                    F.col("n_points").cast("long").alias("n_points"),
+                    "n_pairs", "sen_slope")
+            .orderBy(group_col))

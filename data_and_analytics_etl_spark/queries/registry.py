@@ -46,7 +46,7 @@ DRIVER_WINDOW = 50
 #: Current verification round. Bump once per driver round: the rotation
 #: offset below advances with it, so stale green probes cycle back
 #: through the window a slice at a time.
-VERIFY_ROUND = 11
+VERIFY_ROUND = 12
 
 #: Priority bands (lower sorts earlier in the export):
 #:   < POOL_PRIORITY   fixed placement — bench-critical (10), probes whose
@@ -73,20 +73,19 @@ POOL_PRIORITY = 100
 #: never driver-verified. Keep tests/test_registry.py MUST_BE_IN_WINDOW in
 #: sync with the <100 entries here.
 ROUND_TIERS: dict[str, int] = {
-    # --- round 11: backlog drain (r10 verdict task 1) + rotation
-    # re-feed (task 2). Window composition, in order:
+    # --- round 12: rotation-share growth (r11 verdict task 2).
+    # The backlog machine is empty (never-driver-verified set after
+    # CORRECTNESS_r11: EMPTY), so the cohort is capped at FIVE and
+    # every other slot feeds the pool. Window composition, in order:
     #   tier 10 — the 21 oracle-backed bench-family probes (b1-b21).
-    #   tier 20 — probes whose code/oracle changed this round (the
-    #             r10 advice fixes): sample_weighted_md5 (negative-
-    #             weight guard). The other advice-touched probes
-    #             (stats_friedman, stats_cochran_q, stats_runs_test,
-    #             graph_hits_iter) are already tier-30 backlog below.
-    #   tier 30 — the 9-item r11 backlog (the post-window r10
-    #             registrations, named by the r10 verdict task 1) +
-    #             the 9-probe r11 cohort, pinned at registration.
-    # 21 + 1 + 9 + 9 = 40 fixed; the remaining 10 window slots go to
-    # the rotation pool — the r10 verdict's task-2 floor (>=10),
-    # pinned by tests/test_registry.py::test_rotation_slot_floor.
+    #   tier 20 — probes whose code/oracle changed this round:
+    #             graph_local_clustering (probe graph bounded to the
+    #             1/8 order sample, oracle mirrored — r11 verdict
+    #             task 4).
+    #   tier 30 — the 5-probe r12 cohort, pinned at registration.
+    # 21 + 1 + 5 = 27 fixed; the remaining 23 window slots go to the
+    # rotation pool — more than double the r11 verdict's >=15 ask
+    # (tests/test_registry.py::test_rotation_slot_floor pins 15).
     #
     # bench tier (10): every BENCH_QUERIES probe with an oracle
     # (dedup_minhash_lsh's oracle twin is dedup_minhash_lsh_md5).
@@ -111,33 +110,15 @@ ROUND_TIERS: dict[str, int] = {
     "geo_grid_proximity": 10,
     "stats_spearman_corr": 10,          # b20 since r9
     "sketch_freq_heavy_hitters": 10,    # b21 since r9
-    # changed this round (tier 20): r10 advice fixes not already in
-    # the backlog tier below.
-    "sample_weighted_md5": 20,
-    # r11 backlog (tier 30): the 9 post-window r10 registrations —
-    # never driver-verified; tests/test_backlog_ledger.py enforces
-    # the drain.
-    "stats_friedman": 30,
-    "timeseries_mann_kendall": 30,
-    "graph_degree_assortativity": 30,
-    "analytics_sprt_boundary": 30,
-    "feature_quantile_normalize": 30,
-    "graph_hits_iter": 30,
-    "text_js_divergence": 30,
-    "stats_cochran_q": 30,
-    "stats_runs_test": 30,
-    # r11-registered cohort (tier 30): pinned at registration.
-    # Capped at 9 names (r10 verdict task 2) so the rotation pool
-    # keeps >=10 window slots.
-    "stats_jonckheere_terpstra": 30,
-    "stats_mood_median": 30,
-    "eval_matthews_corrcoef": 30,
-    "timeseries_max_drawdown": 30,
-    "timeseries_durbin_watson": 30,
-    "graph_local_clustering": 30,
-    "graph_adamic_adar": 30,
-    "text_yule_k": 30,
-    "text_zipf_slope": 30,
+    # changed this round (tier 20): probe grain + oracle rewritten.
+    "graph_local_clustering": 20,
+    # r12-registered cohort (tier 30): pinned at registration,
+    # capped at 5 (r11 verdict task 2).
+    "ann_ivf_grid": 30,
+    "graph_weighted_shortest_paths": 30,
+    "graph_effective_diameter": 30,
+    "agg_percentile_cont_disc": 30,
+    "timeseries_theil_sen": 30,
 }
 
 #: Backlog ledger as of r11 pinning: after CORRECTNESS_r10 the

@@ -63,11 +63,26 @@ R11_FAMILIES = {
     "r11_max_drawdown": "timeseries_max_drawdown",
 }
 
+#: the r12-cohort families (SF1_FAMILIES=r12): the weighted min-plus
+#: closure (pair fan-out — the one output-superlinear-capable shape),
+#: its distance-histogram rollup, the integer-grid k-means (3 corpus
+#: scans + bounded centroid aggs), the ordered-set percentile sorts,
+#: and the calendar-bounded pairwise-slope median (~flat by design).
+R12_FAMILIES = {
+    "r12_weighted_sp": "graph_weighted_shortest_paths",
+    "r12_effective_diameter": "graph_effective_diameter",
+    "r12_ivf_grid": "ann_ivf_grid",
+    "r12_percentile": "agg_percentile_cont_disc",
+    "r12_theil_sen": "timeseries_theil_sen",
+}
+
 EAGER_EXTRA: set = set()
 if os.environ.get("SF1_FAMILIES") == "r10":
     FAMILIES = R10_FAMILIES
 elif os.environ.get("SF1_FAMILIES") == "r11":
     FAMILIES = R11_FAMILIES
+elif os.environ.get("SF1_FAMILIES") == "r12":
+    FAMILIES = R12_FAMILIES
 elif os.environ.get("SF1_FAMILIES") == "all21":
     # r10 verdict task 4: the FULL 21-query bench at sf1 — b1-b10 had
     # never been timed past sf0.1. Reuses bench.py's exact probe map so

@@ -1902,3 +1902,177 @@ class TestRoundElevenCohort:
         df = spark.createDataFrame([(1, 2)], "src: long, dst: long")
         with pytest.raises(ValueError, match="iters"):
             hits_integer(df, iters=0)
+
+
+class TestRoundTwelveCohort:
+    """References for the r12 cohort: integer-grid IVF k-means vs a
+    pure-Python Lloyd replay, weighted shortest paths vs Floyd-
+    Warshall, effective diameter vs a BFS histogram, percentile_cont/
+    disc vs the SQL-standard index formula, Theil-Sen vs
+    brute-force pairwise slopes."""
+
+    def _spark(self):
+        from data_and_analytics_etl_spark.session import get_spark
+        return get_spark("prop-r12")
+
+    def test_ivf_grid_matches_python_lloyd(self):
+        import math
+
+        from data_and_analytics_etl_spark.operators.similarity import \
+            ivf_grid_ann
+        spark = self._spark()
+        vecs = {
+            0: [0.9, 0.1, 0.0, 0.0], 1: [0.8, 0.2, 0.1, 0.0],
+            2: [0.0, 0.1, 0.9, 0.2], 3: [0.1, 0.0, 0.8, 0.3],
+            4: [0.7, 0.3, 0.0, 0.1], 5: [0.0, 0.2, 0.7, 0.1],
+            6: [0.9, 0.0, 0.1, 0.1], 7: [0.1, 0.1, 0.9, 0.0],
+        }
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id: long, embedding: array<float>")
+        out = ivf_grid_ann(df, df.filter("vec_id < 2"), k=3,
+                           n_cells=2, n_probe=1, iters=2).collect()
+
+        # pure-Python replay (float32 -> double is exact for these)
+        q = {i: [math.floor(x * 1000) + 1000 for x in v]
+             for i, v in vecs.items()}
+        cent = {c: list(q[c]) for c in (0, 1)}  # seeds: 2 smallest ids
+
+        def d2(a, b):
+            return sum((x - y) ** 2 for x, y in zip(a, b))
+
+        assign = {}
+        for _ in range(2):
+            assign = {i: min(cent, key=lambda c: (d2(q[i], cent[c]), c))
+                      for i in q}
+            for c in cent:
+                mem = [q[i] for i in q if assign[i] == c]
+                if mem:
+                    cent[c] = [sum(col) // len(mem) for col in zip(*mem)]
+        assign = {i: min(cent, key=lambda c: (d2(q[i], cent[c]), c))
+                  for i in q}
+
+        def cos(a, b):
+            dot = na = nb = 0.0
+            for x, y in zip(a, b):
+                dot += x * y
+            for x in a:
+                na += x * x
+            for y in b:
+                nb += y * y
+            return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+        want = []
+        for p in (0, 1):
+            cell = min(cent, key=lambda c: (d2(q[p], cent[c]), c))
+            cands = [i for i in q if assign[i] == cell and i != p]
+            scored = sorted(((cos(vecs[p], vecs[i]), i) for i in cands),
+                            key=lambda t: (-t[0], t[1]))[:3]
+            want += [(p, i, c, r + 1)
+                     for r, (c, i) in enumerate(scored)]
+        got = sorted((r["probe_id"], r["vec_id"], r["cosine"], r["rank"])
+                     for r in out)
+        assert got == sorted(want)
+
+    def test_weighted_shortest_paths_matches_floyd_warshall(self):
+        from data_and_analytics_etl_spark.operators.graph import \
+            weighted_shortest_paths
+        spark = self._spark()
+        edges = [(1, 2, 4), (2, 3, 1), (1, 3, 10), (3, 4, 2), (2, 4, 9),
+                 (5, 1, 3), (4, 6, 1)]
+        df = spark.createDataFrame(edges, "src: long, dst: long, w: long")
+        out = {(r["node"], r["anc"]): r["cost"]
+               for r in weighted_shortest_paths(df, max_depth=16)
+               .collect()}
+        nodes = {n for e in edges for n in e[:2]}
+        INF = float("inf")
+        dist = {(a, b): INF for a in nodes for b in nodes}
+        for a, b, w in edges:
+            dist[(a, b)] = min(dist[(a, b)], w)
+        for m in nodes:
+            for a in nodes:
+                for b in nodes:
+                    if dist[(a, m)] + dist[(m, b)] < dist[(a, b)]:
+                        dist[(a, b)] = dist[(a, m)] + dist[(m, b)]
+        want = {k: v for k, v in dist.items() if v < INF}
+        assert out == want
+
+    def test_effective_diameter_matches_bfs_histogram(self):
+        from collections import deque
+
+        from data_and_analytics_etl_spark.operators.graph import \
+            effective_diameter
+        spark = self._spark()
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 6), (6, 7), (2, 7)]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        row = effective_diameter(df, pct=90, max_depth=16).collect()[0]
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        dists = []
+        for s in {n for e in edges for n in e}:
+            seen = {s: 0}
+            dq = deque([s])
+            while dq:
+                u = dq.popleft()
+                for v in adj.get(u, []):
+                    if v not in seen:
+                        seen[v] = seen[u] + 1
+                        dq.append(v)
+            dists += [d for n, d in seen.items() if n != s]
+        dists.sort()
+        total = len(dists)
+        eff = next(d for i, d in enumerate(dists)
+                   if 100 * (i + 1) >= 90 * total)
+        assert (row["n_pairs"], row["diameter"],
+                row["effective_diameter"]) == (total, max(dists), eff)
+
+    def test_percentile_cont_disc_match_index_formula(self):
+        import pyspark.sql.functions as F
+        spark = self._spark()
+        vals = [3, 1, 4, 1, 5, 9, 2, 6]
+        df = spark.createDataFrame([(v,) for v in vals], "qty: long")
+        row = df.agg(
+            F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY qty)")
+            .alias("q1"),
+            F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY qty)")
+            .alias("q3"),
+            F.expr("CAST(percentile_disc(0.5) WITHIN GROUP "
+                   "(ORDER BY qty) AS BIGINT)").alias("d")).collect()[0]
+        s = sorted(vals)
+
+        def cont(p):
+            idx = p * (len(s) - 1)
+            lo = int(idx)
+            frac = idx - lo
+            hi = min(lo + 1, len(s) - 1)
+            return s[lo] + (s[hi] - s[lo]) * frac
+
+        # percentile_disc(p): the first value whose cumulative
+        # fraction reaches p
+        def disc(p):
+            for i, v in enumerate(s):
+                if (i + 1) / len(s) >= p:
+                    return v
+        assert (row["q1"], row["q3"], row["d"]) == (
+            cont(0.25), cont(0.75), disc(0.5))
+
+    def test_theil_sen_matches_brute_force(self):
+        from data_and_analytics_etl_spark.operators.timeseries import \
+            theil_sen_slope
+        spark = self._spark()
+        series = {"a": [(1, 3), (2, 5), (4, 4), (7, 13)],
+                  "b": [(1, 2), (2, 4), (3, 6)]}
+        rows = [(g, t, y) for g, pts in series.items() for t, y in pts]
+        df = spark.createDataFrame(rows, "g: string, t: long, y: long")
+        out = {r["g"]: (r["n_points"], r["n_pairs"], r["sen_slope"])
+               for r in theil_sen_slope(df, "g", "t", "y").collect()}
+        for g, pts in series.items():
+            slopes = sorted(
+                (y2 - y1) / (t2 - t1)
+                for i, (t1, y1) in enumerate(pts)
+                for t2, y2 in pts[i + 1:])
+            m = len(slopes)
+            lo, hi = (m + 1) // 2, (m + 2) // 2
+            med = (slopes[lo - 1] + slopes[hi - 1]) / 2
+            assert out[g] == (len(pts), m, med)

@@ -16,10 +16,9 @@ from data_and_analytics_etl_spark.queries.registry import (DRIVER_WINDOW,
 
 #: Probes that MUST hold a fresh driver-verified row this round.
 #: Source of truth: registry.ROUND_TIERS (this set mirrors its <100 keys).
-#: Round 11 drains the 9-item r10 backlog (the post-window r10
-#: registrations) and caps its own cohort at 9 so the rotation pool
-#: keeps >= 10 window slots (r10 verdict tasks 1+2):
-#: 21 bench + 1 changed + 9 backlog + 9 new = 40 fixed, 10 rotation.
+#: Round 12 grows the rotation share (r11 verdict task 2): the backlog
+#: machine is empty, the cohort is capped at 5, so
+#: 21 bench + 1 changed + 5 new = 27 fixed, 23 rotation.
 MUST_BE_IN_WINDOW = {
     # bench tier (priority 10): every BENCH_QUERIES probe with an oracle
     # (bench is b1-b21 since r9).
@@ -31,20 +30,14 @@ MUST_BE_IN_WINDOW = {
     "corpus_curation_pipeline", "graph_transitive_closure",
     "corpus_segment_dedup", "text_bigram_lm_score", "geo_grid_proximity",
     "stats_spearman_corr", "sketch_freq_heavy_hitters",
-    # changed this round (priority 20): r10 advice fixes not already
-    # pinned below.
-    "sample_weighted_md5",
-    # r11 backlog (priority 30): the 9 post-window r10 registrations.
-    "stats_friedman", "timeseries_mann_kendall",
-    "graph_degree_assortativity", "analytics_sprt_boundary",
-    "feature_quantile_normalize", "graph_hits_iter",
-    "text_js_divergence", "stats_cochran_q", "stats_runs_test",
-    # r11-registered cohort (priority 30): pinned at registration,
-    # capped at 9.
-    "stats_jonckheere_terpstra", "stats_mood_median",
-    "eval_matthews_corrcoef", "timeseries_max_drawdown",
-    "timeseries_durbin_watson", "graph_local_clustering",
-    "graph_adamic_adar", "text_yule_k", "text_zipf_slope",
+    # changed this round (priority 20): probe graph bounded to the 1/8
+    # order sample, oracle mirrored (r11 verdict task 4).
+    "graph_local_clustering",
+    # r12-registered cohort (priority 30): pinned at registration,
+    # capped at 5 (r11 verdict task 2).
+    "ann_ivf_grid", "graph_weighted_shortest_paths",
+    "graph_effective_diameter", "agg_percentile_cont_disc",
+    "timeseries_theil_sen",
 }
 
 
@@ -295,14 +288,16 @@ def test_bench_probes_have_same_round_correctness_evidence():
 
 
 def test_rotation_slot_floor():
-    """r10 verdict task 2: the rotation pool was starved to ONE window
-    slot in r10 (a ~260-probe pool refreshing at <=1 probe/round).
-    From r11 on, the fixed tiers must leave AT LEAST 10 window slots
-    to rotation — new-cohort registrations compete with this floor,
-    which is the point: cap the cohort, feed the pool."""
+    """r10 verdict task 2 set the floor at 10; the r11 verdict task 2
+    raised it to 15 now that the backlog machine is empty (a
+    ~280-probe green pool needs >=15 slots/round to refresh inside
+    ~20 rounds). New-cohort registrations compete with this floor,
+    which is the point: cap the cohort, feed the pool. Round 12
+    actually leaves 23 slots (27 fixed); the floor pins the minimum,
+    not the actual."""
     rotated = rotation_selected()
-    assert len(rotated) >= 10, (
+    assert len(rotated) >= 15, (
         f"only {len(rotated)} rotation slots this round — the fixed "
-        "tiers (bench + changed + backlog + new cohort) crowd the "
-        "pool below the 10-slot floor; shrink the new-probe cohort "
-        "or defer it to the next round's backlog")
+        "tiers (bench + changed + new cohort) crowd the pool below "
+        "the 15-slot floor; shrink the new-probe cohort or defer it "
+        "to the next round's backlog")

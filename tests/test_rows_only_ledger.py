@@ -59,7 +59,14 @@ ROWS_ONLY_LEDGER: dict[str, tuple[str, str, str]] = {
     "sketch_hll_incremental_distinct":
         ("engine-sketch", "test_analytics.py", "hll_build"),
     "ann_lsh": ("float-index", "test_llmdata.py", "brp"),
-    "ann_ivf": ("float-index", "test_llmdata.py", "ivf_ann"),
+    # r12: upgraded float-index -> engine-twin. ann_ivf_grid (round12.py)
+    # is the hash-checked integer-grid k-means twin carrying the oracle
+    # for the shared IVF pipeline shape (train -> cell index -> n_probe
+    # pruned search -> exact re-rank); ann_ivf keeps the production
+    # pyspark.ml float KMeans trainer, which remains oracle-impossible
+    # (engine-internal float iterations), exactly the pagerank/
+    # pagerank_iter relationship.
+    "ann_ivf": ("engine-twin", "test_llmdata.py", "ivf_ann"),
     "ann_pq": ("float-index", "test_llmdata.py", "pq_ann"),
     "ann_ivfpq": ("float-index", "test_llmdata.py", "ivfpq"),
     "sample_diverse_selection":
