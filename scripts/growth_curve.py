@@ -44,6 +44,9 @@ SHAPES = {
     "neardup_setsim_prefix": "documents",
     "corpus_decontaminate": "documents",
     "neardup_semantic_dedup": "embeddings",
+    # r12 fan-out shape: the weighted closure's output is O(reachable
+    # pairs), the same contract as graph_transitive_closure above.
+    "graph_weighted_shortest_paths": "customer",
 }
 
 
