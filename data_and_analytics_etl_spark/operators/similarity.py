@@ -18,6 +18,7 @@ order as the oracle's list_dot_product at probe scale).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 
 
@@ -846,6 +847,13 @@ def ivf_grid_ann(corpus: DataFrame, probes: DataFrame, k: int,
                 .select("vec_id", "__vec", "__cnorm", "__q", "cell"))
 
     for _ in range(iters):
+        # persist (lazy — construction stays action-free): each round's
+        # centroid frame is referenced by the NEXT round's assign AND
+        # its own update join; without a materialization point the
+        # centroid lineage re-embeds every prior round's corpus scan
+        # (measured 16 FileScans at iters=2 vs 5 with the persist —
+        # the transitive_closure per-round rule, at k-row cost).
+        cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
         members = assign(cent)
         upd = (members.select("cell", F.posexplode("__q")
                               .alias("pos", "val"))
@@ -857,6 +865,7 @@ def ivf_grid_ann(corpus: DataFrame, probes: DataFrame, k: int,
                    lambda s: s["val"]).alias("new_cv")))
         cent = (cent.join(upd, "cell", "left")
                 .select("cell", F.coalesce("new_cv", "cv").alias("cv")))
+    cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
 
     indexed = assign(cent)
 
