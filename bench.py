@@ -105,6 +105,30 @@ RECORDS_SF01: dict[str, float] = {
     "b21_heavy_hitters": 0.444,
 }
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) cumulative jiffies from /proc/stat line 1."""
+    v = list(map(int, open("/proc/stat").readline().split()[1:]))
+    return (v[7] if len(v) > 7 else 0), sum(v)
+
+
+def steal_pct_during(fn) -> float:
+    """Run ``fn`` and return hypervisor steal as % of TOTAL jiffies.
+
+    Steal only manifests under load (idle hosts show ~0% even when the
+    co-tenant would throttle us), so the canary measures it WHILE a
+    real parallel workload runs. r12 discovery: the loadavg quiet gate
+    passed at 1-min load < 1 while 5-12%% of total jiffies (≈half of
+    our non-idle cycles) were being stolen mid-query — a uniformly
+    ~1.5-2x elevated bench with no plan regression. Steal/busy is the
+    mechanical signature loadavg cannot see.
+    """
+    s0, t0 = _cpu_jiffies()
+    fn()
+    s1, t1 = _cpu_jiffies()
+    total = t1 - t0
+    return 100.0 * (s1 - s0) / total if total > 0 else 0.0
+
+
 #: Mid-run outlier policy (r11 verdict task 3): the quiet gate bounds
 #: START load only — r11's 28.3 s outlier run was ONE b21 mapInPandas
 #: worker stalled 15.17 s by a co-tenant burst mid-bench. If the
@@ -167,8 +191,24 @@ def main() -> None:
     load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("daa-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen warm-up outside the measurement window
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # JVM/codegen warm-up outside the measurement window — doubling as
+    # the STEAL CANARY (r12): loadavg misses hypervisor throttling
+    # entirely (it gated green at load < 1 while ~half our non-idle
+    # cycles were stolen), so re-run the warm-up until steal during a
+    # real parallel query drops below BENCH_MAX_STEAL_PCT (% of total
+    # jiffies; default 2.0 — the quiet-host reading is ~0.3, the
+    # throttled reading 5-12) or the shared wait budget runs out.
+    def warm():
+        spark.range(10_000_000).selectExpr(
+            "sum(id * id)", "avg(id)").collect()
+
+    max_steal = float(os.environ.get("BENCH_MAX_STEAL_PCT", "2.0"))
+    steal = steal_pct_during(warm)
+    while steal > max_steal and waited < quiet_wait:
+        time.sleep(30.0)
+        waited += 30.0
+        steal = steal_pct_during(warm)
 
     times: dict[str, object] = {}
     reruns: dict[str, int] = {}
@@ -219,6 +259,8 @@ def main() -> None:
         "loadavg_start": load_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "quiet_wait_sec": round(waited, 1),
+        "steal_pct_start": round(steal, 2),
+        "steal_pct_end": round(steal_pct_during(warm), 2),
         "reruns": reruns,
     }))
 
