@@ -117,8 +117,8 @@ def steal_pct_during(fn) -> float:
     Steal only manifests under load (idle hosts show ~0% even when the
     co-tenant would throttle us), so the canary measures it WHILE a
     real parallel workload runs. r12 discovery: the loadavg quiet gate
-    passed at 1-min load < 1 while 5-12%% of total jiffies (≈half of
-    our non-idle cycles) were being stolen mid-query — a uniformly
+    passed at 1-min load < 1 while 5-12% of total jiffies (about half
+    of our non-idle cycles) were being stolen mid-query — a uniformly
     ~1.5-2x elevated bench with no plan regression. Steal/busy is the
     mechanical signature loadavg cannot see.
     """

@@ -199,19 +199,39 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     """
     import math
     rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
+    budget = _pairs_budget("depth", max_pairs_per_node)
+    seed = edges.select(F.col(src).alias("node"),
+                        F.col(dst).alias("anc"),
+                        F.lit(1).alias("depth"))
+    closure = _minplus_doubling(seed, rounds, "depth", budget)
+    return closure.filter(F.col("depth") <= max_depth)
 
+
+def _pairs_budget(cost: str, max_pairs_per_node: int | None):
+    """The per-round fan-out budget hook shared by the min-plus
+    doubling family: keep the N nearest (cost ASC, anc ASC) ancestors
+    per node, or identity when no budget is set (zero plan cost)."""
     def budget(frame: DataFrame) -> DataFrame:
         if max_pairs_per_node is None:
             return frame
-        w = Window.partitionBy("node").orderBy(F.asc("depth"),
+        w = Window.partitionBy("node").orderBy(F.asc(cost),
                                                F.asc("anc"))
         return (frame.withColumn("__rk", F.row_number().over(w))
                 .filter(F.col("__rk") <= max_pairs_per_node)
                 .drop("__rk"))
+    return budget
 
-    closure = budget(edges.select(F.col(src).alias("node"),
-                                  F.col(dst).alias("anc"),
-                                  F.lit(1).alias("depth")))
+
+def _minplus_doubling(seed: DataFrame, rounds: int, cost: str,
+                      budget) -> DataFrame:
+    """Min-plus semiring repeated squaring over (node, anc, cost):
+    round r holds the minimum cost over paths of <= 2^r edges
+    (new = min(old, old (+) old) through a shared midpoint). ONE
+    bucketed equi-join + ONE groupBy-min per round, never node x node
+    — the single loop body behind transitive_closure (cost = +1 hops)
+    and weighted_shortest_paths (cost = +w integer weights), extracted
+    so the two cannot drift."""
+    frame = budget(seed)
     for _ in range(rounds):
         # persist (lazy — construction stays action-free): the
         # self-join references this round's frame TWICE; without a
@@ -219,18 +239,18 @@ def transitive_closure(edges: DataFrame, src: str = "src",
         # (2^rounds copies — 94 Exchanges measured at 4 rounds) and
         # every copy would recompute at scale. InMemoryTableScan
         # collapses both references to one computation.
-        closure = closure.persist(StorageLevel.MEMORY_AND_DISK)
-        hop = (closure.alias("l")
-               .join(closure.alias("r"),
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        hop = (frame.alias("l")
+               .join(frame.alias("r"),
                      F.col("l.anc") == F.col("r.node"))
                .select(F.col("l.node").alias("node"),
                        F.col("r.anc").alias("anc"),
-                       (F.col("l.depth") + F.col("r.depth"))
-                       .alias("depth")))
-        closure = budget(closure.unionByName(hop)
-                         .groupBy("node", "anc")
-                         .agg(F.min("depth").alias("depth")))
-    return closure.filter(F.col("depth") <= max_depth)
+                       (F.col(f"l.{cost}") + F.col(f"r.{cost}"))
+                       .alias(cost)))
+        frame = budget(frame.unionByName(hop)
+                       .groupBy("node", "anc")
+                       .agg(F.min(cost).alias(cost)))
+    return frame
 
 
 def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
@@ -769,7 +789,9 @@ def local_clustering_by_degree(edges: DataFrame, src: str = "src",
 
 def weighted_shortest_paths(edges: DataFrame, src: str = "src",
                             dst: str = "dst", weight: str = "w",
-                            max_depth: int = 16) -> DataFrame:
+                            max_depth: int = 16,
+                            max_pairs_per_node: int | None = None,
+                            ) -> DataFrame:
     """All-pairs reachable shortest-path COST over integer edge
     weights — :func:`transitive_closure`'s min-plus pointer doubling
     with the relax step generalized from hop counting (+1 per edge)
@@ -793,23 +815,32 @@ def weighted_shortest_paths(edges: DataFrame, src: str = "src",
     depth cap; integer costs keep every round a pure function of the
     graph — the oracle is a recursive CTE accumulating the same
     longs).
+
+    ``max_depth`` must be a POWER OF TWO: the doubling covers exactly
+    2^rounds-edge paths, and unlike the hop closure (where depth IS
+    the cost, so a final ``depth <= max_depth`` filter trims the
+    overshoot) the weighted result carries no hop count to filter on
+    — the min cost over <=16-edge paths can come from a 12-edge path
+    that a 10-edge contract would have to reject. Rather than
+    silently answer a different question, non-power-of-two horizons
+    raise (an exact bounded-hop variant is hop-indexed Bellman-Ford —
+    max_depth joins instead of log2, a different operator).
     """
-    import math
-    rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
-    sp = edges.select(F.col(src).alias("node"),
-                      F.col(dst).alias("anc"),
-                      F.col(weight).cast("long").alias("cost"))
-    for _ in range(rounds):
-        sp = sp.persist(StorageLevel.MEMORY_AND_DISK)
-        hop = (sp.alias("l")
-               .join(sp.alias("r"), F.col("l.anc") == F.col("r.node"))
-               .select(F.col("l.node").alias("node"),
-                       F.col("r.anc").alias("anc"),
-                       (F.col("l.cost") + F.col("r.cost")).alias("cost")))
-        sp = (sp.unionByName(hop)
-              .groupBy("node", "anc")
-              .agg(F.min("cost").alias("cost")))
-    return sp
+    if max_depth < 1 or max_depth & (max_depth - 1):
+        raise ValueError(
+            f"max_depth={max_depth} is not a power of two — min-plus "
+            "doubling covers exactly 2^k-edge horizons; pick the "
+            "enclosing power of two or use a hop-indexed variant")
+    rounds = max_depth.bit_length() - 1
+    seed = (edges.select(F.col(src).alias("node"),
+                         F.col(dst).alias("anc"),
+                         F.col(weight).cast("long").alias("cost"))
+            # parallel edges collapse to their cheapest BEFORE the
+            # loop so the rounds == 0 (max_depth == 1) result honors
+            # the min-cost contract too
+            .groupBy("node", "anc").agg(F.min("cost").alias("cost")))
+    budget = _pairs_budget("cost", max_pairs_per_node)
+    return _minplus_doubling(seed, rounds, "cost", budget)
 
 
 def effective_diameter(edges: DataFrame, src: str = "src",
@@ -842,8 +873,12 @@ def effective_diameter(edges: DataFrame, src: str = "src",
            .agg(F.min("depth").alias("effective_diameter")))
     tot = cum.agg(F.max("total").alias("n_pairs"),
                   F.max("depth").alias("diameter"))
+    # Empty graph: the global aggs still emit ONE row (of nulls) —
+    # n_pairs coalesces to 0, the two distances stay NULL (no pairs
+    # exist, so neither diameter is defined).
     return (tot.crossJoin(eff)
-            .select(F.col("n_pairs").cast("long").alias("n_pairs"),
+            .select(F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long")
+                    .alias("n_pairs"),
                     F.col("diameter").cast("long").alias("diameter"),
                     F.col("effective_diameter").cast("long")
                     .alias("effective_diameter")))

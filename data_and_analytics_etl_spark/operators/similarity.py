@@ -766,11 +766,15 @@ def quantize_grid(vec: Column, scale: int = 1000,
     offset per dimension, as array<long>.
 
     floor() of a double is engine-portable (unlike round-half cases),
-    and the offset keeps every coordinate NONNEGATIVE (inputs are
-    bounded well inside ±offset/scale) so downstream integer division
-    obeys the house rule (Spark DIV ≡ DuckDB // on nonnegative
-    operands). Offsets cancel in coordinate differences, so squared
-    distances on the grid are translation-exact.
+    and the offset keeps every coordinate NONNEGATIVE for inputs
+    bounded inside ±offset/scale — the house integer-division rule's
+    comfort zone. (Verified r12: Spark DIV and DuckDB // BOTH truncate
+    toward zero, -3 DIV 2 == -3 // 2 == -1, so the centroid
+    sum-DIV-count stays cross-engine exact even if an out-of-range
+    coordinate slips a sum negative; the offset is belt and braces,
+    not a correctness precondition.) Offsets cancel in coordinate
+    differences, so squared distances on the grid are
+    translation-exact.
     """
     return F.transform(vec, lambda x: (F.floor(x * scale)
                                        + offset).cast("long"))

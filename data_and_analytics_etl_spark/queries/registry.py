@@ -121,18 +121,15 @@ ROUND_TIERS: dict[str, int] = {
     "timeseries_theil_sen": 30,
 }
 
-#: Backlog ledger as of r11 pinning: after CORRECTNESS_r10 the
-#: never-driver-verified set is exactly the 9 post-window r10
-#: registrations (all FULLVERIFY_r10-green at three scales AND live
-#: re-executed by the r10 judge): stats_friedman,
-#: timeseries_mann_kendall, graph_degree_assortativity,
-#: analytics_sprt_boundary, feature_quantile_normalize,
-#: graph_hits_iter, text_js_divergence, stats_cochran_q,
-#: stats_runs_test — all tier-30 above. The r11 cohort is capped at 9
-#: and pinned at registration, so the window drains it this round and
-#: the never-driver-verified set after CORRECTNESS_r11 is empty.
-#: Kept (empty) because tests/test_backlog_ledger.py imports it to
-#: assert the drain's terminal state.
+#: Backlog ledger, terminal since r11: the 9 post-window r10
+#: registrations (stats_friedman, timeseries_mann_kendall, ... — see
+#: the r11 history in git) were tier-30 in the ROUND 11 window, went
+#: hash-green in CORRECTNESS_r11, and were demoted to the rotation
+#: pool at the r12 re-tier above. The never-driver-verified set has
+#: been EMPTY since; from r12 on, cohorts are pinned at registration
+#: so the backlog machine never refills. Kept (empty) because
+#: tests/test_backlog_ledger.py imports it to assert the terminal
+#: state.
 DEFERRED_BACKLOG: frozenset[str] = frozenset()
 
 

@@ -349,14 +349,14 @@ FROM byk ORDER BY deg
     tags=("graph",),
     doc="Degree-class local clustering C(k) of the part co-occurrence "
         "graph (parts sharing an order, <= 21 pairs per order; "
-        "operators/graph.py:local_clustering_by_degree): per-node "
-        "PROBE GRAIN (r11 verdict task 4): the probe graph is bounded "
-        "to orders with l_orderkey % 8 = 0 — a deterministic ~1/8 "
-        "order sample that cuts wedge volume ~60x (wedges scale with "
-        "sum deg^2), keeping the registry's densest probe inside the "
-        "per-probe time budget at every sweep scale while exercising "
-        "the identical operator and plan shape. The OPERATOR is "
-        "unsampled; sizing is the probe boundary's job. "
+        "operators/graph.py:local_clustering_by_degree). PROBE GRAIN "
+        "(r11 verdict task 4): the probe graph is bounded to orders "
+        "with l_orderkey % 8 = 0 — a deterministic ~1/8 order sample "
+        "that cuts wedge volume ~60x (wedges scale with sum deg^2), "
+        "keeping the registry's densest probe inside the per-probe "
+        "time budget at every sweep scale while exercising the "
+        "identical operator and plan shape; the OPERATOR is "
+        "unsampled — sizing is the probe boundary's job. Per-node "
         "triangle credits from the degree-ordered wedge join (the "
         "triangle_count O(m^1.5) family, hub-proof), rolled up by "
         "degree so avg_lcc = 2*sum_tri/(n_k*k*(k-1)) is EXACT "

@@ -2076,3 +2076,29 @@ class TestRoundTwelveCohort:
             lo, hi = (m + 1) // 2, (m + 2) // 2
             med = (slopes[lo - 1] + slopes[hi - 1]) / 2
             assert out[g] == (len(pts), m, med)
+
+    def test_weighted_sp_rejects_non_power_of_two_horizon(self):
+        import pytest as _pytest
+
+        from data_and_analytics_etl_spark.operators.graph import \
+            weighted_shortest_paths
+        spark = self._spark()
+        df = spark.createDataFrame([(1, 2, 3)],
+                                   "src: long, dst: long, w: long")
+        for bad in (0, 3, 10, 12):
+            with _pytest.raises(ValueError, match="power of two"):
+                weighted_shortest_paths(df, max_depth=bad)
+
+    def test_weighted_sp_depth_one_is_cheapest_direct_edge(self):
+        from data_and_analytics_etl_spark.operators.graph import \
+            weighted_shortest_paths
+        spark = self._spark()
+        # parallel edges + a 2-edge shortcut that must NOT count at
+        # max_depth=1 (rounds == 0: direct edges only, cheapest kept)
+        df = spark.createDataFrame(
+            [(1, 2, 9), (1, 2, 4), (2, 3, 1), (1, 3, 99)],
+            "src: long, dst: long, w: long")
+        out = {(r["node"], r["anc"]): r["cost"]
+               for r in weighted_shortest_paths(df, max_depth=1)
+               .collect()}
+        assert out == {(1, 2): 4, (2, 3): 1, (1, 3): 99}
