@@ -2102,3 +2102,28 @@ class TestRoundTwelveCohort:
                for r in weighted_shortest_paths(df, max_depth=1)
                .collect()}
         assert out == {(1, 2): 4, (2, 3): 1, (1, 3): 99}
+
+    def test_ivf_grid_empty_cell_keeps_previous_centroid(self):
+        from data_and_analytics_etl_spark.operators.similarity import \
+            ivf_grid_ann
+        spark = self._spark()
+        # two tight clusters + n_cells=3: seeds are ids 0,1,2 (ids 0,1
+        # sit in cluster A, id 2 in cluster B), so after round 1 every
+        # A-vector assigns to cell 0 or 1 and cell 2 owns cluster B —
+        # then round 2 keeps cell 1 only if anything still lands there;
+        # with A collapsing onto cell 0's refreshed centroid, cell 1
+        # can empty out and must KEEP its previous centroid (LEFT JOIN
+        # + coalesce) instead of dropping to 0-dim garbage.
+        vecs = {0: [1.0, 0.0], 1: [0.98, 0.02], 2: [0.0, 1.0],
+                3: [0.99, 0.01], 4: [0.01, 0.99], 5: [0.02, 0.98]}
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id: long, embedding: array<float>")
+        out = ivf_grid_ann(df, df.filter("vec_id = 0"), k=5,
+                           n_cells=3, n_probe=3, iters=2).collect()
+        # searching ALL cells (n_probe == n_cells) must reduce to
+        # exact brute force: every other vector ranked by cosine
+        got = [(r["vec_id"], r["rank"]) for r in
+               sorted(out, key=lambda r: r["rank"])]
+        assert [v for v, _ in got] == [3, 1, 5, 4, 2]
+        assert [r for _, r in got] == [1, 2, 3, 4, 5]
