@@ -64,6 +64,14 @@ EXCHANGE_BUDGETS = {
     "timeseries_cross_correlation": 5,
     "analytics_cohort_ltv": 9,
     "feature_chi2_ranking": 3,
+    # r12 cohort (measured at registration, sf0.001, partitions=32)
+    "agg_percentile_cont_disc": 2,
+    "timeseries_theil_sen": 8,
+    # fixed 2-round Lloyd + final assign + search: the per-round
+    # centroid persist truncates the corpus-rescan lineage, so the
+    # count is stable round-to-round (38 = assign windows + cell/pos
+    # aggs + search window at iters=2)
+    "ann_ivf_grid": 38,
 }
 
 #: iterative plans: rounds x per-round joins; bound loosely so a round
@@ -73,6 +81,11 @@ LOOSE_BUDGETS = {
     # 3 synchronous LPA rounds x (join + two aggs + isolated-node
     # left join) over an accumulating lazy plan
     "graph_label_propagation_sync": 30,
+    # r12: the same doubling loop + a seed groupBy-min that the
+    # logical tree copies per round (measured 166/173 at sf0.001;
+    # per-round persist means each copy executes once)
+    "graph_weighted_shortest_paths": 175,
+    "graph_effective_diameter": 185,
 }
 
 
