@@ -212,6 +212,11 @@ def main() -> None:
 
     times: dict[str, object] = {}
     reruns: dict[str, int] = {}
+    # per-query steal provenance: % of total jiffies stolen across the
+    # query's whole timed window (warm-ups + best-of-3 + any re-runs).
+    # A row that is slow AND shows high steal is host noise; slow at
+    # ~0 steal is a plan regression — adjudicable from the artifact.
+    steal_by_query: dict[str, float] = {}
     # Outlier re-runs compare against sf0.1 records only — at any
     # other scale the records table doesn't apply.
     use_records = abs(sf - 0.1) < 1e-9
@@ -221,6 +226,7 @@ def main() -> None:
         # failed query records {"err": <final exception line>} and the
         # JSON line still prints.
         try:
+            _s0, _t0 = _cpu_jiffies()
             # two untimed warm-ups (plan + codegen + C2 JIT — measured to
             # need >2 executions to reach steady state on multi-stage
             # plans), then best-of-2 timed: the steady-state number is the
@@ -242,6 +248,10 @@ def main() -> None:
                     if t <= OUTLIER_FACTOR * record:
                         break
             times[name] = round(t, 3)
+            _s1, _t1 = _cpu_jiffies()
+            if _t1 > _t0:
+                steal_by_query[name] = round(
+                    100.0 * (_s1 - _s0) / (_t1 - _t0), 2)
         except Exception as exc:  # noqa: BLE001 — harness boundary
             first = str(exc).strip().splitlines()
             times[name] = {"err": f"{type(exc).__name__}: "
@@ -261,6 +271,7 @@ def main() -> None:
         "quiet_wait_sec": round(waited, 1),
         "steal_pct_start": round(steal, 2),
         "steal_pct_end": round(steal_pct_during(warm), 2),
+        "steal_by_query": steal_by_query,
         "reruns": reruns,
     }))
 
