@@ -140,6 +140,47 @@ def steal_pct_during(fn) -> float:
 OUTLIER_FACTOR = 3.0
 OUTLIER_MAX_RERUNS = 3
 
+#: Steal-triggered re-run policy (r12 verdict task 1a): the 3x-record
+#: trigger above is tuned for the 28 s worker-stall class and fired
+#: ZERO times through r12's 9% steal burst — the 1.5-1.7x steal-smear
+#: class sails under it. So the primary trigger is now the steal
+#: provenance itself: each timed attempt measures its OWN steal
+#: window, and while the attempt holding the reported minimum saw
+#: steal above BENCH_RERUN_STEAL_PCT (default 2.0 — same bar as the
+#: start-of-run canary), the query re-runs single attempts (after a
+#: short back-off so an ongoing burst doesn't eat the budget) until a
+#: clean attempt lands or the SHARED budget below is spent. The
+#: budget is global across the bench (steal bursts hit runs, not
+#: queries) and bounds added wall time by construction.
+STEAL_RERUN_BACKOFF_SEC = 10.0
+
+
+def _cpu_fingerprint() -> tuple[str, float]:
+    """(cpu model string, seconds for a pinned 10M-iteration Python
+    loop) — hardware provenance for the artifact (r12 verdict task 3:
+    'this host is per-core slower' lived only in BASELINE.md prose;
+    these fields make it mechanical, like steal). The loop is the same
+    single-core microbenchmark the r12 judge used to adjudicate the
+    residual gap (~1.0 s on a typical modern core, ~1.8 s on the r12
+    throttled host class).
+    """
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.lower().startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    acc = 0
+    t0 = time.perf_counter()
+    for i in range(10_000_000):
+        acc += i * i
+    sec = time.perf_counter() - t0
+    assert acc  # keep the loop un-optimizable / lint-quiet
+    return model, round(sec, 3)
+
 
 def run_once(spark, name: str, sf_dir: str) -> float:
     # Operators that persist internally (minhash_lsh_pairs) would feed
@@ -189,6 +230,9 @@ def main() -> None:
         time.sleep(5.0)
         waited += 5.0
     load_start = [round(x, 2) for x in os.getloadavg()]
+    # hardware provenance BEFORE the JVM exists (single-core reading,
+    # no executor threads competing with the pinned loop)
+    cpu_model, cpu_bench_sec = _cpu_fingerprint()
     spark = get_spark("daa-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -212,46 +256,85 @@ def main() -> None:
 
     times: dict[str, object] = {}
     reruns: dict[str, int] = {}
-    # per-query steal provenance: % of total jiffies stolen across the
-    # query's whole timed window (warm-ups + best-of-3 + any re-runs).
-    # A row that is slow AND shows high steal is host noise; slow at
-    # ~0 steal is a plan regression — adjudicable from the artifact.
+    # per-query steal provenance (semantics CHANGED r13, task 1a): the
+    # steal % of the ATTEMPT whose time is reported — each timed run
+    # measures its own jiffies window, the minimum-time attempt wins,
+    # and its steal is the row's provenance. (r12 reported the whole
+    # multi-attempt window including warm-ups, which smeared a clean
+    # winning attempt with its contended neighbors.) A row that is
+    # slow AND shows high steal is host noise; slow at ~0 steal is a
+    # plan regression — adjudicable from the artifact.
     steal_by_query: dict[str, float] = {}
+    max_steal_q = float(os.environ.get("BENCH_RERUN_STEAL_PCT", "2.0"))
+    # shared steal-re-run budget: total extra attempts across the run
+    steal_budget = int(os.environ.get("BENCH_STEAL_RERUN_BUDGET", "20"))
     # Outlier re-runs compare against sf0.1 records only — at any
     # other scale the records table doesn't apply.
     use_records = abs(sf - 0.1) < 1e-9
+
+    def attempt(name: str) -> tuple[float, float]:
+        """One timed run + the steal %% across ITS OWN window."""
+        s0, t0 = _cpu_jiffies()
+        t = run_once(spark, name, sf_dir)
+        s1, t1 = _cpu_jiffies()
+        st = 100.0 * (s1 - s0) / (t1 - t0) if t1 > t0 else 0.0
+        return t, st
+
     for name in BENCH_QUERIES:
         # Failure isolation: one broken query must never lose the whole
         # bench record (round 4 lost b1-b12 to a single b9 crash). A
         # failed query records {"err": <final exception line>} and the
         # JSON line still prints.
         try:
-            _s0, _t0 = _cpu_jiffies()
             # two untimed warm-ups (plan + codegen + C2 JIT — measured to
             # need >2 executions to reach steady state on multi-stage
-            # plans), then best-of-2 timed: the steady-state number is the
-            # cluster-relevant one (JIT amortizes to zero at 100 TB).
+            # plans), then best-of-3 timed: single-shot runs on a shared
+            # host swing +-20%; the minimum is the stable steady-state
+            # estimator (the cluster-relevant one — JIT amortizes to
+            # zero at 100 TB).
             for _ in range(2):
                 run_once(spark, name, sf_dir)
-            # best-of-3: single-shot runs on a shared host swing +-20%;
-            # the minimum is the stable steady-state estimator
-            t = min(run_once(spark, name, sf_dir) for _ in range(3))
-            # Mid-run burst bound (r11 verdict task 3): if even the
-            # minimum exceeds 3x the all-time record, the whole timing
-            # window was contended — re-run singles until one lands
-            # under the bar or the budget runs out, keep the minimum.
+            best_t, best_st = min((attempt(name) for _ in range(3)),
+                                  key=lambda p: p[0])
+            # Mid-run burst bound, two triggers (r11 task 3 + r12 task
+            # 1a): (a) minimum > 3x the all-time record — the worker-
+            # stall class; (b) the winning attempt's own window saw
+            # steal above the bar — the 1.5-1.7x steal-smear class the
+            # 3x trigger provably misses (it fired zero times through
+            # r12's 9% burst). Both keep the overall minimum; (b)
+            # backs off briefly first and draws from the shared
+            # budget, so an ongoing burst can't stretch the run
+            # unboundedly.
             record = RECORDS_SF01.get(name) if use_records else None
-            if record is not None and t > OUTLIER_FACTOR * record:
+            if record is not None and best_t > OUTLIER_FACTOR * record:
                 for _ in range(OUTLIER_MAX_RERUNS):
                     reruns[name] = reruns.get(name, 0) + 1
-                    t = min(t, run_once(spark, name, sf_dir))
-                    if t <= OUTLIER_FACTOR * record:
+                    best_t, best_st = min((best_t, best_st),
+                                          attempt(name),
+                                          key=lambda p: p[0])
+                    if best_t <= OUTLIER_FACTOR * record:
                         break
-            times[name] = round(t, 3)
-            _s1, _t1 = _cpu_jiffies()
-            if _t1 > _t0:
-                steal_by_query[name] = round(
-                    100.0 * (_s1 - _s0) / (_t1 - _t0), 2)
+            while best_st > max_steal_q and steal_budget > 0:
+                steal_budget -= 1
+                reruns[name] = reruns.get(name, 0) + 1
+                time.sleep(STEAL_RERUN_BACKOFF_SEC)
+                t2, st2 = attempt(name)
+                # a cleaner attempt replaces the provenance even when
+                # slightly slower ONLY via the min-time rule: steal
+                # inflates time, so a clean window normally wins on
+                # time too; keep strictly-min-time semantics for the
+                # estimator and report ITS steal.
+                if t2 < best_t:
+                    best_t, best_st = t2, st2
+                elif st2 <= max_steal_q:
+                    # clean but not faster: the minimum stands and is
+                    # now UPPER-BOUNDED by a clean observation — stop
+                    # burning budget; report the clean attempt's steal
+                    # with the (smaller) contended time, which can
+                    # only overstate our cost.
+                    best_st = st2
+            times[name] = round(best_t, 3)
+            steal_by_query[name] = round(best_st, 2)
         except Exception as exc:  # noqa: BLE001 — harness boundary
             first = str(exc).strip().splitlines()
             times[name] = {"err": f"{type(exc).__name__}: "
@@ -272,7 +355,10 @@ def main() -> None:
         "steal_pct_start": round(steal, 2),
         "steal_pct_end": round(steal_pct_during(warm), 2),
         "steal_by_query": steal_by_query,
+        "steal_rerun_threshold_pct": max_steal_q,
         "reruns": reruns,
+        "cpu_model": cpu_model,
+        "cpu_benchmark_sec": cpu_bench_sec,
     }))
 
 

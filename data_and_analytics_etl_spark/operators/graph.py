@@ -814,7 +814,33 @@ def weighted_shortest_paths(edges: DataFrame, src: str = "src",
     weights would need hop tracking to stay well-defined under the
     depth cap; integer costs keep every round a pure function of the
     graph — the oracle is a recursive CTE accumulating the same
-    longs).
+    longs). ENFORCED at runtime, not assumed: the seed projection
+    wraps each weight in ``assert_true(w >= 0 AND w == cast(w as
+    long))`` inside the value expression (so column pruning cannot
+    drop it) — a negative or fractional weight fails the job loudly
+    instead of silently truncating through the long cast, matching
+    the loud power-of-two horizon check below (r12 ADVICE).
+
+    ``max_pairs_per_node`` makes the result a HEURISTIC
+    approximation, not the exact top-N of the true costs: the budget
+    prunes by PARTIAL cost mid-doubling, and unlike the hop closure
+    (where depth is the cost, so the nearest-N prefix is closed under
+    extension) a pruned prefix pair here can be exactly the midpoint
+    whose extension was the true shortest path — dropped pairs and
+    overestimated costs are both possible. Use it as the documented
+    fan-out degradation only; default None is exact.
+
+    ADVERSARIAL-TOPOLOGY BOUND: output is O(reachable pairs), a
+    property of the GRAPH, not the operator — on a dense DAG (layered
+    bipartite stacks, social-graph reachability) pairs approach
+    nodes², and no join strategy changes that, because the answer
+    itself is that large. Sub-linear output on the digit-hierarchy
+    probes (measured two decades, SCALE.md Round 13) comes from the
+    hierarchy getting shallower per key as keys widen. When the
+    topology is adversarial, the budget rule IS the answer: set
+    ``max_pairs_per_node`` (accepting the approximation above) or
+    switch to the HyperBall sketch (:func:`hyperball_neighborhood`)
+    when only distance-distribution aggregates are needed.
 
     ``max_depth`` must be a POWER OF TWO: the doubling covers exactly
     2^rounds-edge paths, and unlike the hop closure (where depth IS
@@ -832,9 +858,23 @@ def weighted_shortest_paths(edges: DataFrame, src: str = "src",
             "doubling covers exactly 2^k-edge horizons; pick the "
             "enclosing power of two or use a hop-indexed variant")
     rounds = max_depth.bit_length() - 1
+    w = F.col(weight)
+    # assert_true returns NULL when the predicate holds and raises
+    # otherwise; folding it into the value via when(...isNull, cast)
+    # keeps the guard un-prunable (a standalone guard column would be
+    # dropped by column pruning before it ever evaluated).
+    checked = F.when(
+        F.assert_true(
+            (w >= 0) & (w == w.cast("long")),
+            F.lit("weighted_shortest_paths: weights must be "
+                  "nonnegative integers (negative weights break the "
+                  "bounded min-plus contract; fractions would "
+                  "silently truncate through the long cast)"))
+        .isNull(),
+        w.cast("long"))
     seed = (edges.select(F.col(src).alias("node"),
                          F.col(dst).alias("anc"),
-                         F.col(weight).cast("long").alias("cost"))
+                         checked.alias("cost"))
             # parallel edges collapse to their cheapest BEFORE the
             # loop so the rounds == 0 (max_depth == 1) result honors
             # the min-cost contract too
@@ -859,6 +899,16 @@ def effective_diameter(edges: DataFrame, src: str = "src",
     integer arithmetic (100·cum ≥ pct·total), no float percentile
     ever exists. Output: ONE row
     (n_pairs, diameter, effective_diameter).
+
+    ADVERSARIAL-TOPOLOGY BOUND: the closure this rides materializes
+    O(reachable pairs) — sub-linear on hierarchies (two decades
+    measured, SCALE.md Round 13) but nodes²-bound on dense DAGs /
+    social graphs, where the EXACT rollup is the wrong plan
+    entirely. The scale path for those topologies is
+    :func:`hyperball_neighborhood` (r13): per-node HLL registers
+    keep state at nodes×16 rows regardless of reachability density,
+    at pytest-pinned accuracy; this exact operator is its
+    recall/accuracy anchor (the approx_count_distinct relationship).
     """
     closure = transitive_closure(edges, src=src, dst=dst,
                                  max_depth=max_depth)
@@ -882,3 +932,161 @@ def effective_diameter(edges: DataFrame, src: str = "src",
                     F.col("diameter").cast("long").alias("diameter"),
                     F.col("effective_diameter").cast("long")
                     .alias("effective_diameter")))
+
+
+#: HyperLogLog constants for the fixed m=16-register (b=4) HyperBall
+#: configuration. ALPHA_16 is Flajolet's bias constant as an exact
+#: rational (673/1000); the linear-counting table 16·ln(16/V) for
+#: V empty registers is precomputed HERE so both the Spark plan and
+#: the DuckDB oracle consume the IDENTICAL double literals — ln is
+#: not correctly-rounded libm-to-libm, so it must never run engine-
+#: side (the round-10 ln-portability rule). V=16 (no register set)
+#: cannot occur: a node's own hash always sets one register.
+HLL_M = 16
+HLL_ALPHA_NUM = 0.673 * 256.0  # exact product of two short literals
+HLL_LC_TABLE: dict[int, float] = {
+    v: 16.0 * __import__("math").log(16.0 / v) for v in range(1, 16)}
+#: Register cap: 2^-reg terms stay ≥ 2^-40, so every per-node
+#: harmonic sum is EXACT in double regardless of accumulation order
+#: (≤45 significant bits: integer part ≤ 16 = 2^4 down to 2^-40).
+#: P(rho > 40) = 2^-40 per node — the cap is unreachable in practice.
+HLL_RHO_CAP = 40
+
+
+def _hll_registers(nodes: DataFrame) -> DataFrame:
+    """(node, bucket, reg): the md5-based HLL register of each node's
+    own id — bucket = first md5 hex digit (16 buckets), reg = 1 +
+    leading zero BITS of the next 12 hex digits (48 bits), capped at
+    HLL_RHO_CAP. Every step is string/integer arithmetic both engines
+    compute identically (the md5-twin rule: Spark md5(cast(node as
+    string)) == DuckDB md5(node::VARCHAR))."""
+    hx = F.md5(F.col("node").cast("string"))
+    hx2 = F.substring(hx, 2, 12)
+    nz = F.length(F.regexp_extract(hx2, "^0*", 0))
+    d1 = F.conv(F.substr(hx2, nz + 1, F.lit(1)), 16, 10).cast("int")
+    clz4 = (F.when(d1 >= 8, 0).when(d1 >= 4, 1)
+            .when(d1 >= 2, 2).otherwise(3))
+    reg = F.when(nz >= 12, F.lit(min(49, HLL_RHO_CAP))).otherwise(
+        F.least(nz * 4 + clz4 + 1, F.lit(HLL_RHO_CAP)))
+    return nodes.select(
+        "node",
+        F.conv(F.substring(hx, 1, 1), 16, 10).cast("int").alias("bucket"),
+        reg.cast("int").alias("reg"))
+
+
+def _hll_estimates(tagged: DataFrame) -> DataFrame:
+    """(r, est_micro) per radius from the UNION of all rounds' states
+    tagged with their radius r: Σ over nodes of the HLL estimate of
+    |ball(node, r)|, each per-node estimate quantized to micro-units
+    (floor(E·1e6) as LONG) BEFORE the cross-node sum so the total is
+    exact integer arithmetic. One plan for every round (two bucketed
+    aggregations) instead of max_radius+1 separate aggregate jobs —
+    at probe scale the per-JOB overhead dominated, 7 jobs → 1
+    (measured ~4.5 → ~1.5 s at sf0.1). The per-node chain is
+    bit-identical across engines: the harmonic sum is exact (dyadic
+    terms, capped spread), ×/÷ are IEEE-correctly-rounded, and the
+    linear-counting branch reads precomputed literals
+    (HLL_LC_TABLE)."""
+    # 2^-reg as 1.0 / (1 << reg): exact dyadic (reg ≤ HLL_RHO_CAP ≤
+    # 40 < 53), never pow() (not correctly-rounded). SQL-form
+    # shiftleft — the python F.shiftleft only takes int literals.
+    term = F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), reg) "
+                  "AS DOUBLE)")
+    per = (tagged.groupBy("r", "node")
+           .agg(F.count(F.lit(1)).alias("__cnt"),
+                F.sum(term).alias("__ssum")))
+    v = F.lit(HLL_M) - F.col("__cnt")
+    s = v.cast("double") + F.col("__ssum")
+    eh = F.lit(HLL_ALPHA_NUM) / s
+    lc = F.lit(None).cast("double")
+    for vv in range(1, HLL_M):
+        lc = F.when(v == vv, F.lit(HLL_LC_TABLE[vv])).otherwise(lc)
+    est = F.when((v > 0) & (eh <= F.lit(2.5 * HLL_M)), lc).otherwise(eh)
+    micro = F.floor(est * F.lit(1_000_000.0)).cast("long")
+    return (per.select("r", micro.alias("__micro"))
+            .groupBy("r")
+            .agg(F.sum("__micro").cast("long").alias("est_micro")))
+
+
+def hyperball_neighborhood(edges: DataFrame, src: str = "src",
+                           dst: str = "dst", max_radius: int = 8,
+                           pct: int = 90) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function
+    N(r) = Σ_v |ball(v, r)| estimated with per-node HyperLogLog
+    counters, and the effective radius derived from it — the
+    sub-linear-memory alternative to the exact closure, whose
+    materialization is O(reachable pairs) (see effective_diameter).
+    Per node the state is ≤ 16 (bucket, reg) rows instead of the
+    ball itself; each radius round is ONE bucketed equi-join (state ⨝
+    edges, propagating registers UP the out-edges) + ONE groupBy-max —
+    never node×node, the pagerank loop shape with max() as the
+    combiner. At 100 TB this is THE way to measure diameter-class
+    metrics: state is nodes×m rows regardless of how dense
+    reachability gets, where the exact closure explodes on any
+    social-graph topology (the r12 SCALE.md §1 budget-rule caveat).
+
+    DETERMINISM (what makes even the approximation oracle-exact): the
+    registers come from md5 (engine-portable), the harmonic sum is
+    dyadic-exact under HLL_RHO_CAP, ×/÷ are IEEE-correctly-rounded →
+    bit-identical, the linear-counting branch reads ln literals
+    precomputed in Python (HLL_LC_TABLE — ln never runs engine-side),
+    and per-node estimates quantize to micro-units before the
+    cross-node sum. ACCURACY vs the exact closure is the pytest
+    contract (the approx_count_distinct precedent): m=16 registers
+    give ~26% per-ball standard error, tightened by linear counting
+    at small ball sizes and by cross-node averaging in N(r).
+
+    Returns max_radius+1 rows: (r, est_micro, effective_radius) —
+    est_micro = floor-quantized N(r)·1e6, effective_radius = the
+    smallest r with 100·N(r) ≥ pct·N(max_radius) (pure integer
+    threshold on the quantized longs; N is monotone in r because
+    registers only grow). Balls include the node itself (N(0) ≈ n).
+    """
+    e = (edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+         .filter(F.col("__s") != F.col("__d"))
+         .distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    nodes = (e.select(F.col("__s").alias("node"))
+             .union(e.select(F.col("__d").alias("node")))
+             .distinct())
+    # localCheckpoint every THIRD round (the pagerank rule, NOT the
+    # lazy persist of _minplus_doubling): each round references the
+    # prior state twice (identity + propagation) and the estimate a
+    # third time, so an all-lazy chain leaves a 2^max_radius-copy
+    # LOGICAL tree — at 8 rounds that is 256 embedded register
+    # derivations and the ANALYZER itself OOMs (observed at sf0.01).
+    # Truncating lineage keeps the plan bounded at the cost of eager
+    # construction (the dedup_clusters/k_core tradeoff, ledgered in
+    # tests/test_construction_purity.py); truncating only every third
+    # round cuts the eager jobs to ceil(R/3) — the rounds between
+    # carry a lazy persist, whose bounded ≤8x logical expansion the
+    # analyzer handles fine (it is 2^8 that kills it). Per-JOB
+    # overhead dominates at probe scale, so fewer jobs is the probe-
+    # budget lever (SCALE.md r12 §1).
+    state = _hll_registers(nodes).localCheckpoint()
+    tagged = state.withColumn("r", F.lit(0).cast("long"))
+    for r in range(1, max_radius + 1):
+        step = (state.join(e, state["node"] == e["__d"])
+                .select(F.col("__s").alias("node"), "bucket", "reg"))
+        state = (state.unionByName(step)
+                 .groupBy("node", "bucket")
+                 .agg(F.max("reg").alias("reg")))
+        state = (state.localCheckpoint()
+                 if r % 3 == 0 or r == max_radius
+                 else state.persist(StorageLevel.MEMORY_AND_DISK))
+        tagged = tagged.unionByName(
+            state.withColumn("r", F.lit(r).cast("long")))
+    nf = _hll_estimates(tagged)
+    # bounded global rollup (≤ max_radius+1 rows — the drift_ks
+    # bounded-global-window rule): monotone N(r) ⇒ the pct threshold
+    # is a min() over an integer comparison, no float percentile.
+    mx = nf.agg(F.max("est_micro").alias("__mx"))
+    eff = (nf.crossJoin(F.broadcast(mx))
+           .filter(F.lit(100) * F.col("est_micro")
+                   >= F.lit(pct) * F.col("__mx"))
+           .agg(F.min("r").alias("effective_radius")))
+    return (nf.crossJoin(F.broadcast(eff))
+            .select("r", "est_micro",
+                    F.col("effective_radius").cast("long")
+                    .alias("effective_radius"))
+            .orderBy("r"))

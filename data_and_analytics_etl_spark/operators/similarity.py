@@ -788,6 +788,97 @@ def grid_dist2(a: Column, b: Column) -> Column:
                        F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def _grid_codebook_train(base: DataFrame, n_codes: int, iters: int,
+                         m: int = 1, dsub: int | None = None,
+                         carry: tuple[str, ...] = (),
+                         ) -> tuple[DataFrame, DataFrame]:
+    """Shared deterministic integer-grid Lloyd's k-means trainer — the
+    ONE loop behind :func:`ivf_grid_ann` (m=1: one codebook over whole
+    vectors = the IVF coarse quantizer) and :func:`pq_grid_ann` /
+    :func:`ivfpq_grid_ann` (m>1: one codebook per disjoint subvector =
+    the PQ fine quantizer), extracted r13 so the two cannot drift —
+    the `_minplus_doubling` move applied to codebook training.
+
+    ``base`` must carry (vec_id, __q [long-grid vector], *carry).
+    Training is exact integer arithmetic end to end (the ann_ivf_grid
+    contract, r12): smallest-id seed rows, argmin assignment by exact
+    grid squared distance (ties → lowest code), sum-DIV-count
+    centroid refresh (nonnegative integer division — portable), an
+    emptied code keeps its previous centroid (LEFT JOIN + coalesce) —
+    so any SQL engine replays the IDENTICAL codebooks from unrolled
+    CTEs.
+
+    Returns (cb, assigned): cb = (sub, code, cv) — m·n_codes rows,
+    persisted, broadcast-sized by construction; assigned = the final
+    assignment (vec_id, *carry, sub, sq, code). Scale posture: per
+    Lloyd round = one broadcast-codebook corpus scan (map-side, no
+    corpus shuffle) + one (sub, code, pos)-keyed aggregation whose
+    output is the m·n_codes×dsub codebook grid; per-round lazy
+    persist keeps the doubled consumer tree from recomputing the
+    codebook lineage (measured on ivf_grid_ann, r12). At 100 TB,
+    train on a bounded sample upstream (FAISS-style) and run only the
+    final assignment over the full corpus.
+    """
+    if m > 1:
+        if dsub is None:
+            raise TypeError("dsub= is required when m > 1 (slicing "
+                            "needs the subvector width; inferring it "
+                            "would run a driver-side job)")
+        slices = F.array(*[F.slice(F.col("__q"), j * dsub + 1, dsub)
+                           for j in range(m)])
+    else:
+        # m=1: the whole vector, no width needed — keeps ivf_grid_ann
+        # dim-agnostic like the zip_with folds it feeds
+        slices = F.array(F.col("__q"))
+    subs = base.select("vec_id", *carry,
+                       F.posexplode(slices).alias("sub", "sq"))
+    # Seed codebooks: the n_codes smallest ids, code = rank-1 in id
+    # order PER SUB. limit() keeps this a TakeOrderedAndProject (k
+    # rows); the row_number window runs over that bounded m·k-row
+    # frame only.
+    seeds = base.select("vec_id", "__q").orderBy("vec_id").limit(n_codes)
+    seed_subs = seeds.select("vec_id",
+                             F.posexplode(slices).alias("sub", "sq"))
+    cb = (seed_subs.withColumn(
+        "code", (F.row_number().over(
+            Window.partitionBy("sub").orderBy("vec_id")) - 1)
+        .cast("int"))
+        .select("sub", "code", F.col("sq").alias("cv")))
+
+    def assign(c: DataFrame) -> DataFrame:
+        scored = (subs.join(F.broadcast(c), "sub")
+                  .withColumn("__d2", grid_dist2(F.col("sq"),
+                                                 F.col("cv"))))
+        w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("__d2"),
+                                                        F.asc("code"))
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("vec_id", *carry, "sub", "sq", "code"))
+
+    for _ in range(iters):
+        # persist (lazy — construction stays action-free): each round's
+        # codebook frame is referenced by the NEXT round's assign AND
+        # its own update join; without a materialization point the
+        # codebook lineage re-embeds every prior round's corpus scan
+        # (measured 16 FileScans at iters=2 vs 5 with the persist —
+        # the transitive_closure per-round rule, at m·k-row cost).
+        cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
+        members = assign(cb)
+        upd = (members.select("sub", "code",
+                              F.posexplode("sq").alias("pos", "val"))
+               .groupBy("sub", "code", "pos")
+               .agg(F.expr("sum(val) DIV count(1)").alias("val"))
+               .groupBy("sub", "code")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                   lambda s: s["val"]).alias("new_cv")))
+        cb = (cb.join(upd, ["sub", "code"], "left")
+              .select("sub", "code",
+                      F.coalesce("new_cv", "cv").alias("cv")))
+    cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
+    return cb, assign(cb)
+
+
 def ivf_grid_ann(corpus: DataFrame, probes: DataFrame, k: int,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_cells: int = 4, n_probe: int = 2, iters: int = 2,
@@ -831,47 +922,14 @@ def ivf_grid_ann(corpus: DataFrame, probes: DataFrame, k: int,
                                                  scale, offset))
             .withColumn("__cnorm", l2_norm(F.col("__vec"))))
 
-    # Seed centroids: the n_cells smallest ids, cell = rank-1 in id
-    # order. limit() keeps this a TakeOrderedAndProject (k rows); the
-    # row_number window runs over that bounded k-row frame only.
-    seeds = base.select("vec_id", "__q").orderBy("vec_id").limit(n_cells)
-    cent = (seeds.withColumn(
-        "cell", (F.row_number().over(Window.orderBy("vec_id")) - 1)
-        .cast("int"))
-        .select("cell", F.col("__q").alias("cv")))
-
-    def assign(c: DataFrame) -> DataFrame:
-        scored = (base.crossJoin(F.broadcast(c))
-                  .withColumn("__d2", grid_dist2(F.col("__q"),
-                                                 F.col("cv"))))
-        w = Window.partitionBy("vec_id").orderBy(F.asc("__d2"),
-                                                 F.asc("cell"))
-        return (scored.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .select("vec_id", "__vec", "__cnorm", "__q", "cell"))
-
-    for _ in range(iters):
-        # persist (lazy — construction stays action-free): each round's
-        # centroid frame is referenced by the NEXT round's assign AND
-        # its own update join; without a materialization point the
-        # centroid lineage re-embeds every prior round's corpus scan
-        # (measured 16 FileScans at iters=2 vs 5 with the persist —
-        # the transitive_closure per-round rule, at k-row cost).
-        cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
-        members = assign(cent)
-        upd = (members.select("cell", F.posexplode("__q")
-                              .alias("pos", "val"))
-               .groupBy("cell", "pos")
-               .agg(F.expr("sum(val) DIV count(1)").alias("val"))
-               .groupBy("cell")
-               .agg(F.transform(
-                   F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                   lambda s: s["val"]).alias("new_cv")))
-        cent = (cent.join(upd, "cell", "left")
-                .select("cell", F.coalesce("new_cv", "cv").alias("cv")))
-    cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
-
-    indexed = assign(cent)
+    # m=1 codebook over whole vectors == the IVF coarse quantizer;
+    # the shared trainer carries the originals through assignment so
+    # the index join stays map-side (no corpus re-join on vec_id).
+    cb, assigned = _grid_codebook_train(base, n_cells, iters,
+                                        carry=("__vec", "__cnorm"))
+    cent = cb.select(F.col("code").alias("cell"), "cv")
+    indexed = assigned.select("vec_id", "__vec", "__cnorm",
+                              F.col("code").alias("cell"))
 
     p = probes.select(F.col(id_col).alias("probe_id"),
                       as_double(F.col(vec_col)).alias("__pvec"))
@@ -897,3 +955,171 @@ def ivf_grid_ann(corpus: DataFrame, probes: DataFrame, k: int,
             .filter(F.col("rank") <= k)
             .select("probe_id", "vec_id", "cosine",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def _prep_grid(df: DataFrame, id_alias: str, id_col: str, vec_col: str,
+               scale: int, offset: int) -> DataFrame:
+    """(id, __vec double, __q long-grid, __norm) projection shared by
+    the grid-ANN family's corpus and probe sides."""
+    out = df.select(F.col(id_col).alias(id_alias),
+                    as_double(F.col(vec_col)).alias("__vec"))
+    return (out.withColumn("__q", quantize_grid(F.col("__vec"),
+                                                scale, offset))
+            .withColumn("__norm", l2_norm(F.col("__vec"))))
+
+
+def _grid_adc_rerank(base: DataFrame, p: DataFrame, approx: DataFrame,
+                     k: int, refine: int) -> DataFrame:
+    """Shared tail of the grid-PQ searchers: keep the refine·k best
+    approximate candidates per probe (exact-integer approx_d2 ASC,
+    vec_id ASC — fully deterministic), then re-rank by EXACT double
+    cosine over the ORIGINAL vectors (the cosine_topk fold), ties on
+    vec_id. The candidate set is bounded (refine·k per probe), so the
+    re-rank join BROADCASTS the candidates against the corpus — one
+    corpus scan, no corpus shuffle."""
+    wc = Window.partitionBy("probe_id").orderBy(F.asc("approx_d2"),
+                                                F.asc("vec_id"))
+    cand = (approx.withColumn("__r", F.row_number().over(wc))
+            .filter(F.col("__r") <= k * refine)
+            .select("probe_id", "vec_id"))
+    scored = (base.select("vec_id", F.col("__vec").alias("__cvec"),
+                          F.col("__norm").alias("__cnorm"))
+              .join(F.broadcast(cand), "vec_id")
+              .join(F.broadcast(p.select(
+                  "probe_id", F.col("__vec").alias("__pvec"),
+                  F.col("__norm").alias("__pnorm"))), "probe_id")
+              .withColumn("cosine", F.round(cosine_prenormed(
+                  F.col("__pvec"), F.col("__cvec"),
+                  F.col("__pnorm"), F.col("__cnorm")), 6)))
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("cosine"),
+                                                F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "vec_id", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def pq_grid_ann(corpus: DataFrame, probes: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                m: int = 4, n_codes: int = 4, iters: int = 2,
+                refine: int = 4, scale: int = 1000, offset: int = 1000,
+                *, dim: int) -> DataFrame:
+    """Product-quantization ANN with DETERMINISTIC integer-grid
+    codebooks — the oracle-checkable twin of :func:`pq_ann` (r12
+    verdict task 2: the ann_ivf_grid move applied to PQ codebook
+    training, emptying the float-index rows-only class).
+
+    Index: vectors quantize to the long grid, split into ``m``
+    disjoint ``dim/m``-wide subvectors, and each subspace trains its
+    own ``n_codes``-centroid codebook with the shared exact-integer
+    Lloyd's trainer (:func:`_grid_codebook_train`) — smallest-id
+    seeds, exact-distance argmin (ties → lowest code), sum-DIV-count
+    refresh. A vector's code word is its per-subspace nearest-code
+    tuple; at real widths that is m·log2(n_codes) bits per vector
+    (the 32× compression that lets a 100 TB corpus live in executor
+    memory), here exercised at probe scale.
+
+    Search is the FAISS ADC scan in relational form: the per-probe
+    lookup table LUT(probe, sub, code) = exact integer squared grid
+    distance from the probe's subvector to that codebook entry
+    (m·n_codes rows per probe — broadcast), joined to the corpus CODE
+    table on (sub, code) and summed per (probe, vec) — the inner
+    product never touches corpus floats. approx_d2 is an exact LONG,
+    so candidate ranking is engine-portable; the refine·k finalists
+    re-rank by exact double cosine (:func:`_grid_adc_rerank`).
+
+    ``dim`` is REQUIRED (slicing needs the subvector width; inferring
+    it would run a driver-side job — the cosine_neardup_lsh rule).
+    This is the compressed-EXHAUSTIVE-scan member of the grid family
+    (candidates = whole corpus at m ints per vector); compose with
+    cells via :func:`ivfpq_grid_ann` when even a compressed scan is
+    too much. Output: (probe_id, vec_id, cosine, rank≤k).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    base = _prep_grid(corpus, "vec_id", id_col, vec_col, scale, offset)
+    cb, assigned = _grid_codebook_train(base, n_codes, iters,
+                                        m=m, dsub=dsub)
+    codes = assigned.select("vec_id", "sub", "code")
+
+    p = _prep_grid(probes, "probe_id", id_col, vec_col, scale, offset)
+    psubs = p.select("probe_id", F.posexplode(F.array(
+        *[F.slice(F.col("__q"), j * dsub + 1, dsub)
+          for j in range(m)])).alias("sub", "psq"))
+    lut = (psubs.join(F.broadcast(cb), "sub")
+           .select("probe_id", "sub", "code",
+                   grid_dist2(F.col("psq"), F.col("cv"))
+                   .alias("__pd2")))
+    approx = (codes.join(F.broadcast(lut), ["sub", "code"])
+              .filter(F.col("probe_id") != F.col("vec_id"))
+              .groupBy("probe_id", "vec_id")
+              .agg(F.sum("__pd2").alias("approx_d2")))
+    return _grid_adc_rerank(base, p, approx, k, refine)
+
+
+def ivfpq_grid_ann(corpus: DataFrame, probes: DataFrame, k: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_cells: int = 4, n_probe: int = 2, m: int = 4,
+                   n_codes: int = 4, iters: int = 2, refine: int = 4,
+                   scale: int = 1000, offset: int = 1000,
+                   *, dim: int) -> DataFrame:
+    """IVF + PQ composed on the integer grid — the oracle-checkable
+    twin of :func:`ivfpq_ann` (the FAISS IVFPQ shape): coarse grid
+    k-means cells bound WHICH vectors are scanned (candidate mass ≈
+    n_probe/n_cells of the corpus), grid-PQ codes bound the BYTES per
+    scanned vector, and exact cosine re-ranks refine·k finalists.
+
+    Pure composition of the two deterministic indexes: the coarse
+    quantizer and the per-subspace codebooks are BOTH trained by
+    :func:`_grid_codebook_train` (m=1 whole-vector vs m>1 subvector —
+    like the float path, PQ trains on raw vectors, not residuals),
+    so a DuckDB oracle replays the ENTIRE composite index from
+    unrolled CTEs. Search routes probes to their n_probe nearest
+    cells by exact grid distance, joins the routed cell's code lists
+    (the posting-list equi-join — never a full scan), runs the ADC
+    sum over survivors only, then re-ranks exactly. All candidate
+    generation is cell/code equi-joins; the only corpus-wide work is
+    the two map-side assignment scans. Output:
+    (probe_id, vec_id, cosine, rank≤k).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    base = _prep_grid(corpus, "vec_id", id_col, vec_col, scale, offset)
+
+    # coarse quantizer: m=1 whole-vector codebook = IVF cells
+    coarse_cb, coarse_assigned = _grid_codebook_train(base, n_cells,
+                                                      iters)
+    cent = coarse_cb.select(F.col("code").alias("cell"), "cv")
+    assigned = coarse_assigned.select(
+        "vec_id", F.col("code").alias("cell"))
+
+    # fine quantizer: per-subspace codebooks + corpus code lists
+    cb, pq_assigned = _grid_codebook_train(base, n_codes, iters,
+                                           m=m, dsub=dsub)
+    codes = pq_assigned.select("vec_id", "sub", "code")
+    routed = codes.join(assigned, "vec_id")
+
+    p = _prep_grid(probes, "probe_id", id_col, vec_col, scale, offset)
+    pc = (p.crossJoin(F.broadcast(cent))
+          .withColumn("__d2", grid_dist2(F.col("__q"), F.col("cv")))
+          .withColumn("__crn", F.row_number().over(
+              Window.partitionBy("probe_id").orderBy(F.asc("__d2"),
+                                                     F.asc("cell"))))
+          .filter(F.col("__crn") <= n_probe)
+          .select("probe_id", "cell"))
+    psubs = p.select("probe_id", F.posexplode(F.array(
+        *[F.slice(F.col("__q"), j * dsub + 1, dsub)
+          for j in range(m)])).alias("sub", "psq"))
+    lut = (psubs.join(F.broadcast(cb), "sub")
+           .select("probe_id", "sub", "code",
+                   grid_dist2(F.col("psq"), F.col("cv"))
+                   .alias("__pd2")))
+    # route FIRST (cell join bounds the scan), ADC over survivors only
+    approx = (routed.join(F.broadcast(pc), "cell")
+              .join(F.broadcast(lut), ["probe_id", "sub", "code"])
+              .filter(F.col("probe_id") != F.col("vec_id"))
+              .groupBy("probe_id", "vec_id")
+              .agg(F.sum("__pd2").alias("approx_d2")))
+    return _grid_adc_rerank(base, p, approx, k, refine)

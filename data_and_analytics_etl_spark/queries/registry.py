@@ -46,7 +46,7 @@ DRIVER_WINDOW = 50
 #: Current verification round. Bump once per driver round: the rotation
 #: offset below advances with it, so stale green probes cycle back
 #: through the window a slice at a time.
-VERIFY_ROUND = 12
+VERIFY_ROUND = 13
 
 #: Priority bands (lower sorts earlier in the export):
 #:   < POOL_PRIORITY   fixed placement — bench-critical (10), probes whose
@@ -73,19 +73,27 @@ POOL_PRIORITY = 100
 #: never driver-verified. Keep tests/test_registry.py MUST_BE_IN_WINDOW in
 #: sync with the <100 entries here.
 ROUND_TIERS: dict[str, int] = {
-    # --- round 12: rotation-share growth (r11 verdict task 2).
-    # The backlog machine is empty (never-driver-verified set after
-    # CORRECTNESS_r11: EMPTY), so the cohort is capped at FIVE and
-    # every other slot feeds the pool. Window composition, in order:
+    # --- round 13. Window composition, in order:
     #   tier 10 — the 21 oracle-backed bench-family probes (b1-b21).
     #   tier 20 — probes whose code/oracle changed this round:
-    #             graph_local_clustering (probe graph bounded to the
-    #             1/8 order sample, oracle mirrored — r11 verdict
-    #             task 4).
-    #   tier 30 — the 5-probe r12 cohort, pinned at registration.
-    # 21 + 1 + 5 = 27 fixed; the remaining 23 window slots go to the
-    # rotation pool — more than double the r11 verdict's >=15 ask
-    # (tests/test_registry.py::test_rotation_slot_floor pins 15).
+    #             ann_ivf_grid (oracle rewritten dim-agnostic via
+    #             unnest+generate_subscripts — r12 ADVICE — and its
+    #             training loop extracted into the shared
+    #             _grid_codebook_train) and
+    #             graph_weighted_shortest_paths (runtime nonnegative-
+    #             integer weight guard folded into the seed
+    #             projection — r12 ADVICE).
+    #   tier 30 — the 5-probe r13 cohort, pinned at registration
+    #             (cap 5, r11 rule): the two PQ grid twins (r12
+    #             verdict task 2 — the float-index k-means class
+    #             empties), ordered string_agg, stream-stream FULL
+    #             outer, and the oracle-exact HyperBall neighborhood
+    #             function (task 4a/4c/4d frontier items).
+    # 21 + 2 + 5 = 28 fixed; the remaining 22 window slots go to the
+    # rotation pool (floor 15 pinned by
+    # tests/test_registry.py::test_rotation_slot_floor). The r12
+    # tier-20/30 probes (graph_local_clustering + the r12 cohort)
+    # demote to the pool, all driver-green in CORRECTNESS_r12.
     #
     # bench tier (10): every BENCH_QUERIES probe with an oracle
     # (dedup_minhash_lsh's oracle twin is dedup_minhash_lsh_md5).
@@ -110,15 +118,16 @@ ROUND_TIERS: dict[str, int] = {
     "geo_grid_proximity": 10,
     "stats_spearman_corr": 10,          # b20 since r9
     "sketch_freq_heavy_hitters": 10,    # b21 since r9
-    # changed this round (tier 20): probe grain + oracle rewritten.
-    "graph_local_clustering": 20,
-    # r12-registered cohort (tier 30): pinned at registration,
-    # capped at 5 (r11 verdict task 2).
-    "ann_ivf_grid": 30,
-    "graph_weighted_shortest_paths": 30,
-    "graph_effective_diameter": 30,
-    "agg_percentile_cont_disc": 30,
-    "timeseries_theil_sen": 30,
+    # changed this round (tier 20): oracle/operator code touched.
+    "ann_ivf_grid": 20,
+    "graph_weighted_shortest_paths": 20,
+    # r13-registered cohort (tier 30): pinned at registration,
+    # capped at 5 (r11 rule).
+    "ann_pq_grid": 30,
+    "ann_ivfpq_grid": 30,
+    "agg_string_agg_ordered": 30,
+    "stream_stream_full_outer": 30,
+    "graph_hyperball_nf": 30,
 }
 
 #: Backlog ledger, terminal since r11: the 9 post-window r10

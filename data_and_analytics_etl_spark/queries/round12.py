@@ -37,14 +37,18 @@ from .registry import query
 # 1. ann_ivf_grid — integer-grid k-means IVF (float-index class upgrade)
 # --------------------------------------------------------------------------
 
-def _ivf_grid_oracle(dim: int = 64, n_cells: int = 4, n_probe: int = 2,
+def _ivf_grid_oracle(n_cells: int = 4, n_probe: int = 2,
                      iters: int = 2, k: int = 5, scale: int = 1000,
                      offset: int = 1000, probe_max_id: int = 10) -> str:
     """Unrolled-CTE DuckDB twin of operators/similarity.py:ivf_grid_ann
     — long-format (id, pos, val) grids joined on pos replace Spark's
     zip_with folds; every training value is an exact integer, so both
     engines build the IDENTICAL index (the graph_pagerank_iter
-    pattern for iterative algorithms)."""
+    pattern for iterative algorithms). Positions come from
+    unnest + generate_subscripts over the array ITSELF (r12 ADVICE:
+    a hardcoded range(1, 65) would silently truncate or pad if the
+    embeddings dimension ever drifted from 64 — deriving them keeps
+    the oracle dim-agnostic, like the Spark side's zip_with folds)."""
     sql = f"""
 WITH q AS (
   SELECT vec_id,
@@ -54,15 +58,17 @@ WITH q AS (
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
   FROM embeddings
 ),
-qd AS (SELECT vec_id, r.i - 1 AS pos, qv[r.i] AS val
-       FROM q CROSS JOIN range(1, {dim + 1}) r(i)),
+qd AS (SELECT vec_id, u.pos - 1 AS pos, u.val
+       FROM q, LATERAL (SELECT unnest(qv) AS val,
+                               generate_subscripts(qv, 1) AS pos) u),
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
            AS cell, qv
   FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {n_cells})
 ),
-c0d AS (SELECT cell, r.i - 1 AS pos, qv[r.i] AS val
-        FROM c0 CROSS JOIN range(1, {dim + 1}) r(i))"""
+c0d AS (SELECT cell, u.pos - 1 AS pos, u.val
+        FROM c0, LATERAL (SELECT unnest(qv) AS val,
+                                 generate_subscripts(qv, 1) AS pos) u)"""
     prev = "c0d"
     for it in range(1, iters + 1):
         sql += f""",
@@ -101,8 +107,9 @@ af AS (
   SELECT vec_id AS probe_id, qv, dv FROM q
   WHERE vec_id < {probe_max_id}
 ), pd AS (
-  SELECT probe_id, r.i - 1 AS pos, qv[r.i] AS val
-  FROM p CROSS JOIN range(1, {dim + 1}) r(i)
+  SELECT probe_id, u.pos - 1 AS pos, u.val
+  FROM p, LATERAL (SELECT unnest(qv) AS val,
+                          generate_subscripts(qv, 1) AS pos) u
 ), pa AS (
   SELECT pd.probe_id, cd.cell,
          sum((pd.val - cd.val) * (pd.val - cd.val)) AS d2

@@ -240,16 +240,26 @@ def stream_stream_interval_join(views: DataFrame, purchases: DataFrame,
     (see the stream_stream_left_outer probe); on an unbounded
     production stream the next events do this naturally and no
     sentinel is needed.
+
+    ``how="full_outer"`` (r13, the r12-verdict task-4d frontier item)
+    extends the same contract to BOTH sides: unmatched purchases also
+    emit (NULL view columns) once the watermark passes their window —
+    state eviction still works because the interval condition bounds
+    each side relative to the other in both directions. The key
+    column is coalesced across sides (either may be NULL per row);
+    the sentinel requirement applies to both sides' tails.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported stream-stream join type {how!r}")
     l = views.withWatermark("ts", watermark).alias("l")
     r = purchases.withWatermark("ts", watermark).alias("r")
     cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
             & (F.col("r.ts") >= F.col("l.ts"))
             & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}")))
+    key_col = (F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}"))
+               if how == "full_outer" else F.col(f"l.{key}"))
     return (l.join(r, cond, how)
-            .select(F.col(f"l.{key}").alias(key),
+            .select(key_col.alias(key),
                     F.col("l.event_id").alias("view_id"),
                     F.col("r.event_id").alias("purchase_id"),
                     F.col("l.ts").alias("ts_view"),

@@ -32,6 +32,15 @@ _SF1 = os.path.join(REPO, "spark-warehouse", "sf1-synthetic")
 if os.path.isdir(_SF1):
     SFS.append(_SF1)
 
+#: the sf10 decade (r12 verdict task 5) holds ONLY the customer table
+#: (scripts/make_sf10_customer.py — the digit-hierarchy probes read
+#: nothing else), so it joins the curve only when explicitly asked
+#: for via GROWTH_SF10=1; running document/event shapes against it
+#: would fail on missing tables.
+_SF10 = os.path.join(REPO, "spark-warehouse", "sf10-synthetic")
+if os.environ.get("GROWTH_SF10") == "1" and os.path.isdir(_SF10):
+    SFS.append(_SF10)
+
 #: shape -> (probe, driver table whose row count anchors "input size")
 SHAPES = {
     "dedup_minhash_lsh_md5": "documents",
@@ -47,6 +56,10 @@ SHAPES = {
     # r12 fan-out shape: the weighted closure's output is O(reachable
     # pairs), the same contract as graph_transitive_closure above.
     "graph_weighted_shortest_paths": "customer",
+    # r13 (r12 verdict task 5): the exact-diameter rollup rides the
+    # same closure — output is 1 row, so its curve row is a TIME
+    # curve; pair fan-out shows up as wall time, not output rows.
+    "graph_effective_diameter": "customer",
 }
 
 

@@ -44,6 +44,12 @@ EXEMPT_PROBES = {
                           # itself is lazy but consumes the learned table
     "graph_k_core",       # degree-peel fixpoint loop: per-round edge
                           # count is the convergence probe (graph.py)
+    "graph_hyperball_nf",  # per-round eager localCheckpoint: the
+                          # register state is referenced 3x per round
+                          # (identity + propagation + estimate), so a
+                          # lazy persist leaves a 2^max_radius-copy
+                          # logical tree that OOMs the ANALYZER at 8
+                          # rounds (graph.py:hyperball_neighborhood)
     "privacy_mondrian_anonymize",  # median-split fixpoint loop: the
                           # per-round any-split probe is the algorithm
                           # (profile.py:mondrian_anonymize)

@@ -1930,3 +1930,95 @@ class TestBpeBatchRule3b:
             want = _learn_from_word_freqs(freqs, 12, 2)
             assert got == want, f"trial {trial} diverged: " \
                                 f"{got} vs {want}"
+
+
+class TestGridPqAnn:
+    """pq_grid_ann / ivfpq_grid_ann (r13): the hash-green driver probe
+    carries correctness vs the unrolled-CTE oracle; these pytests pin
+    the recall/structural properties the oracle can't express."""
+
+    def test_pq_grid_recall_vs_brute_force(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.similarity import \
+            pq_grid_ann
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 10)
+        exact = {}
+        for r in cosine_topk(e, probes, k=10).collect():
+            exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        got = {}
+        # production-grade codebooks (m=8 subspaces x 16 codes — the
+        # float pq_ann test's grain); the driver probe's tiny 4x4
+        # config exists for oracle tractability, not recall
+        for r in pq_grid_ann(e, probes, k=10, m=8, n_codes=16,
+                             refine=4, dim=64).collect():
+            got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        recalls = [len(exact[p] & got.get(p, set())) / len(exact[p])
+                   for p in exact]
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    def test_ivfpq_grid_recall_vs_brute_force(self, spark, sf_dir):
+        from data_and_analytics_etl_spark.operators.similarity import \
+            ivfpq_grid_ann
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 8)
+        exact = {}
+        for r in cosine_topk(e, probes, k=10).collect():
+            exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        got = {}
+        for r in ivfpq_grid_ann(e, probes, k=10, n_cells=8, n_probe=4,
+                                m=8, n_codes=16, refine=4,
+                                dim=64).collect():
+            got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        recalls = [len(exact[p] & got.get(p, set())) / len(exact[p])
+                   for p in exact]
+        # doubly-approximate (cell routing AND code quantization)
+        assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+    def test_grid_pq_reranked_scores_are_exact(self, spark, sf_dir):
+        """The re-rank stage must emit EXACT cosines (same rounding
+        as cosine_topk) — grid PQ only approximates candidate
+        selection, never the reported score."""
+        from data_and_analytics_etl_spark.operators.similarity import \
+            pq_grid_ann
+        e = load_table(spark, sf_dir, "embeddings")
+        probes = e.filter(F.col("vec_id") < 3)
+        exact = {(r["probe_id"], r["vec_id"]): r["cosine"]
+                 for r in cosine_topk(e, probes, k=10).collect()}
+        # production-grade codebooks (m=8 subspaces x 16 codes — the
+        # float pq_ann test's grain); the driver probe's tiny 4x4
+        # config exists for oracle tractability, not recall
+        for r in pq_grid_ann(e, probes, k=10, m=8, n_codes=16,
+                             refine=4, dim=64).collect():
+            key = (r["probe_id"], r["vec_id"])
+            if key in exact:
+                assert r["cosine"] == exact[key], key
+
+    def test_grid_pq_rejects_indivisible_dim(self, spark):
+        from data_and_analytics_etl_spark.operators.similarity import (
+            ivfpq_grid_ann, pq_grid_ann)
+        df = spark.createDataFrame([(0, [0.1] * 10)],
+                                   "vec_id: long, embedding: array<double>")
+        for fn in (pq_grid_ann, ivfpq_grid_ann):
+            with pytest.raises(ValueError, match="not divisible"):
+                fn(df, df, k=1, m=4, dim=10)
+
+    def test_grid_codebook_train_m1_equals_ivf_cells(self, spark):
+        """The shared trainer at m=1 must reproduce the exact cells
+        the r12 ann_ivf_grid contract pinned: smallest-id seeds,
+        argmin ties -> lowest code, sum DIV count refresh on a hand
+        grid where the fixpoint is computable by hand."""
+        from data_and_analytics_etl_spark.operators.similarity import \
+            _grid_codebook_train
+        import pyspark.sql.functions as SF
+        # two tight 1-d clusters on the grid: {0, 2} and {100, 102}
+        rows = [(0, [0]), (1, [100]), (2, [2]), (3, [102])]
+        base = spark.createDataFrame(
+            rows, "vec_id: long, __q: array<long>")
+        cb, assigned = _grid_codebook_train(base, n_codes=2, iters=2)
+        cents = {r["code"]: r["cv"] for r in cb.collect()}
+        # seeds: ids 0,1 -> codes 0,1. round 1: members {0,2} / {1,3},
+        # centroids (0+2) DIV 2 = 1 and (100+102) DIV 2 = 101; round 2
+        # is the fixpoint.
+        assert cents == {0: [1], 1: [101]}
+        got = {r["vec_id"]: r["code"] for r in assigned.collect()}
+        assert got == {0: 0, 2: 0, 1: 1, 3: 1}

@@ -2089,6 +2089,32 @@ class TestRoundTwelveCohort:
             with _pytest.raises(ValueError, match="power of two"):
                 weighted_shortest_paths(df, max_depth=bad)
 
+    def test_weighted_sp_rejects_negative_and_fractional_weights(self):
+        # r12 ADVICE: the docstring promised nonnegative integers but
+        # nothing checked — negatives break the bounded min-plus
+        # contract and fractions silently truncate through the long
+        # cast. The assert_true guard in the seed projection must fail
+        # the JOB (runtime, data-dependent), not construction.
+        import pytest as _pytest
+
+        from data_and_analytics_etl_spark.operators.graph import \
+            weighted_shortest_paths
+        spark = self._spark()
+        for bad_w in (-1.0, 2.5):
+            df = spark.createDataFrame(
+                [(1, 2, 3.0), (2, 3, float(bad_w))],
+                "src: long, dst: long, w: double")
+            with _pytest.raises(Exception,
+                                match="nonnegative integers"):
+                weighted_shortest_paths(df, max_depth=2).collect()
+        # and the guard passes integral doubles through untouched
+        ok = spark.createDataFrame([(1, 2, 3.0), (2, 3, 2.0)],
+                                   "src: long, dst: long, w: double")
+        out = {(r["node"], r["anc"]): r["cost"]
+               for r in weighted_shortest_paths(ok, max_depth=2)
+               .collect()}
+        assert out == {(1, 2): 3, (2, 3): 2, (1, 3): 5}
+
     def test_weighted_sp_depth_one_is_cheapest_direct_edge(self):
         from data_and_analytics_etl_spark.operators.graph import \
             weighted_shortest_paths
@@ -2127,3 +2153,83 @@ class TestRoundTwelveCohort:
                sorted(out, key=lambda r: r["rank"])]
         assert [v for v, _ in got] == [3, 1, 5, 4, 2]
         assert [r for _, r in got] == [1, 2, 3, 4, 5]
+
+
+class TestHyperball:
+    """hyperball_neighborhood (r13): the driver probe hash-checks the
+    DETERMINISM of the whole HLL pipeline; these tests pin what a
+    hash cannot — the estimates' ACCURACY against the exact closure
+    (the approx_count_distinct evidence contract)."""
+
+    def _spark(self):
+        from data_and_analytics_etl_spark.session import get_spark
+        return get_spark("test-hyperball")
+
+    @staticmethod
+    def _exact_nf(edges, max_radius):
+        """Exact N(r) = Σ_v |ball(v, r)| (self included) by BFS."""
+        adj = {}
+        nodes = set()
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            nodes.update((a, b))
+        out = {}
+        for r in range(max_radius + 1):
+            total = 0
+            for s in nodes:
+                ball = {s}
+                frontier = {s}
+                for _ in range(r):
+                    frontier = {w for u in frontier
+                                for w in adj.get(u, ())} - ball
+                    ball |= frontier
+                total += len(ball)
+            out[r] = total
+        return out
+
+    def test_estimates_track_exact_neighborhood_function(self):
+        from data_and_analytics_etl_spark.operators.graph import \
+            hyperball_neighborhood
+        spark = self._spark()
+        # the probe graph shape at pytest scale: the 1..150 digit
+        # hierarchy (depth 3) plus a chain that stretches the radius
+        edges = [(k, k // 10) for k in range(1, 151)]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        got = {r["r"]: (r["est_micro"] / 1e6, r["effective_radius"])
+               for r in hyperball_neighborhood(df, max_radius=4)
+               .collect()}
+        want = self._exact_nf(edges, 4)
+        for r, exact in want.items():
+            est = got[r][0]
+            rel = abs(est - exact) / exact
+            assert rel <= 0.35, (r, est, exact, rel)
+
+    def test_effective_radius_matches_exact_within_one(self):
+        from data_and_analytics_etl_spark.operators.graph import \
+            hyperball_neighborhood
+        spark = self._spark()
+        edges = [(k, k // 10) for k in range(1, 151)]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        eff = hyperball_neighborhood(df, max_radius=4).collect()[0][
+            "effective_radius"]
+        want = self._exact_nf(edges, 4)
+        mx = want[4]
+        exact_eff = min(r for r, n in want.items() if 100 * n >= 90 * mx)
+        assert abs(eff - exact_eff) <= 1, (eff, exact_eff)
+
+    def test_estimates_are_monotone_and_reach_fixpoint(self):
+        """Registers only grow ⇒ N(r) must be nondecreasing, and once
+        r exceeds the graph's diameter the estimate must FREEZE (the
+        ball stops growing — extra rounds are idempotent max()es)."""
+        from data_and_analytics_etl_spark.operators.graph import \
+            hyperball_neighborhood
+        spark = self._spark()
+        # a 3-chain: diameter 3; rounds 4..5 must equal round 3
+        edges = [(1, 2), (2, 3), (3, 4)]
+        df = spark.createDataFrame(edges, "src: long, dst: long")
+        rows = {r["r"]: r["est_micro"]
+                for r in hyperball_neighborhood(df, max_radius=5)
+                .collect()}
+        vals = [rows[r] for r in range(6)]
+        assert vals == sorted(vals)
+        assert vals[3] == vals[4] == vals[5]

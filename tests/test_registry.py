@@ -16,9 +16,7 @@ from data_and_analytics_etl_spark.queries.registry import (DRIVER_WINDOW,
 
 #: Probes that MUST hold a fresh driver-verified row this round.
 #: Source of truth: registry.ROUND_TIERS (this set mirrors its <100 keys).
-#: Round 12 grows the rotation share (r11 verdict task 2): the backlog
-#: machine is empty, the cohort is capped at 5, so
-#: 21 bench + 1 changed + 5 new = 27 fixed, 23 rotation.
+#: Round 13: 21 bench + 2 changed + 5 new = 28 fixed, 22 rotation.
 MUST_BE_IN_WINDOW = {
     # bench tier (priority 10): every BENCH_QUERIES probe with an oracle
     # (bench is b1-b21 since r9).
@@ -30,14 +28,14 @@ MUST_BE_IN_WINDOW = {
     "corpus_curation_pipeline", "graph_transitive_closure",
     "corpus_segment_dedup", "text_bigram_lm_score", "geo_grid_proximity",
     "stats_spearman_corr", "sketch_freq_heavy_hitters",
-    # changed this round (priority 20): probe graph bounded to the 1/8
-    # order sample, oracle mirrored (r11 verdict task 4).
-    "graph_local_clustering",
-    # r12-registered cohort (priority 30): pinned at registration,
-    # capped at 5 (r11 verdict task 2).
+    # changed this round (priority 20): ann_ivf_grid's oracle went
+    # dim-agnostic + its trainer was extracted (r12 ADVICE);
+    # graph_weighted_shortest_paths gained the runtime weight guard.
     "ann_ivf_grid", "graph_weighted_shortest_paths",
-    "graph_effective_diameter", "agg_percentile_cont_disc",
-    "timeseries_theil_sen",
+    # r13-registered cohort (priority 30): pinned at registration,
+    # capped at 5 (r11 rule).
+    "ann_pq_grid", "ann_ivfpq_grid", "agg_string_agg_ordered",
+    "stream_stream_full_outer", "graph_hyperball_nf",
 }
 
 

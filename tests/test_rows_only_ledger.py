@@ -67,8 +67,20 @@ ROWS_ONLY_LEDGER: dict[str, tuple[str, str, str]] = {
     # (engine-internal float iterations), exactly the pagerank/
     # pagerank_iter relationship.
     "ann_ivf": ("engine-twin", "test_llmdata.py", "ivf_ann"),
-    "ann_pq": ("float-index", "test_llmdata.py", "pq_ann"),
-    "ann_ivfpq": ("float-index", "test_llmdata.py", "ivfpq"),
+    # r13: upgraded float-index -> engine-twin (r12 verdict task 2 —
+    # the ann_ivf_grid move applied to PQ). ann_pq_grid / ann_ivfpq_grid
+    # (round13.py) are the hash-checked integer-grid twins carrying the
+    # oracle for the shared PQ/IVFPQ pipeline shapes (per-subspace
+    # codebook training -> ADC scan -> exact re-rank; + coarse cell
+    # routing for IVFPQ); ann_pq / ann_ivfpq keep the production
+    # pyspark.ml float KMeans trainers, which remain oracle-impossible
+    # (engine-internal float iterations). The k-means float-index class
+    # is now EMPTY — every remaining float-index row is the random-
+    # hyperplane family, whose deterministic sibling (ann_signcell /
+    # semantic_dedup) is a different quantizer, not a twin of the same
+    # trainer, so those stay honestly float-index.
+    "ann_pq": ("engine-twin", "test_llmdata.py", "pq_ann"),
+    "ann_ivfpq": ("engine-twin", "test_llmdata.py", "ivfpq"),
     "sample_diverse_selection":
         ("float-index", "test_llmdata.py", "select_diverse"),
     "neardup_embedding_lsh":

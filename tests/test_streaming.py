@@ -526,13 +526,69 @@ class TestStreamStreamOuterJoin:
                         (3, None), (4, None)]
 
     def test_rejects_unknown_join_type(self, spark, sf_dir):
+        # full_outer graduated to a supported type in r13; right_outer
+        # (and anything else) must still refuse loudly
         import pytest
 
         from data_and_analytics_etl_spark.streaming.ops import (
             events_stream, stream_stream_interval_join)
         s = events_stream(spark, sf_dir)
-        with pytest.raises(ValueError, match="unsupported"):
-            stream_stream_interval_join(s, s, how="full_outer")
+        for bad in ("right_outer", "left_semi", "cross"):
+            with pytest.raises(ValueError, match="unsupported"):
+                stream_stream_interval_join(s, s, how=bad)
+
+    def test_full_outer_emits_both_sides_unmatched(self, spark,
+                                                   tmp_path):
+        """r13 (r12 verdict task 4d): unmatched VIEWS emit with NULL
+        purchase columns AND unmatched PURCHASES emit with NULL view
+        columns once the watermark passes their windows — the
+        left_outer scenario plus an early purchase no view precedes."""
+        import time
+
+        from data_and_analytics_etl_spark.streaming.ops import (
+            run_stream_to_table, stream_stream_interval_join)
+        cols = ("event_id long, ts timestamp, user_id long, "
+                "event_type string")
+        t0 = dt.datetime(2024, 1, 1)
+        views = [(i, t0 + dt.timedelta(hours=1, minutes=i), 1, "view")
+                 for i in range(3)]
+        buys = [
+            # BEFORE every view — matches nothing, must still emit
+            (100, t0, 1, "purchase"),
+            # inside view 0-2's 10-minute windows
+            (102, t0 + dt.timedelta(hours=1, minutes=2, seconds=30), 1,
+             "purchase")]
+        (spark.createDataFrame(views + buys, cols).coalesce(1)
+         .write.parquet(str(tmp_path / "data" / "f1")))
+        for i, day in enumerate((dt.datetime(2024, 1, 1, 6),
+                                 dt.datetime(2024, 1, 1, 12)), start=1):
+            time.sleep(0.05)
+            sent = [(-(2 * i - 1), day, -1, "view"),
+                    (-(2 * i), day, -1, "purchase")]
+            (spark.createDataFrame(sent, cols).coalesce(1)
+             .write.parquet(str(tmp_path / "data" / f"f{i + 1}")))
+
+        def src():
+            return (spark.readStream.schema(cols)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(str(tmp_path / "data" / "*")))
+
+        out = run_stream_to_table(
+            stream_stream_interval_join(
+                src().filter(F.col("event_type") == "view"),
+                src().filter(F.col("event_type") == "purchase"),
+                how="full_outer"),
+            output_mode="append")
+        rows = sorted(((r.view_id if r.view_id is not None else -99),
+                       (r.purchase_id if r.purchase_id is not None
+                        else -99))
+                      for r in out.filter("user_id >= 0").collect())
+        # purchase 100 unmatched (view side NULL); views 0-2 match
+        # 102... view 0,1,2 all within 10 min BEFORE 102? 102 is at
+        # +2.5 min after view 0 (rank: views at +0,+1,+2 min): all 3
+        # match. No unmatched views here; the left_outer test covers
+        # that side.
+        assert rows == [(-99, 100), (0, 102), (1, 102), (2, 102)]
 
 
 class TestWindowedDistinctUsers:
