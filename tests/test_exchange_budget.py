@@ -72,6 +72,13 @@ EXCHANGE_BUDGETS = {
     # count is stable round-to-round (38 = assign windows + cell/pos
     # aggs + search window at iters=2)
     "ann_ivf_grid": 38,
+    # r13 cohort (measured at registration, sf0.001, partitions=32):
+    # the PQ trainer is the same fixed-round Lloyd shape at (sub,
+    # code) grain (measured 41); IVFPQ composes BOTH trainers plus
+    # routing (measured 77)
+    "ann_pq_grid": 45,
+    "ann_ivfpq_grid": 85,
+    "agg_string_agg_ordered": 2,
 }
 
 #: iterative plans: rounds x per-round joins; bound loosely so a round
@@ -86,6 +93,11 @@ LOOSE_BUDGETS = {
     # per-round persist means each copy executes once)
     "graph_weighted_shortest_paths": 175,
     "graph_effective_diameter": 185,
+    # r13: 6 register-max rounds, lineage truncated every 3rd round —
+    # the two lazy-persist rounds between truncation points each leave
+    # their (bounded) doubled subtree in the final union's plan
+    # (measured 299 at sf0.001)
+    "graph_hyperball_nf": 320,
 }
 
 
