@@ -100,7 +100,10 @@ RECORDS_SF01: dict[str, float] = {
     "b11_nation_volume": 0.374, "b12_dedup_clusters": 0.711,
     "b13_span_duplication": 0.542, "b14_drift_ks": 0.325,
     "b15_curation_pipeline": 1.183, "b16_transitive_closure": 1.463,
-    "b17_segment_dedup": 0.389, "b18_bigram_lm": 1.013,
+    "b17_segment_dedup": 0.389,
+    # r13: set under the steal-gated protocol (winning attempt at
+    # <2% steal, cpu_benchmark_sec 0.6 host) — BASELINE.md Round 13
+    "b18_bigram_lm": 0.987,
     "b19_geo_proximity": 0.396, "b20_spearman": 1.414,
     "b21_heavy_hitters": 0.444,
 }
