@@ -100,10 +100,10 @@ RECORDS_SF01: dict[str, float] = {
     "b11_nation_volume": 0.374, "b12_dedup_clusters": 0.711,
     "b13_span_duplication": 0.542, "b14_drift_ks": 0.325,
     "b15_curation_pipeline": 1.183, "b16_transitive_closure": 1.463,
-    "b17_segment_dedup": 0.389,
-    # r13: set under the steal-gated protocol (winning attempt at
-    # <2% steal, cpu_benchmark_sec 0.6 host) — BASELINE.md Round 13
-    "b18_bigram_lm": 0.987,
+    # r13: set under the steal-gated protocol (winning attempts at
+    # <1% steal, job_dispatch_sec 0.068 host) — BASELINE.md Round 13
+    "b17_segment_dedup": 0.388,
+    "b18_bigram_lm": 0.971,
     "b19_geo_proximity": 0.396, "b20_spearman": 1.414,
     "b21_heavy_hitters": 0.444,
 }
@@ -257,6 +257,25 @@ def main() -> None:
         waited += 30.0
         steal = steal_pct_during(warm)
 
+    # Dispatch-latency fingerprint (r13): the third provenance axis.
+    # r13's steal-clean runs showed sub-second rows uniformly 1.2-1.6x
+    # elevated while LONG rows sat at their records on a FAST core
+    # (cpu_benchmark ~0.6 s) — per-stage scheduling overhead, which
+    # neither steal nor the single-core loop can see. Median of 5
+    # trivial-job round-trips (post-warm-up, so no JIT in the number):
+    # a row whose total time is a few multiples of this is
+    # dispatch-bound, and its elevation vs a faster-dispatch host's
+    # record is adjudicable from the artifact alone.
+    def _dispatch_once() -> float:
+        # the exact op every bench row pays: a noop-sink write of a
+        # trivial plan — so the field subtracts cleanly from a row
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    _dispatch_once()  # one untimed warm-up of the noop path
+    _d = sorted(_dispatch_once() for _ in range(5))
+    job_dispatch_sec = round(_d[2], 4)
+
     times: dict[str, object] = {}
     reruns: dict[str, int] = {}
     # per-query steal provenance (semantics CHANGED r13, task 1a): the
@@ -362,6 +381,7 @@ def main() -> None:
         "reruns": reruns,
         "cpu_model": cpu_model,
         "cpu_benchmark_sec": cpu_bench_sec,
+        "job_dispatch_sec": job_dispatch_sec,
     }))
 
 
