@@ -76,6 +76,21 @@ R12_FAMILIES = {
     "r12_theil_sen": "timeseries_theil_sen",
 }
 
+#: the r13-cohort families (SF1_FAMILIES=r13): the per-subspace grid
+#: codebook trainer + ADC scan (corpus-linear integer work), its
+#: IVF-routed composition (candidate mass bounded by n_probe/n_cells),
+#: the sort-based ordered string aggregation (group-linear), and the
+#: HyperBall register propagation (nodes×16 state regardless of
+#: reachability density — the sketch whose POINT is a flat ratio).
+#: stream_stream_full_outer is excluded: its replay stages sentinel
+#: files per run (a fixture, not a plan shape).
+R13_FAMILIES = {
+    "r13_pq_grid": "ann_pq_grid",
+    "r13_ivfpq_grid": "ann_ivfpq_grid",
+    "r13_string_agg": "agg_string_agg_ordered",
+    "r13_hyperball": "graph_hyperball_nf",
+}
+
 EAGER_EXTRA: set = set()
 if os.environ.get("SF1_FAMILIES") == "r10":
     FAMILIES = R10_FAMILIES
@@ -83,6 +98,8 @@ elif os.environ.get("SF1_FAMILIES") == "r11":
     FAMILIES = R11_FAMILIES
 elif os.environ.get("SF1_FAMILIES") == "r12":
     FAMILIES = R12_FAMILIES
+elif os.environ.get("SF1_FAMILIES") == "r13":
+    FAMILIES = R13_FAMILIES
 elif os.environ.get("SF1_FAMILIES") == "all21":
     # r10 verdict task 4: the FULL 21-query bench at sf1 — b1-b10 had
     # never been timed past sf0.1. Reuses bench.py's exact probe map so
@@ -91,7 +108,8 @@ elif os.environ.get("SF1_FAMILIES") == "all21":
     FAMILIES = dict(BENCH_QUERIES)
     EAGER_EXTRA = set(EAGER_QUERIES)
 
-EAGER = {"b12_dedup_clusters", "r10_hits_integer"} | EAGER_EXTRA
+EAGER = {"b12_dedup_clusters", "r10_hits_integer",
+         "r13_hyperball"} | EAGER_EXTRA
 
 
 def run_once(spark, probe, name: str, sf_dir: str) -> float:
