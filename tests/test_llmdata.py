@@ -2022,3 +2022,35 @@ class TestGridPqAnn:
         assert cents == {0: [1], 1: [101]}
         got = {r["vec_id"]: r["code"] for r in assigned.collect()}
         assert got == {0: 0, 2: 0, 1: 1, 3: 1}
+
+
+class TestGridAnnEdges:
+    """Degenerate-input contracts for the r13 grid-ANN family +
+    HyperBall, pinned so a refactor can't silently change them."""
+
+    def test_corpus_smaller_than_codebook_degrades_gracefully(
+            self, spark):
+        # seeds = min(n_codes, corpus) rows; with 3 vectors and
+        # n_codes=4 every non-self pair must still surface
+        from data_and_analytics_etl_spark.operators.similarity import \
+            pq_grid_ann
+        tiny = spark.createDataFrame(
+            [(i, [float(i + 1)] * 8) for i in range(3)],
+            "vec_id: long, embedding: array<double>")
+        out = pq_grid_ann(tiny, tiny, k=5, m=2, n_codes=4, iters=1,
+                          refine=4, dim=8).collect()
+        assert sorted((r["probe_id"], r["vec_id"]) for r in out) == [
+            (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1)]
+
+    def test_hyperball_empty_and_selfloop_graphs_emit_no_rows(
+            self, spark):
+        # nodes derive from CLEANED edges (self-loops dropped, the
+        # pagerank-family convention): an edge-free graph has no
+        # neighborhood function rows rather than a fabricated N(0)
+        from data_and_analytics_etl_spark.operators.graph import \
+            hyperball_neighborhood
+        empty = spark.createDataFrame([], "src: long, dst: long")
+        assert hyperball_neighborhood(empty, max_radius=2).count() == 0
+        loops = spark.createDataFrame([(1, 1), (2, 2)],
+                                      "src: long, dst: long")
+        assert hyperball_neighborhood(loops, max_radius=2).count() == 0
