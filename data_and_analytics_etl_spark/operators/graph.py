@@ -834,13 +834,15 @@ def weighted_shortest_paths(edges: DataFrame, src: str = "src",
     property of the GRAPH, not the operator — on a dense DAG (layered
     bipartite stacks, social-graph reachability) pairs approach
     nodes², and no join strategy changes that, because the answer
-    itself is that large. Sub-linear output on the digit-hierarchy
-    probes (measured two decades, SCALE.md Round 13) comes from the
-    hierarchy getting shallower per key as keys widen. When the
-    topology is adversarial, the budget rule IS the answer: set
-    ``max_pairs_per_node`` (accepting the approximation above) or
-    switch to the HyperBall sketch (:func:`hyperball_neighborhood`)
-    when only distance-distribution aggregates are needed.
+    itself is that large. On self-similar hierarchies the output is
+    LINEAR in the input: the isomorphic-replica check (scripts/
+    growth_curve.py, local-key copies of the digit hierarchy)
+    measures exactly 10× pairs per 10× decade at 0.1 → 1 → 10
+    (SCALE.md Round 13). When the topology is adversarial, the
+    budget rule IS the answer: set ``max_pairs_per_node`` (accepting
+    the approximation above) or switch to the HyperBall sketch
+    (:func:`hyperball_neighborhood`) when only distance-distribution
+    aggregates are needed.
 
     ``max_depth`` must be a POWER OF TWO: the doubling covers exactly
     2^rounds-edge paths, and unlike the hop closure (where depth IS
@@ -942,10 +944,12 @@ def effective_diameter(edges: DataFrame, src: str = "src",
 #: not correctly-rounded libm-to-libm, so it must never run engine-
 #: side (the round-10 ln-portability rule). V=16 (no register set)
 #: cannot occur: a node's own hash always sets one register.
+import math  # noqa: E402 — localized to the HLL constant block below
+
 HLL_M = 16
 HLL_ALPHA_NUM = 0.673 * 256.0  # exact product of two short literals
 HLL_LC_TABLE: dict[int, float] = {
-    v: 16.0 * __import__("math").log(16.0 / v) for v in range(1, 16)}
+    v: 16.0 * math.log(16.0 / v) for v in range(1, 16)}
 #: Register cap: 2^-reg terms stay ≥ 2^-40, so every per-node
 #: harmonic sum is EXACT in double regardless of accumulation order
 #: (≤45 significant bits: integer part ≤ 16 = 2^4 down to 2^-40).

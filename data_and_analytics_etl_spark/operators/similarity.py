@@ -915,27 +915,24 @@ def ivf_grid_ann(corpus: DataFrame, probes: DataFrame, k: int,
     search touch the full corpus. Output:
     (probe_id, vec_id, cosine, rank≤k).
     """
-    base = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("__vec"))
-    base = (base.withColumn("__q", quantize_grid(F.col("__vec"),
-                                                 scale, offset))
-            .withColumn("__cnorm", l2_norm(F.col("__vec"))))
+    # shared family projection (_prep_grid — same expressions the PQ
+    # twins use, so a quantization change cannot miss this member)
+    base = _prep_grid(corpus, "vec_id", id_col, vec_col, scale, offset)
 
     # m=1 codebook over whole vectors == the IVF coarse quantizer;
     # the shared trainer carries the originals through assignment so
     # the index join stays map-side (no corpus re-join on vec_id).
     cb, assigned = _grid_codebook_train(base, n_cells, iters,
-                                        carry=("__vec", "__cnorm"))
+                                        carry=("__vec", "__norm"))
     cent = cb.select(F.col("code").alias("cell"), "cv")
-    indexed = assigned.select("vec_id", "__vec", "__cnorm",
+    indexed = assigned.select("vec_id", "__vec",
+                              F.col("__norm").alias("__cnorm"),
                               F.col("code").alias("cell"))
 
-    p = probes.select(F.col(id_col).alias("probe_id"),
-                      as_double(F.col(vec_col)).alias("__pvec"))
-    p = (p.withColumn("__pq", quantize_grid(F.col("__pvec"),
-                                            scale, offset))
-         .withColumn("__pnorm", l2_norm(F.col("__pvec"))))
+    p = (_prep_grid(probes, "probe_id", id_col, vec_col, scale, offset)
+         .select("probe_id", F.col("__vec").alias("__pvec"),
+                 F.col("__q").alias("__pq"),
+                 F.col("__norm").alias("__pnorm")))
     pc = (p.crossJoin(F.broadcast(cent))
           .withColumn("__d2", grid_dist2(F.col("__pq"), F.col("cv")))
           .withColumn("__crn", F.row_number().over(

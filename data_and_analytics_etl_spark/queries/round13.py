@@ -423,49 +423,11 @@ ORDER BY view_id, purchase_id
         "interval bounds each side relative to the other.",
 )
 def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime as dt
-    import tempfile
-    import time
-
-    from ..streaming.ops import (run_stream_to_table,
-                                 stream_stream_interval_join)
-    cols = ("event_id long, ts timestamp, user_id long, "
-            "event_type string")
-    ev = (load_table(spark, sf_dir, "events")
-          .select("event_id", "ts", "user_id", "event_type"))
-    d = tempfile.mkdtemp(prefix="ssfo_")
-    ev.coalesce(2).write.parquet(d + "/data/f1")
-    # two TRAILING sentinel micro-batches (the stream_stream_left_outer
-    # pattern): the first advances the watermark past every real row's
-    # match window on BOTH sides, the second gives the engine a batch
-    # in which to emit the flushed unmatched rows
-    for i, day in enumerate(("2030-01-01", "2030-01-02"), start=1):
-        time.sleep(0.05)
-        sent = [(-(2 * i - 1), dt.datetime.fromisoformat(day), -1,
-                 "view"),
-                (-(2 * i), dt.datetime.fromisoformat(day), -1,
-                 "purchase")]
-        (spark.createDataFrame(sent, cols).coalesce(1)
-         .write.parquet(d + f"/data/f{i + 1}"))
-
-    def src():
-        return (spark.readStream.schema(cols)
-                .option("maxFilesPerTrigger", 1).parquet(d + "/data/*"))
-
-    out = run_stream_to_table(
-        stream_stream_interval_join(
-            src().filter(F.col("event_type") == "view"),
-            src().filter(F.col("event_type") == "purchase"),
-            how="full_outer"),
-        output_mode="append")
-    return (out.filter(F.col("user_id") >= 0)
-            .select(
-        "user_id", "view_id", "purchase_id",
-        F.date_format("ts_view", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-        .alias("ts_view"),
-        F.date_format("ts_purchase", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-        .alias("ts_purchase"))
-        .orderBy("view_id", "purchase_id"))
+    # the staged replay (sentinels on BOTH tails, sentinel filter,
+    # output shape) is shared with stream_stream_left_outer — ONE
+    # helper so the sentinel protocol cannot drift between the two
+    from .streaming_probes import outer_interval_join_replay
+    return outer_interval_join_replay(spark, sf_dir, how="full_outer")
 
 
 # --------------------------------------------------------------------------
@@ -591,6 +553,8 @@ def graph_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # radius 6 covers the digit hierarchy's diameter at every
     # verified scale (5 at sf0.1, 6 at sf1: a 6-digit custkey is 6
     # hops from the root), and the probe budget rule (SCALE.md r12
-    # §1) sizes the grain at registration: radius 8 measured 15.3 s
-    # at sf0.1, radius 6 with every-2nd-round checkpointing ~9 s.
+    # §1) sizes the grain at registration: radius 8 with per-round
+    # checkpoints measured 15.3 s at sf0.1; radius 6 with every-3rd-
+    # round checkpointing + the single-aggregation estimate fold
+    # lands ~10.5 s steady-state (job count, not data, is the cost).
     return hyperball_neighborhood(edges, max_radius=6, pct=90)

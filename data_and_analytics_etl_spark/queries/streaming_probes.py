@@ -276,6 +276,20 @@ ORDER BY view_id, purchase_id
         "the same interval condition.",
 )
 def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return outer_interval_join_replay(spark, sf_dir, how="left_outer")
+
+
+def outer_interval_join_replay(spark: SparkSession, sf_dir: str,
+                               how: str) -> DataFrame:
+    """Shared staged replay for the OUTER stream-stream interval-join
+    probes (left_outer since r6, full_outer since r13 — round13.py
+    imports this so the sentinel protocol cannot drift between them):
+    stage the events as the first micro-batch, append two TRAILING
+    far-future sentinel micro-batches carrying BOTH event types (the
+    first advances the watermark past every real row's match window
+    on both sides, the second gives the engine a batch in which to
+    emit the flushed unmatched rows), run the watermarked join, and
+    filter the sentinels (user_id < 0) from the output."""
     import datetime as dt
     import tempfile
     import time
@@ -288,9 +302,6 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("event_id", "ts", "user_id", "event_type"))
     d = tempfile.mkdtemp(prefix="ssoj_")
     ev.coalesce(2).write.parquet(d + "/data/f1")
-    # two TRAILING sentinel micro-batches: the first advances the
-    # watermark past every real row's match window, the second gives
-    # the engine a batch in which to emit the flushed unmatched rows
     for i, day in enumerate(("2030-01-01", "2030-01-02"), start=1):
         time.sleep(0.05)
         sent = [(-(2 * i - 1), dt.datetime.fromisoformat(day), -1,
@@ -308,7 +319,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_interval_join(
             src().filter(F.col("event_type") == "view"),
             src().filter(F.col("event_type") == "purchase"),
-            how="left_outer"),
+            how=how),
         output_mode="append")
     return (out.filter(F.col("user_id") >= 0)
             .select(

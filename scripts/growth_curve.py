@@ -89,7 +89,13 @@ def main() -> int:
     for name in names:
         anchor = SHAPES[name]
         rows, secs = [], []
-        for sf in SFS:
+        # the sf10 dir holds ONLY the customer table (its generator's
+        # design): skip any (shape, sf) whose anchor parquet is absent
+        # instead of crashing the whole run on PATH_NOT_FOUND — the
+        # shape's curve then spans the scales that exist for it
+        shape_sfs = [sf for sf in SFS
+                     if os.path.exists(f"{sf}/{anchor}.parquet")]
+        for sf in shape_sfs:
             if anchor not in inputs[sf]:
                 inputs[sf][anchor] = (
                     spark.read.parquet(f"{sf}/{anchor}.parquet").count())
@@ -98,8 +104,10 @@ def main() -> int:
             n = qs[name](spark, sf).count()
             secs.append(time.perf_counter() - t0)
             rows.append(n)
-        in01 = inputs[SFS[-2]][anchor]
-        in1 = inputs[SFS[-1]][anchor]
+        # the verdict's judged decade is THIS shape's last consecutive
+        # pair (skipped SFs don't shift it onto a mismatched pair)
+        in01 = inputs[shape_sfs[-2]][anchor]
+        in1 = inputs[shape_sfs[-1]][anchor]
         in_growth = in1 / max(in01, 1)
         out_growth = rows[-1] / max(rows[-2], 1)
         # super-linear = output grows more than ~1.5x faster than input
@@ -109,8 +117,11 @@ def main() -> int:
         verdict = "SUPER-LINEAR" if superlinear else "ok"
         if superlinear:
             failures.append(name)
-        r = " | ".join(str(x) for x in rows)
-        s = " | ".join(f"{x:.2f}" for x in secs)
+        by_sf = dict(zip(shape_sfs, zip(rows, secs)))
+        r = " | ".join(str(by_sf[sf][0]) if sf in by_sf else "-"
+                       for sf in SFS)
+        s = " | ".join(f"{by_sf[sf][1]:.2f}" if sf in by_sf else "-"
+                       for sf in SFS)
         print(f"| {name} | {r} | {s} | {out_growth:.1f}x vs "
               f"{in_growth:.1f}x | {verdict} |")
     # The closure watch item needs a dedicated sf1 check: the probe's
@@ -144,6 +155,43 @@ def main() -> int:
               f"({iso:.1f}x on 10.0x input) {verdict}")
         if verdict != "ok":
             failures.append("graph_transitive_closure(iso-sf1)")
+    # Weighted-closure ISOMORPHIC two-decade check (r12 verdict task
+    # 5, honest form): the raw synthetic rows above measure a
+    # NON-isomorphic topology (copy-k chains truncate at 1-2 hops —
+    # the documented key-offset artifact), so the operator's posture
+    # claim rests on THIS check instead: per-copy LOCAL digit chains
+    # + local weights make every copy a true replica of sf0.1's
+    # hierarchy, and pair growth must be exactly linear at BOTH
+    # decades (0.1 -> 1 -> 10). Runs when the sf10 customer dir is
+    # present (GROWTH_SF10=1 + scripts/make_sf10_customer.py).
+    if _SF10 in SFS and _SF1 in SFS:
+        import pyspark.sql.functions as F
+        from data_and_analytics_etl_spark.operators.graph import \
+            weighted_shortest_paths
+
+        def wpairs(sf, local_key):
+            c = (spark.read.parquet(f"{sf}/customer.parquet")
+                 .filter(F.col("c_custkey") % 10_000_000 > 0))
+            copy = (F.col("c_custkey") / 10_000_000).cast("long")
+            u = F.col("c_custkey") % 10_000_000
+            dst = ((u / 10).cast("long")
+                   + copy * 10_000_000) if local_key else \
+                (F.col("c_custkey") / 10).cast("long")
+            e = c.select(F.col("c_custkey").alias("src"),
+                         dst.alias("dst"),
+                         (u % 5 + 1).cast("long").alias("w"))
+            return weighted_shortest_paths(e, max_depth=16).count()
+
+        w01 = wpairs("/root/testdata/sf0.1", local_key=False)
+        w1 = wpairs(_SF1, local_key=True)
+        w10 = wpairs(_SF10, local_key=True)
+        d1, d2 = w1 / max(w01, 1), w10 / max(w1, 1)
+        verdict = "ok" if max(d1, d2) <= 15.0 else "SUPER-LINEAR"
+        print(f"\nweighted-closure isomorphic two-decade check: "
+              f"{w01} -> {w1} -> {w10} pairs "
+              f"({d1:.1f}x, {d2:.1f}x per 10.0x decade) {verdict}")
+        if verdict != "ok":
+            failures.append("graph_weighted_shortest_paths(iso)")
     if failures:
         print(f"\nSUPER-LINEAR shapes: {failures}")
         return 1
