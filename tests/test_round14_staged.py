@@ -1,0 +1,116 @@
+"""Round-14 staged probes: oracle equivalence + structural contracts.
+
+These probes are staged, not registered (queries/round14.py module
+doc) — this suite gives them the SAME DuckDB-oracle comparison the
+registered probes get from tests/test_queries.py, plus hand-graph
+contract tests for the new operators, so r14 registration is a
+mechanical re-tier of already-verified code.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_and_analytics_etl_spark.queries.round14 import STAGED
+
+from .oracle import compare
+
+
+def test_staged_probes_are_not_registered():
+    # staging must not touch the frozen r13 window composition
+    from data_and_analytics_etl_spark.queries import REGISTRY
+    overlap = set(STAGED) & set(REGISTRY)
+    assert not overlap, f"staged probes leaked into REGISTRY: {overlap}"
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle(spark, sf_dir, name):
+    compare(spark, STAGED[name], sf_dir)
+
+
+# --------------------------------------------------------------------------
+# strongly_connected_components: hand-graph contracts
+# --------------------------------------------------------------------------
+
+def test_scc_hand_graphs(spark):
+    """Every structural contract in ONE Spark action: the SCC plan's
+    fixed analyzer/stage overhead (~tens of seconds, see the operator
+    docstring) dwarfs data cost on hand graphs, so the six scenarios
+    share one edge list over disjoint id ranges — disjoint components
+    cannot interact, each range asserts independently."""
+    from data_and_analytics_etl_spark.operators.graph import (
+        strongly_connected_components)
+    edges = []
+    # [1-3] 1 <-> 2 plus tail 3 -> 1
+    edges += [(1, 2), (2, 1), (3, 1)]
+    # [11-13] DAG: all singletons
+    edges += [(11, 12), (12, 13), (11, 13)]
+    # [21-25] figure-eight: two triangles sharing node 21
+    edges += [(21, 22), (22, 23), (23, 21), (21, 24), (24, 25),
+              (25, 21)]
+    # [31-41] cycle {31,32} -> cycle {40,41} via one-way 32 -> 40
+    edges += [(31, 32), (32, 31), (40, 41), (41, 40), (32, 40)]
+    # [100+] 33-cycle: L > 2*max_depth, all singletons (3rd regime)
+    edges += [(100 + i, 100 + (i + 1) % 33) for i in range(33)]
+    # [200+] 20-cycle: max_depth < L <= 2*max_depth (2nd regime)
+    edges += [(200 + i, 200 + (i + 1) % 20) for i in range(20)]
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = strongly_connected_components(df, max_depth=16).collect()
+    comp = {r.node: r.scc_id for r in rows}
+    size = {r.node: r.scc_size for r in rows}
+
+    # two-cycle + tail
+    assert comp[1] == comp[2] == 1 and size[1] == size[2] == 2
+    assert comp[3] == 3 and size[3] == 1
+    # DAG
+    assert {n: comp[n] for n in (11, 12, 13)} == {11: 11, 12: 12,
+                                                  13: 13}
+    # figure-eight merges through the shared node
+    assert len({comp[n] for n in (21, 22, 23, 24, 25)}) == 1
+    assert size[21] == 5
+    # one-way bridge does not merge
+    assert comp[31] == comp[32] == 31 and comp[40] == comp[41] == 40
+    assert size[31] == 2 and size[40] == 2
+    # 33-cycle: one directed distance always exceeds the horizon
+    assert all(comp[100 + i] == 100 + i for i in range(33))
+    assert all(size[100 + i] == 1 for i in range(33))
+    # 20-cycle: mutual iff BOTH directed distances fit the horizon —
+    # (v-u) mod L in [L-h, h]; label = min over the mutual set
+    n, h = 20, 16
+    expected = {
+        u: min([u] + [v for v in range(n)
+                      if n - h <= (v - u) % n <= h])
+        for u in range(n)
+    }
+    assert {u: comp[200 + u] - 200 for u in range(n)} == expected
+
+
+def test_scc_probe_graph_horizon_is_exactly_sixteen():
+    """The oracle's unbounded recursive fixpoint equals the Spark
+    side's 16-hop bounded closure ONLY because the probe graph's
+    max shortest-path distance is <= 16 — pin that by brute force
+    on the sf0.001-sized key range so a probe-graph edit that
+    breaks the bound fails here, not in the driver."""
+    from collections import deque
+    keys = set(range(150))
+    adj = {u: [] for u in keys}
+    for u in keys:
+        t = (u - u % 8) + ((u % 8 + 1) % 8)
+        if t in keys:
+            adj[u].append(t)
+        if u % 8 == 3 and (u // 8) % 3 != 2 and u + 8 in keys:
+            adj[u].append(u + 8)
+    maxd = 0
+    for s in keys:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        selfd = [dist[u] + 1 for u in keys if s in adj[u] and u in dist]
+        maxd = max([maxd, max(dist.values())] + selfd)
+    assert maxd == 16
