@@ -158,3 +158,137 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
              .localCheckpoint(eager=True))
     return (strongly_connected_components(edges, max_depth=16)
             .orderBy("node"))
+
+
+# --------------------------------------------------------------------------
+# 2. sketch_kmv_set_ops — theta/KMV sketch set algebra, oracle-exact
+# --------------------------------------------------------------------------
+
+def _hex12_to_bigint(expr: str) -> str:
+    """48-bit integer from the first 12 hex chars of ``expr`` (DuckDB
+    has no conv()) — the sketch_join_cardinality per-character fold,
+    generated instead of hand-pasted."""
+    terms = []
+    for i in range(12):
+        c = f"substr({expr}, {i + 1}, 1)"
+        d = (f"(CASE WHEN ascii({c}) >= 97 THEN ascii({c}) - 87 "
+             f"ELSE ascii({c}) - 48 END)")
+        # the power literal must be BIGINT-typed: DuckDB types small
+        # literals INT32 and 13 * 16^7 overflows at execution time
+        terms.append(f"{d} * CAST({16 ** (11 - i)} AS BIGINT)")
+    return "(" + "\n     + ".join(terms) + ")"
+
+
+_KMV_ORACLE = f"""
+WITH base AS (
+  SELECT DISTINCT o_orderpriority AS g, o_custkey AS v FROM orders
+),
+h AS (
+  SELECT DISTINCT g,
+         CAST({_hex12_to_bigint('hx')} + 1 AS DOUBLE)
+           / CAST(281474976710656 AS DOUBLE) AS hv
+  FROM (SELECT g, md5(CAST(v AS VARCHAR)) AS hx FROM base) t
+),
+sk AS (
+  SELECT g, hv FROM (
+    SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+    FROM h) r WHERE rn <= 64
+),
+gs AS (SELECT DISTINCT g FROM base),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+tag AS (
+  SELECT ga, gb, hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.ga, p.gb, s.hv, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.g = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.hv, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.g = p.gb) t
+  GROUP BY 1, 2, 3
+),
+u AS (
+  SELECT * FROM (
+    SELECT ga, gb, hv, in_a, in_b,
+           row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rn
+    FROM tag) r WHERE rn <= 64
+),
+agg AS (
+  SELECT ga, gb,
+         max(CASE WHEN rn = 64 THEN hv END) AS theta,
+         CAST(sum(in_a * in_b) AS BIGINT) AS ci,
+         CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS ca_only
+  FROM u GROUP BY 1, 2
+),
+ex AS (
+  SELECT x.g AS ga, y.g AS gb, CAST(count(*) AS BIGINT) AS exact_inter
+  FROM base x JOIN base y ON x.v = y.v AND x.g < y.g
+  GROUP BY 1, 2
+),
+sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1)
+SELECT a.ga, a.gb,
+       CAST(63 AS DOUBLE) / a.theta AS union_est,
+       CAST(a.ci AS DOUBLE) * (CAST(63 AS DOUBLE) / a.theta)
+         / CAST(64 AS DOUBLE) AS inter_est,
+       CAST(a.ca_only AS DOUBLE) * (CAST(63 AS DOUBLE) / a.theta)
+         / CAST(64 AS DOUBLE) AS a_not_b_est,
+       sa.n + sb.n - coalesce(e.exact_inter, 0) AS exact_union,
+       coalesce(e.exact_inter, 0) AS exact_inter
+FROM agg a
+JOIN sizes sa ON sa.g = a.ga
+JOIN sizes sb ON sb.g = a.gb
+LEFT JOIN ex e ON e.ga = a.ga AND e.gb = a.gb
+ORDER BY a.ga, a.gb
+"""
+
+
+@_staged(
+    "sketch_kmv_set_ops",
+    oracle=_KMV_ORACLE,
+    tags=("sketch", "analytics"),
+    doc="KMV/theta-sketch set algebra (operators/sketch.py:kmv_build/"
+        "kmv_set_ops — Beyer et al. SIGMOD'07, the theta-sketch "
+        "framework's bottom-k half): per-orderpriority sketches of "
+        "the distinct custkey sets (k=64 smallest dyadic-exact "
+        "md5-derived hashes, two-phase salted bottom-k), then per "
+        "pair union/intersection/difference ESTIMATES from the "
+        "sketches alone — (k-1)/theta and the membership-count "
+        "scalings, fixed IEEE chains over dyadic inputs, so the "
+        "APPROXIMATION hash-matches the oracle bit-for-bit (the "
+        "hyperball move applied to set algebra). Exact truth columns "
+        "ride along from one value-grain self-join (the "
+        "sketch_join_cardinality convention), so the driver row "
+        "checks estimate AND ground truth; the merge law (sketch of "
+        "union == merge of sketches, exactly) plus error-vs-exact "
+        "bounds are pytest-pinned in tests/test_round14_staged.py.",
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_build, kmv_set_ops
+    o = load_table(spark, sf_dir, "orders")
+    base = (o.select(F.col("o_orderpriority").alias("g"),
+                     F.col("o_custkey").alias("v"))
+            .distinct())
+    sk = kmv_build(base, ["g"], "v", k=64)
+    ops = kmv_set_ops(sk, "g", k=64)
+    sizes = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    ex = (base.alias("x")
+          .join(base.alias("y"),
+                (F.col("x.v") == F.col("y.v"))
+                & (F.col("x.g") < F.col("y.g")))
+          .groupBy(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+          .agg(F.count(F.lit(1)).cast("long").alias("exact_inter")))
+    return (ops
+            .join(F.broadcast(sizes.select(F.col("g").alias("ga"),
+                                           F.col("n").alias("na"))),
+                  "ga")
+            .join(F.broadcast(sizes.select(F.col("g").alias("gb"),
+                                           F.col("n").alias("nb"))),
+                  "gb")
+            .join(ex, ["ga", "gb"], "left")
+            .select("ga", "gb", "union_est", "inter_est",
+                    "a_not_b_est",
+                    (F.col("na") + F.col("nb")
+                     - F.coalesce("exact_inter", F.lit(0)))
+                    .alias("exact_union"),
+                    F.coalesce("exact_inter", F.lit(0))
+                    .alias("exact_inter"))
+            .orderBy("ga", "gb"))

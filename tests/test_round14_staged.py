@@ -114,3 +114,52 @@ def test_scc_probe_graph_horizon_is_exactly_sixteen():
         selfd = [dist[u] + 1 for u in keys if s in adj[u] and u in dist]
         maxd = max([maxd, max(dist.values())] + selfd)
     assert maxd == 16
+
+
+# --------------------------------------------------------------------------
+# KMV sketch: merge law + estimator accuracy
+# --------------------------------------------------------------------------
+
+def test_kmv_merge_law_is_exact(spark, sf_dir):
+    """Sketch-of-union == merge-of-sketches, EXACTLY (the property
+    that makes KMV mergeable at 100 TB: per-partition sketches union
+    without touching raw data). Compare the k hash values
+    themselves, not estimates."""
+    import pyspark.sql.functions as F
+    from data_and_analytics_etl_spark.catalog import load_table
+    from data_and_analytics_etl_spark.operators.sketch import (
+        kmv_build, kmv_merge)
+    o = load_table(spark, sf_dir, "orders")
+    base = (o.select(F.col("o_orderpriority").alias("g"),
+                     F.col("o_custkey").alias("v")).distinct())
+    # per-priority sketches, then coarsen: urgent-ish (1,2) vs rest
+    coarse = F.when(F.col("g").isin("1-URGENT", "2-HIGH"),
+                    F.lit("hi")).otherwise(F.lit("lo"))
+    direct = kmv_build(base.withColumn("g", coarse), ["g"], "v", k=32)
+    fine = kmv_build(base, ["g"], "v", k=32)
+    merged = kmv_merge(fine.withColumn("g", coarse), ["g"], k=32)
+    d = {(r.g, r.rn): r.hv for r in direct.collect()}
+    m = {(r.g, r.rn): r.hv for r in merged.collect()}
+    assert d == m and len(d) == 64  # 2 groups x k=32, bit-identical
+
+
+def test_kmv_estimates_track_exact_counts(spark, sf_dir):
+    """KMV error bound: with k=64 the relative standard error is
+    ~1/sqrt(k-2) ≈ 12.7%; assert every pair's union estimate lands
+    within 4 sigma (~51%) of truth and the observed MEAN relative
+    error across the 10 pairs stays under 2 sigma — loose enough to
+    be stable, tight enough that a broken estimator (off by 2x)
+    fails."""
+    from data_and_analytics_etl_spark.queries.round14 import STAGED
+    rows = STAGED["sketch_kmv_set_ops"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10  # 5 priorities -> C(5,2) pairs
+    rels = []
+    for r in rows:
+        rel = abs(r.union_est - r.exact_union) / r.exact_union
+        assert rel < 0.51, (r.ga, r.gb, r.union_est, r.exact_union)
+        rels.append(rel)
+        # inclusion-exclusion consistency of the estimator family:
+        # union ≈ inter + a_not_b + b_not_a contributions by
+        # construction (counts partition the union sketch)
+        assert r.inter_est <= r.union_est + 1e-9
+    assert sum(rels) / len(rels) < 0.26, rels
