@@ -292,3 +292,103 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("exact_inter", F.lit(0))
                     .alias("exact_inter"))
             .orderBy("ga", "gb"))
+
+
+# --------------------------------------------------------------------------
+# 3. corpus_dsir_weights — DSIR importance-resampling selection weights
+# --------------------------------------------------------------------------
+
+def _hex2_to_int(expr: str) -> str:
+    """Bucket in [0, 256) from the first 2 hex chars of ``expr``."""
+    out = []
+    for i, mult in ((1, 16), (2, 1)):
+        c = f"substr({expr}, {i}, 1)"
+        out.append(f"(CASE WHEN ascii({c}) >= 97 THEN ascii({c}) - 87 "
+                   f"ELSE ascii({c}) - 48 END) * {mult}")
+    return "(" + " + ".join(out) + ")"
+
+
+_DSIR_ORACLE = rf"""
+WITH d AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+feats AS (
+  SELECT doc_id, is_target,
+         {_hex2_to_int("md5(feat)")} AS bucket
+  FROM (
+    SELECT doc_id, is_target, 'u|' || w AS feat
+    FROM (SELECT doc_id, is_target, unnest(t) AS w FROM d) fu
+    UNION ALL
+    SELECT doc_id, is_target, 'b|' || bg AS feat
+    FROM (SELECT doc_id, is_target,
+                 unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1]))
+                   AS bg
+          FROM d) fb
+  ) f
+),
+dbc AS (
+  SELECT doc_id, is_target, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM feats GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT)
+           AS ct,
+         CAST(sum(CASE WHEN NOT is_target THEN c ELSE 0 END)
+              AS BIGINT) AS cr
+  FROM dbc GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+  FROM stats
+),
+lam AS (
+  SELECT bucket,
+         ln(CAST((ct + 1) * (nr + 256) AS DOUBLE)
+            / CAST((cr + 1) * (nt + 256) AS DOUBLE)) AS lam
+  FROM stats, tot
+),
+q AS (
+  SELECT dbc.doc_id, dbc.is_target, dbc.c,
+         CAST(floor(CAST(dbc.c AS DOUBLE) * lam.lam
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS q
+  FROM dbc JOIN lam USING (bucket)
+)
+SELECT doc_id, is_target,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(sum(q) AS BIGINT) AS weight_q,
+       CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS weight
+FROM q GROUP BY 1, 2
+ORDER BY doc_id
+"""
+
+
+@_staged(
+    "corpus_dsir_weights",
+    oracle=_DSIR_ORACLE,
+    tags=("llm", "corpus"),
+    doc="DSIR importance-resampling weights (operators/corpus.py:"
+        "dsir_importance_weights — Xie et al. 2023): every document "
+        "scored by the log-likelihood ratio of its hashed unigram+"
+        "bigram bag under the target domain (lang='en') vs the raw "
+        "pool, add-1 smoothed over 256 md5 buckets — the pretraining "
+        "data-selection step between quality gates and mixture "
+        "planning. One tokenize+explode pass, one (doc,bucket) "
+        "aggregate, a 256-row broadcast model (bucket hashing bounds "
+        "model size regardless of corpus scale — DSIR's own trick); "
+        "each per-(doc,bucket) c·ln-ratio term floor-quantizes to "
+        "the 1e-6 grid BEFORE the per-doc sum (unigram-KL rule), so "
+        "weight_q is an exact integer cross-engine. The "
+        "target-separation property (target docs skew positive) is "
+        "pytest-pinned.",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import dsir_importance_weights
+    d = load_table(spark, sf_dir, "documents")
+    return (dsir_importance_weights(d, target=F.col("lang") == "en")
+            .orderBy("doc_id"))

@@ -163,3 +163,26 @@ def test_kmv_estimates_track_exact_counts(spark, sf_dir):
         # construction (counts partition the union sketch)
         assert r.inter_est <= r.union_est + 1e-9
     assert sum(rels) / len(rels) < 0.26, rels
+
+
+def test_dsir_weights_separate_target_from_raw(spark, sf_dir):
+    """DSIR's point: under the target-domain model, target documents
+    must score higher on average than raw-pool documents — here the
+    en/non-en split, where unigram+bigram distributions genuinely
+    differ. Pin the separation (mean target weight > mean raw
+    weight) and the smoothing sanity (every doc got a finite
+    weight)."""
+    from data_and_analytics_etl_spark.queries.round14 import STAGED
+    rows = STAGED["corpus_dsir_weights"].fn(spark, sf_dir).collect()
+    tgt = [r.weight for r in rows if r.is_target]
+    raw = [r.weight for r in rows if not r.is_target]
+    assert tgt and raw
+    assert all(isinstance(r.weight, float) for r in rows)
+    mean_t = sum(tgt) / len(tgt)
+    mean_r = sum(raw) / len(raw)
+    assert mean_t > mean_r, (mean_t, mean_r)
+    # per-token normalization should separate too (long docs do not
+    # drive the split): compare average per-gram log ratios
+    tpg = [r.weight / r.n_grams for r in rows if r.is_target]
+    rpg = [r.weight / r.n_grams for r in rows if not r.is_target]
+    assert sum(tpg) / len(tpg) > sum(rpg) / len(rpg)
