@@ -392,3 +392,133 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (dsir_importance_weights(d, target=F.col("lang") == "en")
             .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------------
+# 4. timeseries_dtw_band — banded DTW between consecutive daily shapes
+# --------------------------------------------------------------------------
+
+_DTW_INF = 1 << 50
+
+
+def _dtw_oracle(n: int = 24, band: int = 2) -> str:
+    """Recursive-CTE replay of operators/timeseries.py:
+    dtw_band_distance — the SAME anti-diagonal fold, one recursion
+    step per diagonal d, state = the two previous diagonals as
+    BIGINT lists. DuckDB list indexing is 1-based and returns NULL
+    out of range, so the i−1 accesses coalesce to the sentinel
+    instead of guarding (the Spark side clamps indices — same
+    values, dialect-appropriate spelling). All min-plus integer
+    arithmetic: hash-exact with no float until the final /100."""
+    inf = f"CAST({_DTW_INF} AS BIGINT)"
+    return f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT d.event_type, d.day, g.h
+  FROM (SELECT DISTINCT event_type, day FROM hourly) d,
+       (SELECT CAST(unnest(range(0, {n})) AS INTEGER) AS h) g
+),
+filled AS (
+  SELECT g.event_type, g.day, g.h, coalesce(hh.s, 0) AS s
+  FROM grid g LEFT JOIN hourly hh
+    ON hh.event_type = g.event_type AND hh.day = g.day
+   AND hh.h = g.h
+),
+serie AS (
+  SELECT event_type, day, list(s ORDER BY h) AS arr
+  FROM filled GROUP BY 1, 2
+),
+pairs AS (
+  SELECT x.event_type, x.day AS da, y.day AS db,
+         x.arr AS a, y.arr AS b
+  FROM serie x JOIN serie y
+    ON x.event_type = y.event_type AND y.day = x.day + 1
+),
+dp AS (
+  SELECT event_type, da, db, a, b, -1 AS d,
+         list_transform(range(0, {n}), x -> {inf}) AS p2,
+         list_transform(range(0, {n}), x -> {inf}) AS p1
+  FROM pairs
+  UNION ALL
+  SELECT event_type, da, db, a, b, d + 1,
+         p1 AS p2,
+         list_transform(range(0, {n}), i ->
+           CASE WHEN abs(2 * i - (d + 1)) <= {band}
+                 AND i <= d + 1 AND (d + 1) - i <= {n - 1}
+                THEN least(
+                  abs(a[i + 1] - b[(d + 1) - i + 1])
+                  + CASE WHEN d + 1 = 0 AND i = 0 THEN 0
+                         ELSE least(coalesce(p1[i], {inf}),
+                                    coalesce(p1[i + 1], {inf}),
+                                    coalesce(p2[i], {inf}))
+                    END,
+                  {inf})
+                ELSE {inf}
+           END) AS p1
+  FROM dp WHERE d < {2 * n - 2}
+)
+SELECT event_type, da, db, p1[{n}] AS dtw_q,
+       CAST(p1[{n}] AS DOUBLE) / CAST(100 AS DOUBLE) AS dtw
+FROM dp WHERE d = {2 * n - 2}
+ORDER BY event_type, da
+"""
+
+
+@_staged(
+    "timeseries_dtw_band",
+    oracle=_dtw_oracle(),
+    tags=("timeseries",),
+    doc="Banded Dynamic Time Warping between consecutive days' "
+        "hourly shapes (operators/timeseries.py:dtw_band_distance — "
+        "Sakoe & Chiba '78, band r=2): per (event_type, day) the "
+        "24-hour cents-quantized value series, zero-filled from an "
+        "explicit hour grid (collect order never trusted), DTW'd "
+        "against the next calendar day — the elastic distance SAX "
+        "indexing shortlists for. The WHOLE O(n²) DP runs as one "
+        "codegen F.aggregate fold over anti-diagonals (no UDF, no "
+        "driver loop, integer min-plus only), and the oracle replays "
+        "the identical fold as a 47-step recursive CTE — exact "
+        "integer equality end to end, verified additionally against "
+        "a Python DP reference on hand series "
+        "(tests/test_round14_staged.py). Scale: one (type,day,hour) "
+        "aggregate, one day-adjacent self-join at (type,day) grain, "
+        "~1.1k expression ops per pair row; pairs = types x days, "
+        "never data x data.",
+)
+def timeseries_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import dtw_band_distance
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.to_date("ts").alias("day"),
+                         F.hour("ts").alias("h"))
+              .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+                   .alias("s")))
+    serie = (hourly.groupBy("event_type", "day")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("h", "s"))).alias("m"))
+             .select("event_type", "day",
+                     F.transform(
+                         F.sequence(F.lit(0), F.lit(23)),
+                         lambda h: F.coalesce(
+                             F.element_at(F.col("m"), h),
+                             F.lit(0).cast("long"))).alias("arr")))
+    pairs = (serie.alias("x")
+             .join(serie.alias("y"),
+                   (F.col("x.event_type") == F.col("y.event_type"))
+                   & (F.col("y.day") == F.date_add(F.col("x.day"), 1)))
+             .select(F.col("x.event_type").alias("event_type"),
+                     F.col("x.day").alias("da"),
+                     F.col("y.day").alias("db"),
+                     F.col("x.arr").alias("a"),
+                     F.col("y.arr").alias("b")))
+    q = dtw_band_distance(F.col("a"), F.col("b"), 24, band=2)
+    return (pairs.select("event_type", "da", "db",
+                         q.alias("dtw_q"),
+                         (q.cast("double") / F.lit(100.0))
+                         .alias("dtw"))
+            .orderBy("event_type", "da"))

@@ -186,3 +186,54 @@ def test_dsir_weights_separate_target_from_raw(spark, sf_dir):
     tpg = [r.weight / r.n_grams for r in rows if r.is_target]
     rpg = [r.weight / r.n_grams for r in rows if not r.is_target]
     assert sum(tpg) / len(tpg) > sum(rpg) / len(rpg)
+
+
+def test_dtw_band_matches_python_reference(spark):
+    """dtw_band_distance vs a straightforward Python DP on hand
+    series — exact integer equality, plus the identity and symmetry
+    laws. One Spark action for all cases (the SCC hand-graph
+    rule)."""
+    import random
+
+    import pyspark.sql.functions as F
+    from data_and_analytics_etl_spark.operators.timeseries import (
+        dtw_band_distance)
+
+    inf = 1 << 50
+
+    def pydtw(a, b, band=2):
+        n = len(a)
+        D = [[inf] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(n):
+                if abs(i - j) > band:
+                    continue
+                c = abs(a[i] - b[j])
+                if i == 0 and j == 0:
+                    D[i][j] = c
+                else:
+                    D[i][j] = c + min(
+                        D[i - 1][j] if i > 0 else inf,
+                        D[i][j - 1] if j > 0 else inf,
+                        D[i - 1][j - 1] if i > 0 and j > 0 else inf)
+        return D[n - 1][n - 1]
+
+    random.seed(7)
+    cases = [(t, [random.randint(0, 500) for _ in range(24)],
+              [random.randint(0, 500) for _ in range(24)])
+             for t in range(6)]
+    cases.append((6, [5] * 24, [5] * 24))                 # identity
+    cases.append((7, list(range(24)), list(range(1, 25))))  # shift-1
+    df = spark.createDataFrame(cases, "t int, a array<long>, "
+                                      "b array<long>")
+    d = dtw_band_distance(F.col("a"), F.col("b"), 24)
+    rows = df.select("t", d.alias("fwd"),
+                     dtw_band_distance(F.col("b"), F.col("a"), 24)
+                     .alias("bwd")).collect()
+    got = {r.t: (r.fwd, r.bwd) for r in rows}
+    for t, a, b in cases:
+        exp = pydtw(a, b)
+        assert got[t][0] == exp, (t, got[t][0], exp)
+        assert got[t][1] == got[t][0]  # symmetry (band symmetric)
+    assert got[6][0] == 0             # identical series cost nothing
+    assert got[7][0] == 2             # one warp step at each end
