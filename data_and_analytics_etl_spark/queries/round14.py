@@ -522,3 +522,108 @@ def timeseries_dtw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (q.cast("double") / F.lit(100.0))
                          .alias("dtw"))
             .orderBy("event_type", "da"))
+
+
+# --------------------------------------------------------------------------
+# 5. feature_best_gini_split — CART split finding over bucketized features
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_totalprice,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+long AS (
+  SELECT 'custmod16' AS feature, o_custkey % 16 AS v, y FROM o
+  UNION ALL
+  SELECT 'day' AS feature,
+         CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS v, y FROM o
+  UNION ALL
+  SELECT 'price_10k' AS feature,
+         CAST(floor(o_totalprice / 10000) AS BIGINT) AS v, y FROM o
+),
+agg AS (
+  SELECT feature, v, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM long GROUP BY 1, 2
+),
+tot AS (
+  SELECT feature, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS p
+  FROM agg GROUP BY 1
+),
+cum AS (
+  SELECT feature, v,
+         CAST(sum(cnt) OVER (PARTITION BY feature ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS nl,
+         CAST(sum(pos) OVER (PARTITION BY feature ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pl
+  FROM agg
+),
+scored AS (
+  SELECT c.feature, c.v AS threshold, c.nl AS n_left,
+         c.pl AS pos_left, t.n - c.nl AS n_right,
+         t.p - c.pl AS pos_right,
+         CAST((c.pl * c.pl + (c.nl - c.pl) * (c.nl - c.pl))
+                * (t.n - c.nl)
+              + ((t.p - c.pl) * (t.p - c.pl)
+                 + ((t.n - c.nl) - (t.p - c.pl))
+                   * ((t.n - c.nl) - (t.p - c.pl))) * c.nl
+              AS DOUBLE)
+           / CAST(c.nl * (t.n - c.nl) AS DOUBLE) AS score,
+         t.n
+  FROM cum c JOIN tot t USING (feature)
+  WHERE c.nl < t.n
+)
+SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+       score,
+       (CAST(n AS DOUBLE) - score) / CAST(n AS DOUBLE) AS gini
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY feature
+                               ORDER BY score DESC, threshold) AS rk
+  FROM scored) r
+WHERE rk = 1
+ORDER BY feature
+"""
+
+
+@_staged(
+    "feature_best_gini_split",
+    oracle=_GINI_ORACLE,
+    tags=("analytics", "features"),
+    doc="Best binary split per feature by Gini impurity (operators/"
+        "features.py:best_gini_splits — the CART node primitive, "
+        "Breiman et al. '84), predicting URGENT orders from three "
+        "bucketized features (custkey mod 16, order day-of-month, "
+        "totalprice in 10k bands). Candidate stats are exact integer "
+        "cumulative counts over ONE (feature,value)-grain aggregate; "
+        "the split score S_L/n_L + S_R/n_R (monotone twin of "
+        "weighted Gini) is one double division of exact products, so "
+        "the argmax threshold is bit-deterministic cross-engine. "
+        "Everything after the single data-sized aggregate runs at "
+        "candidate grain (features x buckets). Supervised sharpening "
+        "of the feature-ranking family (woe_iv / chi2 / mutual_info: "
+        "rank only) to an actionable threshold; exactness vs a "
+        "brute-force Python reference is pytest-pinned.",
+)
+def feature_best_gini_split(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from ..operators.features import best_gini_splits
+    o = load_table(spark, sf_dir, "orders")
+    y = F.when(F.col("o_orderpriority") == "1-URGENT",
+               F.lit(1)).otherwise(F.lit(0))
+    feats = F.array(
+        F.struct(F.lit("custmod16").alias("feature"),
+                 (F.col("o_custkey") % 16).cast("long").alias("v")),
+        F.struct(F.lit("day").alias("feature"),
+                 F.dayofmonth("o_orderdate").cast("long").alias("v")),
+        F.struct(F.lit("price_10k").alias("feature"),
+                 F.floor(F.col("o_totalprice") / 10000).cast("long")
+                 .alias("v")))
+    long_df = (o.select(y.alias("y"), F.explode(feats).alias("f"))
+               .select(F.col("f.feature").alias("feature"),
+                       F.col("f.v").alias("v"), "y"))
+    return best_gini_splits(long_df).orderBy("feature")

@@ -237,3 +237,39 @@ def test_dtw_band_matches_python_reference(spark):
         assert got[t][1] == got[t][0]  # symmetry (band symmetric)
     assert got[6][0] == 0             # identical series cost nothing
     assert got[7][0] == 2             # one warp step at each end
+
+
+def test_gini_split_matches_bruteforce(spark):
+    """best_gini_splits vs an O(candidates x rows) Python reference
+    on a hand dataset with a known clean split — exact equality of
+    threshold, partition counts, and the weighted-Gini value."""
+    import pyspark.sql.functions as F  # noqa: F401
+    from data_and_analytics_etl_spark.operators.features import (
+        best_gini_splits)
+    # feature 'f': y=1 iff v >= 5, except two noise rows
+    rows = [("f", v, 1 if v >= 5 else 0) for v in range(10)
+            for _ in range(5)]
+    rows += [("f", 1, 1), ("f", 8, 0)]
+    df = spark.createDataFrame(rows, "feature string, v long, y long")
+    got = best_gini_splits(df).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    def weighted_gini(t):
+        left = [y for (_, v, y) in rows if v <= t]
+        right = [y for (_, v, y) in rows if v > t]
+        if not left or not right:
+            return None
+        out = 0.0
+        for part in (left, right):
+            n, p = len(part), sum(part)
+            out += n * (1 - (p / n) ** 2 - ((n - p) / n) ** 2)
+        return out
+    cands = {t: weighted_gini(t) for t in range(9)}
+    best_t = min(cands, key=lambda t: (cands[t], t))
+    assert r.threshold == best_t == 4
+    assert r.n_left == sum(1 for (_, v, _) in rows if v <= 4)
+    assert r.pos_left == sum(y for (_, v, y) in rows if v <= 4) == 1
+    # gini column is weighted impurity / n
+    n = len(rows)
+    assert abs(r.gini - cands[best_t] / n) < 1e-12
