@@ -21,7 +21,7 @@ Scale design
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -458,9 +458,17 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
         updated = updated.withColumn(
             "__changed", F.col("label") != F.col("__old")).drop("__old")
         # materialize once per round: breaks the exponentially growing
-        # lineage AND serves the convergence check from the same pass
+        # lineage AND serves the convergence check from the same pass.
+        # The changed-count rides the checkpoint job itself via
+        # observe() (r13 optimization): the eager localCheckpoint fires
+        # the CollectMetrics node, so obs.get returns without a second
+        # action — one driver round trip per round instead of two, and
+        # at cluster scale one fewer full read of the label table.
+        obs = Observation()
+        updated = updated.observe(
+            obs, F.sum(F.col("__changed").cast("long")).alias("n"))
         updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("__changed")).limit(1).count()
+        changed = obs.get["n"]
         labels = updated.drop("__changed")
         if changed == 0:
             converged = True

@@ -177,7 +177,8 @@ def hll_rollup(sketches: DataFrame,
 
 
 def heavy_hitters(df: DataFrame, key_col: str, phi_num: int = 1,
-                  phi_den: int = 200) -> DataFrame:
+                  phi_den: int = 200,
+                  materialize: bool = True) -> DataFrame:
     """φ-heavy hitters (Misra-Gries candidates + one exact verify
     pass): every key whose frequency strictly exceeds φ·N, with its
     EXACT count — φ given as the rational phi_num/phi_den so the
@@ -187,15 +188,34 @@ def heavy_hitters(df: DataFrame, key_col: str, phi_num: int = 1,
     use for frequency cutoffs: pass 1 streams each partition through a
     k-counter Misra-Gries summary (k = ⌈1/φ⌉; mapInPandas, O(k)
     state, Arrow-batched — the declared Python-sketch path, off the
-    per-row-UDF hot path). Pigeonhole guarantees the union of
-    per-partition candidates is a SUPERSET of the global heavy
-    hitters: a key with global count > N/(k+1) must exceed
-    N_p/(k+1) in at least one partition, and MG with k counters never
-    evicts such a key to zero. Pass 2 broadcast-semi-joins the (≤ k ×
-    partitions, tiny) candidate set against the data and keeps exact
-    counts > φ·N — so the OUTPUT is exact and partitioning-invariant
-    even though the intermediate sketch is not, which is what makes a
-    sketch operator oracle-checkable at all.
+    per-row-UDF hot path). The per-batch update is VECTORIZED
+    (r13 optimization, guide §4.2): exact batch counts via pandas
+    ``value_counts`` (one C pass) merged into the running summary,
+    then the batched Misra-Gries decrement — subtract the (k+1)-th
+    largest counter from every counter and drop the non-positive
+    (the mergeable-summaries form, Agarwal et al. PODS'12). Each
+    prune removes ≥ (k+1)·m total weight, so Σ decrements ≤
+    N_p/(k+1): identical error bound to the row-at-a-time loop.
+    Pigeonhole guarantees the union of per-partition candidates is a
+    SUPERSET of the global heavy hitters: a key with global count >
+    N/(k+1) must exceed N_p/(k+1) in at least one partition, and the
+    summary's undercount never reaches N_p/(k+1). Pass 2
+    broadcast-semi-joins the (≤ k × partitions, tiny) candidate set
+    against the data and keeps exact counts > φ·N — so the OUTPUT is
+    exact and partitioning-invariant even though the intermediate
+    sketch is not (and candidate-set differences between MG variants
+    are invisible), which is what makes a sketch operator
+    oracle-checkable at all.
+
+    The MG pass also emits ONE sentinel row per partition carrying the
+    partition's exact row count (``__k`` NULL, ``__n`` set), so the
+    global N needs no third scan of the input: the sketch output —
+    ≤ (k+1) × partitions rows, persisted because both the candidate
+    broadcast and the total read it — replaces what used to be a full
+    re-scan (for the token probe, a full regexp tokenize + explode) by
+    an aggregate over a few thousand cached rows. The input is scanned
+    exactly TWICE (sketch, exact verify), the information-theoretic
+    floor for exact-output heavy hitters with sketch-bounded state.
     """
     import pandas as pd  # noqa: PLC0415 — Arrow path only
 
@@ -203,22 +223,23 @@ def heavy_hitters(df: DataFrame, key_col: str, phi_num: int = 1,
 
     def mg_partition(batches):
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
-            for key in pdf["__k"]:
-                if key is None:
-                    continue
-                if key in counters:
-                    counters[key] += 1
-                elif len(counters) < k:
-                    counters[key] = 1
-                else:
-                    dead = [c for c in counters
-                            if counters[c] == 1]
-                    for c in dead:
-                        del counters[c]
-                    for c in counters:
-                        counters[c] -= 1
-        yield pd.DataFrame({"__k": list(counters.keys())})
+            n_rows += len(pdf)
+            # value_counts drops nulls and counts in one vectorized
+            # pass; the merge loop below touches DISTINCT keys only
+            # (bounded by the Arrow batch size), never rows.
+            for key, c in pdf["__k"].value_counts(sort=False).items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                # batched MG decrement: at most k survive (at most k
+                # values are strictly above the (k+1)-th largest)
+                m = sorted(counters.values(), reverse=True)[k]
+                counters = {key: v - m
+                            for key, v in counters.items() if v > m}
+        keys = list(counters.keys())
+        yield pd.DataFrame({"__k": keys + [None],
+                            "__n": [None] * len(keys) + [n_rows]})
 
     # Cast the key to string ONCE here: the mapInPandas candidate
     # schema below is '__k string', so a natively-typed key would
@@ -227,9 +248,16 @@ def heavy_hitters(df: DataFrame, key_col: str, phi_num: int = 1,
     # therefore string-typed for every input key type.
     keyed = df.select(F.col(key_col).cast("string").alias("__k")).filter(
         F.col("__k").isNotNull())
-    cands = (keyed.mapInPandas(mg_partition, schema="__k string")
+    sketch = keyed.mapInPandas(mg_partition, schema="__k string, __n long")
+    if materialize:
+        # tiny (≤ (k+1) x partitions rows) — both consumers below read
+        # it; without the persist each broadcast build would re-run
+        # the full sketch pass over the input
+        from pyspark import StorageLevel  # noqa: PLC0415
+        sketch = sketch.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = (sketch.filter(F.col("__k").isNotNull()).select("__k")
              .distinct())
-    total = keyed.agg(F.count(F.lit(1)).alias("__n"))
+    total = sketch.agg(F.sum("__n").alias("__n"))
     exact = (keyed.join(F.broadcast(cands), "__k", "left_semi")
              .groupBy("__k")
              .agg(F.count(F.lit(1)).alias("cnt")))

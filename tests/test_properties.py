@@ -589,6 +589,49 @@ class TestRoundNineOperators:
              if c * 20 > n), key=lambda t: (-t[1], t[0]))
         assert outs[0] == exact
 
+    def test_heavy_hitters_batched_mg_internals(self):
+        """r13 optimization pin: the vectorized batched Misra-Gries
+        update (value_counts merge + (k+1)-th-largest decrement) must
+        keep the candidate superset across Arrow BATCH boundaries —
+        the decrement path only fires between batches, so this forces
+        tiny batches over a key set far wider than k and checks the
+        exact output still matches GROUP BY + HAVING. Also pins the
+        sketch's sentinel-row total: N comes from the sketch pass, so
+        a miscounted partition total would shift the phi threshold."""
+        import pyspark.sql.functions as F  # noqa: F401
+        from data_and_analytics_etl_spark.operators.sketch import \
+            heavy_hitters
+        spark = self._spark()
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                             None)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        try:
+            # 500 distinct tail keys (one occurrence each) + 3 heavy
+            # keys; k = ceil(20/1) = 20 counters, so every batch-end
+            # prune must decrement through the tail churn without
+            # evicting a heavy key.
+            rows = ([("hot1",)] * 400 + [("hot2",)] * 300
+                    + [("hot3",)] * 200
+                    + [(f"tail{i}",) for i in range(500)])
+            df = spark.createDataFrame(rows, "token: string")
+            n = len(rows)
+            exact = sorted(
+                ((k, c) for k, c in
+                 df.groupBy("token").count().rdd
+                 .map(lambda r: (r["token"], r["count"])).collect()
+                 if c * 20 > n), key=lambda t: (-t[1], t[0]))
+            for parts in (1, 5, 32):
+                got = heavy_hitters(df.repartition(parts), "token",
+                                    phi_num=1, phi_den=20).collect()
+                assert [(r["key"], r["cnt"]) for r in got] == exact
+        finally:
+            if old is None:
+                spark.conf.unset(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch")
+            else:
+                spark.conf.set(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
     @settings(max_examples=10, deadline=None)
     @given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 8),
                               st.integers(0, 8)),
