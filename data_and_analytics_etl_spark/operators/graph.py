@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -278,22 +278,30 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     Returns (node, degree) for the surviving core — empty when no
     k-core exists.
     """
+    obs0 = Observation()
     e = (edges.select(F.least(src, dst).alias("a"),
                       F.greatest(src, dst).alias("b"))
          .filter(F.col("a") != F.col("b"))
-         .distinct().localCheckpoint(eager=True))
-    n_edges = e.count()
+         .distinct().observe(obs0, F.count(F.lit(1)).alias("n"))
+         .localCheckpoint(eager=True))
+    n_edges = obs0.get["n"]
     for _ in range(max_rounds):
         deg = (e.select(F.col("a").alias("node"))
                .unionAll(e.select(F.col("b").alias("node")))
                .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
         alive = deg.filter(F.col("degree") >= k).select("node")
+        # the surviving-edge count rides the eager localCheckpoint via
+        # observe() (the dedup_clusters r13 pattern): one driver action
+        # per peel round instead of two, one fewer read of the edge
+        # table per round
+        obs = Observation()
         e2 = (e.join(alive.withColumnRenamed("node", "a"), "a",
                      "left_semi")
               .join(alive.withColumnRenamed("node", "b"), "b",
                     "left_semi")
+              .observe(obs, F.count(F.lit(1)).alias("n"))
               .localCheckpoint(eager=True))
-        n2 = e2.count()
+        n2 = obs.get["n"]
         if n2 == n_edges:
             return deg.filter(F.col("degree") >= k)
         e, n_edges = e2, n2
