@@ -2359,10 +2359,12 @@ FROM ov GROUP BY dim ORDER BY dim
         "truncatable-embedding serving decisions (how much recall does "
         "a 4× cheaper index cost?). Deterministic: rounded cosines "
         "with vec_id tie-breaks make every top-k set exact, overlaps "
-        "are integer counts, the mean is one double division. Every "
-        "probe with zero overlap still counts via the per-probe "
-        "grouping (overlap floor 1 here: a vector's own neighborhood "
-        "is stable at these dims).",
+        "are integer counts, the mean is one double division. A dim "
+        "whose EVERY probe has zero overlap emits no row (the "
+        "oracle's inner join drops it; the n_probes > 0 filter "
+        "mirrors that exactly — first exercised at sf0.1, where the "
+        "8-dim prefix shares no top-10 with the full ranking for any "
+        "probe).",
 )
 def eval_matryoshka_truncation(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -2389,7 +2391,11 @@ def eval_matryoshka_truncation(spark: SparkSession,
                    F.min("n_common").cast("long").alias("min_overlap"),
                    F.max("n_common").cast("long").alias("max_overlap")))
         out = ov if out is None else out.unionByName(ov)
-    return out.orderBy("dim")
+    # The oracle's ov CTE inner-joins then groups, so a dim where NO
+    # probe overlaps contributes no row at all; the global agg above
+    # instead emits one (n_probes=0, NULL stats) row on empty input.
+    # Dropping it here makes the two shapes identical at every scale.
+    return out.filter(F.col("n_probes") > 0).orderBy("dim")
 
 
 @query(
