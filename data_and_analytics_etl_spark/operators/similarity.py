@@ -61,17 +61,32 @@ def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int,
     Plan shape: probes broadcast (they are the small side by contract) →
     one map-side pass scores every (probe, corpus) pair → `row_number`
     window bounded at k. The corpus is scanned once and never reshuffled
-    on its own key; the only shuffle is on probe_id for the top-k window,
-    whose input is already one row per (probe, corpus) pair scored.
+    on its own key; the only shuffles are the pre-scoring fan-out guard
+    (below) and probe_id for the top-k window, whose input is already
+    one row per (probe, corpus) pair scored.
+
+    The corpus side passes through `ensure_fanout_parallelism` before
+    the broadcast join: scoring multiplies each corpus row by
+    |probes| (the nested-loop analog of a token explode), so a corpus
+    that arrives as ONE scan partition — any dimension-sized parquet
+    file under the split size — serializes the whole O(|corpus| ×
+    |probes| × dim) scoring pass on one core (measured: the mutual-5NN
+    graph substrate spent 25.8 s of its 30.6 s wall in a single-task
+    scoring stage at sf0.1; 32-way fan-out cut the pass to ~1 s). The
+    guard round-robins the NARROW pre-join rows only, and is a no-op
+    whenever the corpus is multi-partition or already crossed an
+    exchange — at 100 TB it vanishes.
 
     Output: (probe_id, vec_id, cosine, rank), rank 1..k, ties broken on
     vec_id for determinism.
     """
+    from .text import ensure_fanout_parallelism
     p = probes.select(F.col(id_col).alias("probe_id"),
                       as_double(F.col(vec_col)).alias("__pvec"))
     p = p.withColumn("__pnorm", l2_norm(F.col("__pvec")))
-    c = corpus.select(F.col(id_col).alias("vec_id"),
-                      as_double(F.col(vec_col)).alias("__cvec"))
+    c = ensure_fanout_parallelism(
+        corpus.select(F.col(id_col).alias("vec_id"),
+                      as_double(F.col(vec_col)).alias("__cvec")))
     c = c.withColumn("__cnorm", l2_norm(F.col("__cvec")))
     scored = (c.join(F.broadcast(p), F.col("probe_id") != F.col("vec_id"))
               .withColumn("cosine",

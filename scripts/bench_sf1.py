@@ -91,6 +91,18 @@ R13_FAMILIES = {
     "r13_hyperball": "graph_hyperball_nf",
 }
 
+#: the round-13 OPTIMIZATION round's changed operators
+#: (SF1_FAMILIES=r13opt): the three paths whose internals changed —
+#: the vectorized 2-pass Misra-Gries heavy hitters, the observe-folded
+#: dedup-clusters fixpoint, and the observe-folded k-core peel — so
+#: the at-scale decade confirms the changes did not bend the scaling
+#: curve (all three should stay ~linear-in-data or flatter).
+R13OPT_FAMILIES = {
+    "b12_dedup_clusters": "dedup_clusters",
+    "b21_heavy_hitters": "sketch_freq_heavy_hitters",
+    "r13opt_k_core": "graph_k_core",
+}
+
 EAGER_EXTRA: set = set()
 if os.environ.get("SF1_FAMILIES") == "r10":
     FAMILIES = R10_FAMILIES
@@ -100,6 +112,8 @@ elif os.environ.get("SF1_FAMILIES") == "r12":
     FAMILIES = R12_FAMILIES
 elif os.environ.get("SF1_FAMILIES") == "r13":
     FAMILIES = R13_FAMILIES
+elif os.environ.get("SF1_FAMILIES") == "r13opt":
+    FAMILIES = R13OPT_FAMILIES
 elif os.environ.get("SF1_FAMILIES") == "all21":
     # r10 verdict task 4: the FULL 21-query bench at sf1 — b1-b10 had
     # never been timed past sf0.1. Reuses bench.py's exact probe map so
@@ -109,7 +123,7 @@ elif os.environ.get("SF1_FAMILIES") == "all21":
     EAGER_EXTRA = set(EAGER_QUERIES)
 
 EAGER = {"b12_dedup_clusters", "r10_hits_integer",
-         "r13_hyperball"} | EAGER_EXTRA
+         "r13_hyperball", "r13opt_k_core"} | EAGER_EXTRA
 
 
 def run_once(spark, probe, name: str, sf_dir: str) -> float:

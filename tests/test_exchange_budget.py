@@ -30,7 +30,14 @@ EXCHANGE_BUDGETS = {
     "q5_star_join": 7,
     "topk_per_group": 2,
     "window_running_agg": 2,
-    "cosine_topk": 3,
+    # 3 → 4 in the r13 optimization round: cosine_topk gained the
+    # ensure_fanout_parallelism round-robin exchange on the corpus
+    # side — a one-partition corpus scan serialized the whole
+    # |corpus|×|probes| scoring pass on one core (25.8 s of the
+    # mutual-5NN substrate's 30.6 s wall at sf0.1; 2.5 s after).
+    # The guard is a no-op once the corpus is multi-partition, but
+    # the budget pins the worst case.
+    "cosine_topk": 4,
     "dedup_exact": 2,
     "dedup_minhash_lsh": 9,
     "sessionization": 2,
