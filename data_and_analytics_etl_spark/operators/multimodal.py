@@ -1007,13 +1007,22 @@ def synthesize_bmp_assets(docs: DataFrame, size: int = 16) -> DataFrame:
     size×size 24bpp image whose pixels are md5-keyed bytes of the text
     — identical texts yield identical images, so the corpus's planted
     duplicates become image duplicates and the full decode→phash→pairs
-    pipeline is exercised end to end on REAL encoded payloads."""
+    pipeline is exercised end to end on REAL encoded payloads.
+
+    The docs frame passes through the fan-out guard first: synthesis
+    is heavy per-row Python, and a dimension-sized documents file
+    arrives as ONE scan partition, serializing the whole corpus's
+    rendering (and everything downstream of it — decode, fingerprint)
+    on a single task. No-op once the input is multi-partition."""
     import hashlib
 
     import pandas as pd
 
     from pyspark.sql.types import LongType, StructField
 
+    from .text import ensure_fanout_parallelism
+
+    docs = ensure_fanout_parallelism(docs)
     _ensure_portable()
     schema = StructType([
         StructField("asset_id", LongType()),
@@ -1134,7 +1143,12 @@ def synthesize_wav_assets(docs: DataFrame, n_samples: int = 2000,
     16-bit mono tone whose frequency/phase derive from the text's md5 —
     identical texts yield identical audio (the synthesize_bmp_assets
     contract for the audio modality), so planted duplicates exercise
-    decode → fingerprint → pair end to end on REAL encoded payloads."""
+    decode → fingerprint → pair end to end on REAL encoded payloads.
+
+    Fan-out guard on the docs frame, as in synthesize_bmp_assets:
+    tone synthesis is the heaviest per-row Python in the modality
+    stack (n_samples sin() evaluations per document) and must not
+    serialize on a one-partition scan."""
     import hashlib
     import io
     import math
@@ -1145,6 +1159,9 @@ def synthesize_wav_assets(docs: DataFrame, n_samples: int = 2000,
 
     from pyspark.sql.types import LongType, StructField
 
+    from .text import ensure_fanout_parallelism
+
+    docs = ensure_fanout_parallelism(docs)
     _ensure_portable()
     schema = StructType([
         StructField("asset_id", LongType()),

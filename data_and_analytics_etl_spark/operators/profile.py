@@ -985,11 +985,15 @@ def mondrian_anonymize(df: DataFrame, quasi_cols: list[str], k: int,
     Scale shape: each round is class-keyed hash aggregates (stats +
     candidate counts, at most n/k classes), one rank window per class
     for the median (parallel across classes), and a broadcast of the
-    classes-sized decision table back onto the rows; the ONLY driver
-    action is a 1-row "did any class split?" probe (the k_core
-    convergence family). Rounds are bounded by log2(n/k) and fenced by
+    classes-sized decision table back onto the rows; the "did any
+    class split?" convergence probe rides the eager localCheckpoint
+    itself via ``observe()`` (the dedup_clusters/k_core r13 pattern),
+    so each round is exactly ONE driver action — the earlier
+    per-round ``isEmpty()`` probes re-executed the round pipeline up
+    to twice more. Rounds are bounded by log2(n/k) and fenced by
     ``max_rounds``; per-round localCheckpoint keeps lineage flat.
     """
+    from pyspark.sql import Observation
     if k < 2:
         raise ValueError("k must be >= 2")
     if not quasi_cols:
@@ -1012,8 +1016,10 @@ def mondrian_anonymize(df: DataFrame, quasi_cols: list[str], k: int,
             best_r = F.when(wider, rng[c]).otherwise(best_r)
         choice = (stats.filter(F.col("__n") >= 2 * k)
                   .select("__class", best.alias("__col")))
-        if choice.isEmpty():  # no class large enough to ever split
-            break
+        # no separate "any class big enough?" probe: when choice is
+        # empty every downstream join is a null no-op and the observed
+        # commit count below reads 0, breaking after one cheap
+        # identity round instead of paying an extra action per round
         tagged = cur.join(F.broadcast(choice), "__class", "left")
         val = F.coalesce(*[F.when(F.col("__col") == c,
                                   F.col(c).cast("double"))
@@ -1040,17 +1046,21 @@ def mondrian_anonymize(df: DataFrame, quasi_cols: list[str], k: int,
                       .alias("__nr")))
         ok = (sizes.filter((F.col("__nl") >= k) & (F.col("__nr") >= k))
               .select("__class", F.lit(True).alias("__commit")))
+        obs = Observation()
         nxt = (sided.join(F.broadcast(ok), "__class", "left")
                .withColumn("__class",
                            F.when(F.col("__commit").isNotNull(),
                                   F.col("__class") * 2 + F.col("__side"))
                            .otherwise(F.col("__class")))
+               .observe(obs, F.sum(
+                   F.when(F.col("__commit").isNotNull(), 1)
+                   .otherwise(0)).alias("__n_committed"))
                .drop("__col", "__val", "__rn", "__median", "__side",
-                     "__commit"))
-        # bounded driver action: did any class actually split?
-        if ok.isEmpty():
-            break
-        cur = nxt.localCheckpoint()
+                     "__commit")
+               .localCheckpoint(eager=True))
+        if obs.get["__n_committed"] == 0:
+            break  # no class split: nxt is content-identical to cur
+        cur = nxt
     return cur
 
 

@@ -1963,9 +1963,16 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import apply_bpe, learn_bpe_merges
+    from ..operators.text import ensure_fanout_parallelism
     d = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(d, "text", num_merges=24)
-    enc = apply_bpe(d, "text", merges)
+    # Fan-out guard before the fold encode: 24 nested interpreted
+    # merge folds per word are the heaviest per-row expression work in
+    # the registry, and the one-partition documents scan serialized
+    # all of it on a single task (measured 39 s -> ~3 s at sf0.1).
+    # apply_bpe itself keeps its shuffle-free contract for callers
+    # whose input is already parallel.
+    enc = apply_bpe(ensure_fanout_parallelism(d), "text", merges)
     return (enc.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.size("bpe_tokens")).cast("long")
