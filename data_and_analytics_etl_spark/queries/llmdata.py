@@ -969,8 +969,12 @@ ORDER BY doc_id
         "trivially data-parallel at 100 TB.",
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import gopher_rules
-    d = load_table(spark, sf_dir, "documents")
+    from ..operators.text import ensure_fanout_parallelism, gopher_rules
+    # the dimension-sized documents file arrives as ONE scan partition;
+    # round-robin the narrow rows so the per-row rule arithmetic runs
+    # cluster-wide (no-op on any multi-partition scan, i.e. at scale)
+    d = ensure_fanout_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     g = gopher_rules(F.col("text"))
     return (d.select("doc_id",
                      *[g[k].alias(k) for k in
@@ -1023,8 +1027,11 @@ ORDER BY doc_id
         "column arithmetic, one projection, no shuffle.",
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import repetition_signals
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    from ..operators.text import ensure_fanout_parallelism, repetition_signals
+    # same one-partition-scan guard as text_gopher_rules
+    d = ensure_fanout_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200).select("doc_id", "text"))
     sig = repetition_signals(F.col("text"))
     return (d.select("doc_id",
                      sig["dup_word_frac"].alias("dup_word_frac"),
