@@ -17,6 +17,8 @@ order as the oracle's list_dot_product at probe scale).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import pyspark.sql.functions as F
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
@@ -499,12 +501,26 @@ def pq_index(corpus: DataFrame, id_col: str = "vec_id",
             f"__f{j}", array_to_vector(
                 F.slice(F.col("__vec"), j * dsub + 1, dsub)))
     feat = feat.persist()
+
+    # The m subspace fits are independent job chains the driver used to
+    # submit strictly in sequence — each fit's straggler tail left every
+    # other core idle. Overlap them from a small thread pool (guide
+    # §2.6: actions are only sequential because driver code calls them
+    # sequentially) so one fit's tail back-fills the next fit's stages.
+    # Results are bit-identical to the sequential loop: each fit is
+    # seeded (seed+j), reads the same persisted frame, and MLlib fits
+    # don't interact; concurrent first-use of the cache fills each
+    # partition once under the block manager's per-block lock.
+    def _fit(j: int):
+        return KMeans(k=2 ** nbits, seed=seed + j,
+                      featuresCol=f"__f{j}",
+                      predictionCol=f"__c{j}").fit(feat)
+
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        models = list(pool.map(_fit, range(m)))
     cb_rows = []
     coded = feat
-    for j in range(m):
-        model = KMeans(k=2 ** nbits, seed=seed + j,
-                       featuresCol=f"__f{j}",
-                       predictionCol=f"__c{j}").fit(feat)
+    for j, model in enumerate(models):
         coded = model.transform(coded)
         cb_rows += [(j, c, [float(x) for x in cent]) for c, cent in
                     enumerate(model.clusterCenters())]
@@ -606,18 +622,29 @@ def ivfpq_ann(corpus: DataFrame, probes: DataFrame, k: int,
                          as_double(F.col(vec_col)).alias("__vec"),
                          array_to_vector(as_double(F.col(vec_col)))
                          .alias("features"))
-    coarse = KMeans(k=n_cells, seed=seed, featuresCol="features",
-                    predictionCol="cell").fit(feat)
+
+    # The coarse-quantizer fit and the PQ codebook training read the
+    # same corpus but share no state (independent seeds, independent
+    # outputs) — overlap the two driver-sequenced training chains
+    # (guide §2.6) exactly like pq_index overlaps its subspace fits.
+    # Fit results are unchanged: same seeds, same inputs.
+    def _fit_coarse():
+        return KMeans(k=n_cells, seed=seed, featuresCol="features",
+                      predictionCol="cell").fit(feat)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        coarse_f = pool.submit(_fit_coarse)
+        # --- fine quantizer: PQ codes for every corpus vector
+        pq_f = pool.submit(pq_index, corpus, id_col, vec_col, m,
+                           nbits, seed + 1000)
+        coarse = coarse_f.result()
+        codes, codebooks = pq_f.result()
     assigned = (coarse.transform(feat)
                 .select("vec_id", "cell").persist())
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in
          enumerate(coarse.clusterCenters())],
         "cell: int, centroid: array<double>")
-
-    # --- fine quantizer: PQ codes for every corpus vector
-    codes, codebooks = pq_index(corpus, id_col, vec_col, m, nbits,
-                                seed=seed + 1000)
     routed_codes = codes.join(assigned, "vec_id")
 
     p = probes.select(F.col(id_col).alias("probe_id"),
