@@ -233,9 +233,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = src.filter(F.col("event_type") == "view")
     purchases = events_stream(spark, sf_dir).filter(
         F.col("event_type") == "purchase")
+    # state-sized store count (see run_stream_to_table): ~40k state
+    # rows across FOUR stores/partition; 8 instances bounds the fixed
+    # per-batch store open/commit cost that dominated this replay at 32
     out = run_stream_to_table(
         stream_stream_interval_join(views, purchases),
-        output_mode="append")
+        output_mode="append", state_partitions=8)
     return (out.select(
         "user_id", "view_id", "purchase_id",
         F.date_format("ts_view", "yyyy-MM-dd HH:mm:ss.SSSSSS")
@@ -308,19 +311,30 @@ def outer_interval_join_replay(spark: SparkSession, sf_dir: str,
                  "view"),
                 (-(2 * i), dt.datetime.fromisoformat(day), -1,
                  "purchase")]
-        (spark.createDataFrame(sent, cols).coalesce(1)
+        # one-slice parallelize, NOT createDataFrame(...).coalesce(1):
+        # plain createDataFrame splits even 2 rows over
+        # defaultParallelism Python slices, and coalesce(1) then walks
+        # all of them serially in ONE task — ~0.2 s of Python-runner
+        # round trip per slice, measured 5.5-7 s per 2-row sentinel
+        # write on local[32] vs ~0.5 s for the single-slice form
+        (spark.createDataFrame(
+            spark.sparkContext.parallelize(sent, numSlices=1), cols)
          .write.parquet(d + f"/data/f{i + 1}"))
 
     def src():
         return (spark.readStream.schema(cols)
                 .option("maxFilesPerTrigger", 1).parquet(d + "/data/*"))
 
+    # state-sized store count (see run_stream_to_table): the sentinel
+    # micro-batches carry 4 rows each, so at 32 partitions their cost
+    # was pure per-(partition x store) commit machinery — A/B measured
+    # 10-12 s -> ~3.7-4.2 s replay at 8, identical output hash
     out = run_stream_to_table(
         stream_stream_interval_join(
             src().filter(F.col("event_type") == "view"),
             src().filter(F.col("event_type") == "purchase"),
             how=how),
-        output_mode="append")
+        output_mode="append", state_partitions=8)
     return (out.filter(F.col("user_id") >= 0)
             .select(
         "user_id", "view_id", "purchase_id",

@@ -43,7 +43,7 @@ def events_stream(spark: SparkSession, sf_dir: str,
 
 
 def run_stream_to_table(stream_df: DataFrame, output_mode: str = "append",
-                        ) -> DataFrame:
+                        state_partitions: int | None = None) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a memory
     sink; return the materialized result as a batch DataFrame.
 
@@ -51,16 +51,39 @@ def run_stream_to_table(stream_df: DataFrame, output_mode: str = "append",
     the deterministic replay mode the equivalence tests and driver probes
     rely on. Checkpoint goes to a fresh temp dir per run (probe runs are
     independent by contract; production sinks pass a durable location).
+
+    ``state_partitions`` sizes the STATE STORE instance count for
+    stateful queries: shuffle partitions at a streaming query's FIRST
+    start are pinned into its checkpoint as the state partitioning for
+    the query's whole life, so this is a per-query state-sizing
+    decision, not a parallelism knob — every micro-batch pays a fixed
+    open/commit/maintenance cost per (partition x store) even when the
+    batch carries a handful of rows (a stream-stream join holds FOUR
+    stores per partition). Size it to state volume: the replay probes'
+    tens-of-thousands of state rows need single-digit instances, while
+    a production deployment passes whatever its state footprint needs.
+    Results are partitioning-invariant (verified: identical row hashes
+    across 4/8/32 on the interval-join replays). None = leave the
+    session's conf untouched (the pre-r13 behavior).
     """
     name = f"q_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (stream_df.writeStream
-         .format("memory").queryName(name)
-         .outputMode(output_mode)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key) if state_partitions is not None else None
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        q = (stream_df.writeStream
+             .format("memory").queryName(name)
+             .outputMode(output_mode)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
     return stream_df.sparkSession.table(name)
 
 

@@ -525,6 +525,43 @@ class TestStreamStreamOuterJoin:
         assert rows == [(0, 100), (0, 102), (1, 102), (2, 102),
                         (3, None), (4, None)]
 
+    def test_state_partitions_sizes_stores_and_restores_conf(
+            self, spark, tmp_path):
+        # run_stream_to_table(state_partitions=) pins the streaming
+        # query's state store instance count (shuffle partitions at
+        # first start) — results must be partitioning-invariant and
+        # the session conf must come back restored (r13 state-sizing
+        # hook for the stream-stream join replay probes).
+        from data_and_analytics_etl_spark.streaming.ops import (
+            run_stream_to_table, stream_stream_interval_join)
+        cols = ("event_id long, ts timestamp, user_id long, "
+                "event_type string")
+        t0 = dt.datetime(2024, 1, 1)
+        rows = ([(i, t0 + dt.timedelta(minutes=i), 1 + i % 3, "view")
+                 for i in range(12)]
+                + [(100 + i, t0 + dt.timedelta(minutes=i, seconds=30),
+                    1 + i % 3, "purchase") for i in range(12)])
+        (spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, numSlices=1), cols)
+         .write.parquet(str(tmp_path / "data" / "f1")))
+
+        def run(sp):
+            src = (spark.readStream.schema(cols)
+                   .parquet(str(tmp_path / "data" / "*")))
+            out = run_stream_to_table(
+                stream_stream_interval_join(
+                    src.filter(F.col("event_type") == "view"),
+                    src.filter(F.col("event_type") == "purchase")),
+                output_mode="append", state_partitions=sp)
+            return sorted((r.view_id, r.purchase_id)
+                          for r in out.collect())
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        got_sized = run(2)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        assert got_sized == run(None)
+        assert got_sized  # non-vacuous: the join matched something
+
     def test_rejects_unknown_join_type(self, spark, sf_dir):
         # full_outer graduated to a supported type in r13; right_outer
         # (and anything else) must still refuse loudly
