@@ -519,7 +519,12 @@ def stream_to_versioned_sink(stream_df: DataFrame, path: str,
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        write_partitioned(batch_df, path, ts_col, fmt=fmt)
+        # align_partitions: a micro-batch arrives with the SOURCE's
+        # partitioning (often 1 scan partition) while spanning many
+        # hours — without the rebalance one task writes every hourly
+        # directory serially (measured 9-12 s for a 720-hour batch).
+        write_partitioned(batch_df, path, ts_col, fmt=fmt,
+                          align_partitions=True)
         commit_version(path, fmt=fmt)
 
     return (stream_df.writeStream

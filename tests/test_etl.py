@@ -66,6 +66,27 @@ def test_partitioned_sink_layout_and_record_cap(spark, sf_dir, tmp_path):
     assert one.count() == want
 
 
+def test_aligned_write_same_rows_one_file_per_hour(spark, sf_dir,
+                                                   tmp_path):
+    # align_partitions=True (r13: the versioned streaming sink's write
+    # path) rebalances onto the hourly keys before the write — the
+    # rows and the hive layout must be identical to the plain form,
+    # and a 1-partition input spanning many hours must come out as one
+    # file per hour (not one task serially writing every directory).
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("ts") < F.lit(T1)).coalesce(1))
+    plain, aligned = str(tmp_path / "plain"), str(tmp_path / "aligned")
+    write_partitioned(ev, plain, "ts")
+    write_partitioned(ev, aligned, "ts", align_partitions=True)
+    hours = glob.glob(f"{aligned}/year=*/month=*/day=*/hour=*")
+    assert hours, "expected hive-style layout from the aligned write"
+    files = glob.glob(f"{aligned}/year=*/month=*/day=*/hour=*/*.parquet")
+    assert len(files) == len(hours), "aligned write fragmented an hour"
+    a = sorted(map(tuple, spark.read.parquet(aligned).collect()))
+    p = sorted(map(tuple, spark.read.parquet(plain).collect()))
+    assert a == p
+
+
 def test_empty_input_writes_no_data_files(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events").filter(F.lit(False))
     dest = str(tmp_path / "empty")
