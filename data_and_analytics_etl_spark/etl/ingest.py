@@ -62,9 +62,14 @@ def incremental_ingest(spark: SparkSession, source: DataFrame, dest: str,
     observed = source.filter(window).observe(
         obs, F.count(F.lit(1)).alias("rows"))
 
-    # 1. data lands...
+    # 1. data lands... (aligned onto the hourly keys: an ingest window
+    # spans many hours while the source scan's partitioning is
+    # arbitrary — without the rebalance every scan task writes a file
+    # into every hour it holds, and a 1-partition source serializes
+    # the whole layout on one task; see sink.write_partitioned)
     write_partitioned(observed, dest, ts_col, fmt=fmt,
-                      max_records_per_file=max_records_per_file)
+                      max_records_per_file=max_records_per_file,
+                      align_partitions=True)
     # 2. ...then the watermark advances (write-then-commit; ref :251-262).
     rows = int(obs.get["rows"])
     ckpt.commit(hi, dataset=dataset, rows=rows)

@@ -162,7 +162,10 @@ def _pull(spark: SparkSession, event: dict, transport: Transport,
             # cumulative across runs and cost a second full scan.
             obs = Observation(f"pull_{name}")
             observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            write_partitioned(observed, dest, "indexed_on_ts")
+            # aligned: REST pages arrive partitioned by window slice,
+            # not by hour — see sink.write_partitioned(align_partitions)
+            write_partitioned(observed, dest, "indexed_on_ts",
+                              align_partitions=True)
             n = int(obs.get["rows"])
         # write-then-commit; custom ranges never advance the watermark
         if not is_custom:
