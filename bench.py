@@ -95,16 +95,18 @@ RECORDS_SF01: dict[str, float] = {
     "b1_pricing_summary": 0.451, "b2_shipping_priority": 0.377,
     "b3_star_join": 0.441, "b4_topk_per_group": 0.217,
     "b5_running_sum": 0.153, "b6_cosine_topk": 0.317,
-    "b7_exact_dedup": 0.158, "b8_minhash_neardup": 0.575,
+    "b7_exact_dedup": 0.158,
     "b9_sessionization": 0.515, "b10_returned_revenue": 0.251,
-    "b11_nation_volume": 0.374, "b12_dedup_clusters": 0.711,
-    "b13_span_duplication": 0.542, "b14_drift_ks": 0.325,
-    "b15_curation_pipeline": 1.183, "b16_transitive_closure": 1.463,
-    # r13: set under the steal-gated protocol (winning attempts at
-    # <1% steal, job_dispatch_sec 0.068 host) — BASELINE.md Round 13
-    "b17_segment_dedup": 0.388,
-    "b18_bigram_lm": 0.971,
-    "b19_geo_proximity": 0.396, "b20_spearman": 1.414,
+    "b11_nation_volume": 0.374,
+    "b15_curation_pipeline": 1.183,
+    # r13 optimization close: steal-clean record runs on the slower-
+    # dispatch host (max steal_by_query 0.08%; new full-21 record
+    # 11.419 s) — BASELINE.md "Round-13 optimization close"
+    "b8_minhash_neardup": 0.551, "b12_dedup_clusters": 0.687,
+    "b13_span_duplication": 0.454, "b14_drift_ks": 0.306,
+    "b16_transitive_closure": 1.227, "b17_segment_dedup": 0.354,
+    "b18_bigram_lm": 0.780, "b19_geo_proximity": 0.362,
+    "b20_spearman": 1.414,
     "b21_heavy_hitters": 0.444,
 }
 
