@@ -54,8 +54,11 @@ def write_partitioned(df: DataFrame, path: str, ts_col: str,
     AQE splits an oversized hot hour across tasks (maxRecordsPerFile
     then caps the files) and coalesces tiny hours together. Default
     off: the plain form preserves upstream partitioning for callers
-    that already write few hours per batch (the incremental-ingest
-    contract fixtures pin that behavior).
+    whose batches already span few hours — the streaming merge-sink
+    bootstrap (streaming/ops.py:stream_merge_to_partitioned) and the
+    direct probe/test writes; the production ingest paths
+    (etl/ingest.py:incremental_ingest, job.py's REST pull, the
+    versioned streaming sink) all pass ``align_partitions=True``.
     """
     out = with_time_partitions(df, ts_col)
     if align_partitions:

@@ -9,6 +9,7 @@ of column count, never one job per column.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 
 
@@ -1304,7 +1305,8 @@ def _midrank2_by_group(df: DataFrame, group_col: str, value_col: str,
 
 def spearman_corr(df: DataFrame, group_col: str, x_col: str, y_col: str,
                   x_range: tuple[float, float], y_range: tuple[float, float],
-                  nbins: int = 256) -> DataFrame:
+                  nbins: int = 256,
+                  persist_rank_table: bool = False) -> DataFrame:
     """Per-group Spearman rank correlation with exact tie handling.
 
     ρ = Pearson on midranks; midranks are carried DOUBLED (integers —
@@ -1351,6 +1353,15 @@ def spearman_corr(df: DataFrame, group_col: str, x_col: str, y_col: str,
                F.sum(F.col("__rx2")).alias("__sx"),
                F.sum(F.col("__rx2").cast(dec) * F.col("__rx2").cast(dec))
                .cast(dec).alias("__sxx_p")))
+    if persist_rank_table:
+        # r14 A/B hook (default off): explicitly materialize the shared
+        # y-side rank table instead of relying on AQE ReuseExchange to
+        # collapse its two consumers (the bucket totals and the ranked
+        # join). Measured slower at sf0.1 AND sf1 (see
+        # OPTIMIZATION_r14.md) — the reused exchange already computes
+        # t1 once, and the cache adds a store+read pass; kept as a
+        # parameter so the decision is re-measurable per deployment.
+        t1 = t1.persist(StorageLevel.MEMORY_AND_DISK)
     totals = t1.groupBy("__g", "__bucket").agg(
         F.sum("__cnt").alias("__bc"))
     wb = (Window.partitionBy("__g").orderBy("__bucket")

@@ -57,14 +57,39 @@ def ensure_fanout_parallelism(df: DataFrame,
     # than useless, because under AQE converting a shuffled plan to an
     # RDD EXECUTES the upstream stages (a job at plan-construction time,
     # violating the engine's action-free construction contract).
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if any(op in plan for op in ("Aggregate", "Window", "Join", "Sort",
-                                 "Deduplicate", "Repartition")):
+    if _crosses_exchange(df._jdf.queryExecution().analyzed()):
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+#: Analyzed-plan node names that plan an exchange (or mark one already
+#: requested): their presence means the frame runs at shuffle-partition
+#: width, so the fan-out guard must not probe (or add) anything.
+_EXCHANGE_NODE_NAMES = frozenset({
+    "Aggregate", "Window", "Join", "Sort", "Deduplicate",
+    "Repartition", "RepartitionByExpression", "RebalancePartitions",
+})
+
+
+def _crosses_exchange(jplan) -> bool:
+    """True when the analyzed logical plan contains an exchange-planning
+    node. Walks the tree and matches each node's ``nodeName()`` exactly
+    (r14 hardening) — the previous substring test over ``toString()``
+    could be defeated by NEW operator names and, worse, silently
+    tripped by plan TEXT: a column aliased ``sortKey``/``JoinOrder``
+    made a pure scan look shuffled, skipping the guard."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in _EXCHANGE_NODE_NAMES:
+            return True
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
+    return False
 
 
 def text_stats(text: Column) -> dict[str, Column]:

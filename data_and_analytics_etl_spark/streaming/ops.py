@@ -31,19 +31,61 @@ def events_stream(spark: SparkSession, sf_dir: str,
     batch frames are column-identical and ``withWatermark("ts", ...)``
     always sees TimestampType.
     """
+    import os
+
     batch = load_table(spark, sf_dir, "events")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # pre-normalize schema
-    reader = (spark.readStream.schema(raw.schema)
-              .option("pathGlobFilter", "events.parquet"))
+    path = f"{sf_dir}/events.parquet"
+    raw = spark.read.parquet(path)  # pre-normalize schema
+    reader = spark.readStream.schema(raw.schema)
+    # Two fixture layouts exist (r14): the driver SFs ship events as ONE
+    # parquet FILE named events.parquet, while spark-written decades
+    # (sf1-synthetic) ship it as a DIRECTORY of part files. File stream
+    # sources list a directory, so stream sf_dir filtered to the one
+    # file in the first case and the table directory itself in the
+    # second. (isdir is a local-fs probe — fixtures are local by the
+    # harness contract; a remote deployment points at its own layout.)
+    if os.path.isdir(path):
+        reader = reader.option("pathGlobFilter", "*.parquet")
+        src = path
+    else:
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        src = sf_dir
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = normalize_event_timestamps(reader.parquet(sf_dir))
+    df = normalize_event_timestamps(reader.parquet(src))
     assert df.schema == batch.schema, "stream/batch schema drift"
     return df
 
 
+#: Target state rows per state-store instance for the derived sizing in
+#: :func:`run_stream_to_table`. Each instance costs a FIXED open/commit/
+#: maintenance fee per micro-batch (x4 stores for a stream-stream join),
+#: so instances should be meaningfully loaded: ~10k rows amortizes the
+#: fixed cost while keeping per-instance state far under memory limits
+#: (state rows are O(100 B); 10k rows ≈ 1 MB/store). Production callers
+#: with bigger rows or tighter latency pass ``state_partitions``
+#: explicitly; results are partitioning-invariant (test-pinned).
+STATE_ROWS_PER_STORE = 10_000
+
+
+def derive_state_partitions(spark: SparkSession,
+                            est_state_rows: int) -> int:
+    """Default state-store instance count from an estimated state-row
+    footprint: ceil(est_state_rows / STATE_ROWS_PER_STORE), clamped to
+    [1, session shuffle partitions]. The estimate is the caller's
+    watermark-bounded state size (e.g. events-per-hour x watermark
+    hours for a windowed agg; sum of both sides' retained rows for a
+    stream-stream join) — precision does not matter, the cost curve is
+    flat within 2x (sizing only avoids the two cliffs: hundreds of
+    near-empty instances each paying the fixed per-batch fee, or one
+    giant instance serializing all state work)."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(cap, -(-est_state_rows // STATE_ROWS_PER_STORE)))
+
+
 def run_stream_to_table(stream_df: DataFrame, output_mode: str = "append",
-                        state_partitions: int | None = None) -> DataFrame:
+                        state_partitions: int | None = None,
+                        est_state_rows: int | None = None) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a memory
     sink; return the materialized result as a batch DataFrame.
 
@@ -64,15 +106,29 @@ def run_stream_to_table(stream_df: DataFrame, output_mode: str = "append",
     a production deployment passes whatever its state footprint needs.
     Results are partitioning-invariant (verified: identical row hashes
     across 4/8/32 on the interval-join replays). None = leave the
-    session's conf untouched (the pre-r13 behavior).
+    session's conf untouched (the pre-r13 behavior), UNLESS
+    ``est_state_rows`` is given, in which case the count derives via
+    :func:`derive_state_partitions` — the documented sizing default for
+    production callers who know their state footprint but not their
+    cluster's conf (r13 left None = session conf, which re-created the
+    32-near-empty-store pathology on small-state queries).
     """
+    if state_partitions is None and est_state_rows is not None:
+        state_partitions = derive_state_partitions(
+            stream_df.sparkSession, est_state_rows)
     name = f"q_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     spark = stream_df.sparkSession
+    # The conf swap is session-wide: it assumes single-threaded probe
+    # execution (any query PLANNED concurrently in this session during
+    # the window would inherit the temporary value). Probe/test
+    # harnesses are single-threaded by contract; a concurrent caller
+    # must scope partitioning per query itself.
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key) if state_partitions is not None else None
     if state_partitions is not None:
         spark.conf.set(key, str(state_partitions))
+    q = None
     try:
         q = (stream_df.writeStream
              .format("memory").queryName(name)
@@ -81,6 +137,15 @@ def run_stream_to_table(stream_df: DataFrame, output_mode: str = "append",
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
+    except BaseException:
+        # don't leak a running query (holding state stores + the memory
+        # sink name) when awaitTermination/start raises
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        raise
     finally:
         if old is not None:
             spark.conf.set(key, old)

@@ -23,7 +23,7 @@ from bench import BENCH_QUERIES, EAGER_QUERIES  # noqa: E402
 from data_and_analytics_etl_spark.queries import REGISTRY  # noqa: E402
 from data_and_analytics_etl_spark.session import get_spark  # noqa: E402
 
-ROUND = 13
+ROUND = 14
 
 
 def main() -> None:

@@ -2276,3 +2276,63 @@ class TestHyperball:
         vals = [rows[r] for r in range(6)]
         assert vals == sorted(vals)
         assert vals[3] == vals[4] == vals[5]
+
+
+class TestFanoutGuardPlanDetection:
+    """r14 hardening: ensure_fanout_parallelism detects prior exchanges
+    by walking analyzed-plan NODE NAMES, not by substring over the plan
+    text — a column aliased 'JoinOrder'/'sortKey' must not defeat the
+    guard, and genuinely shuffled plans must still be left alone."""
+
+    def _spark(self):
+        from data_and_analytics_etl_spark.session import get_spark
+        return get_spark("fanout-guard-test")
+
+    def _one_partition_scan(self, spark, tmp_path):
+        import os
+        p = os.path.join(str(tmp_path), "one.parquet")
+        spark.createDataFrame([(i, i * 2) for i in range(100)],
+                              "x: long, y: long") \
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    def test_adversarial_alias_does_not_defeat_guard(self, tmp_path):
+        from data_and_analytics_etl_spark.operators.text import (
+            ensure_fanout_parallelism)
+        spark = self._spark()
+        df = self._one_partition_scan(spark, tmp_path).select(
+            F.col("x").alias("JoinOrder"), F.col("y").alias("sortKey"))
+        assert df.rdd.getNumPartitions() == 1
+        out = ensure_fanout_parallelism(df, min_partitions=4)
+        # the plan TEXT contains 'Join' and 'Sort' but no exchange node:
+        # the guard must still repartition the 1-partition scan
+        assert out.rdd.getNumPartitions() >= 4
+
+    def test_shuffled_plan_left_alone(self, tmp_path):
+        from data_and_analytics_etl_spark.operators.text import (
+            ensure_fanout_parallelism)
+        spark = self._spark()
+        base = self._one_partition_scan(spark, tmp_path)
+        for shuffled in (
+                base.groupBy("x").count(),
+                base.orderBy("y"),
+                base.distinct(),
+                base.repartition(2, "x"),
+                base.join(base.select(F.col("x").alias("z")),
+                          F.col("x") == F.col("z"))):
+            out = ensure_fanout_parallelism(shuffled, min_partitions=64)
+            assert out is shuffled, shuffled._jdf.queryExecution() \
+                .analyzed().nodeName()
+
+    def test_multi_partition_scan_is_noop(self, tmp_path):
+        import os
+        from data_and_analytics_etl_spark.operators.text import (
+            ensure_fanout_parallelism)
+        spark = self._spark()
+        p = os.path.join(str(tmp_path), "many.parquet")
+        spark.createDataFrame([(i,) for i in range(100)], "x: long") \
+            .repartition(8).write.mode("overwrite").parquet(p)
+        df = spark.read.parquet(p)
+        got = df.rdd.getNumPartitions()
+        out = ensure_fanout_parallelism(df, min_partitions=min(got, 8))
+        assert out is df

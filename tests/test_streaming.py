@@ -113,6 +113,26 @@ def test_watermark_drops_late_data_across_runs(spark, tmp_path):
     assert not any(w == t0 + dt.timedelta(minutes=40) for w, _, _ in got)
 
 
+def test_events_stream_reads_directory_layout(spark, sf_dir, tmp_path):
+    # r14: spark-written decades (sf1-synthetic) ship events.parquet as
+    # a DIRECTORY of part files, not the single-file fixture layout —
+    # the stream source must read both and agree with the batch table.
+    src = load_table(spark, sf_dir, "events")
+    alt = str(tmp_path / "sfalt")
+    os.makedirs(alt)
+    src.repartition(4).write.parquet(f"{alt}/events.parquet")
+    stream = run_stream_to_table(
+        tumbling_window_agg(events_stream(spark, alt)),
+        output_mode="complete")
+    batch = tumbling_window_agg(load_table(spark, alt, "events"))
+    assert _rows(stream, "window_start", "n", "sum_value") == \
+        _rows(batch, "window_start", "n", "sum_value")
+    # and the multi-file directory really was multi-file
+    parts = [f for f in os.listdir(f"{alt}/events.parquet")
+             if f.endswith(".parquet")]
+    assert len(parts) >= 2
+
+
 def test_stream_batch_schema_identity(spark, sf_dir):
     st = events_stream(spark, sf_dir)
     batch = load_table(spark, sf_dir, "events")
@@ -561,6 +581,46 @@ class TestStreamStreamOuterJoin:
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
         assert got_sized == run(None)
         assert got_sized  # non-vacuous: the join matched something
+
+    def test_derived_state_partitions_same_result(self, spark, tmp_path):
+        # r14: est_state_rows derives the store count via the documented
+        # formula (ceil(rows / STATE_ROWS_PER_STORE), clamped to the
+        # session conf) — derived sizing must be output-identical to an
+        # explicit count and to the session default, and the formula
+        # itself must hit its clamps.
+        from data_and_analytics_etl_spark.streaming import ops
+        assert ops.derive_state_partitions(spark, 1) == 1
+        assert ops.derive_state_partitions(
+            spark, 25_000) == 3  # ceil(25k/10k)
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert ops.derive_state_partitions(spark, 10**9) == cap
+
+        cols = ("event_id long, ts timestamp, user_id long, "
+                "event_type string")
+        t0 = dt.datetime(2024, 1, 1)
+        rows = ([(i, t0 + dt.timedelta(minutes=i), 1 + i % 3, "view")
+                 for i in range(12)]
+                + [(100 + i, t0 + dt.timedelta(minutes=i, seconds=30),
+                    1 + i % 3, "purchase") for i in range(12)])
+        (spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, numSlices=1), cols)
+         .write.parquet(str(tmp_path / "data" / "f1")))
+
+        def run(**kw):
+            src = (spark.readStream.schema(cols)
+                   .parquet(str(tmp_path / "data" / "*")))
+            out = ops.run_stream_to_table(
+                ops.stream_stream_interval_join(
+                    src.filter(F.col("event_type") == "view"),
+                    src.filter(F.col("event_type") == "purchase")),
+                output_mode="append", **kw)
+            return sorted((r.view_id, r.purchase_id)
+                          for r in out.collect())
+
+        derived = run(est_state_rows=24)   # -> 1 store/partition group
+        assert derived == run(state_partitions=8)
+        assert derived == run()
+        assert derived
 
     def test_rejects_unknown_join_type(self, spark, sf_dir):
         # full_outer graduated to a supported type in r13; right_outer
