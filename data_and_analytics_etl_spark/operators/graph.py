@@ -48,6 +48,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     Σ rank stays 1 every round (pytest-pinned). Output: (node, rank).
     """
+    from pyspark.sql import Observation
+
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct()
          .persist(StorageLevel.MEMORY_AND_DISK))
@@ -59,15 +61,31 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
             .persist(StorageLevel.MEMORY_AND_DISK))
     n = base.count()  # one bounded action to size the teleport term
-    ranks = base.select("node", "outdeg",
-                        F.lit(1.0 / n).alias("rank")).localCheckpoint()
+
+    def checkpoint_with_dang(frame: DataFrame) -> tuple[DataFrame, float]:
+        # Dangling mass rides the round's own checkpoint via observe()
+        # (r14; the b12/k_core fold): the old form planned a separate
+        # 1-row aggregate + broadcast SUBTREE over the checkpointed
+        # ranks inside the next round — two extra query stages per
+        # round whose cost at sf0.1 is almost pure stage dispatch, and
+        # at cluster scale a per-round re-read of the rank table. The
+        # observed sum is the same double aggregation over the same
+        # rows (when/otherwise adds exact +0.0 terms for non-dangling
+        # nodes); its value is inlined as a literal into the next
+        # round's update, which multiplies/divides in the same order
+        # as the old column expression.
+        obs = Observation()
+        out = frame.observe(
+            obs, F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))
+                       .otherwise(F.lit(0.0))).alias("dang"))\
+            .localCheckpoint()
+        val = obs.get["dang"]
+        return out, float(val) if val is not None else 0.0
+
+    ranks, dang = checkpoint_with_dang(
+        base.select("node", "outdeg", F.lit(1.0 / n).alias("rank")))
 
     for _ in range(iters):
-        # dangling mass: a 1-row aggregate broadcast into the update —
-        # the action-free scalar-join pattern (no collect)
-        dang = (ranks.filter(F.col("outdeg") == 0)
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
-                     .alias("__dang")))
         contrib = (ranks.filter(F.col("outdeg") > 0)
                    .join(e, ranks.node == e.src)
                    .select(F.col("dst").alias("node"),
@@ -75,15 +93,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                            .alias("__c"))
                    .groupBy("node")
                    .agg(F.sum("__c").alias("__in")))
-        ranks = (base.join(contrib, "node", "left")
-                 .crossJoin(F.broadcast(dang))
-                 .select("node", "outdeg",
-                         (F.lit((1.0 - damping) / n)
-                          + F.lit(damping) * F.col("__dang") / n
-                          + F.lit(damping)
-                          * F.coalesce(F.col("__in"), F.lit(0.0)))
-                         .alias("rank"))
-                 .localCheckpoint())
+        upd = (base.join(contrib, "node", "left")
+               .select("node", "outdeg",
+                       (F.lit((1.0 - damping) / n)
+                        + F.lit(damping * dang / n)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("__in"), F.lit(0.0)))
+                       .alias("rank")))
+        ranks, dang = checkpoint_with_dang(upd)
     e.unpersist()
     return ranks.select("node", "rank")
 
@@ -111,6 +128,14 @@ def triangle_count(edges: DataFrame, src: str = "src",
     cartesian anywhere. Output: one row (n_nodes, n_edges, triangles).
     """
     a, b = F.col(src), F.col(dst)
+    # NOT persisted (r14, measured): unlike local_clustering_by_degree
+    # (which gained -64% at sf1 from caching `o`), THIS plan's subtree
+    # copies DO collapse under AQE exchange reuse (the semi-join
+    # variant keeps the copies' exchanges identical) — adding
+    # e/o persists here measured SLOWER (probe warm 4.9 -> 7.6 s,
+    # jobs 18 -> 30 at sf0.1): the cache fill splits the fused
+    # pipelines and pays two extra materialization passes for reuse
+    # the planner already had.
     e = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
          .filter(F.col("a") != F.col("b"))
          .distinct())
@@ -757,11 +782,20 @@ def local_clustering_by_degree(edges: DataFrame, src: str = "src",
                 .withColumnRenamed("deg", "db"), "b"))
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    # Persist the oriented edge table (r14): `o` is consumed THREE
+    # times (both wedge sides + the closing join), and the chain
+    # behind it — degree agg + two degree joins over the cached edge
+    # set — recomputes per consumer at scale (Catalyst copies the
+    # subtree; the copies' exchanges are not identical, so AQE
+    # ReuseExchange cannot collapse them all). Interleaved A/B
+    # (scripts/ab_lcc_persist.py): sf1 decade 27.1 -> 9.8 s (-64%);
+    # sf0.1 pays ~0.7 s of cache fill on a 3-4 s probe — the scale
+    # call per guide §5 (reused AND recompute-expensive).
     o = ed.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da"))
-        .alias("dv"))
+        .alias("dv")).persist(StorageLevel.MEMORY_AND_DISK)
     o1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
     o2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
     wedges = o1.join(o2, "u").filter(

@@ -1306,7 +1306,7 @@ def _midrank2_by_group(df: DataFrame, group_col: str, value_col: str,
 def spearman_corr(df: DataFrame, group_col: str, x_col: str, y_col: str,
                   x_range: tuple[float, float], y_range: tuple[float, float],
                   nbins: int = 256,
-                  persist_rank_table: bool = False) -> DataFrame:
+                  persist_rank_table: bool = True) -> DataFrame:
     """Per-group Spearman rank correlation with exact tie handling.
 
     ρ = Pearson on midranks; midranks are carried DOUBLED (integers —
@@ -1354,13 +1354,21 @@ def spearman_corr(df: DataFrame, group_col: str, x_col: str, y_col: str,
                F.sum(F.col("__rx2").cast(dec) * F.col("__rx2").cast(dec))
                .cast(dec).alias("__sxx_p")))
     if persist_rank_table:
-        # r14 A/B hook (default off): explicitly materialize the shared
-        # y-side rank table instead of relying on AQE ReuseExchange to
-        # collapse its two consumers (the bucket totals and the ranked
-        # join). Measured slower at sf0.1 AND sf1 (see
-        # OPTIMIZATION_r14.md) — the reused exchange already computes
-        # t1 once, and the cache adds a store+read pass; kept as a
-        # parameter so the decision is re-measurable per deployment.
+        # r14 (verdict task 2, measured): explicitly materialize the
+        # shared y-side rank table instead of relying on AQE
+        # ReuseExchange to collapse its two consumers (the bucket
+        # totals and the ranked join). Interleaved A/B, noop sink:
+        # sf0.1 persist min 1.647 / reuse 2.407 s (6 reps, every
+        # persist rep faster); sf1 decade 8.176 vs 8.361 s. The cache
+        # also removes the silent-doubling fragility the r13 verdict
+        # flagged (a Spark that weakens exchange reuse would recompute
+        # the near-row-cardinality subtree); jobs/run 17 -> 15. The
+        # earlier "persist measured slower" note (r10 drift_ks lesson)
+        # predates the r13 fused single-exchange shape — superseded by
+        # this A/B. t1 is the DISTINCT-(g,bucket,y) grain, near row
+        # cardinality: MEMORY_AND_DISK so a scale caller spills
+        # instead of evicting under pressure; param kept so the
+        # decision stays re-measurable per deployment.
         t1 = t1.persist(StorageLevel.MEMORY_AND_DISK)
     totals = t1.groupBy("__g", "__bucket").agg(
         F.sum("__cnt").alias("__bc"))

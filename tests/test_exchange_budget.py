@@ -51,12 +51,16 @@ EXCHANGE_BUDGETS = {
     # heavy hitters b21)
     "agg_theil_index": 5,
     "stats_anova_oneway": 5,
-    # 19 static: the fused plan derives the y-rank offsets from the
-    # post-join distinct-y table, whose subtree Catalyst copies per
-    # consumer (AQE ReuseExchange collapses the identical copies at
-    # runtime; a persist() was measured SLOWER, the drift_ks lesson).
-    # The fusion removed the second row-cardinality join outright.
-    "stats_spearman_corr": 19,
+    # 19 -> 22 in r14: the shared y-side rank table (t1) is now
+    # explicitly persisted (A/B: persist min 1.647 s vs AQE-reuse
+    # 2.407 s at sf0.1, 8.18 vs 8.36 at sf1, jobs 17 -> 15 — see
+    # OPTIMIZATION_r14.md). The static count RISES because the cache
+    # boundary stops the planner's static ReuseExchange from
+    # collapsing the subtree copies it used to; at runtime the cached
+    # t1 executes ONCE and both consumers read InMemoryTableScan, so
+    # actual wire crossings went DOWN. test_plan_contracts pins the
+    # cache + reuse shape.
+    "stats_spearman_corr": 22,
     "geo_dbscan_core_points": 4,
     "sketch_freq_heavy_hitters": 6,
     "eval_pr_auc": 5,

@@ -140,3 +140,46 @@ def test_triangle_family_closing_join_is_shuffled_hash(plans):
             f"{name}: the closing join reverted to SortMergeJoin: "
             f"{smj_closing} — re-add the SHUFFLE_HASH hint on the "
             "O(m) edge side (SCALE.md Round 11 §5)")
+
+
+def test_spearman_rank_table_is_materialized_once(spark, sf_dir):
+    """r14 (verdict task 2): b20 spearman's shared y-side rank table
+    (t1, the distinct-(g,bucket,y) grain) must be an explicit cache
+    read by BOTH consumers (the bucket totals and the ranked join),
+    not a Catalyst subtree copy whose collapse depends on AQE
+    ReuseExchange staying strong — the r13 verdict's silent-doubling
+    risk. A/B'd at sf0.1 AND sf1 (persist wins both; numbers in
+    OPTIMIZATION_r14.md). Pin: >= 2 InMemoryTableScan reads of the
+    SAME cached relation in the static plan. (A ReusedExchange count
+    is deliberately NOT pinned: it is scale-dependent — at sf0.001 the
+    small side broadcasts and the static rule has nothing to collapse
+    — and with the cache in place exchange reuse no longer guards the
+    expensive subtree.)"""
+    df = REGISTRY["stats_spearman_corr"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = sum(1 for line in plan.splitlines()
+                if "InMemoryTableScan" in line)
+    assert scans >= 2, (
+        f"spearman rank table no longer persisted ({scans} cache "
+        "scans) — the y-side subtree would recompute per consumer")
+
+
+def test_local_clustering_oriented_edges_are_materialized_once(
+        spark, sf_dir):
+    """r14 (verdict task 4): graph_local_clustering's oriented-edge
+    table `o` (u, v, dv) is consumed by both wedge sides and the
+    closing join; its copies' exchanges are NOT identical, so AQE
+    reuse cannot collapse them and the canonicalize->degree->2-join
+    chain recomputed per consumer (sf1 decade A/B: 27.1 -> 9.8 s with
+    the persist; scripts/ab_lcc_persist.py). Pin the cache so a
+    refactor cannot silently reintroduce the triple recompute.
+    (triangle_count is deliberately NOT cached — its semi-join variant
+    reuses exchanges already; persisting it measured slower.)"""
+    df = REGISTRY["graph_local_clustering"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = sum(1 for line in plan.splitlines()
+                if "InMemoryTableScan [u#" in line
+                or ("InMemoryTableScan" in line and "dv" in line))
+    assert scans >= 2, (
+        f"oriented-edge cache gone ({scans} scans of o) — the wedge "
+        "chain would recompute per consumer at scale")
