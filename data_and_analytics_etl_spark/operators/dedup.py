@@ -21,6 +21,7 @@ Scale design
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Observation, Window
 
 
@@ -429,7 +430,21 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
                                        F.col("id_a").alias("dst"))))
     labels = vertices.select(F.col(id_col).alias("vid"),
                              F.col(id_col).alias("label"))
-    edges = edges.localCheckpoint(eager=True)
+    # Loop-invariant edges are PRE-PARTITIONED on the join key and
+    # persisted (r14, guide §2.4) instead of localCheckpoint'ed: a
+    # checkpointed RDD reports UnknownPartitioning, so every round's
+    # neighbor join re-exchanged the edge table — at scale that is a
+    # pair-table shuffle per round. The persisted repartition("dst")
+    # survives through InMemoryTableScan's outputPartitioning and the
+    # per-round join adds NO edge-side exchange (plan-verified with
+    # broadcast disabled to emulate the at-scale strategy:
+    # ENSURE_REQUIREMENTS exchange on dst gone; only the one-time
+    # REPARTITION_BY_COL cache build remains —
+    # scripts/ab_b12_edges_prepartition.py; local timing flat, 0.96
+    # vs 0.98 s min). Labels keep the eager checkpoint: they change
+    # every round, and the checkpoint is what truncates the growing
+    # lineage.
+    edges = edges.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
     labels = labels.localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
@@ -478,6 +493,7 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
             f"dedup_clusters did not reach a fixed point in {max_iter} "
             "rounds — labels are only partially propagated (clusters "
             "would be silently split); raise max_iter")
+    edges.unpersist()  # labels are checkpoint-materialized; cache free
     return labels.select(F.col("vid").alias(id_col),
                          F.col("label").alias("cluster_rep"))
 

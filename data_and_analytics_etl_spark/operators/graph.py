@@ -50,8 +50,16 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     from pyspark.sql import Observation
 
+    # Loop-invariant edges pre-partitioned on the per-round join key
+    # (r14, guide §2.4; the dedup_clusters finding): the persisted
+    # partitioning survives through InMemoryTableScan, so the per-round
+    # contrib join plans NO edge-side exchange (plan-verified with
+    # broadcast disabled to emulate the at-scale join strategy; locally
+    # AQE broadcasts the rank side, so the change is free). One extra
+    # setup shuffle buys iters fewer edge-table shuffles at scale.
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct()
+         .repartition("src")
          .persist(StorageLevel.MEMORY_AND_DISK))
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
@@ -457,8 +465,16 @@ def pagerank_integer(edges: DataFrame, src: str = "src",
     doubles swapped for longs. rank·damp_num ≤ scale·damp_num keeps
     everything far from the 2^63 cliff.
     """
+    # Loop-invariant edges pre-partitioned on the per-round join key
+    # (r14, guide §2.4; the dedup_clusters finding): the persisted
+    # partitioning survives through InMemoryTableScan, so the per-round
+    # contrib join plans NO edge-side exchange (plan-verified with
+    # broadcast disabled to emulate the at-scale join strategy; locally
+    # AQE broadcasts the rank side, so the change is free). One extra
+    # setup shuffle buys iters fewer edge-table shuffles at scale.
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct()
+         .repartition("src")
          .persist(StorageLevel.MEMORY_AND_DISK))
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
