@@ -92,10 +92,15 @@ EAGER_QUERIES = {"b12_dedup_clusters"}
 #: timing window, which a re-run can bound. Update when BASELINE.md
 #: records a new minimum.
 RECORDS_SF01: dict[str, float] = {
-    "b1_pricing_summary": 0.451, "b2_shipping_priority": 0.377,
+    "b1_pricing_summary": 0.451,
     "b3_star_join": 0.441, "b4_topk_per_group": 0.217,
-    "b5_running_sum": 0.153, "b6_cosine_topk": 0.317,
+    "b5_running_sum": 0.153,
     "b7_exact_dedup": 0.158,
+    # r14 optimization close: steal-clean records (max steal_by_query
+    # 0.05% on the b2/b6 run; b20 is the round's persist win) —
+    # BASELINE.md "Round-14 optimization close"
+    "b2_shipping_priority": 0.368, "b6_cosine_topk": 0.233,
+    "b20_spearman": 1.282,
     "b9_sessionization": 0.515, "b10_returned_revenue": 0.251,
     "b11_nation_volume": 0.374,
     "b15_curation_pipeline": 1.183,
@@ -106,7 +111,6 @@ RECORDS_SF01: dict[str, float] = {
     "b13_span_duplication": 0.454, "b14_drift_ks": 0.306,
     "b16_transitive_closure": 1.227, "b17_segment_dedup": 0.354,
     "b18_bigram_lm": 0.780, "b19_geo_proximity": 0.362,
-    "b20_spearman": 1.414,
     "b21_heavy_hitters": 0.444,
 }
 

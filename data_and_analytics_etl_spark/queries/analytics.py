@@ -1405,11 +1405,25 @@ def _mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual 5-NN cosine graph over the embedding corpus (src < dst
     unique undirected edges) — the shared substrate of the graph
     probes (triangle count, k-core)."""
+    from pyspark import StorageLevel
+
     from ..operators.similarity import cosine_topk
     e = load_table(spark, sf_dir, "embeddings")
+    # Persist the kNN list before the mutual self-join (r14): the
+    # self-join references the full cosine-scoring + top-k-window
+    # chain TWICE (static plan: 2 BroadcastNestedLoopJoins, 4 corpus
+    # scans, 0 static ReusedExchange) — collapsing the copies was left
+    # to AQE runtime exchange reuse, the same silent-doubling
+    # fragility the r13 verdict flagged on b20's y-side. The cache
+    # makes the O(|corpus|²·dim) scoring pass run once by
+    # construction; interleaved A/B at sf0.1: min 1.82 vs 2.17 s
+    # (-16% with reuse working; the cache is what bounds the cost if
+    # reuse ever weakens). knn is |corpus|·k rows — node-scale, not
+    # pair-scale, so the cache footprint is small at any scale.
     knn = (cosine_topk(e, e, k=5)
            .select(F.col("probe_id").alias("pa"),
-                   F.col("vec_id").alias("pb")))
+                   F.col("vec_id").alias("pb"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
     k2 = knn.select(F.col("pa").alias("qa"), F.col("pb").alias("qb"))
     return (knn.join(k2, (F.col("pa") == F.col("qb"))
                      & (F.col("pb") == F.col("qa")))

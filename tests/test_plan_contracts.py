@@ -183,3 +183,21 @@ def test_local_clustering_oriented_edges_are_materialized_once(
     assert scans >= 2, (
         f"oriented-edge cache gone ({scans} scans of o) — the wedge "
         "chain would recompute per consumer at scale")
+
+
+def test_cosine_topk_shuffle_is_rank_limit_bounded(spark, sf_dir):
+    """r14 (verdict task 1): cosine_topk's rank<=k filter must keep
+    planning a PARTIAL WindowGroupLimit below the probe_id exchange
+    (SPARK-37099 rank-limit pushdown) — that is what bounds the
+    top-k shuffle to <= |probes|*k rows per map partition in the JVM,
+    and it is why the mapInArrow partial top-k was rejected (A/B in
+    OPTIMIZATION_r14.md). If a conf change or Spark upgrade drops the
+    node (spark.sql.window.group.limit.threshold=-1 disables it), the
+    shuffle silently becomes |corpus|x|probes| rows and this pin
+    fails before the driver bench does."""
+    df = REGISTRY["cosine_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, (
+        "no partial WindowGroupLimit in cosine_topk's plan — the "
+        "top-k shuffle is unbounded; check "
+        "spark.sql.window.group.limit.threshold")
