@@ -105,13 +105,17 @@ RECORDS_SF01: dict[str, float] = {
     "b11_nation_volume": 0.374,
     "b15_curation_pipeline": 1.183,
     # r13 optimization close: steal-clean record runs on the slower-
-    # dispatch host (max steal_by_query 0.08%; new full-21 record
-    # 11.419 s) — BASELINE.md "Round-13 optimization close"
-    "b8_minhash_neardup": 0.551, "b12_dedup_clusters": 0.687,
-    "b13_span_duplication": 0.454, "b14_drift_ks": 0.306,
-    "b16_transitive_closure": 1.227, "b17_segment_dedup": 0.354,
-    "b18_bigram_lm": 0.780, "b19_geo_proximity": 0.362,
+    # dispatch host (max steal_by_query 0.08%; full-21 record 11.419 s)
+    # — BASELINE.md "Round-13 optimization close"
+    "b12_dedup_clusters": 0.687,
+    "b19_geo_proximity": 0.362,
     "b21_heavy_hitters": 0.444,
+    # r14 optimization close: NEW all-time full-21 record 11.175 s
+    # (max steal_by_query 0.06%, dispatch 0.0654) — BASELINE.md
+    # "Round-14 optimization close"
+    "b8_minhash_neardup": 0.524, "b13_span_duplication": 0.406,
+    "b14_drift_ks": 0.270, "b16_transitive_closure": 1.179,
+    "b17_segment_dedup": 0.334, "b18_bigram_lm": 0.733,
 }
 
 def _cpu_jiffies() -> tuple[int, int]:
